@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Defaults are chosen for the local[32] test harness but every knob is the
+  * one you would also set on a 1000-executor cluster: AQE re-plans shuffles
+  * at runtime (coalesce + skew-join), shuffle partition count is sized to
+  * the parallelism instead of Spark's legacy 200, and broadcast threshold is
+  * left at default so small dimension tables broadcast automatically.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  def getOrCreate(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = builder(appName, cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

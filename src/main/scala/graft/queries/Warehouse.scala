@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Warehouse analytics queries — the SQL surface the reference's source
+  * warehouse (Redshift) serves (tap-redshift/src/sync.py:107 builds
+  * SELECT/WHERE/ORDER BY/LIMIT; discover.py introspects the same schema).
+  *
+  * Every query is a declarative DataFrame plan: filters and projections
+  * reach the parquet scan via Catalyst pushdown; dimension tables
+  * (region/nation) are auto-broadcast; deterministic ORDER BY with pkey
+  * tiebreaks exists for oracle comparison and is eliminated by Catalyst's
+  * EliminateSorts under aggregating consumers (e.g. Bench's count()).
+  */
+object Warehouse {
+
+  /** C1: grouped aggregation over the fact table (map-side partial agg →
+    * 2-key shuffle; the canonical pricing-summary shape). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("2000-12-01"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 2).as("avg_qty"),
+        round(avg($"l_extendedprice"), 2).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** C2: selective 3-way join + agg + top-k. The order-by/limit plans as
+    * TakeOrderedAndProject — no global sort materialization. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.table(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+    val orders = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-03-15"))
+    val lineitem = Tables.table(spark, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1998-03-15"))
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  /** C3: star join over all six relational tables; region/nation/supplier
+    * are small → broadcast-hash joined against the fact side. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.table(spark, dir, "region").filter($"r_name" === "ASIA")
+    val nation = Tables.table(spark, dir, "nation")
+    val supplier = Tables.table(spark, dir, "supplier")
+    val customer = Tables.table(spark, dir, "customer")
+    val orders = Tables.table(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supplier),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** C4: top-N per key via row_number window (single hash-partitioned
+    * shuffle on user_id; rank filter applies before any further stage). */
+  def qWindowTopN(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= n)
+      .orderBy($"user_id", $"rn")
+  }
+
+  /** C5: sessionization — lag + 30-min-gap flag + running sum, then
+    * per-session rollup. One shuffle on user_id serves all three windows. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTE"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** C6: tumbling-window aggregation — the batch twin of the Structured
+    * Streaming job in graft.streaming.Events (same plan shape; streaming
+    * adds a watermark). */
+  def qStreamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+}

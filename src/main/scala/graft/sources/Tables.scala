@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Parquet table registry for the synthetic warehouse.
+  *
+  * The reference extracts from Redshift tables discovered at runtime
+  * (tap-redshift/src/discover.py:17); here the warehouse is a directory of
+  * parquet tables. Reads are lazy scans — projection and predicates placed
+  * on the returned DataFrame reach the parquet reader (column pruning +
+  * predicate pushdown), which is the property that matters at 100 TB.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries TIMESTAMP(NANOS) which Spark's vectorized
+    // parquet reader rejects; read nanos as long and truncate to micros —
+    // the same floor-truncation DuckDB applies when it reads nanos into its
+    // microsecond TIMESTAMP, so oracle comparison stays exact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
