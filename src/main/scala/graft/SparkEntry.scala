@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Warehouse
+import graft.queries.{Etl, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,6 +18,19 @@ object SparkEntry {
     "q_window_topn" -> ((s, dir) => Warehouse.qWindowTopN(s, dir)),
     "q_sessionize" -> ((s, dir) => Warehouse.qSessionize(s, dir)),
     "q_stream_window_agg" -> ((s, dir) => Warehouse.qStreamWindowAgg(s, dir)),
+    "q_discover_catalog" -> ((s, dir) => Etl.qDiscoverCatalog(s, dir)),
+    "q_select_columns" -> ((s, dir) => Etl.qSelectColumns(s, dir)),
+    "q_full_table_sync" -> ((s, dir) => Etl.qFullTableSync(s, dir)),
+    "q_incremental_sync" -> ((s, dir) => Etl.qIncrementalSync(s, dir)),
+    "q_uuid_filter" -> ((s, dir) => Etl.qUuidFilter(s, dir)),
+    "q_volume_counts" -> ((s, dir) => Etl.qVolumeCounts(s, dir)),
+    "q_bookmark_state" -> ((s, dir) => Etl.qBookmarkState(s, dir)),
+    "q_row_to_record" -> ((s, dir) => Etl.qRowToRecord(s, dir)),
+    "q_flatten" -> ((s, dir) => Etl.qFlatten(s, dir)),
+    "q_field_mapping" -> ((s, dir) => Etl.qFieldMapping(s, dir)),
+    "q_payload_shape" -> ((s, dir) => Etl.qPayloadShape(s, dir)),
+    "q_batch_assign" -> ((s, dir) => Etl.qBatchAssign(s, dir)),
+    "q_schema_validate" -> ((s, dir) => Etl.qSchemaValidate(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -95,5 +108,167 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_discover_catalog" ->
+      """SELECT table_name, CAST(ordinal AS BIGINT) AS ordinal, column_name, sql_type,
+        |  json_type, format, inclusion, is_replication_key
+        |FROM (VALUES
+        |  ('region', 1, 'r_regionkey', 'int', 'integer', '', 'automatic', false),
+        |  ('region', 2, 'r_name', 'string', 'string', '', 'available', false),
+        |  ('nation', 1, 'n_nationkey', 'int', 'integer', '', 'automatic', false),
+        |  ('nation', 2, 'n_name', 'string', 'string', '', 'available', false),
+        |  ('nation', 3, 'n_regionkey', 'int', 'integer', '', 'available', false),
+        |  ('customer', 1, 'c_custkey', 'bigint', 'integer', '', 'automatic', false),
+        |  ('customer', 2, 'c_name', 'string', 'string', '', 'available', false),
+        |  ('customer', 3, 'c_nationkey', 'int', 'integer', '', 'available', false),
+        |  ('customer', 4, 'c_acctbal', 'double', 'number', '', 'available', false),
+        |  ('customer', 5, 'c_mktsegment', 'string', 'string', '', 'available', false),
+        |  ('supplier', 1, 's_suppkey', 'bigint', 'integer', '', 'automatic', false),
+        |  ('supplier', 2, 's_name', 'string', 'string', '', 'available', false),
+        |  ('supplier', 3, 's_nationkey', 'int', 'integer', '', 'available', false),
+        |  ('supplier', 4, 's_acctbal', 'double', 'number', '', 'available', false),
+        |  ('part', 1, 'p_partkey', 'bigint', 'integer', '', 'automatic', false),
+        |  ('part', 2, 'p_name', 'string', 'string', '', 'available', false),
+        |  ('part', 3, 'p_brand', 'string', 'string', '', 'available', false),
+        |  ('part', 4, 'p_type', 'string', 'string', '', 'available', false),
+        |  ('part', 5, 'p_size', 'int', 'integer', '', 'available', false),
+        |  ('part', 6, 'p_retailprice', 'double', 'number', '', 'available', false),
+        |  ('orders', 1, 'o_orderkey', 'bigint', 'integer', '', 'automatic', false),
+        |  ('orders', 2, 'o_custkey', 'bigint', 'integer', '', 'available', false),
+        |  ('orders', 3, 'o_orderstatus', 'string', 'string', '', 'available', false),
+        |  ('orders', 4, 'o_totalprice', 'double', 'number', '', 'available', false),
+        |  ('orders', 5, 'o_orderdate', 'timestamp', 'string', 'date-time', 'available', true),
+        |  ('orders', 6, 'o_orderpriority', 'string', 'string', '', 'available', false),
+        |  ('lineitem', 1, 'l_orderkey', 'bigint', 'integer', '', 'automatic', false),
+        |  ('lineitem', 2, 'l_partkey', 'bigint', 'integer', '', 'available', false),
+        |  ('lineitem', 3, 'l_suppkey', 'bigint', 'integer', '', 'available', false),
+        |  ('lineitem', 4, 'l_linenumber', 'int', 'integer', '', 'available', false),
+        |  ('lineitem', 5, 'l_quantity', 'double', 'number', '', 'available', false),
+        |  ('lineitem', 6, 'l_extendedprice', 'double', 'number', '', 'available', false),
+        |  ('lineitem', 7, 'l_discount', 'double', 'number', '', 'available', false),
+        |  ('lineitem', 8, 'l_tax', 'double', 'number', '', 'available', false),
+        |  ('lineitem', 9, 'l_returnflag', 'string', 'string', '', 'available', false),
+        |  ('lineitem', 10, 'l_linestatus', 'string', 'string', '', 'available', false),
+        |  ('lineitem', 11, 'l_shipdate', 'timestamp', 'string', 'date-time', 'available', true),
+        |  ('events', 1, 'event_id', 'bigint', 'integer', '', 'automatic', false),
+        |  ('events', 2, 'ts', 'timestamp', 'string', 'date-time', 'available', true),
+        |  ('events', 3, 'user_id', 'bigint', 'integer', '', 'available', false),
+        |  ('events', 4, 'event_type', 'string', 'string', '', 'available', false),
+        |  ('events', 5, 'value', 'double', 'number', '', 'available', false),
+        |  ('events', 6, 'props', 'string', 'string', '', 'available', false),
+        |  ('documents', 1, 'doc_id', 'bigint', 'integer', '', 'automatic', false),
+        |  ('documents', 2, 'text', 'string', 'string', '', 'available', false),
+        |  ('documents', 3, 'lang', 'string', 'string', '', 'available', false),
+        |  ('documents', 4, 'source', 'string', 'string', '', 'available', false),
+        |  ('documents', 5, 'n_chars', 'bigint', 'integer', '', 'available', false),
+        |  ('embeddings', 1, 'vec_id', 'bigint', 'integer', '', 'automatic', false),
+        |  ('embeddings', 2, 'embedding', 'array<float>', 'unsupported', '', 'unsupported', false),
+        |  ('embeddings', 3, 'label', 'int', 'integer', '', 'available', false)
+        |) AS t(table_name, ordinal, column_name, sql_type, json_type, format, inclusion, is_replication_key)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    "q_select_columns" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_full_table_sync" ->
+      """SELECT c_custkey AS "accountId", c_name AS account_name,
+        |  c_nationkey AS nation_key, c_acctbal AS account_balance,
+        |  c_mktsegment AS market_segment,
+        |  'warehouse_account' AS stream, CAST(1 AS BIGINT) AS version
+        |FROM customer ORDER BY "accountId"""".stripMargin,
+    "q_incremental_sync" ->
+      """SELECT o_orderkey AS "visitorId", o_custkey AS customer_key,
+        |  o_orderstatus AS order_status, o_totalprice AS total_price,
+        |  o_orderpriority AS order_priority
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1998-01-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)
+        |ORDER BY o_orderdate, o_orderkey
+        |LIMIT 1000""".stripMargin,
+    "q_uuid_filter" ->
+      """SELECT c_custkey,
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4) || '-' ||
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12) AS uuid
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_volume_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'warehouse_account' AS stream, count(*) AS record_count FROM customer
+        |  UNION ALL
+        |  SELECT 'warehouse_visitor' AS stream, count(*) AS record_count FROM orders
+        |) ORDER BY stream""".stripMargin,
+    "q_bookmark_state" ->
+      """SELECT * FROM (
+        |  SELECT 'warehouse_visitor' AS stream, 'o_orderdate' AS replication_key,
+        |    strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS replication_key_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'warehouse_event' AS stream, 'ts' AS replication_key,
+        |    strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS replication_key_value
+        |  FROM events
+        |) ORDER BY stream""".stripMargin,
+    "q_row_to_record" ->
+      """SELECT to_json(struct_pack(
+        |    type := 'RECORD',
+        |    stream := 'warehouse_account',
+        |    record := struct_pack(
+        |      "accountId" := CAST(c_custkey AS VARCHAR),
+        |      account_name := c_name,
+        |      account_balance := printf('%.2f', c_acctbal)),
+        |    version := CAST(1 AS BIGINT),
+        |    time_extracted := '2026-01-01T00:00:00Z'))::VARCHAR AS message
+        |FROM customer ORDER BY message""".stripMargin,
+    "q_flatten" ->
+      """SELECT event_id, user_id AS user__id, event_type AS user__kind__name, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_field_mapping" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS "accountId", c_name AS account_name,
+        |  c_nationkey AS nation_key, c_acctbal AS account_balance,
+        |  c_mktsegment AS market_segment
+        |FROM customer ORDER BY "accountId"""".stripMargin,
+    "q_payload_shape" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS "accountId",
+        |  to_json(struct_pack(
+        |    "accountId" := CAST(c_custkey AS VARCHAR),
+        |    "values" := struct_pack(
+        |      account_name := c_name,
+        |      nation_key := CAST(c_nationkey AS VARCHAR),
+        |      account_balance := printf('%.2f', c_acctbal),
+        |      market_segment := c_mktsegment)))::VARCHAR AS payload
+        |FROM customer ORDER BY "accountId"""".stripMargin,
+    "q_batch_assign" ->
+      """WITH p AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS "accountId",
+        |    to_json(struct_pack(
+        |      "accountId" := CAST(c_custkey AS VARCHAR),
+        |      "values" := struct_pack(
+        |        account_name := c_name,
+        |        nation_key := CAST(c_nationkey AS VARCHAR),
+        |        account_balance := printf('%.2f', c_acctbal),
+        |        market_segment := c_mktsegment)))::VARCHAR AS payload
+        |  FROM customer),
+        |b AS (
+        |  SELECT payload,
+        |    (row_number() OVER (ORDER BY "accountId") - 1) // 500 AS batch_id
+        |  FROM p)
+        |SELECT batch_id, count(*) AS n_records,
+        |  CAST(sum(strlen(payload)) AS BIGINT) AS batch_bytes
+        |FROM b GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "q_schema_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_custkey.not_null' AS check_name,
+        |    (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS violations
+        |  UNION ALL
+        |  SELECT 'customer.c_acctbal.non_negative',
+        |    (SELECT count(*) FROM customer WHERE c_acctbal < 0)
+        |  UNION ALL
+        |  SELECT 'customer.c_name.max_length_25',
+        |    (SELECT count(*) FROM customer WHERE length(c_name) > 25)
+        |  UNION ALL
+        |  SELECT 'orders.o_orderstatus.enum_OFP',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        |) ORDER BY check_name""".stripMargin,
   )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared across operators.
+  *
+  * Everything here composes built-in codegen'd expressions (no Scala UDFs)
+  * so the hot path stays inside whole-stage codegen, and every function has
+  * an exact DuckDB-SQL twin so operators built on them stay oracle-checkable
+  * (SURVEY.md §6).
+  */
+package object functions {
+
+  /** Deterministic UUID-shaped id derived from any key column: md5 hex
+    * grouped 8-4-4-4-12. Stand-in for the reference's UUID primary keys
+    * (tap-redshift/src/sync.py:30-54 filters Pendo ids with len==36).
+    * DuckDB twin: md5(CAST(k AS VARCHAR)) + substr/|| concatenation. */
+  def uuidify(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** UUID validity: exact length 36 + lowercase-hex 8-4-4-4-12 shape.
+    * Mirrors sync.py:42 (`len(id) == 36`) + validators.uuid. */
+  def uuidValid(id: Column): Column =
+    length(id) === 36 &&
+      id.rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+
+  /** ISO-8601 second-precision formatting used in RECORD messages and
+    * bookmark values (messages.py:351 isoformat + 'Z'). */
+  def isoTimestamp(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** Cosine similarity between two float-array columns, computed with the
+    * higher-order `aggregate`/`zip_with` built-ins (codegen-friendly, no
+    * UDF). Arrays must be equal length. */
+  def cosineSim(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+}

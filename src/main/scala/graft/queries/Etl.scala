@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Streams
+import graft.sources.{Discovery, Resolve, Tables}
+import graft.sync.{Bookmarks, Messages, Sync}
+import graft.target.Transform
+import graft.functions._
+
+/** Oracle-checked query faces of the ETL operators (SURVEY.md §2 A/B
+  * blocks). Each function wires an operator from graft.sync / graft.target /
+  * graft.sources to the synthetic warehouse so the DuckDB oracle can verify
+  * exact semantics.
+  */
+object Etl {
+
+  /** A1: catalog discovery (type mapping + inclusion + replication keys). */
+  def qDiscoverCatalog(spark: SparkSession, dir: String): DataFrame =
+    Discovery.discoverCatalog(spark, dir)
+
+  /** A2: column selection — selected ∩ available ∪ automatic. The pkey is
+    * 'automatic' so it appears even though not selected. */
+  def qSelectColumns(spark: SparkSession, dir: String): DataFrame =
+    Resolve.select(spark, dir, "customer", Set("c_name", "c_acctbal", "c_nationkey"))
+      .orderBy("c_custkey")
+
+  /** A3: FULL_TABLE replication of the accounts stream, fixed version. */
+  def qFullTableSync(spark: SparkSession, dir: String): DataFrame =
+    Sync.fullTable(spark, dir, Streams.accounts, version = 1L)
+      .orderBy("accountId")
+
+  /** A4: INCREMENTAL replication of the visitors stream: bookmark filter +
+    * broadcast semi-join against "active" account keys + ordered batch. */
+  def qIncrementalSync(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.table(spark, dir, "customer")
+      .filter($"c_acctbal" > 1000.0).select($"c_custkey")
+    Sync.incremental(spark, dir, Streams.visitors,
+      bookmark = Some("1998-01-01"), activeKeys = active,
+      joinColumn = "o_custkey", limit = 1000)
+  }
+
+  /** A5: UUID derivation + validity filter (the fetch_uuids len==36 path).
+    * Keys divisible by 7 get a truncated (invalid) id — the filter must
+    * drop exactly those. */
+  def qUuidFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withUuid = Tables.table(spark, dir, "customer")
+      .withColumn("uuid_raw", uuidify($"c_custkey"))
+      .withColumn("uuid",
+        when($"c_custkey" % 7 === 0, substring($"uuid_raw", 1, 35)).otherwise($"uuid_raw"))
+    withUuid.filter(uuidValid($"uuid"))
+      .select($"c_custkey", $"uuid")
+      .orderBy($"c_custkey")
+  }
+
+  /** A6: per-stream VOLUME counts. */
+  def qVolumeCounts(spark: SparkSession, dir: String): DataFrame =
+    Sync.volumes(spark, dir).orderBy("stream")
+
+  /** A7: bookmark computation — max(replication_key) per incremental
+    * stream, ISO-formatted. */
+  def qBookmarkState(spark: SparkSession, dir: String): DataFrame = {
+    val streams = Seq(Streams.visitors,
+      Streams.visitors.copy(streamName = "warehouse_event", sourceTable = "events",
+        replicationKey = Some("ts")))
+    Bookmarks.computeBookmarks(spark, dir, streams).orderBy("stream")
+  }
+
+  /** A8: RECORD message JSON lines for the accounts stream. */
+  def qRowToRecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.table(spark, dir, "customer").orderBy("c_custkey")
+    Messages.recordMessages(src, stream = "warehouse_account", version = 1L,
+      timeExtracted = "2026-01-01T00:00:00Z",
+      fields = Seq(
+        "accountId" -> $"c_custkey",
+        "account_name" -> $"c_name",
+        "account_balance" -> format_string("%.2f", $"c_acctbal")))
+      .orderBy("message")
+  }
+
+  /** B1: nested-record flattening with `__` separators (struct built from
+    * events, then flattened back to columns). */
+  def qFlatten(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nested = Tables.table(spark, dir, "events").select(
+      $"event_id",
+      struct($"user_id".as("id"), struct($"event_type".as("name")).as("kind")).as("user"),
+      $"value")
+    Transform.flatten(nested).orderBy("event_id")
+  }
+
+  /** B2: field mapping + int→string dtype coercion for the accounts
+    * stream. */
+  def qFieldMapping(spark: SparkSession, dir: String): DataFrame =
+    Transform.applyFieldMappings(Tables.table(spark, dir, "customer"), Streams.accounts)
+      .orderBy("accountId")
+
+  /** B3: bulk-update payload construction {pkey, values:{...}}. */
+  def qPayloadShape(spark: SparkSession, dir: String): DataFrame = {
+    val mapped = Transform.applyFieldMappings(
+      Tables.table(spark, dir, "customer")
+        .withColumn("c_acctbal", format_string("%.2f", col("c_acctbal"))),
+      Streams.accounts)
+    Transform.shapePayloads(mapped, "accountId").orderBy("accountId")
+  }
+
+  /** B4: batch assignment + per-batch record/byte accounting. */
+  def qBatchAssign(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = qPayloadShape(spark, dir)
+    Transform.batchStats(Transform.assignBatches(payloads, "accountId", maxRecords = 500))
+  }
+
+  /** B6: schema/constraint validation — violation counts per declared rule
+    * (the target validates records against the stream schema before
+    * pushing; Draft4Validator in target-pendo/src/__init__.py:523). */
+  def qSchemaValidate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.table(spark, dir, "customer")
+    val orders = Tables.table(spark, dir, "orders")
+    val checks = Seq(
+      ("customer.c_custkey.not_null", customer.filter($"c_custkey".isNull)),
+      ("customer.c_acctbal.non_negative", customer.filter($"c_acctbal" < 0)),
+      ("customer.c_name.max_length_25", customer.filter(length($"c_name") > 25)),
+      ("orders.o_orderstatus.enum_OFP", orders.filter(!$"o_orderstatus".isin("O", "F", "P"))))
+    checks.map { case (name, df) =>
+      df.agg(count(lit(1)).as("violations")).select(lit(name).as("check_name"), $"violations")
+    }.reduce(_.unionAll(_)).orderBy("check_name")
+  }
+}
