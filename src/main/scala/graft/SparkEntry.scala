@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, Warehouse}
+import graft.queries.{Etl, LlmOps, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -31,6 +31,18 @@ object SparkEntry {
     "q_payload_shape" -> ((s, dir) => Etl.qPayloadShape(s, dir)),
     "q_batch_assign" -> ((s, dir) => Etl.qBatchAssign(s, dir)),
     "q_schema_validate" -> ((s, dir) => Etl.qSchemaValidate(s, dir)),
+    "q_dedup_exact" -> ((s, dir) => LlmOps.qDedupExact(s, dir)),
+    "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
+    "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
+    "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
+    "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
+    "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
+    "q_lang_id" -> ((s, dir) => LlmOps.qLangId(s, dir)),
+    "q_quality_score" -> ((s, dir) => LlmOps.qQualityScore(s, dir)),
+    "q_token_count" -> ((s, dir) => LlmOps.qTokenCount(s, dir)),
+    "q_fingerprint" -> ((s, dir) => LlmOps.qFingerprint(s, dir)),
+    "q_multimodal_meta" -> ((s, dir) => LlmOps.qMultimodalMeta(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -270,5 +282,73 @@ object SparkEntry {
         |  SELECT 'orders.o_orderstatus.enum_OFP',
         |    (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
         |) ORDER BY check_name""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(props) AS content_hash, min(event_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM events GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(string_split(text, ' '))), i ->
+        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (1000 * len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))))
+        |    // len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard_x1000
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS "rank"
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "q_lang_id" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents),
+        |hits AS (
+        |  SELECT doc_id,
+        |    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS BIGINT) AS en_hits,
+        |    CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5 AS BIGINT) AS de_hits,
+        |    CAST((length(padded) - length(replace(padded, ' le ', ''))) / 4 AS BIGINT) AS fr_hits,
+        |    CAST((length(padded) - length(replace(padded, ' el ', ''))) / 4 AS BIGINT) AS es_hits
+        |  FROM p)
+        |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |       WHEN fr_hits >= es_hits THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_chars_text, n_words, stop_hits,
+        |  (non_space * 100) // n_words AS avg_word_len_x100,
+        |  least(1000, n_words * 5) + least(500, stop_hits * 20) AS quality_x1000
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  'application/octet-stream' AS mime, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,91 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.cosineSim
+
+/** Similarity search over an embedding column (SURVEY.md §2 E-block).
+  *
+  * E1 brute-force is the exact baseline: broadcast the (small) query set
+  * against the corpus — the corpus side streams, nothing shuffles until the
+  * per-query top-k (keyed on query_id, k rows each).
+  *
+  * E2 LSH is the scale path: random-hyperplane signatures bucket the corpus
+  * ONCE (map-side); queries probe only their own bucket, so the candidate
+  * set per query is corpus/2^planes on average. Recall is tunable with
+  * multi-probe (flip one sign bit) — implemented as `probes = 1 + planes`.
+  */
+object Ann {
+
+  /** Cast a float embedding to double for engine-stable arithmetic. */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** E1: exact top-k cosine neighbors for each query row.
+    * `queries`: (query_id, qvec); `corpus`: (idCol, embCol). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosineSim(col("qvec"), col(embCol)).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** D5: all pairs with cosine similarity above a threshold (embedding
+    * near-dup). Self-join with one side broadcast. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(embCol)).as("emb_a"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(embCol)).as("emb_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineSim(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") > tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * a fixed splitmix64-derived value in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 7919L + dim.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane LSH bucket signature: one bit per plane = sign of
+    * the dot product with a fixed pseudo-random plane. */
+  def lshBucket(emb: Column, dims: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dims).map(d =>
+        element_at(emb, d + 1).cast("double") * lit(planeComponent(p, d))).reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** E2: LSH-bucketed approximate top-k. Queries probe their own bucket
+    * plus every 1-bit-flipped neighbor bucket (multi-probe → recall). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int, dims: Int, planes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(embCol),
+      lshBucket(col(embCol), dims, planes).as("bucket"))
+    val probeBuckets = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(identity): _*)
+    val probed = queries
+      .select(col("query_id"), col("qvec"),
+        explode(transform(probeBuckets,
+          flip => lshBucket(col("qvec"), dims, planes).bitwiseXOR(flip))).as("bucket"))
+    val scored = probed.join(bucketed,
+        probed("bucket") === bucketed("bucket") && col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosineSim(asDouble(col("qvec")), asDouble(col(embCol))).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact + near-duplicate detection over document corpora — the
+  * training-data-pipeline operator family (SURVEY.md §2 D-block).
+  *
+  * Scale notes (100 TB): every variant is one map-side pass to compute
+  * per-document signatures plus a shuffle keyed on signature/band — the
+  * document payload itself never joins until candidate verification, which
+  * joins back by id on a tiny candidate set.
+  */
+object Dedup {
+
+  /** D1: exact dedup by content hash. Hash-partitioned groupBy with
+    * map-side partial aggregation; keeps the minimum id as canonical. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Word n-grams of a text column. 1-based element_at indices keep the
+    * construction portable to the DuckDB oracle's 1-based lists. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j)).cast("int"))): _*))
+    // sequence(1, k) descends when k < 1 — short docs get no grams
+    when(size(toks) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
+  /** Exact Jaccard similarity of two token-array columns, scaled to x1000
+    * integer (integer semantics match the oracle's `//`; double division of
+    * small ints never crosses an integer boundary before the truncation). */
+  def jaccardX1000(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
+    val union = size(array_distinct(concat(a, b)))
+    ((lit(1000) * inter) / union).cast("long")
+  }
+}

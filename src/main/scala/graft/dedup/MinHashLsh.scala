@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (D2).
+  *
+  * Pipeline: word-shingle each document (map-side) → k=numHashes MinHash
+  * signature via affine transforms of one xxhash64 base hash (map-side) →
+  * split signature into b bands of r rows → explode to (band_idx,
+  * band_hash, id) → self-join on band key → candidate pairs → verify with
+  * exact Jaccard on the shingle sets.
+  *
+  * Shuffle profile at scale: the only wide exchange is keyed on
+  * (band_idx, band_hash) and carries b rows of (two longs + id) per
+  * document — NOT the document text. Hot bands (boilerplate shingles) are
+  * the skew risk; AQE skew-join handles moderate skew, and a band-key salt
+  * (append id mod s for oversized buckets) is the documented escape hatch.
+  */
+object MinHashLsh {
+
+  /** Deterministic odd multipliers / offsets for the affine MinHash
+    * transforms (splitmix64 over the lane index — fixed across runs). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: array of `numHashes` lane minima. One base
+    * xxhash64 per shingle; lane j applies rotate-left(1 + j mod 63) then
+    * XOR with a fixed splitmix64 constant — a bijection per lane (what
+    * MinHash needs from its "permutations") built purely from shift/or/xor,
+    * which stays overflow-free under Spark's default ANSI arithmetic
+    * (multiply-add lane mixing would throw ARITHMETIC_OVERFLOW). */
+  def signature(shingles: Column, numHashes: Int): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    val lanes = (0 until numHashes).map { j =>
+      val rot = 1 + (j % 63)
+      val b = splitmix64(j.toLong)
+      array_min(transform(hashes, h =>
+        shiftleft(h, rot).bitwiseOR(shiftrightunsigned(h, 64 - rot)).bitwiseXOR(lit(b))))
+    }
+    array(lanes: _*)
+  }
+
+  /** Explode a signature into (band_idx, band_hash) rows: bands of
+    * `rowsPerBand` adjacent lanes, each band hashed to one long. */
+  def bands(df: DataFrame, sigCol: String, idCol: String, rowsPerBand: Int): DataFrame = {
+    df.select(col(idCol), posexplode(
+      transform(
+        sequence(lit(0), (size(col(sigCol)) / rowsPerBand).cast("int") - 1),
+        b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))
+    ).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs: documents sharing at least one band. */
+  def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val l = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col(idCol).as("id_b"))
+    l.join(r,
+      l("band_idx") === r("bi") && l("band_hash") === r("bh") && l("id_a") < r("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Full pipeline: near-dup pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard_x1000) for pairs ≥ minJaccardX1000. */
+  def nearDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
+      minJaccardX1000: Long = 500L): DataFrame = {
+    val shingled = df.select(
+      col(idCol),
+      Dedup.wordNgrams(col(textCol), shingleSize).as("shingles"))
+    val sigs = shingled.select(col(idCol), col("shingles"),
+      signature(col("shingles"), numHashes).as("sig"))
+    val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
+    val pairs = candidatePairs(banded, idCol)
+    val byId = shingled
+    pairs
+      .join(byId.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(byId.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardX1000(col("sh_a"), col("sh_b")).as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= minJaccardX1000)
+  }
+}

@@ -43,4 +43,21 @@ package object functions {
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
     dot / (na * nb)
   }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** 64-bit SimHash of an array<bigint> of token hashes (custom codegen
+    * expression — graft.functions.expressions.SimHash64). */
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(expressions.SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  /** Polynomial rolling-hash fingerprint of a string column (custom codegen
+    * expression — graft.functions.expressions.PolyHash). */
+  def polyhash(text: Column): Column =
+    ColumnBridge.column(expressions.PolyHash(ColumnBridge.expression(text)))
+
+  /** Hamming distance between two 64-bit signatures (built-in bit_count of
+    * xor — already codegen'd, no custom expression needed). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.{Dedup, MinHashLsh, SimHash}
+import graft.multimodal.Binary
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Query faces of the LLM-training-data operators (SURVEY.md §2 D/E/F/G3)
+  * over the synthetic documents/embeddings/events tables.
+  */
+object LlmOps {
+
+  /** D1: exact dedup on events.props (real duplicate groups — ~100
+    * distinct payloads over the whole table). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.table(spark, dir, "events"), "props", "event_id")
+      .orderBy("content_hash")
+
+  /** D2: MinHash-LSH near-dup pairs. Unigram shingles — the synthetic docs
+    * share a vocabulary, so near-dup structure exists at the unigram level;
+    * the 3-gram configuration is exercised in MinHashSpec with planted
+    * near-duplicates. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.nearDupPairs(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
+      "text", "doc_id",
+      shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L)
+      .orderBy("id_a", "id_b")
+
+  /** D3: SimHash near-dup pairs (hamming ≤ 3 via 4-chunk pigeonhole). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
+  /** D4: exact word-bigram Jaccard over same-source candidate pairs. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"),
+        Dedup.wordNgrams(col("text"), 2).as("grams"))
+    val a = docs.select(col("doc_id").as("id_a"), col("source"), col("grams").as("g_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("grams").as("g_b"))
+    a.join(b, col("source") === col("src_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccardX1000(col("g_a"), col("g_b")).as("jaccard_x1000"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
+    * embedding distribution; real corpora use 0.95+). */
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.35)
+      .orderBy("id_a", "id_b")
+
+  private def annQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+
+  /** E1: exact brute-force cosine top-10 per query vector. */
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(annQueries(spark, dir),
+      Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+      "vec_id", "emb", k = 10)
+      .orderBy("query_id", "rank")
+
+  /** E2: LSH-bucketed approximate top-10 (multi-probe). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.lshTopK(
+      annQueries(spark, dir).select(col("query_id"), col("qvec")),
+      Tables.table(spark, dir, "embeddings").select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+      "vec_id", "emb", k = 10, dims = 64, planes = 8)
+      .orderBy("query_id", "rank")
+
+  /** F1: heuristic language ID. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")
+      .select("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "predicted_lang")
+      .orderBy("doc_id")
+
+  /** F2: quality scoring. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.table(spark, dir, "documents"), "text")
+      .select("doc_id", "n_chars_text", "n_words", "stop_hits", "avg_word_len_x100", "quality_x1000")
+      .orderBy("doc_id")
+
+  /** F3: token counts (whitespace + regex). */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.table(spark, dir, "documents"), "text")
+      .select("doc_id", "ws_tokens", "re_tokens")
+      .orderBy("doc_id")
+
+  /** F4: content fingerprints (custom codegen PolyHash expression). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** G3: multimodal binary-column metadata. */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Binary.mediaMeta(Binary.toMediaTable(Tables.table(spark, dir, "documents"), "text", "doc_id"))
+      .orderBy("doc_id")
+}

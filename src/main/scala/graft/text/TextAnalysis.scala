@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.polyhash
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2 F):
+  * language ID, quality scoring, token counting, content fingerprinting.
+  *
+  * All features are built from length/replace arithmetic and regexes with
+  * identical semantics in the DuckDB oracle dialect (SURVEY.md §6), and all
+  * are map-side column expressions — no shuffle, fully codegen'd.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `needle` in `hay` via length arithmetic (portable and
+    * codegen'd; counts non-overlapping occurrences like replace does). */
+  def countOccurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Marker stopwords per language for the n-gram-free heuristic
+    * (word-boundary padded so 'the' doesn't match 'other'). */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "de" -> "der", "fr" -> "le", "es" -> "el")
+
+  /** F1: heuristic language ID — count language-marker stopwords, pick the
+    * argmax with a fixed priority tie-break (en > de > fr > es). */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val withHits = markers.foldLeft(df) { case (d, (lang, marker)) =>
+      d.withColumn(s"${lang}_hits", countOccurrences(padded, s" $marker "))
+    }
+    withHits.withColumn("predicted_lang",
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+        && col("en_hits") >= col("es_hits"), "en")
+        .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+        .when(col("fr_hits") >= col("es_hits"), "fr")
+        .otherwise("es"))
+  }
+
+  /** F2: quality features + integer-scaled score: word count, character
+    * count, average word length (x100), stopword hits, score capped to
+    * [0, 1500]. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nonSpace = length(replace(t, lit(" "), lit("")))
+    df
+      .withColumn("n_chars_text", length(t).cast("long"))
+      .withColumn("n_words", (length(t) - nonSpace + 1).cast("long"))
+      .withColumn("stop_hits",
+        countOccurrences(concat(lit(" "), t, lit(" ")), " the ")
+          + countOccurrences(concat(lit(" "), t, lit(" ")), " a "))
+      .withColumn("avg_word_len_x100",
+        ((nonSpace.cast("long") * 100L) / col("n_words")).cast("long"))
+      .withColumn("quality_x1000",
+        least(lit(1000L), col("n_words") * 5L) + least(lit(500L), col("stop_hits") * 20L))
+  }
+
+  /** F3: token counting — whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single non-alphanumerics). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("ws_tokens",
+        (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+  }
+
+  /** F4: polynomial rolling-hash fingerprint (custom codegen expression),
+    * plus a locality-insensitive prefix fingerprint for blocking. */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      polyhash(col(textCol)).as("fingerprint"),
+      polyhash(substring(col(textCol), 1, 64)).as("prefix_fingerprint"))
+}

@@ -1,0 +1,59 @@
+package graft.ann
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  test("brute-force top-k: self excluded, k rows per query, ranks contiguous") {
+    val out = LlmOps.qAnnTopK(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length == 10))
+    assert(perQuery.values.forall(_.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 10L)))
+  }
+
+  test("LSH top-k: high recall on clustered data (the regime LSH serves)") {
+    import spark.implicits._
+    // 20 planted clusters: base direction + small perturbations. True
+    // neighbors are co-cluster members; hyperplane signs barely move under
+    // small perturbation, so same-bucket probing must recover them.
+    val rng = new scala.util.Random(7)
+    val dims = 16
+    val corpus = (0 until 20).flatMap { c =>
+      val base = Array.fill(dims)(rng.nextGaussian())
+      (0 until 10).map { m =>
+        val v = base.map(x => x + 0.05 * rng.nextGaussian())
+        (c * 10L + m, v.toSeq)
+      }
+    }.toDF("vec_id", "emb")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"emb".as("qvec"))
+    val exact = Ann.bruteForceTopK(queries, corpus, "vec_id", "emb", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.lshTopK(queries, corpus.select($"vec_id", $"emb"),
+      "vec_id", "emb", k = 5, dims = dims, planes = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low on clustered data")
+  }
+
+  test("LSH top-k on the synthetic table returns ranked rows per query") {
+    val rows = LlmOps.qAnnLsh(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.map(_.getAs[Long]("rank")).distinct.length <= 10))
+  }
+
+  test("cosine similarity function: known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("a", "b")
+    val sims = df.select(graft.functions.cosineSim($"a", $"b").as("s"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // a base doc, a near-duplicate (one word changed), and two unrelated docs
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    2L -> "the quick brown fox jumps over the lazy cat near the river bank today",
+    3L -> "completely different content about spark query engines and distributed shuffles here",
+    4L -> "another unrelated document mentioning parquet files and columnar compression formats only")
+
+  test("exact dedup groups identical content and keeps min id") {
+    val df = docs(1L -> "same", 2L -> "same", 3L -> "other")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("word n-grams: correct count and short-doc guard") {
+    import spark.implicits._
+    val out = docs(1L -> "a b c d", 2L -> "a b", 3L -> "a")
+      .select($"doc_id", Dedup.wordNgrams($"text", 3).as("g")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(byId(1L) == Seq("a b c", "b c d"))
+    assert(byId(2L).isEmpty && byId(3L).isEmpty)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair and only it") {
+    val pairs = MinHashLsh.nearDupPairs(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 500L)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // one word changed at position 9 → 3 of 12 shingles differ:
+    // |A∩B| = 9, |A∪B| = 15 → jaccard 0.6
+    assert(pairs.head.getAs[Long]("jaccard_x1000") == 600L)
+  }
+
+  test("minhash signature approximates jaccard for near-dups") {
+    import spark.implicits._
+    val sigs = corpus
+      .select($"doc_id", MinHashLsh.signature(Dedup.wordNgrams($"text", 3), 64).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(2L)) > 32)      // true jaccard 0.75
+    assert(agree(sigs(1L), sigs(3L)) < 16)      // unrelated
+  }
+
+  test("simhash: duplicates collide at hamming 0, unrelated docs don't pair") {
+    // simhash hamming ≤ 3 implies near-identical long docs; with short
+    // synthetic docs only exact duplicates reliably land that close
+    val base = (1 to 200).map(i => s"w${i % 37}").mkString(" ")
+    val df = docs(1L -> base, 2L -> base,
+      3L -> "completely different content about spark engines",
+      4L -> "another unrelated document on parquet compression")
+    val pairs = SimHash.nearDupPairs(df, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 0)
+  }
+
+  test("simhash hamming tracks document similarity") {
+    import spark.implicits._
+    val base = (1 to 300).map(i => s"word${i % 83}").mkString(" ")
+    val nearDup = base.replace("word42", "changed")
+    val sigs = SimHash.signatures(
+      docs(1L -> base, 2L -> nearDup, 3L -> "totally different small text"),
+      "text", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("jaccard x1000 matches exact set computation") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccardX1000($"x", $"y")).first().getLong(0) == 500L) // 2/4
+  }
+}
