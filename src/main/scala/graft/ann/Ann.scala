@@ -46,38 +46,28 @@ object Ann {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
-    * a fixed splitmix64-derived value in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    var z = plane.toLong * 7919L + dim.toLong + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
-
   /** Random-hyperplane LSH bucket signature: one bit per plane = sign of
-    * the dot product with a fixed pseudo-random plane. */
+    * the dot product with a fixed pseudo-random plane (fused custom
+    * codegen expression — graft.functions.expressions.LshBucket). */
   def lshBucket(emb: Column, dims: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = (0 until dims).map(d =>
-        element_at(emb, d + 1).cast("double") * lit(planeComponent(p, d))).reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.LshBucket(
+      ColumnBridge.expression(emb), dims, planes))
   }
 
   /** E2: LSH-bucketed approximate top-k. Queries probe their own bucket
-    * plus every 1-bit-flipped neighbor bucket (multi-probe → recall). */
+    * plus every 1-bit-flipped neighbor bucket (multi-probe → recall).
+    * The query bucket is computed ONCE, then the probe set is built by
+    * XOR-flipping the precomputed value. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, dims: Int, planes: Int = 8): DataFrame = {
     val bucketed = corpus.select(col(idCol), col(embCol),
       lshBucket(col(embCol), dims, planes).as("bucket"))
     val probeBuckets = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(identity): _*)
     val probed = queries
+      .withColumn("qbucket", lshBucket(col("qvec"), dims, planes))
       .select(col("query_id"), col("qvec"),
-        explode(transform(probeBuckets,
-          flip => lshBucket(col("qvec"), dims, planes).bitwiseXOR(flip))).as("bucket"))
+        explode(transform(probeBuckets, flip => col("qbucket").bitwiseXOR(flip))).as("bucket"))
     val scored = probed.join(bucketed,
         probed("bucket") === bucketed("bucket") && col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

@@ -19,31 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Deterministic odd multipliers / offsets for the affine MinHash
-    * transforms (splitmix64 over the lane index — fixed across runs). */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   /** MinHash signature: array of `numHashes` lane minima. One base
     * xxhash64 per shingle; lane j applies rotate-left(1 + j mod 63) then
     * XOR with a fixed splitmix64 constant — a bijection per lane (what
     * MinHash needs from its "permutations") built purely from shift/or/xor,
     * which stays overflow-free under Spark's default ANSI arithmetic
-    * (multiply-add lane mixing would throw ARITHMETIC_OVERFLOW). */
-  def signature(shingles: Column, numHashes: Int): Column = {
-    val hashes = transform(shingles, s => xxhash64(s))
-    val lanes = (0 until numHashes).map { j =>
-      val rot = 1 + (j % 63)
-      val b = splitmix64(j.toLong)
-      array_min(transform(hashes, h =>
-        shiftleft(h, rot).bitwiseOR(shiftrightunsigned(h, 64 - rot)).bitwiseXOR(lit(b))))
-    }
-    array(lanes: _*)
-  }
+    * (multiply-add lane mixing would throw ARITHMETIC_OVERFLOW).
+    *
+    * All k lanes are computed in ONE pass over the hashes by the custom
+    * codegen expression graft.functions.expressions.MinHashSignature (the
+    * composable k × array_min(transform(...)) form allocates k intermediate
+    * arrays per document). */
+  def signature(shingles: Column, numHashes: Int): Column =
+    graft.functions.minhashSignature(transform(shingles, s => xxhash64(s)), numHashes)
 
   /** Explode a signature into (band_idx, band_hash) rows: bands of
     * `rowsPerBand` adjacent lanes, each band hashed to one long. */

@@ -34,17 +34,21 @@ package object functions {
   def isoTimestamp(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
-  /** Cosine similarity between two float-array columns, computed with the
-    * higher-order `aggregate`/`zip_with` built-ins (codegen-friendly, no
-    * UDF). Arrays must be equal length. */
-  def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
-
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Cosine similarity between two array<double> columns — fused-loop
+    * custom codegen expression (bit-identical to the composable
+    * zip_with/aggregate formulation, ~an order of magnitude faster on
+    * all-pairs joins; see expressions.CosineSimilarity). */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(expressions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** One-pass k-lane MinHash signature of an array<bigint> of shingle
+    * hashes (see expressions.MinHashSignature). */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(expressions.MinHashSignature(
+      ColumnBridge.expression(hashes), numHashes))
 
   /** 64-bit SimHash of an array<bigint> of token hashes (custom codegen
     * expression — graft.functions.expressions.SimHash64). */
