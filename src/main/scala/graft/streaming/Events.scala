@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Per-user open-session state for streaming sessionization (top-level —
+  * Spark's state encoder generates code against the public constructor). */
+final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** Structured Streaming operators over the events stream (SURVEY.md §2 G).
+  *
+  * The reference streams rows tap→target as a Unix pipe of Singer messages;
+  * the Spark-native continuous form is readStream → transform → writeStream
+  * with watermarked event-time state. The transforms here are the streaming
+  * twins of the batch operators (C5/C6) — same plan shape, plus watermark.
+  */
+object Events {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** G1: watermarked tumbling-window counts — streaming twin of
+    * Warehouse.qStreamWindowAgg. Append-mode capable: the watermark bounds
+    * state and lets windows finalize. */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** G2: streaming sessionization with explicit state — the 30-minute-gap
+    * semantics of the batch C5 operator, kept incrementally per user via
+    * flatMapGroupsWithState with an event-time timeout. Sessions emit when
+    * the watermark passes their close. */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      def toSession(s: SessionState) =
+        Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(toSession).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+            case Some(s) =>
+              closed ::= toSession(s)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Continuous API push: the streaming writer face of the target —
+    * foreachBatch reuses the batch ApiSink so each micro-batch pushes
+    * rate-limited batched updates (the reference's tap|target pipe as a
+    * writeStream). */
+  def pushStream(payloads: DataFrame, poster: graft.target.ApiSink.HttpPoster,
+      cfg: graft.target.ApiSink.SinkConfig, checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    payloads.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.target.ApiSink.push(batch, poster, cfg): Unit
+      }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("windowed counts over a stream match the batch twin") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val events = (1 to 100).map(i =>
+      Events.Event(i.toLong, ts(i.toLong), i % 5L, s"type${i % 3}", i * 1.0))
+    input.addData(events: _*)
+    val query = Events.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .select("window_start", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = events.toDF()
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"w.start", $"event_type", $"n", $"sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("streaming sessionization emits gap-separated sessions") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val query = Events.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: user 1, events at t0, t5, t10; then a 40-min gap opens
+      // session 2 at t50 — emitting session 1 within the same user
+      input.addData(
+        Events.Event(1, ts(0), 1L, "view", 1.0),
+        Events.Event(2, ts(5), 1L, "view", 1.0),
+        Events.Event(3, ts(10), 1L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Events.Event(4, ts(50), 1L, "view", 1.0))
+      query.processAllAvailable()
+      // push the watermark far ahead so the open session times out
+      input.addData(Events.Event(5, ts(500), 2L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Events.Event(6, ts(1000), 3L, "view", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("sessions").as[Events.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 3L)
+      assert(sessions(0).session_start == ts(0) && sessions(0).session_end == ts(10))
+      assert(sessions(1).n_events == 1L && sessions(1).session_start == ts(50))
+    } finally query.stop()
+  }
+
+  test("streaming push drives the batch ApiSink per micro-batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.target.ApiSink
+    ApiSink.RecordingPoster.reset()
+    val input = MemoryStream[String]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val cfg = ApiSink.SinkConfig(ApiSink.Endpoint("https://example.invalid", "visitor"),
+      maxRecords = 10, callsPerPeriod = 1000000, periodMillis = 1000L, parallelism = 1)
+    val query = Events.pushStream(
+      input.toDF().withColumnRenamed("value", "payload"),
+      new ApiSink.RecordingPoster(), cfg, dir).start()
+    try {
+      input.addData((1 to 25).map(i => s"""{"id":$i}"""): _*)
+      query.processAllAvailable()
+      val posted = ApiSink.RecordingPoster.calls.size()
+      assert(posted >= 3) // 25 records / max 10 per batch, per partition
+    } finally query.stop()
+  }
+}
