@@ -68,11 +68,15 @@ object Ann {
       .withColumn("qbucket", lshBucket(col("qvec"), dims, planes))
       .select(col("query_id"), col("qvec"),
         explode(transform(probeBuckets, flip => col("qbucket").bitwiseXOR(flip))).as("bucket"))
-    val scored = probed.join(bucketed,
+    // a neighbor can surface from several probe buckets — dedupe the
+    // candidate PAIRS before scoring so cosine runs once per pair
+    val candidates = probed.join(bucketed,
         probed("bucket") === bucketed("bucket") && col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
+      .select(col("query_id"), col("qvec"), col(idCol).as("neighbor_id"), col(embCol))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .select(col("query_id"), col("neighbor_id"),
         cosineSim(asDouble(col("qvec")), asDouble(col(embCol))).as("sim"))
-      .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

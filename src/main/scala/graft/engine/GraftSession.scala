@@ -15,6 +15,7 @@ object GraftSession {
   def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")

@@ -24,7 +24,10 @@ object Tables {
     // microsecond TIMESTAMP, so oracle comparison stays exact.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // only when the file actually carried nanos (read back as long) —
+    // tables written by this engine already carry micros timestamps
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
