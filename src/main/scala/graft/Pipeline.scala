@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{ReplicationMethod, StreamDef}
+import graft.sources.Tables
+import graft.sync.{Bookmarks, Messages, Sync, SyncState}
+import graft.target.{ApiSink, Transform, VersionedSink}
+
+/** The whole reference pipeline as one API: extract (full/incremental) →
+  * transform (map/coerce/shape) → load (batched rate-limited API push +
+  * versioned table) → state.
+  *
+  * tap-redshift | target-pendo as a Unix pipe becomes a single Spark job
+  * graph here: no serialization hop between tap and target, one cluster
+  * schedules the whole flow, and the intermediate "messages" exist only
+  * where a consumer actually wants them (Messages.recordMessages).
+  */
+object Pipeline {
+
+  final case class SyncResult(
+      pushed: DataFrame,
+      state: SyncState,
+      metrics: ApiSink.SinkMetrics,
+      version: Long)
+
+  /** FULL_TABLE run: extract + map + shape + push + versioned landing +
+    * state (version semantics per sync.py:199-206 — fresh epoch version,
+    * activated after a complete replication). */
+  def runFullTable(
+      spark: SparkSession, dir: String, stream: StreamDef,
+      poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
+      landingDir: String, state: SyncState,
+      nowMs: => Long = System.currentTimeMillis()): SyncResult = {
+    val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
+    val mapped = Transform.applyFieldMappings(
+      Tables.table(spark, dir, stream.sourceTable), stream)
+    val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
+    val metrics = ApiSink.push(payloads, poster, cfg)
+    VersionedSink.write(mapped, landingDir, stream.streamName, version)
+    VersionedSink.activate(landingDir, stream.streamName, version)
+    val newState = state.withBookmark(stream.streamName, _.copy(version = None))
+    SyncResult(payloads, newState, metrics, version)
+  }
+
+  /** INCREMENTAL run: bookmark-filtered extract, broadcast semi-join
+    * against the target's active keys, push, and a new bookmark =
+    * max(replication_key) of the synced slice (computed distributed). */
+  def runIncremental(
+      spark: SparkSession, dir: String, stream: StreamDef,
+      activeKeys: DataFrame, joinColumn: String,
+      poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
+      state: SyncState, limit: Int = 1000000,
+      nowMs: => Long = System.currentTimeMillis()): SyncResult = {
+    val replKey = stream.replicationKey.getOrElse(
+      throw new IllegalArgumentException(s"${stream.streamName} is not incremental"))
+    val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
+    val bookmark = state.bookmark(stream.streamName).replicationKeyValue
+    val src = Tables.table(spark, dir, stream.sourceTable)
+    val filtered = bookmark.map(b => src.filter(col(replKey) > lit(b))).getOrElse(src)
+    val keyCol = activeKeys.columns.head
+    val slice = filtered
+      .join(broadcast(activeKeys), filtered(joinColumn) === activeKeys(keyCol), "left_semi")
+      .orderBy(col(replKey), col(stream.keyProperties.head))
+      .limit(limit)
+    // one distributed agg computes the next bookmark — no per-row writes
+    val nextBookmark = Option(
+      slice.agg(date_format(max(col(replKey)), "yyyy-MM-dd'T'HH:mm:ss").as("b"))
+        .first().getString(0))
+    val mapped = Transform.applyFieldMappings(slice, stream)
+    val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
+    val metrics = ApiSink.push(payloads, poster, cfg)
+    val newState = state.withBookmark(stream.streamName, bm => bm.copy(
+      replicationKey = stream.replicationKey,
+      replicationKeyValue = nextBookmark.orElse(bm.replicationKeyValue),
+      version = Some(version)))
+    SyncResult(payloads, newState, metrics, version)
+  }
+}

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_volume_counts" -> ((s, dir) => Etl.qVolumeCounts(s, dir)),
     "q_bookmark_state" -> ((s, dir) => Etl.qBookmarkState(s, dir)),
     "q_row_to_record" -> ((s, dir) => Etl.qRowToRecord(s, dir)),
+    "q_parse_messages" -> ((s, dir) => Etl.qParseMessages(s, dir)),
     "q_flatten" -> ((s, dir) => Etl.qFlatten(s, dir)),
     "q_field_mapping" -> ((s, dir) => Etl.qFieldMapping(s, dir)),
     "q_payload_shape" -> ((s, dir) => Etl.qPayloadShape(s, dir)),
@@ -232,6 +233,11 @@ object SparkEntry {
         |    version := CAST(1 AS BIGINT),
         |    time_extracted := '2026-01-01T00:00:00Z'))::VARCHAR AS message
         |FROM customer ORDER BY message""".stripMargin,
+    "q_parse_messages" ->
+      """SELECT 'warehouse_account' AS stream, CAST(1 AS BIGINT) AS version,
+        |  CAST(c_custkey AS VARCHAR) AS "accountId", c_name AS account_name,
+        |  printf('%.2f', c_acctbal) AS account_balance
+        |FROM customer ORDER BY "accountId"""".stripMargin,
     "q_flatten" ->
       """SELECT event_id, user_id AS user__id, event_type AS user__kind__name, value
         |FROM events ORDER BY event_id""".stripMargin,
@@ -350,5 +356,22 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  'application/octet-stream' AS mime, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH ph AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS fingerprint,
+        |    CASE WHEN length(substr(text, 1, 64)) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(substr(text, 1, 64)) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS prefix_fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint, prefix_fingerprint FROM ph ORDER BY doc_id""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.Streams
 import graft.sources.{Discovery, Resolve, Tables}
-import graft.sync.{Bookmarks, Messages, Sync}
+import graft.sync.{Bookmarks, MessageParser, Messages, Sync}
 import graft.target.Transform
 import graft.functions._
 
@@ -79,6 +79,18 @@ object Etl {
         "account_name" -> $"c_name",
         "account_balance" -> format_string("%.2f", $"c_acctbal")))
       .orderBy("message")
+  }
+
+  /** A8b/B-side: Singer message round-trip — RECORD lines built by the
+    * tap side are parsed, validated, and their payloads extracted by the
+    * target side. Proves the two message layers agree byte-for-byte. */
+  def qParseMessages(spark: SparkSession, dir: String): DataFrame = {
+    val lines = qRowToRecord(spark, dir).withColumnRenamed("message", "line")
+    val parsed = MessageParser.withValidity(MessageParser.parse(lines))
+      .filter(col("problem").isNull)
+    MessageParser.records(parsed, "warehouse_account", 1L,
+      Seq("accountId", "account_name", "account_balance"))
+      .orderBy("accountId")
   }
 
   /** B1: nested-record flattening with `__` separators (struct built from

@@ -1,0 +1,76 @@
+package graft
+
+import graft.catalog.Streams
+import graft.sync.{Bookmarks, SyncState}
+import graft.target.{ApiSink, VersionedSink}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** End-to-end pipeline: extract → transform → push (stub HTTP) →
+  * versioned landing → state, full-table then incremental with a
+  * bookmark — the complete reference workflow in one job graph. */
+class PipelineSpec extends SparkSpec {
+
+  private def cfg = ApiSink.SinkConfig(
+    ApiSink.Endpoint("https://example.invalid", "account"),
+    maxRecords = 400, callsPerPeriod = 1000000, periodMillis = 1000L, parallelism = 1)
+
+  test("full-table sync pushes every account and lands a versioned table") {
+    ApiSink.RecordingPoster.reset()
+    val landing = java.nio.file.Files.createTempDirectory("graft-landing").toString
+    val res = Pipeline.runFullTable(spark, sfDir, Streams.accounts,
+      new ApiSink.RecordingPoster(), cfg, landing, SyncState(), nowMs = 12345L)
+    assert(res.version == 12345L)
+    assert(res.metrics.records.value == 150L) // sf0.001 customer count
+    val landed = VersionedSink.readCurrent(spark, landing, "warehouse_account")
+    assert(landed.count() == 150L)
+    assert(landed.columns.contains("accountId"))
+    // full-table leaves the stream versionless for the next run (sync.py:202)
+    assert(res.state.bookmark("warehouse_account").version.isEmpty)
+    // payloads are the Pendo bulk shape
+    val sample = ApiSink.RecordingPoster.calls.asScala.head._2.head
+    assert(sample.contains(""""accountId":""") && sample.contains(""""values":{"""))
+  }
+
+  test("incremental sync respects bookmark and advances it") {
+    ApiSink.RecordingPoster.reset()
+    import spark.implicits._
+    val active = graft.sources.Tables.table(spark, sfDir, "customer")
+      .select($"c_custkey")
+    val state0 = Bookmarks.buildState(SyncState(), Streams.all)
+      .withBookmark("warehouse_visitor", _.copy(
+        replicationKeyValue = Some("1999-01-01T00:00:00")))
+    val res = Pipeline.runIncremental(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, state0, nowMs = 777L)
+    val expected = graft.sources.Tables.table(spark, sfDir, "orders")
+      .filter($"o_orderdate" > lit("1999-01-01T00:00:00")).count()
+    assert(res.metrics.records.value == expected)
+    val bm = res.state.bookmark("warehouse_visitor")
+    assert(bm.version.contains(777L))
+    // bookmark advanced to the max replication value of the slice
+    val maxDate = graft.sources.Tables.table(spark, sfDir, "orders")
+      .agg(date_format(max($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")).first().getString(0)
+    assert(bm.replicationKeyValue.contains(maxDate))
+    // a second run from the new state extracts nothing new
+    ApiSink.RecordingPoster.reset()
+    val res2 = Pipeline.runIncremental(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, res.state, nowMs = 778L)
+    assert(res2.metrics.records.value == 0L)
+    assert(res2.state.bookmark("warehouse_visitor").replicationKeyValue.contains(maxDate))
+  }
+
+  test("message round-trip: parse/validate catches malformed lines") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"type":"RECORD","stream":"s","version":1,"record":{"a":"1"}}""",
+      """{"type":"RECORD","stream":"s","version":1}""",
+      """{"type":"WHAT","stream":"s"}""",
+      """not json at all""").toDF("line")
+    val verdicts = graft.sync.MessageParser.withValidity(graft.sync.MessageParser.parse(lines))
+      .select("problem").collect().map(_.getString(0))
+    assert(verdicts(0) == null)
+    assert(verdicts(1).contains("RECORD missing"))
+    assert(verdicts(2).contains("unknown message type"))
+    assert(verdicts(3) != null)
+  }
+}
