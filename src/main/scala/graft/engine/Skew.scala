@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers (SURVEY.md §5). AQE's skew-join handles
+  * moderate runtime skew; these are the explicit escape hatches for
+  * pathological keys (a boilerplate shingle band, a mega-customer) where
+  * you know the skew upfront.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (key, salt) computes partial
+    * aggregates across `salts` partitions, then a second tiny aggregation
+    * merges per key. Use for additive aggregates over heavily skewed keys —
+    * the first shuffle spreads each hot key over `salts` reducers.
+    *
+    * `partials`: aggregations valid on the salted groups;
+    * `merge`: how to combine the partial columns per key.
+    */
+  def saltedAgg(
+      df: DataFrame, key: Column, salts: Int,
+      partials: Seq[Column], merge: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("__key"))
+      .agg(merge.head, merge.tail: _*)
+
+  /** Salted broadcast of a skewed join: replicate the small side `salts`
+    * times (one copy per salt value) and salt the big side's key, so a hot
+    * join key fans out over `salts` tasks instead of one. Returns the
+    * prepared (bigSalted, smallReplicated) pair; join on
+    * `key && __salt === __salt_r`. */
+  def saltForJoin(big: DataFrame, small: DataFrame, salts: Int): (DataFrame, DataFrame) = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val smallReplicated = small.withColumn("__salt_r",
+      explode(sequence(lit(0), lit(salts - 1))))
+    (bigSalted, smallReplicated)
+  }
+}

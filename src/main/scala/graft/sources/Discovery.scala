@@ -93,4 +93,14 @@ object Resolve {
     val cols = desiredColumns(selected, inclusions)
     Tables.table(spark, dir, table).select(cols.map(org.apache.spark.sql.functions.col): _*)
   }
+
+  /** Resume support (resolve.py:72-76): when a previous run died mid-sync,
+    * skip streams until the one recorded in currently_syncing. */
+  def resumeStreams[S](streams: Seq[S], streamName: S => String,
+      currentlySyncing: Option[String]): Seq[S] =
+    currentlySyncing match {
+      case Some(cur) if streams.exists(streamName(_) == cur) =>
+        streams.dropWhile(streamName(_) != cur)
+      case _ => streams
+    }
 }
