@@ -56,24 +56,25 @@ object Pipeline {
       throw new IllegalArgumentException(s"${stream.streamName} is not incremental"))
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
     val bookmark = state.bookmark(stream.streamName).replicationKeyValue
-    val src = Tables.table(spark, dir, stream.sourceTable)
-    val filtered = bookmark.map(b => src.filter(col(replKey) > lit(b))).getOrElse(src)
-    val keyCol = activeKeys.columns.head
-    val slice = filtered
-      .join(broadcast(activeKeys), filtered(joinColumn) === activeKeys(keyCol), "left_semi")
-      .orderBy(col(replKey), col(stream.keyProperties.head))
-      .limit(limit)
-    // one distributed agg computes the next bookmark — no per-row writes
-    val nextBookmark = Option(
-      slice.agg(date_format(max(col(replKey)), "yyyy-MM-dd'T'HH:mm:ss").as("b"))
-        .first().getString(0))
-    val mapped = Transform.applyFieldMappings(slice, stream)
-    val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
-    val metrics = ApiSink.push(payloads, poster, cfg)
-    val newState = state.withBookmark(stream.streamName, bm => bm.copy(
-      replicationKey = stream.replicationKey,
-      replicationKeyValue = nextBookmark.orElse(bm.replicationKeyValue),
-      version = Some(version)))
-    SyncResult(payloads, newState, metrics, version)
+    // the slice plan feeds both the bookmark agg and the push — persist it
+    // so the scan+semi-join+TakeOrdered executes once, not twice
+    val slice = Sync.incrementalSlice(
+      spark, dir, stream, bookmark, activeKeys, joinColumn, limit).persist()
+    try {
+      // one distributed agg computes the next bookmark — no per-row
+      // writes; microsecond precision so same-second rows aren't
+      // re-extracted forever
+      val nextBookmark = Option(
+        slice.agg(date_format(max(col(replKey)), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("b"))
+          .first().getString(0))
+      val mapped = Transform.applyFieldMappings(slice, stream)
+      val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
+      val metrics = ApiSink.push(payloads, poster, cfg)
+      val newState = state.withBookmark(stream.streamName, bm => bm.copy(
+        replicationKey = stream.replicationKey,
+        replicationKeyValue = nextBookmark.orElse(bm.replicationKeyValue),
+        version = Some(version)))
+      SyncResult(payloads, newState, metrics, version)
+    } finally slice.unpersist()
   }
 }

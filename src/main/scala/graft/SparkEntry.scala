@@ -215,11 +215,11 @@ object SparkEntry {
     "q_bookmark_state" ->
       """SELECT * FROM (
         |  SELECT 'warehouse_visitor' AS stream, 'o_orderdate' AS replication_key,
-        |    strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS replication_key_value
+        |    strftime(max(o_orderdate), '%Y-%m-%dT%H:%M:%S.%f') AS replication_key_value
         |  FROM orders
         |  UNION ALL
         |  SELECT 'warehouse_event' AS stream, 'ts' AS replication_key,
-        |    strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS replication_key_value
+        |    strftime(max(ts), '%Y-%m-%dT%H:%M:%S.%f') AS replication_key_value
         |  FROM events
         |) ORDER BY stream""".stripMargin,
     "q_row_to_record" ->
@@ -299,8 +299,9 @@ object SparkEntry {
         |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
         |  FROM documents WHERE doc_id % 5 = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  (1000 * len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))))
-        |    // len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard_x1000
+        |  CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0
+        |       ELSE (1000 * len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))))
+        |              // len(list_distinct(list_concat(a.grams, b.grams))) END AS jaccard_x1000
         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embedding_neardup" ->

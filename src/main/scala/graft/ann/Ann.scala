@@ -35,12 +35,38 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** D5: all pairs with cosine similarity above a threshold (embedding
-    * near-dup). Self-join with one side broadcast. */
+  /** D5 exact baseline: ALL pairs with cosine similarity above a
+    * threshold. O(N²) with one side broadcast — correct and fast while
+    * one side fits in memory (the oracle-checked reference semantics);
+    * beyond that use [[nearDupPairsLsh]], which bounds candidates by
+    * bucket. */
   def nearDupPairs(corpus: DataFrame, idCol: String, embCol: String, tau: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), asDouble(col(embCol)).as("emb_a"))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(embCol)).as("emb_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineSim(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") > tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** D5 scale path: LSH-bucketed near-dup pairs. Both sides bucket
+    * map-side; one side additionally probes every 1-bit-flipped bucket;
+    * the join keys on bucket equality (a shuffle of (id, bucket, emb)
+    * rows, never N² pairs). Approximate: recall follows the hyperplane
+    * collision probability 1 - angle/pi per plane — high for genuinely
+    * near-duplicate vectors. */
+  def nearDupPairsLsh(corpus: DataFrame, idCol: String, embCol: String,
+      tau: Double, dims: Int, planes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol), asDouble(col(embCol)).as("__emb"),
+      lshBucket(asDouble(col(embCol)), dims, planes).as("__bucket"))
+    val probeFlips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(identity): _*)
+    val probing = bucketed.select(col(idCol).as("id_a"), col("__emb").as("emb_a"),
+      explode(transform(probeFlips, f => col("__bucket").bitwiseXOR(f))).as("__bucket"))
+    val base = bucketed.select(col("__bucket").as("__bucket_b"),
+      col(idCol).as("id_b"), col("__emb").as("emb_b"))
+    probing.join(base,
+        col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosineSim(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") > tau)
       .select(col("id_a"), col("id_b"))

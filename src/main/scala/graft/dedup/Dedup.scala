@@ -38,6 +38,9 @@ object Dedup {
   def jaccardX1000(a: Column, b: Column): Column = {
     val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
     val union = size(array_distinct(concat(a, b)))
-    ((lit(1000) * inter) / union).cast("long")
+    // two empty sets (docs shorter than the shingle size) are NOT dups:
+    // 0/0 would be NaN and ANSI mode crashes casting NaN to long
+    when(union === 0, lit(0L))
+      .otherwise(((lit(1000) * inter) / union).cast("long"))
   }
 }

@@ -12,12 +12,18 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
-      .master(s"local[$cores]")
+    // honor an externally submitted master (spark-submit --master yarn/k8s)
+    // — only default to local[] when none was provided
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("SPARK_MASTER").isEmpty)
+      b.master(s"local[$cores]")
+    b
       .config("spark.sql.shuffle.partitions", cores)
+      // testdata events.parquet carries TIMESTAMP(NANOS); see Tables.table
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -25,6 +31,7 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+  }
 
   def getOrCreate(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()

@@ -21,8 +21,10 @@ object Tables {
     // The events table carries TIMESTAMP(NANOS) which Spark's vectorized
     // parquet reader rejects; read nanos as long and truncate to micros —
     // the same floor-truncation DuckDB applies when it reads nanos into its
-    // microsecond TIMESTAMP, so oracle comparison stays exact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // microsecond TIMESTAMP, so oracle comparison stays exact. The conf is
+    // normally set by GraftSession; only fixed up here for foreign sessions.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only when the file actually carried nanos (read back as long) —
     // tables written by this engine already carry micros timestamps

@@ -69,8 +69,10 @@ object Bookmarks {
     import spark.implicits._
     streams.flatMap { s => s.replicationKey.map((s.streamName, _)) }
       .map { case (name, rk) =>
+        // microsecond precision: a seconds-truncated bookmark would
+        // re-extract every row sharing the max value's second forever
         Tables.table(spark, dir, streamSource(streams, name))
-          .agg(date_format(max(col(rk)), "yyyy-MM-dd'T'HH:mm:ss").as("replication_key_value"))
+          .agg(date_format(max(col(rk)), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("replication_key_value"))
           .select(lit(name).as("stream"), lit(rk).as("replication_key"), $"replication_key_value")
       }.reduce(_.unionAll(_))
   }

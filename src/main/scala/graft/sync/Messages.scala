@@ -15,6 +15,20 @@ import graft.catalog.StreamDef
   */
 object Messages {
 
+  /** JSON string literal with full escaping (quotes, backslashes, control
+    * chars) — hand-interpolated names/streams must not break the line
+    * protocol (the reference routes everything through json.dumps). */
+  private[graft] def js(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** RECORD messages: {"type":"RECORD","stream":s,"record":{...},"version":v,
     * "time_extracted":t}. `fields` are (name, column) pairs; order is
     * preserved in the JSON object. */
@@ -36,8 +50,9 @@ object Messages {
   /** SCHEMA message for a stream (messages.py:73-111) — single JSON value
     * built from the stream's field mappings + JSON types. */
   def schemaMessage(stream: StreamDef, jsonTypes: Seq[(String, String)]): String = {
-    val props = jsonTypes.map { case (n, t) => s""""$n":{"type":["null","$t"]}""" }.mkString(",")
-    s"""{"type":"SCHEMA","stream":"${stream.streamName}","schema":{"type":"object","properties":{$props}},"key_properties":${stream.keyProperties.mkString("[\"", "\",\"", "\"]")}}"""
+    val props = jsonTypes.map { case (n, t) => s"""${js(n)}:{"type":["null",${js(t)}]}""" }.mkString(",")
+    val keys = stream.keyProperties.map(js).mkString("[", ",", "]")
+    s"""{"type":"SCHEMA","stream":${js(stream.streamName)},"schema":{"type":"object","properties":{$props}},"key_properties":$keys}"""
   }
 
   /** STATE message (messages.py:135-149). */
@@ -46,9 +61,9 @@ object Messages {
 
   /** VOLUME message (messages.py:114-132). */
   def volumeMessage(stream: String, count: Long): String =
-    s"""{"type":"VOLUME","stream":"$stream","count":$count}"""
+    s"""{"type":"VOLUME","stream":${js(stream)},"count":$count}"""
 
   /** ACTIVATE_VERSION message (messages.py:152-173). */
   def activateVersionMessage(stream: String, version: Long): String =
-    s"""{"type":"ACTIVATE_VERSION","stream":"$stream","version":$version}"""
+    s"""{"type":"ACTIVATE_VERSION","stream":${js(stream)},"version":$version}"""
 }

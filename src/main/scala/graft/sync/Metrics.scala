@@ -6,14 +6,16 @@ package graft.sync
   */
 object Metrics {
 
+  import Messages.js
+
   private def tagsJson(tags: Seq[(String, String)]): String =
-    tags.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    tags.map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString("{", ", ", "}")
 
   def counterMessage(metric: String, value: Long, tags: Seq[(String, String)]): String =
-    s"""{"type": "counter", "metric": "$metric", "value": $value, "tags": ${tagsJson(tags)}}"""
+    s"""{"type": "counter", "metric": ${js(metric)}, "value": $value, "tags": ${tagsJson(tags)}}"""
 
   def timerMessage(metric: String, seconds: Double, tags: Seq[(String, String)]): String =
-    s"""{"type": "timer", "metric": "$metric", "value": $seconds, "tags": ${tagsJson(tags)}}"""
+    s"""{"type": "timer", "metric": ${js(metric)}, "value": $seconds, "tags": ${tagsJson(tags)}}"""
 
   /** Wall-clock job timer (metrics.job_timer analog). */
   final class JobTimer(metric: String, tags: Seq[(String, String)]) {

@@ -33,12 +33,12 @@ object Sync {
       .withColumn("stream", lit(stream.streamName))
       .withColumn("version", lit(version))
 
-  /** INCREMENTAL replication (sync.py:132-156): pushdown filter on the
-    * replication key, semi-join against the target's active-entity keys,
-    * deterministic order, bounded batch. `activeKeys` must be a 1-column
-    * DataFrame of join keys; it is broadcast — the fact side never
-    * shuffles. */
-  def incremental(
+  /** INCREMENTAL slice (sync.py:132-156), source columns intact: pushdown
+    * filter on the replication key, semi-join against the target's
+    * active-entity keys, deterministic order, bounded batch. `activeKeys`
+    * must be a 1-column DataFrame of join keys; it is broadcast — the
+    * fact side never shuffles. */
+  def incrementalSlice(
       spark: SparkSession,
       dir: String,
       stream: StreamDef,
@@ -54,14 +54,22 @@ object Sync {
       case None => src
     }
     val keyCol = activeKeys.columns.head
-    val pruned = filtered
+    filtered
       .join(broadcast(activeKeys), filtered(joinColumn) === activeKeys(keyCol), "left_semi")
       .orderBy(col(replKey), col(stream.keyProperties.head))
       .limit(limit)
-    mapped(pruned, stream)
-      .withColumn("replication_key_value", lit(null).cast("string")) // filled by caller's bookmark pass
-      .drop("replication_key_value")
   }
+
+  /** INCREMENTAL replication with the stream's field mappings applied. */
+  def incremental(
+      spark: SparkSession,
+      dir: String,
+      stream: StreamDef,
+      bookmark: Option[String],
+      activeKeys: DataFrame,
+      joinColumn: String,
+      limit: Int = 1000000): DataFrame =
+    mapped(incrementalSlice(spark, dir, stream, bookmark, activeKeys, joinColumn, limit), stream)
 
   /** VOLUME counts (sync.py:153-163): per-stream record counts. */
   def volumes(spark: SparkSession, dir: String, streams: Seq[StreamDef] = Streams.all): DataFrame = {

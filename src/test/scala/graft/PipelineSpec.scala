@@ -49,7 +49,7 @@ class PipelineSpec extends SparkSpec {
     assert(bm.version.contains(777L))
     // bookmark advanced to the max replication value of the slice
     val maxDate = graft.sources.Tables.table(spark, sfDir, "orders")
-      .agg(date_format(max($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")).first().getString(0)
+      .agg(date_format(max($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).first().getString(0)
     assert(bm.replicationKeyValue.contains(maxDate))
     // a second run from the new state extracts nothing new
     ApiSink.RecordingPoster.reset()

@@ -47,6 +47,24 @@ class AnnSpec extends SparkSpec {
     assert(perQuery.values.forall(_.map(_.getAs[Long]("rank")).distinct.length <= 10))
   }
 
+  test("bucketed near-dup is a subset of exact with high recall on clusters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val dims = 16
+    val corpus = (0 until 15).flatMap { c =>
+      val base = Array.fill(dims)(rng.nextGaussian())
+      (0 until 6).map(m => (c * 10L + m, base.map(x => x + 0.03 * rng.nextGaussian()).toSeq))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.nearDupPairs(corpus, "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.nearDupPairsLsh(corpus, "vec_id", "embedding", tau = 0.95, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))          // never a false positive
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"bucketed recall $recall too low on clustered data")
+  }
+
   test("cosine similarity function: known vectors") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 1.0), Seq(1.0, 1.0)))
