@@ -43,10 +43,22 @@ object MinHashLsh {
     ).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Candidate near-dup pairs: documents sharing at least one band. */
-  def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
-    val l = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val r = banded.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col(idCol).as("id_b"))
+  /** Candidate near-dup pairs: documents sharing at least one band.
+    *
+    * `maxBucketSize` guards degenerate bands: a band bucket shared by B
+    * documents contributes B² candidate pairs, so one boilerplate-heavy
+    * bucket can dwarf the whole job. Buckets above the cap are dropped
+    * (their members still pair through their other, more selective
+    * bands — the standard LSH hot-bucket defense). */
+  def candidatePairs(banded: DataFrame, idCol: String,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val keep = banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("band_idx"), col("band_hash"))
+    val pruned = banded.join(keep, Seq("band_idx", "band_hash"), "left_semi")
+    val l = pruned.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val r = pruned.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col(idCol).as("id_b"))
     l.join(r,
       l("band_idx") === r("bi") && l("band_hash") === r("bh") && l("id_a") < r("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -58,14 +70,19 @@ object MinHashLsh {
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
-      minJaccardX1000: Long = 500L): DataFrame = {
+      minJaccardX1000: Long = 500L, maxBucketSize: Int = 10000): DataFrame = {
+    // verify on HASHED shingles: Jaccard over xxhash64'd shingle sets is
+    // the same similarity (sets are isomorphic, collisions negligible)
+    // but long-array intersection is several times cheaper than string
+    // comparison — and candidate verification dominates dedup cost on
+    // duplicate-heavy corpora
     val shingled = df.select(
       col(idCol),
-      Dedup.wordNgrams(col(textCol), shingleSize).as("shingles"))
+      transform(Dedup.wordNgrams(col(textCol), shingleSize), s => xxhash64(s)).as("shingles"))
     val sigs = shingled.select(col(idCol), col("shingles"),
-      signature(col("shingles"), numHashes).as("sig"))
+      graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
     val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
-    val pairs = candidatePairs(banded, idCol)
+    val pairs = candidatePairs(banded, idCol, maxBucketSize)
     val byId = shingled
     pairs
       .join(byId.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")

@@ -12,14 +12,19 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.GraftSession.getOrCreate("scale-smoke")
     val src = "/root/testdata/sf0.1"
-    val dir = "/tmp/graft-sf1x"
-    val mult = 10
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = s"/tmp/graft-sf${mult}x"
 
-    def amplify(table: String, keyCols: Seq[String], shift: Long): Unit = {
+    // Every copy is a disjoint "tenant": ALL join keys shift together so
+    // fact-dim relationships stay 1:1 (copying a dim without shifting its
+    // PK would multiply every join match by `mult` — a data artifact, not
+    // a workload).
+    val K = 100000000L
+    def amplify(table: String, keyCols: Seq[String]): Unit = {
       val base = graft.sources.Tables.table(spark, src, table)
       val copies = (0 until mult).map { i =>
         keyCols.foldLeft(base) { (df, k) =>
-          df.withColumn(k, col(k) + lit(i * shift))
+          df.withColumn(k, col(k) + lit(i * K))
         }
       }
       copies.reduce(_.unionAll(_)).write.mode("overwrite")
@@ -27,14 +32,16 @@ object ScaleSmoke {
     }
 
     if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
-      println("amplifying tables (10x sf0.1)...")
-      amplify("lineitem", Seq("l_orderkey"), 10000000L)
-      amplify("orders", Seq("o_orderkey"), 10000000L)
-      amplify("customer", Seq.empty, 0L) // same customers, 10x orders per
-      amplify("events", Seq("event_id"), 100000000L)
-      amplify("documents", Seq("doc_id"), 1000000L)
-      amplify("embeddings", Seq("vec_id"), 1000000L)
-      Seq("region", "nation", "supplier", "part").foreach(amplify(_, Seq.empty, 0L))
+      println(s"amplifying tables (${mult}x sf0.1)...")
+      amplify("customer", Seq("c_custkey"))
+      amplify("supplier", Seq("s_suppkey"))
+      amplify("part", Seq("p_partkey"))
+      amplify("orders", Seq("o_orderkey", "o_custkey"))
+      amplify("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      amplify("events", Seq("event_id", "user_id"))
+      amplify("documents", Seq("doc_id"))
+      amplify("embeddings", Seq("vec_id"))
+      Seq("region", "nation").foreach(amplify(_, Seq.empty)) // true dims
     }
 
     def time(name: String)(df: => DataFrame): Unit = {
