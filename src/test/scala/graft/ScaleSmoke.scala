@@ -30,8 +30,14 @@ object ScaleSmoke {
       copies.reduce(_.unionAll(_)).write.mode("overwrite")
         .parquet(s"$dir/$table.parquet")
     }
+    // true dims are written ONCE — duplicating them without shifting
+    // their PK would multiply every join match by `mult`
+    def copyAsIs(table: String): Unit =
+      graft.sources.Tables.table(spark, src, table)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
 
-    if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+    val sentinel = new java.io.File(s"$dir/_AMPLIFY_DONE")
+    if (!sentinel.exists()) {
       println(s"amplifying tables (${mult}x sf0.1)...")
       amplify("customer", Seq("c_custkey"))
       amplify("supplier", Seq("s_suppkey"))
@@ -41,7 +47,8 @@ object ScaleSmoke {
       amplify("events", Seq("event_id", "user_id"))
       amplify("documents", Seq("doc_id"))
       amplify("embeddings", Seq("vec_id"))
-      Seq("region", "nation").foreach(amplify(_, Seq.empty)) // true dims
+      Seq("region", "nation").foreach(copyAsIs)
+      sentinel.createNewFile(): Unit
     }
 
     def time(name: String)(df: => DataFrame): Unit = {

@@ -78,16 +78,18 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
-  test("hot-bucket cap drops degenerate bands but keeps selective ones") {
+  test("hot-bucket cap degrades clone cliques to star pairs, not silence") {
     import spark.implicits._
     // 30 identical docs: every band bucket holds all 30 → above a cap of
-    // 10, all buckets drop and no candidates emerge; with the default cap
-    // the full 435-pair clique comes back
+    // 10, buckets emit star pairs to the minimum id (29 pairs, full
+    // cluster recall via the canonical); uncapped, the full 435-pair
+    // clique comes back
     val clones = (1 to 30).map(i => (i.toLong,
       "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
     val capped = MinHashLsh.nearDupPairs(clones, "text", "doc_id",
       shingleSize = 2, minJaccardX1000 = 500L, maxBucketSize = 10)
-    assert(capped.count() == 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (2 to 30).map(i => (1L, i.toLong)).toSet) // star on min id
     val uncapped = MinHashLsh.nearDupPairs(clones, "text", "doc_id",
       shingleSize = 2, minJaccardX1000 = 500L)
     assert(uncapped.count() == 435L) // C(30,2)
