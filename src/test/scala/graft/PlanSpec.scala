@@ -1,0 +1,44 @@
+package graft
+
+import graft.SparkSpec
+
+/** Plan-shape regression tests: the properties that make these operators
+  * scale are assertions, not hopes. If a refactor drops a pushed filter,
+  * breaks the broadcast semi-join, or de-prunes a scan, these fail. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("incremental sync: pushed bookmark filter + broadcast left-semi join") {
+    val plan = planOf(queries.Etl.qIncrementalSync(spark, sfDir))
+    assert(plan.contains("LeftSemi"), "active-key join must be left-semi")
+    assert(plan.contains("BroadcastHashJoin"), "active-key join must broadcast")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"),
+      "bookmark predicate must reach the parquet scan")
+  }
+
+  test("q1: filter pushed down and scan pruned to needed columns") {
+    val plan = planOf(queries.Warehouse.q1PricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!plan.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q5: dimension tables broadcast, selective filters pushed") {
+    val plan = planOf(queries.Warehouse.q5LocalSupplier(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      "star joins must broadcast the small sides")
+    assert(plan.contains("EqualTo(r_name,ASIA)"), "region filter must be pushed")
+  }
+
+  test("column selection prunes the scan schema") {
+    val plan = planOf(queries.Etl.qSelectColumns(spark, sfDir))
+    assert(plan.contains("c_custkey") && !plan.contains("c_mktsegment"),
+      "unselected columns must not be read")
+  }
+
+  test("embedding near-dup broadcasts one side (no cartesian shuffle)") {
+    val plan = planOf(queries.LlmOps.qEmbeddingNearDup(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}
