@@ -81,6 +81,17 @@ object Events {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** Streaming exact dedup — the continuous face of graft.dedup.Dedup
+    * (D1): drops events whose id was already seen within the watermark
+    * horizon. State is bounded by the watermark (expired keys age out),
+    * which is what makes exactly-once-per-key feasible on an unbounded
+    * stream. */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Continuous API push: the streaming writer face of the target —
     * foreachBatch reuses the batch ApiSink so each micro-batch pushes
     * rate-limited batched updates (the reference's tap|target pipe as a

@@ -34,6 +34,15 @@ object DriveStreaming {
     q2.processAllAvailable()
     println("=== windowed counts ===")
     spark.table("drive_windows").orderBy("window_start", "event_type").show(truncate = false)
-    q.stop(); q2.stop(); spark.stop()
+    val dup = MemoryStream[Events.Event]
+    val q3 = Events.dedupStream(dup.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("drive_dedup").outputMode("append").start()
+    dup.addData(Events.Event(1, ts(0), 1L, "view", 1.0), Events.Event(1, ts(0), 1L, "view", 1.0))
+    q3.processAllAvailable()
+    dup.addData(Events.Event(1, ts(1), 1L, "view", 2.0), Events.Event(2, ts(2), 1L, "view", 3.0))
+    q3.processAllAvailable()
+    println("=== deduped stream (expect event_ids 1,2 once each) ===")
+    spark.table("drive_dedup").orderBy("event_id").show(truncate = false)
+    q.stop(); q2.stop(); q3.stop(); spark.stop()
   }
 }

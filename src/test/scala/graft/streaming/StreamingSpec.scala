@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated event ids across micro-batches") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val query = Events.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Events.Event(1, ts(0), 1L, "view", 1.0),
+        Events.Event(1, ts(0), 1L, "view", 1.0),  // same-batch dup
+        Events.Event(2, ts(1), 1L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Events.Event(1, ts(2), 1L, "view", 9.9)) // cross-batch dup
+      input.addData(Events.Event(3, ts(3), 2L, "click", 1.0))
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming push drives the batch ApiSink per micro-batch") {
     val sparkSession = spark
     import sparkSession.implicits._
