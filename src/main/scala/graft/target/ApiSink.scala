@@ -1,9 +1,14 @@
 package graft.target
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.util.{CollectionAccumulator, LongAccumulator}
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** A record in flight: the target primary-key value plus the JSON payload.
+  * Top-level public case class (Spark encoder/serializer friendliness). */
+final case class SinkRecord(id: String, payload: String)
 
 /** Batched, rate-limited, retrying REST sink — the Spark-native version of
   * target-pendo's async request loop (target-pendo/src/__init__.py:301-368:
@@ -18,6 +23,13 @@ import scala.collection.mutable.ArrayBuffer
   * `callsPerPeriod` to the API's global budget and the per-task limiter
   * divides it). HTTP itself sits behind [[HttpPoster]] (this container has
   * zero egress; tests inject a stub — the plumbing is the product).
+  *
+  * Failure semantics (mirrors __init__.py:272-281 handle_failures):
+  * every record the API rejects — per-record rejection inside a 2xx bulk
+  * response, a permanent 4xx, or retry exhaustion — is captured as a full
+  * [[SinkRecord]] in `SinkMetrics.deadLetters`, so the caller can set the
+  * specific failed records aside for reprocessing. Both paths use the same
+  * identifier: the record's primary-key value.
   */
 object ApiSink {
 
@@ -30,8 +42,13 @@ object ApiSink {
   }
 
   /** Minimal response surface the sink needs (request.py parses the same
-    * fields from the bulk-update response). */
-  final case class PostResult(status: Int, updated: Long, failed: Long, failedIds: Seq[String])
+    * fields from the bulk-update response). `failedIds` identify rejected
+    * records by their primary-key value (handle_failures matches
+    * `record[pkey] == error.id`, __init__.py:276-279); `retryAfterMillis`
+    * carries a 429 Retry-After hint when the server sends one. */
+  final case class PostResult(
+      status: Int, updated: Long, failed: Long, failedIds: Seq[String],
+      retryAfterMillis: Option[Long] = None)
 
   /** Pluggable HTTP layer. Implementations must be serializable (shipped to
     * executors). */
@@ -54,55 +71,76 @@ object ApiSink {
       batches: LongAccumulator,
       updated: LongAccumulator,
       failed: LongAccumulator,
-      retries: LongAccumulator)
+      retries: LongAccumulator,
+      /** failed records captured for retry — the reference's
+        * stream.failed_requests list, as an accumulator so per-partition
+        * captures merge on the driver. */
+      deadLetters: CollectionAccumulator[SinkRecord]) {
+    def failedRecords: Seq[SinkRecord] = deadLetters.value.asScala.toSeq
+  }
 
   def metrics(df: DataFrame): SinkMetrics = {
     val sc = df.sparkSession.sparkContext
     SinkMetrics(
       sc.longAccumulator("sink.records"), sc.longAccumulator("sink.batches"),
       sc.longAccumulator("sink.updated"), sc.longAccumulator("sink.failed"),
-      sc.longAccumulator("sink.retries"))
+      sc.longAccumulator("sink.retries"),
+      sc.collectionAccumulator[SinkRecord]("sink.deadLetters"))
   }
 
-  /** Retryable status check: 4xx (except 408) gives up immediately
-    * (__init__.py:284-285 exception_is_4xx giveup), everything else retries
-    * with exponential backoff. */
-  private def retryable(status: Int): Boolean =
-    status == 408 || status < 400 || status >= 500
-
-  /** POST one batch with backoff; returns ids of records the API rejected
-    * (handle_failures, __init__.py:272-281). */
+  /** POST one batch with backoff; returns the records the API rejected, as
+    * full payloads keyed by primary-key value (handle_failures,
+    * __init__.py:272-281). Retries 408/429/5xx with exponential backoff —
+    * for 429 the server's Retry-After hint wins when it is longer
+    * (request.py:34-36 backs off on RateLimitException). On a permanent 4xx
+    * or retry exhaustion the whole batch is returned as failed. */
   private[target] def postWithRetry(
-      poster: HttpPoster, url: String, batch: Seq[String], cfg: SinkConfig,
-      m: SinkMetrics, sleep: Long => Unit): Seq[String] = {
+      poster: HttpPoster, url: String, batch: Seq[SinkRecord], cfg: SinkConfig,
+      m: SinkMetrics, sleep: Long => Unit): Seq[SinkRecord] = {
     var attempt = 0
     while (true) {
       val res =
-        try poster.post(url, batch)
-        catch { case e: Exception => PostResult(599, 0, batch.size, Seq.empty) }
+        try poster.post(url, batch.map(_.payload))
+        catch { case _: Exception => PostResult(599, 0, batch.size, Seq.empty) }
       attempt += 1
       if (res.status / 100 == 2) {
+        // per-record rejections inside a successful bulk response: match by
+        // pkey value (or full body, for servers that echo the record back)
+        val ids = res.failedIds.toSet
+        val rejected = batch.filter(r => ids.contains(r.id) || ids.contains(r.payload))
         m.updated.add(res.updated); m.failed.add(res.failed)
-        return res.failedIds
+        return rejected
       }
-      if (attempt >= cfg.maxAttempts || !retryable(res.status))
-        return batch.indices.map(_.toString) // whole batch failed
+      if (attempt >= cfg.maxAttempts || !ApiError.retryable(res.status)) {
+        m.failed.add(batch.size)
+        return batch // whole batch failed — every record goes to retry capture
+      }
       m.retries.add(1)
-      sleep(math.min(1000L << (attempt - 1), 30000L)) // expo backoff, capped
+      val backoff = math.min(1000L << (attempt - 1), 30000L)
+      sleep(math.max(backoff, res.retryAfterMillis.getOrElse(0L)))
     }
     Seq.empty
   }
 
   /** Drive the sink over a DataFrame with a `payload` string column.
-    * Returns the metrics accumulators (inspect after the action). */
+    * If the frame also carries the primary-key column (as produced by
+    * [[Transform.shapePayloads]]), rejected records are captured under that
+    * key; otherwise the payload itself is the identifier. Returns the
+    * metrics accumulators (inspect after the action); failed records are in
+    * `metrics.failedRecords`. */
   def push(df: DataFrame, poster: HttpPoster, cfg: SinkConfig): SinkMetrics = {
     val m = metrics(df)
     val url = cfg.endpoint.url
+    val idCol = df.columns.find(_ != "payload")
+    val selected = idCol match {
+      case Some(c) => df.selectExpr(s"CAST(`$c` AS STRING) AS id", "payload")
+      case None    => df.selectExpr("payload AS id", "payload")
+    }
     // per-task share of the global rate budget
     val minIntervalMs: Long =
       math.max(1L, cfg.periodMillis * cfg.parallelism / math.max(1, cfg.callsPerPeriod))
-    df.select("payload").foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val batch = new ArrayBuffer[String]()
+    selected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val batch = new ArrayBuffer[SinkRecord]()
       var batchBytes = 0L
       var lastCall = 0L
       def throttleAndPost(): Unit = if (batch.nonEmpty) {
@@ -112,11 +150,12 @@ object ApiSink {
         m.batches.add(1)
         m.records.add(batch.size)
         postWithRetry(poster, url, batch.toSeq, cfg, m, Thread.sleep)
+          .foreach(m.deadLetters.add)
         batch.clear(); batchBytes = 0L
       }
       rows.foreach { r =>
-        val payload = r.getString(0)
-        batch += payload
+        val payload = r.getString(1)
+        batch += SinkRecord(r.getString(0), payload)
         batchBytes += payload.getBytes("UTF-8").length
         if (batch.size >= cfg.maxRecords || batchBytes >= cfg.maxBytes) throttleAndPost()
       }
@@ -127,14 +166,17 @@ object ApiSink {
 
   /** In-JVM stub poster for tests (local mode shares the JVM, so the queue
     * is visible to the driver). Optionally fails ids matching a predicate
-    * and can serve transient 5xx before succeeding. */
+    * and can serve transient failure statuses before succeeding. */
   class RecordingPoster(
       rejectId: String => Boolean = _ => false,
-      transientFailures: Int = 0) extends HttpPoster {
+      transientFailures: Int = 0,
+      transientStatus: Int = 503,
+      retryAfterMillis: Option[Long] = None) extends HttpPoster {
     override def post(url: String, jsonBatch: Seq[String]): PostResult = {
       val n = RecordingPoster.calls.size()
       RecordingPoster.calls.add(url -> jsonBatch)
-      if (n < transientFailures) return PostResult(503, 0, 0, Seq.empty)
+      if (n < transientFailures)
+        return PostResult(transientStatus, 0, 0, Seq.empty, retryAfterMillis)
       val failed = jsonBatch.filter(rejectId)
       PostResult(200, jsonBatch.size - failed.size, failed.size, failed)
     }

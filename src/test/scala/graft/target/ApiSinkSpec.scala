@@ -48,7 +48,7 @@ class ApiSinkSpec extends SparkSpec {
     assert(m.updated.value == 19L)
   }
 
-  test("4xx gives up immediately (no retries)") {
+  test("4xx gives up immediately (no retries) and captures the batch as failed") {
     RecordingPoster.reset()
     import spark.implicits._
     object FourOhFour extends HttpPoster {
@@ -61,5 +61,77 @@ class ApiSinkSpec extends SparkSpec {
     val m = push(df, FourOhFour, cfg())
     assert(RecordingPoster.calls.size() == 1) // single attempt, no backoff loop
     assert(m.retries.value == 0L)
+    assert(m.failed.value == 2L) // give-up counts the whole batch as failed
+    assert(m.failedRecords.map(_.payload).sorted ==
+      Seq("""{"id":1}""", """{"id":2}"""))
+  }
+
+  test("429 retries with backoff honoring Retry-After, then succeeds") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    val df = Seq("""{"id":1}""").toDF("payload").coalesce(1)
+    var slept = Seq.empty[Long]
+    // drive postWithRetry directly so the sleep is observable
+    val m = metrics(df)
+    val poster = new RecordingPoster(
+      transientFailures = 2, transientStatus = 429, retryAfterMillis = Some(7000L))
+    val failed = postWithRetry(
+      poster, "u", Seq(SinkRecord("1", """{"id":1}""")), cfg(), m,
+      ms => slept = slept :+ ms)
+    assert(failed.isEmpty)
+    assert(m.retries.value == 2L)
+    assert(m.updated.value == 1L)
+    assert(slept == Seq(7000L, 7000L)) // Retry-After (7s) > expo backoff (1s, 2s)
+  }
+
+  test("429 exhaustion after maxAttempts fails the batch (not an infinite loop)") {
+    import spark.implicits._
+    val m = metrics(Seq("x").toDF("payload"))
+    val always429 = new HttpPoster {
+      override def post(url: String, b: Seq[String]): PostResult =
+        PostResult(429, 0, 0, Seq.empty)
+    }
+    val batch = Seq(SinkRecord("a", "pa"), SinkRecord("b", "pb"))
+    val failed = postWithRetry(always429, "u", batch, cfg(), m, _ => ())
+    assert(failed == batch)
+    assert(m.retries.value == 2L) // maxAttempts=3 → 2 backoffs
+    assert(m.failed.value == 2L)
+  }
+
+  test("rejected records are captured as dead letters with pkey ids across partitions") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    // (pkey, payload) shape as produced by Transform.shapePayloads; the
+    // stub rejects by payload body, the sink must still key capture by id
+    val df = (1 to 40).map(i => (i, s"""{"id":$i}"""))
+      .toDF("c_custkey", "payload").repartition(4)
+    val m = push(
+      df,
+      new RecordingPoster(rejectId = p => p.contains(""""id":7""") || p.contains(""""id":23""")),
+      cfg(maxRecords = 5))
+    assert(m.failed.value == 2L)
+    assert(m.updated.value == 38L)
+    assert(m.failedRecords.map(_.id).sorted == Seq("23", "7"))
+    assert(m.failedRecords.map(_.payload).sorted ==
+      Seq("""{"id":23}""", """{"id":7}"""))
+  }
+
+  test("typed error taxonomy matches the reference's exception classes") {
+    assert(ApiError.of(401).isInstanceOf[ApiError.Authentication])
+    assert(ApiError.of(403).isInstanceOf[ApiError.Authentication])
+    assert(ApiError.of(404).isInstanceOf[ApiError.ResourceNotFound])
+    assert(ApiError.of(500).isInstanceOf[ApiError.Server])
+    assert(ApiError.of(502).isInstanceOf[ApiError.BadGateway])
+    assert(ApiError.of(503).isInstanceOf[ApiError.ServiceUnavailable])
+    assert(ApiError.of(400).isInstanceOf[ApiError.BadRequest])
+    assert(ApiError.of(418).isInstanceOf[ApiError.Http])
+    val rl = ApiError.of(429, Some(1234L))
+    assert(rl match {
+      case r: ApiError.RateLimited => r.retryAfterMillis.contains(1234L)
+      case _ => false
+    })
+    // retry policy: transient statuses retry, permanent 4xx gives up
+    assert(Seq(408, 429, 500, 502, 503, 599).forall(ApiError.retryable))
+    assert(!Seq(400, 401, 403, 404, 418).exists(ApiError.retryable))
   }
 }
