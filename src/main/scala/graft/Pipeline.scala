@@ -64,9 +64,25 @@ object Pipeline {
       // one distributed agg computes the next bookmark — no per-row
       // writes; microsecond precision so same-second rows aren't
       // re-extracted forever
-      val nextBookmark = Option(
-        slice.agg(date_format(max(col(replKey)), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("b"))
-          .first().getString(0))
+      val fmt6 = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      val boundary = slice
+        .agg(count(lit(1)).as("n"), date_format(max(col(replKey)), fmt6).as("maxk"))
+        .first()
+      val maxK = Option(boundary.getString(1))
+      // When LIMIT truncated the slice, rows sharing the boundary key value
+      // may remain beyond the cut — advancing to the boundary would skip
+      // them forever under the next run's strict `>` filter. Advance only
+      // to the largest key value that is *fully* included; if the whole
+      // slice shares one key value the bookmark cannot advance safely (the
+      // caller must raise `limit`), so it stays put and the rows re-sync.
+      val nextBookmark =
+        if (boundary.getLong(0) < limit) maxK
+        else maxK.flatMap { mk =>
+          Option(slice
+            .agg(max(when(date_format(col(replKey), fmt6) < mk,
+              date_format(col(replKey), fmt6))).as("b"))
+            .first().getString(0))
+        }
       val mapped = Transform.applyFieldMappings(slice, stream)
       val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
       val metrics = ApiSink.push(payloads, poster, cfg)

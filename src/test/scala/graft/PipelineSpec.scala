@@ -59,6 +59,40 @@ class PipelineSpec extends SparkSpec {
     assert(res2.state.bookmark("warehouse_visitor").replicationKeyValue.contains(maxDate))
   }
 
+  test("limit cutting inside an equal-replication-key group loses no rows") {
+    ApiSink.RecordingPoster.reset()
+    import spark.implicits._
+    val active = graft.sources.Tables.table(spark, sfDir, "customer").select($"c_custkey")
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+    // choose a limit that cuts strictly inside a group of equal o_orderdate
+    val counts = orders.groupBy($"o_orderdate").count()
+      .orderBy($"o_orderdate").collect()
+    val idx = counts.indexWhere(_.getLong(1) >= 2)
+    assert(idx >= 1, "need a multi-order date with at least one earlier date")
+    val cut = (counts.take(idx).map(_.getLong(1)).sum + 1).toInt
+    val state0 = Bookmarks.buildState(SyncState(), Streams.all)
+    val res1 = Pipeline.runIncremental(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, state0,
+      limit = cut, nowMs = 1L)
+    // the bookmark must NOT advance to the boundary date (its group was
+    // split by the limit) — only to the last fully-included date
+    val lastFull = orders.filter($"o_orderdate" < lit(counts(idx).get(0)))
+      .agg(date_format(max($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .first().getString(0)
+    assert(res1.state.bookmark("warehouse_visitor").replicationKeyValue.contains(lastFull))
+    val ids1 = res1.pushed.select(col(res1.pushed.columns.head).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    // second run picks up everything after the retreated bookmark
+    val res2 = Pipeline.runIncremental(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, res1.state,
+      nowMs = 2L)
+    val ids2 = res2.pushed.select(col(res2.pushed.columns.head).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val all = orders.select($"o_orderkey".cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert((ids1 union ids2) == all) // every order synced — nothing skipped
+  }
+
   test("message round-trip: parse/validate catches malformed lines") {
     import spark.implicits._
     val lines = Seq(
