@@ -37,6 +37,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
+    "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_lang_id" -> ((s, dir) => LlmOps.qLangId(s, dir)),

@@ -2,24 +2,37 @@ package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import graft.functions.cosineSim
+import graft.functions.{cosineSim, topKByScore}
 
 /** Similarity search over an embedding column (SURVEY.md §2 E-block).
   *
   * E1 brute-force is the exact baseline: broadcast the (small) query set
   * against the corpus — the corpus side streams, nothing shuffles until the
-  * per-query top-k (keyed on query_id, k rows each).
+  * per-query top-k. The top-k itself is a bounded-heap AGGREGATE
+  * (graft.functions.expressions.TopKByScore), not a window: the map-side
+  * partial already reduces each partition to ≤k rows per query, so the only
+  * exchange carries `partitions × k` rows per query instead of all N·Q
+  * scored rows.
   *
   * E2 LSH is the scale path: random-hyperplane signatures bucket the corpus
-  * ONCE (map-side); queries probe only their own bucket, so the candidate
-  * set per query is corpus/2^planes on average. Recall is tunable with
-  * multi-probe (flip one sign bit) — implemented as `probes = 1 + planes`.
+  * ONCE (map-side); queries probe only nearby buckets, so the candidate
+  * set per query is a small fraction of the corpus. Recall is tunable with
+  * multi-probe depth (`probeBits` = max hamming distance of probed buckets).
   */
 object Ann {
 
   /** Cast a float embedding to double for engine-stable arithmetic. */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** Shared reduction: (query_id, neighbor_id, sim) → best-k per query with
+    * rank = position in score-desc/id-asc order (ties identical to
+    * `row_number() OVER (ORDER BY sim DESC, neighbor_id)`). */
+  private def topKReduce(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
 
   /** E1: exact top-k cosine neighbors for each query row.
     * `queries`: (query_id, qvec); `corpus`: (idCol, embCol). */
@@ -29,10 +42,7 @@ object Ann {
       .join(broadcast(queries), col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         cosineSim(col("qvec"), col(embCol)).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKReduce(scored, k)
   }
 
   /** D5 exact baseline: ALL pairs with cosine similarity above a
@@ -49,19 +59,32 @@ object Ann {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Probe-bucket flips for multi-probe LSH: all XOR masks of hamming
+    * weight ≤ probeBits over `planes` bits (probeBits=1 → 1+planes probes;
+    * probeBits=2 adds the C(planes,2) two-bit flips). */
+  private def probeMasks(planes: Int, probeBits: Int): Seq[Long] = {
+    val single = (0 until planes).map(p => 1L << p)
+    val double =
+      if (probeBits < 2) Seq.empty
+      else for {
+        p <- 0 until planes; q <- (p + 1) until planes
+      } yield (1L << p) | (1L << q)
+    0L +: (single ++ double)
+  }
+
   /** D5 scale path: LSH-bucketed near-dup pairs. Both sides bucket
-    * map-side; one side additionally probes every 1-bit-flipped bucket;
-    * the join keys on bucket equality (a shuffle of (id, bucket, emb)
-    * rows, never N² pairs). Approximate: recall follows the hyperplane
-    * collision probability 1 - angle/pi per plane — high for genuinely
-    * near-duplicate vectors. */
+    * map-side; one side additionally probes every flipped bucket within
+    * `probeBits` hamming; the join keys on bucket equality (a shuffle of
+    * (id, bucket, emb) rows, never N² pairs). Approximate: recall follows
+    * the hyperplane collision probability 1 - angle/pi per plane — high
+    * for genuinely near-duplicate vectors. */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, embCol: String,
-      tau: Double, dims: Int, planes: Int = 8): DataFrame = {
+      tau: Double, dims: Int, planes: Int = 8, probeBits: Int = 1): DataFrame = {
     val bucketed = corpus.select(col(idCol), asDouble(col(embCol)).as("__emb"),
       lshBucket(asDouble(col(embCol)), dims, planes).as("__bucket"))
-    val probeFlips = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(identity): _*)
+    val flips = array(probeMasks(planes, probeBits).map(lit): _*)
     val probing = bucketed.select(col(idCol).as("id_a"), col("__emb").as("emb_a"),
-      explode(transform(probeFlips, f => col("__bucket").bitwiseXOR(f))).as("__bucket"))
+      explode(transform(flips, f => col("__bucket").bitwiseXOR(f))).as("__bucket"))
     val base = bucketed.select(col("__bucket").as("__bucket_b"),
       col(idCol).as("id_b"), col("__emb").as("emb_b"))
     probing.join(base,
@@ -82,18 +105,20 @@ object Ann {
   }
 
   /** E2: LSH-bucketed approximate top-k. Queries probe their own bucket
-    * plus every 1-bit-flipped neighbor bucket (multi-probe → recall).
-    * The query bucket is computed ONCE, then the probe set is built by
-    * XOR-flipping the precomputed value. */
+    * plus every flipped bucket within `probeBits` hamming (multi-probe →
+    * recall). The query bucket is computed ONCE, then the probe set is
+    * built by XOR-flipping the precomputed value. The per-query top-k is
+    * the same bounded-heap aggregate as E1. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, embCol: String, k: Int, dims: Int, planes: Int = 8): DataFrame = {
+      idCol: String, embCol: String, k: Int, dims: Int, planes: Int = 8,
+      probeBits: Int = 2): DataFrame = {
     val bucketed = corpus.select(col(idCol), col(embCol),
       lshBucket(col(embCol), dims, planes).as("bucket"))
-    val probeBuckets = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))).map(identity): _*)
+    val flips = array(probeMasks(planes, probeBits).map(lit): _*)
     val probed = queries
       .withColumn("qbucket", lshBucket(col("qvec"), dims, planes))
       .select(col("query_id"), col("qvec"),
-        explode(transform(probeBuckets, flip => col("qbucket").bitwiseXOR(flip))).as("bucket"))
+        explode(transform(flips, flip => col("qbucket").bitwiseXOR(flip))).as("bucket"))
     // a neighbor can surface from several probe buckets — dedupe the
     // candidate PAIRS before scoring so cosine runs once per pair
     val candidates = probed.join(bucketed,
@@ -103,9 +128,6 @@ object Ann {
     val scored = candidates
       .select(col("query_id"), col("neighbor_id"),
         cosineSim(asDouble(col("qvec")), asDouble(col(embCol))).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKReduce(scored, k)
   }
 }

@@ -44,39 +44,13 @@ object MinHashLsh {
   }
 
   /** Candidate near-dup pairs: documents sharing at least one band.
-    *
-    * `maxBucketSize` bounds degenerate bands: a band bucket shared by B
-    * documents contributes B² candidate pairs, so one clone-heavy bucket
-    * can dwarf (or OOM) the whole job. Buckets above the cap emit STAR
-    * pairs instead — every member paired with the bucket's minimum id —
-    * which keeps recall for clone clusters (each clone still reaches a
-    * canonical representative, and transitively the cluster) at B-1
-    * output rows per bucket instead of B². */
+    * Degenerate (clone-heavy) band buckets above `maxBucketSize` degrade to
+    * star pairs on a canonical id — see [[Buckets.cappedSelfJoin]] for the
+    * mechanism and plan shape (one window pass + one self-join; the band
+    * explode is exchanged once and reused). */
   def candidatePairs(banded: DataFrame, idCol: String,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val sizes = banded.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-    val smallKeys = sizes.filter(col("__n") <= maxBucketSize)
-      .select(col("band_idx"), col("band_hash"))
-    val bigKeys = sizes.filter(col("__n") > maxBucketSize)
-      .select(col("band_idx"), col("band_hash"))
-
-    val small = banded.join(smallKeys, Seq("band_idx", "band_hash"), "left_semi")
-    val l = small.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val r = small.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col(idCol).as("id_b"))
-    val cliquePairs = l.join(r,
-      l("band_idx") === r("bi") && l("band_hash") === r("bh") && l("id_a") < r("id_b"))
-      .select(col("id_a"), col("id_b"))
-
-    val big = banded.join(bigKeys, Seq("band_idx", "band_hash"), "left_semi")
-    val canonical = big.groupBy(col("band_idx"), col("band_hash"))
-      .agg(min(col(idCol)).as("id_a"))
-    val starPairs = big.join(canonical, Seq("band_idx", "band_hash"))
-      .filter(col(idCol) =!= col("id_a"))
-      .select(col("id_a"), col(idCol).as("id_b"))
-
-    cliquePairs.unionAll(starPairs).distinct()
-  }
+      maxBucketSize: Int = 10000): DataFrame =
+    Buckets.cappedSelfJoin(banded, Seq("band_idx", "band_hash"), idCol, maxBucketSize)
 
   /** Full pipeline: near-dup pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard_x1000) for pairs ≥ minJaccardX1000. */

@@ -27,19 +27,28 @@ object SimHash {
 
   /** Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 guaranteed
     * complete by the 4-chunk pigeonhole; larger thresholds would need more
-    * chunks). */
-  def nearDupPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    * chunks).
+    *
+    * Scale note: a 16-bit chunk has only 65,536 distinct values, so at
+    * corpus scale every chunk bucket is populated by thousands of
+    * documents — an uncapped self-join would emit B² pairs per bucket.
+    * Buckets above `maxBucketSize` degrade to star pairs on a canonical id
+    * ([[Buckets.cappedSelfJoin]]); star pairs whose endpoints exceed the
+    * hamming bound are then filtered like any candidate, trading bounded
+    * output for exhaustive-pair recall inside degenerate buckets (clone
+    * clusters keep a canonical representative). */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole is only complete for hamming <= 3")
     val sigs = signatures(df, textCol, idCol)
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded = sigs.select(col(idCol),
       posexplode(chunks(col("simhash"))).as(Seq("chunk_idx", "chunk_val")))
-    val l = banded.select(col("chunk_idx"), col("chunk_val"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val r = banded.select(col("chunk_idx").as("ci"), col("chunk_val").as("cv"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    l.join(r, l("chunk_idx") === r("ci") && l("chunk_val") === r("cv") && l("id_a") < r("id_b"))
+    val pairs = Buckets.cappedSelfJoin(
+      banded, Seq("chunk_idx", "chunk_val"), idCol, maxBucketSize)
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }

@@ -64,4 +64,13 @@ package object functions {
     * xor — already codegen'd, no custom expression needed). */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Bounded top-k aggregate over (score, id): keeps the k best pairs with
+    * map-side partial reduction (see expressions.TopKByScore). Use inside
+    * groupBy().agg(...); result is array<struct<sim, neighbor_id>> sorted
+    * best-first. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(expressions.TopKByScore(
+      ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      .toAggregateExpression())
 }

@@ -54,6 +54,15 @@ object LlmOps {
     Ann.nearDupPairs(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** D5 scale path: the same near-dup semantics via LSH buckets — the plan
+    * you'd run at 100 TB (no all-pairs, no broadcast of the full corpus).
+    * Registered as a rows-only check; AnnSpec proves pairs ⊆ exact with
+    * high recall on clustered data. */
+  def qEmbeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairsLsh(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.35, dims = 64, planes = 8, probeBits = 1)
+      .orderBy("id_a", "id_b")
+
   private def annQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
       .filter(col("vec_id") % 50 === 0)

@@ -37,7 +37,7 @@ class AnnSpec extends SparkSpec {
       "vec_id", "emb", k = 5, dims = dims, planes = 8).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.8, s"LSH recall $recall too low on clustered data")
+    assert(recall >= 0.9, s"LSH recall $recall too low on clustered data")
   }
 
   test("LSH top-k on the synthetic table returns ranked rows per query") {
@@ -63,6 +63,21 @@ class AnnSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"bucketed recall $recall too low on clustered data")
+  }
+
+  test("topKByScore orders best-first with id tiebreak, bounded at k") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.7, 11L), (1L, 0.9, 9L), (1L, 0.1, 12L),
+      (2L, 0.5, 20L)).toDF("query_id", "sim", "neighbor_id").repartition(4)
+    val out = df.groupBy($"query_id")
+      .agg(graft.functions.topKByScore($"sim", $"neighbor_id", 3).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getDouble(0), s.getLong(1))))
+      .toMap
+    // 0.9 ties break on ascending id; 0.1 is evicted by the k=3 bound
+    assert(out(1L) == Seq((0.9, 9L), (0.9, 10L), (0.7, 11L)))
+    assert(out(2L) == Seq((0.5, 20L)))
   }
 
   test("cosine similarity function: known vectors") {

@@ -95,6 +95,20 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 435L) // C(30,2)
   }
 
+  test("simhash hot-bucket cap degrades clone cliques to star pairs") {
+    import spark.implicits._
+    // 30 identical docs agree on every 16-bit chunk → every chunk bucket
+    // holds all 30; above a cap of 10 the bucket emits star pairs on the
+    // min id (29 rows, hamming 0) instead of the 435-pair clique
+    val clones = (1 to 30).map(i => (i.toLong,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val capped = SimHash.nearDupPairs(clones, "text", "doc_id", maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (2 to 30).map(i => (1L, i.toLong)).toSet)
+    val uncapped = SimHash.nearDupPairs(clones, "text", "doc_id")
+    assert(uncapped.count() == 435L) // C(30,2)
+  }
+
   test("jaccard x1000 matches exact set computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
