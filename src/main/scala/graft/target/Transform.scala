@@ -53,20 +53,44 @@ object Transform {
         struct(valueCols.map(c => col(c).cast("string").as(c)): _*).as("values"))).as("payload"))
   }
 
-  /** Deterministic batch assignment for oracle-checked tests
-    * (__init__.py:371-405 batches by max_records/max_bytes): global
-    * row_number ordered by the primary key, then ceil-division. This exact
-    * global ordering exists for reproducibility at test scale; the
-    * API sink batches per-partition instead (no global sort) — see
-    * ApiSink.scala. */
-  def assignBatches(df: DataFrame, primaryKey: String, maxRecords: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(Window.orderBy(col(primaryKey)))
+  /** Deterministic batch assignment (__init__.py:371-405 batches by
+    * max_records): global row number ordered by the primary key, then
+    * integer division — computed WITHOUT a global window.
+    *
+    * Plan: range-repartition on the key (evenly spread, globally ordered
+    * across partitions) + sort within partitions, then global row number =
+    * per-partition offset + local index. The local index comes from
+    * monotonically_increasing_id's low 33 bits (its per-partition counter —
+    * deterministic here because the partition contents are range-bounded
+    * and sorted on a unique key); the offsets come from a tiny
+    * per-partition count pass — the same metadata job RDD.zipWithIndex
+    * runs, numPartitions scalars collected like a bookmark read — joined
+    * back by broadcast. No stage ever sees more than one partition's rows,
+    * vs. the single-task WindowExec a `Window.orderBy` would schedule.
+    *
+    * `numPartitions` is pinned (default: spark.sql.shuffle.partitions) so
+    * AQE cannot re-coalesce between the count pass and the final plan. */
+  def assignBatches(df: DataFrame, primaryKey: String, maxRecords: Int,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(n, col(primaryKey))
+      .sortWithinPartitions(col(primaryKey))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__opid", "__offset")
     // integer `div` keeps the assignment exact (a double divide + cast
     // would truncate identically for positives, but be fuzzy)
-    df.withColumn("rn_tmp", rn)
-      .withColumn("batch_id", expr(s"CAST((rn_tmp - 1) DIV $maxRecords AS BIGINT)"))
-      .drop("rn_tmp")
+    ranged.join(broadcast(offsetDf), col("__pid") === col("__opid"))
+      .withColumn("batch_id",
+        expr(s"CAST((__offset + __local) DIV $maxRecords AS BIGINT)"))
+      .drop("__pid", "__opid", "__local", "__offset")
   }
 
   /** Per-batch accounting: record count + payload byte volume. */

@@ -37,6 +37,22 @@ class PlanSpec extends SparkSpec {
       "unselected columns must not be read")
   }
 
+  test("batch assignment plans no global window (no single-partition stage)") {
+    val df = queries.Etl.qBatchAssign(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"),
+      "batch assignment must not use a window (global windows single-task)")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "partition offsets must join by broadcast")
+  }
+
+  test("ann top-k aggregates with map-side partial (no full-width window shuffle)") {
+    val plan = planOf(queries.LlmOps.qAnnTopK(spark, sfDir))
+    assert(!plan.contains("Window"), "top-k must be the bounded-heap aggregate")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "TopKByScore must run partial (map-side) + final")
+  }
+
   test("embedding near-dup broadcasts one side (no cartesian shuffle)") {
     val plan = planOf(queries.LlmOps.qEmbeddingNearDup(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
