@@ -124,7 +124,13 @@ object SparkEntry {
         |ORDER BY window_start, event_type""".stripMargin,
     "q_discover_catalog" ->
       """SELECT table_name, CAST(ordinal AS BIGINT) AS ordinal, column_name, sql_type,
-        |  json_type, format, inclusion, is_replication_key
+        |  json_type, format, inclusion, is_replication_key,
+        |  CASE sql_type WHEN 'int' THEN CAST(-2147483648 AS BIGINT)
+        |    WHEN 'bigint' THEN CAST(-9223372036854775807 AS BIGINT) - 1 END AS minimum,
+        |  CASE sql_type WHEN 'int' THEN CAST(2147483647 AS BIGINT)
+        |    WHEN 'bigint' THEN CAST(9223372036854775807 AS BIGINT) END AS maximum,
+        |  CAST(NULL AS BIGINT) AS max_length,
+        |  false AS is_view
         |FROM (VALUES
         |  ('region', 1, 'r_regionkey', 'int', 'integer', '', 'automatic', false),
         |  ('region', 2, 'r_name', 'string', 'string', '', 'available', false),
@@ -280,7 +286,7 @@ object SparkEntry {
         |  SELECT 'customer.c_custkey.not_null' AS check_name,
         |    (SELECT count(*) FROM customer WHERE c_custkey IS NULL) AS violations
         |  UNION ALL
-        |  SELECT 'customer.c_acctbal.non_negative',
+        |  SELECT 'customer.c_acctbal.min_0',
         |    (SELECT count(*) FROM customer WHERE c_acctbal < 0)
         |  UNION ALL
         |  SELECT 'customer.c_name.max_length_25',

@@ -5,6 +5,20 @@ package graft.catalog
   * properties, target entity + primary key, replication method/key, and the
   * target-attribute → source-column field mappings.
   */
+/** One Draft4-style constraint set for a source column — the declarative
+  * form of what the reference's Draft4Validator enforces per record
+  * (target-pendo/src/__init__.py:523): required/type/maxLength/minimum/
+  * maximum/enum. Checks are GENERATED from these (see
+  * graft.target.Validation), never hand-listed. */
+final case class FieldRule(
+    field: String,
+    required: Boolean = false,
+    jsonType: Option[String] = None,
+    maxLength: Option[Long] = None,
+    minimum: Option[Double] = None,
+    maximum: Option[Double] = None,
+    enumVals: Seq[String] = Nil)
+
 final case class StreamDef(
     streamName: String,
     sourceTable: String,
@@ -17,7 +31,10 @@ final case class StreamDef(
     fieldMappings: Seq[(String, String)],
     /** target attributes whose Pendo-side type is string (drives int→string
       * coercion, target-pendo/src/__init__.py:543-547) */
-    stringTyped: Set[String])
+    stringTyped: Set[String],
+    /** declared record schema: Draft4-style constraints on source columns
+      * (the stream's validation contract; empty = no declared schema) */
+    recordSchema: Seq[FieldRule] = Nil)
 
 sealed trait ReplicationMethod
 object ReplicationMethod {
@@ -43,7 +60,11 @@ object Streams {
       "nation_key" -> "c_nationkey",
       "account_balance" -> "c_acctbal",
       "market_segment" -> "c_mktsegment"),
-    stringTyped = Set("accountId", "account_name", "market_segment"))
+    stringTyped = Set("accountId", "account_name", "market_segment"),
+    recordSchema = Seq(
+      FieldRule("c_custkey", required = true),
+      FieldRule("c_acctbal", minimum = Some(0.0)),
+      FieldRule("c_name", maxLength = Some(25L))))
 
   /** Visitors stream over the orders table (INCREMENTAL on o_orderdate,
     * like the reference's pendo_integration_visitor on last_updated). */
@@ -61,7 +82,9 @@ object Streams {
       "order_status" -> "o_orderstatus",
       "total_price" -> "o_totalprice",
       "order_priority" -> "o_orderpriority"),
-    stringTyped = Set("visitorId", "order_status", "order_priority"))
+    stringTyped = Set("visitorId", "order_status", "order_priority"),
+    recordSchema = Seq(
+      FieldRule("o_orderstatus", enumVals = Seq("O", "F", "P"))))
 
   val all: Seq[StreamDef] = Seq(accounts, visitors)
 }

@@ -125,20 +125,16 @@ object Etl {
     Transform.batchStats(Transform.assignBatches(payloads, "accountId", maxRecords = 500))
   }
 
-  /** B6: schema/constraint validation — violation counts per declared rule
-    * (the target validates records against the stream schema before
-    * pushing; Draft4Validator in target-pendo/src/__init__.py:523). */
-  def qSchemaValidate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val customer = Tables.table(spark, dir, "customer")
-    val orders = Tables.table(spark, dir, "orders")
-    val checks = Seq(
-      ("customer.c_custkey.not_null", customer.filter($"c_custkey".isNull)),
-      ("customer.c_acctbal.non_negative", customer.filter($"c_acctbal" < 0)),
-      ("customer.c_name.max_length_25", customer.filter(length($"c_name") > 25)),
-      ("orders.o_orderstatus.enum_OFP", orders.filter(!$"o_orderstatus".isin("O", "F", "P"))))
-    checks.map { case (name, df) =>
-      df.agg(count(lit(1)).as("violations")).select(lit(name).as("check_name"), $"violations")
-    }.reduce(_.unionAll(_)).orderBy("check_name")
-  }
+  /** B6: schema/constraint validation — violation counts GENERATED from
+    * each stream's declared record schema (StreamDef.recordSchema, Draft4
+    * semantics via graft.target.Validation; the reference validates every
+    * record with Draft4Validator, target-pendo/src/__init__.py:523). One
+    * aggregate pass per source table. */
+  def qSchemaValidate(spark: SparkSession, dir: String): DataFrame =
+    Streams.all
+      .filter(_.recordSchema.nonEmpty)
+      .map(s => graft.target.Validation.violationCounts(
+        Tables.table(spark, dir, s.sourceTable), s.sourceTable, s.recordSchema))
+      .reduce(_.unionAll(_))
+      .orderBy("check_name")
 }

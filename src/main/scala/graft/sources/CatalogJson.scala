@@ -42,6 +42,12 @@ object CatalogJson {
         types.add("null"); types.add(c.json_type)
         if (c.format.nonEmpty) p.put("format", c.format)
         p.put("inclusion", c.inclusion)
+        // integer range bounds and declared char lengths (schema.py:60-64
+        // int2/4/8 min/max; char/varchar length) so catalog consumers get
+        // the same validation contract the reference emits
+        c.minimum.foreach(v => p.put("minimum", v))
+        c.maximum.foreach(v => p.put("maximum", v))
+        c.max_length.foreach(v => p.put("maxLength", v))
       }
     }
     val metadata = node.putArray("metadata")
@@ -49,7 +55,7 @@ object CatalogJson {
     tableMd.putArray("breadcrumb")
     val md = tableMd.putObject("metadata")
     md.put("selected-by-default", false)
-    md.put("is-view", false)
+    md.put("is-view", cols.headOption.exists(_.is_view))
     md.put("schema-name", table)
     md.put("database-name", dbName)
     val keys = md.putArray("table-key-properties")

@@ -22,17 +22,46 @@ object Discovery {
       json_type: String,
       format: String,
       inclusion: String,
-      is_replication_key: Boolean)
+      is_replication_key: Boolean,
+      minimum: Option[Long],
+      maximum: Option[Long],
+      max_length: Option[Long],
+      is_view: Boolean)
 
   /** schema.py:38-83 type mapping, re-expressed over Spark DataTypes. */
   def jsonTypeOf(dt: DataType): (String, String) = dt match {
     case BooleanType => ("boolean", "")
     case ByteType | ShortType | IntegerType | LongType => ("integer", "")
     case FloatType | DoubleType | _: DecimalType => ("number", "")
-    case StringType => ("string", "")
+    case StringType | _: VarcharType | _: CharType => ("string", "")
     case DateType => ("string", "date")
     case TimestampType | TimestampNTZType => ("string", "date-time")
     case _ => ("unsupported", "")
+  }
+
+  /** Integer range bounds by byte width (schema.py:60-64: bits = bytes*8,
+    * minimum = -2^(bits-1), maximum = 2^(bits-1)-1 — the int2/int4/int8
+    * contract a catalog consumer relies on for range checks). */
+  def boundsOf(dt: DataType): Option[(Long, Long)] = dt match {
+    case ByteType    => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+    case ShortType   => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+    case IntegerType => Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+    case LongType    => Some((Long.MinValue, Long.MaxValue))
+    case _           => None
+  }
+
+  /** Declared character length for char/varchar columns. Spark keeps the
+    * original char/varchar type either as the DataType itself or in field
+    * metadata (plain parquet strings are unbounded → None). */
+  def maxLengthOf(f: StructField): Option[Long] = f.dataType match {
+    case VarcharType(n) => Some(n.toLong)
+    case CharType(n)    => Some(n.toLong)
+    case _ =>
+      val key = "__CHAR_VARCHAR_TYPE_STRING"
+      if (f.metadata.contains(key))
+        "\\((\\d+)\\)".r.findFirstMatchIn(f.metadata.getString(key))
+          .map(_.group(1).toLong)
+      else None
   }
 
   /** Key properties per table (the discover.py PK-constraint introspection;
@@ -44,8 +73,9 @@ object Discovery {
     "lineitem" -> "l_orderkey", "events" -> "event_id",
     "documents" -> "doc_id", "embeddings" -> "vec_id")
 
-  def columns(spark: SparkSession, dir: String, table: String): Seq[ColumnInfo] = {
-    val schema = Tables.table(spark, dir, table).schema
+  /** Column inventory from a schema (separable from the parquet read so
+    * synthetic schemas — e.g. varchar-typed views — are testable). */
+  def columnsOf(schema: StructType, table: String, isView: Boolean = false): Seq[ColumnInfo] = {
     val pkey = keyProperties.get(table)
     schema.fields.zipWithIndex.map { case (f, i) =>
       val (jt, fmt) = jsonTypeOf(f.dataType)
@@ -56,10 +86,19 @@ object Discovery {
       // timestamp_ntz and timestamp are one warehouse type in the catalog
       // (parquet files may carry either depending on isAdjustedToUTC)
       val sqlType = f.dataType.simpleString.replace("timestamp_ntz", "timestamp")
+      val bounds = boundsOf(f.dataType)
       ColumnInfo(table, i + 1L, f.name, sqlType, jt, fmt,
-        inclusion, fmt == "date-time")
+        inclusion, fmt == "date-time",
+        bounds.map(_._1), bounds.map(_._2), maxLengthOf(f), isView)
     }.toSeq
   }
+
+  /** Tables known to be views (discover.py:83 marks table_type == 'VIEW';
+    * a parquet warehouse has none, so this is the registry hook). */
+  val views: Set[String] = Set.empty
+
+  def columns(spark: SparkSession, dir: String, table: String): Seq[ColumnInfo] =
+    columnsOf(Tables.table(spark, dir, table).schema, table, views.contains(table))
 
   /** Full-catalog discovery over every table in the warehouse dir. */
   def discoverCatalog(spark: SparkSession, dir: String): DataFrame = {

@@ -24,5 +24,31 @@ class CatalogJsonSpec extends SparkSpec {
       .find(_.get("stream").asText() == "embeddings").get
     assert(emb.get("schema").get("properties").get("embedding")
       .get("inclusion").asText() == "unsupported")
+    // integer bounds (schema.py:60-64) + is-view metadata present
+    assert(props.get("o_orderkey").get("minimum").asLong() == Long.MinValue)
+    assert(props.get("o_orderkey").get("maximum").asLong() == Long.MaxValue)
+    assert(!props.get("o_orderstatus").has("minimum"))
+    assert(!tableMd.get("is-view").asBoolean())
+  }
+
+  test("columnsOf emits declared varchar lengths and view flags") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", VarcharType(25)),
+      StructField("code", CharType(3)),
+      StructField("free", StringType)))
+    val cols = Discovery.columnsOf(schema, "synthetic", isView = true)
+    val byName = cols.map(c => c.column_name -> c).toMap
+    assert(byName("name").max_length.contains(25L))
+    assert(byName("code").max_length.contains(3L))
+    assert(byName("free").max_length.isEmpty)
+    assert(byName("id").minimum.contains(Int.MinValue.toLong))
+    assert(byName("id").maximum.contains(Int.MaxValue.toLong))
+    assert(cols.forall(_.is_view))
+    // varchar/char carried in field metadata (how parquet DDL round-trips)
+    val mdField = StructField("v", StringType, metadata =
+      new MetadataBuilder().putString("__CHAR_VARCHAR_TYPE_STRING", "varchar(42)").build())
+    assert(Discovery.maxLengthOf(mdField).contains(42L))
   }
 }
