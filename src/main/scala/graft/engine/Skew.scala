@@ -18,10 +18,18 @@ object Skew {
     * `partials`: aggregations valid on the salted groups;
     * `merge`: how to combine the partial columns per key.
     */
+  /** Deterministic salt from row content. Partition-id/monotonic-id salts
+    * are NOT retry-safe: a recomputed upstream task can re-salt its rows
+    * differently mid-aggregate and duplicate or lose rows (the SPARK-23207
+    * failure class). Hashing the full row is stable under recompute; rows
+    * of a hot key spread as long as any non-key column varies. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+
   def saltedAgg(
       df: DataFrame, key: Column, salts: Int,
       partials: Seq[Column], merge: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", contentSalt(df, salts))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col("__key"))
@@ -33,8 +41,7 @@ object Skew {
     * prepared (bigSalted, smallReplicated) pair; join on
     * `key && __salt === __salt_r`. */
   def saltForJoin(big: DataFrame, small: DataFrame, salts: Int): (DataFrame, DataFrame) = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val bigSalted = big.withColumn("__salt", contentSalt(big, salts))
     val smallReplicated = small.withColumn("__salt_r",
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallReplicated)

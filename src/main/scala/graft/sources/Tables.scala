@@ -28,9 +28,12 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only when the file actually carried nanos (read back as long) —
     // tables written by this engine already carry micros timestamps
+    // FLOOR division (not `div`, which truncates toward zero): a pre-epoch
+    // nanosecond value must round down like DuckDB's conversion does.
+    // (x - pmod(x, 1000)) is divisible by 1000, so the `div` is exact.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else df
   }
 }

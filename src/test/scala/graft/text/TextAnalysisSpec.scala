@@ -39,9 +39,15 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("polyhash matches the reference recurrence and is stable") {
     import spark.implicits._
-    def expected(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 131L + (b & 0xffL)) % 2147483647L)
-    val inputs = Seq("", "a", "hello world", "the quick brown fox")
+    def expected(s: String): Long = {
+      // fold over Unicode code points — what a character-indexed oracle
+      // (ascii(substr(text, i, 1))) computes, non-ASCII included
+      import scala.jdk.CollectionConverters._
+      s.codePoints().iterator().asScala
+        .foldLeft(0L)((h, cp) => (h * 131L + cp.toLong) % 2147483647L)
+    }
+    val inputs = Seq("", "a", "hello world", "the quick brown fox",
+      "héllo wörld ✓ 😀")
     val out = inputs.zipWithIndex.map(x => (x._2.toLong, x._1)).toDF("doc_id", "text")
     val got = TextAnalysis.fingerprints(out, "text", "doc_id").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
