@@ -40,6 +40,7 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
+    "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
     "q_lang_id" -> ((s, dir) => LlmOps.qLangId(s, dir)),
     "q_quality_score" -> ((s, dir) => LlmOps.qQualityScore(s, dir)),
     "q_token_count" -> ((s, dir) => LlmOps.qTokenCount(s, dir)),

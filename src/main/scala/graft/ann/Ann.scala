@@ -27,7 +27,7 @@ object Ann {
   /** Shared reduction: (query_id, neighbor_id, sim) → best-k per query with
     * rank = position in score-desc/id-asc order (ties identical to
     * `row_number() OVER (ORDER BY sim DESC, neighbor_id)`). */
-  private def topKReduce(scored: DataFrame, k: Int): DataFrame =
+  private[ann] def topKReduce(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
@@ -77,18 +77,45 @@ object Ann {
     * `probeBits` hamming; the join keys on bucket equality (a shuffle of
     * (id, bucket, emb) rows, never N² pairs). Approximate: recall follows
     * the hyperplane collision probability 1 - angle/pi per plane — high
-    * for genuinely near-duplicate vectors. */
+    * for genuinely near-duplicate vectors.
+    *
+    * Size `planes` ≈ log2(corpus / target-bucket-size): too few planes puts
+    * the whole corpus in a handful of buckets and the join degenerates
+    * toward all-pairs. `maxBucketSize` is the backstop for hot buckets
+    * (clone embeddings, zero vectors): members above the cap connect as
+    * star pairs to the bucket's min id (still τ-verified), the same
+    * degrade as [[graft.dedup.Buckets.cappedSelfJoin]]. */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, embCol: String,
-      tau: Double, dims: Int, planes: Int = 8, probeBits: Int = 1): DataFrame = {
+      tau: Double, dims: Int, planes: Int = 8, probeBits: Int = 1,
+      maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bucketed = corpus.select(col(idCol), asDouble(col(embCol)).as("__emb"),
       lshBucket(asDouble(col(embCol)), dims, planes).as("__bucket"))
+    val w = Window.partitionBy(col("__bucket"))
+    val sized = bucketed.select(col(idCol), col("__emb"), col("__bucket"),
+      count(lit(1)).over(w).as("__n"), min(col(idCol)).over(w).as("__min_id"))
+    val small = sized.filter(col("__n") <= maxBucketSize)
+
     val flips = array(probeMasks(planes, probeBits).map(lit): _*)
-    val probing = bucketed.select(col(idCol).as("id_a"), col("__emb").as("emb_a"),
+    val probing = small.select(col(idCol).as("id_a"), col("__emb").as("emb_a"),
       explode(transform(flips, f => col("__bucket").bitwiseXOR(f))).as("__bucket"))
-    val base = bucketed.select(col("__bucket").as("__bucket_b"),
+    val base = small.select(col("__bucket").as("__bucket_b"),
       col(idCol).as("id_b"), col("__emb").as("emb_b"))
-    probing.join(base,
+    val cliquePairs = probing.join(base,
         col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("emb_a"), col("id_b"), col("emb_b"))
+
+    // hot buckets: each member pairs with the bucket canonical only
+    // (B-1 rows instead of B²); join the canonical's embedding back in
+    val canonEmb = bucketed.select(col(idCol).as("id_a"), col("__emb").as("emb_a"))
+    val starPairs = sized.filter(col("__n") > maxBucketSize)
+      .filter(col(idCol) =!= col("__min_id"))
+      .select(col("__min_id").as("id_a"), col(idCol).as("id_b"), col("__emb").as("emb_b"))
+      .join(canonEmb, "id_a")
+      .select(col("id_a"), col("emb_a"), col("id_b"), col("emb_b"))
+
+    cliquePairs.unionAll(starPairs)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosineSim(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") > tau)

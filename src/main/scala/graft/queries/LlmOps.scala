@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.Ann
+import graft.ann.{Ann, Ivf}
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.multimodal.Binary
 import graft.sources.Tables
@@ -83,6 +83,16 @@ object LlmOps {
       Tables.table(spark, dir, "embeddings").select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
       "vec_id", "emb", k = 10, dims = 64, planes = 8)
       .orderBy("query_id", "rank")
+
+  /** E3: IVF top-10 — k-means coarse quantizer (data-adaptive cells),
+    * nprobe-bounded candidate set. Rows-only check: the index is iterative
+    * (k-means), not SQL-expressible; AnnSpec proves recall vs exact. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val index = Ivf.buildIndex(
+      Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
+    Ivf.ivfTopK(annQueries(spark, dir), index, k = 10, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
 
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =

@@ -92,6 +92,31 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** File-stream source: continuous ingestion of parquet drops into the
+    * warehouse directory — the streaming face of Tables.table. Structured
+    * Streaming's file source tracks processed files in the checkpoint, so
+    * each drop is read exactly once; `maxFilesPerTrigger` bounds micro-batch
+    * size (backpressure at 100 TB backfills). The schema must be declared —
+    * streaming scans cannot infer it per batch. */
+  def fileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Switch streaming state to RocksDB — the provider that keeps state off
+    * the executor heap (HDFS-backed in-memory maps OOM at 100 TB key
+    * cardinalities; RocksDB spills to local disk with changelog
+    * checkpointing). Session-wide conf read at query start. */
+  def useRocksDbState(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   /** Continuous API push: the streaming writer face of the target —
     * foreachBatch reuses the batch ApiSink so each micro-batch pushes
     * rate-limited batched updates (the reference's tap|target pipe as a

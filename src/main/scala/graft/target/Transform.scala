@@ -79,7 +79,13 @@ object Transform {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    // the count pass shuffles ONLY the key column: RangePartitioner bounds
+    // depend on the key values and a partition-index-seeded sample, both
+    // identical under a narrower projection, so the partition histogram
+    // matches `ranged`'s exactly
+    val counts = df.select(col(primaryKey))
+      .repartitionByRange(n, col(primaryKey))
+      .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }

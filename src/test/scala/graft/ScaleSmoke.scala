@@ -65,6 +65,15 @@ object ScaleSmoke {
     time("q_sessionize") { queries.Warehouse.qSessionize(spark, dir) }
     time("q_dedup_exact") { queries.LlmOps.qDedupExact(spark, dir) }
     time("q_dedup_minhash") { queries.LlmOps.qDedupMinhash(spark, dir) }
+    time("q_dedup_simhash") { queries.LlmOps.qDedupSimhash(spark, dir) }
+    // at this corpus size the LSH near-dup needs planes sized to the data
+    // (≈ log2(N / target-bucket-size)) — the sf0.01-tuned planes=8 of the
+    // registered query would funnel millions of vectors into 256 buckets
+    time("embedding_neardup_lsh") {
+      graft.ann.Ann.nearDupPairsLsh(
+        graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000)
+    }
     time("q_embedding_neardup") { queries.LlmOps.qEmbeddingNearDup(spark, dir) }
     time("q_ann_topk") { queries.LlmOps.qAnnTopK(spark, dir) }
     time("q_token_count") { queries.LlmOps.qTokenCount(spark, dir) }

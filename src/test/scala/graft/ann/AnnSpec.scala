@@ -65,6 +65,33 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"bucketed recall $recall too low on clustered data")
   }
 
+  test("IVF top-k: high recall with few probes on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dims = 16
+    val corpus = (0 until 20).flatMap { c =>
+      val base = Array.fill(dims)(rng.nextGaussian())
+      (0 until 10).map(m => (c * 10L + m,
+        base.map(x => x + 0.05 * rng.nextGaussian()).toSeq))
+    }.toDF("vec_id", "emb")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"emb".as("qvec"))
+    val exact = Ann.bruteForceTopK(queries, corpus, "vec_id", "emb", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val index = Ivf.buildIndex(corpus, "vec_id", "emb", nCells = 20, seed = 7L)
+    val approx = Ivf.ivfTopK(queries, index, k = 5, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
+  }
+
+  test("IVF on the synthetic table returns ranked rows per query") {
+    val rows = graft.queries.LlmOps.qAnnIvf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.map(_.getAs[Long]("rank")).distinct.length <= 10))
+  }
+
   test("topKByScore orders best-first with id tiebreak, bounded at k") {
     import spark.implicits._
     val df = Seq(

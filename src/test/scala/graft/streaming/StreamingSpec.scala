@@ -88,6 +88,54 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-stream source with RocksDB state matches the batch aggregate") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val events = (1 to 60).map(i =>
+      Events.Event(i.toLong, ts(i.toLong), i % 5L, s"type${i % 3}", i * 1.0))
+    // two separate parquet drops — the file source lists flat files, so
+    // stage each write and move its part files into the watched dir
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$dir/stage-$name"
+      df.coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$dir/in", s"$name-$i.parquet"))
+        }
+    }
+    drop(events.take(30).toDF(), "drop1")
+    drop(events.drop(30).toDF(), "drop2")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Events.useRocksDbState(spark)
+    try {
+      val stream = Events.fileStream(spark, s"$dir/in",
+        events.toDF().schema, maxFilesPerTrigger = 1)
+      val query = Events.windowedCounts(stream)
+        .writeStream.format("memory").queryName("file_win")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("complete").start()
+      try {
+        query.processAllAvailable()
+        val streamed = spark.table("file_win")
+          .select("window_start", "event_type", "n", "sum_value").collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+        val batch = events.toDF()
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .select($"w.start", $"event_type", $"n", $"sum_value").collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(streamed == batch)
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming push drives the batch ApiSink per micro-batch") {
     val sparkSession = spark
     import sparkSession.implicits._
