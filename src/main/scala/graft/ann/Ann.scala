@@ -88,12 +88,13 @@ object Ann {
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, embCol: String,
       tau: Double, dims: Int, planes: Int = 8, probeBits: Int = 1,
       maxBucketSize: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucketed = corpus.select(col(idCol), asDouble(col(embCol)).as("__emb"),
       lshBucket(asDouble(col(embCol)), dims, planes).as("__bucket"))
-    val w = Window.partitionBy(col("__bucket"))
-    val sized = bucketed.select(col(idCol), col("__emb"), col("__bucket"),
-      count(lit(1)).over(w).as("__n"), min(col(idCol)).over(w).as("__min_id"))
+    // same stats-aggregate shape as Buckets.cappedSelfJoin (a window here
+    // measured far slower downstream on clone-heavy corpora)
+    val stats = bucketed.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
+    val sized = bucketed.join(stats, "__bucket")
     val small = sized.filter(col("__n") <= maxBucketSize)
 
     val flips = array(probeMasks(planes, probeBits).map(lit): _*)

@@ -7,11 +7,16 @@ import graft.functions.{hamming64, simhash64}
 /** SimHash near-duplicate detection (D3): one 64-bit signature per
   * document; near-dups are pairs within a small hamming distance.
   *
-  * Candidate generation uses the pigeonhole principle: split the signature
-  * into 4 16-bit chunks — any pair within hamming ≤ 3 must agree exactly on
-  * at least one chunk — so the self-join keys on (chunk_idx, chunk_value)
-  * instead of comparing all pairs. Same shuffle profile as MinHash LSH:
-  * only (id, chunk) rows move, 4 per document.
+  * Candidate generation uses the block-combination pigeonhole (the
+  * multi-table scheme of Manku et al., WWW'07): split the signature into 6
+  * blocks (~11 bits each); hamming ≤ 3 flips touch at most 3 blocks, so
+  * every near-dup pair agrees exactly on some 3 of the 6 blocks — key the
+  * self-join on all C(6,3)=20 block triples (~33-bit keys). Versus the
+  * naive 4×16-bit chunk scheme, the 20 tables cost 5× the exploded rows
+  * but raise bucket entropy from 16 to ~33 bits: on real corpora (whose
+  * shared vocabulary makes signature chunks collide heavily) this is the
+  * difference between bounded buckets and quadratic mid-size buckets that
+  * no cap can rescue. Shuffle carries (id, table_idx, key) rows only.
   */
 object SimHash {
 
@@ -21,30 +26,43 @@ object SimHash {
     df.select(col(idCol),
       simhash64(transform(split(col(textCol), " "), t => xxhash64(t))).as("simhash"))
 
-  private def chunks(sig: Column): Column =
-    array((0 until 4).map(i =>
-      shiftrightunsigned(sig, i * 16).bitwiseAND(lit(0xffffL))): _*)
+  /** 6 blocks of 11/11/11/11/10/10 bits covering the 64-bit signature. */
+  private val blockBounds: Seq[(Int, Int)] = { // (shift, width)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (shift, w) => (shift, w) }
+  }
+
+  private def blockVal(sig: Column, b: Int): Column = {
+    val (shift, width) = blockBounds(b)
+    shiftrightunsigned(sig, shift).bitwiseAND(lit((1L << width) - 1))
+  }
+
+  /** One join key per 3-of-6 block combination: the three block values
+    * packed into fixed 11-bit lanes (≤ 33 bits total). */
+  private def comboKeys(sig: Column): Column =
+    array(Seq(0, 1, 2, 3, 4, 5).combinations(3).toSeq.map { combo =>
+      combo.map(blockVal(sig, _))
+        .reduce((acc, v) => shiftleft(acc, 11).bitwiseOR(v))
+    }: _*)
 
   /** Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 guaranteed
-    * complete by the 4-chunk pigeonhole; larger thresholds would need more
-    * chunks).
+    * complete by the 3-of-6 block pigeonhole; larger thresholds would need
+    * wider combinations).
     *
-    * Scale note: a 16-bit chunk has only 65,536 distinct values, so at
-    * corpus scale every chunk bucket is populated by thousands of
-    * documents — an uncapped self-join would emit B² pairs per bucket.
-    * Buckets above `maxBucketSize` degrade to star pairs on a canonical id
+    * Degenerate buckets (clone clusters collapse every table key) above
+    * `maxBucketSize` degrade to star pairs on a canonical id
     * ([[Buckets.cappedSelfJoin]]); star pairs whose endpoints exceed the
     * hamming bound are then filtered like any candidate, trading bounded
     * output for exhaustive-pair recall inside degenerate buckets (clone
     * clusters keep a canonical representative). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole is only complete for hamming <= 3")
+    require(maxHamming <= 3, "3-of-6 block pigeonhole is only complete for hamming <= 3")
     val sigs = signatures(df, textCol, idCol)
     val banded = sigs.select(col(idCol),
-      posexplode(chunks(col("simhash"))).as(Seq("chunk_idx", "chunk_val")))
+      posexplode(comboKeys(col("simhash"))).as(Seq("table_idx", "table_key")))
     val pairs = Buckets.cappedSelfJoin(
-      banded, Seq("chunk_idx", "chunk_val"), idCol, maxBucketSize)
+      banded, Seq("table_idx", "table_key"), idCol, maxBucketSize)
     pairs
       .join(sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b")), "id_b")
