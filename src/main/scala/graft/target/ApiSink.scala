@@ -164,6 +164,27 @@ object ApiSink {
     m
   }
 
+  /** Push, then re-push captured dead letters up to `retryRounds` times —
+    * the reference sets failed records aside "for retries"
+    * (__init__.py:279-281); this is that retry loop as a Spark job per
+    * round. Each round re-parallelizes the (driver-collected) failed
+    * records; the set shrinks monotonically, so later rounds are tiny.
+    * Returns the metrics of the final round — its `failedRecords` are the
+    * records that never made it. */
+  def pushWithRetries(df: DataFrame, poster: HttpPoster, cfg: SinkConfig,
+      retryRounds: Int = 1): SinkMetrics = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var m = push(df, poster, cfg)
+    var round = 0
+    while (round < retryRounds && m.failedRecords.nonEmpty) {
+      val again = m.failedRecords.toDF().select("id", "payload")
+      m = push(again, poster, cfg)
+      round += 1
+    }
+    m
+  }
+
   /** In-JVM stub poster for tests (local mode shares the JVM, so the queue
     * is visible to the driver). Optionally fails ids matching a predicate
     * and can serve transient failure statuses before succeeding. */

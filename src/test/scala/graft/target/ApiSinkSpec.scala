@@ -116,6 +116,26 @@ class ApiSinkSpec extends SparkSpec {
       Seq("""{"id":23}""", """{"id":7}"""))
   }
 
+  test("pushWithRetries re-pushes dead letters until they succeed") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    // rejects id 7 on the first call that contains it, accepts afterwards
+    object FlakyPoster extends HttpPoster {
+      override def post(url: String, batch: Seq[String]): PostResult = {
+        val n = RecordingPoster.calls.size()
+        RecordingPoster.calls.add(url -> batch)
+        val failed = if (n == 0) batch.filter(_.contains(""""id":7""")) else Seq.empty
+        PostResult(200, batch.size - failed.size, failed.size, failed)
+      }
+    }
+    val df = (1 to 10).map(i => (i, s"""{"id":$i}""")).toDF("pk", "payload").coalesce(1)
+    val m = pushWithRetries(df, FlakyPoster, cfg(maxRecords = 50), retryRounds = 2)
+    assert(m.failedRecords.isEmpty) // round 2 drained the dead letters
+    assert(RecordingPoster.calls.size() == 2)
+    val retried = RecordingPoster.calls.asScala.toSeq.last._2
+    assert(retried == Seq("""{"id":7}""")) // only the failed record re-pushed
+  }
+
   test("typed error taxonomy matches the reference's exception classes") {
     assert(ApiError.of(401).isInstanceOf[ApiError.Authentication])
     assert(ApiError.of(403).isInstanceOf[ApiError.Authentication])
