@@ -58,4 +58,52 @@ object Binary {
   def mediaMeta(media: DataFrame): DataFrame =
     media.select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"),
       col("mime"), col("n_chars"))
+
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Batched "resize": fixed-dimension output per record. STUB RESAMPLE —
+    * a real implementation decodes and bilinear-resamples each batch (the
+    * mapInPandas pattern); here each output pixel deterministically samples
+    * the byte at its scaled offset so the shape contract (every row leaves
+    * with exactly width×height bytes) is testable. Batching shape identical
+    * to [[extractFeatures]]. */
+  def resize(media: DataFrame, width: Int, height: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // === STUB: replace with real batched decode + resample ===
+          batch.map { case (id, bytes) =>
+            val n = width * height
+            val out = Array.tabulate(n) { i =>
+              if (bytes.isEmpty) 0.toByte
+              else bytes((i.toLong * bytes.length / n).toInt)
+            }
+            ResizedMedia(id, width, height, out)
+          }
+        }
+      }
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frames and emit every
+    * `everyN`-th one as its own row. Fully declarative (sequence +
+    * transform + substring over binary run inside whole-stage codegen, and
+    * the explode distributes frames across the cluster) — no UDF, because
+    * frame slicing, unlike decoding, IS expressible with built-ins. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int = 1): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    media
+      .filter(octet_length(col("payload")) >= frameBytes)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST(octet_length(payload) / $frameBytes AS INT) - 1, $everyN),
+             |  i -> substring(payload, i * $frameBytes + 1, $frameBytes))""".stripMargin))
+          .as(Seq("sample_idx", "frame")))
+      .select(col("doc_id"),
+        (col("sample_idx") * everyN).cast("long").as("frame_idx"),
+        col("frame"))
+  }
 }

@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
       "TopKByScore must run partial (map-side) + final")
   }
 
+  test("date-partitioned facts prune partitions AND push the row filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+    graft.sources.Partitioned.writeDatePartitioned(events, "ts", dir)
+    val nParts = new java.io.File(dir).listFiles().count(_.getName.startsWith("p_date="))
+    assert(nParts > 1, "testdata must span multiple dates for this check")
+    val read = graft.sources.Partitioned.readSince(spark, dir, "ts", "1998-07-01")
+    val plan = planOf(read)
+    assert(plan.contains("PartitionFilters:") && plan.contains("p_date"),
+      "date predicate must prune at the partition level")
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts"),
+      "timestamp predicate must also reach the row-group scan")
+    // correctness: same rows as filtering the unpartitioned table
+    val expected = events.filter(events("ts") >
+      org.apache.spark.sql.functions.lit("1998-07-01")).count()
+    assert(read.count() == expected && expected > 0)
+  }
+
   test("embedding near-dup broadcasts one side (no cartesian shuffle)") {
     val plan = planOf(queries.LlmOps.qEmbeddingNearDup(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))

@@ -31,4 +31,32 @@ class BinarySpec extends SparkSpec {
       .find(_.doc_id == 1L).get
     assert(again.feature.sameElements(f1.feature) && again.head_sum == f1.head_sum)
   }
+
+  test("resize: every record leaves with exactly width x height bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val media = Binary.toMediaTable(df, "text", "doc_id")
+    val out = Binary.resize(media, width = 4, height = 2, batchSize = 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.values.forall(r => r.pixels.length == 8 && r.width == 4 && r.height == 2))
+    // deterministic sampling: first output pixel is the first byte
+    assert(out(1L).pixels(0) == 'a'.toByte)
+    assert(out(3L).pixels.forall(_ == 0.toByte)) // empty payload → zero frame
+  }
+
+  test("frame sampling slices fixed-size frames declaratively") {
+    import spark.implicits._
+    // 10-byte payload, 3-byte frames → frames at 0,1,2 (9 bytes); everyN=2 → 0,2
+    val df = Seq((1L, "abcdefghij"), (2L, "ab")).toDF("doc_id", "text")
+    val media = Binary.toMediaTable(df, "text", "doc_id")
+    val frames = Binary.sampleFrames(media, frameBytes = 3, everyN = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
+        new String(r.getAs[Array[Byte]]("frame"), "UTF-8")))
+    assert(frames.toSet == Set((1L, 0L, "abc"), (1L, 2L, "ghi")))
+    // doc 2 is shorter than one frame → filtered, not an error
+    assert(!frames.exists(_._1 == 2L))
+    // no UDF in the plan — frame slicing stays codegen'd
+    val plan = Binary.sampleFrames(media, 3, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
 }
