@@ -35,15 +35,22 @@ object LlmOps {
     SimHash.nearDupPairs(Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("id_a", "id_b")
 
-  /** D4: exact word-bigram Jaccard over same-source candidate pairs. */
+  /** D4: exact word-bigram Jaccard over same-source candidate pairs.
+    * Pair generation goes through the capped bucket self-join (source =
+    * bucket key): identical pair set at test scale, and a source group
+    * that grows unbounded degrades to star pairs instead of a quadratic
+    * clique — same guard as the D2/D3 candidate stages. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("source"),
         Dedup.wordNgrams(col("text"), 2).as("grams"))
-    val a = docs.select(col("doc_id").as("id_a"), col("source"), col("grams").as("g_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("grams").as("g_b"))
-    a.join(b, col("source") === col("src_b") && col("id_a") < col("id_b"))
+    val pairs = graft.dedup.Buckets.cappedSelfJoin(
+      docs.select(col("source"), col("doc_id")), Seq("source"), "doc_id",
+      maxBucketSize = 100000)
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"), Dedup.jaccardX1000(col("g_a"), col("g_b")).as("jaccard_x1000"))
       .orderBy("id_a", "id_b")
   }
