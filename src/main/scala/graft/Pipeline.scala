@@ -56,19 +56,25 @@ object Pipeline {
       throw new IllegalArgumentException(s"${stream.streamName} is not incremental"))
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
     val bookmark = state.bookmark(stream.streamName).replicationKeyValue
-    // the slice plan feeds both the bookmark agg and the push — persist it
-    // so the scan+semi-join+TakeOrdered executes once, not twice
-    val slice = Sync.incrementalSlice(
-      spark, dir, stream, bookmark, activeKeys, joinColumn, limit).persist()
+    // probe one row PAST the limit so a slice that lands exactly on the
+    // limit is distinguishable from a truncated one (count == limit alone
+    // cannot tell them apart, and treating an exact fit as truncated
+    // would retreat the bookmark and re-push the whole boundary group);
+    // persisted because the plan feeds the bookmark agg and the push
+    val probe = Sync.incrementalSlice(
+      spark, dir, stream, bookmark, activeKeys, joinColumn, limit + 1).persist()
     try {
+      val truncated = probe.count() > limit
+      val slice =
+        if (truncated)
+          probe.orderBy(col(replKey), col(stream.keyProperties.head)).limit(limit)
+        else probe
       // one distributed agg computes the next bookmark — no per-row
       // writes; microsecond precision so same-second rows aren't
       // re-extracted forever
       val fmt6 = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-      val boundary = slice
-        .agg(count(lit(1)).as("n"), date_format(max(col(replKey)), fmt6).as("maxk"))
-        .first()
-      val maxK = Option(boundary.getString(1))
+      val maxK = Option(
+        slice.agg(date_format(max(col(replKey)), fmt6).as("maxk")).first().getString(0))
       // When LIMIT truncated the slice, rows sharing the boundary key value
       // may remain beyond the cut — advancing to the boundary would skip
       // them forever under the next run's strict `>` filter. Advance only
@@ -76,7 +82,7 @@ object Pipeline {
       // slice shares one key value the bookmark cannot advance safely (the
       // caller must raise `limit`), so it stays put and the rows re-sync.
       val nextBookmark =
-        if (boundary.getLong(0) < limit) maxK
+        if (!truncated) maxK
         else maxK.flatMap { mk =>
           Option(slice
             .agg(max(when(date_format(col(replKey), fmt6) < mk,
@@ -91,6 +97,6 @@ object Pipeline {
         replicationKeyValue = nextBookmark.orElse(bm.replicationKeyValue),
         version = Some(version)))
       SyncResult(payloads, newState, metrics, version)
-    } finally slice.unpersist()
+    } finally probe.unpersist()
   }
 }

@@ -30,28 +30,46 @@ object Buckets {
 
   /** Distinct (id_a, id_b) pairs (id_a < id_b) of rows sharing a bucket.
     * `keyCols` name the bucket key columns in `banded`; `idCol` the member
-    * id. */
+    * id.
+    *
+    * `carry` names payload columns of `banded` (functions of the id, e.g.
+    * a signature) to surface on the output as `<name>_a`/`<name>_b` —
+    * verification then needs NO join back to the source (worth it when the
+    * payload is small enough to ride the banded explode; keep wide
+    * payloads like shingle arrays on the join-back path instead). */
   def cappedSelfJoin(
       banded: DataFrame, keyCols: Seq[String], idCol: String,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, carry: Seq[String] = Nil): DataFrame = {
     val keys = keyCols.map(col)
+    val outCols = (Seq("id_a", "id_b") ++
+      carry.map(c => s"${c}_a") ++ carry.map(c => s"${c}_b")).map(col)
     val stats = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
     val annotated = banded.join(stats, keyCols)
 
     val small = annotated.filter(col("__n") <= maxBucketSize)
-    val l = small.select(keys :+ col(idCol).as("id_a"): _*)
-    val r = small.select(
-      keyCols.map(c => col(c).as(s"__r_$c")) :+ col(idCol).as("id_b"): _*)
+    val l = small.select(keys ++ (col(idCol).as("id_a") +:
+      carry.map(c => col(c).as(s"${c}_a"))): _*)
+    val r = small.select(keyCols.map(c => col(c).as(s"__r_$c")) ++
+      (col(idCol).as("id_b") +: carry.map(c => col(c).as(s"${c}_b"))): _*)
     val cliquePairs = l.join(r,
         keyCols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
           col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(outCols: _*)
 
-    val starPairs = annotated.filter(col("__n") > maxBucketSize)
+    // star branch: the member row supplies the _b side; the canonical's
+    // carry joins back by id — bounded rows, one row per id
+    val starBase = annotated.filter(col("__n") > maxBucketSize)
       .filter(col(idCol) =!= col("__min_id"))
-      .select(col("__min_id").as("id_a"), col(idCol).as("id_b"))
+      .select(col("__min_id").as("id_a") +: (col(idCol).as("id_b") +:
+        carry.map(c => col(c).as(s"${c}_b"))): _*)
+    val starPairs =
+      if (carry.isEmpty) starBase.select(outCols: _*)
+      else starBase.join(
+        banded.select(col(idCol).as("id_a") +:
+          carry.map(c => col(c).as(s"${c}_a")): _*).dropDuplicates("id_a"),
+        "id_a").select(outCols: _*)
 
-    cliquePairs.unionAll(starPairs).distinct()
+    cliquePairs.unionAll(starPairs).dropDuplicates("id_a", "id_b")
   }
 }

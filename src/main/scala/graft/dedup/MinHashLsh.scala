@@ -46,8 +46,9 @@ object MinHashLsh {
   /** Candidate near-dup pairs: documents sharing at least one band.
     * Degenerate (clone-heavy) band buckets above `maxBucketSize` degrade to
     * star pairs on a canonical id — see [[Buckets.cappedSelfJoin]] for the
-    * mechanism and plan shape (one window pass + one self-join; the band
-    * explode is exchanged once and reused). */
+    * mechanism and plan shape (bucket stats via one aggregate joined back,
+    * then one self-join; shingle sets stay on the verify join-back path
+    * rather than riding the band explode). */
   def candidatePairs(banded: DataFrame, idCol: String,
       maxBucketSize: Int = 10000): DataFrame =
     Buckets.cappedSelfJoin(banded, Seq("band_idx", "band_hash"), idCol, maxBucketSize)

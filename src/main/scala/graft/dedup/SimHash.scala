@@ -59,14 +59,15 @@ object SimHash {
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "3-of-6 block pigeonhole is only complete for hamming <= 3")
     val sigs = signatures(df, textCol, idCol)
-    val banded = sigs.select(col(idCol),
+    // the 8-byte signature rides the banded explode (carry) so hamming
+    // verification needs no join back to the signature scan
+    val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(comboKeys(col("simhash"))).as(Seq("table_idx", "table_key")))
-    val pairs = Buckets.cappedSelfJoin(
-      banded, Seq("table_idx", "table_key"), idCol, maxBucketSize)
-    pairs
-      .join(sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+    Buckets.cappedSelfJoin(
+        banded, Seq("table_idx", "table_key"), idCol, maxBucketSize,
+        carry = Seq("simhash"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("simhash_a"), col("simhash_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

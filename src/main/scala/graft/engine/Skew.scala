@@ -21,15 +21,25 @@ object Skew {
   /** Deterministic salt from row content. Partition-id/monotonic-id salts
     * are NOT retry-safe: a recomputed upstream task can re-salt its rows
     * differently mid-aggregate and duplicate or lose rows (the SPARK-23207
-    * failure class). Hashing the full row is stable under recompute; rows
-    * of a hot key spread as long as any non-key column varies. */
-  private def contentSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+    * failure class). Hashing row content is stable under recompute.
+    *
+    * Limitation, inherent to any retry-safe scheme: rows that are
+    * byte-identical hash identically and land on one salt — no pure
+    * function of content can spread them. Pass `saltOn` naming a
+    * discriminating column (a unique id, a timestamp) when one exists;
+    * if hot keys consist of exact clones, deduplicate or pre-aggregate
+    * them first (graft.dedup.Dedup.exact) — that collapse is cheaper than
+    * any salting. */
+  private def contentSalt(df: DataFrame, salts: Int, saltOn: Seq[Column]): Column = {
+    val basis = if (saltOn.nonEmpty) saltOn else df.columns.map(col).toSeq
+    pmod(xxhash64(basis: _*), lit(salts.toLong)).cast("int")
+  }
 
   def saltedAgg(
       df: DataFrame, key: Column, salts: Int,
-      partials: Seq[Column], merge: Seq[Column]): DataFrame =
-    df.withColumn("__salt", contentSalt(df, salts))
+      partials: Seq[Column], merge: Seq[Column],
+      saltOn: Seq[Column] = Nil): DataFrame =
+    df.withColumn("__salt", contentSalt(df, salts, saltOn))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col("__key"))
@@ -40,8 +50,9 @@ object Skew {
     * join key fans out over `salts` tasks instead of one. Returns the
     * prepared (bigSalted, smallReplicated) pair; join on
     * `key && __salt === __salt_r`. */
-  def saltForJoin(big: DataFrame, small: DataFrame, salts: Int): (DataFrame, DataFrame) = {
-    val bigSalted = big.withColumn("__salt", contentSalt(big, salts))
+  def saltForJoin(big: DataFrame, small: DataFrame, salts: Int,
+      saltOn: Seq[Column] = Nil): (DataFrame, DataFrame) = {
+    val bigSalted = big.withColumn("__salt", contentSalt(big, salts, saltOn))
     val smallReplicated = small.withColumn("__salt_r",
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallReplicated)

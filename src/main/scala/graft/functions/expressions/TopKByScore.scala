@@ -49,10 +49,18 @@ case class TopKByScore(
           s"topk_by_score requires (double, bigint), got $other")
     }
 
-  /** Worst-on-top ordering so dequeue evicts the worst: "worse" = lower
-    * score, or equal score and higher id. */
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  /** Best-first total order matching `ORDER BY score DESC, id ASC` in
+    * Spark SQL exactly, NaN included: java.lang.Double.compare ranks NaN
+    * above +Infinity, so under DESC a NaN score sorts FIRST — same as the
+    * window this aggregate replaces. (A naive (-score, id) tuple key would
+    * instead evict NaN rows.) The priority queue dequeues the maximum =
+    * the WORST element under this ordering. */
+  private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // descending, NaN greatest
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](worstFirst)

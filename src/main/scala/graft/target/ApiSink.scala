@@ -75,8 +75,15 @@ object ApiSink {
       /** failed records captured for retry — the reference's
         * stream.failed_requests list, as an accumulator so per-partition
         * captures merge on the driver. */
-      deadLetters: CollectionAccumulator[SinkRecord]) {
+      deadLetters: CollectionAccumulator[SinkRecord],
+      /** terminal typed errors (rendered [[ApiError]]s), one per given-up
+        * batch — the observable face of the reference's
+        * raise_errors_on_failure taxonomy (request.py:77-90); executors
+        * can't throw per-batch without failing the whole job, so the
+        * error objects surface here for the caller to branch on. */
+      errors: CollectionAccumulator[String]) {
     def failedRecords: Seq[SinkRecord] = deadLetters.value.asScala.toSeq
+    def terminalErrors: Seq[String] = errors.value.asScala.toSeq
   }
 
   def metrics(df: DataFrame): SinkMetrics = {
@@ -85,7 +92,8 @@ object ApiSink {
       sc.longAccumulator("sink.records"), sc.longAccumulator("sink.batches"),
       sc.longAccumulator("sink.updated"), sc.longAccumulator("sink.failed"),
       sc.longAccumulator("sink.retries"),
-      sc.collectionAccumulator[SinkRecord]("sink.deadLetters"))
+      sc.collectionAccumulator[SinkRecord]("sink.deadLetters"),
+      sc.collectionAccumulator[String]("sink.errors"))
   }
 
   /** POST one batch with backoff; returns the records the API rejected, as
@@ -113,6 +121,8 @@ object ApiSink {
       }
       if (attempt >= cfg.maxAttempts || !ApiError.retryable(res.status)) {
         m.failed.add(batch.size)
+        val err = ApiError.of(res.status, res.retryAfterMillis)
+        m.errors.add(s"${err.getClass.getSimpleName}(${err.status}): ${err.getMessage}")
         return batch // whole batch failed — every record goes to retry capture
       }
       m.retries.add(1)
@@ -123,15 +133,18 @@ object ApiSink {
   }
 
   /** Drive the sink over a DataFrame with a `payload` string column.
-    * If the frame also carries the primary-key column (as produced by
-    * [[Transform.shapePayloads]]), rejected records are captured under that
-    * key; otherwise the payload itself is the identifier. Returns the
-    * metrics accumulators (inspect after the action); failed records are in
-    * `metrics.failedRecords`. */
-  def push(df: DataFrame, poster: HttpPoster, cfg: SinkConfig): SinkMetrics = {
+    * Record identity for dead-letter capture: `idColumn` if given;
+    * otherwise, for exactly the two-column (pkey, payload) shape
+    * [[Transform.shapePayloads]] produces, the non-payload column; any
+    * other shape falls back to the payload itself (never a silent guess
+    * among extra columns — a mis-keyed id would make server failedIds
+    * unmatchable and records would vanish from capture). */
+  def push(df: DataFrame, poster: HttpPoster, cfg: SinkConfig,
+      idColumn: Option[String] = None): SinkMetrics = {
     val m = metrics(df)
     val url = cfg.endpoint.url
-    val idCol = df.columns.find(_ != "payload")
+    val idCol = idColumn.orElse(
+      if (df.columns.length == 2) df.columns.find(_ != "payload") else None)
     val selected = idCol match {
       case Some(c) => df.selectExpr(s"CAST(`$c` AS STRING) AS id", "payload")
       case None    => df.selectExpr("payload AS id", "payload")

@@ -58,45 +58,34 @@ object Transform {
     * integer division — computed WITHOUT a global window.
     *
     * Plan: range-repartition on the key (evenly spread, globally ordered
-    * across partitions) + sort within partitions, then global row number =
-    * per-partition offset + local index. The local index comes from
-    * monotonically_increasing_id's low 33 bits (its per-partition counter —
-    * deterministic here because the partition contents are range-bounded
-    * and sorted on a unique key); the offsets come from a tiny
-    * per-partition count pass — the same metadata job RDD.zipWithIndex
-    * runs, numPartitions scalars collected like a bookmark read — joined
-    * back by broadcast. No stage ever sees more than one partition's rows,
-    * vs. the single-task WindowExec a `Window.orderBy` would schedule.
-    *
-    * `numPartitions` is pinned (default: spark.sql.shuffle.partitions) so
-    * AQE cannot re-coalesce between the count pass and the final plan. */
+    * across partitions) + sort within partitions, then `zipWithIndex` over
+    * THAT materialized RDD for the global row number. zipWithIndex is the
+    * sound structure here: its per-partition count pass and its indexing
+    * pass run over the SAME RDD instance, so both see one set of range
+    * bounds. (Two separate DataFrame actions would each re-execute
+    * repartitionByRange, and RangePartitioner's reservoir-sample seed
+    * mixes in the rdd id — at data sizes where the sample is non-
+    * exhaustive the two executions can draw DIFFERENT bounds, silently
+    * misaligning offsets.) The RDD hop deserializes rows once; acceptable
+    * for an operator whose output feeds a sink, and still no stage ever
+    * holds more than one partition — vs. the single-task WindowExec a
+    * `Window.orderBy` would schedule. */
   def assignBatches(df: DataFrame, primaryKey: String, maxRecords: Int,
       numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val ranged = df.repartitionByRange(n, col(primaryKey))
       .sortWithinPartitions(col(primaryKey))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__local",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-    // the count pass shuffles ONLY the key column: RangePartitioner bounds
-    // depend on the key values and a partition-index-seeded sample, both
-    // identical under a narrower projection, so the partition histogram
-    // matches `ranged`'s exactly
-    val counts = df.select(col(primaryKey))
-      .repartitionByRange(n, col(primaryKey))
-      .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__opid", "__offset")
+    val schema = ranged.schema.add("__rn", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
     // integer `div` keeps the assignment exact (a double divide + cast
     // would truncate identically for positives, but be fuzzy)
-    ranged.join(broadcast(offsetDf), col("__pid") === col("__opid"))
-      .withColumn("batch_id",
-        expr(s"CAST((__offset + __local) DIV $maxRecords AS BIGINT)"))
-      .drop("__pid", "__opid", "__local", "__offset")
+    spark.createDataFrame(rows, schema)
+      .withColumn("batch_id", expr(s"CAST(__rn DIV $maxRecords AS BIGINT)"))
+      .drop("__rn")
   }
 
   /** Per-batch accounting: record count + payload byte volume. */

@@ -93,6 +93,28 @@ class PipelineSpec extends SparkSpec {
     assert((ids1 union ids2) == all) // every order synced — nothing skipped
   }
 
+  test("a slice that lands exactly on the limit advances the bookmark fully") {
+    ApiSink.RecordingPoster.reset()
+    import spark.implicits._
+    val active = graft.sources.Tables.table(spark, sfDir, "customer").select($"c_custkey")
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+    val total = orders.count().toInt
+    val state0 = Bookmarks.buildState(SyncState(), Streams.all)
+    // limit == remaining rows: NOT truncated, so no bookmark retreat and
+    // no duplicate re-push on the next run
+    val res1 = Pipeline.runIncremental(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, state0,
+      limit = total, nowMs = 1L)
+    assert(res1.metrics.records.value == total.toLong)
+    val maxDate = orders
+      .agg(date_format(max($"o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .first().getString(0)
+    assert(res1.state.bookmark("warehouse_visitor").replicationKeyValue.contains(maxDate))
+    val res2 = Pipeline.runIncremental(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, res1.state, nowMs = 2L)
+    assert(res2.metrics.records.value == 0L)
+  }
+
   test("message round-trip: parse/validate catches malformed lines") {
     import spark.implicits._
     val lines = Seq(

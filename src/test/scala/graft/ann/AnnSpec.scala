@@ -105,6 +105,13 @@ class AnnSpec extends SparkSpec {
     // 0.9 ties break on ascending id; 0.1 is evicted by the k=3 bound
     assert(out(1L) == Seq((0.9, 9L), (0.9, 10L), (0.7, 11L)))
     assert(out(2L) == Seq((0.5, 20L)))
+    // NaN ranks FIRST, matching ORDER BY sim DESC in Spark SQL (NaN > +Inf)
+    val nanOut = Seq((1L, Double.NaN, 5L), (1L, 0.9, 6L), (1L, 0.8, 7L))
+      .toDF("query_id", "sim", "neighbor_id")
+      .groupBy($"query_id")
+      .agg(graft.functions.topKByScore($"sim", $"neighbor_id", 2).as("top"))
+      .select(explode($"top.neighbor_id")).collect().map(_.getLong(0)).toSeq
+    assert(nanOut == Seq(5L, 6L))
   }
 
   test("cosine similarity function: known vectors") {

@@ -64,6 +64,7 @@ class ApiSinkSpec extends SparkSpec {
     assert(m.failed.value == 2L) // give-up counts the whole batch as failed
     assert(m.failedRecords.map(_.payload).sorted ==
       Seq("""{"id":1}""", """{"id":2}"""))
+    assert(m.terminalErrors == Seq("BadRequest(400): Bad Request"))
   }
 
   test("429 retries with backoff honoring Retry-After, then succeeds") {
