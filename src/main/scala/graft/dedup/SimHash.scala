@@ -59,15 +59,18 @@ object SimHash {
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "3-of-6 block pigeonhole is only complete for hamming <= 3")
     val sigs = signatures(df, textCol, idCol)
-    // the 8-byte signature rides the banded explode (carry) so hamming
-    // verification needs no join back to the signature scan
-    val banded = sigs.select(col(idCol), col("simhash"),
+    // signatures verify via per-DOC join-backs, not by riding the banded
+    // explode: carrying them per-pair widens the candidate distinct's
+    // exchange (measured 3x slower at 50x) while the id-keyed joins
+    // against the small signature table stay cheap
+    val banded = sigs.select(col(idCol),
       posexplode(comboKeys(col("simhash"))).as(Seq("table_idx", "table_key")))
-    Buckets.cappedSelfJoin(
-        banded, Seq("table_idx", "table_key"), idCol, maxBucketSize,
-        carry = Seq("simhash"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("simhash_a"), col("simhash_b")).as("hamming"))
+    val pairs = Buckets.cappedSelfJoin(
+      banded, Seq("table_idx", "table_key"), idCol, maxBucketSize)
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }
