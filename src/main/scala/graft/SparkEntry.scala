@@ -36,6 +36,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
+    "q_dedup_clusters" -> ((s, dir) => LlmOps.qDedupClusters(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),

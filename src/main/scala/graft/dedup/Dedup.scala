@@ -43,4 +43,54 @@ object Dedup {
     when(union === 0, lit(0L))
       .otherwise(((lit(1000) * inter) / union).cast("long"))
   }
+
+  /** Connected components over near-dup pairs: (id, cluster_id) where the
+    * cluster id is the minimum member id — turns pairwise output (D2/D3/
+    * D5) into actionable dedup groups.
+    *
+    * Min-label propagation: labels start at each vertex's own id and every
+    * iteration takes the min over the vertex's neighborhood ∪ itself.
+    * Labels are monotone non-increasing, so convergence is detected by the
+    * (cheap, distributed) label-sum fixpoint. Iterations needed = cluster
+    * diameter — near-dup clusters are shallow (clone clusters are stars
+    * already, per the capped candidate stages), so the default cap is
+    * generous. Each iteration is one join + one aggregate hash-keyed on
+    * id; `localCheckpoint` cuts the lineage so plans stay constant-size. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint()
+      var prevSum = -1L
+      var curSum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
+        .first().getLong(0)
+      var i = 0
+      while (i < maxIter && curSum != prevSum) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.unionAll(prop)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        labels = next
+        prevSum = curSum
+        curSum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
+          .first().getLong(0)
+        i += 1
+      }
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally edges.unpersist()
+  }
+
+  /** Keep one document per near-dup cluster (the minimum id), dropping the
+    * rest — the "apply" step of near-dedup. Documents in no pair survive
+    * untouched (left-anti against the non-canonical members only). */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -53,6 +53,15 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** D6: near-dup clusters — connected components over the MinHash pair
+    * output, one (id, cluster_id=min member) row per clustered doc.
+    * Rows-only check (iterative fixpoint, not SQL-expressible); DedupSpec
+    * proves component structure on known graphs. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      qDedupMinhash(spark, dir).select(col("id_a"), col("id_b")))
+      .orderBy("id", "cluster_id")
+
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
     * embedding distribution; real corpora use 0.95+). */
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =

@@ -109,6 +109,27 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 435L) // C(30,2)
   }
 
+  test("connected components: chains merge, singletons keep own label") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, and 20-30 via one edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 30L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(30L) == 20L)
+  }
+
+  test("keepCanonical drops exactly the non-canonical cluster members") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val docsDf = docs(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "unpaired")
+    val kept = Dedup.keepCanonical(docsDf, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(1L, 9L)) // cluster {1,2,3} keeps 1; 9 untouched
+  }
+
   test("jaccard x1000 matches exact set computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
