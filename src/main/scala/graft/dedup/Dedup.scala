@@ -48,15 +48,55 @@ object Dedup {
     * cluster id is the minimum member id — turns pairwise output (D2/D3/
     * D5) into actionable dedup groups.
     *
-    * Min-label propagation: labels start at each vertex's own id and every
-    * iteration takes the min over the vertex's neighborhood ∪ itself.
-    * Labels are monotone non-increasing, so convergence is detected by the
-    * (cheap, distributed) label-sum fixpoint. Iterations needed = cluster
-    * diameter — near-dup clusters are shallow (clone clusters are stars
-    * already, per the capped candidate stages), so the default cap is
-    * generous. Each iteration is one join + one aggregate hash-keyed on
-    * id; `localCheckpoint` cuts the lineage so plans stay constant-size. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Two execution paths, chosen by pair count (the same judgment call as
+    * a broadcast threshold):
+    *  - at or below `driverThreshold` pairs: union-find on the driver —
+    *    the pair list is broadcast-scale data and an iterative fixpoint
+    *    of Spark jobs is pure scheduling overhead at that size (measured
+    *    5s+ for a 438-pair graph);
+    *  - above it: distributed min-label propagation — labels start at
+    *    each vertex's own id, every step takes the min over the
+    *    neighborhood ∪ self (two hops per checkpointed step); labels are
+    *    monotone non-increasing so the (cheap, distributed) label-sum
+    *    fixpoint detects convergence. Steps needed = cluster diameter /
+    *    2 — near-dup clusters are shallow (clone clusters arrive as
+    *    stars from the capped candidate stages). `localCheckpoint` cuts
+    *    lineage so plans stay constant-size. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    // cached across the size probe and the chosen path's first pass; both
+    // paths materialize everything they need from `pairs` eagerly (collect
+    // / localCheckpoint), so unpersisting on exit is safe
+    val cached = pairs.persist()
+    try {
+      if (cached.limit((driverThreshold + 1).toInt).count() <= driverThreshold)
+        connectedComponentsLocal(cached)
+      else connectedComponentsDistributed(cached, maxIter)
+    } finally cached.unpersist()
+  }
+
+  /** Driver union-find with path compression; output identical to the
+    * distributed path (cluster_id = min member id). */
+  private def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    vertices.map(v => (v, find(v))).toSeq.toDF("id", "cluster_id")
+  }
+
+  private def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -64,20 +104,29 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
         .localCheckpoint()
+      // sum(label) over an empty frame is null → coalesce (empty pair
+      // input is legal: zero near-dups found)
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(org.apache.spark.sql.functions.sum(col("label")), lit(0L)))
+          .first().getLong(0)
       var prevSum = -1L
-      var curSum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
-        .first().getLong(0)
+      var curSum = labelSum(labels)
       var i = 0
       while (i < maxIter && curSum != prevSum) {
-        val prop = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.unionAll(prop)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        labels = next
+        // two propagation hops per checkpointed step: iteration count is
+        // bounded by graph diameter, but the wall cost at small scale is
+        // fixed job overhead per step — batching hops halves it while the
+        // sum-fixpoint check stays exact (sums are monotone under hops)
+        var l = labels
+        for (_ <- 0 until 2) {
+          val prop = edges.join(l, edges("src") === l("id"))
+            .select(col("dst").as("id"), col("label"))
+          l = l.unionAll(prop)
+            .groupBy(col("id")).agg(min(col("label")).as("label"))
+        }
+        labels = l.localCheckpoint()
         prevSum = curSum
-        curSum = labels.agg(org.apache.spark.sql.functions.sum(col("label")))
-          .first().getLong(0)
+        curSum = labelSum(labels)
         i += 1
       }
       labels.select(col("id"), col("label").as("cluster_id"))

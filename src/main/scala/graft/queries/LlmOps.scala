@@ -53,13 +53,15 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** D6: near-dup clusters — connected components over the MinHash pair
-    * output, one (id, cluster_id=min member) row per clustered doc.
-    * Rows-only check (iterative fixpoint, not SQL-expressible); DedupSpec
-    * proves component structure on known graphs. */
+  /** D6: near-dup clusters — connected components over the SimHash pair
+    * output (the cheaper candidate stage; the operator itself is
+    * pair-source-agnostic), one (id, cluster_id=min member) row per
+    * clustered doc. Rows-only check (iterative fixpoint, not
+    * SQL-expressible); DedupSpec proves component structure on known
+    * graphs. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      qDedupMinhash(spark, dir).select(col("id_a"), col("id_b")))
+      qDedupSimhash(spark, dir).select(col("id_a"), col("id_b")))
       .orderBy("id", "cluster_id")
 
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic

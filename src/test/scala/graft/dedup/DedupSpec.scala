@@ -119,6 +119,17 @@ class DedupSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc(20L) == 20L && cc(30L) == 20L)
+    // the distributed propagation path (forced via threshold 0) agrees
+    // with the driver union-find path exactly
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == cc)
+  }
+
+  test("connected components of an empty pair set is empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
   }
 
   test("keepCanonical drops exactly the non-canonical cluster members") {
