@@ -92,6 +92,22 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: enrich the event stream with a second
+    * stream (e.g. late-arriving entity metadata) on a key, accepting
+    * matches within `intervalMinutes` of event time. Both sides are
+    * watermarked so Spark bounds the join state buffers — the condition
+    * every unbounded stream-stream join needs to not grow state forever.
+    * Inner join: events wait for their enrichment up to the interval. */
+  def enrichStream(events: DataFrame, meta: DataFrame, key: String,
+      watermark: String = "1 hour", intervalMinutes: Long = 30): DataFrame = {
+    val e = events.withWatermark("ts", watermark)
+    val m = meta.withWatermark("m_ts", watermark)
+    e.join(m,
+      e(key) === m(s"m_$key") &&
+        m("m_ts") >= e("ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
+        m("m_ts") <= e("ts") + expr(s"INTERVAL $intervalMinutes MINUTES"))
+  }
+
   /** File-stream source: continuous ingestion of parquet drops into the
     * warehouse directory — the streaming face of Tables.table. Structured
     * Streaming's file source tracks processed files in the checkpoint, so

@@ -136,6 +136,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join enriches events within the window") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[Events.Event]
+    val meta = MemoryStream[(Long, Timestamp, String)]
+    val metaDf = meta.toDF().toDF("m_user_id", "m_ts", "segment")
+    val query = Events.enrichStream(events.toDF(), metaDf, "user_id",
+        intervalMinutes = 30)
+      .select($"event_id", $"segment")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        Events.Event(1, ts(0), 7L, "view", 1.0),   // meta at t10 → within 30m
+        Events.Event(2, ts(0), 8L, "view", 1.0),   // meta at t100 → outside
+        Events.Event(3, ts(5), 9L, "view", 1.0))   // no meta at all
+      meta.addData((7L, ts(10), "gold"), (8L, ts(100), "late"))
+      query.processAllAvailable()
+      // advance both watermarks so joined results finalize
+      events.addData(Events.Event(99, ts(500), 1L, "view", 1.0))
+      meta.addData((1L, ts(500), "wm"))
+      query.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out.contains((1L, "gold")))
+      assert(!out.exists(_._1 == 2L)) // outside the interval
+      assert(!out.exists(_._1 == 3L)) // unmatched
+    } finally query.stop()
+  }
+
   test("streaming push drives the batch ApiSink per micro-batch") {
     val sparkSession = spark
     import sparkSession.implicits._
