@@ -64,29 +64,37 @@ object Dedup {
     *    lineage so plans stay constant-size. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverThreshold: Long = 1000000L): DataFrame = {
-    // cached across the size probe and the chosen path's first pass; both
-    // paths materialize everything they need from `pairs` eagerly (collect
-    // / localCheckpoint), so unpersisting on exit is safe
-    val cached = pairs.persist()
+    // ids normalized to long so BOTH paths emit the same schema regardless
+    // of which side of the threshold the input lands on
+    val normalized = pairs.select(
+      col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+    // cache across the size probe and the chosen path's first pass — but
+    // never touch a caller-managed cache (persist is not ref-counted; an
+    // unconditional unpersist here would evict the caller's copy)
+    val callerCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) normalized else normalized.persist()
     try {
-      if (cached.limit((driverThreshold + 1).toInt).count() <= driverThreshold)
+      val probeLimit = math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt
+      if (cached.limit(probeLimit).count() <= driverThreshold)
         connectedComponentsLocal(cached)
       else connectedComponentsDistributed(cached, maxIter)
-    } finally cached.unpersist()
+    } finally if (!callerCached) { cached.unpersist(); () }
   }
 
-  /** Driver union-find with path compression; output identical to the
-    * distributed path (cluster_id = min member id). */
+  /** Driver union-find with iterative find + path compression (recursion
+    * would overflow the stack on adversarially-ordered long chains);
+    * output identical to the distributed path (cluster_id = min member). */
   private def connectedComponentsLocal(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // second pass: compress the chain onto the root
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
@@ -129,6 +137,12 @@ object Dedup {
         curSum = labelSum(labels)
         i += 1
       }
+      if (curSum != prevSum)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents did not converge within $maxIter steps " +
+            s"(${2 * maxIter} hops): returning partially-merged clusters " +
+            "(conservative — components may be split, never wrongly " +
+            "merged). Raise maxIter for deeper graphs.")
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist()
   }

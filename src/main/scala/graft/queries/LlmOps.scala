@@ -45,11 +45,17 @@ object LlmOps {
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("source"),
         Dedup.wordNgrams(col("text"), 2).as("grams"))
-    graft.dedup.Buckets.cappedSelfJoin(
-        docs.select(col("source"), col("doc_id"), col("grams")),
-        Seq("source"), "doc_id", maxBucketSize = 100000, carry = Seq("grams"))
+    // grams verify via per-doc join-backs: carrying the wide bigram arrays
+    // per-PAIR through the candidate distinct is the exchange-bloat pattern
+    // measured 3x slower on SimHash at 50x (see Buckets.cappedSelfJoin doc)
+    val pairs = graft.dedup.Buckets.cappedSelfJoin(
+      docs.select(col("source"), col("doc_id")),
+      Seq("source"), "doc_id", maxBucketSize = 100000)
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        Dedup.jaccardX1000(col("grams_a"), col("grams_b")).as("jaccard_x1000"))
+        Dedup.jaccardX1000(col("g_a"), col("g_b")).as("jaccard_x1000"))
       .orderBy("id_a", "id_b")
   }
 
