@@ -16,6 +16,7 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) => Warehouse.q3ShippingPriority(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Warehouse.q5LocalSupplier(s, dir)),
     "q_window_topn" -> ((s, dir) => Warehouse.qWindowTopN(s, dir)),
+    "q_anti_join" -> ((s, dir) => Warehouse.qAntiJoin(s, dir)),
     "q_sessionize" -> ((s, dir) => Warehouse.qSessionize(s, dir)),
     "q_stream_window_agg" -> ((s, dir) => Warehouse.qStreamWindowAgg(s, dir)),
     "q_discover_catalog" -> ((s, dir) => Etl.qDiscoverCatalog(s, dir)),
@@ -98,6 +99,13 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn <= 3
         |ORDER BY user_id, rn""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts,

@@ -111,6 +111,21 @@ object Warehouse {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** C7: anti-join — customers with no orders above a price threshold
+    * (the NOT EXISTS shape). The orders side reduces to distinct custkeys
+    * BEFORE the join, and the anti join broadcasts when that key set is
+    * small — no shuffle of the customer side. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.table(spark, dir, "orders")
+      .filter($"o_totalprice" > 150000.0)
+      .select($"o_custkey").distinct()
+    Tables.table(spark, dir, "customer")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -51,6 +51,15 @@ class PlanSpec extends SparkSpec {
       "TopKByScore must run partial (map-side) + final")
   }
 
+  test("anti join broadcasts the reduced key set (left-anti, no shuffle of customers)") {
+    val plan = planOf(queries.Warehouse.qAntiJoin(spark, sfDir))
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the distinct filtered key set must broadcast")
+    assert(plan.contains("GreaterThan(o_totalprice"),
+      "the price filter must be pushed to the orders scan")
+  }
+
   test("date-partitioned facts prune partitions AND push the row filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val events = graft.sources.Tables.table(spark, sfDir, "events")
