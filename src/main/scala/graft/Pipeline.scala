@@ -31,12 +31,13 @@ object Pipeline {
       spark: SparkSession, dir: String, stream: StreamDef,
       poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
       landingDir: String, state: SyncState,
-      nowMs: => Long = System.currentTimeMillis()): SyncResult = {
+      nowMs: => Long = System.currentTimeMillis(),
+      deadLetterDir: Option[String] = None): SyncResult = {
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
     val mapped = Transform.applyFieldMappings(
       Tables.table(spark, dir, stream.sourceTable), stream)
     val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
-    val metrics = ApiSink.push(payloads, poster, cfg)
+    val metrics = ApiSink.push(payloads, poster, cfg, deadLetterDir = deadLetterDir)
     VersionedSink.write(mapped, landingDir, stream.streamName, version)
     VersionedSink.activate(landingDir, stream.streamName, version)
     val newState = state.withBookmark(stream.streamName, _.copy(version = None))
@@ -51,7 +52,8 @@ object Pipeline {
       activeKeys: DataFrame, joinColumn: String,
       poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
       state: SyncState, limit: Int = 1000000,
-      nowMs: => Long = System.currentTimeMillis()): SyncResult = {
+      nowMs: => Long = System.currentTimeMillis(),
+      deadLetterDir: Option[String] = None): SyncResult = {
     val replKey = stream.replicationKey.getOrElse(
       throw new IllegalArgumentException(s"${stream.streamName} is not incremental"))
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
@@ -91,7 +93,7 @@ object Pipeline {
         }
       val mapped = Transform.applyFieldMappings(slice, stream)
       val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
-      val metrics = ApiSink.push(payloads, poster, cfg)
+      val metrics = ApiSink.push(payloads, poster, cfg, deadLetterDir = deadLetterDir)
       val newState = state.withBookmark(stream.streamName, bm => bm.copy(
         replicationKey = stream.replicationKey,
         replicationKeyValue = nextBookmark.orElse(bm.replicationKeyValue),

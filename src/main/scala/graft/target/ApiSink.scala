@@ -1,6 +1,6 @@
 package graft.target
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.util.{CollectionAccumulator, LongAccumulator}
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.collection.mutable.ArrayBuffer
@@ -15,9 +15,14 @@ final case class SinkRecord(id: String, payload: String)
   * semaphore(10) concurrency, 1800 calls/5min rate limit, exponential
   * backoff ≤5 tries with 4xx give-up, failed-record extraction for retry).
   *
-  * Execution model: `df.foreachPartition` — each executor slot streams its
-  * partition into ≤maxRecords/≤maxBytes batches and POSTs them, so
-  * concurrency scales with the cluster instead of one driver event loop.
+  * Execution model: the sink is a `mapPartitions` transformation from
+  * payload rows to rejected records — each executor slot streams its
+  * partition into ≤maxRecords/≤maxBytes batches, POSTs them, and emits the
+  * records the API rejected. The action that drives the posting is the
+  * write of those rejects to a parquet dead-letter table, so concurrency
+  * scales with the cluster AND failure capture stays distributed: a bad API
+  * hour over a 100 TB push lands the failed payloads in a table, not in
+  * driver memory. Only counters/typed-error strings ride accumulators.
   * The rate limit is enforced per-task via a token interval derived from
   * the global budget / expected parallelism (at 1000 executors you set
   * `callsPerPeriod` to the API's global budget and the per-task limiter
@@ -27,7 +32,7 @@ final case class SinkRecord(id: String, payload: String)
   * Failure semantics (mirrors __init__.py:272-281 handle_failures):
   * every record the API rejects — per-record rejection inside a 2xx bulk
   * response, a permanent 4xx, or retry exhaustion — is captured as a full
-  * [[SinkRecord]] in `SinkMetrics.deadLetters`, so the caller can set the
+  * [[SinkRecord]] in the dead-letter table, so the caller can set the
   * specific failed records aside for reprocessing. Both paths use the same
   * identifier: the record's primary-key value.
   */
@@ -66,24 +71,35 @@ object ApiSink {
       /** expected number of concurrent sink tasks (divides the rate budget) */
       parallelism: Int = 10)
 
+  /** Counters + typed-error strings only — deliberately nothing per-record
+    * (per-record failure capture goes to the dead-letter table, see
+    * [[push]]). `deadLetterPath` points at the parquet table the run's
+    * rejects were written to, when capture was requested. */
   final case class SinkMetrics(
       records: LongAccumulator,
       batches: LongAccumulator,
       updated: LongAccumulator,
       failed: LongAccumulator,
       retries: LongAccumulator,
-      /** failed records captured for retry — the reference's
-        * stream.failed_requests list, as an accumulator so per-partition
-        * captures merge on the driver. */
-      deadLetters: CollectionAccumulator[SinkRecord],
+      /** count of records captured to the dead-letter table this run */
+      deadLetterCount: LongAccumulator,
       /** terminal typed errors (rendered [[ApiError]]s), one per given-up
         * batch — the observable face of the reference's
         * raise_errors_on_failure taxonomy (request.py:77-90); executors
         * can't throw per-batch without failing the whole job, so the
         * error objects surface here for the caller to branch on. */
-      errors: CollectionAccumulator[String]) {
-    def failedRecords: Seq[SinkRecord] = deadLetters.value.asScala.toSeq
+      errors: CollectionAccumulator[String],
+      deadLetterPath: Option[String] = None) {
     def terminalErrors: Seq[String] = errors.value.asScala.toSeq
+    /** The captured rejects of this run, read back from the dead-letter
+      * table (empty when the run was driven without capture). */
+    def deadLetters(spark: SparkSession): Dataset[SinkRecord] = {
+      import spark.implicits._
+      deadLetterPath.map(p => spark.read.parquet(p).as[SinkRecord])
+        .getOrElse(spark.emptyDataset[SinkRecord])
+    }
+    def failedRecords(spark: SparkSession): Seq[SinkRecord] =
+      deadLetters(spark).collect().toSeq
   }
 
   def metrics(df: DataFrame): SinkMetrics = {
@@ -92,7 +108,7 @@ object ApiSink {
       sc.longAccumulator("sink.records"), sc.longAccumulator("sink.batches"),
       sc.longAccumulator("sink.updated"), sc.longAccumulator("sink.failed"),
       sc.longAccumulator("sink.retries"),
-      sc.collectionAccumulator[SinkRecord]("sink.deadLetters"),
+      sc.longAccumulator("sink.deadLetterCount"),
       sc.collectionAccumulator[String]("sink.errors"))
   }
 
@@ -117,6 +133,14 @@ object ApiSink {
         val ids = res.failedIds.toSet
         val rejected = batch.filter(r => ids.contains(r.id) || ids.contains(r.payload))
         m.updated.add(res.updated); m.failed.add(res.failed)
+        // a failedId that matches no record in the batch would otherwise
+        // vanish (counted failed, captured nowhere) — surface the
+        // discrepancy so metrics and capture are reconcilable
+        val unmatched = res.failedIds.filterNot(id =>
+          batch.exists(r => r.id == id || r.payload == id))
+        if (unmatched.nonEmpty)
+          m.errors.add(s"UnmatchedFailedIds(${unmatched.size}): " +
+            unmatched.take(20).mkString(","))
         return rejected
       }
       if (attempt >= cfg.maxAttempts || !ApiError.retryable(res.status)) {
@@ -132,15 +156,50 @@ object ApiSink {
     Seq.empty
   }
 
-  /** Drive the sink over a DataFrame with a `payload` string column.
-    * Record identity for dead-letter capture: `idColumn` if given;
-    * otherwise, for exactly the two-column (pkey, payload) shape
-    * [[Transform.shapePayloads]] produces, the non-payload column; any
-    * other shape falls back to the payload itself (never a silent guess
-    * among extra columns — a mis-keyed id would make server failedIds
-    * unmatchable and records would vanish from capture). */
-  def push(df: DataFrame, poster: HttpPoster, cfg: SinkConfig,
-      idColumn: Option[String] = None): SinkMetrics = {
+  /** Streaming per-partition sink loop: pulls rows, forms ≤maxRecords /
+    * ≤maxBytes batches, throttles, posts, and yields the rejected records
+    * incrementally — nothing beyond one batch is buffered, so a partition
+    * where every record fails still streams its rejects straight to the
+    * downstream parquet writer. */
+  private[target] def sinkPartition(
+      rows: Iterator[SinkRecord], poster: HttpPoster, url: String,
+      cfg: SinkConfig, m: SinkMetrics, minIntervalMs: Long): Iterator[SinkRecord] = {
+    var lastCall = 0L
+    new Iterator[Seq[SinkRecord]] {
+      override def hasNext: Boolean = rows.hasNext
+      override def next(): Seq[SinkRecord] = {
+        val batch = new ArrayBuffer[SinkRecord]()
+        var batchBytes = 0L
+        while (rows.hasNext && batch.size < cfg.maxRecords && batchBytes < cfg.maxBytes) {
+          val r = rows.next()
+          batch += r
+          batchBytes += r.payload.getBytes("UTF-8").length
+        }
+        val wait = lastCall + minIntervalMs - System.currentTimeMillis()
+        if (wait > 0) Thread.sleep(wait)
+        lastCall = System.currentTimeMillis()
+        m.batches.add(1)
+        m.records.add(batch.size)
+        val rejected = postWithRetry(poster, url, batch.toSeq, cfg, m, Thread.sleep)
+        m.deadLetterCount.add(rejected.size)
+        rejected
+      }
+    }.flatten
+  }
+
+  /** The sink as a transformation: payload rows in, rejected records out.
+    * LAZY — the POSTs happen when an action runs over the returned Dataset
+    * (normally the dead-letter parquet write in [[push]]). Record identity
+    * for capture: `idColumn` if given; otherwise, for exactly the
+    * two-column (pkey, payload) shape [[Transform.shapePayloads]] produces,
+    * the non-payload column; any other shape falls back to the payload
+    * itself (never a silent guess among extra columns — a mis-keyed id
+    * would make server failedIds unmatchable and records would vanish from
+    * capture). */
+  def sink(df: DataFrame, poster: HttpPoster, cfg: SinkConfig,
+      idColumn: Option[String] = None): (Dataset[SinkRecord], SinkMetrics) = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val m = metrics(df)
     val url = cfg.endpoint.url
     val idCol = idColumn.orElse(
@@ -152,48 +211,49 @@ object ApiSink {
     // per-task share of the global rate budget
     val minIntervalMs: Long =
       math.max(1L, cfg.periodMillis * cfg.parallelism / math.max(1, cfg.callsPerPeriod))
-    selected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val batch = new ArrayBuffer[SinkRecord]()
-      var batchBytes = 0L
-      var lastCall = 0L
-      def throttleAndPost(): Unit = if (batch.nonEmpty) {
-        val wait = lastCall + minIntervalMs - System.currentTimeMillis()
-        if (wait > 0) Thread.sleep(wait)
-        lastCall = System.currentTimeMillis()
-        m.batches.add(1)
-        m.records.add(batch.size)
-        postWithRetry(poster, url, batch.toSeq, cfg, m, Thread.sleep)
-          .foreach(m.deadLetters.add)
-        batch.clear(); batchBytes = 0L
-      }
-      rows.foreach { r =>
-        val payload = r.getString(1)
-        batch += SinkRecord(r.getString(0), payload)
-        batchBytes += payload.getBytes("UTF-8").length
-        if (batch.size >= cfg.maxRecords || batchBytes >= cfg.maxBytes) throttleAndPost()
-      }
-      throttleAndPost()
+    val rejects = selected.as[SinkRecord].mapPartitions { rows =>
+      sinkPartition(rows, poster, url, cfg, m, minIntervalMs)
     }
-    m
+    (rejects, m)
+  }
+
+  /** Drive the sink over a DataFrame with a `payload` string column.
+    * With `deadLetterDir` set, every rejected record is appended to that
+    * parquet dead-letter table from the executors (the write IS the action
+    * that drives the POSTs); without it, the run is driven by a `noop`
+    * write — counts and typed errors only, no per-record capture. */
+  def push(df: DataFrame, poster: HttpPoster, cfg: SinkConfig,
+      idColumn: Option[String] = None,
+      deadLetterDir: Option[String] = None): SinkMetrics = {
+    val (rejects, m) = sink(df, poster, cfg, idColumn)
+    deadLetterDir match {
+      case Some(dir) =>
+        rejects.write.mode("overwrite").parquet(dir)
+        m.copy(deadLetterPath = Some(dir))
+      case None =>
+        rejects.write.mode("overwrite").format("noop").save()
+        m
+    }
   }
 
   /** Push, then re-push captured dead letters up to `retryRounds` times —
     * the reference sets failed records aside "for retries"
     * (__init__.py:279-281); this is that retry loop as a Spark job per
-    * round. Each round re-parallelizes the (driver-collected) failed
-    * records; the set shrinks monotonically, so later rounds are tiny.
-    * Returns the metrics of the final round — its `failedRecords` are the
-    * records that never made it. */
+    * round, driven entirely from the dead-letter table: round N re-reads
+    * round N-1's parquet rejects (never the driver), and the set shrinks
+    * monotonically so later rounds are tiny. Returns the metrics of the
+    * final round — its `deadLetters` table holds the records that never
+    * made it. */
   def pushWithRetries(df: DataFrame, poster: HttpPoster, cfg: SinkConfig,
-      retryRounds: Int = 1): SinkMetrics = {
+      deadLetterDir: String, retryRounds: Int = 1,
+      idColumn: Option[String] = None): SinkMetrics = {
     val spark = df.sparkSession
-    import spark.implicits._
-    var m = push(df, poster, cfg)
     var round = 0
-    while (round < retryRounds && m.failedRecords.nonEmpty) {
-      val again = m.failedRecords.toDF().select("id", "payload")
-      m = push(again, poster, cfg)
+    var m = push(df, poster, cfg, idColumn, Some(s"$deadLetterDir/round_0"))
+    while (round < retryRounds && m.deadLetterCount.value > 0) {
+      val again = spark.read.parquet(s"$deadLetterDir/round_$round")
       round += 1
+      m = push(again, poster, cfg, Some("id"), Some(s"$deadLetterDir/round_$round"))
     }
     m
   }

@@ -57,12 +57,13 @@ class ApiSinkSpec extends SparkSpec {
         PostResult(400, 0, batch.size, Seq.empty)
       }
     }
+    val dir = java.nio.file.Files.createTempDirectory("graft-dl").toString
     val df = Seq("""{"id":1}""", """{"id":2}""").toDF("payload").coalesce(1)
-    val m = push(df, FourOhFour, cfg())
+    val m = push(df, FourOhFour, cfg(), deadLetterDir = Some(s"$dir/dl"))
     assert(RecordingPoster.calls.size() == 1) // single attempt, no backoff loop
     assert(m.retries.value == 0L)
     assert(m.failed.value == 2L) // give-up counts the whole batch as failed
-    assert(m.failedRecords.map(_.payload).sorted ==
+    assert(m.failedRecords(spark).map(_.payload).sorted ==
       Seq("""{"id":1}""", """{"id":2}"""))
     assert(m.terminalErrors == Seq("BadRequest(400): Bad Request"))
   }
@@ -106,14 +107,16 @@ class ApiSinkSpec extends SparkSpec {
     // stub rejects by payload body, the sink must still key capture by id
     val df = (1 to 40).map(i => (i, s"""{"id":$i}"""))
       .toDF("c_custkey", "payload").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dl").toString
     val m = push(
       df,
       new RecordingPoster(rejectId = p => p.contains(""""id":7""") || p.contains(""""id":23""")),
-      cfg(maxRecords = 5))
+      cfg(maxRecords = 5), deadLetterDir = Some(s"$dir/dl"))
     assert(m.failed.value == 2L)
     assert(m.updated.value == 38L)
-    assert(m.failedRecords.map(_.id).sorted == Seq("23", "7"))
-    assert(m.failedRecords.map(_.payload).sorted ==
+    assert(m.deadLetterCount.value == 2L)
+    assert(m.failedRecords(spark).map(_.id).sorted == Seq("23", "7"))
+    assert(m.failedRecords(spark).map(_.payload).sorted ==
       Seq("""{"id":23}""", """{"id":7}"""))
   }
 
@@ -130,11 +133,61 @@ class ApiSinkSpec extends SparkSpec {
       }
     }
     val df = (1 to 10).map(i => (i, s"""{"id":$i}""")).toDF("pk", "payload").coalesce(1)
-    val m = pushWithRetries(df, FlakyPoster, cfg(maxRecords = 50), retryRounds = 2)
-    assert(m.failedRecords.isEmpty) // round 2 drained the dead letters
+    val dir = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    val m = pushWithRetries(df, FlakyPoster, cfg(maxRecords = 50), s"$dir/dl", retryRounds = 2)
+    assert(m.failedRecords(spark).isEmpty) // retry round drained the dead letters
+    assert(m.deadLetterCount.value == 0L)
     assert(RecordingPoster.calls.size() == 2)
     val retried = RecordingPoster.calls.asScala.toSeq.last._2
     assert(retried == Seq("""{"id":7}""")) // only the failed record re-pushed
+  }
+
+  test("mass failure lands in the dead-letter table, not driver memory, and a retry drains it") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    // every batch fails on the first push (sustained outage), then recovers:
+    // capture must flow executor-side into parquet, and the retry round must
+    // be driven from that table — the reference's set-aside-for-retry
+    // semantics (__init__.py:272-281) at cluster scale
+    object Outage extends HttpPoster {
+      override def post(url: String, batch: Seq[String]): PostResult = {
+        val recovered = RecordingPoster.calls.asScala.exists(_._1 == "round2-marker")
+        RecordingPoster.calls.add((if (recovered) url else "down") -> batch)
+        if (recovered) PostResult(200, batch.size, 0, Seq.empty)
+        else PostResult(503, 0, batch.size, Seq.empty)
+      }
+    }
+    val n = 5000
+    val df = (1 to n).map(i => (i, s"""{"id":$i}""")).toDF("pk", "payload").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    val m1 = push(df, Outage, cfg(maxRecords = 500).copy(maxAttempts = 1),
+      deadLetterDir = Some(s"$dir/round_0"))
+    // all records captured in the parquet table; driver holds only counters
+    assert(m1.deadLetterCount.value == n.toLong)
+    val table = spark.read.parquet(s"$dir/round_0")
+    assert(table.count() == n.toLong)
+    assert(table.columns.sorted.toSeq == Seq("id", "payload"))
+    // retry round reads the table (not driver state) and drains it
+    RecordingPoster.calls.add("round2-marker" -> Seq.empty)
+    val m2 = push(spark.read.parquet(s"$dir/round_0"), Outage,
+      cfg(maxRecords = 500), Some("id"), Some(s"$dir/round_1"))
+    assert(m2.deadLetterCount.value == 0L)
+    assert(m2.updated.value == n.toLong)
+    assert(spark.read.parquet(s"$dir/round_1").count() == 0L)
+  }
+
+  test("unmatched server failedIds are surfaced in errors, not silently dropped") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    object GhostIds extends HttpPoster {
+      override def post(url: String, batch: Seq[String]): PostResult =
+        PostResult(200, batch.size - 1, 1, Seq("no-such-record"))
+    }
+    val df = Seq((1, """{"id":1}"""), (2, """{"id":2}""")).toDF("pk", "payload").coalesce(1)
+    val m = push(df, GhostIds, cfg(maxRecords = 50))
+    assert(m.failed.value == 1L)        // server said one failed...
+    assert(m.deadLetterCount.value == 0L) // ...but nothing matched for capture
+    assert(m.terminalErrors.exists(_.startsWith("UnmatchedFailedIds(1): no-such-record")))
   }
 
   test("typed error taxonomy matches the reference's exception classes") {
