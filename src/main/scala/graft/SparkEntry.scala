@@ -38,6 +38,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => LlmOps.qDedupClusters(s, dir)),
+    "q_dedup_apply" -> ((s, dir) => LlmOps.qDedupApply(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -326,6 +327,42 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // connected components as a recursive transitive closure: reach(id, r)
+    // accumulates every vertex r reachable from id (UNION dedups → the
+    // fixpoint terminates); the min reachable vertex is the cluster id —
+    // identical semantics to the Spark min-label propagation
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
+        |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id, cluster_id""".stripMargin,
+    "q_dedup_apply" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE id <> cluster_id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -72,4 +72,54 @@ object Buckets {
 
     cliquePairs.unionAll(starPairs).dropDuplicates("id_a", "id_b")
   }
+
+  /** EXACT all-pairs within each bucket, distributed: the semantics-
+    * preserving counterpart to [[cappedSelfJoin]] for operators whose
+    * contract is "every pair in the block" (e.g. exact n-gram Jaccard per
+    * blocking key) rather than "good candidates".
+    *
+    * A B-member bucket's B²/2 pairs are inherent to that contract — what
+    * must NOT happen at scale is (a) silently changing the result set
+    * (the star degrade) or (b) computing the clique inside one task. Here
+    * each bucket is hash-split into ⌈B/chunkSize⌉ chunks and the clique
+    * becomes a grid of chunk×chunk cells: a row in chunk c joins as the
+    * left of cells (c, j≥c) and as the right of cells (i≤c, c), so every
+    * cell is an independent ~chunkSize² unit of work with its own shuffle
+    * key — a billion-pair bucket spreads over the cluster instead of one
+    * straggler task. Small buckets get nChunks=1 and the plan degenerates
+    * to the plain bucket self-join (no explode amplification: the
+    * sequence() is a single element).
+    *
+    * Pairs are normalized to (least, greatest) because a cross-cell (i<j)
+    * pair only materializes once, with whichever member landed in the
+    * lower chunk on the left; diagonal cells produce both orders and the
+    * final distinct collapses them. */
+  def gridSelfJoin(
+      banded: DataFrame, keyCols: Seq[String], idCol: String,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val keys = keyCols.map(col)
+    val stats = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val annotated = banded.join(stats, keyCols)
+      .withColumn("__nchunks",
+        ((col("__n") + (chunkSize - 1)) / chunkSize).cast("int"))
+      .withColumn("__chunk", pmod(hash(col(idCol)), col("__nchunks")))
+    val l = annotated
+      .withColumn("__cell_j", explode(sequence(col("__chunk"), col("__nchunks") - 1)))
+      .select(keys ++ Seq(col("__chunk").as("__cell_i"), col("__cell_j"),
+        col(idCol).as("__id_l")): _*)
+    val r = annotated
+      .withColumn("__cell_i", explode(sequence(lit(0), col("__chunk"))))
+      .select(keyCols.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col("__cell_i").as("__r_cell_i"), col("__chunk").as("__r_cell_j"),
+          col(idCol).as("__id_r")): _*)
+    l.join(r,
+        keyCols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+          col("__cell_i") === col("__r_cell_i") &&
+          col("__cell_j") === col("__r_cell_j") &&
+          col("__id_l") =!= col("__id_r"))
+      .select(least(col("__id_l"), col("__id_r")).as("id_a"),
+        greatest(col("__id_l"), col("__id_r")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -35,11 +35,14 @@ object LlmOps {
     SimHash.nearDupPairs(Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("id_a", "id_b")
 
-  /** D4: exact word-bigram Jaccard over same-source candidate pairs.
-    * Pair generation goes through the capped bucket self-join (source =
-    * bucket key): identical pair set at test scale, and a source group
-    * that grows unbounded degrades to star pairs instead of a quadratic
-    * clique — same guard as the D2/D3 candidate stages. */
+  /** D4: exact word-bigram Jaccard over all same-source pairs. The
+    * contract here is EVERY pair in the block (that is what the oracle SQL
+    * states), so pair generation goes through the grid self-join: the
+    * exact pair set at every scale, with an over-sized source group
+    * decomposed into chunk×chunk grid cells that distribute its quadratic
+    * work across tasks — unlike the D2/D3 candidate stages, whose
+    * heuristic contract permits the capped star degrade, this one may not
+    * silently change the result set. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
@@ -48,9 +51,9 @@ object LlmOps {
     // grams verify via per-doc join-backs: carrying the wide bigram arrays
     // per-PAIR through the candidate distinct is the exchange-bloat pattern
     // measured 3x slower on SimHash at 50x (see Buckets.cappedSelfJoin doc)
-    val pairs = graft.dedup.Buckets.cappedSelfJoin(
+    val pairs = graft.dedup.Buckets.gridSelfJoin(
       docs.select(col("source"), col("doc_id")),
-      Seq("source"), "doc_id", maxBucketSize = 100000)
+      Seq("source"), "doc_id", chunkSize = 4096)
     pairs
       .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
@@ -59,16 +62,42 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** D6: near-dup clusters — connected components over the SimHash pair
-    * output (the cheaper candidate stage; the operator itself is
-    * pair-source-agnostic), one (id, cluster_id=min member) row per
-    * clustered doc. Rows-only check (iterative fixpoint, not
-    * SQL-expressible); DedupSpec proves component structure on known
-    * graphs. */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      qDedupSimhash(spark, dir).select(col("id_a"), col("id_b")))
-      .orderBy("id", "cluster_id")
+  /** Exact embedding near-dup pairs, materialized once — shared input of
+    * the D6 cluster/apply queries. The pair derivation is deliberately the
+    * oracle-expressible one (cosine over embeddings, as in
+    * q_embedding_neardup) so connected components and the apply step get
+    * REAL DuckDB oracles (recursive-CTE transitive closure) instead of
+    * rows-only checks; the operators themselves are pair-source-agnostic
+    * (DedupSpec drives them on known graphs and SimHash output). */
+  private def clusterPairs(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.35)
+
+  /** D6: near-dup clusters — connected components over the near-dup pair
+    * set, one (id, cluster_id=min member) row per clustered doc. The pair
+    * input is persisted and materialized up front: connectedComponents
+    * runs a size probe plus an iterative path over it, and without the
+    * persist each action would recompute the whole pair pipeline. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = clusterPairs(spark, dir).persist()
+    try {
+      pairs.count() // materialize fully (a limit probe caches only partial partitions)
+      Dedup.connectedComponents(pairs).orderBy("id", "cluster_id")
+    } finally { pairs.unpersist(); () }
+  }
+
+  /** D6 apply: the end-to-end dedup drop — keep one member (min id) per
+    * near-dup cluster, pass untouched rows through. Closes the loop
+    * candidates → verify → cluster → drop as one registered,
+    * oracle-checked query. */
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = clusterPairs(spark, dir).persist()
+    try {
+      pairs.count()
+      Dedup.keepCanonical(
+        Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
+        .orderBy("vec_id")
+    } finally { pairs.unpersist(); () }
+  }
 
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
     * embedding distribution; real corpora use 0.95+). */

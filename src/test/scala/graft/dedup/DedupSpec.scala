@@ -109,6 +109,24 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 435L) // C(30,2)
   }
 
+  test("grid self-join: over-cap blocks keep the exact pair set, distributed") {
+    import spark.implicits._
+    // one 50-member block (well past chunkSize=8 → a 7x7 cell grid) plus a
+    // 3-member block: the grid decomposition must return EXACTLY the
+    // all-pairs set — no star degrade, no lost cross-chunk pairs, no
+    // duplicate diagonal pairs — so the plan's scale behavior coincides
+    // with the stated all-pairs-per-block semantics
+    val rows = (1 to 50).map(i => ("big", i.toLong)) ++
+      Seq(("tiny", 100L), ("tiny", 101L), ("tiny", 102L))
+    val df = rows.toDF("blk", "id").repartition(4)
+    val got = Buckets.gridSelfJoin(df, Seq("blk"), "id", chunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect =
+      (for (a <- 1 to 50; b <- (a + 1) to 50) yield (a.toLong, b.toLong)).toSet ++
+        (for (a <- 100 to 102; b <- (a + 1) to 102) yield (a.toLong, b.toLong)).toSet
+    assert(got == expect) // 1225 + 3 pairs, exact
+  }
+
   test("connected components: chains merge, singletons keep own label") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, and 20-30 via one edge
