@@ -22,7 +22,10 @@ object Pipeline {
       pushed: DataFrame,
       state: SyncState,
       metrics: ApiSink.SinkMetrics,
-      version: Long)
+      version: Long,
+      /** false when the run's LIMIT truncated the slice — more rows remain
+        * past the advanced bookmark (drives the chunked-sync loop). */
+      exhausted: Boolean = true)
 
   /** FULL_TABLE run: extract + map + shape + push + versioned landing +
     * state (version semantics per sync.py:199-206 — fresh epoch version,
@@ -46,14 +49,22 @@ object Pipeline {
 
   /** INCREMENTAL run: bookmark-filtered extract, broadcast semi-join
     * against the target's active keys, push, and a new bookmark =
-    * max(replication_key) of the synced slice (computed distributed). */
+    * max(replication_key) of the synced slice (computed distributed).
+    *
+    * `alignToBookmark` (the chunked-loop mode): when LIMIT truncates the
+    * slice, push only the rows the advanced bookmark fully covers — the
+    * partial boundary group is neither pushed nor bookmarked, so the next
+    * chunk picks it up exactly once. Off by default: the single-shot
+    * contract pushes the full slice and lets the conservative bookmark
+    * re-sync the boundary group on the next run (at-least-once). */
   def runIncremental(
       spark: SparkSession, dir: String, stream: StreamDef,
       activeKeys: DataFrame, joinColumn: String,
       poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
       state: SyncState, limit: Int = 1000000,
       nowMs: => Long = System.currentTimeMillis(),
-      deadLetterDir: Option[String] = None): SyncResult = {
+      deadLetterDir: Option[String] = None,
+      alignToBookmark: Boolean = false): SyncResult = {
     val replKey = stream.replicationKey.getOrElse(
       throw new IllegalArgumentException(s"${stream.streamName} is not incremental"))
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
@@ -91,14 +102,76 @@ object Pipeline {
               date_format(col(replKey), fmt6))).as("b"))
             .first().getString(0))
         }
-      val mapped = Transform.applyFieldMappings(slice, stream)
+      val pushSlice =
+        if (truncated && alignToBookmark)
+          nextBookmark
+            .map(nb => slice.filter(date_format(col(replKey), fmt6) <= nb))
+            .getOrElse(slice.limit(0)) // one giant key group: no safe progress
+        else slice
+      val mapped = Transform.applyFieldMappings(pushSlice, stream)
       val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)
       val metrics = ApiSink.push(payloads, poster, cfg, deadLetterDir = deadLetterDir)
       val newState = state.withBookmark(stream.streamName, bm => bm.copy(
         replicationKey = stream.replicationKey,
         replicationKeyValue = nextBookmark.orElse(bm.replicationKeyValue),
         version = Some(version)))
-      SyncResult(payloads, newState, metrics, version)
+      SyncResult(payloads, newState, metrics, version, exhausted = !truncated)
     } finally probe.unpersist()
+  }
+
+  /** Aggregate of a chunked incremental run. `metrics` is the last chunk's
+    * (each chunk gets fresh accumulators); `totalRecords` sums the pushed
+    * records across chunks. */
+  final case class ChunkedResult(
+      state: SyncState, chunks: Int, totalRecords: Long, exhausted: Boolean)
+
+  /** INCREMENTAL sync as a loop of bounded, individually-committed chunks —
+    * the Spark-native analog of the reference's periodic STATE emission
+    * (sync.py:195-197 writes state every 1000 rows so an interrupted sync
+    * resumes from the last flush). Each iteration extracts ≤`chunkRows`
+    * rows past the current bookmark via [[runIncremental]] (inheriting its
+    * exact-fit probe and boundary-group-safe bookmark advance), pushes
+    * them, then hands the advanced state to `onStateFlush` for durable
+    * capture (e.g. `Bookmarks.save`) BEFORE the next chunk starts: a crash
+    * between chunks costs at most one chunk of re-extraction, never a
+    * re-push of the whole 100 TB table.
+    *
+    * The loop ends when a chunk drains the remainder (`exhausted`), when
+    * `maxChunks` is hit (resumable: call again with the returned state), or
+    * when the bookmark cannot advance (an equal-key group wider than
+    * `chunkRows` — the caller must raise the chunk size; looping again
+    * would re-extract the same rows forever). */
+  def runIncrementalChunked(
+      spark: SparkSession, dir: String, stream: StreamDef,
+      activeKeys: DataFrame, joinColumn: String,
+      poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
+      state: SyncState, chunkRows: Int,
+      onStateFlush: SyncState => Unit = _ => (),
+      maxChunks: Int = Int.MaxValue,
+      nowMs: => Long = System.currentTimeMillis(),
+      deadLetterDir: Option[String] = None): ChunkedResult = {
+    require(chunkRows > 0 && maxChunks > 0, "chunkRows and maxChunks must be positive")
+    var st = state
+    var chunks = 0
+    var total = 0L
+    var exhausted = false
+    var stuck = false
+    while (!exhausted && !stuck && chunks < maxChunks) {
+      val res = runIncremental(spark, dir, stream, activeKeys, joinColumn,
+        poster, cfg, st, chunkRows, nowMs, deadLetterDir, alignToBookmark = true)
+      onStateFlush(res.state)
+      total += res.metrics.records.value
+      exhausted = res.exhausted
+      stuck = !exhausted && res.state == st
+      st = res.state
+      chunks += 1
+    }
+    if (stuck)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"chunked sync of ${stream.streamName} stopped: bookmark cannot " +
+          s"advance within chunkRows=$chunkRows (an equal-replication-key " +
+          "group spans the whole chunk). Raise chunkRows past the widest " +
+          "group to make progress.")
+    ChunkedResult(st, chunks, total, exhausted)
   }
 }

@@ -115,6 +115,51 @@ class PipelineSpec extends SparkSpec {
     assert(res2.metrics.records.value == 0L)
   }
 
+  test("chunked sync: state flushes per chunk, a kill+resume loses and re-pushes nothing") {
+    ApiSink.RecordingPoster.reset()
+    import spark.implicits._
+    val active = graft.sources.Tables.table(spark, sfDir, "customer").select($"c_custkey")
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+    val total = orders.count()
+    val state0 = Bookmarks.buildState(SyncState(), Streams.all)
+    var flushed = Seq.empty[SyncState]
+    // phase 1: the "crash" — the loop dies after two committed chunks
+    val r1 = Pipeline.runIncrementalChunked(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, state0,
+      chunkRows = 150, onStateFlush = s => flushed = flushed :+ s,
+      maxChunks = 2, nowMs = 1L)
+    assert(r1.chunks == 2 && !r1.exhausted && flushed.size == 2)
+    assert(r1.totalRecords > 0L && r1.totalRecords <= 300L)
+    val phase1 = ApiSink.RecordingPoster.calls.asScala.flatMap(_._2).toSeq
+    assert(phase1.size.toLong == r1.totalRecords)
+    assert(phase1.distinct.size == phase1.size) // no within-phase dup push
+    // resume purely from the last durably-flushed state (what a restarted
+    // job would read back from state.json)
+    ApiSink.RecordingPoster.reset()
+    val r2 = Pipeline.runIncrementalChunked(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, flushed.last,
+      chunkRows = 150, nowMs = 2L)
+    assert(r2.exhausted)
+    val phase2 = ApiSink.RecordingPoster.calls.asScala.flatMap(_._2).toSeq
+    assert((phase1.toSet intersect phase2.toSet).isEmpty) // no re-push of committed chunks
+    assert(phase1.size + phase2.size == total) // and no loss
+  }
+
+  test("chunked sync stops instead of spinning when a key group exceeds the chunk") {
+    ApiSink.RecordingPoster.reset()
+    import spark.implicits._
+    val active = graft.sources.Tables.table(spark, sfDir, "customer").select($"c_custkey")
+    val state0 = Bookmarks.buildState(SyncState(), Streams.all)
+    // chunkRows=1 is below every multi-order date group: the first chunk
+    // cannot align a bookmark, pushes nothing, and the loop must stop
+    // (stuck) rather than loop forever — with nothing double-pushed
+    val r = Pipeline.runIncrementalChunked(spark, sfDir, Streams.visitors,
+      active, "o_custkey", new ApiSink.RecordingPoster(), cfg, state0,
+      chunkRows = 1, maxChunks = 1000, nowMs = 1L)
+    assert(!r.exhausted)
+    assert(r.chunks < 1000) // terminated by stuck detection, not maxChunks
+  }
+
   test("message round-trip: parse/validate catches malformed lines") {
     import spark.implicits._
     val lines = Seq(
