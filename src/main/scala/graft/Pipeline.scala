@@ -29,14 +29,26 @@ object Pipeline {
 
   /** FULL_TABLE run: extract + map + shape + push + versioned landing +
     * state (version semantics per sync.py:199-206 — fresh epoch version,
-    * activated after a complete replication). */
+    * activated after a complete replication).
+    *
+    * `activateFirst`: the reference emits ACTIVATE_VERSION at sync START
+    * when the stream's version is fresh (sync.py:115-133), letting the
+    * consumer truncate old data before the new replication lands — at the
+    * cost of serving nothing between truncate and completion. Default
+    * (false) activates only after a complete replication: readers keep the
+    * previous version until the new one is whole. Both orderings are
+    * protocol-legal; pick by whether stale-but-complete beats
+    * empty-but-truthful during the sync window. */
   def runFullTable(
       spark: SparkSession, dir: String, stream: StreamDef,
       poster: ApiSink.HttpPoster, cfg: ApiSink.SinkConfig,
       landingDir: String, state: SyncState,
       nowMs: => Long = System.currentTimeMillis(),
-      deadLetterDir: Option[String] = None): SyncResult = {
+      deadLetterDir: Option[String] = None,
+      activateFirst: Boolean = false): SyncResult = {
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
+    if (activateFirst && state.bookmark(stream.streamName).version.isEmpty)
+      VersionedSink.activate(landingDir, stream.streamName, version)
     val mapped = Transform.applyFieldMappings(
       Tables.table(spark, dir, stream.sourceTable), stream)
     val payloads = Transform.shapePayloads(mapped, stream.targetPrimaryKey)

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
 
 /** Singer catalog document rendering — discovery mode's output format
   * (tap-redshift/src/discover.py:13 `.dump()`: a catalog.json of stream
@@ -21,6 +22,25 @@ object CatalogJson {
       streams.add(streamNode(spark, dir, table, dbName))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Stream names marked selected in an (edited) catalog document — sync
+    * mode's selection input (the reference resolves selected streams from
+    * catalog metadata, resolve.py). A stream is selected when its
+    * root-breadcrumb metadata says `"selected": true` (the user's edit),
+    * falling back to `selected-by-default`. */
+  def selectedStreams(catalogJson: String): Set[String] = {
+    val root = mapper.readTree(catalogJson)
+    Option(root.get("streams")).map(_.elements().asScala.filter { s =>
+      val rootMd = Option(s.get("metadata")).toSeq
+        .flatMap(_.elements().asScala)
+        .find(m => Option(m.get("breadcrumb")).exists(_.size() == 0))
+        .flatMap(m => Option(m.get("metadata")))
+      rootMd.exists(m =>
+        Option(m.get("selected")).map(_.asBoolean()).getOrElse(
+          Option(m.get("selected-by-default")).exists(_.asBoolean())))
+    }.flatMap(s => Option(s.get("stream")).map(_.asText())).toSet)
+      .getOrElse(Set.empty)
   }
 
   private def streamNode(spark: SparkSession, dir: String, table: String, dbName: String): ObjectNode = {

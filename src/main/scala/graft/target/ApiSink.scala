@@ -59,6 +59,12 @@ object ApiSink {
     * executors). */
   trait HttpPoster extends Serializable {
     def post(url: String, jsonBatch: Seq[String]): PostResult
+    /** Headers-aware overload — the sink calls THIS one, passing
+      * `SinkConfig.headers` (integration key etc., client.py:42-49).
+      * Default forwards to the 2-arg form so header-oblivious stubs stay
+      * valid; real transports ([[JavaHttpPoster]]) override it. */
+    def post(url: String, jsonBatch: Seq[String], headers: Map[String, String]): PostResult =
+      post(url, jsonBatch)
   }
 
   final case class SinkConfig(
@@ -69,7 +75,14 @@ object ApiSink {
       callsPerPeriod: Int = 1800,
       periodMillis: Long = 300000L,
       /** expected number of concurrent sink tasks (divides the rate budget) */
-      parallelism: Int = 10)
+      parallelism: Int = 10,
+      /** extra request headers, e.g. X-Pendo-Integration-Key
+        * (client.py:42-49 sends the integration key on every request) */
+      headers: Map[String, String] = Map.empty,
+      /** transport timeouts (request.py:14-20 PENDO_REQUEST_TIMEOUT,
+        * default 300s) */
+      connectTimeoutMillis: Int = 10000,
+      readTimeoutMillis: Int = 300000)
 
   /** Counters + typed-error strings only — deliberately nothing per-record
     * (per-record failure capture goes to the dead-letter table, see
@@ -124,7 +137,7 @@ object ApiSink {
     var attempt = 0
     while (true) {
       val res =
-        try poster.post(url, batch.map(_.payload))
+        try poster.post(url, batch.map(_.payload), cfg.headers)
         catch { case _: Exception => PostResult(599, 0, batch.size, Seq.empty) }
       attempt += 1
       if (res.status / 100 == 2) {

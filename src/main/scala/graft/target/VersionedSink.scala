@@ -19,12 +19,18 @@ object VersionedSink {
     df.write.mode("overwrite")
       .parquet(s"$baseDir/stream=$stream/version=$version")
 
-  /** Activate: point `current` at the version and prune older ones. */
+  /** Activate: point `current` at the version and prune older ones. May
+    * legally run BEFORE the version's data is written (the Singer
+    * activate-at-sync-start ordering, sync.py:115-133): the marker then
+    * points at a not-yet-existing dir — "truncated" — until the write
+    * lands. */
   def activate(baseDir: String, stream: String, version: Long): Unit = {
     val streamDir = new java.io.File(s"$baseDir/stream=$stream")
+    streamDir.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$streamDir/current"), version.toString)
-    streamDir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("version="))
+    Option(streamDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("version="))
       .filter(_.getName.stripPrefix("version=").toLong < version)
       .foreach(deleteRecursively)
   }

@@ -190,6 +190,28 @@ class ApiSinkSpec extends SparkSpec {
     assert(m.terminalErrors.exists(_.startsWith("UnmatchedFailedIds(1): no-such-record")))
   }
 
+  test("configured headers reach the poster on every call") {
+    import spark.implicits._
+    HeaderSpyState.seen.clear()
+    // static-holder state: the poster instance is serialized to executor
+    // tasks, so instance fields would mutate a deserialized copy
+    object HeaderSpy extends HttpPoster {
+      override def post(url: String, b: Seq[String]): PostResult =
+        post(url, b, Map.empty)
+      override def post(url: String, b: Seq[String],
+          headers: Map[String, String]): PostResult = {
+        HeaderSpyState.seen.add(headers)
+        PostResult(200, b.size, 0, Seq.empty)
+      }
+    }
+    val df = (1 to 25).map(i => s"""{"id":$i}""").toDF("payload").repartition(2)
+    val m = push(df, HeaderSpy,
+      cfg(maxRecords = 10).copy(headers = Map("X-Pendo-Integration-Key" -> "k-42")))
+    assert(m.updated.value == 25L)
+    assert(HeaderSpyState.seen.asScala.nonEmpty)
+    assert(HeaderSpyState.seen.asScala.forall(_ == Map("X-Pendo-Integration-Key" -> "k-42")))
+  }
+
   test("typed error taxonomy matches the reference's exception classes") {
     assert(ApiError.of(401).isInstanceOf[ApiError.Authentication])
     assert(ApiError.of(403).isInstanceOf[ApiError.Authentication])
@@ -208,4 +230,11 @@ class ApiSinkSpec extends SparkSpec {
     assert(Seq(408, 429, 500, 502, 503, 599).forall(ApiError.retryable))
     assert(!Seq(400, 401, 403, 404, 418).exists(ApiError.retryable))
   }
+}
+
+/** Static holder for header-spy observations: executor tasks get a
+  * deserialized copy of the poster, so only JVM-static state is visible
+  * back on the driver in local mode (same pattern as RecordingPoster). */
+object HeaderSpyState {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
 }
