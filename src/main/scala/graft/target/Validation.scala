@@ -55,9 +55,13 @@ object Validation {
     val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
       sum(when(pred, 1L).otherwise(0L)).as(s"__v$i")
     }
-    val stacked = checks.zipWithIndex
-      .map { case ((name, _), i) => s"'$name', `__v$i`" }.mkString(", ")
+    // typed Columns, not an interpolated selectExpr: check names derive
+    // from field/enum values, and a quote or other SQL-special character
+    // in them must stay data, not become syntax
+    val stackArgs = lit(checks.size) +: checks.zipWithIndex.flatMap {
+      case ((name, _), i) => Seq(lit(name), col(s"__v$i"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${checks.size}, $stacked) AS (check_name, violations)")
+      .select(stack(stackArgs: _*).as(Seq("check_name", "violations")))
   }
 }

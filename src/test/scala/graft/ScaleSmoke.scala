@@ -77,6 +77,21 @@ object ScaleSmoke {
     time("q_embedding_neardup") { queries.LlmOps.qEmbeddingNearDup(spark, dir) }
     time("q_ann_topk") { queries.LlmOps.qAnnTopK(spark, dir) }
     time("q_token_count") { queries.LlmOps.qTokenCount(spark, dir) }
+    time("q_anti_join") { queries.Warehouse.qAntiJoin(spark, dir) }
+    time("q_batch_assign") { queries.Etl.qBatchAssign(spark, dir) }
+    time("q_ngram_jaccard") { queries.LlmOps.qNgramJaccard(spark, dir) }
+    // clusters over the amplified corpus' cosine pairs — enough pairs to
+    // force the DISTRIBUTED min-label path (driver threshold 0), proving
+    // the fixpoint converges beyond union-find scale
+    time("dedup_clusters_dist") {
+      val pairs = graft.ann.Ann.nearDupPairsLsh(
+        graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000).persist()
+      pairs.count()
+      try dedup.Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      finally { pairs.unpersist(); () }
+    }
+    time("q_dedup_apply") { queries.LlmOps.qDedupApply(spark, dir) }
     spark.stop()
   }
 }

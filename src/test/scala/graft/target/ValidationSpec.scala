@@ -29,6 +29,20 @@ class ValidationSpec extends SparkSpec {
     assert(out("t.status.enum_OFP") == 1L)
   }
 
+  test("SQL-special characters in field names and enum values stay data") {
+    import spark.implicits._
+    // a quoted/backticked column name and an enum value with a single
+    // quote: the stacked output is built from typed Columns, so these
+    // must flow through as data, never break expression parsing
+    val df = Seq(("it's", "a'b")).toDF("wei'rd", "status")
+    val rules = Seq(
+      FieldRule("wei'rd", maxLength = Some(3L)),
+      FieldRule("status", enumVals = Seq("a'b", "c\"d")))
+    val out = counts(df, "t", rules)
+    assert(out("t.wei'rd.max_length_3") == 1L)
+    assert(out("t.status.enum_a'bc\"d") == 0L)
+  }
+
   test("editing the stream schema changes the generated checks") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("c_custkey", "c_name")
