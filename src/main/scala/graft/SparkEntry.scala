@@ -17,6 +17,7 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, dir) => Warehouse.q5LocalSupplier(s, dir)),
     "q_window_topn" -> ((s, dir) => Warehouse.qWindowTopN(s, dir)),
     "q_anti_join" -> ((s, dir) => Warehouse.qAntiJoin(s, dir)),
+    "q_asof_join" -> ((s, dir) => Warehouse.qAsofJoin(s, dir)),
     "q_sessionize" -> ((s, dir) => Warehouse.qSessionize(s, dir)),
     "q_stream_window_agg" -> ((s, dir) => Warehouse.qStreamWindowAgg(s, dir)),
     "q_discover_catalog" -> ((s, dir) => Etl.qDiscoverCatalog(s, dir)),
@@ -39,6 +40,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => LlmOps.qDedupClusters(s, dir)),
     "q_dedup_apply" -> ((s, dir) => LlmOps.qDedupApply(s, dir)),
+    "q_decontaminate" -> ((s, dir) => LlmOps.qDecontaminate(s, dir)),
+    "q_split_assign" -> ((s, dir) => LlmOps.qSplitAssign(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -107,6 +110,16 @@ object SparkEntry {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.click_ts
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY event_id""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts,
@@ -411,6 +424,30 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  'application/octet-stream' AS mime, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i ->
+        |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram FROM toks),
+        |hold AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN hold USING(gram))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      """WITH ph AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS h
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN h % 10 < 8 THEN 'train'
+        |       WHEN h % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ph ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH ph AS (
         |  SELECT doc_id, text,

@@ -1,0 +1,61 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.polyhash
+
+/** Training-corpus curation operators: benchmark decontamination and
+  * deterministic dataset splitting — the hygiene steps between "deduped
+  * corpus" and "training shards" in an LLM data pipeline.
+  */
+object Curation {
+
+  /** Ids of `corpus` documents sharing at least one word n-gram with any
+    * `holdout` document — the standard n-gram-collision test-set
+    * decontamination (flag training docs that would leak benchmark
+    * content). Both sides explode to (id, gram) map-side; the join keys on
+    * the gram string, so the shuffle carries grams, never document pairs
+    * or texts. The holdout side reduces to DISTINCT grams first —
+    * benchmark suites are tiny next to a training corpus, so that set
+    * broadcasts and the corpus side never shuffles at all (AQE picks the
+    * broadcast; at 100 TB the corpus-side explode stays embarrassingly
+    * parallel). */
+  def contaminatedIds(corpus: DataFrame, holdout: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val corpusGrams = corpus.select(col(idCol),
+      explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+    val holdoutGrams = holdout
+      .select(explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    corpusGrams.join(holdoutGrams, "gram")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop every contaminated document from the corpus (left-anti on the
+    * flagged id set). */
+  def decontaminate(corpus: DataFrame, holdout: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame =
+    corpus.join(contaminatedIds(corpus, holdout, textCol, idCol, n),
+      Seq(idCol), "left_anti")
+
+  /** Deterministic dataset split: bucket by a content hash (polyhash —
+    * the codegen rolling hash, oracle-replicable via list_reduce), then
+    * map cumulative integer shares to split names. Content-keyed, so the
+    * assignment is stable under row order, partitioning, AND re-assigned
+    * surrogate ids — re-running the pipeline never migrates a document
+    * across the train/eval boundary (the property that matters for
+    * leakage). Hash buckets make every stratum's split proportional in
+    * expectation, with zero coordination or shuffling: the whole operator
+    * is one map-side projection. */
+  def assignSplit(textCol: String, shares: Seq[(String, Int)]): Column = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0), "shares must be positive")
+    val total = shares.map(_._2).sum
+    val bucket = pmod(polyhash(col(textCol)), lit(total))
+    val cumulative = shares.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    shares.tail.zip(cumulative.tail)
+      .foldLeft(when(bucket < cumulative.head, lit(shares.head._1))) {
+        case (acc, ((name, _), upper)) => acc.when(bucket < upper, lit(name))
+      }
+  }
+}

@@ -170,6 +170,28 @@ object LlmOps {
     Ivf.ivfTopK(annQueries(spark, dir), annIvfIndex(spark, dir), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
 
+  /** D7: benchmark decontamination — drop corpus docs sharing any word
+    * 4-gram with the holdout slice (doc_id % 97 standing in for a
+    * benchmark suite). Gram-keyed join; the holdout gram set broadcasts. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    graft.curation.Curation.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "text", "doc_id", n = 4)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
+  /** H1: deterministic content-keyed train/val/test split (80/10/10) —
+    * stable under row order, partitioning, and id reassignment; pure
+    * map-side projection. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.curation.Curation.assignSplit(
+          "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+      .orderBy("doc_id")
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -126,6 +126,25 @@ object Warehouse {
       .orderBy($"c_custkey")
   }
 
+  /** C8: AS-OF join — attribute every purchase to the user's latest click
+    * at or before it (the classic time-series enrichment DuckDB/kdb ship
+    * as ASOF JOIN). Clicks pre-aggregate to one row per (user, instant)
+    * for determinism; purchases with no prior click keep NULLs. One
+    * key-shuffle, no pair blowup (see graft.operators.AsOfJoin). */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.table(spark, dir, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = events.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_event_id"))
+      .select($"user_id", $"ts".as("click_ts"), $"click_event_id")
+    graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_ts",
+      Seq("click_event_id", "click_ts"))
+      .orderBy($"event_id")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -1,0 +1,56 @@
+package graft.curation
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("decontamination flags exactly the docs sharing an n-gram with the holdout") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),   // contains holdout 4-gram
+      (2L, "completely different content here now"), // clean
+      (3L, "short doc"),                             // shorter than n → clean
+      (4L, "quick brown fox jumps somewhere else"))  // same 4-gram, shifted
+      .toDF("doc_id", "text")
+    val holdout = Seq((100L, "a quick brown fox jumps test"))
+      .toDF("doc_id", "text")
+    val bad = Curation.contaminatedIds(corpus, holdout, "text", "doc_id", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L, 4L)) // "quick brown fox jumps" leaks in both
+    val clean = Curation.decontaminate(corpus, holdout, "text", "doc_id", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("split assignment is deterministic, content-keyed, and ~proportional per stratum") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val split = Curation.assignSplit("text", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val out = docs.select($"doc_id", $"lang", split.as("split"))
+    // deterministic: two evaluations agree row-for-row
+    val a = out.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val b = out.orderBy(rand(7)).collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a == b)
+    // content-keyed: duplicate text always lands in the same split even
+    // under different ids
+    val dup = Seq((1L, "same words exactly"), (999L, "same words exactly"))
+      .toDF("doc_id", "text")
+      .select(Curation.assignSplit("text", Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+      .collect().map(_.getString(0)).toSet
+    assert(dup.size == 1)
+    // proportions roughly 80/10/10 overall and within each lang stratum
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    assert(counts.keySet == Set("train", "val", "test"))
+    val perLang = out.groupBy("lang", "split").count().collect()
+      .groupBy(_.getString(0))
+    perLang.values.foreach { rows =>
+      val total = rows.map(_.getLong(2)).sum.toDouble
+      val train = rows.find(_.getString(1) == "train").map(_.getLong(2)).getOrElse(0L)
+      assert(math.abs(train / total - 0.8) < 0.2)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of picks the latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 11:00:00")),
+      (4L, 30L, ts("2024-01-01 09:00:00"))) // key with no right rows at all
+      .toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "a"),
+      (10L, ts("2024-01-01 11:30:00"), "b"),
+      (10L, ts("2024-01-01 13:00:00"), "future"), // after every left row
+      (20L, ts("2024-01-01 11:00:00"), "tie"))    // exactly equal time
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, Some("a")),    // 09:30 is the latest <= 10:00
+      (2L, Some("b")),    // 11:30 supersedes 09:30; 13:00 is in the future
+      (3L, Some("tie")),  // inclusive: equal instant qualifies
+      (4L, None)))        // left-outer: no right row for key 30
+  }
+
+  test("strict mode excludes the equal-instant right row") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, ts("2024-01-01 11:00:00"))).toDF("lid", "k", "t")
+    val right = Seq(
+      (20L, ts("2024-01-01 10:00:00"), "before"),
+      (20L, ts("2024-01-01 11:00:00"), "tie")).toDF("k", "rt", "v")
+    val inclusive = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .collect().head.getString(3)
+    val strict = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"), strict = true)
+      .collect().head.getString(3)
+    assert(inclusive == "tie")
+    assert(strict == "before")
+  }
+
+  test("registered query: every purchase row present, attribution never in the future") {
+    val out = graft.queries.Warehouse.qAsofJoin(spark, sfDir).collect()
+    val purchases = graft.sources.Tables.table(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(out.length.toLong == purchases) // left-outer keeps all purchases
+    assert(out.forall { r =>
+      r.isNullAt(4) || !r.getTimestamp(4).after(r.getTimestamp(2))
+    })
+  }
+}
