@@ -23,11 +23,14 @@ object Curation {
     * parallel). */
   def contaminatedIds(corpus: DataFrame, holdout: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
-    val corpusGrams = corpus.select(col(idCol),
-      explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
-    val holdoutGrams = holdout
-      .select(explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+    // tokens materialize as their own projection first: inlining the
+    // split into the gram lambda re-tokenizes per gram (see
+    // Dedup.wordNgrams perf note)
+    def grams(df: DataFrame, cols: Column*) = df
+      .select(cols :+ split(col(textCol), " ").as("__toks"): _*)
+      .select(cols :+ explode(Dedup.ngramsFromTokens(col("__toks"), n)).as("gram"): _*)
+    val corpusGrams = grams(corpus, col(idCol))
+    val holdoutGrams = grams(holdout).distinct()
     corpusGrams.join(holdoutGrams, "gram")
       .select(col(idCol)).distinct()
   }

@@ -22,9 +22,21 @@ object Dedup {
         count(lit(1)).as("n_copies"))
 
   /** Word n-grams of a text column. 1-based element_at indices keep the
-    * construction portable to the DuckDB oracle's 1-based lists. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+    * construction portable to the DuckDB oracle's 1-based lists.
+    *
+    * PERF: `toks` is spliced into every element_at — Catalyst does not
+    * CSE an expression across lambda boundaries, so passing `split(text)`
+    * here re-tokenizes the document n times PER GRAM (O(words²) per doc,
+    * measured ~5s of a 6s decontamination pass). Materialize the token
+    * array as its own projected column first and call
+    * [[ngramsFromTokens]] on that attribute instead. */
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromTokens(split(text, " "), n)
+
+  /** N-grams over an already-tokenized array column — `toks` should be a
+    * materialized attribute (one `split` per row), not an inline
+    * expression. */
+  def ngramsFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j)).cast("int"))): _*))

@@ -46,8 +46,9 @@ object LlmOps {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
-        Dedup.wordNgrams(col("text"), 2).as("grams"))
+        Dedup.ngramsFromTokens(col("__toks"), 2).as("grams"))
     // grams verify via per-doc join-backs: carrying the wide bigram arrays
     // per-PAIR through the candidate distinct is the exchange-bloat pattern
     // measured 3x slower on SimHash at 50x (see Buckets.cappedSelfJoin doc)

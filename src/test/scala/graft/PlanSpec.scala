@@ -82,4 +82,45 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(queries.LlmOps.qEmbeddingNearDup(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("as-of join plans exactly one key window, never a pair-explosion join") {
+    val plan = planOf(queries.Warehouse.qAsofJoin(spark, sfDir))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of must not theta-join left×right")
+    assert("RunningWindowFunction|Window".r.findAllIn(plan).nonEmpty,
+      "as-of carries the right payload with a running window")
+  }
+
+  test("ann lsh reads the memoized bucket index from cache, not a rescan") {
+    queries.LlmOps.annLshIndex(spark, sfDir) // ensure built
+    val plan = planOf(queries.LlmOps.qAnnLsh(spark, sfDir))
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "query plan must consume the cached index")
+  }
+
+  test("split assignment is one map-side projection (no shuffle, no join)") {
+    import org.apache.spark.sql.functions.col
+    // the registered query adds a presentation orderBy; the operator
+    // itself must plan as a bare projection over the scan
+    val proj = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), graft.curation.Curation.assignSplit(
+        "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+    val plan = planOf(proj)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      "content-hash split must stay embarrassingly parallel")
+  }
+
+  test("dead-letter sink plan is a parquet write over mapPartitions (no driver collect)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i, s"""{"x":$i}""")).toDF("pk", "payload")
+    val (rejects, _) = target.ApiSink.sink(
+      df, new target.ApiSink.RecordingPoster(), target.ApiSink.SinkConfig(
+        target.ApiSink.Endpoint("https://example.invalid", "account")))
+    val plan = planOf(rejects.toDF())
+    assert(plan.contains("MapPartitions"),
+      "rejects must flow from the executor-side sink stage")
+    assert(!plan.contains("CollectLimit") && !plan.contains("Exchange"),
+      "failure capture must not funnel through the driver or reshuffle")
+  }
 }
