@@ -18,6 +18,9 @@ object SparkEntry {
     "q_window_topn" -> ((s, dir) => Warehouse.qWindowTopN(s, dir)),
     "q_anti_join" -> ((s, dir) => Warehouse.qAntiJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Warehouse.qAsofJoin(s, dir)),
+    "q_skew_agg" -> ((s, dir) => Warehouse.qSkewAgg(s, dir)),
+    "q_quantize" -> ((s, dir) => LlmOps.qQuantize(s, dir)),
+    "q_repetition" -> ((s, dir) => LlmOps.qRepetition(s, dir)),
     "q_sessionize" -> ((s, dir) => Warehouse.qSessionize(s, dir)),
     "q_stream_window_agg" -> ((s, dir) => Warehouse.qStreamWindowAgg(s, dir)),
     "q_discover_catalog" -> ((s, dir) => Etl.qDiscoverCatalog(s, dir)),
@@ -424,6 +427,37 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  'application/octet-stream' AS mime, length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) AS amax FROM e),
+        |sc AS (SELECT vec_id, emb,
+        |         CASE WHEN amax = 0 THEN 1.0 ELSE 127.0 / amax END AS scale FROM s)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_x1e6,
+        |  array_to_string(list_transform(emb,
+        |    x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q_csv
+        |FROM sc ORDER BY vec_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_words,
+        |                len(list_distinct(t)) AS n_distinct_words FROM toks),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
+        |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |          SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |        GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words, b.n_distinct_words,
+        |  1000 * (b.n_words - b.n_distinct_words) // b.n_words AS dup_word_frac_x1000,
+        |  COALESCE(t.top_cnt, 0) AS top_bigram_count,
+        |  CASE WHEN b.n_words < 2 THEN 0
+        |       ELSE 1000 * COALESCE(t.top_cnt, 0) // (b.n_words - 1) END
+        |    AS top_bigram_frac_x1000
+        |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i ->

@@ -193,6 +193,18 @@ object LlmOps {
           "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
       .orderBy("doc_id")
 
+  /** E4: symmetric int8 embedding quantization (4× storage at ≤1/254
+    * relative lane error) — map-side projection only. */
+  def qQuantize(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Quantize.int8(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  /** F5: within-doc repetition signals (Gopher-style filters). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.repetitionSignals(
+      Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -145,6 +145,24 @@ object Warehouse {
       .orderBy($"event_id")
   }
 
+  /** C9: salted aggregation over pathologically skewed keys — events has
+    * 5 distinct event types over the whole table, the worst case for a
+    * plain hash aggregate (5 reducers own everything). The two-phase
+    * salted plan spreads each hot key over 16 partial groups, then merges
+    * 5×16 tiny rows. Salting is semantics-transparent, so the oracle is
+    * the plain GROUP BY. */
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.engine.Skew.saltedAgg(
+      Tables.table(spark, dir, "events"),
+      key = $"event_type", salts = 16,
+      partials = Seq(count(lit(1)).as("__n"), sum($"value").as("__s")),
+      merge = Seq(sum($"__n").as("n"), round(sum($"__s"), 2).as("sum_value")),
+      saltOn = Seq($"event_id"))
+      .select($"__key".as("event_type"), $"n", $"sum_value")
+      .orderBy($"event_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -73,4 +73,35 @@ object TextAnalysis {
     df.select(col(idCol),
       polyhash(col(textCol)).as("fingerprint"),
       polyhash(substring(col(textCol), 1, 64)).as("prefix_fingerprint"))
+
+  /** F5: within-document repetition signals (the Gopher/MassiveText
+    * repetition filters adapted to unpunctuated corpora): duplicate-word
+    * fraction and the most-repeated bigram's share of all bigrams.
+    * Entirely MAP-SIDE: the top-bigram count is a sort + one linear scan
+    * over the doc's own bigram array via `aggregate` (longest equal run
+    * of the sorted array = max multiplicity) — no explode, no
+    * (doc, gram) shuffle, so the operator costs a projection even at
+    * corpus scale. Integer x1000 fractions keep oracle parity exact. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val runState = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2).as("__grams"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct_words"),
+        aggregate(array_sort(col("__grams")), runState,
+          (acc, g) => {
+            val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+            struct(g.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best")).as("top_bigram_count"))
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        expr("CAST(1000 * (n_words - n_distinct_words) div n_words AS BIGINT)")
+          .as("dup_word_frac_x1000"),
+        col("top_bigram_count"),
+        when(col("n_words") < 2, lit(0L))
+          .otherwise(expr("CAST(1000 * top_bigram_count div (n_words - 1) AS BIGINT)"))
+          .as("top_bigram_frac_x1000"))
+  }
 }

@@ -127,6 +127,24 @@ class AnnSpec extends SparkSpec {
     assert(perQuery.values.forall(_.map(_.getAs[Long]("rank")).distinct.length <= 10))
   }
 
+  test("int8 quantization: lanes in range, dequantized cosine ≈ 1") {
+    import spark.implicits._
+    val q = LlmOps.qQuantize(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    val lanes = rows.flatMap(_.getString(2).split(",").map(_.toLong))
+    assert(lanes.forall(v => v >= -127L && v <= 127L))
+    assert(lanes.exists(_ != 0L))
+    // round-trip: cosine(original, dequantized) stays near 1
+    val orig = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select($"vec_id", Ann.asDouble($"embedding").as("emb"))
+    val joined = q.join(orig, "vec_id")
+      .select($"vec_id", graft.functions.cosineSim($"emb",
+        graft.ann.Quantize.dequantize($"q_csv", $"scale_x1e6")).as("sim"))
+      .collect().map(_.getDouble(1))
+    assert(joined.forall(_ > 0.995), s"worst cosine ${joined.min}")
+  }
+
   test("topKByScore orders best-first with id tiebreak, bounded at k") {
     import spark.implicits._
     val df = Seq(

@@ -72,6 +72,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaExpr == second)
     assert(viaExpr.values.toSet.size > 1) // not degenerate
   }
+
+  test("repetition signals: known duplicate structure, map-side run-length top bigram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),         // 6 words, 2 distinct; "a b" x3 of 5 bigrams
+      (2L, "u v w x y z"),         // all unique; every bigram once
+      (3L, "rep rep rep rep"),     // 4 words 1 distinct; "rep rep" x3 of 3
+      (4L, "solo"))                // 1 word: no bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((6L, 2L, 666L, 3L, 600L)))
+    assert(out(2L) == ((6L, 6L, 0L, 1L, 200L)))
+    assert(out(3L) == ((4L, 1L, 750L, 3L, 1000L)))
+    assert(out(4L) == ((1L, 1L, 0L, 0L, 0L)))
+  }
 }
 
 object SimHashTestAccess {
