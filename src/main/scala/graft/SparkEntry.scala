@@ -21,6 +21,8 @@ object SparkEntry {
     "q_skew_agg" -> ((s, dir) => Warehouse.qSkewAgg(s, dir)),
     "q_quantize" -> ((s, dir) => LlmOps.qQuantize(s, dir)),
     "q_repetition" -> ((s, dir) => LlmOps.qRepetition(s, dir)),
+    "q_distinct_sketch" -> ((s, dir) => LlmOps.qDistinctSketch(s, dir)),
+    "q_top_terms" -> ((s, dir) => LlmOps.qTopTerms(s, dir)),
     "q_sessionize" -> ((s, dir) => Warehouse.qSessionize(s, dir)),
     "q_stream_window_agg" -> ((s, dir) => Warehouse.qStreamWindowAgg(s, dir)),
     "q_discover_catalog" -> ((s, dir) => Etl.qDiscoverCatalog(s, dir)),
@@ -441,6 +443,25 @@ object SparkEntry {
         |  array_to_string(list_transform(emb,
         |    x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q_csv
         |FROM sc ORDER BY vec_id""".stripMargin,
+    // valid while per-group cardinality < k (8192): KMV is exact below
+    // capacity; the estimate path is spec-checked, not oracle-checked
+    "q_distinct_sketch" ->
+      """SELECT event_type,
+        |  count(DISTINCT props) AS distinct_props,
+        |  count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_top_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df, 1000000 * t.tf // d.df AS score
+        |  FROM tf t JOIN df d USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (SELECT doc_id, len(t) AS n_words,

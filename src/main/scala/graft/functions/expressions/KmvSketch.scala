@@ -1,0 +1,128 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** KMV (k-minimum-values) distinct-count sketch as a
+  * TypedImperativeAggregate — the mergeable cardinality sketch
+  * (Bar-Yossef et al. 2002; the theta-sketch family's simplest member).
+  *
+  * State: the k smallest 64-bit hashes of the values seen, as a bounded
+  * max-heap. If the k-th smallest hash maps to position θ = kth/2^64 of
+  * the unit interval, the estimate is (k-1)/θ. Standard error ≈
+  * 1/√(k-2) — k=1024 gives ~3%. Exactly-k-or-fewer longs of state make
+  * the partial (map-side) buffer constant-size, so the exchange carries
+  * `partitions × k` longs per group where approx_count_distinct-style
+  * accuracy is wanted with MERGEABILITY across arbitrary re-partitioning
+  * — union of sketches = sketch of union, proven in the spec.
+  *
+  * vs HLL (Spark's approx_count_distinct): KMV supports set
+  * INTERSECTION estimates (Jaccard between sketches by hash overlap,
+  * the MinHash connection) and exact counts below k (θ path not taken —
+  * buffer holds every distinct hash). Hashing: xxhash64 of the value's
+  * string form, matching `xxhash64(cast(v as string))` semantics.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[Long]] {
+
+  require(k > 2, "k must exceed 2 (estimate uses (k-1)/theta)")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_distinct requires string/int/bigint input, got $other")
+    }
+
+  // PriorityQueue dequeues the MAXIMUM under its ordering; with the
+  // UNSIGNED ascending order the head is the largest kept hash — the one
+  // to evict. Unsigned compare keeps the unit-interval mapping monotone
+  // (hashes span the full 64-bit range).
+  private val unsignedAsc: Ordering[Long] = new Ordering[Long] {
+    override def compare(a: Long, b: Long): Int = java.lang.Long.compareUnsigned(a, b)
+  }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[Long] =
+    mutable.PriorityQueue.empty[Long](unsignedAsc)
+
+  private def hashOf(v: Any): Long = v match {
+    case s: UTF8String => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(s, StringType, 42L)
+    case l: Long => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(l, LongType, 42L)
+    case i: Int => org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(i.toLong, LongType, 42L)
+  }
+
+  private def add(buf: mutable.PriorityQueue[Long], h: Long): Unit = {
+    // dedupe against current members only when small; heap holds ≤ k
+    if (buf.size < k) {
+      if (!buf.exists(_ == h)) buf.enqueue(h)
+    } else if (java.lang.Long.compareUnsigned(h, buf.head) < 0) {
+      if (!buf.exists(_ == h)) { buf.dequeue(); buf.enqueue(h) }
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[Long], input: InternalRow): mutable.PriorityQueue[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, hashOf(v))
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[Long], other: mutable.PriorityQueue[Long]): mutable.PriorityQueue[Long] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[Long]): Any =
+    if (buf.size < k) buf.size.toLong // exact below capacity
+    else {
+      // theta = kth smallest hash as a fraction of 2^64 (unsigned)
+      val kth = buf.head
+      val theta = math.max(
+        ((kth >>> 1).toDouble * 2.0 + (kth & 1L).toDouble) / 1.8446744073709552e19,
+        java.lang.Double.MIN_VALUE)
+      math.round((k - 1).toDouble / theta)
+    }
+
+  override def serialize(buf: mutable.PriorityQueue[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue(bb.getLong); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren(0))
+}

@@ -73,4 +73,11 @@ package object functions {
     ColumnBridge.column(expressions.TopKByScore(
       ColumnBridge.expression(score), ColumnBridge.expression(id), k)
       .toAggregateExpression())
+
+  /** KMV distinct-count sketch aggregate: exact below k, (k-1)/θ estimate
+    * above, mergeable across arbitrary partitioning (see
+    * expressions.KmvSketch). */
+  def kmvDistinct(value: Column, k: Int = 1024): Column =
+    ColumnBridge.column(expressions.KmvSketch(
+      ColumnBridge.expression(value), k).toAggregateExpression())
 }

@@ -205,6 +205,38 @@ object LlmOps {
       Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** F6: KMV distinct-count sketch per event type (custom mergeable
+    * TypedImperativeAggregate). Exact below k — the oracle compares
+    * against true COUNT(DISTINCT) and holds at any SF where group
+    * cardinality < 8192; the estimate path and
+    * union-of-sketches = sketch-of-union are proven in KmvSpec. */
+  def qDistinctSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.kmvDistinct(col("props"), 8192).as("distinct_props"),
+        graft.functions.kmvDistinct(col("user_id"), 8192).as("distinct_users"))
+      .orderBy("event_type")
+
+  /** F7: TF-IDF-flavored top terms per document — integer score
+    * 1e6·tf/df (monotone in the tf-idf ratio, exact in both engines),
+    * top-3 by (score desc, term asc). The doc-frequency side is a tiny
+    * term dimension that broadcasts. */
+  def qTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score", expr("CAST(1000000 * tf div df AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")
