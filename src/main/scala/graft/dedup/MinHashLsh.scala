@@ -64,9 +64,15 @@ object MinHashLsh {
     // but long-array intersection is several times cheaper than string
     // comparison — and candidate verification dominates dedup cost on
     // duplicate-heavy corpora
-    val shingled = df.select(
-      col(idCol),
-      transform(Dedup.wordNgrams(col(textCol), shingleSize), s => xxhash64(s)).as("shingles"))
+    // tokens materialize as an attribute first: inlining split(text) into
+    // the gram lambda re-tokenizes once per element_at (Catalyst does not
+    // CSE across lambda boundaries — see Dedup.wordNgrams perf note)
+    val shingled = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(
+        col(idCol),
+        transform(Dedup.ngramsFromTokens(col("__toks"), shingleSize),
+          s => xxhash64(s)).as("shingles"))
     val sigs = shingled.select(col(idCol), col("shingles"),
       graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
     val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)

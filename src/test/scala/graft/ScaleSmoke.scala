@@ -92,6 +92,14 @@ object ScaleSmoke {
       finally { pairs.unpersist(); () }
     }
     time("q_dedup_apply") { queries.LlmOps.qDedupApply(spark, dir) }
+    time("q_asof_join") { queries.Warehouse.qAsofJoin(spark, dir) }
+    time("q_skew_agg") { queries.Warehouse.qSkewAgg(spark, dir) }
+    time("q_decontaminate") { queries.LlmOps.qDecontaminate(spark, dir) }
+    time("q_split_assign") { queries.LlmOps.qSplitAssign(spark, dir) }
+    time("q_quantize") { queries.LlmOps.qQuantize(spark, dir) }
+    time("q_repetition") { queries.LlmOps.qRepetition(spark, dir) }
+    time("q_distinct_sketch") { queries.LlmOps.qDistinctSketch(spark, dir) }
+    time("q_top_terms") { queries.LlmOps.qTopTerms(spark, dir) }
     spark.stop()
   }
 }

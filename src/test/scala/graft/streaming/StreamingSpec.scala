@@ -187,4 +187,41 @@ class StreamingSpec extends SparkSpec {
       assert(posted >= 3) // 25 records / max 10 per batch, per partition
     } finally query.stop()
   }
+
+  test("curation columns run unchanged on a stream (split, repetition gate)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the curation operators are stateless Column expressions, so the SAME
+    // code drives a streaming ingest filter: assign splits and gate on a
+    // repetition signal as documents arrive
+    val input = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "a clean document with varied words"),
+      (2L, "rep rep rep rep rep rep"), // repetition-gated out
+      (3L, "another ordinary text sample here"))
+    input.addData(docs: _*)
+    val streamed = input.toDF().toDF("doc_id", "text")
+      .withColumn("split", graft.curation.Curation.assignSplit(
+        "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+      .withColumn("__toks", split($"text", " "))
+      .withColumn("dup_frac",
+        expr("CAST(1000 * (size(__toks) - size(array_distinct(__toks))) div size(__toks) AS BIGINT)"))
+      .filter($"dup_frac" < 500)
+      .select("doc_id", "split")
+    val query = streamed.writeStream.format("memory")
+      .queryName("curated").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val out = spark.table("curated").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet == Set(1L, 3L)) // the repeated doc is gated out
+      // split agrees with the batch assignment (content-keyed determinism)
+      val batch = docs.toDF("doc_id", "text")
+        .select($"doc_id", graft.curation.Curation.assignSplit(
+          "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.forall { case (id, s) => batch(id) == s })
+    } finally query.stop()
+  }
 }
