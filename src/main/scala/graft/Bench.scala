@@ -20,9 +20,13 @@ object Bench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // guarded like the queries: a failed index build reports -1 and the
+    // affected queries fall back to building inline (memo retries)
     val setup = Seq(
-      "ann_ivf_fit" -> timed { graft.queries.LlmOps.annIvfIndex(spark, sfDir); () },
-      "ann_lsh_bucket" -> timed { graft.queries.LlmOps.annLshIndex(spark, sfDir); () })
+      "ann_ivf_fit" -> (try timed { graft.queries.LlmOps.annIvfIndex(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "ann_lsh_bucket" -> (try timed { graft.queries.LlmOps.annLshIndex(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

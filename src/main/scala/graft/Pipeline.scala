@@ -169,8 +169,12 @@ object Pipeline {
     var exhausted = false
     var stuck = false
     while (!exhausted && !stuck && chunks < maxChunks) {
+      // per-chunk dead-letter subdir: the sink's capture write is an
+      // overwrite, so sharing one dir would clobber earlier chunks'
+      // captured rejects with later (possibly empty) ones
+      val chunkDlq = deadLetterDir.map(d => s"$d/chunk_$chunks")
       val res = runIncremental(spark, dir, stream, activeKeys, joinColumn,
-        poster, cfg, st, chunkRows, nowMs, deadLetterDir, alignToBookmark = true)
+        poster, cfg, st, chunkRows, nowMs, chunkDlq, alignToBookmark = true)
       onStateFlush(res.state)
       total += res.metrics.records.value
       exhausted = res.exhausted

@@ -63,8 +63,12 @@ object Run {
       case "--out-state" :: v :: t => loop(t, acc.copy(outState = Some(v)))
       case "--chunk-rows" :: v :: t => loop(t, acc.copy(chunkRows = Some(v.toInt)))
       case "--active-keys" :: v :: t =>
-        val Array(tbl, c) = v.split(":", 2)
-        loop(t, acc.copy(activeKeys = Some((tbl, c))))
+        v.split(":", 2) match {
+          case Array(tbl, c) if tbl.nonEmpty && c.nonEmpty =>
+            loop(t, acc.copy(activeKeys = Some((tbl, c))))
+          case _ => throw new IllegalArgumentException(
+            s"--active-keys expects <table>:<column>, got: $v")
+        }
       case "--join-column" :: v :: t => loop(t, acc.copy(joinColumn = Some(v)))
       case "--activate-first" :: t => loop(t, acc.copy(activateFirst = true))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
@@ -147,7 +151,15 @@ object Run {
       if (a.discover) {
         val json = graft.sources.CatalogJson.render(spark, a.dataDir)
         a.catalog match {
-          case Some(out) => Files.writeString(Paths.get(out), json); ()
+          // never clobber an existing (possibly hand-edited) catalog —
+          // stream selections live in that file; the reference writes via
+          // shell redirect, where overwrite is the user's explicit choice
+          case Some(out) if !Files.exists(Paths.get(out)) =>
+            Files.writeString(Paths.get(out), json); ()
+          case Some(out) =>
+            println(json)
+            System.err.println(
+              s"refusing to overwrite existing catalog $out; printed to stdout")
           case None => println(json)
         }
       } else {

@@ -10,6 +10,26 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
 
+/** Aggregation state for [[KmvSketch]]: the bounded max-heap of kept
+  * hashes plus a HashSet mirror for O(1) duplicate rejection — without
+  * it, every candidate insert scans the whole up-to-k heap (O(rows·k)
+  * at k=8192 is billions of comparisons on a large group). */
+final class KmvBuffer {
+  // PriorityQueue dequeues the MAXIMUM under its ordering; with the
+  // UNSIGNED ascending order the head is the largest kept hash — the one
+  // to evict. Unsigned compare keeps the unit-interval mapping monotone
+  // (hashes span the full 64-bit range).
+  val heap: mutable.PriorityQueue[Long] =
+    mutable.PriorityQueue.empty[Long](KmvBuffer.unsignedAsc)
+  val members: mutable.HashSet[Long] = mutable.HashSet.empty[Long]
+}
+
+object KmvBuffer {
+  val unsignedAsc: Ordering[Long] = new Ordering[Long] {
+    override def compare(a: Long, b: Long): Int = java.lang.Long.compareUnsigned(a, b)
+  }
+}
+
 /** KMV (k-minimum-values) distinct-count sketch as a
   * TypedImperativeAggregate — the mergeable cardinality sketch
   * (Bar-Yossef et al. 2002; the theta-sketch family's simplest member).
@@ -34,7 +54,7 @@ case class KmvSketch(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[Long]] {
+    extends TypedImperativeAggregate[KmvBuffer] {
 
   require(k > 2, "k must exceed 2 (estimate uses (k-1)/theta)")
 
@@ -51,16 +71,7 @@ case class KmvSketch(
           s"kmv_distinct requires string/int/bigint input, got $other")
     }
 
-  // PriorityQueue dequeues the MAXIMUM under its ordering; with the
-  // UNSIGNED ascending order the head is the largest kept hash — the one
-  // to evict. Unsigned compare keeps the unit-interval mapping monotone
-  // (hashes span the full 64-bit range).
-  private val unsignedAsc: Ordering[Long] = new Ordering[Long] {
-    override def compare(a: Long, b: Long): Int = java.lang.Long.compareUnsigned(a, b)
-  }
-
-  override def createAggregationBuffer(): mutable.PriorityQueue[Long] =
-    mutable.PriorityQueue.empty[Long](unsignedAsc)
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer
 
   private def hashOf(v: Any): Long = v match {
     case s: UTF8String => org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -71,50 +82,58 @@ case class KmvSketch(
       .hash(i.toLong, LongType, 42L)
   }
 
-  private def add(buf: mutable.PriorityQueue[Long], h: Long): Unit = {
-    // dedupe against current members only when small; heap holds ≤ k
-    if (buf.size < k) {
-      if (!buf.exists(_ == h)) buf.enqueue(h)
-    } else if (java.lang.Long.compareUnsigned(h, buf.head) < 0) {
-      if (!buf.exists(_ == h)) { buf.dequeue(); buf.enqueue(h) }
+  private def add(buf: KmvBuffer, h: Long): Unit =
+    if (!buf.members.contains(h)) {
+      if (buf.heap.size < k) {
+        buf.heap.enqueue(h)
+        buf.members.add(h); ()
+      } else if (java.lang.Long.compareUnsigned(h, buf.heap.head) < 0) {
+        buf.members.remove(buf.heap.dequeue())
+        buf.heap.enqueue(h)
+        buf.members.add(h); ()
+      }
     }
-  }
 
-  override def update(buf: mutable.PriorityQueue[Long], input: InternalRow): mutable.PriorityQueue[Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
     if (v != null) add(buf, hashOf(v))
     buf
   }
 
-  override def merge(buf: mutable.PriorityQueue[Long], other: mutable.PriorityQueue[Long]): mutable.PriorityQueue[Long] = {
-    other.foreach(add(buf, _))
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    other.heap.foreach(add(buf, _))
     buf
   }
 
-  override def eval(buf: mutable.PriorityQueue[Long]): Any =
-    if (buf.size < k) buf.size.toLong // exact below capacity
+  override def eval(buf: KmvBuffer): Any =
+    if (buf.heap.size < k) buf.heap.size.toLong // exact below capacity
     else {
       // theta = kth smallest hash as a fraction of 2^64 (unsigned)
-      val kth = buf.head
+      val kth = buf.heap.head
       val theta = math.max(
         ((kth >>> 1).toDouble * 2.0 + (kth & 1L).toDouble) / 1.8446744073709552e19,
         java.lang.Double.MIN_VALUE)
       math.round((k - 1).toDouble / theta)
     }
 
-  override def serialize(buf: mutable.PriorityQueue[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 8)
-    bb.putInt(buf.size)
-    buf.foreach(bb.putLong)
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.heap.size * 8)
+    bb.putInt(buf.heap.size)
+    buf.heap.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
     var j = 0
-    while (j < n) { buf.enqueue(bb.getLong); j += 1 }
+    while (j < n) {
+      val h = bb.getLong
+      buf.heap.enqueue(h)
+      buf.members.add(h)
+      j += 1
+    }
     buf
   }
 

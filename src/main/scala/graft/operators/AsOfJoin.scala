@@ -41,23 +41,31 @@ object AsOfJoin {
     // side order: right rows first at equal time for inclusive (<=)
     // semantics, after for strict (<)
     val rightOrder = if (strict) 1 else -1
-    val lCols = Seq(
-      col(keyCol).as("__key"), col(leftTime).as("__t"), lit(0).as("__side"),
-      struct(left.columns.map(col): _*).as("__l")) ++
-      carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
-    val lTagged = left.select(lCols: _*)
-    val rCols = Seq(
+    // the right payload rides as ONE struct so `last(..., ignoreNulls)`
+    // selects the latest right ROW atomically: carrying columns
+    // independently would let a NULL field in the latest row fall through
+    // to an older row's value — output rows that never existed (and a
+    // divergence from ASOF JOIN semantics, which return the latest row's
+    // NULL as-is). The struct itself is never null for right rows, so
+    // ignoreNulls skips only the left rows' placeholder.
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(carryCols.map(c => right.schema(c)))
+    val rTagged = right.select(
       col(keyCol).as("__key"), col(rightTime).as("__t"), lit(rightOrder).as("__side"),
-      lit(null).cast(lTagged.schema("__l").dataType).as("__l")) ++
-      carryCols.map(col)
-    val rTagged = right.select(rCols: _*)
+      lit(null).cast(lType).as("__l"),
+      struct(carryCols.map(col): _*).as("__r"))
+    val lTagged = left.select(
+      col(keyCol).as("__key"), col(leftTime).as("__t"), lit(0).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lTagged.unionAll(rTagged)
-      .select(Seq(col("__side"), col("__l")) ++
-        carryCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("__side") === 0)
-      .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++ carryCols.map(col): _*)
+    lTagged.unionAll(rTagged)
+      .select(col("__side"), col("__l"),
+        last(col("__r"), ignoreNulls = true).over(w).as("__carried"))
+      .filter(col("__side") === 0)
+      .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++
+        carryCols.map(c => col(s"__carried.`$c`").as(c)): _*)
   }
 }

@@ -124,9 +124,24 @@ object LlmOps {
     * deployment shape where the index is built ONCE and amortized over
     * every query batch (an IVF k-means refit per query batch would be
     * like rebuilding a B-tree per SELECT). First access pays the build;
-    * Bench reports that setup cost separately from query time. */
+    * Bench reports that setup cost separately from query time.
+    *
+    * Staleness contract, same as any database index: the memo reflects the
+    * corpus at build time. After rewriting the data under `dir` in the
+    * SAME session, call [[clearAnnIndexes]] (which also unpersists the
+    * cached frames) — there is no automatic invalidation. */
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), AnyRef]
+
+  /** Drop every memoized ANN index (and release its cached storage). */
+  def clearAnnIndexes(): Unit = {
+    annIndexCache.values.foreach {
+      case df: DataFrame => df.unpersist(); ()
+      case idx: Ivf.IvfIndex => idx.assigned.unpersist(); ()
+      case _ => ()
+    }
+    annIndexCache.clear()
+  }
 
   def annIvfIndex(spark: SparkSession, dir: String): Ivf.IvfIndex =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "ivf"), {

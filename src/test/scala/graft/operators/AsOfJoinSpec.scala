@@ -31,6 +31,20 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, None)))        // left-outer: no right row for key 30
   }
 
+  test("a NULL in the latest right row returns as-is, never an older row's value") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), "old", 100L),
+      (10L, ts("2024-01-01 11:00:00"), null, 200L)) // latest: v NULL, q 200
+      .toDF("k", "rt", "v", "q")
+    val row = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v", "q")).collect().head
+    // the whole latest row is carried atomically: its NULL v stays NULL
+    // (ASOF JOIN semantics) and q comes from the SAME row — never a blend
+    assert(row.isNullAt(3))
+    assert(row.getLong(4) == 200L)
+  }
+
   test("strict mode excludes the equal-instant right row") {
     import spark.implicits._
     val left = Seq((1L, 20L, ts("2024-01-01 11:00:00"))).toDF("lid", "k", "t")
