@@ -22,6 +22,7 @@ object SparkEntry {
     "q_quantize" -> ((s, dir) => LlmOps.qQuantize(s, dir)),
     "q_repetition" -> ((s, dir) => LlmOps.qRepetition(s, dir)),
     "q_distinct_sketch" -> ((s, dir) => LlmOps.qDistinctSketch(s, dir)),
+    "q_sketch_jaccard" -> ((s, dir) => LlmOps.qSketchJaccard(s, dir)),
     "q_top_terms" -> ((s, dir) => LlmOps.qTopTerms(s, dir)),
     "q_sessionize" -> ((s, dir) => Warehouse.qSessionize(s, dir)),
     "q_stream_window_agg" -> ((s, dir) => Warehouse.qStreamWindowAgg(s, dir)),
@@ -450,6 +451,24 @@ object SparkEntry {
         |  count(DISTINCT props) AS distinct_props,
         |  count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact in the below-k regime (see q_distinct_sketch note)
+    "q_sketch_jaccard" ->
+      """WITH s AS (SELECT DISTINCT event_type, props FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM sizes a JOIN sizes b ON a.event_type < b.event_type),
+        |inter AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS i
+        |  FROM s x JOIN s y ON x.props = y.props AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  1000 * COALESCE(i.i, 0) // (na.n + nb.n - COALESCE(i.i, 0)) AS jaccard_x1000
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+        |JOIN sizes na ON na.event_type = p.type_a
+        |JOIN sizes nb ON nb.event_type = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
     "q_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),

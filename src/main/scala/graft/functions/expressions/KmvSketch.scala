@@ -52,6 +52,11 @@ object KmvBuffer {
 case class KmvSketch(
     child: Expression,
     k: Int,
+    /** true → return the sketch itself (sorted array of kept hashes,
+      * sign-flipped so SIGNED ascending == unsigned ascending; feeds
+      * array_union/array_intersect set estimators like kmvJaccardX1000)
+      * instead of the cardinality estimate. */
+    asArray: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KmvBuffer] {
@@ -60,7 +65,8 @@ case class KmvSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
+  override def dataType: DataType =
+    if (asArray) ArrayType(LongType, containsNull = false) else LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -106,7 +112,10 @@ case class KmvSketch(
   }
 
   override def eval(buf: KmvBuffer): Any =
-    if (buf.heap.size < k) buf.heap.size.toLong // exact below capacity
+    if (asArray)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.heap.toArray.map(_ ^ Long.MinValue).sorted)
+    else if (buf.heap.size < k) buf.heap.size.toLong // exact below capacity
     else {
       // theta = kth smallest hash as a fraction of 2^64 (unsigned)
       val kth = buf.heap.head

@@ -80,4 +80,23 @@ package object functions {
   def kmvDistinct(value: Column, k: Int = 1024): Column =
     ColumnBridge.column(expressions.KmvSketch(
       ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** The KMV sketch itself as a sorted array<long> (sign-flipped hashes so
+    * the signed sort order is the unsigned hash order) — the mergeable
+    * set-valued form that feeds intersection estimators. */
+  def kmvSketch(value: Column, k: Int = 1024): Column =
+    ColumnBridge.column(expressions.KmvSketch(
+      ColumnBridge.expression(value), k, asArray = true).toAggregateExpression())
+
+  /** Jaccard similarity estimate (×1000) between two [[kmvSketch]]s built
+    * with the same k: take X = the k smallest hashes of the union (a valid
+    * KMV sketch of A∪B), count how many fall in both inputs —
+    * J ≈ |X∩A∩B| / |X|. EXACT when both sets held fewer than k distinct
+    * values (the sketches are then the complete hash sets). */
+  def kmvJaccardX1000(a: Column, b: Column, k: Int = 1024): Column = {
+    val unionK = slice(array_sort(array_union(a, b)), 1, k)
+    val interK = array_intersect(unionK, array_intersect(a, b))
+    when(size(unionK) === 0, lit(0L))
+      .otherwise(floor((lit(1000) * size(interK)) / size(unionK)).cast("long"))
+  }
 }

@@ -233,6 +233,24 @@ object LlmOps {
         graft.functions.kmvDistinct(col("user_id"), 8192).as("distinct_users"))
       .orderBy("event_type")
 
+  /** F6b: pairwise Jaccard between event types' distinct-prop SETS via
+    * KMV sketch intersection — set overlap without materializing either
+    * set at the comparison site (two sketches of ≤k longs travel, not
+    * the sets). Exact in the below-k regime, which is what the oracle
+    * (exact set Jaccard in SQL) checks. */
+  def qSketchJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.kmvSketch(col("props"), 8192).as("sk"))
+    sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b")),
+        col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        graft.functions.kmvJaccardX1000(col("sk_a"), col("sk_b"), 8192)
+          .as("jaccard_x1000"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** F7: TF-IDF-flavored top terms per document — integer score
     * 1e6·tf/df (monotone in the tf-idf ratio, exact in both engines),
     * top-3 by (score desc, term asc). The doc-frequency side is a tiny

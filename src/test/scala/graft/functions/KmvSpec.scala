@@ -35,6 +35,27 @@ class KmvSpec extends SparkSpec {
       s"KMV must be deterministic across partitionings, got $estimates")
   }
 
+  test("sketch jaccard: exact below k, 3σ-bounded estimate above") {
+    import spark.implicits._
+    def jaccard(data: Seq[(String, String)], k: Int): Long = {
+      val sks = data.toDF("s", "v").groupBy($"s")
+        .agg(kmvSketch($"v", k).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      Seq((sks("a"), sks("b"))).toDF("a", "b")
+        .select(kmvJaccardX1000($"a", $"b", k)).first().getLong(0)
+    }
+    // exact regime: |A|=300, |B|=300, |A∩B|=100 → J = 100/500 = 0.200
+    val small = (1 to 300).map(i => ("a", s"v$i")) ++
+      (201 to 500).map(i => ("b", s"v$i"))
+    assert(jaccard(small, k = 1024) == 200L)
+    // estimate regime: |A|=|B|=20000, overlap 10000 → J = 1/3;
+    // σ ≈ √(J(1-J)/k) ≈ 1.5% at k=1024 → 3σ ≈ 4.4%
+    val big = (1 to 20000).map(i => ("a", s"v$i")) ++
+      (10001 to 30000).map(i => ("b", s"v$i"))
+    val est = jaccard(big, k = 1024) / 1000.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.05, s"estimate $est vs 0.333")
+  }
+
   test("null and integer inputs handled") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "c"), (2L, "d"))
