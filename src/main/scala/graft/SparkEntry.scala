@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_apply" -> ((s, dir) => LlmOps.qDedupApply(s, dir)),
     "q_decontaminate" -> ((s, dir) => LlmOps.qDecontaminate(s, dir)),
     "q_split_assign" -> ((s, dir) => LlmOps.qSplitAssign(s, dir)),
+    "q_sample_per_group" -> ((s, dir) => LlmOps.qSamplePerGroup(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -433,6 +434,14 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sample_per_group" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
     "q_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |s AS (SELECT vec_id, emb,

@@ -42,6 +42,23 @@ object Curation {
     corpus.join(contaminatedIds(corpus, holdout, textCol, idCol, n),
       Seq(idCol), "left_anti")
 
+  /** Deterministic balanced subsample: exactly `n` rows per group, chosen
+    * by content-hash order (md5 of `textCol`, id tiebreak) — a stable
+    * "take 10k docs per language" that every rerun and every engine
+    * reproduces bit-for-bit (no rand(), no partition dependence).
+    * Plan: per-group row_number window; each stratum ranks within one
+    * task, which is the exact-n contract's cost — strata are typically
+    * few and the alternative (per-group hash thresholds from counts) is
+    * approximate. For approximately-n at unbounded stratum size, filter
+    * on [[assignSplit]]-style hash buckets instead. */
+  def sampleExactPerGroup(df: DataFrame, groupCol: String, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** Deterministic dataset split: bucket by a content hash (polyhash —
     * the codegen rolling hash, oracle-replicable via list_reduce), then
     * map cumulative integer shares to split names. Content-keyed, so the

@@ -270,6 +270,15 @@ object LlmOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** H2: deterministic balanced subsample — exactly 20 docs per language
+    * by content-hash order (stable across reruns, partitionings, and
+    * engines). */
+  def qSamplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.sampleExactPerGroup(
+      Tables.table(spark, dir, "documents"), "lang", "text", "doc_id", n = 20)
+      .select("doc_id", "lang", "rank")
+      .orderBy("lang", "rank")
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

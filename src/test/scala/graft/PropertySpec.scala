@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks: the new operators vs brute-force reference
+  * implementations on randomized inputs — beyond the hand-picked spec
+  * cases, these sweep edge shapes (empty blocks, all-one-bucket, ties,
+  * single-element keys) that example tests miss. Deterministic seeds so
+  * failures reproduce. */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("gridSelfJoin equals naive all-pairs for random block shapes") {
+    import spark.implicits._
+    val gen = for {
+      nBlocks <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(120, for {
+        b <- Gen.choose(0, nBlocks - 1)
+        id <- Gen.choose(0L, 200L)
+      } yield (s"b$b", id))
+    } yield rows.distinct
+    (1 to 8).foreach { seed =>
+      val rows = sample(gen, seed.toLong)
+      val df = rows.toDF("blk", "id").repartition(3)
+      val chunk = if (seed % 2 == 0) 7 else 1000 // force multi-cell and single-cell
+      val got = dedup.Buckets.gridSelfJoin(df, Seq("blk"), "id", chunkSize = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = rows.groupBy(_._1).values.flatMap { members =>
+        val ids = members.map(_._2).distinct
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(got == expect, s"seed=$seed chunk=$chunk")
+    }
+  }
+
+  test("asOf equals the naive latest-at-or-before scan for random series") {
+    import spark.implicits._
+    val gen = for {
+      lefts <- Gen.listOfN(40, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      rights <- Gen.listOfN(40, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+    } yield (lefts.distinct, rights.map { case (k, t) => (k, t, s"p$k-$t") }
+      .distinctBy(r => (r._1, r._2)))
+    (1 to 8).foreach { seed =>
+      val (lefts, rights) = sample(gen, 100L + seed)
+      val leftDf = lefts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val rightDf = rights.toDF("k", "rt", "v")
+      val got = operators.AsOfJoin.asOf(leftDf, rightDf, "k", "t", "rt", Seq("v"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+      lefts.zipWithIndex.foreach { case ((k, t), i) =>
+        val expect = rights.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(i.toLong) == expect, s"seed=$seed left=($k,$t)")
+      }
+    }
+  }
+
+  test("chunked sync union equals single-shot sync for random chunk sizes") {
+    import graft.catalog.Streams
+    import graft.sync.{Bookmarks, SyncState}
+    import graft.target.ApiSink
+    val active = sources.Tables.table(spark, sfDir, "customer")
+      .select(col("c_custkey"))
+    val total = sources.Tables.table(spark, sfDir, "orders").count()
+    val cfg = ApiSink.SinkConfig(
+      ApiSink.Endpoint("https://example.invalid", "account"),
+      callsPerPeriod = 1000000, periodMillis = 1000L, parallelism = 1)
+    Seq(97, 333, 1499).foreach { chunkRows =>
+      ApiSink.RecordingPoster.reset()
+      val r = Pipeline.runIncrementalChunked(spark, sfDir, Streams.visitors,
+        active, "o_custkey", new ApiSink.RecordingPoster(), cfg,
+        Bookmarks.buildState(SyncState(), Streams.all), chunkRows = chunkRows, nowMs = 1L)
+      assert(r.exhausted, s"chunkRows=$chunkRows")
+      import scala.jdk.CollectionConverters._
+      val pushed = ApiSink.RecordingPoster.calls.asScala.flatMap(_._2).toSeq
+      assert(pushed.size.toLong == total, s"chunkRows=$chunkRows pushed=${pushed.size}")
+      assert(pushed.distinct.size == pushed.size, s"chunkRows=$chunkRows dup push")
+    }
+  }
+
+  test("split shares converge to the requested proportions on random share vectors") {
+    import spark.implicits._
+    val docs = (1 to 4000).map(i => s"content number $i with words").toDF("text")
+    Seq(Seq("a" -> 1, "b" -> 1), Seq("x" -> 7, "y" -> 2, "z" -> 1)).foreach { shares =>
+      val total = shares.map(_._2).sum.toDouble
+      val counts = docs.select(curation.Curation.assignSplit("text", shares).as("s"))
+        .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == shares.map(_._1).toSet)
+      shares.foreach { case (name, w) =>
+        val frac = counts(name) / 4000.0
+        assert(math.abs(frac - w / total) < 0.06, s"$shares → $name at $frac")
+      }
+    }
+  }
+}

@@ -23,6 +23,19 @@ class CurationSpec extends SparkSpec {
     assert(clean == Set(2L, 3L))
   }
 
+  test("exact per-group sample: n per stratum, stable under repartitioning") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val a = Curation.sampleExactPerGroup(docs, "lang", "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleExactPerGroup(docs.repartition(17), "lang", "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // identical selection regardless of physical layout
+    val perLang = Curation.sampleExactPerGroup(docs, "lang", "text", "doc_id", n = 5)
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perLang.forall(_ == 5L))
+  }
+
   test("split assignment is deterministic, content-keyed, and ~proportional per stratum") {
     import spark.implicits._
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
