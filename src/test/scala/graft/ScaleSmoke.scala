@@ -99,6 +99,8 @@ object ScaleSmoke {
     time("q_quantize") { queries.LlmOps.qQuantize(spark, dir) }
     time("q_repetition") { queries.LlmOps.qRepetition(spark, dir) }
     time("q_distinct_sketch") { queries.LlmOps.qDistinctSketch(spark, dir) }
+    time("q_sketch_jaccard") { queries.LlmOps.qSketchJaccard(spark, dir) }
+    time("q_sample_per_group") { queries.LlmOps.qSamplePerGroup(spark, dir) }
     time("q_top_terms") { queries.LlmOps.qTopTerms(spark, dir) }
     spark.stop()
   }
