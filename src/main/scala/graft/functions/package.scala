@@ -65,6 +65,13 @@ package object functions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** Fused exact set-Jaccard ×1000 of two array<bigint> columns (one
+    * sort-merge pass; see expressions.LongSetJaccard) — bit-identical to
+    * the array_intersect/array_distinct formulation on long arrays. */
+  def longSetJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(expressions.LongSetJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Bounded top-k aggregate over (score, id): keeps the k best pairs with
     * map-side partial reduction (see expressions.TopKByScore). Use inside
     * groupBy().agg(...); result is array<struct<sim, neighbor_id>> sorted

@@ -86,6 +86,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused long-set jaccard kernel equals set math and the column formulation") {
+    import spark.implicits._
+    val gen = for {
+      xs <- Gen.listOf(Gen.choose(-20L, 20L))
+      ys <- Gen.listOf(Gen.choose(-20L, 20L))
+    } yield (xs, ys) // small value range → dense duplicates and overlaps
+    (1 to 50).foreach { seed =>
+      val (xs, ys) = sample(gen, 500L + seed)
+      val expect = {
+        val (sa, sb) = (xs.toSet, ys.toSet)
+        val union = (sa ++ sb).size
+        if (union == 0) 0L else 1000L * (sa & sb).size / union
+      }
+      val kernel = functions.expressions.JaccardKernel
+        .jaccardX1000(xs.toArray, ys.toArray)
+      assert(kernel == expect, s"seed=$seed xs=$xs ys=$ys")
+    }
+    // and through the Column path against Dedup.jaccardX1000
+    val df = Seq((Seq(1L, 2L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    val viaExpr = df.select(functions.longSetJaccard(col("a"), col("b"))).first().getLong(0)
+    val viaCols = df.select(dedup.Dedup.jaccardX1000(col("a"), col("b"))).first().getLong(0)
+    assert(viaExpr == viaCols && viaExpr == 500L) // {2,3} of {1,2,3,4}
+  }
+
   test("split shares converge to the requested proportions on random share vectors") {
     import spark.implicits._
     val docs = (1 to 4000).map(i => s"content number $i with words").toDF("text")
