@@ -90,10 +90,14 @@ object Buckets {
     * to the plain bucket self-join (no explode amplification: the
     * sequence() is a single element).
     *
-    * Pairs are normalized to (least, greatest) because a cross-cell (i<j)
-    * pair only materializes once, with whichever member landed in the
-    * lower chunk on the left; diagonal cells produce both orders and the
-    * final distinct collapses them. */
+    * The decomposition is duplicate-free BY CONSTRUCTION, so there is no
+    * global pair-distinct (at 312M pairs in the 50× smoke that exchange
+    * dominated the whole query): a same-chunk pair exists only in its
+    * diagonal cell, where both orders appear and `id_l < id_r` keeps one;
+    * a cross-chunk pair exists in exactly one cell (i,j), i<j — the
+    * lower-chunk member on the left — normalized via least/greatest.
+    * PRECONDITION: (keys, id) rows are unique (dedupe first otherwise —
+    * duplicate input rows would emit duplicate pairs). */
   def gridSelfJoin(
       banded: DataFrame, keyCols: Seq[String], idCol: String,
       chunkSize: Int): DataFrame = {
@@ -117,9 +121,9 @@ object Buckets {
         keyCols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
           col("__cell_i") === col("__r_cell_i") &&
           col("__cell_j") === col("__r_cell_j") &&
+          (col("__cell_i") =!= col("__cell_j") || col("__id_l") < col("__id_r")) &&
           col("__id_l") =!= col("__id_r"))
       .select(least(col("__id_l"), col("__id_r")).as("id_a"),
         greatest(col("__id_l"), col("__id_r")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 }

