@@ -460,9 +460,12 @@ object SparkEntry {
         |  count(DISTINCT props) AS distinct_props,
         |  count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // exact in the below-k regime (see q_distinct_sketch note)
+    // exact while |union of any two prop sets| ≤ k=8192 (generator emits
+    // ~100 distinct props — ample margin); NULL props excluded to match
+    // the sketch's null-skipping
     "q_sketch_jaccard" ->
-      """WITH s AS (SELECT DISTINCT event_type, props FROM events),
+      """WITH s AS (SELECT DISTINCT event_type, props FROM events
+        |           WHERE props IS NOT NULL),
         |sizes AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1),
         |pairs AS (
         |  SELECT a.event_type AS type_a, b.event_type AS type_b

@@ -96,8 +96,13 @@ object Buckets {
     * diagonal cell, where both orders appear and `id_l < id_r` keeps one;
     * a cross-chunk pair exists in exactly one cell (i,j), i<j — the
     * lower-chunk member on the left — normalized via least/greatest.
-    * PRECONDITION: (keys, id) rows are unique (dedupe first otherwise —
-    * duplicate input rows would emit duplicate pairs). */
+    * PRECONDITION: the key PARTITIONS the ids — each id appears in
+    * exactly one (keys) block, i.e. the blocking key is a function of
+    * the row (a source, a prefix, a hash bucket). An id in several
+    * blocks would emit its pairs once per shared block; that
+    * multi-membership shape is [[cappedSelfJoin]]'s contract (LSH bands),
+    * which is why THAT operator ends in a pair-distinct and this one
+    * doesn't need to. */
   def gridSelfJoin(
       banded: DataFrame, keyCols: Seq[String], idCol: String,
       chunkSize: Int): DataFrame = {

@@ -33,6 +33,17 @@ object Dedup {
   def wordNgrams(text: Column, n: Int): Column =
     ngramsFromTokens(split(text, " "), n)
 
+  /** N-grams as SORTED xxhash64 values — the carry format of the Jaccard
+    * verify stages: set Jaccard over hashed grams is the same similarity
+    * (sets isomorphic; a 64-bit collision within one compared pair is
+    * ~n²/2⁶⁴ — absent at any tested scale), 8-byte lanes shrink the
+    * per-pair join-back exchange vs gram strings, and sorting ONCE here,
+    * per document, lets the fused merge-only kernel
+    * (functions.longSetJaccardSorted) skip its per-PAIR sort — a doc in p
+    * candidate pairs would otherwise be re-sorted p times. */
+  def hashedNgrams(toks: Column, n: Int): Column =
+    array_sort(transform(ngramsFromTokens(toks, n), g => xxhash64(g)))
+
   /** N-grams over an already-tokenized array column — `toks` should be a
     * materialized attribute (one `split` per row), not an inline
     * expression. */

@@ -66,13 +66,12 @@ object MinHashLsh {
     // duplicate-heavy corpora
     // tokens materialize as an attribute first: inlining split(text) into
     // the gram lambda re-tokenizes once per element_at (Catalyst does not
-    // CSE across lambda boundaries — see Dedup.wordNgrams perf note)
+    // CSE across lambda boundaries — see Dedup.wordNgrams perf note).
+    // hashedNgrams sorts per DOC so the verify kernel is merge-only per
+    // pair; MinHashSignature is order-insensitive (min over lanes).
     val shingled = df
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(
-        col(idCol),
-        transform(Dedup.ngramsFromTokens(col("__toks"), shingleSize),
-          s => xxhash64(s)).as("shingles"))
+      .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
     val sigs = shingled.select(col(idCol), col("shingles"),
       graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
     val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
@@ -81,12 +80,12 @@ object MinHashLsh {
     pairs
       .join(byId.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(byId.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
-      // fused sort-merge Jaccard kernel: bit-identical to
-      // Dedup.jaccardX1000 on long arrays, one pass instead of three
-      // intermediate arrays per pair — verification dominates this
-      // pipeline on duplicate-heavy corpora
+      // fused merge-only Jaccard kernel (inputs doc-sorted by
+      // hashedNgrams): bit-identical to Dedup.jaccardX1000 on long
+      // arrays, zero per-pair allocation beyond the array copies —
+      // verification dominates this pipeline on duplicate-heavy corpora
       .select(col("id_a"), col("id_b"),
-        graft.functions.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard_x1000"))
+        graft.functions.longSetJaccardSorted(col("sh_a"), col("sh_b")).as("jaccard_x1000"))
       .filter(col("jaccard_x1000") >= minJaccardX1000)
   }
 }

@@ -21,6 +21,14 @@ object JaccardKernel {
   def jaccardX1000(xs: Array[Long], ys: Array[Long]): Long = {
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
+    jaccardX1000Sorted(xs, ys)
+  }
+
+  /** Merge-only variant for inputs already sorted ASCENDING (signed) —
+    * e.g. Dedup.hashedNgrams output, sorted once per document instead of
+    * once per candidate pair. Unsorted input silently produces wrong
+    * results; callers own the precondition. */
+  def jaccardX1000Sorted(xs: Array[Long], ys: Array[Long]): Long = {
     var i = 0; var j = 0
     var da = 0L; var db = 0L; var inter = 0L
     while (i < xs.length || j < ys.length) {
@@ -41,7 +49,9 @@ object JaccardKernel {
   }
 }
 
-case class LongSetJaccard(left: Expression, right: Expression) extends BinaryExpression {
+case class LongSetJaccard(left: Expression, right: Expression,
+    /** inputs pre-sorted ascending (signed) → skip the per-pair sort */
+    assumeSorted: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -54,15 +64,19 @@ case class LongSetJaccard(left: Expression, right: Expression) extends BinaryExp
           s"long_set_jaccard requires (array<bigint>, array<bigint>), got $other")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    JaccardKernel.jaccardX1000(
-      a.asInstanceOf[ArrayData].toLongArray(),
-      b.asInstanceOf[ArrayData].toLongArray())
+  private def kernel: String = if (assumeSorted) "jaccardX1000Sorted" else "jaccardX1000"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    if (assumeSorted) JaccardKernel.jaccardX1000Sorted(xs, ys)
+    else JaccardKernel.jaccardX1000(xs, ys)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |${ev.value} = graft.functions.expressions.JaccardKernel.jaccardX1000(
+         |${ev.value} = graft.functions.expressions.JaccardKernel.$kernel(
          |  $a.toLongArray(), $b.toLongArray());
        """.stripMargin)
 

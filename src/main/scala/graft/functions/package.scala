@@ -72,6 +72,14 @@ package object functions {
     ColumnBridge.column(expressions.LongSetJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** [[longSetJaccard]] for inputs already sorted ascending (e.g.
+    * graft.dedup.Dedup.hashedNgrams): merge-only, no per-pair sort.
+    * Unsorted input silently computes the wrong value — the caller owns
+    * the precondition. */
+  def longSetJaccardSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(expressions.LongSetJaccard(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted = true))
+
   /** Bounded top-k aggregate over (score, id): keeps the k best pairs with
     * map-side partial reduction (see expressions.TopKByScore). Use inside
     * groupBy().agg(...); result is array<struct<sim, neighbor_id>> sorted
@@ -98,8 +106,10 @@ package object functions {
   /** Jaccard similarity estimate (×1000) between two [[kmvSketch]]s built
     * with the same k: take X = the k smallest hashes of the union (a valid
     * KMV sketch of A∪B), count how many fall in both inputs —
-    * J ≈ |X∩A∩B| / |X|. EXACT when both sets held fewer than k distinct
-    * values (the sketches are then the complete hash sets). */
+    * J ≈ |X∩A∩B| / |X|. EXACT iff |A∪B| ≤ k (the union then survives the
+    * slice whole and both sketches are complete hash sets — note this is
+    * a bound on the UNION, stronger than each set alone being under k);
+    * beyond it, a ~1/√k-error estimate. */
   def kmvJaccardX1000(a: Column, b: Column, k: Int = 1024): Column = {
     val unionK = slice(array_sort(array_union(a, b)), 1, k)
     val interK = array_intersect(unionK, array_intersect(a, b))

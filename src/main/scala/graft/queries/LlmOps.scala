@@ -44,18 +44,14 @@ object LlmOps {
     * heuristic contract permits the capped star degrade, this one may not
     * silently change the result set. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // grams carried as xxhash64 longs, not strings: set Jaccard over
-    // hashed grams is the same similarity (sets isomorphic; a 64-bit
-    // collision WITHIN one compared pair is ~n²/2⁶⁴ — absent at any
-    // tested scale, where the string-formulated oracle stays hash-equal)
-    // and the per-pair join-back exchange carries 8-byte lanes instead of
-    // ~25-char strings — the dominant cost at 50×, where this plus the
-    // fused verify kernel cut the query ~3×
+    // grams carried as doc-sorted xxhash64 longs (Dedup.hashedNgrams):
+    // same similarity as string grams, 8-byte join-back lanes, and a
+    // merge-only per-pair verify
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
-        transform(Dedup.ngramsFromTokens(col("__toks"), 2), g => xxhash64(g)).as("grams"))
+        Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
     // grams verify via per-doc join-backs: carrying the wide bigram arrays
     // per-PAIR through the candidate distinct is the exchange-bloat pattern
     // measured 3x slower on SimHash at 50x (see Buckets.cappedSelfJoin doc)
@@ -66,7 +62,7 @@ object LlmOps {
       .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.longSetJaccard(col("g_a"), col("g_b")).as("jaccard_x1000"))
+        graft.functions.longSetJaccardSorted(col("g_a"), col("g_b")).as("jaccard_x1000"))
       .orderBy("id_a", "id_b")
   }
 
@@ -243,8 +239,10 @@ object LlmOps {
   /** F6b: pairwise Jaccard between event types' distinct-prop SETS via
     * KMV sketch intersection — set overlap without materializing either
     * set at the comparison site (two sketches of ≤k longs travel, not
-    * the sets). Exact in the below-k regime, which is what the oracle
-    * (exact set Jaccard in SQL) checks. */
+    * the sets). Exact while the UNION of any compared pair stays ≤ k
+    * (see kmvJaccardX1000) — that regime is what the oracle (exact set
+    * Jaccard in SQL) checks; past it the query degrades to a ~1/√k
+    * estimate and the oracle would need a tolerance gate instead. */
   def qSketchJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sk = Tables.table(spark, dir, "events")
       .groupBy(col("event_type"))

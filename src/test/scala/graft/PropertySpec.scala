@@ -16,24 +16,27 @@ class PropertySpec extends SparkSpec {
 
   test("gridSelfJoin equals naive all-pairs for random block shapes") {
     import spark.implicits._
+    // the blocking key must PARTITION ids (the operator's precondition:
+    // key = function of the row), so each id draws its block once
     val gen = for {
       nBlocks <- Gen.choose(1, 6)
-      rows <- Gen.listOfN(120, for {
-        b <- Gen.choose(0, nBlocks - 1)
-        id <- Gen.choose(0L, 200L)
-      } yield (s"b$b", id))
-    } yield rows.distinct
+      ids <- Gen.listOfN(120, Gen.choose(0L, 200L)).map(_.distinct)
+      blocks <- Gen.listOfN(201, Gen.choose(0, nBlocks - 1))
+    } yield ids.map(id => (s"b${blocks(id.toInt)}", id))
     (1 to 8).foreach { seed =>
       val rows = sample(gen, seed.toLong)
       val df = rows.toDF("blk", "id").repartition(3)
       val chunk = if (seed % 2 == 0) 7 else 1000 // force multi-cell and single-cell
-      val got = dedup.Buckets.gridSelfJoin(df, Seq("blk"), "id", chunkSize = chunk)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rowsOut = dedup.Buckets.gridSelfJoin(df, Seq("blk"), "id", chunkSize = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val got = rowsOut.toSet
       val expect = rows.groupBy(_._1).values.flatMap { members =>
         val ids = members.map(_._2).distinct
         for (a <- ids; b <- ids if a < b) yield (a, b)
       }.toSet
       assert(got == expect, s"seed=$seed chunk=$chunk")
+      // duplicate-free by construction — there is NO dropDuplicates to hide behind
+      assert(rowsOut.length == expect.size, s"seed=$seed chunk=$chunk emitted dups")
     }
   }
 
@@ -102,6 +105,9 @@ class PropertySpec extends SparkSpec {
       val kernel = functions.expressions.JaccardKernel
         .jaccardX1000(xs.toArray, ys.toArray)
       assert(kernel == expect, s"seed=$seed xs=$xs ys=$ys")
+      val sortedKernel = functions.expressions.JaccardKernel
+        .jaccardX1000Sorted(xs.sorted.toArray, ys.sorted.toArray)
+      assert(sortedKernel == expect, s"sorted variant seed=$seed")
     }
     // and through the Column path against Dedup.jaccardX1000
     val df = Seq((Seq(1L, 2L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")

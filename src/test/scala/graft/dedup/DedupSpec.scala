@@ -119,12 +119,15 @@ class DedupSpec extends SparkSpec {
     val rows = (1 to 50).map(i => ("big", i.toLong)) ++
       Seq(("tiny", 100L), ("tiny", 101L), ("tiny", 102L))
     val df = rows.toDF("blk", "id").repartition(4)
-    val got = Buckets.gridSelfJoin(df, Seq("blk"), "id", chunkSize = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rowsOut = Buckets.gridSelfJoin(df, Seq("blk"), "id", chunkSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = rowsOut.toSet
     val expect =
       (for (a <- 1 to 50; b <- (a + 1) to 50) yield (a.toLong, b.toLong)).toSet ++
         (for (a <- 100 to 102; b <- (a + 1) to 102) yield (a.toLong, b.toLong)).toSet
     assert(got == expect) // 1225 + 3 pairs, exact
+    // and duplicate-free WITHOUT a distinct: the grid emits each pair once
+    assert(rowsOut.length == expect.size)
   }
 
   test("connected components: chains merge, singletons keep own label") {
