@@ -18,6 +18,9 @@ object SparkEntry {
     "q_window_topn" -> ((s, dir) => Warehouse.qWindowTopN(s, dir)),
     "q_anti_join" -> ((s, dir) => Warehouse.qAntiJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Warehouse.qAsofJoin(s, dir)),
+    "q_range_join" -> ((s, dir) => Warehouse.qRangeJoin(s, dir)),
+    "q_rollup" -> ((s, dir) => Warehouse.qRollup(s, dir)),
+    "q_percentile" -> ((s, dir) => Warehouse.qPercentile(s, dir)),
     "q_skew_agg" -> ((s, dir) => Warehouse.qSkewAgg(s, dir)),
     "q_quantize" -> ((s, dir) => LlmOps.qQuantize(s, dir)),
     "q_repetition" -> ((s, dir) => LlmOps.qRepetition(s, dir)),
@@ -40,6 +43,7 @@ object SparkEntry {
     "q_payload_shape" -> ((s, dir) => Etl.qPayloadShape(s, dir)),
     "q_batch_assign" -> ((s, dir) => Etl.qBatchAssign(s, dir)),
     "q_schema_validate" -> ((s, dir) => Etl.qSchemaValidate(s, dir)),
+    "q_bloom_sync" -> ((s, dir) => Etl.qBloomSync(s, dir)),
     "q_dedup_exact" -> ((s, dir) => LlmOps.qDedupExact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
@@ -54,6 +58,9 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
+    "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
+    "q_boilerplate" -> ((s, dir) => LlmOps.qBoilerplate(s, dir)),
+    "q_pii_redact" -> ((s, dir) => LlmOps.qPiiRedact(s, dir)),
     "q_lang_id" -> ((s, dir) => LlmOps.qLangId(s, dir)),
     "q_quality_score" -> ((s, dir) => LlmOps.qQualityScore(s, dir)),
     "q_token_count" -> ((s, dir) => LlmOps.qTokenCount(s, dir)),
@@ -127,6 +134,77 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.p_event_id, p.user_id, p.p_ts, c.click_event_id, c.click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.click_ts >= p.p_ts - INTERVAL '1 hour' AND c.click_ts <= p.p_ts
+        |ORDER BY p_event_id, click_event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_bloom_sync" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_doc_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start FROM toks)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, CAST(start // 2 AS BIGINT) AS chunk_id,
+        |        array_to_string(list_slice(t, start + 1, start + 2), ' ') AS chunk_text
+        |      FROM (SELECT doc_id, t, unnest(range(0, len(t), 2)) AS start FROM toks)),
+        |freq AS (SELECT chunk_text, count(DISTINCT doc_id) AS doc_freq
+        |         FROM u GROUP BY chunk_text),
+        |j AS (SELECT u.doc_id, u.chunk_id, u.chunk_text, f.doc_freq <= 50 AS keep
+        |      FROM u JOIN freq f USING (chunk_text))
+        |SELECT doc_id, count(*) AS n_units,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(
+        |    list(chunk_text ORDER BY chunk_id) FILTER (WHERE keep), ' '), '')
+        |    AS cleaned_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' reach user' || CAST(doc_id AS VARCHAR) || '@' || source
+        |        || '.example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |        || ' card 4111111111111111'
+        |    ELSE text END AS t0
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |        regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |      FROM base),
+        |i AS (SELECT doc_id, n_emails,
+        |        CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |        regexp_replace(t1, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS t2
+        |      FROM e)
+        |SELECT doc_id, n_emails, n_ips,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{13,19}')) AS BIGINT) AS n_longnums,
+        |  regexp_replace(t2, '[0-9]{13,19}', '<NUM>', 'g') AS redacted_text
+        |FROM i ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts,

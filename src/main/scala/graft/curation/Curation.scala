@@ -35,6 +35,31 @@ object Curation {
       .select(col(idCol)).distinct()
   }
 
+  /** Serialized Bloom filter over the holdout's distinct word n-grams —
+    * the build side of the STREAMING decontamination gate. Built once from
+    * the (small, static) benchmark suite. */
+  def holdoutGramBloom(holdout: DataFrame, textCol: String, n: Int,
+      expectedGrams: Long, fpp: Double = 1e-6): Array[Byte] = {
+    val grams = holdout
+      .select(split(col(textCol), " ").as("__toks"))
+      .select(explode(Dedup.ngramsFromTokens(col("__toks"), n)).as("gram"))
+      .distinct()
+    graft.engine.BloomSemiJoin.buildBloom(grams, "gram", expectedGrams, fpp)
+  }
+
+  /** Stateless per-row decontamination gate: TRUE when no word n-gram of
+    * the tokenized document might be in the holdout Bloom filter. Drops
+    * every truly contaminated document (Bloom has no false negatives); a
+    * false positive over-drops a clean document at rate ≈ grams·fpp — the
+    * safe direction for decontamination. Being one Column predicate, the
+    * gate runs unchanged in a streaming ingest filter (no state, no
+    * join) — the 100 TB/streaming twin of the exact [[contaminatedIds]]
+    * join. `toks` must be a MATERIALIZED token-array attribute (project
+    * `split(text, " ")` first — the Dedup.wordNgrams lambda-CSE note). */
+  def contaminationGate(toks: Column, bloomBytes: Array[Byte], n: Int): Column =
+    !exists(Dedup.ngramsFromTokens(toks, n),
+      g => graft.functions.bloomMightContain(g, bloomBytes))
+
   /** Drop every contaminated document from the corpus (left-anti on the
     * flagged id set). */
   def decontaminate(corpus: DataFrame, holdout: DataFrame,

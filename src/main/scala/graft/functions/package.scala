@@ -89,6 +89,14 @@ package object functions {
       ColumnBridge.expression(score), ColumnBridge.expression(id), k)
       .toAggregateExpression())
 
+  /** Membership probe against a serialized Bloom filter (see
+    * expressions.BloomMightContain): false ⇒ definitely absent. The
+    * semi-join scale hatch for key sets too large to broadcast as hash
+    * relations; composes into lambda functions and streaming filters. */
+  def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(expressions.BloomMightContain(
+      ColumnBridge.expression(key), bloomBytes))
+
   /** KMV distinct-count sketch aggregate: exact below k, (k-1)/θ estimate
     * above, mergeable across arbitrary partitioning (see
     * expressions.KmvSketch). */

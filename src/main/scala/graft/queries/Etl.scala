@@ -41,6 +41,24 @@ object Etl {
       joinColumn = "o_custkey", limit = 1000)
   }
 
+  /** A4b: the active-entity semi-join of A4 at the scale where the entity
+    * set no longer broadcasts: Bloom bits prefilter the fact scan
+    * map-side, the exact left-semi join removes the false positives —
+    * result identical to the plain semi-join (which is what the oracle
+    * states). See graft.engine.BloomSemiJoin. */
+  def qBloomSync(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.table(spark, dir, "customer")
+      .filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    graft.engine.BloomSemiJoin.semiJoin(
+      Tables.table(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+      "o_custkey", active, "c_custkey",
+      expectedItems = 200000L, fpp = 0.03)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** A5: UUID derivation + validity filter (the fetch_uuids len==36 path).
     * Keys divisible by 7 get a truncated (invalid) id — the filter must
     * drop exactly those. */

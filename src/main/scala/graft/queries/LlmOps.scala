@@ -264,7 +264,10 @@ object LlmOps {
     val words = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // doc frequency FROM tf (tf is already one row per (doc, term)) — not
+    // from a second explode + distinct over all word instances; the tf
+    // exchange is computed once and reused for both consumers
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(broadcast(dfreq), "term")
@@ -283,6 +286,46 @@ object LlmOps {
       Tables.table(spark, dir, "documents"), "lang", "text", "doc_id", n = 20)
       .select("doc_id", "lang", "rank")
       .orderBy("lang", "rank")
+
+  /** F8: token-window chunking (size 32, stride 24 → overlap 8) — the
+    * training-sample windowing step. Map-side posexplode; every token
+    * lands in ≥1 chunk. */
+  def qDocChunk(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunk(
+      Tables.table(spark, dir, "documents"), "text", "doc_id",
+      size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
+  /** F9: corpus-frequency boilerplate removal — drop every non-overlapping
+    * 2-token unit that occurs in more than 50 distinct documents (the
+    * CCNet line-dedup shape; the tiny-vocabulary synthetic corpus makes
+    * short units genuinely frequent, which is the regime the operator
+    * exists for). */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.dropBoilerplate(
+      Tables.table(spark, dir, "documents"), "text", "doc_id",
+      unit = 2, maxDocFreq = 50L)
+      .orderBy("doc_id")
+
+  /** F10: PII redaction — emails, IPv4s, and long digit runs scrubbed with
+    * typed placeholders + per-kind counts. Every third document is
+    * deterministically enriched with synthetic PII (derived from
+    * doc_id/source, identically in the oracle) so the patterns have real
+    * matches to find; the operator itself only sees the text column. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@"), col("source"), lit(".example.org from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id") * 7, lit(256)).cast("string"),
+            lit(" card 4111111111111111")))
+          .otherwise(col("text")).as("text"))
+    graft.text.Redact.pii(docs, "text", "doc_id")
+      .orderBy("doc_id")
+  }
 
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =

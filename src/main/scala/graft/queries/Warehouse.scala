@@ -163,6 +163,66 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C10: range (interval) join — every click within the hour before each
+    * purchase, per user. Plans as a plain equi-join on (user_id, time
+    * bin) with the exact window as a post-filter — never the
+    * BroadcastNestedLoopJoin a naive inequality join degenerates to (see
+    * graft.operators.RangeJoin). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.table(spark, dir, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id", $"ts".as("p_ts"))
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_event_id"), $"user_id", $"ts".as("click_ts"))
+    graft.operators.RangeJoin.pointsInWindow(
+      purchases, clicks, Seq("user_id"), "p_ts", "click_ts", windowSec = 3600L)
+      .select($"p_event_id", $"user_id", $"p_ts", $"click_event_id", $"click_ts")
+      .orderBy($"p_event_id", $"click_event_id")
+  }
+
+  /** C11: ROLLUP aggregation — per (returnflag, linestatus), per
+    * returnflag subtotals, and the grand total in ONE pass (Expand +
+    * single shuffle, Catalyst's grouping-sets plan; no
+    * union-of-three-aggregates). NULL group markers are projected to
+    * 'ALL' labels so the output is total-ordered without NULL-ordering
+    * dialect traps. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"gid", $"n", $"sum_qty", $"sum_price")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  /** C12: per-group percentiles of event value — EXACT interpolated
+    * quantiles (the oracle-checkable baseline; collects each group's
+    * values into the aggregate buffer, fine while groups fit an
+    * executor). The registered 100 TB path is approx_percentile
+    * (mergeable Greenwald-Khanna summaries, bounded memory) — proven
+    * within tolerance of this exact twin in WarehouseSpec, the same
+    * exact-baseline/approximate-scale-path pairing as
+    * q_embedding_neardup vs _lsh. */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy($"event_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

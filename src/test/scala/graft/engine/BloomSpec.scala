@@ -1,0 +1,50 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomSpec extends SparkSpec {
+
+  test("bloom prefilter is a superset of the exact match set; semi-join is exact") {
+    import spark.implicits._
+    val dim = (1 to 1000 by 3).map(_.toLong).toDF("k")
+    val fact = (1 to 2000).map(_.toLong).toDF("fk")
+    val bytes = BloomSemiJoin.buildBloom(dim, "k", expectedItems = 1000L, fpp = 0.03)
+    val pre = BloomSemiJoin.prefilter(fact, "fk", bytes)
+      .collect().map(_.getLong(0)).toSet
+    val exact = fact.join(dim, $"fk" === $"k", "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(pre))                // no false negatives, ever
+    assert(pre.size <= exact.size + 100)       // fpp keeps the slack small
+    val semi = BloomSemiJoin.semiJoin(fact, "fk", dim, "k", 1000L, 0.03)
+      .collect().map(_.getLong(0)).toSet
+    assert(semi == exact)                      // residual join removes the fps
+  }
+
+  test("string keys probe the same way stat.bloomFilter built them") {
+    import spark.implicits._
+    val dim = (1 to 500).map(i => s"uuid-$i").toDF("k")
+    val bytes = BloomSemiJoin.buildBloom(dim, "k", 500L, 0.01)
+    val fact = ((1 to 500).map(i => s"uuid-$i") ++ (501 to 600).map(i => s"other-$i"))
+      .toDF("fk")
+    val kept = BloomSemiJoin.prefilter(fact, "fk", bytes)
+      .collect().map(_.getString(0)).toSet
+    assert((1 to 500).map(i => s"uuid-$i").toSet.subsetOf(kept))
+  }
+
+  test("the probe evaluates inside lambda functions (gram-level gate)") {
+    import spark.implicits._
+    val holdout = Seq((100L, "leaked benchmark answer key here")).toDF("doc_id", "text")
+    val bytes = graft.curation.Curation.holdoutGramBloom(
+      holdout, "text", n = 3, expectedGrams = 100L)
+    val docs = Seq(
+      (1L, "contains the leaked benchmark answer verbatim"),
+      (2L, "entirely unrelated clean training document"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val kept = docs
+      .filter(graft.curation.Curation.contaminationGate($"toks", bytes, n = 3))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L)) // doc 1 shares "leaked benchmark answer"
+  }
+}

@@ -51,4 +51,40 @@ class WarehouseSpec extends SparkSpec {
     val total = df.agg(sum("n")).first().getLong(0)
     assert(total == graft.sources.Tables.table(spark, sfDir, "events").count())
   }
+
+  test("rollup: subtotal rows aggregate their detail rows, grand total tops out") {
+    val rows = Warehouse.qRollup(spark, sfDir).collect()
+    val detail = rows.filter(_.getLong(2) == 0L)
+    val subtotals = rows.filter(_.getLong(2) == 1L)
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1)
+    assert(grand.head.getLong(3) == detail.map(_.getLong(3)).sum)
+    // each returnflag subtotal equals the sum of its detail rows
+    subtotals.foreach { s =>
+      val n = detail.filter(_.getString(0) == s.getString(0)).map(_.getLong(3)).sum
+      assert(s.getLong(3) == n, s"subtotal ${s.getString(0)}")
+    }
+  }
+
+  test("approx_percentile (the 100 TB path) tracks the exact percentiles") {
+    import spark.implicits._
+    // exact percentile buffers each group's values; approx_percentile is
+    // the mergeable bounded-memory summary you'd run at scale — assert it
+    // lands within accuracy tolerance of the exact oracle baseline
+    val exact = Warehouse.qPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      val spread = math.max(1.0, math.abs(p90) + math.abs(p50))
+      assert(math.abs(a50 - p50) / spread < 0.05, s"$k p50 exact=$p50 approx=$a50")
+      assert(math.abs(a90 - p90) / spread < 0.05, s"$k p90 exact=$p90 approx=$a90")
+    }
+  }
 }

@@ -224,4 +224,33 @@ class StreamingSpec extends SparkSpec {
       assert(out.forall { case (id, s) => batch(id) == s })
     } finally query.stop()
   }
+
+  test("streaming decontamination gate drops holdout-overlapping docs at ingest") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the holdout Bloom is built ONCE from the static benchmark suite;
+    // the gate is then a stateless Column predicate on the stream — no
+    // join, no state store, the 100 TB shape of decontamination-at-ingest
+    val holdout = Seq((100L, "secret benchmark question text appears here"))
+      .toDF("doc_id", "text")
+    val bloom = graft.curation.Curation.holdoutGramBloom(
+      holdout, "text", n = 4, expectedGrams = 1000L)
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1L, "totally clean training document number one"),
+      (2L, "contains secret benchmark question text inside"), // 4-gram leak
+      (3L, "yet another clean and boring sample"))
+    val gated = input.toDF().toDF("doc_id", "text")
+      .withColumn("__toks", split($"text", " "))
+      .filter(graft.curation.Curation.contaminationGate($"__toks", bloom, n = 4))
+      .select("doc_id")
+    val query = gated.writeStream.format("memory")
+      .queryName("decon_gate").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val kept = spark.table("decon_gate").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+    } finally query.stop()
+  }
 }

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+
+  test("chunking windows cover every token with the configured overlap") {
+    import spark.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+      "text", "doc_id", size = 32, stride = 24)
+      .orderBy("chunk_id")
+      .collect()
+    // starts at 0, 24, 48, 72, 96 → 5 chunks; last has 100-96 = 4 tokens
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(32L, 32L, 32L, 28L, 4L))
+    assert(out(1).getString(3).startsWith("w25 "))   // start 24 → token 25
+    assert(out(4).getString(3) == "w97 w98 w99 w100")
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+  }
+
+  test("one-token and shorter-than-size docs chunk to a single window") {
+    import spark.implicits._
+    val out = Chunking.chunk(
+      Seq((1L, "only"), (2L, "two words")).toDF("doc_id", "text"),
+      "text", "doc_id", size = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSet == Set((1L, 0L, 1L, "only"), (2L, 0L, 2L, "two words")))
+  }
+
+  test("boilerplate units shared by many docs are dropped, rare units kept in order") {
+    import spark.implicits._
+    // 'c1 c2' is the planted boilerplate (in every doc); unique payloads stay
+    val docs = (1 to 10).map(i => (i.toLong, s"c1 c2 u$i v$i z$i y$i")).toDF("doc_id", "text")
+    val out = Chunking.dropBoilerplate(docs, "text", "doc_id", unit = 2, maxDocFreq = 5L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == 3L)             // n_units: 6 tokens / 2
+      assert(r.getLong(2) == 2L)             // n_kept: boilerplate unit dropped
+      assert(r.getString(3) == s"u${i + 1} v${i + 1} z${i + 1} y${i + 1}") // order preserved
+    }
+  }
+
+  test("a doc that is all boilerplate keeps an empty cleaned_text row") {
+    import spark.implicits._
+    val docs = ((1 to 9).map(i => (i.toLong, s"same pair u$i v$i")) :+ (10L, "same pair"))
+      .toDF("doc_id", "text")
+    val out = Chunking.dropBoilerplate(docs, "text", "doc_id", unit = 2, maxDocFreq = 5L)
+      .filter($"doc_id" === 10L).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 0L && out(0).getString(3) == "")
+  }
+}
