@@ -19,6 +19,7 @@ object SparkEntry {
     "q_anti_join" -> ((s, dir) => Warehouse.qAntiJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Warehouse.qAsofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => Warehouse.qRangeJoin(s, dir)),
+    "q_funnel" -> ((s, dir) => Warehouse.qFunnel(s, dir)),
     "q_rollup" -> ((s, dir) => Warehouse.qRollup(s, dir)),
     "q_percentile" -> ((s, dir) => Warehouse.qPercentile(s, dir)),
     "q_skew_agg" -> ((s, dir) => Warehouse.qSkewAgg(s, dir)),
@@ -59,6 +60,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
+    "q_quality_gate" -> ((s, dir) => LlmOps.qQualityGate(s, dir)),
     "q_boilerplate" -> ((s, dir) => LlmOps.qBoilerplate(s, dir)),
     "q_pii_redact" -> ((s, dir) => LlmOps.qPiiRedact(s, dir)),
     "q_lang_id" -> ((s, dir) => LlmOps.qLangId(s, dir)),
@@ -143,6 +145,38 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_ts >= p.p_ts - INTERVAL '1 hour' AND c.click_ts <= p.p_ts
         |ORDER BY p_event_id, click_event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "q_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS quality_x1000
+        |      FROM f),
+        |cut AS (SELECT lang, quantile_cont(quality_x1000, 0.25) AS q25
+        |        FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality_x1000
+        |FROM q JOIN cut ON q.lang = cut.lang
+        |WHERE q.quality_x1000 > cut.q25
+        |ORDER BY q.doc_id""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

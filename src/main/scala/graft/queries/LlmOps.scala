@@ -327,6 +327,24 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** H3: percentile-based quality gate — drop every document at or below
+    * its language's 25th-percentile quality score (the distribution-aware
+    * twin of a fixed-threshold filter: thresholds adapt per stratum). The
+    * per-language cutoff table is a tiny dimension that broadcasts; exact
+    * `percentile` keeps the oracle, approx_percentile is the drop-in at
+    * unbounded stratum sizes (tolerance proven in WarehouseSpec). */
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+      Tables.table(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang"), col("quality_x1000"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(quality_x1000, 0.25)").as("q25"))
+    scored.join(broadcast(cuts), "lang")
+      .filter(col("quality_x1000") > col("q25"))
+      .select(col("doc_id"), col("lang"), col("quality_x1000"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -223,6 +223,30 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C13: staged conversion funnel with temporal ordering — per user:
+    * first view, first click AT OR AFTER that view, first purchase at or
+    * after that click. Cascading conditional-min aggregates, every
+    * shuffle keyed on user_id (co-partitioned — the exchanges of stage
+    * k's aggregate and stage k+1's join reuse the same partitioning);
+    * left joins preserve users who fell out mid-funnel. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_type")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" >= $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" >= $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+      .orderBy($"user_id")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -45,7 +45,9 @@ object Sync {
       bookmark: Option[String],
       activeKeys: DataFrame,
       joinColumn: String,
-      limit: Int = 1000000): DataFrame = {
+      limit: Int = 1000000,
+      broadcastKeys: Boolean = true,
+      bloomPrefilter: Option[(Long, Double)] = None): DataFrame = {
     val replKey = stream.replicationKey.getOrElse(
       throw new IllegalArgumentException(s"stream ${stream.streamName} has no replication key"))
     val src = Tables.table(spark, dir, stream.sourceTable)
@@ -54,8 +56,20 @@ object Sync {
       case None => src
     }
     val keyCol = activeKeys.columns.head
-    filtered
-      .join(broadcast(activeKeys), filtered(joinColumn) === activeKeys(keyCol), "left_semi")
+    // Scale hatch (set broadcastKeys=false, bloomPrefilter=Some(n, fpp))
+    // for an active-entity set past the broadcast threshold: Bloom bits
+    // prefilter the fact scan map-side, the residual left-semi join runs
+    // shuffled on the surviving sliver only — semantics unchanged (the
+    // Bloom stage only ever over-keeps; the join removes false positives).
+    val probeSide = bloomPrefilter match {
+      case Some((n, fpp)) =>
+        val bytes = graft.engine.BloomSemiJoin.buildBloom(activeKeys, keyCol, n, fpp)
+        filtered.filter(graft.functions.bloomMightContain(col(joinColumn), bytes))
+      case None => filtered
+    }
+    val buildSide = if (broadcastKeys) broadcast(activeKeys) else activeKeys
+    probeSide
+      .join(buildSide, probeSide(joinColumn) === activeKeys(keyCol), "left_semi")
       .orderBy(col(replKey), col(stream.keyProperties.head))
       .limit(limit)
   }

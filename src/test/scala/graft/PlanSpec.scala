@@ -123,4 +123,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CollectLimit") && !plan.contains("Exchange"),
       "failure capture must not funnel through the driver or reshuffle")
   }
+
+  test("chunking and redaction are map-side projections (no shuffle, no join)") {
+    import org.apache.spark.sql.functions.col
+    val chunks = graft.text.Chunking.chunk(
+      graft.sources.Tables.table(spark, sfDir, "documents"),
+      "text", "doc_id", size = 32, stride = 24)
+    val cplan = planOf(chunks)
+    assert(!cplan.contains("Exchange") && !cplan.contains("Join"),
+      "chunking must stay embarrassingly parallel")
+    val redacted = graft.text.Redact.pii(
+      graft.sources.Tables.table(spark, sfDir, "documents"), "text", "doc_id")
+    val rplan = planOf(redacted)
+    assert(!rplan.contains("Exchange") && !rplan.contains("Join"),
+      "redaction must stay embarrassingly parallel")
+  }
+
+  test("rollup plans one Expand + one aggregate pass, not a union of aggregates") {
+    val plan = planOf(queries.Warehouse.qRollup(spark, sfDir))
+    assert(plan.contains("Expand"), "rollup must use the grouping-sets Expand plan")
+    assert(!plan.contains("Union"), "rollup must not union separate aggregates")
+  }
+
+  test("bloom sync prefilters at the scan side before the residual semi-join") {
+    val plan = planOf(queries.Etl.qBloomSync(spark, sfDir))
+    assert(plan.contains("bloommightcontain"),
+      "the Bloom probe must appear in the fact-side filter")
+    assert(plan.contains("LeftSemi"), "the residual join keeps exactness")
+    // the probe must sit BELOW the join (filter the scan, not the result):
+    // in the tree string children print after their parent
+    val probeAt = plan.indexOfSlice("bloommightcontain")
+    val joinAt = plan.indexOfSlice("LeftSemi")
+    assert(joinAt >= 0 && probeAt > joinAt, "prefilter must be on the join's input side")
+  }
 }

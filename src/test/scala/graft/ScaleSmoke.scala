@@ -102,6 +102,15 @@ object ScaleSmoke {
     time("q_sketch_jaccard") { queries.LlmOps.qSketchJaccard(spark, dir) }
     time("q_sample_per_group") { queries.LlmOps.qSamplePerGroup(spark, dir) }
     time("q_top_terms") { queries.LlmOps.qTopTerms(spark, dir) }
+    time("q_doc_chunk") { queries.LlmOps.qDocChunk(spark, dir) }
+    time("q_boilerplate") { queries.LlmOps.qBoilerplate(spark, dir) }
+    time("q_pii_redact") { queries.LlmOps.qPiiRedact(spark, dir) }
+    time("q_range_join") { queries.Warehouse.qRangeJoin(spark, dir) }
+    time("q_rollup") { queries.Warehouse.qRollup(spark, dir) }
+    time("q_percentile") { queries.Warehouse.qPercentile(spark, dir) }
+    time("q_bloom_sync") { queries.Etl.qBloomSync(spark, dir) }
+    time("q_funnel") { queries.Warehouse.qFunnel(spark, dir) }
+    time("q_quality_gate") { queries.LlmOps.qQualityGate(spark, dir) }
     spark.stop()
   }
 }

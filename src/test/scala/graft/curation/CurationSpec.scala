@@ -36,6 +36,23 @@ class CurationSpec extends SparkSpec {
     assert(perLang.forall(_ == 5L))
   }
 
+  test("quality gate drops the bottom quartile per language, never across strata") {
+    import spark.implicits._
+    val kept = graft.queries.LlmOps.qQualityGate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val total = docs.count()
+    // strictly-above-p25 keeps at most 75% and (with ties) can keep less —
+    // but never less than half
+    assert(kept.length <= total * 3 / 4 + 1 && kept.length >= total / 2)
+    // per language, every kept doc beats that language's own cutoff
+    val cuts = graft.text.TextAnalysis.qualityScore(docs, "text")
+      .groupBy($"lang").agg(expr("percentile(quality_x1000, 0.25)").as("q25"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    kept.foreach { case (_, lang, q) => assert(q > cuts(lang)) }
+  }
+
   test("split assignment is deterministic, content-keyed, and ~proportional per stratum") {
     import spark.implicits._
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")

@@ -32,6 +32,24 @@ class BloomSpec extends SparkSpec {
     assert((1 to 500).map(i => s"uuid-$i").toSet.subsetOf(kept))
   }
 
+  test("incremental sync bloom path (no broadcast) matches the broadcast semi-join") {
+    import graft.catalog.Streams
+    val dir = sfDir
+    val spark0 = spark
+    import spark0.implicits._
+    val active = graft.sources.Tables.table(spark, dir, "customer")
+      .filter($"c_acctbal" > 1000.0).select($"c_custkey")
+    def run(broadcastKeys: Boolean, bloom: Option[(Long, Double)]) =
+      graft.sync.Sync.incrementalSlice(spark, dir, Streams.visitors,
+        bookmark = Some("1998-01-01"), activeKeys = active,
+        joinColumn = "o_custkey", limit = 1000,
+        broadcastKeys = broadcastKeys, bloomPrefilter = bloom)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val default = run(broadcastKeys = true, bloom = None)
+    val scale = run(broadcastKeys = false, bloom = Some((10000L, 0.03)))
+    assert(default == scale) // same rows, same order — semantics transparent
+  }
+
   test("the probe evaluates inside lambda functions (gram-level gate)") {
     import spark.implicits._
     val holdout = Seq((100L, "leaked benchmark answer key here")).toDF("doc_id", "text")

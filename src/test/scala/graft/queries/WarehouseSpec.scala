@@ -66,6 +66,31 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("funnel requires temporal order: a click before the first view does not count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: click BEFORE first view → funnel stalls at view
+      (2L, ts(10), "click"), (2L, ts(20), "view"),
+      // user 3: purchase before click → stalls at click
+      (3L, ts(0), "view"), (3L, ts(2), "purchase"), (3L, ts(4), "click"),
+      // user 4: never viewed → not in the funnel at all
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"))
+      .map { case (u, t, e) => (u * 10, t, u, e, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.get(1) != null, r.get(2) != null, r.get(3) != null)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((true, true, true)))
+    assert(out(2L) == ((true, false, false)))
+    assert(out(3L) == ((true, true, false)))
+  }
+
   test("approx_percentile (the 100 TB path) tracks the exact percentiles") {
     import spark.implicits._
     // exact percentile buffers each group's values; approx_percentile is
