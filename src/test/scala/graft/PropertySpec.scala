@@ -116,6 +116,38 @@ class PropertySpec extends SparkSpec {
     assert(viaExpr == viaCols && viaExpr == 500L) // {2,3} of {1,2,3,4}
   }
 
+  test("chunking reconstructs the document for any size/stride combination") {
+    import spark.implicits._
+    val gen = for {
+      nTok <- Gen.choose(1, 120)
+      size <- Gen.choose(1, 40)
+      stride <- Gen.choose(1, size)
+    } yield (nTok, size, stride)
+    (1 to 10).foreach { seed =>
+      val (nTok, size, stride) = sample(gen, seed.toLong)
+      val toks = (1 to nTok).map(i => s"t$i")
+      val chunks = text.Chunking.chunk(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+        "text", "doc_id", size, stride)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getLong(1), r.getString(3).split(" ").toSeq))
+      // window k starts at k*stride and carries min(size, n - start) tokens
+      chunks.foreach { case (k, ctoks) =>
+        val start = (k * stride).toInt
+        assert(ctoks == toks.slice(start, start + size),
+          s"seed=$seed size=$size stride=$stride window=$k")
+      }
+      // starts cover [0, n): the last window begins before the end, every
+      // token is inside some window
+      val starts = chunks.map(_._1 * stride)
+      assert(starts.last < nTok && chunks.flatMap(_._2).toSet == toks.toSet,
+        s"seed=$seed size=$size stride=$stride coverage")
+      // non-overlapping config reconstructs the document exactly
+      if (stride == size)
+        assert(chunks.flatMap(_._2).toSeq == toks, s"seed=$seed reconstruction")
+    }
+  }
+
   test("split shares converge to the requested proportions on random share vectors") {
     import spark.implicits._
     val docs = (1 to 4000).map(i => s"content number $i with words").toDF("text")
