@@ -228,16 +228,16 @@ object SparkEntry {
         |    ELSE text END AS t0
         |  FROM documents),
         |e AS (SELECT doc_id,
-        |        CAST(len(regexp_extract_all(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-        |        regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+        |        CAST(len(regexp_extract_all(t0, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |        regexp_replace(t0, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
         |      FROM base),
         |i AS (SELECT doc_id, n_emails,
         |        CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
         |        regexp_replace(t1, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS t2
         |      FROM e)
         |SELECT doc_id, n_emails, n_ips,
-        |  CAST(len(regexp_extract_all(t2, '[0-9]{13,19}')) AS BIGINT) AS n_longnums,
-        |  regexp_replace(t2, '[0-9]{13,19}', '<NUM>', 'g') AS redacted_text
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{13,}')) AS BIGINT) AS n_longnums,
+        |  regexp_replace(t2, '[0-9]{13,}', '<NUM>', 'g') AS redacted_text
         |FROM i ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (

@@ -39,8 +39,9 @@ object BloomSemiJoin {
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bytes = buildBloom(dim, dimKey, expectedItems, fpp)
-    prefilter(fact, factKey, bytes)
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+    val pre = prefilter(fact, factKey, bytes)
+    val dimKeys = dim.select(col(dimKey)).distinct()
+    // dataset-qualified references: factKey and dimKey may share a name
+    pre.join(dimKeys, pre(factKey) === dimKeys(dimKey), "left_semi")
   }
 }

@@ -1,15 +1,32 @@
 package graft.functions.expressions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
+/** Executor-global filter cache keyed by broadcast id: the serialized bits
+  * travel as a broadcast (fetched once per executor), and the DESERIALIZED
+  * `BloomFilter` is also materialized once per executor here — not per
+  * task, which is what a plan-embedded byte array or a per-instance lazy
+  * val would cost (each task deserializes the task binary, so anything
+  * reachable from the expression tree is rebuilt per task; at the ~GB
+  * filter sizes this operator exists for, per-task deserialization IS the
+  * job's runtime). Entries live for the executor's lifetime — bounded by
+  * the handful of distinct filters a job ships. */
+object BloomFilters {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+  def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter =
+    cache.computeIfAbsent(bc.id,
+      _ => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value)))
+}
+
 /** Membership probe against a pre-built Bloom filter (Spark's
-  * `org.apache.spark.util.sketch.BloomFilter` bit array, serialized):
-  * `false` ⇒ definitely absent, `true` ⇒ present with ≥ (1 - fpp)
-  * confidence.
+  * `org.apache.spark.util.sketch.BloomFilter` bit array, broadcast as
+  * serialized bytes): `false` ⇒ definitely absent, `true` ⇒ present with
+  * ≥ (1 - fpp) confidence.
   *
   * This is the semi-join scale hatch: when the build side's key set is too
   * large to broadcast as a hash relation (a billion 36-byte UUIDs ≫ the
@@ -20,15 +37,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * automatically to shuffle joins, made explicit and composable (usable
   * inside lambda functions, streaming filters, and sinks).
   *
-  * The filter deserializes ONCE per executor: the bytes live in the plan,
-  * the `BloomFilter` object is a lazy val materialized on first eval and
-  * shipped to generated code as a reference object.
+  * The expression carries only the broadcast HANDLE; bits ship via the
+  * broadcast mechanism and deserialize once per executor (see
+  * [[BloomFilters]]).
   *
   * Supports bigint keys (hashed with the sketch's putLong hash) and string
   * keys (putBinary over UTF-8 bytes — matches
   * `DataFrameStatFunctions.bloomFilter` on a string column).
   */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContain(child: Expression, bloomBc: Broadcast[Array[Byte]])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -42,8 +59,7 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
           s"bloom_might_contain requires bigint or string, got ${other.simpleString(10)}")
     }
 
-  @transient lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+  @transient private lazy val filter: BloomFilter = BloomFilters.filterFor(bloomBc)
 
   override protected def nullSafeEval(input: Any): Any = child.dataType match {
     case LongType => filter.mightContainLong(input.asInstanceOf[Long])
@@ -51,26 +67,24 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bf = ctx.addReferenceObj("bloomFilter", filter,
-      classOf[BloomFilter].getName)
-    child.dataType match {
-      case LongType =>
-        defineCodeGen(ctx, ev, v => s"$bf.mightContainLong($v)")
-      case StringType =>
-        defineCodeGen(ctx, ev, v => s"$bf.mightContainBinary($v.getBytes())")
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      "org.apache.spark.broadcast.Broadcast")
+    // lazy per-generated-class handle; the heavy lifting (fetch +
+    // deserialize) happens once per executor inside BloomFilters
+    val f = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter", "bloomFilter")
+    val probe = child.dataType match {
+      case LongType => (v: String) => s"$f.mightContainLong($v)"
+      case StringType => (v: String) => s"$f.mightContainBinary($v.getBytes())"
     }
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |if ($f == null) {
+         |  $f = graft.functions.expressions.BloomFilters.filterFor($bcRef);
+         |}
+         |${ev.value} = ${probe(v)};
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
-
-  // Array[Byte] has reference equality; compare filter content so plan
-  // canonicalization (e.g. ReuseExchange) sees identical probes as equal
-  override def equals(other: Any): Boolean = other match {
-    case BloomMightContain(c, b) =>
-      c == child && java.util.Arrays.equals(b, bloomBytes)
-    case _ => false
-  }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }

@@ -92,10 +92,19 @@ package object functions {
   /** Membership probe against a serialized Bloom filter (see
     * expressions.BloomMightContain): false ⇒ definitely absent. The
     * semi-join scale hatch for key sets too large to broadcast as hash
-    * relations; composes into lambda functions and streaming filters. */
+    * relations; composes into lambda functions and streaming filters.
+    * The bytes are broadcast here (handle in the plan, bits fetched +
+    * deserialized once per executor) — probing several columns against
+    * one filter? broadcast once yourself and use the Broadcast overload. */
   def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    bloomMightContain(key,
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(bloomBytes))
+
+  /** [[bloomMightContain]] over an already-broadcast filter. */
+  def bloomMightContain(key: Column,
+      bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =
     ColumnBridge.column(expressions.BloomMightContain(
-      ColumnBridge.expression(key), bloomBytes))
+      ColumnBridge.expression(key), bloomBc))
 
   /** KMV distinct-count sketch aggregate: exact below k, (k-1)/θ estimate
     * above, mergeable across arbitrary partitioning (see

@@ -29,12 +29,12 @@ object RangeJoin {
       tsLeft: String, tsRight: String, windowSec: Long): DataFrame = {
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     val w = windowSec * 1000000L // bin width in microseconds = window width
-    // floor division (not `div`, which truncates toward zero): pre-epoch
-    // timestamps must bin downward
-    def bin(ts: String) = {
-      val x = unix_micros(col(ts))
-      (x - pmod(x, lit(w))).divide(lit(w)).cast("long")
-    }
+    // floor division: subtract pmod first (plain `div` truncates toward
+    // zero — pre-epoch timestamps must bin downward), then INTEGRAL
+    // division — the subtraction makes it exact, and a double-precision
+    // divide would lose exactness past 2^53 µs and misplace bins
+    def bin(ts: String) =
+      expr(s"(unix_micros($ts) - pmod(unix_micros($ts), ${w}L)) div ${w}L")
     val l = left.withColumn("__bin",
       explode(array(bin(tsLeft) - 1, bin(tsLeft))))
     val r = right.withColumn("__bin", bin(tsRight))

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * LLM data pipeline (SURVEY.md §2 F8/F9).
   *
   * Both operators are shuffle-free per document: chunking is a map-side
-  * posexplode over window starts, and boilerplate removal adds exactly one
-  * aggregation keyed on the unit hash (8-byte lanes) plus a join-back —
-  * the document text itself never shuffles.
+  * posexplode over window starts, and boilerplate removal aggregates
+  * 16-byte unit keys and broadcasts the (small) over-threshold set back —
+  * document text shuffles only in the final per-doc regroup.
   */
 object Chunking {
 
@@ -31,8 +31,11 @@ object Chunking {
       s"need 0 < stride <= size, got size=$size stride=$stride")
     // tokens materialize as their own projection first (the
     // Dedup.wordNgrams lambda-CSE note: inlining split re-tokenizes per
-    // window)
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    // window). Null text chunks to nothing — without the guard it would
+    // survive as one null-text window (greatest(null,0)=0 keeps the doc),
+    // which a SQL twin that iterates `range(0, len(t))` drops.
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0), greatest(org.apache.spark.sql.functions.size(col("__toks")) - 1, lit(0)), lit(stride))))
       .select(col(idCol),
@@ -53,20 +56,30 @@ object Chunking {
     * Output: idCol, n_units, n_kept, cleaned_text (kept chunks re-joined
     * in document order; empty string when everything was boilerplate).
     *
-    * Scale shape: the frequency table aggregates xxhash64(unit) — 8-byte
-    * keys, map-side partial counts — and joins back to the (id, hash)
-    * unit list; document text rides only through the final per-document
-    * regroup, which is keyed on the id like any per-doc aggregate.
+    * Scale shape: the frequency table aggregates a 128-bit unit key (two
+    * independent xxhash64 lanes — at corpus scale a single 64-bit key
+    * makes a cross-text collision near-certain around ~5e9 distinct
+    * units, and a collision here would silently delete a rare unit
+    * everywhere; 2^128 keeps that probability negligible at any
+    * plausible corpus) with map-side partial counts. The units ABOVE the
+    * threshold form the boilerplate set, which is small BY CONSTRUCTION
+    * (≤ total-unit-occurrences / maxDocFreq distinct units) and
+    * broadcasts as an anti-flag join — unit text never shuffles on the
+    * hash key; the only text-bearing exchange is the final per-document
+    * regroup, keyed on the id like any per-doc aggregate.
     */
   def dropBoilerplate(df: DataFrame, textCol: String, idCol: String,
       unit: Int, maxDocFreq: Long): DataFrame = {
     val units = chunk(df, textCol, idCol, size = unit, stride = unit)
       .withColumn("__h", xxhash64(col("chunk_text")))
-    // distinct (doc, hash) first: doc frequency, not occurrence count
-    val freq = units.select(col(idCol), col("__h")).distinct()
-      .groupBy(col("__h")).agg(count(lit(1)).as("__doc_freq"))
-    units.join(freq, "__h")
-      .withColumn("__keep", col("__doc_freq") <= maxDocFreq)
+      .withColumn("__h2", xxhash64(col("chunk_text"), lit(1)))
+    // distinct (doc, key) first: doc frequency, not occurrence count
+    val boiler = units.select(col(idCol), col("__h"), col("__h2")).distinct()
+      .groupBy(col("__h"), col("__h2")).agg(count(lit(1)).as("__doc_freq"))
+      .filter(col("__doc_freq") > maxDocFreq)
+      .select(col("__h"), col("__h2"), lit(true).as("__boiler"))
+    units.join(broadcast(boiler), Seq("__h", "__h2"), "left")
+      .withColumn("__keep", col("__boiler").isNull)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_units"),

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Redact {
 
-  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i) — mixed-case addresses must not escape; open-ended digit run —
+  // a capped {13,19} leaves the tail of a longer account number in the
+  // clear (both flags/quantifiers behave identically in Java regex and
+  // RE2, preserving oracle parity)
+  val emailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val ipv4Re = "\\b[0-9]{1,3}(?:\\.[0-9]{1,3}){3}\\b"
-  val longNumRe = "[0-9]{13,19}"
+  val longNumRe = "[0-9]{13,}"
 
   val emailTag = "<EMAIL>"
   val ipv4Tag = "<IP>"

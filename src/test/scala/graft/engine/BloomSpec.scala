@@ -21,6 +21,15 @@ class BloomSpec extends SparkSpec {
     assert(semi == exact)                      // residual join removes the fps
   }
 
+  test("semiJoin works when both sides name the key identically") {
+    import spark.implicits._
+    val dim = (1 to 100 by 2).map(_.toLong).toDF("user_id")
+    val fact = (1 to 200).map(_.toLong).toDF("user_id")
+    val semi = BloomSemiJoin.semiJoin(fact, "user_id", dim, "user_id", 100L, 0.01)
+      .collect().map(_.getLong(0)).toSet
+    assert(semi == (1 to 100 by 2).map(_.toLong).toSet)
+  }
+
   test("string keys probe the same way stat.bloomFilter built them") {
     import spark.implicits._
     val dim = (1 to 500).map(i => s"uuid-$i").toDF("k")

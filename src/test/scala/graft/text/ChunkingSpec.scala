@@ -32,6 +32,15 @@ class ChunkingSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 0L, 1L, "only"), (2L, 0L, 2L, "two words")))
   }
 
+  test("null-text docs chunk to nothing (matching SQL range-over-null semantics)") {
+    import spark.implicits._
+    val out = Chunking.chunk(
+      Seq((1L, null: String), (2L, "real text")).toDF("doc_id", "text"),
+      "text", "doc_id", size = 4, stride = 4)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(2L))
+  }
+
   test("boilerplate units shared by many docs are dropped, rare units kept in order") {
     import spark.implicits._
     // 'c1 c2' is the planted boilerplate (in every doc); unique payloads stay

@@ -30,6 +30,22 @@ class RedactSpec extends SparkSpec {
     assert(out == "port 8080 and host <IP> stay 123456789012 short")
   }
 
+  test("mixed-case emails redact; over-long digit runs redact whole") {
+    val (e, i, n, out) = run(
+      "write Alice.Smith@Gmail.COM acct 123456789012345678901 end")
+    assert(e == 1L && i == 0L && n == 1L)
+    assert(out == "write <EMAIL> acct <NUM> end") // no digit tail survives
+  }
+
+  test("null text yields null outputs, not a crash") {
+    import spark.implicits._
+    val out = Redact.pii(
+      Seq((1L, null: String), (2L, "a@b.io")).toDF("doc_id", "text"),
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(4))
+    assert(out(1).getString(4) == "<EMAIL>")
+  }
+
   test("redaction is idempotent: placeholders do not re-match") {
     import spark.implicits._
     val once = Redact.pii(
