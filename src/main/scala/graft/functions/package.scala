@@ -100,6 +100,14 @@ package object functions {
     bloomMightContain(key,
       org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(bloomBytes))
 
+  /** Morton (Z-order) sort key over N bigint columns (low 64/N bits
+    * each; see expressions.InterleaveBits) — the multi-column clustering
+    * primitive: sort by this before writing and parquet min/max stats
+    * prune on ANY of the columns. */
+  def zorder(cols: Column*): Column =
+    ColumnBridge.column(expressions.InterleaveBits(
+      cols.map(c => ColumnBridge.expression(c.cast("long")))))
+
   /** [[bloomMightContain]] over an already-broadcast filter. */
   def bloomMightContain(key: Column,
       bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): Column =

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Date-partitioned storage layout for incremental facts (SURVEY.md §5).
@@ -42,17 +42,66 @@ object Partitioned {
     * compaction. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      sortBy: Option[String] = None): (Long, Long) = {
+      sortBy: Option[String] = None,
+      zorderBy: Seq[String] = Nil): (Long, Long) = {
     val files = listParquet(new java.io.File(inDir))
     val totalBytes = files.map(_.length()).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inDir)
-    val shaped = sortBy match {
-      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
-      case None => df.repartition(nFiles)
-    }
+    val shaped =
+      if (zorderBy.nonEmpty) {
+        // multi-column clustering: range-partition + sort on the Morton
+        // key so every output file covers a small hyper-rectangle —
+        // min/max stats then prune on ANY zorderBy column (a plain
+        // sortBy prunes only its leading column). The projection after
+        // the sort is narrow, so in-partition order survives the drop.
+        val z = zorderKey(df, zorderBy)
+        df.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      } else sortBy match {
+        case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+        case None => df.repartition(nFiles)
+      }
     shaped.write.mode("overwrite").parquet(outDir)
     (files.length.toLong, listParquet(new java.io.File(outDir)).length.toLong)
+  }
+
+  /** Morton key over `cols`, each min/max-normalized into its 64/N-bit
+    * lane (one tiny agg computes the bounds; double scaling is fine —
+    * the key orders the LAYOUT, row values stay exact). Timestamps/dates
+    * are keyed by their underlying numeric; strings hash into the lane
+    * (hash order ≠ lexicographic, but co-clustering equal/skewed values
+    * still bounds per-file distinct sets, which is what dictionary+stats
+    * pruning uses). */
+  def zorderKey(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty, "zorderBy needs at least one column")
+    val bits = 64 / cols.size
+    val mask = (1L << bits) - 1L
+    val numeric: Map[String, org.apache.spark.sql.Column] = cols.map { c =>
+      val dt = df.schema(c).dataType
+      c -> (dt match {
+        case org.apache.spark.sql.types.StringType => xxhash64(col(c)).bitwiseAND(lit(mask))
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case org.apache.spark.sql.types.DateType => col(c).cast("int").cast("long")
+        case _ => col(c).cast("double")
+      })
+    }.toMap
+    val scaled = cols.map { c =>
+      val v = numeric(c)
+      val dt = df.schema(c).dataType
+      if (dt == org.apache.spark.sql.types.StringType) v
+      else {
+        val Row(mn: Any, mx: Any) = df.agg(
+          min(v).cast("double").as("mn"), max(v).cast("double").as("mx")).head()
+        val (lo, hi) = (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
+        if (hi <= lo) lit(0L)
+        else floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
+          .cast("long")
+      }
+    }
+    graft.functions.zorder(scaled: _*)
   }
 
   private def listParquet(dir: java.io.File): Seq[java.io.File] = {

@@ -43,4 +43,40 @@ class PartitionedSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("zorder compaction bounds per-file ranges on BOTH columns") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // a 64x64 grid of (x, y) — the two-dimensional lookup workload
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
+      .toDF("x", "y", "payload")
+    grid.repartition(16).write.parquet(s"$tmp/frag")
+    val fragBytes = new java.io.File(s"$tmp/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    def perFileSpan(dir: String): Array[(Long, Long)] =
+      spark.read.parquet(dir)
+        .select($"x", $"y", input_file_name().as("f"))
+        .groupBy("f").agg(
+          (max("x") - min("x") + 1).as("sx"), (max("y") - min("y") + 1).as("sy"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    Partitioned.compact(spark, s"$tmp/frag", s"$tmp/zorder",
+      targetFileBytes = fragBytes / 16, zorderBy = Seq("x", "y"))
+    Partitioned.compact(spark, s"$tmp/frag", s"$tmp/xsort",
+      targetFileBytes = fragBytes / 16, sortBy = Some("x"))
+    val zSpans = perFileSpan(s"$tmp/zorder")
+    val xSpans = perFileSpan(s"$tmp/xsort")
+    assert(zSpans.length > 4)
+    // x-sort: y is unconstrained per file (full 64-wide span) — a
+    // y-predicate scans every file. z-order balances the axes: the
+    // worst-axis span per file shrinks, so stats prune on EITHER column
+    def avgMaxSpan(s: Array[(Long, Long)]) =
+      s.map { case (a, b) => math.max(a, b) }.sum.toDouble / s.length
+    assert(xSpans.forall(_._2 >= 60), "x-sort leaves y unconstrained")
+    assert(avgMaxSpan(zSpans) * 1.5 < avgMaxSpan(xSpans),
+      s"z=${avgMaxSpan(zSpans)} x=${avgMaxSpan(xSpans)}")
+    // data intact
+    assert(spark.read.parquet(s"$tmp/zorder").agg(sum($"payload")).head().getLong(0) ==
+      grid.agg(sum($"payload")).head().getLong(0))
+  }
 }
