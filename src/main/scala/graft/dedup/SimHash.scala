@@ -45,6 +45,37 @@ object SimHash {
         .reduce((acc, v) => shiftleft(acc, 11).bitwiseOR(v))
     }: _*)
 
+  /** Static banded index of a corpus — one (corpus_id, corpus_sig,
+    * table_idx, table_key) row per document per block-combination table.
+    * Build ONCE (persist or write it); the stream-static near-dup gate
+    * joins incoming documents against it. */
+  def bandedIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    signatures(df, textCol, idCol)
+      .select(col(idCol).as("corpus_id"), col("simhash").as("corpus_sig"))
+      .select(col("corpus_id"), col("corpus_sig"),
+        posexplode(comboKeys(col("corpus_sig"))).as(Seq("table_idx", "table_key")))
+
+  /** Near-dup matches of `docs` against a [[bandedIndex]] — STATELESS
+    * except the equi-join, so `docs` may be a STREAMING DataFrame
+    * (stream-static join): flag documents arriving near-identical to an
+    * already-ingested corpus at ingest time, before they enter the
+    * training set. Emits one row per (doc, corpus doc, matching table) —
+    * distinct per pair downstream if needed (a streaming distinct would
+    * need watermark state; flagging tolerates duplicates).
+    * The corpus side of the join should be persisted/compacted; the
+    * stream side shuffles only (id, sig, key) lanes. */
+  def matchesAgainst(index: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "3-of-6 block pigeonhole is only complete for hamming <= 3")
+    val banded = signatures(docs, textCol, idCol)
+      .select(col(idCol), col("simhash"),
+        posexplode(comboKeys(col("simhash"))).as(Seq("table_idx", "table_key")))
+    banded.join(index, Seq("table_idx", "table_key"))
+      .filter(hamming64(col("simhash"), col("corpus_sig")) <= maxHamming)
+      .select(col(idCol), col("corpus_id"),
+        hamming64(col("simhash"), col("corpus_sig")).as("hamming"))
+  }
+
   /** Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 guaranteed
     * complete by the 3-of-6 block pigeonhole; larger thresholds would need
     * wider combinations).

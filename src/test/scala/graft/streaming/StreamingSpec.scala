@@ -225,6 +225,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming simhash near-dup flagging against a static corpus index") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus index is built ONCE (batch side); incoming documents are
+    // flagged by a stream-static equi-join on the banded signature keys —
+    // stateless on the stream, so near-dups of already-ingested data are
+    // caught at ingest time
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "an entirely different corpus document about database engines and joins"))
+      .toDF("doc_id", "text")
+    val index = graft.dedup.SimHash.bandedIndex(corpus, "text", "doc_id")
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      // near-dup of corpus doc 100 (one word changed)
+      (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+      // novel document
+      (2L, "completely unrelated text with fresh vocabulary and nothing shared"))
+    val flagged = graft.dedup.SimHash.matchesAgainst(
+      index, input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val query = flagged.writeStream.format("memory")
+      .queryName("neardup_flags").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val matches = spark.table("neardup_flags").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(matches == Set((1L, 100L)))
+    } finally query.stop()
+  }
+
   test("streaming decontamination gate drops holdout-overlapping docs at ingest") {
     val sparkSession = spark
     import sparkSession.implicits._
