@@ -60,6 +60,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
+    "q_pack_sequences" -> ((s, dir) => LlmOps.qPackSequences(s, dir)),
     "q_quality_gate" -> ((s, dir) => LlmOps.qQualityGate(s, dir)),
     "q_boilerplate" -> ((s, dir) => LlmOps.qBoilerplate(s, dir)),
     "q_pii_redact" -> ((s, dir) => LlmOps.qPiiRedact(s, dir)),
@@ -202,6 +203,21 @@ object SparkEntry {
         |  CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, len(t), 32)) AS start FROM toks),
+        |ch AS (SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+        |         CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_tokens,
+        |         array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text
+        |       FROM c),
+        |cum AS (SELECT doc_id, chunk_id, n_tokens,
+        |          CAST(sum(n_tokens) OVER (
+        |            ORDER BY md5(chunk_text), doc_id, chunk_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+        |        FROM ch)
+        |SELECT doc_id, chunk_id, n_tokens,
+        |  (cum_incl - n_tokens) // 256 AS seq_id
+        |FROM cum ORDER BY doc_id, chunk_id""".stripMargin,
     "q_boilerplate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, CAST(start // 2 AS BIGINT) AS chunk_id,

@@ -327,6 +327,23 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** F11: sequence packing — non-overlapping 32-token chunks packed into
+    * ~256-token training sequences in deterministic content-hash order
+    * (each sequence mixes documents; assignment stable across reruns,
+    * partitionings, and engines). `seq_id = running-tokens-before div
+    * budget`, so sequences deviate from the budget by less than one
+    * chunk. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.text.Chunking.chunk(
+      Tables.table(spark, dir, "documents"), "text", "doc_id",
+      size = 32, stride = 32)
+    graft.text.Chunking.packSequences(
+      chunks, "n_tokens", "chunk_text", Seq("doc_id", "chunk_id"),
+      budgetTokens = 256L)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("seq_id"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** H3: percentile-based quality gate — drop every document at or below
     * its language's 25th-percentile quality score (the distribution-aware
     * twin of a fixed-threshold filter: thresholds adapt per stratum). The

@@ -45,6 +45,58 @@ object Chunking {
         array_join(slice(col("__toks"), col("col") + 1, lit(size)), " ").as("chunk_text"))
   }
 
+  /** Sequence packing: assign token chunks to fixed-budget training
+    * sequences — every sequence holds ~`budgetTokens` tokens (over/under
+    * by less than one chunk), the step that turns a chunked corpus into
+    * uniform training samples.
+    *
+    * Chunks pack in DETERMINISTIC CONTENT-HASH order (md5 of the chunk,
+    * id tiebreaks): a stable pseudo-random interleave, so (a) the
+    * assignment is reproducible across reruns, partitionings, and
+    * engines, and (b) each sequence mixes documents/sources — the
+    * shuffling training wants anyway. A chunk belongs to the sequence
+    * where its running token count starts: `seq_id = cum_before div
+    * budget`.
+    *
+    * Plan (the [[graft.target.Transform.assignBatches]] structure): range
+    * partition + in-partition sort on the hash order, then per-partition
+    * token totals → prefix offsets (one tiny collect of numPartitions
+    * longs) → a single in-order pass assigns ids. Both jobs run over the
+    * SAME RDD instance, so RangePartitioner's rdd-id-seeded sampling
+    * draws ONE set of range bounds (two DataFrame actions could each
+    * draw different bounds — the unsoundness assignBatches documents).
+    * No stage holds more than one partition; there is no global window.
+    */
+  def packSequences(chunks: DataFrame, tokenCol: String, textCol: String,
+      idCols: Seq[String], budgetTokens: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val spark = chunks.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val ordCols = col("__ord") +: idCols.map(col)
+    val withOrd = chunks.withColumn("__ord", md5(col(textCol)))
+    val ranged = withOrd.repartitionByRange(n, ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+    val rdd = ranged.rdd // one instance — all jobs share its range bounds
+    val tokIdx = ranged.schema.fieldIndex(tokenCol)
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.map(_.getLong(tokIdx)).sum))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = ranged.schema.add("seq_id", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bOffsets.value(i)
+      it.map { r =>
+        val seq = cum / budgetTokens
+        cum += r.getLong(tokIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq)
+      }
+    }
+    spark.createDataFrame(rows, schema).drop("__ord")
+  }
+
   /** Corpus-frequency boilerplate removal (the CCNet line-dedup shape with
     * a token-window unit): cut each document into NON-overlapping
     * `unit`-token chunks, count how many distinct documents each chunk

@@ -111,6 +111,7 @@ object ScaleSmoke {
     time("q_bloom_sync") { queries.Etl.qBloomSync(spark, dir) }
     time("q_funnel") { queries.Warehouse.qFunnel(spark, dir) }
     time("q_quality_gate") { queries.LlmOps.qQualityGate(spark, dir) }
+    time("q_pack_sequences") { queries.LlmOps.qPackSequences(spark, dir) }
     spark.stop()
   }
 }

@@ -55,6 +55,33 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: budget kept within one chunk, stable under repartitioning") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val chunks = Chunking.chunk(docs, "text", "doc_id", size = 32, stride = 32)
+    def pack(c: org.apache.spark.sql.DataFrame) =
+      Chunking.packSequences(c, "n_tokens", "chunk_text",
+        Seq("doc_id", "chunk_id"), budgetTokens = 256L)
+    val packed = pack(chunks)
+    val seqs = packed.groupBy("seq_id")
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // conservation
+    assert(seqs.map(_._2).sum ==
+      chunks.agg(sum("n_tokens")).head().getLong(0))
+    // every sequence except the last deviates from the budget by < one chunk
+    val maxChunk = 32L
+    seqs.dropRight(1).foreach { case (id, toks) =>
+      assert(toks > 256L - maxChunk && toks < 256L + maxChunk, s"seq $id has $toks")
+    }
+    // content-keyed determinism: physical layout must not matter
+    val a = packed.select("doc_id", "chunk_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = pack(chunks.repartition(17)).select("doc_id", "chunk_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("a doc that is all boilerplate keeps an empty cleaned_text row") {
     import spark.implicits._
     val docs = ((1 to 9).map(i => (i.toLong, s"same pair u$i v$i")) :+ (10L, "same pair"))
