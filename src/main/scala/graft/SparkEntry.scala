@@ -62,6 +62,7 @@ object SparkEntry {
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
     "q_pack_sequences" -> ((s, dir) => LlmOps.qPackSequences(s, dir)),
     "q_quality_gate" -> ((s, dir) => LlmOps.qQualityGate(s, dir)),
+    "q_vocab" -> ((s, dir) => LlmOps.qVocab(s, dir)),
     "q_boilerplate" -> ((s, dir) => LlmOps.qBoilerplate(s, dir)),
     "q_pii_redact" -> ((s, dir) => LlmOps.qPiiRedact(s, dir)),
     "q_lang_id" -> ((s, dir) => LlmOps.qLangId(s, dir)),
@@ -203,6 +204,13 @@ object SparkEntry {
         |  CAST(len(list_slice(t, start + 1, start + 32)) AS BIGINT) AS n_tokens,
         |  array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_vocab" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS n FROM w GROUP BY term),
+        |top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 1000)
+        |SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS vocab_id
+        |FROM top ORDER BY vocab_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(range(0, len(t), 32)) AS start FROM toks),

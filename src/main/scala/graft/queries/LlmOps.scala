@@ -344,6 +344,26 @@ object LlmOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** F12: vocabulary building — the tokenizer-training precursor: corpus
+    * term frequencies capped to the top-K by (count desc, term), each
+    * term assigned a stable 0-based vocab id. The cap makes the plan
+    * scale-safe: map-side partial counts → term-keyed shuffle →
+    * TakeOrderedAndProject (no global sort materialization); the final
+    * id window runs over K rows only. An uncapped full-vocab id
+    * assignment would use the packSequences offset machinery instead. */
+  def qVocab(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val counts = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    counts
+      .withColumn("vocab_id", (row_number().over(w) - 1).cast("long"))
+      .orderBy("vocab_id")
+  }
+
   /** H3: percentile-based quality gate — drop every document at or below
     * its language's 25th-percentile quality score (the distribution-aware
     * twin of a fixed-threshold filter: thresholds adapt per stratum). The

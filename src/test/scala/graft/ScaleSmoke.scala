@@ -112,6 +112,7 @@ object ScaleSmoke {
     time("q_funnel") { queries.Warehouse.qFunnel(spark, dir) }
     time("q_quality_gate") { queries.LlmOps.qQualityGate(spark, dir) }
     time("q_pack_sequences") { queries.LlmOps.qPackSequences(spark, dir) }
+    time("q_vocab") { queries.LlmOps.qVocab(spark, dir) }
     spark.stop()
   }
 }
