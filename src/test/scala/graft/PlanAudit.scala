@@ -15,7 +15,12 @@ object PlanAudit {
       "q_incremental_sync" -> queries.Etl.qIncrementalSync(spark, dir),
       "q_select_columns" -> queries.Etl.qSelectColumns(spark, dir),
       "q_embedding_neardup" -> queries.LlmOps.qEmbeddingNearDup(spark, dir),
-      "q_dedup_minhash" -> queries.LlmOps.qDedupMinhash(spark, dir))
+      "q_dedup_minhash" -> queries.LlmOps.qDedupMinhash(spark, dir),
+      "q_range_join" -> queries.Warehouse.qRangeJoin(spark, dir),
+      "q_rollup" -> queries.Warehouse.qRollup(spark, dir),
+      "q_bloom_sync" -> queries.Etl.qBloomSync(spark, dir),
+      "q_boilerplate" -> queries.LlmOps.qBoilerplate(spark, dir),
+      "q_vocab" -> queries.LlmOps.qVocab(spark, dir))
     targets.foreach { case (name, df) =>
       println(s"\n########## $name ##########")
       println(df.queryExecution.explainString(
