@@ -19,17 +19,23 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * interleaved columns, where a lexicographic sort prunes only its
   * leading column.
   *
-  * Each input uses the low `64/N` bits (caller buckets values into that
-  * range — see `graft.sources.Partitioned.zorderKey` for the min/max
-  * normalizing wrapper); out-of-range values clamp, preserving order.
-  * Null inputs clamp to 0 (sort first).
+  * Each input uses the low `63/N` bits — bit 63 stays clear, so keys are
+  * always non-negative and the signed sort never wraps the curve (caller
+  * buckets values into that range — see
+  * `graft.sources.Partitioned.zorderKey` for the min/max normalizing
+  * wrapper); out-of-range values clamp, preserving order. Null inputs
+  * clamp to 0 (sort first).
   */
 case class InterleaveBits(children: Seq[Expression]) extends Expression {
 
   require(children.nonEmpty && children.size <= 8,
     s"interleave_bits takes 1-8 columns, got ${children.size}")
 
-  val bitsPer: Int = 64 / children.size
+  // 63 usable bits, not 64: bit 63 is the sign bit — a lane bit landing
+  // there would make upper-half keys NEGATIVE and signed sort would break
+  // the Z-curve at the wrap (and for N=1, (1L << 64) masks to 1L << 0,
+  // zeroing the mask entirely)
+  val bitsPer: Int = 63 / children.size
   val mask: Long = (1L << bitsPer) - 1L
 
   override def dataType: DataType = LongType

@@ -100,7 +100,7 @@ package object functions {
     bloomMightContain(key,
       org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(bloomBytes))
 
-  /** Morton (Z-order) sort key over N bigint columns (low 64/N bits
+  /** Morton (Z-order) sort key over N bigint columns (low 63/N bits
     * each; see expressions.InterleaveBits) — the multi-column clustering
     * primitive: sort by this before writing and parquet min/max stats
     * prune on ANY of the columns. */

@@ -44,6 +44,8 @@ object Partitioned {
       targetFileBytes: Long = 128L * 1024 * 1024,
       sortBy: Option[String] = None,
       zorderBy: Seq[String] = Nil): (Long, Long) = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "pass sortBy OR zorderBy, not both — they are competing layouts")
     val files = listParquet(new java.io.File(inDir))
     val totalBytes = files.map(_.length()).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -68,7 +70,7 @@ object Partitioned {
     (files.length.toLong, listParquet(new java.io.File(outDir)).length.toLong)
   }
 
-  /** Morton key over `cols`, each min/max-normalized into its 64/N-bit
+  /** Morton key over `cols`, each min/max-normalized into its 63/N-bit
     * lane (one tiny agg computes the bounds; double scaling is fine —
     * the key orders the LAYOUT, row values stay exact). Timestamps/dates
     * are keyed by their underlying numeric; strings hash into the lane
@@ -77,25 +79,41 @@ object Partitioned {
     * pruning uses). */
   def zorderKey(df: DataFrame, cols: Seq[String]): org.apache.spark.sql.Column = {
     require(cols.nonEmpty, "zorderBy needs at least one column")
-    val bits = 64 / cols.size
+    val bits = 63 / cols.size // keep clear of the sign bit (see InterleaveBits)
     val mask = (1L << bits) - 1L
     val numeric: Map[String, org.apache.spark.sql.Column] = cols.map { c =>
       val dt = df.schema(c).dataType
       c -> (dt match {
         case org.apache.spark.sql.types.StringType => xxhash64(col(c)).bitwiseAND(lit(mask))
         case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-        case org.apache.spark.sql.types.DateType => col(c).cast("int").cast("long")
+        // CAST(date AS int) is rejected by ANSI Spark — days-since-epoch
+        case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
         case _ => col(c).cast("double")
       })
     }.toMap
+    // ONE scan gets every column's bounds — a per-column agg would rescan
+    // the (multi-TB, this is compaction) input once per clustered column
+    val numericCols = cols.filter(c =>
+      df.schema(c).dataType != org.apache.spark.sql.types.StringType)
+    val bounds: Map[String, (Double, Double)] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val row = df.agg(
+          numericCols.flatMap(c => Seq(
+            min(numeric(c)).cast("double").as(s"__mn_$c"),
+            max(numeric(c)).cast("double").as(s"__mx_$c"))).head,
+          numericCols.flatMap(c => Seq(
+            min(numeric(c)).cast("double").as(s"__mn_$c"),
+            max(numeric(c)).cast("double").as(s"__mx_$c"))).tail: _*).head()
+        numericCols.zipWithIndex.map { case (c, i) =>
+          c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        }.toMap
+      }
     val scaled = cols.map { c =>
       val v = numeric(c)
-      val dt = df.schema(c).dataType
-      if (dt == org.apache.spark.sql.types.StringType) v
+      if (df.schema(c).dataType == org.apache.spark.sql.types.StringType) v
       else {
-        val Row(mn: Any, mx: Any) = df.agg(
-          min(v).cast("double").as("mn"), max(v).cast("double").as("mx")).head()
-        val (lo, hi) = (mn.asInstanceOf[Double], mx.asInstanceOf[Double])
+        val (lo, hi) = bounds(c)
         if (hi <= lo) lit(0L)
         else floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
           .cast("long")

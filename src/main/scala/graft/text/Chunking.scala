@@ -71,6 +71,10 @@ object Chunking {
       idCols: Seq[String], budgetTokens: Long,
       numPartitions: Option[Int] = None): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    // fail fast on the driver: the getLong in the per-partition passes
+    // would otherwise ClassCastException mid-job on an int token column
+    require(chunks.schema(tokenCol).dataType == org.apache.spark.sql.types.LongType,
+      s"$tokenCol must be bigint, got ${chunks.schema(tokenCol).dataType.simpleString}")
     val spark = chunks.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val ordCols = col("__ord") +: idCols.map(col)

@@ -79,4 +79,17 @@ class PartitionedSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/zorder").agg(sum($"payload")).head().getLong(0) ==
       grid.agg(sum($"payload")).head().getLong(0))
   }
+
+  test("zorder key handles date, timestamp, and string lanes") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq(
+      ("2024-01-01", "2024-01-01 10:00:00", "alpha", 1L),
+      ("2024-06-30", "2024-06-30 23:59:59", "omega", 2L))
+      .toDF("d", "ts", "s", "v")
+      .select(to_date($"d").as("d"), to_timestamp($"ts").as("ts"), $"s", $"v")
+    val keys = df.select(Partitioned.zorderKey(df, Seq("d", "ts", "s", "v")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(keys.length == 2 && keys.forall(_ >= 0L) && keys(0) != keys(1))
+  }
 }
