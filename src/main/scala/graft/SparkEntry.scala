@@ -20,6 +20,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Warehouse.qAsofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => Warehouse.qRangeJoin(s, dir)),
     "q_funnel" -> ((s, dir) => Warehouse.qFunnel(s, dir)),
+    "q_event_debounce" -> ((s, dir) => Warehouse.qEventDebounce(s, dir)),
     "q_rollup" -> ((s, dir) => Warehouse.qRollup(s, dir)),
     "q_percentile" -> ((s, dir) => Warehouse.qPercentile(s, dir)),
     "q_skew_agg" -> ((s, dir) => Warehouse.qSkewAgg(s, dir)),
@@ -147,6 +148,14 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.click_ts >= p.p_ts - INTERVAL '1 hour' AND c.click_ts <= p.p_ts
         |ORDER BY p_event_id, click_event_id""".stripMargin,
+    "q_event_debounce" ->
+      """WITH lagged AS (
+        |  SELECT event_id, user_id, ts, props,
+        |    lag(ts) OVER (PARTITION BY user_id, props ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, props FROM lagged
+        |WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL '5 minutes'
+        |ORDER BY event_id""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, ts, event_type FROM events),
         |v AS (SELECT user_id, min(ts) AS t_view FROM ev

@@ -223,6 +223,23 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C14: event debounce — drop repeats of the same (user, payload)
+    * arriving within 5 minutes of the previous occurrence (duplicate
+    * deliveries, double-clicks, retry storms). One lag window per
+    * (user, props) key — the sessionize shuffle shape; the batch twin of
+    * streaming dropDuplicatesWithinWatermark (whose state TTL is the
+    * same window). */
+  def qEventDebounce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"props").orderBy($"ts", $"event_id")
+    Tables.table(spark, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .filter($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 5 MINUTE"))
+      .select($"event_id", $"user_id", $"ts", $"props")
+      .orderBy($"event_id")
+  }
+
   /** C13: staged conversion funnel with temporal ordering — per user:
     * first view, first click AT OR AFTER that view, first purchase at or
     * after that click. Cascading conditional-min aggregates, every

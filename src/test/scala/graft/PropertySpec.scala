@@ -148,6 +148,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves tokens and bounds deviation for random budgets") {
+    import spark.implicits._
+    val gen = for {
+      nChunks <- Gen.choose(5, 150)
+      maxTok <- Gen.choose(1L, 40L)
+      budget <- Gen.choose(maxTok, 300L) // budget >= any single chunk
+    } yield (nChunks, maxTok, budget)
+    (1 to 6).foreach { seed =>
+      val (nChunks, maxTok, budget) = sample(gen, seed.toLong)
+      val rnd = new scala.util.Random(seed)
+      val chunks = (1 to nChunks).map { i =>
+        (i.toLong, 0L, rnd.nextLong().abs % maxTok + 1, s"chunk text $i $seed")
+      }.toDF("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      val packed = text.Chunking.packSequences(
+        chunks, "n_tokens", "chunk_text", Seq("doc_id", "chunk_id"), budget,
+        numPartitions = Some(1 + seed % 5))
+      val seqs = packed.groupBy("seq_id").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      assert(seqs.map(_._2).sum == chunks.agg(sum("n_tokens")).head().getLong(0),
+        s"seed=$seed conservation")
+      // cum-start assignment: every sequence but the last overshoots its
+      // budget boundary by less than one chunk and undershoots by less
+      // than one chunk
+      seqs.dropRight(1).foreach { case (id, t) =>
+        assert(t > budget - maxTok && t < budget + maxTok,
+          s"seed=$seed seq=$id tokens=$t budget=$budget maxTok=$maxTok")
+      }
+      // seq ids are contiguous from 0
+      assert(seqs.map(_._1).toSeq == (0L until seqs.length.toLong))
+    }
+  }
+
   test("split shares converge to the requested proportions on random share vectors") {
     import spark.implicits._
     val docs = (1 to 4000).map(i => s"content number $i with words").toDF("text")

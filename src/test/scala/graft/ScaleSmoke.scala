@@ -113,6 +113,7 @@ object ScaleSmoke {
     time("q_quality_gate") { queries.LlmOps.qQualityGate(spark, dir) }
     time("q_pack_sequences") { queries.LlmOps.qPackSequences(spark, dir) }
     time("q_vocab") { queries.LlmOps.qVocab(spark, dir) }
+    time("q_event_debounce") { queries.Warehouse.qEventDebounce(spark, dir) }
     spark.stop()
   }
 }
