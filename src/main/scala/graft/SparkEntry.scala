@@ -47,6 +47,7 @@ object SparkEntry {
     "q_schema_validate" -> ((s, dir) => Etl.qSchemaValidate(s, dir)),
     "q_bloom_sync" -> ((s, dir) => Etl.qBloomSync(s, dir)),
     "q_dedup_exact" -> ((s, dir) => LlmOps.qDedupExact(s, dir)),
+    "q_dedup_incremental" -> ((s, dir) => LlmOps.qDedupIncremental(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
@@ -475,6 +476,12 @@ object SparkEntry {
       """SELECT md5(props) AS content_hash, min(event_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM events GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_dedup_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(text) NOT IN (
+        |    SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, source,

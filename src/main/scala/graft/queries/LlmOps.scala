@@ -344,6 +344,26 @@ object LlmOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** D8: incremental ingestion dedup — drop new-batch documents whose
+    * exact content (md5) already exists in the ingested corpus (the
+    * daily-crawl shape: dedup the increment against the accumulated
+    * corpus, not the increment against itself). Left-anti join on the
+    * 16-byte content hash — the corpus side reduces to its distinct hash
+    * set; at 100 TB that set lives as a bucketed hash table (or the
+    * Bloom prefilter of A13 when even the hashes are too big to
+    * broadcast). Here even-ids stand in for the existing corpus,
+    * odd-ids for the new batch. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val corpusHashes = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("__h")).distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("__h", md5(col("text")))
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** F12: vocabulary building — the tokenizer-training precursor: corpus
     * term frequencies capped to the top-K by (count desc, term), each
     * term assigned a stable 0-based vocab id. The cap makes the plan

@@ -114,6 +114,7 @@ object ScaleSmoke {
     time("q_pack_sequences") { queries.LlmOps.qPackSequences(spark, dir) }
     time("q_vocab") { queries.LlmOps.qVocab(spark, dir) }
     time("q_event_debounce") { queries.Warehouse.qEventDebounce(spark, dir) }
+    time("q_dedup_incremental") { queries.LlmOps.qDedupIncremental(spark, dir) }
     spark.stop()
   }
 }
