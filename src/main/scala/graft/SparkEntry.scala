@@ -476,12 +476,16 @@ object SparkEntry {
       """SELECT md5(props) AS content_hash, min(event_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM events GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // NOT EXISTS, not NOT IN: a NULL text in the corpus set would NULL
+    // out a NOT IN entirely, while Spark's left_anti (null keys never
+    // match) keeps the normal result
     "q_dedup_incremental" ->
-      """SELECT doc_id FROM documents
-        |WHERE doc_id % 2 = 1
-        |  AND md5(text) NOT IN (
-        |    SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
-        |ORDER BY doc_id""".stripMargin,
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id % 2 = 1
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 2 = 0 AND md5(c.text) = md5(n.text))
+        |ORDER BY n.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, source,

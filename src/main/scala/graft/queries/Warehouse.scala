@@ -224,11 +224,18 @@ object Warehouse {
   }
 
   /** C14: event debounce — drop repeats of the same (user, payload)
-    * arriving within 5 minutes of the previous occurrence (duplicate
+    * arriving within 5 minutes of the PREVIOUS OCCURRENCE (duplicate
     * deliveries, double-clicks, retry storms). One lag window per
-    * (user, props) key — the sessionize shuffle shape; the batch twin of
-    * streaming dropDuplicatesWithinWatermark (whose state TTL is the
-    * same window). */
+    * (user, props) key — the sessionize shuffle shape.
+    *
+    * NOTE these are true debounce semantics: a burst re-arms on every
+    * repeat, so a chain with sub-window gaps stays suppressed however
+    * long it runs. That is deliberately NOT
+    * dropDuplicatesWithinWatermark (streaming/Events.dedupStream),
+    * which anchors state at the FIRST arrival and re-emits once the
+    * state TTL passes — on a chain at t=0,4,8min this keeps t=8, the
+    * debounce drops it. Both are legitimate dedup policies; pick by
+    * whether a continuing burst should stay silenced. */
   def qEventDebounce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

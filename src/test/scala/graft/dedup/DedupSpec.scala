@@ -162,6 +162,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 9L)) // cluster {1,2,3} keeps 1; 9 untouched
   }
 
+  test("incremental dedup drops exactly the new-batch docs whose content exists in the corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      // even ids = accumulated corpus
+      (0L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (4L, "eta theta iota"),
+      // odd ids = new batch: 1 and 5 duplicate corpus content, 3 and 7 are novel
+      (1L, "alpha beta gamma"), (3L, "fresh new content"),
+      (5L, "eta theta iota"), (7L, "another novel doc"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.queries.LlmOps.qDedupIncremental(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L))
+  }
+
   test("jaccard x1000 matches exact set computation") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

@@ -91,6 +91,30 @@ class WarehouseSpec extends SparkSpec {
     assert(out(3L) == ((true, true, false)))
   }
 
+  test("debounce suppresses sub-window chains, keeps exact-boundary and other keys") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq(
+      // user 1 / p: chain at 0, 4, 8 min — debounce re-arms on every
+      // repeat, so BOTH 4 and 8 drop (NOT dropDuplicatesWithinWatermark,
+      // which would re-emit at 8)
+      (10L, ts(0), 1L, "x", "p"), (11L, ts(4), 1L, "x", "p"), (12L, ts(8), 1L, "x", "p"),
+      // user 1 / p: exactly 5 minutes after the last occurrence → still
+      // dropped (strict >; kept only when the gap EXCEEDS the window)
+      (13L, ts(13), 1L, "x", "p"),
+      // and 5 min + 1 min later → kept
+      (14L, ts(19), 1L, "x", "p"),
+      // same instant, different payload or different user → independent
+      (20L, ts(4), 1L, "x", "q"), (21L, ts(4), 2L, "x", "p"))
+      .map { case (id, t, u, et, pr) => (id, t, u, et, 0.0, pr) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("debounce").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val kept = Warehouse.qEventDebounce(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 14L, 20L, 21L))
+  }
+
   test("approx_percentile (the 100 TB path) tracks the exact percentiles") {
     import spark.implicits._
     // exact percentile buffers each group's values; approx_percentile is
