@@ -92,6 +92,18 @@ object ScaleSmoke {
       finally { pairs.unpersist(); () }
     }
     time("q_dedup_apply") { queries.LlmOps.qDedupApply(spark, dir) }
+    // the scale-path apply: LSH candidate pairs instead of the exact
+    // all-pairs oracle baseline the registered query keeps for DuckDB
+    time("dedup_apply_lsh") {
+      val pairs = graft.ann.Ann.nearDupPairsLsh(
+        graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000).persist()
+      pairs.count()
+      try dedup.Dedup.keepCanonical(
+        graft.sources.Tables.table(spark, dir, "embeddings").select(col("vec_id")),
+        "vec_id", pairs)
+      finally { pairs.unpersist(); () }
+    }
     time("q_asof_join") { queries.Warehouse.qAsofJoin(spark, dir) }
     time("q_skew_agg") { queries.Warehouse.qSkewAgg(spark, dir) }
     time("q_decontaminate") { queries.LlmOps.qDecontaminate(spark, dir) }
