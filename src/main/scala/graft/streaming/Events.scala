@@ -2,12 +2,67 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Per-user open-session state for streaming sessionization (top-level —
   * Spark's state encoder generates code against the public constructor). */
 final case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** G2b: the same gap-sessionization as [[Events.sessionize]] on Spark 4's
+  * `transformWithState` API (the successor to flatMapGroupsWithState):
+  * typed `ValueState` from the handle, an explicit per-key EVENT-TIME
+  * TIMER re-armed at session-close + gap instead of a timeout config, and
+  * emission from `handleExpiredTimer` when the watermark passes. Requires
+  * the RocksDB state store provider (a transformWithState constraint).
+  * Top-level class: the processor is serialized into the stream. */
+final class SessionProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Events.Event, Events.Session] {
+
+  @transient private var state: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  private def toSession(userId: Long, s: SessionState) =
+    Events.Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+
+  override def handleInputRows(userId: Long, rows: Iterator[Events.Event],
+      timers: TimerValues): Iterator[Events.Session] = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var closed = List.empty[Events.Session]
+    var cur = if (state.exists()) Some(state.get()) else None
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastMs <= gapMs =>
+          cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+        case Some(s) =>
+          closed ::= toSession(userId, s)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    // exactly one armed timer per key: timers are not a single timeout
+    // slot (every registerTimer adds one), so clear before re-arming
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    cur.foreach { s =>
+      state.update(s)
+      getHandle.registerTimer(s.lastMs + gapMs)
+    }
+    closed.reverseIterator
+  }
+
+  override def handleExpiredTimer(userId: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Events.Session] = {
+    val out = if (state.exists()) Iterator.single(toSession(userId, state.get()))
+      else Iterator.empty
+    state.clear()
+    out
+  }
+}
 
 /** Structured Streaming operators over the events stream (SURVEY.md §2 G).
   *
@@ -79,6 +134,19 @@ object Events {
       .withWatermark("ts", "1 minute")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** G2b: sessionization via `transformWithState` (see
+    * [[SessionProcessor]]) — identical semantics to [[sessionize]],
+    * expressed on the Spark 4 arbitrary-state API. */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Long = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exact dedup — the continuous face of graft.dedup.Dedup

@@ -66,6 +66,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState sessionization matches the fMGWS semantics") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Events.useRocksDbState(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-ckpt").toString
+    val input = MemoryStream[Events.Event]
+    val query = Events.sessionizeTws(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("tws_sessions")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Events.Event(1, ts(0), 1L, "view", 1.0),
+        Events.Event(2, ts(5), 1L, "view", 1.0),
+        Events.Event(3, ts(10), 1L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Events.Event(4, ts(50), 1L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Events.Event(5, ts(500), 2L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Events.Event(6, ts(1000), 3L, "view", 1.0))
+      query.processAllAvailable()
+      val sessions = spark.table("tws_sessions").as[Events.Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      // same scenario and same expectations as the fMGWS test above
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 3L)
+      assert(sessions(0).session_start == ts(0) && sessions(0).session_end == ts(10))
+      assert(sessions(1).n_events == 1L && sessions(1).session_start == ts(50))
+    } finally {
+      query.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     val sparkSession = spark
     import sparkSession.implicits._
