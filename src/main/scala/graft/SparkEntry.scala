@@ -18,6 +18,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, dir) => Warehouse.qWindowTopN(s, dir)),
     "q_anti_join" -> ((s, dir) => Warehouse.qAntiJoin(s, dir)),
     "q_asof_join" -> ((s, dir) => Warehouse.qAsofJoin(s, dir)),
+    "q_asof_forward" -> ((s, dir) => Warehouse.qAsofForward(s, dir)),
     "q_range_join" -> ((s, dir) => Warehouse.qRangeJoin(s, dir)),
     "q_funnel" -> ((s, dir) => Warehouse.qFunnel(s, dir)),
     "q_event_debounce" -> ((s, dir) => Warehouse.qEventDebounce(s, dir)),
@@ -140,6 +141,32 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
         |ORDER BY event_id""".stripMargin,
+    // forward as-of has no native DuckDB ASOF form (ASOF is >= only);
+    // the oracle replays the same tagged-union + forward-frame
+    // first_value construction in SQL — pid/pts carry independently here
+    // because both are non-null on exactly the right-side rows
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, min(event_id) AS pid
+        |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id,
+        |         CAST(NULL AS BIGINT) AS pid, CAST(NULL AS TIMESTAMP) AS pts
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, p_ts, 1, NULL, pid, p_ts FROM p),
+        |w AS (
+        |  SELECT user_id, ts, side, event_id,
+        |    first_value(pid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id,
+        |    first_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        |  FROM u)
+        |SELECT event_id, user_id, ts, next_purchase_id, next_purchase_ts
+        |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       """WITH p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
         |           FROM events WHERE event_type = 'purchase'),

@@ -68,4 +68,38 @@ object AsOfJoin {
       .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++
         carryCols.map(c => col(s"__carried.`$c`").as(c)): _*)
   }
+
+  /** FORWARD as-of: for every left row, the single EARLIEST right row of
+    * the same key with `rightTime >= leftTime` (strict: `>`) — the
+    * mirror image of [[asOf]] (pandas merge_asof direction='forward';
+    * e.g. attribute each click to the user's next purchase). Same plan:
+    * one key shuffle, one per-key sort, `first(_, ignoreNulls)` over
+    * current-row-to-unbounded-FOLLOWING. Ties: at equal time the right
+    * row sorts after the left for inclusive semantics (inside the
+    * forward frame) and before it for strict (outside). Same determinism
+    * contract: `right` unique per (key, time). */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, carryCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val rightOrder = if (strict) -1 else 1
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(carryCols.map(c => right.schema(c)))
+    val rTagged = right.select(
+      col(keyCol).as("__key"), col(rightTime).as("__t"), lit(rightOrder).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(carryCols.map(col): _*).as("__r"))
+    val lTagged = left.select(
+      col(keyCol).as("__key"), col(leftTime).as("__t"), lit(0).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lTagged.unionAll(rTagged)
+      .select(col("__side"), col("__l"),
+        first(col("__r"), ignoreNulls = true).over(w).as("__carried"))
+      .filter(col("__side") === 0)
+      .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++
+        carryCols.map(c => col(s"__carried.`$c`").as(c)): _*)
+  }
 }

@@ -145,6 +145,24 @@ object Warehouse {
       .orderBy($"event_id")
   }
 
+  /** C8b: FORWARD as-of join — attribute every click to the user's NEXT
+    * purchase at-or-after it (conversion attribution; the mirror of C8).
+    * Purchases pre-aggregate per (user, instant) for determinism; clicks
+    * with no later purchase keep NULLs. */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.table(spark, dir, "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(min($"event_id").as("next_purchase_id"))
+      .select($"user_id", $"ts".as("next_purchase_ts"), $"next_purchase_id")
+    graft.operators.AsOfJoin.asOfForward(clicks, purchases, "user_id",
+      "ts", "next_purchase_ts", Seq("next_purchase_id", "next_purchase_ts"))
+      .orderBy($"event_id")
+  }
+
   /** C9: salted aggregation over pathologically skewed keys — events has
     * 5 distinct event types over the whole table, the worst case for a
     * plain hash aggregate (5 reducers own everything). The two-phase

@@ -105,6 +105,7 @@ object ScaleSmoke {
       finally { pairs.unpersist(); () }
     }
     time("q_asof_join") { queries.Warehouse.qAsofJoin(spark, dir) }
+    time("q_asof_forward") { queries.Warehouse.qAsofForward(spark, dir) }
     time("q_skew_agg") { queries.Warehouse.qSkewAgg(spark, dir) }
     time("q_decontaminate") { queries.LlmOps.qDecontaminate(spark, dir) }
     time("q_split_assign") { queries.LlmOps.qSplitAssign(spark, dir) }

@@ -31,6 +31,58 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, None)))        // left-outer: no right row for key 30
   }
 
+  test("forward as-of picks the earliest right row at-or-after; strict excludes ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 11:00:00")), // exactly equal right instant
+      (4L, 30L, ts("2024-01-01 09:00:00"))) // no right rows for this key
+      .toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), "past"),   // before every left row
+      (10L, ts("2024-01-01 10:30:00"), "a"),
+      (10L, ts("2024-01-01 13:00:00"), "b"),
+      (20L, ts("2024-01-01 11:00:00"), "tie"),
+      (20L, ts("2024-01-01 12:00:00"), "later"))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, Some("a")),    // 10:30 is the earliest >= 10:00; 09:30 is past
+      (2L, Some("b")),
+      (3L, Some("tie")),  // inclusive: equal instant qualifies
+      (4L, None)))
+    val strict = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("v"),
+      strict = true)
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(strict(2) == ((3L, Some("later")))) // equal instant excluded under >
+  }
+
+  test("forward as-of equals the naive earliest-at-or-after scan on random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("lid", "k", "t")
+    // right unique per (key, time) — the operator's determinism contract
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(6).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "rt", "rid")
+    val got = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    left.collect().foreach { l =>
+      val (lid, k, t) = (l.getLong(0), l.getLong(1), l.getTimestamp(2))
+      val expect = rightRows.filter(r => r._1 == k && !r._2.before(t))
+        .sortBy(_._2.getTime).headOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid")
+    }
+  }
+
   test("a NULL in the latest right row returns as-is, never an older row's value") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("lid", "k", "t")
