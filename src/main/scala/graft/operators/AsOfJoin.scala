@@ -56,7 +56,7 @@ object AsOfJoin {
       struct(carryCols.map(col): _*).as("__r"))
     val lTagged = left.select(
       col(keyCol).as("__key"), col(leftTime).as("__t"), lit(0).as("__side"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
@@ -65,7 +65,7 @@ object AsOfJoin {
       .select(col("__side"), col("__l"),
         last(col("__r"), ignoreNulls = true).over(w).as("__carried"))
       .filter(col("__side") === 0)
-      .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.`$c`").as(c)) ++
         carryCols.map(c => col(s"__carried.`$c`").as(c)): _*)
   }
 
@@ -90,7 +90,7 @@ object AsOfJoin {
       struct(carryCols.map(col): _*).as("__r"))
     val lTagged = left.select(
       col(keyCol).as("__key"), col(leftTime).as("__t"), lit(0).as("__side"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__side"))
@@ -99,7 +99,7 @@ object AsOfJoin {
       .select(col("__side"), col("__l"),
         first(col("__r"), ignoreNulls = true).over(w).as("__carried"))
       .filter(col("__side") === 0)
-      .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.`$c`").as(c)) ++
         carryCols.map(c => col(s"__carried.`$c`").as(c)): _*)
   }
 }

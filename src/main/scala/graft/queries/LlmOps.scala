@@ -139,7 +139,9 @@ object LlmOps {
   /** Drop every memoized ANN index (and release its cached storage). */
   def clearAnnIndexes(): Unit = {
     annIndexCache.values.foreach {
-      case df: DataFrame => df.unpersist(); ()
+      // Dataset[_] sidesteps the erased-Row type-pattern warning; the
+      // cache only ever holds DataFrames and IvfIndexes
+      case df: org.apache.spark.sql.Dataset[_] => df.unpersist(); ()
       case idx: Ivf.IvfIndex => idx.assigned.unpersist(); ()
       case _ => ()
     }
