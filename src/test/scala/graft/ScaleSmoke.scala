@@ -68,12 +68,18 @@ object ScaleSmoke {
     time("q_dedup_simhash") { queries.LlmOps.qDedupSimhash(spark, dir) }
     // at this corpus size the LSH near-dup needs planes sized to the data
     // (≈ log2(N / target-bucket-size)) — the sf0.01-tuned planes=8 of the
-    // registered query would funnel millions of vectors into 256 buckets
-    time("embedding_neardup_lsh") {
-      graft.ann.Ann.nearDupPairsLsh(
-        graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
-        tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000)
+    // registered query would funnel millions of vectors into 256 buckets.
+    // ONE definition serves every LSH-pair block below, so a tuning
+    // change can't silently time different configurations.
+    def lshPairs() = graft.ann.Ann.nearDupPairsLsh(
+      graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000)
+    def withLshPairs[A](f: DataFrame => DataFrame): DataFrame = {
+      val pairs = lshPairs().persist()
+      pairs.count()
+      try f(pairs) finally { pairs.unpersist(); () }
     }
+    time("embedding_neardup_lsh") { lshPairs() }
     time("q_embedding_neardup") { queries.LlmOps.qEmbeddingNearDup(spark, dir) }
     time("q_ann_topk") { queries.LlmOps.qAnnTopK(spark, dir) }
     time("q_token_count") { queries.LlmOps.qTokenCount(spark, dir) }
@@ -84,25 +90,15 @@ object ScaleSmoke {
     // force the DISTRIBUTED min-label path (driver threshold 0), proving
     // the fixpoint converges beyond union-find scale
     time("dedup_clusters_dist") {
-      val pairs = graft.ann.Ann.nearDupPairsLsh(
-        graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
-        tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000).persist()
-      pairs.count()
-      try dedup.Dedup.connectedComponents(pairs, driverThreshold = 0L)
-      finally { pairs.unpersist(); () }
+      withLshPairs(pairs => dedup.Dedup.connectedComponents(pairs, driverThreshold = 0L))
     }
     time("q_dedup_apply") { queries.LlmOps.qDedupApply(spark, dir) }
     // the scale-path apply: LSH candidate pairs instead of the exact
     // all-pairs oracle baseline the registered query keeps for DuckDB
     time("dedup_apply_lsh") {
-      val pairs = graft.ann.Ann.nearDupPairsLsh(
-        graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
-        tau = 0.35, dims = 64, planes = 20, probeBits = 1, maxBucketSize = 1000).persist()
-      pairs.count()
-      try dedup.Dedup.keepCanonical(
+      withLshPairs(pairs => dedup.Dedup.keepCanonical(
         graft.sources.Tables.table(spark, dir, "embeddings").select(col("vec_id")),
-        "vec_id", pairs)
-      finally { pairs.unpersist(); () }
+        "vec_id", pairs))
     }
     time("q_asof_join") { queries.Warehouse.qAsofJoin(spark, dir) }
     time("q_asof_forward") { queries.Warehouse.qAsofForward(spark, dir) }

@@ -72,15 +72,47 @@ class AsOfJoinSpec extends SparkSpec {
       (rnd.nextInt(6).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong))
       .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
       .toDF("k", "rt", "rid")
-    val got = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("rid"))
-      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
     val rightRows = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
-    left.collect().foreach { l =>
-      val (lid, k, t) = (l.getLong(0), l.getLong(1), l.getTimestamp(2))
-      val expect = rightRows.filter(r => r._1 == k && !r._2.before(t))
-        .sortBy(_._2.getTime).headOption.map(_._3)
-      assert(got(lid) == expect, s"lid=$lid")
+    for (strict <- Seq(false, true)) {
+      val got = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("rid"), strict)
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      left.collect().foreach { l =>
+        val (lid, k, t) = (l.getLong(0), l.getLong(1), l.getTimestamp(2))
+        val expect = rightRows
+          .filter(r => r._1 == k && (if (strict) r._2.after(t) else !r._2.before(t)))
+          .sortBy(_._2.getTime).headOption.map(_._3)
+        assert(got(lid) == expect, s"lid=$lid strict=$strict")
+      }
     }
+  }
+
+  test("NULL times never match: null-time left carries NULL, null-time right is ignored") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, 10L, None)) // null left time — no comparison is ever true
+      .toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, Some(ts("2024-01-01 09:00:00")), "before"),
+      (10L, Some(ts("2024-01-01 11:00:00")), "after"),
+      (10L, None, "null-time")) // must not be carried anywhere
+      .toDF("k", "rt", "v")
+    val back = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(back == Map(1L -> Some("before"), 2L -> None))
+    val fwd = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(fwd == Map(1L -> Some("after"), 2L -> None))
+  }
+
+  test("forward plan uses the running frame, not the O(n^2) following frame") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("lid", "k", "t")
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), 9L)).toDF("k", "rt", "rid")
+    val plan = AsOfJoin.asOfForward(left, right, "k", "t", "rt", Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("unboundedfollowing"),
+      s"forward must reverse the sort and keep the incremental frame:\n$plan")
   }
 
   test("a NULL in the latest right row returns as-is, never an older row's value") {
