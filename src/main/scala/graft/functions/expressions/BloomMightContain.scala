@@ -14,13 +14,50 @@ import org.apache.spark.util.sketch.BloomFilter
   * val would cost (each task deserializes the task binary, so anything
   * reachable from the expression tree is rebuilt per task; at the ~GB
   * filter sizes this operator exists for, per-task deserialization IS the
-  * job's runtime). Entries live for the executor's lifetime — bounded by
-  * the handful of distinct filters a job ships. */
+  * job's runtime).
+  *
+  * Values are SoftReferences, so a long-lived executor that has seen many
+  * distinct filters sheds the cold ones under memory pressure instead of
+  * growing without bound; tasks actively probing hold a strong reference
+  * (the codegen'd mutable state / the expression's lazy val), so an
+  * in-use filter is never collected mid-task. Cleared entries are pruned
+  * on the next miss. */
 object BloomFilters {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
-  def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter =
-    cache.computeIfAbsent(bc.id,
-      _ => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value)))
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[BloomFilter]]()
+
+  def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter = {
+    val ref = cache.get(bc.id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+      // two tasks racing a miss both deserialize; last put wins — harmless
+      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value))
+      cache.put(bc.id, new java.lang.ref.SoftReference(f))
+      f
+    }
+  }
+
+  /** Driver-side broadcast dedup: probe Columns are often re-constructed
+    * from the same serialized filter (per micro-batch, per
+    * incrementalSlice call) — without dedup every construction ships and
+    * caches a fresh copy of identical bits. Key = content digest +
+    * application id (a restarted SparkContext must not resurrect a dead
+    * handle). Distinct filters still accumulate for the app's lifetime —
+    * callers cycling many genuinely different filters should broadcast
+    * themselves and unpersist when done. */
+  private val broadcasts =
+    new java.util.concurrent.ConcurrentHashMap[String, Broadcast[Array[Byte]]]()
+
+  def broadcastFor(bytes: Array[Byte]): Broadcast[Array[Byte]] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val digest = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes))
+    broadcasts.computeIfAbsent(s"${sc.applicationId}:${bytes.length}:$digest",
+      _ => sc.broadcast(bytes))
+  }
 }
 
 /** Membership probe against a pre-built Bloom filter (Spark's

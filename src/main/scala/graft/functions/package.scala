@@ -94,11 +94,13 @@ package object functions {
     * semi-join scale hatch for key sets too large to broadcast as hash
     * relations; composes into lambda functions and streaming filters.
     * The bytes are broadcast here (handle in the plan, bits fetched +
-    * deserialized once per executor) — probing several columns against
-    * one filter? broadcast once yourself and use the Broadcast overload. */
+    * deserialized once per executor), deduplicated by content — repeated
+    * construction from the same bytes (per micro-batch, per sync slice)
+    * reuses one broadcast instead of accumulating copies. Probing several
+    * columns against one filter works the same way; to control the
+    * broadcast lifetime yourself, use the Broadcast overload. */
   def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
-    bloomMightContain(key,
-      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(bloomBytes))
+    bloomMightContain(key, expressions.BloomFilters.broadcastFor(bloomBytes))
 
   /** Morton (Z-order) sort key over N bigint columns (low 63/N bits
     * each; see expressions.InterleaveBits) — the multi-column clustering

@@ -106,7 +106,12 @@ object Partitioned {
             min(numeric(c)).cast("double").as(s"__mn_$c"),
             max(numeric(c)).cast("double").as(s"__mx_$c"))).tail: _*).head()
         numericCols.zipWithIndex.map { case (c, i) =>
-          c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+          // empty input / all-NULL column: min & max come back NULL —
+          // degrade that lane to the degenerate-range constant instead
+          // of an NPE on the driver
+          val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+          val hi = if (row.isNullAt(2 * i + 1)) lo else row.getDouble(2 * i + 1)
+          c -> (lo, hi)
         }.toMap
       }
     val scaled = cols.map { c =>
@@ -115,8 +120,17 @@ object Partitioned {
       else {
         val (lo, hi) = bounds(c)
         if (hi <= lo) lit(0L)
-        else floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
-          .cast("long")
+        else {
+          // ANSI-safe top-of-range: with one column bits=63 and
+          // mask.toDouble rounds UP to 2^63 exactly, so the hi row's
+          // floor(frac * mask) is 2^63 and a bare double→long cast
+          // throws CAST_OVERFLOW. Clamp in double space and cast only
+          // the in-range branch (CaseWhen evaluates one branch); NaN
+          // input pins to the top lane rather than failing the cast.
+          val d = floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
+          when(isnan(d) || d >= lit(Long.MaxValue.toDouble), lit(mask))
+            .otherwise(d.cast("long"))
+        }
       }
     }
     graft.functions.zorder(scaled: _*)

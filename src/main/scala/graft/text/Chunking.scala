@@ -83,8 +83,14 @@ object Chunking {
       .sortWithinPartitions(ordCols: _*)
     val rdd = ranged.rdd // one instance — all jobs share its range bounds
     val tokIdx = ranged.schema.fieldIndex(tokenCol)
+    // NULL token counts pack as 0 explicitly (the row still gets a seq_id,
+    // it just doesn't consume budget) — getLong on a null cell would throw
+    // an opaque NPE mid-job; both passes MUST read identically or the
+    // prefix offsets go out of sync with the assignment pass
+    val tokOf: org.apache.spark.sql.Row => Long =
+      r => if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.map(_.getLong(tokIdx)).sum))
+      Iterator((i, it.map(tokOf).sum))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val bOffsets = spark.sparkContext.broadcast(offsets)
@@ -94,7 +100,7 @@ object Chunking {
       var cum = bOffsets.value(i)
       it.map { r =>
         val seq = cum / budgetTokens
-        cum += r.getLong(tokIdx)
+        cum += tokOf(r)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq)
       }
     }

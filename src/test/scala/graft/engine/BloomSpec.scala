@@ -74,4 +74,23 @@ class BloomSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L)) // doc 1 shares "leaked benchmark answer"
   }
+
+  test("identical filter bytes broadcast once (content-dedup), distinct bytes don't") {
+    import spark.implicits._
+    val dim = (1 to 100).map(_.toLong).toDF("k")
+    val bytes = BloomSemiJoin.buildBloom(dim, "k", 100L, 0.03)
+    val bc1 = graft.functions.expressions.BloomFilters.broadcastFor(bytes)
+    // a per-micro-batch reconstruction hands over a DIFFERENT array with
+    // the same content — must reuse the same broadcast
+    val bc2 = graft.functions.expressions.BloomFilters.broadcastFor(bytes.clone())
+    assert(bc1.id == bc2.id)
+    val other = BloomSemiJoin.buildBloom(dim, "k", 100L, 0.01)
+    val bc3 = graft.functions.expressions.BloomFilters.broadcastFor(other)
+    assert(bc3.id != bc1.id)
+    // and the probe still works through the deduped handle
+    val fact = (1 to 200).map(_.toLong).toDF("fk")
+    val pre = fact.filter(graft.functions.bloomMightContain($"fk", bytes))
+      .collect().map(_.getLong(0)).toSet
+    assert((1 to 100).map(_.toLong).toSet.subsetOf(pre))
+  }
 }

@@ -80,6 +80,39 @@ class PartitionedSpec extends SparkSpec {
       grid.agg(sum($"payload")).head().getLong(0))
   }
 
+  test("single-column zorder survives the max-value row under ANSI (no CAST_OVERFLOW)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder1").toString
+    // bits=63 ⇒ mask.toDouble rounds up to 2^63; the v==hi row used to
+    // throw CAST_OVERFLOW on the double→long cast
+    val df = (0L to 1000L).map(v => (v, v * 7)).toDF("v", "payload")
+    df.repartition(8).write.parquet(s"$tmp/frag")
+    Partitioned.compact(spark, s"$tmp/frag", s"$tmp/z",
+      targetFileBytes = 4096L, zorderBy = Seq("v"))
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() == 1001L)
+    assert(back.agg(sum($"payload")).head().getLong(0) ==
+      df.agg(sum($"payload")).head().getLong(0))
+    // the lane itself stays in [0, mask] with hi mapping to the top
+    val keys = df.select(Partitioned.zorderKey(df, Seq("v")).as("z"))
+      .agg(min($"z"), max($"z")).head()
+    assert(keys.getLong(0) >= 0L && keys.getLong(1) <= Long.MaxValue)
+  }
+
+  test("zorder key degrades cleanly on empty input and all-NULL lanes") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    // used to NPE on the driver reading NULL min/max bounds
+    assert(empty.select(Partitioned.zorderKey(empty, Seq("a", "b"))).count() == 0L)
+    val allNull = Seq((Option.empty[java.lang.Long], 1L),
+      (Option.empty[java.lang.Long], 2L)).toDF("a", "b")
+    val keys = allNull.select(Partitioned.zorderKey(allNull, Seq("a", "b")).as("z"))
+      .collect()
+    assert(keys.length == 2) // null lane clamps inside InterleaveBits
+  }
+
   test("zorder key handles date, timestamp, and string lanes") {
     val sparkSession = spark
     import sparkSession.implicits._

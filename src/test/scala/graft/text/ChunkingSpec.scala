@@ -82,6 +82,23 @@ class ChunkingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sequence packing treats NULL token counts as 0 instead of an executor NPE") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0L, Option(100L), "aaa"),
+      (2L, 0L, Option.empty[Long], "bbb"),  // null n_tokens
+      (3L, 0L, Option(100L), "ccc"),
+      (4L, 0L, Option(100L), "ddd"))
+      .toDF("doc_id", "chunk_id", "n_tokens", "chunk_text")
+    val packed = Chunking.packSequences(chunks, "n_tokens", "chunk_text",
+      Seq("doc_id", "chunk_id"), budgetTokens = 150L)
+    val rows = packed.select("doc_id", "seq_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 4) // the null row is kept and assigned
+    // conservation over non-null tokens: 300 total / budget 150 ⇒ ids 0..2
+    assert(rows.values.max <= 2L)
+  }
+
   test("a doc that is all boilerplate keeps an empty cleaned_text row") {
     import spark.implicits._
     val docs = ((1 to 9).map(i => (i.toLong, s"same pair u$i v$i")) :+ (10L, "same pair"))
