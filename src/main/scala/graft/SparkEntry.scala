@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, LlmOps, Warehouse}
+import graft.queries.{Etl, LlmOps, Temporal, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -73,6 +73,15 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => LlmOps.qTokenCount(s, dir)),
     "q_fingerprint" -> ((s, dir) => LlmOps.qFingerprint(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => LlmOps.qMultimodalMeta(s, dir)),
+    "q_cdc_apply" -> ((s, dir) => Temporal.qCdcApply(s, dir)),
+    "q_scd2" -> ((s, dir) => Temporal.qScd2(s, dir)),
+    "q_fill_gaps" -> ((s, dir) => Temporal.qFillGaps(s, dir)),
+    "q_pivot" -> ((s, dir) => Warehouse.qPivot(s, dir)),
+    "q_histogram" -> ((s, dir) => Warehouse.qHistogram(s, dir)),
+    "q_skew_join" -> ((s, dir) => Warehouse.qSkewJoin(s, dir)),
+    "q_entropy" -> ((s, dir) => LlmOps.qEntropy(s, dir)),
+    "q_text_normalize" -> ((s, dir) => LlmOps.qTextNormalize(s, dir)),
+    "q_bigram_counts" -> ((s, dir) => LlmOps.qBigramCounts(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -734,5 +743,116 @@ object SparkEntry {
         |    END AS prefix_fingerprint
         |  FROM documents)
         |SELECT doc_id, fingerprint, prefix_fingerprint FROM ph ORDER BY doc_id""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, props
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, ts, op, value, props,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, ts AS last_ts, round(value, 2) AS value, props
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH changes AS (
+        |  SELECT user_id, ts, event_id, props,
+        |    lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |episodes AS (
+        |  SELECT user_id, props, ts, event_id FROM changes
+        |  WHERE prev IS NULL OR props <> prev)
+        |SELECT user_id, props, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM episodes
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q_fill_gaps" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |spans AS (
+        |  SELECT event_type, min(h) AS lo, max(h) AS hi
+        |  FROM hourly GROUP BY event_type),
+        |cal AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM spans)
+        |SELECT cal.event_type, cal.h,
+        |  CAST(coalesce(hourly.n, 0) AS BIGINT) AS n,
+        |  hourly.sum_value AS sum_value,
+        |  last_value(hourly.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY cal.event_type ORDER BY cal.h
+        |    ROWS UNBOUNDED PRECEDING) AS locf_value
+        |FROM cal LEFT JOIN hourly
+        |  ON cal.event_type = hourly.event_type AND cal.h = hourly.h
+        |ORDER BY cal.event_type, cal.h""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_histogram" ->
+      """WITH binned AS (
+        |  SELECT event_type,
+        |    least(19, greatest(0, CAST(floor(value / 25.0) AS BIGINT))) AS bin,
+        |    value
+        |  FROM events)
+        |SELECT event_type, bin, round(bin * 25.0, 2) AS bin_lo,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM binned GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type AS d_type,
+        |    CAST(length(event_type) AS BIGINT) AS weight
+        |  FROM events)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(sum(e.value * d.weight), 2) AS weighted_value
+        |FROM events e JOIN dim d ON e.event_type = d.d_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types, sum(c * ln(c)) AS clnc
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(floor((ln(n_tokens) - clnc / n_tokens) * 1000.0 + 0.5) AS BIGINT)
+        |    AS entropy_x1000
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      '  +', ' ', 'g')) AS norm_text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    "q_bigram_counts" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS n
+        |FROM grams GROUP BY bigram
+        |ORDER BY n DESC, bigram
+        |LIMIT 100""".stripMargin,
   )
 }

@@ -431,4 +431,31 @@ object LlmOps {
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Binary.mediaMeta(Binary.toMediaTable(Tables.table(spark, dir, "documents"), "text", "doc_id"))
       .orderBy("doc_id")
+
+  /** F13: per-doc token entropy (map-side run-length fold, no shuffle). */
+  def qEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** F14: canonical text normalization (pure projection). */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalize(Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** F15: corpus bigram counts, top-K by frequency — the unit step of
+    * BPE/WordPiece merge selection (each tokenizer-training iteration
+    * picks the most frequent adjacent pair) and the n-gram-LM count
+    * table. Tokens project once (the lambda-CSE rule), bigrams explode
+    * map-side, one count shuffle, and the top-K plans as
+    * TakeOrderedAndProject — no global sort. */
+  def qBigramCounts(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val grams = Tables.table(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(split(col("text"), " ").as("__toks"))
+      .select(explode(Dedup.ngramsFromTokens(col("__toks"), 2)).as("bigram"))
+    grams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Temporal / change-data operators — the capabilities a warehouse sync
+  * needs once the source emits CHANGES rather than snapshots (the
+  * reference's incremental replication, tap-redshift/src/sync.py:132-156,
+  * is the extract half; these are the apply/merge half), plus
+  * calendar-completion for downstream metrics.
+  *
+  * All three are one-shuffle-per-key plans: CDC apply is a single
+  * max_by aggregate (map-side partial — the changelog never sorts
+  * globally), SCD2 is two window passes over one exchange, gap-fill
+  * joins a per-key calendar that is tiny AFTER aggregation regardless of
+  * input scale.
+  */
+object Temporal {
+
+  /** CDC changelog compaction: reduce an (op, key, payload, seq) change
+    * stream to the current snapshot — keep each key's LATEST change and
+    * drop keys whose latest op is a delete. The standard materialization
+    * step for log-based replication (Debezium/DMS-style feeds).
+    *
+    * The changelog here derives deterministically from `events`: every
+    * event upserts its user's profile, `error` events are tombstones.
+    * Latest-per-key is a `max_by` over the (ts, event_id) order — an
+    * ObjectHashAggregate with map-side partial reduction, so at 100 TB
+    * the shuffle carries one candidate row per key per map partition,
+    * never the raw changelog (a window row_number would sort every
+    * change; the oracle states that equivalent form).
+    */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+        $"value", $"props")
+    log.groupBy($"user_id")
+      .agg(max_by(
+        struct($"op", $"ts", $"value", $"props"),
+        struct($"ts", $"event_id")).as("last"))
+      .filter($"last.op" =!= "D")
+      .select($"user_id", $"last.ts".as("last_ts"),
+        round($"last.value", 2).as("value"), $"last.props".as("props"))
+      .orderBy($"user_id")
+  }
+
+  /** SCD type-2 history build: turn a change stream into validity
+    * intervals — one row per (key, attribute-value) EPISODE with
+    * [valid_from, valid_to) bounds, valid_to NULL while current. The
+    * dimension-table shape every warehouse keeps for as-of-date joins.
+    *
+    * Change detection (lag ≠ current) and interval close (lead over the
+    * change rows) are two window passes over the SAME (user_id) exchange —
+    * the filter between them preserves partitioning and order, so the
+    * plan has exactly one shuffle. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"props")
+      .withColumn("__prev", lag($"props", 1).over(w))
+      .filter($"__prev".isNull || $"props" =!= $"__prev")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"props", $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  /** Time-series gap fill: complete each key's hourly metric series over
+    * its own [min, max] span — missing buckets appear with n=0 and the
+    * last observed value carried forward (LOCF), the shape dashboards and
+    * feature pipelines need before any rolling computation.
+    *
+    * The calendar explodes from the per-key bounds AFTER aggregation:
+    * its size is keys × buckets regardless of fact-table scale, and the
+    * left join back to the (equally post-aggregation-sized) hourly rows
+    * is a join between two small sides at any input size — the 100 TB
+    * cost stays in the one groupBy shuffle. */
+  def qFillGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+    val calendar = hourly.groupBy($"event_type")
+      .agg(min($"h").as("__lo"), max($"h").as("__hi"))
+      .select($"event_type",
+        explode(sequence($"__lo", $"__hi", expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(hourly, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h",
+        coalesce($"n", lit(0L)).as("n"),
+        $"sum_value",
+        // the first bucket is min(h), which has data — LOCF never NULL
+        last($"sum_value", ignoreNulls = true).over(w).as("locf_value"))
+      .orderBy($"event_type", $"h")
+  }
+}

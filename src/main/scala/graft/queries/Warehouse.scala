@@ -289,6 +289,65 @@ object Warehouse {
       .orderBy($"user_id")
   }
 
+  /** C15: pivot — events long→wide, one count column per event type. The
+    * value list is EXPLICIT: at 100 TB `pivot(col)` without values runs a
+    * distinct-collect discovery pass over the whole table first (and a
+    * high-cardinality pivot column explodes the schema); declaring the
+    * columns keeps this a single groupBy shuffle with map-side partials,
+    * exactly a conditional aggregate in disguise. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.table(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"user_id" +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy($"user_id")
+  }
+
+  /** C16: fixed-width histogram of event values per type — the
+    * distribution-profiling primitive. The bin is a pure projection
+    * (floor over the value), so the plan is one groupBy on (type, bin)
+    * with map-side partials; output size is types × bins, independent of
+    * input scale. Explicit clamp keeps stragglers in the edge bins
+    * rather than growing the schema. */
+  def qHistogram(spark: SparkSession, dir: String,
+      binWidth: Double = 25.0, nBins: Int = 20): DataFrame = {
+    import spark.implicits._
+    val bin = least(lit(nBins.toLong - 1),
+      greatest(lit(0L), floor($"value" / binWidth)))
+    Tables.table(spark, dir, "events")
+      .groupBy($"event_type", bin.as("bin"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"event_type", $"bin", round($"bin" * binWidth, 2).as("bin_lo"),
+        $"n", $"sum_value")
+      .orderBy($"event_type", $"bin")
+  }
+
+  /** C17: salted join — the explicit skew hatch for a join whose hot keys
+    * overload single tasks (here every fact row carries one of 5 event
+    * types, the q_skew_agg pathology on a JOIN). The small side
+    * replicates once per salt and the fact side salts on content hash
+    * (retry-safe, as in Skew.saltedAgg), so each hot key fans out over
+    * `salts` tasks. Semantics-transparent: the oracle is the plain join. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.table(spark, dir, "events")
+    val dim = events.select($"event_type").distinct()
+      .select($"event_type".as("d_type"),
+        length($"event_type").cast("long").as("weight"))
+    val (factSalted, dimRep) =
+      graft.engine.Skew.saltForJoin(events, dim, salts = 8, saltOn = Seq($"event_id"))
+    factSalted.join(dimRep,
+        factSalted("event_type") === dimRep("d_type") &&
+        col("__salt") === col("__salt_r"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value" * $"weight"), 2).as("weighted_value"))
+      .orderBy($"event_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

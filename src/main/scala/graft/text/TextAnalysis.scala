@@ -104,4 +104,49 @@ object TextAnalysis {
           .otherwise(expr("CAST(1000 * top_bigram_count div (n_words - 1) AS BIGINT)"))
           .as("top_bigram_frac_x1000"))
   }
+
+  /** F13: Shannon token entropy per document — the information-density
+    * quality signal (low entropy ⇒ repetitive/boilerplate text; a common
+    * Gopher/CCNet-family filter). H = ln(n) − (Σ c·ln c)/n over the token
+    * frequency distribution, integer-scaled ×1000 with floor(x+0.5)
+    * rounding for engine parity.
+    *
+    * Entirely map-side: the frequency sum folds over the SORTED token
+    * array with the run-length aggregate (the repetitionSignals
+    * structure) — no explode, no shuffle, scale-free. */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val contrib = (run: Column) =>
+      when(run > 0L, run.cast("double") * log(run.cast("double"))).otherwise(lit(0.0))
+    val runState = struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_types"),
+        aggregate(array_sort(col("__toks")), runState,
+          (acc, t) => {
+            val same = t === acc("prev")
+            struct(t.as("prev"),
+              when(same, acc("run") + 1L).otherwise(lit(1L)).as("run"),
+              when(same, acc("acc")).otherwise(acc("acc") + contrib(acc("run"))).as("acc"))
+          },
+          acc => acc("acc") + contrib(acc("run"))).as("__clnc"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        floor((log(col("n_tokens").cast("double")) -
+          col("__clnc") / col("n_tokens").cast("double")) * 1000.0 + 0.5)
+          .cast("long").as("entropy_x1000"))
+  }
+
+  /** F14: canonical text normalization — lowercase, strip non-alphanumeric
+    * (ASCII scope; keep spaces), collapse whitespace runs, trim. The
+    * standard pre-tokenization cleanup; pure projection, scale-free.
+    * Patterns are Java-regex/RE2-portable (the F10 portability rule) so
+    * the operator behaves identically under any engine's regex library. */
+  def normalize(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        trim(regexp_replace(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+          "  +", " ")).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")).cast("long"))
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  test("cdc apply: tombstoned keys are absent, survivors carry their latest payload") {
+    import spark.implicits._
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+    val snapshot = Temporal.qCdcApply(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // independent expectation via a window (the oracle's form)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val latest = events
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"props").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    latest.foreach { case (uid, typ, props) =>
+      if (typ == "error") assert(!snapshot.contains(uid), s"user $uid should be deleted")
+      else assert(snapshot(uid) == props, s"user $uid carries stale payload")
+    }
+    assert(snapshot.size == latest.count(_._2 != "error"))
+  }
+
+  test("scd2: per-user episodes are contiguous, start at first event, one current row") {
+    import spark.implicits._
+    val hist = Temporal.qScd2(spark, sfDir)
+      .select($"user_id", $"valid_from", $"valid_to", $"is_current").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getTimestamp(2), r.getBoolean(3)))
+      .groupBy(_._1)
+    val firstEvent = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy($"user_id").agg(min($"ts").as("t0")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    hist.foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      assert(sorted.head._2 == firstEvent(uid), s"user $uid history misses first event")
+      // intervals chain: each valid_to equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Array((_, _, to, _), (_, from2, _, _)) => assert(to == from2)
+        case _ =>
+      }
+      assert(sorted.count(_._4) == 1, s"user $uid must have exactly one current row")
+      assert(sorted.last._3 == null && sorted.last._4)
+    }
+  }
+
+  test("fill gaps: every hour in each type's span is present; LOCF carries last value") {
+    import spark.implicits._
+    val rows = Temporal.qFillGaps(spark, sfDir)
+      .select($"event_type", $"h", $"n", $"sum_value", $"locf_value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    var sawGap = false
+    rows.foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2)
+      // completeness: consecutive buckets are exactly one hour apart
+      sorted.sliding(2).foreach {
+        case Array((_, t1, _, _, _), (_, t2, _, _, _)) =>
+          assert(t2 - t1 == 3600 * 1000L, "series has a missing or duplicate bucket")
+        case _ =>
+      }
+      var lastSeen = Double.NaN
+      sorted.foreach { case (_, _, n, sv, locf) =>
+        if (n == 0L) {
+          sawGap = true
+          assert(sv.isEmpty, "gap rows carry no direct sum")
+          assert(locf == lastSeen, "LOCF must carry the last observed value")
+        } else {
+          assert(sv.isDefined && locf == sv.get)
+          lastSeen = sv.get
+        }
+      }
+    }
+    assert(sawGap, "test data should contain at least one empty hour")
+  }
+
+  test("pivot: per-user counts sum to the user's event total") {
+    import spark.implicits._
+    val piv = Warehouse.qPivot(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 5).map(r.getLong).sum).toMap
+    val totals = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(piv == totals)
+  }
+
+  test("histogram: bins partition the rows; clamped edges hold stragglers") {
+    import spark.implicits._
+    val rows = Warehouse.qHistogram(spark, sfDir).collect()
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == graft.sources.Tables.table(spark, sfDir, "events").count())
+    rows.foreach { r =>
+      val bin = r.getLong(1)
+      assert(bin >= 0L && bin <= 19L)
+      assert(r.getDouble(2) == bin * 25.0)
+    }
+  }
+
+  test("salted join result equals the plain join (semantics-transparent)") {
+    import spark.implicits._
+    val salted = Warehouse.qSkewJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+    val dim = events.select($"event_type").distinct()
+      .select($"event_type".as("d_type"), length($"event_type").cast("long").as("weight"))
+    val plain = events.join(dim, $"event_type" === $"d_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value" * $"weight"), 2).as("wv"))
+      .orderBy($"event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}

@@ -89,6 +89,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((4L, 1L, 750L, 3L, 1000L)))
     assert(out(4L) == ((1L, 1L, 0L, 0L, 0L)))
   }
+
+  test("token entropy: uniform text scores 0, known distributions match closed form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),            // one type: H = 0
+      (2L, "a b"),                // uniform 2: H = ln 2 ≈ 0.693
+      (3L, "a b c d"),            // uniform 4: H = ln 4 ≈ 1.386
+      (4L, "a a a b"),            // H = ln 4 - (3 ln 3)/4 ≈ 0.562
+      (5L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 1L, 0L)))
+    assert(out(2L) == ((2L, 2L, 693L)))
+    assert(out(3L) == ((4L, 4L, 1386L)))
+    assert(out(4L) == ((4L, 2L, 562L)))
+    assert(out(5L) == ((1L, 1L, 0L)))
+  }
+
+  test("normalize: lowercases, strips punctuation, collapses whitespace; idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  Hello, WORLD!!  multiple   spaces×here "),
+      (2L, "already clean text"),
+      (3L, "..."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "hello world multiple spaceshere")
+    assert(out(2L)._1 == "already clean text")
+    assert(out(3L) == (("", 0L)))
+    // idempotence: normalizing the normalized text is a no-op
+    val again = TextAnalysis.normalize(
+      Seq((1L, out(1L)._1)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getString(1)
+    assert(again == out(1L)._1)
+  }
+
+  test("bigram counts: planted repeated pair dominates, ties break lexicographically") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the cat sat"),
+      (4L, "a dog"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.queries.LlmOps.qBigramCounts(spark, tmp, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows(0) == (("the cat", 3L)))
+    assert(rows(1) == (("cat sat", 2L)))
+    assert(rows(2) == (("a dog", 1L))) // lexicographic among the count-1 ties
+  }
 }
 
 object SimHashTestAccess {
