@@ -760,11 +760,12 @@ object SparkEntry {
     "q_scd2" ->
       """WITH changes AS (
         |  SELECT user_id, ts, event_id, props,
-        |    lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
         |episodes AS (
         |  SELECT user_id, props, ts, event_id FROM changes
-        |  WHERE prev IS NULL OR props <> prev)
+        |  WHERE rn = 1 OR props IS DISTINCT FROM prev)
         |SELECT user_id, props, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current

@@ -16,27 +16,39 @@ import org.apache.spark.util.sketch.BloomFilter
   * filter sizes this operator exists for, per-task deserialization IS the
   * job's runtime).
   *
-  * Values are SoftReferences, so a long-lived executor that has seen many
-  * distinct filters sheds the cold ones under memory pressure instead of
-  * growing without bound; tasks actively probing hold a strong reference
-  * (the codegen'd mutable state / the expression's lazy val), so an
-  * in-use filter is never collected mid-task. Cleared entries are pruned
-  * on the next miss. */
+  * The cache is a small LRU of STRONG references (`maxFilters` entries):
+  * a count bound, not a GC-driven one — soft references would be cleared
+  * under exactly the heap pressure a resident GB-scale filter creates,
+  * degrading back to per-task deserialization. A job cycling more than
+  * `maxFilters` distinct filters per executor re-pays deserialization on
+  * the evicted ones; that is the documented trade for bounded memory.
+  *
+  * Keys include the application id: in a shared JVM (local mode, tests)
+  * a restarted SparkContext reissues broadcast ids from 0, and a bare
+  * bc.id key would silently serve the PREVIOUS app's bits. */
 object BloomFilters {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[BloomFilter]]()
+  private val maxFilters = 4
+  private val cache = new java.util.LinkedHashMap[String, BloomFilter](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, BloomFilter]): Boolean =
+      size() > maxFilters
+  }
 
   def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter = {
-    val ref = cache.get(bc.id)
-    val hit = if (ref == null) null else ref.get()
-    if (hit != null) hit
-    else {
-      val it = cache.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
-      // two tasks racing a miss both deserialize; last put wins — harmless
-      val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value))
-      cache.put(bc.id, new java.lang.ref.SoftReference(f))
-      f
+    val appId = Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.get("spark.app.id", "?")).getOrElse("?")
+    val key = s"$appId:${bc.id}"
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    // deserialize OUTSIDE the lock: a GB-scale read must not block other
+    // filters' probes; two tasks racing a miss both deserialize and the
+    // first put wins — harmless duplicate work, transient duplicate heap
+    val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value))
+    cache.synchronized {
+      val prev = cache.get(key)
+      if (prev != null) prev
+      else { cache.put(key, f); f }
     }
   }
 

@@ -54,19 +54,27 @@ object Temporal {
     * dimension-table shape every warehouse keeps for as-of-date joins.
     *
     * Change detection (lag ≠ current) and interval close (lead over the
-    * change rows) are two window passes over the SAME (user_id) exchange —
-    * the filter between them preserves partitioning and order, so the
-    * plan has exactly one shuffle. */
+    * change rows) are two window passes over the SAME key exchange — the
+    * filter between them preserves partitioning and order, so the plan
+    * has exactly one shuffle. Change detection is NULL-SAFE (`<=>`): a
+    * transition to or from NULL is a real episode boundary, and a run of
+    * NULLs is ONE episode — the null-unsafe `=!=` both drops the former
+    * and splits the latter. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    df.select(col(keyCol), col(tsCol), col(seqCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col(attrCol) <=> col("__prev")))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   def qScd2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.table(spark, dir, "events")
-      .select($"user_id", $"ts", $"event_id", $"props")
-      .withColumn("__prev", lag($"props", 1).over(w))
-      .filter($"__prev".isNull || $"props" =!= $"__prev")
-      .withColumn("valid_to", lead($"ts", 1).over(w))
-      .select($"user_id", $"props", $"ts".as("valid_from"), $"valid_to",
-        $"valid_to".isNull.as("is_current"))
+    scd2(Tables.table(spark, dir, "events"), "user_id", "ts", "event_id", "props")
       .orderBy($"user_id", $"valid_from")
   }
 

@@ -120,17 +120,15 @@ object Partitioned {
       else {
         val (lo, hi) = bounds(c)
         if (hi <= lo) lit(0L)
-        else {
-          // ANSI-safe top-of-range: with one column bits=63 and
-          // mask.toDouble rounds UP to 2^63 exactly, so the hi row's
-          // floor(frac * mask) is 2^63 and a bare double→long cast
-          // throws CAST_OVERFLOW. Clamp in double space and cast only
-          // the in-range branch (CaseWhen evaluates one branch); NaN
-          // input pins to the top lane rather than failing the cast.
-          val d = floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
-          when(isnan(d) || d >= lit(Long.MaxValue.toDouble), lit(mask))
-            .otherwise(d.cast("long"))
-        }
+        else
+          // top-of-range note: with one column bits=63, mask.toDouble
+          // rounds UP to 2^63 and the hi row's product is exactly 2^63 —
+          // safe because Spark's Floor(double) RETURNS LongType via a
+          // saturating (long)Math.floor(x) (JVM d2l, not an ANSI Cast):
+          // 2^63 saturates to Long.MaxValue == mask, NaN maps to lane 0.
+          // No explicit cast may be added here — double→long Cast IS
+          // ANSI-checked and would throw on that row.
+          floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(mask.toDouble))
       }
     }
     graft.functions.zorder(scaled: _*)

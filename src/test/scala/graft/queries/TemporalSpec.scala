@@ -47,6 +47,31 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("scd2 is null-safe: transitions to/from NULL are episodes, NULL runs are one") {
+    import spark.implicits._
+    val ts = (s: Int) => new java.sql.Timestamp(s * 1000L)
+    val log = Seq(
+      (1L, ts(1), 1L, Option("A")),   // A → NULL → NULL → B: 3 episodes
+      (1L, ts(2), 2L, None),
+      (1L, ts(3), 3L, None),
+      (1L, ts(4), 4L, Option("B")),
+      (2L, ts(1), 5L, None),          // starts NULL: episode from first event
+      (2L, ts(2), 6L, Option("C")))
+      .toDF("k", "ts", "seq", "attr")
+    val hist = Temporal.scd2(log, "k", "ts", "seq", "attr")
+      .orderBy($"k", $"valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    val u1 = hist.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq == Seq(Some("A"), None, Some("B")),
+      "NULL transition must open ONE episode, not zero or two")
+    assert(u1.map(_._3).toSeq == Seq(ts(1), ts(2), ts(4)))
+    assert(u1.map(_._4).toSeq == Seq(Some(ts(2)), Some(ts(4)), None))
+    val u2 = hist.filter(_._1 == 2L)
+    assert(u2.map(_._2).toSeq == Seq(None, Some("C")),
+      "a key whose first value is NULL still opens at its first event")
+  }
+
   test("fill gaps: every hour in each type's span is present; LOCF carries last value") {
     import spark.implicits._
     val rows = Temporal.qFillGaps(spark, sfDir)
