@@ -156,4 +156,35 @@ class PlanSpec extends SparkSpec {
     val joinAt = plan.indexOfSlice("LeftSemi")
     assert(joinAt >= 0 && probeAt > joinAt, "prefilter must be on the join's input side")
   }
+
+  test("cdc apply aggregates with map-side partials, never a global sort of the changelog") {
+    val plan = planOf(queries.Temporal.qCdcApply(spark, sfDir))
+    assert("partial_max_by|ObjectHashAggregate".r.findAllIn(plan).nonEmpty,
+      "latest-per-key must reduce map-side")
+    assert(!plan.contains("Window"), "cdc apply must not sort every change in a window")
+  }
+
+  test("scd2 plans BOTH window passes over one key exchange") {
+    val plan = planOf(queries.Temporal.scd2(
+      graft.sources.Tables.table(spark, sfDir, "events"),
+      "user_id", "ts", "event_id", "props"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"change detection and interval close must share one shuffle:\n$plan")
+  }
+
+  test("entropy and normalization are map-side projections (no shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val eplan = planOf(graft.text.TextAnalysis.tokenEntropy(docs, "text", "doc_id"))
+    assert(!eplan.contains("Exchange") && !eplan.contains("Generate"),
+      "entropy must fold per row — no explode, no shuffle")
+    val nplan = planOf(graft.text.TextAnalysis.normalize(docs, "text", "doc_id"))
+    assert(!nplan.contains("Exchange"), "normalization must stay embarrassingly parallel")
+  }
+
+  test("bigram top-K plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(queries.LlmOps.qBigramCounts(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "bounded top-K must not materialize a total sort")
+  }
 }
