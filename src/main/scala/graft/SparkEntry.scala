@@ -82,6 +82,9 @@ object SparkEntry {
     "q_entropy" -> ((s, dir) => LlmOps.qEntropy(s, dir)),
     "q_text_normalize" -> ((s, dir) => LlmOps.qTextNormalize(s, dir)),
     "q_bigram_counts" -> ((s, dir) => LlmOps.qBigramCounts(s, dir)),
+    "q_heavy_hitters" -> ((s, dir) => LlmOps.qHeavyHitters(s, dir)),
+    "q_ntile" -> ((s, dir) => Warehouse.qNtile(s, dir)),
+    "q_profile" -> ((s, dir) => Etl.qProfile(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -855,5 +858,38 @@ object SparkEntry {
         |FROM grams GROUP BY bigram
         |ORDER BY n DESC, bigram
         |LIMIT 100""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT term, count(*) AS est_count
+        |FROM toks GROUP BY term
+        |ORDER BY est_count DESC, term
+        |LIMIT 20""".stripMargin,
+    "q_ntile" ->
+      """WITH tiled AS (
+        |  SELECT event_type, value,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type
+        |                         ORDER BY value, event_id) AS BIGINT) AS decile
+        |  FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM tiled GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, count(*) AS n,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct FROM documents
+        |  UNION ALL SELECT 'text', count(*), count(*) - count(text),
+        |    count(DISTINCT text) FROM documents
+        |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang) FROM documents
+        |  UNION ALL SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars) FROM documents)
+        |SELECT column_name, n, n_nulls, n_distinct
+        |FROM p ORDER BY column_name""".stripMargin,
   )
 }

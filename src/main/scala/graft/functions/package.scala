@@ -123,6 +123,13 @@ package object functions {
     ColumnBridge.column(expressions.KmvSketch(
       ColumnBridge.expression(value), k).toAggregateExpression())
 
+  /** Misra–Gries heavy-hitters aggregate: map<term, est_count> bounded at
+    * k counters — exact below capacity, under-estimates by ≤ n/(k+1)
+    * above, mergeable (see expressions.FreqSketch). */
+  def freqItems(value: Column, k: Int = 256): Column =
+    ColumnBridge.column(expressions.FreqSketch(
+      ColumnBridge.expression(value), k).toAggregateExpression())
+
   /** The KMV sketch itself as a sorted array<long> (sign-flipped hashes so
     * the signed sort order is the unsigned hash order) — the mergeable
     * set-valued form that feeds intersection estimators. */

@@ -155,4 +155,25 @@ object Etl {
         Tables.table(spark, dir, s.sourceTable), s.sourceTable, s.recordSchema))
       .reduce(_.unionAll(_))
       .orderBy("check_name")
+
+  /** A14: per-column data profile — row count, null count, distinct count
+    * for every column in one pass (the source-assessment step before
+    * wiring a sync; discover.py introspects types, this introspects
+    * content). One aggregate job; the multi-distinct plans through one
+    * Expand (factor = #columns). At 100 TB swap countDistinct for
+    * approx_count_distinct / kmvDistinct — same plan, bounded state;
+    * exact here because the oracle is exact. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.table(spark, dir, "documents")
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', __n, __n - __nn_$c, __nd_$c").mkString(", ")
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_nulls, n_distinct)")
+      .orderBy("column_name")
+  }
 }

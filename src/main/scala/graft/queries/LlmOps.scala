@@ -442,6 +442,25 @@ object LlmOps {
     TextAnalysis.normalize(Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** F16: heavy hitters over the corpus vocabulary via the Misra–Gries
+    * summary — single-pass top terms with state capped at k counters per
+    * group REGARDLESS of vocabulary size (a full GROUP BY on terms keys
+    * the shuffle by the unbounded term domain; the sketch exchanges one
+    * ≤k-entry map per map partition). Test vocabulary sits far below
+    * k=4096, the EXACT regime — counts equal the plain GROUP BY the
+    * oracle states, and the result is partitioning-independent; the
+    * over-capacity error bound (≤ n/(k+1) underestimate, guaranteed
+    * presence above that threshold) is FreqSpec's job. */
+  def qHeavyHitters(spark: SparkSession, dir: String, k: Int = 4096): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+    toks.agg(graft.functions.freqItems(col("term"), k).as("m"))
+      .select(explode(col("m")).as(Seq("term", "est_count")))
+      .orderBy(col("est_count").desc, col("term"))
+      .limit(20)
+  }
+
   /** F15: corpus bigram counts, top-K by frequency — the unit step of
     * BPE/WordPiece merge selection (each tokenizer-training iteration
     * picks the most frequent adjacent pair) and the n-gram-LM count

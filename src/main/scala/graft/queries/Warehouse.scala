@@ -348,6 +348,23 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C18: equal-frequency binning (deciles) per group via ntile — the
+    * quantile-bucket assignment feeding calibration / monotonicity
+    * checks. Deterministic tie-break on the unique event id so both
+    * engines tile identically; one window shuffle, then a tiny
+    * per-(group, decile) rollup. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.table(spark, dir, "events")
+      .select($"event_type", $"value", ntile(10).over(w).cast("long").as("decile"))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"),
+        round(min($"value"), 2).as("lo"), round(max($"value"), 2).as("hi"))
+      .orderBy($"event_type", $"decile")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */
