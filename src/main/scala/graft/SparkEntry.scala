@@ -871,7 +871,7 @@ object SparkEntry {
         |  SELECT event_type, value,
         |    CAST(ntile(10) OVER (PARTITION BY event_type
         |                         ORDER BY value, event_id) AS BIGINT) AS decile
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type, decile, count(*) AS n,
         |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
         |FROM tiled GROUP BY event_type, decile

@@ -62,16 +62,14 @@ case class FreqSketch(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  private def addWeighted(buf: mutable.HashMap[String, Long], t: String, w: Long): Unit = {
+  private def add(buf: mutable.HashMap[String, Long], t: String): Unit = {
     buf.get(t) match {
-      case Some(c) => buf.update(t, c + w)
-      case None if buf.size < k => buf.update(t, w)
+      case Some(c) => buf.update(t, c + 1L)
+      case None if buf.size < k => buf.update(t, 1L)
       case None =>
-        // decrement-all by the smaller of w and the survival budget;
-        // weighted form keeps merge-free updates amortized O(1)
-        val dec = math.min(w, buf.valuesIterator.min)
-        buf.mapValuesInPlace((_, c) => c - dec).filterInPlace((_, c) => c > 0L)
-        if (w > dec) addWeighted(buf, t, w - dec)
+        // classic MG step: decrement every counter, drop zeros, discard
+        // the arrival — amortized O(1), each sweep consumes k increments
+        buf.mapValuesInPlace((_, c) => c - 1L).filterInPlace((_, c) => c > 0L)
     }
     ()
   }
@@ -79,7 +77,7 @@ case class FreqSketch(
   override def update(buf: mutable.HashMap[String, Long], input: InternalRow):
       mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) addWeighted(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString)
     buf
   }
 

@@ -358,6 +358,9 @@ object Warehouse {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
     Tables.table(spark, dir, "events")
+      // NULL measurements carry no decile; also dodges the Spark
+      // NULLS-FIRST vs DuckDB NULLS-LAST default-ordering divergence
+      .filter($"value".isNotNull)
       .select($"event_type", $"value", ntile(10).over(w).cast("long").as("decile"))
       .groupBy($"event_type", $"decile")
       .agg(count(lit(1)).as("n"),

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 class FreqSpec extends SparkSpec {
 
+  private val rng = new scala.util.Random(42) // reproducible shuffles
+
   private def summarize(terms: Seq[String], k: Int, parts: Int): Map[String, Long] = {
     import spark.implicits._
     terms.toDF("t").repartition(parts)
@@ -17,14 +19,14 @@ class FreqSpec extends SparkSpec {
     val terms = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c") ++ Seq("d")
     val exact = terms.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
     for (parts <- Seq(1, 3, 16)) {
-      assert(summarize(scala.util.Random.shuffle(terms), k = 8, parts) == exact,
+      assert(summarize(rng.shuffle(terms), k = 8, parts) == exact,
         s"parts=$parts")
     }
   }
 
   test("over capacity: underestimates bounded by n/(k+1), heavy hitters guaranteed") {
     // 200 of "hot", 50 of "warm", 300 unique fillers — far past k=16
-    val terms = scala.util.Random.shuffle(
+    val terms = rng.shuffle(
       Seq.fill(200)("hot") ++ Seq.fill(50)("warm") ++ (1 to 300).map(i => s"f$i"))
     val n = terms.size
     val k = 16
@@ -40,9 +42,10 @@ class FreqSpec extends SparkSpec {
     }
   }
 
-  test("weighted decrement path: a value heavier than the floor re-inserts its surplus") {
+  test("per-partition heavy hitters survive the capped (k+1)-th-largest-cut merge") {
     import spark.implicits._
     // drive merge() with pre-skewed partitions so merged counts collide
+    // (update() is always weight-1; merges go through the sort-cut path)
     val left = Seq.fill(40)("x") ++ (1 to 20).map(i => s"l$i")
     val right = Seq.fill(40)("y") ++ (1 to 20).map(i => s"r$i")
     val out = (left ++ right).toDF("t").repartition(2, $"t")
