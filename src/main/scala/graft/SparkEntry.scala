@@ -85,6 +85,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => LlmOps.qHeavyHitters(s, dir)),
     "q_ntile" -> ((s, dir) => Warehouse.qNtile(s, dir)),
     "q_profile" -> ((s, dir) => Etl.qProfile(s, dir)),
+    "q_window_topn_agg" -> ((s, dir) => Warehouse.qWindowTopNAgg(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -891,5 +892,14 @@ object SparkEntry {
         |    count(DISTINCT n_chars) FROM documents)
         |SELECT column_name, n, n_nulls, n_distinct
         |FROM p ORDER BY column_name""".stripMargin,
+    "q_window_topn_agg" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |SELECT user_id, rn, event_id, value
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
   )
 }

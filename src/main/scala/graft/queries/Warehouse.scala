@@ -90,6 +90,24 @@ object Warehouse {
       .orderBy($"user_id", $"rn")
   }
 
+  /** C4b: grouped top-N via the bounded-heap aggregate — C4's semantics
+    * (row_number over value DESC, id ASC, keep ≤ n) with E1's plan:
+    * map-side heaps cap each partition's contribution at n rows per key,
+    * so the exchange carries partitions×n rows per user instead of every
+    * event. The window form shuffles and SORTS all rows before the rank
+    * filter drops them — at 100 TB that sort is the query; this is the
+    * shape to ship. Oracle = the window form, proving equivalence. */
+  def qWindowTopNAgg(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(graft.functions.topKByScore($"value", $"event_id", n).as("top"))
+      .select($"user_id", posexplode($"top"))
+      .select($"user_id", ($"pos" + 1).cast("long").as("rn"),
+        $"col.neighbor_id".as("event_id"), $"col.sim".as("value"))
+      .orderBy($"user_id", $"rn")
+  }
+
   /** C5: sessionization — lag + 30-min-gap flag + running sum, then
     * per-session rollup. One shuffle on user_id serves all three windows. */
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {

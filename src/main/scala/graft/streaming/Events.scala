@@ -79,6 +79,15 @@ object Events {
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
+  /** A CDC change record: op is "U" (upsert) or "D" (delete). */
+  final case class CdcChange(user_id: Long, ts: Timestamp, event_id: Long,
+      op: String, value: Double, props: String)
+
+  /** The current snapshot row a key's changes reduce to; `deleted` marks
+    * a tombstone (key absent from the materialized snapshot). */
+  final case class CdcCurrent(user_id: Long, last_ts: Timestamp, event_id: Long,
+      deleted: Boolean, value: Double, props: String)
+
   /** G1: watermarked tumbling-window counts — streaming twin of
     * Warehouse.qStreamWindowAgg. Append-mode capable: the watermark bounds
     * state and lets windows finalize. */
@@ -147,6 +156,39 @@ object Events {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMinutes * 60000L),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** G9: continuous CDC apply — the streaming face of
+    * [[graft.queries.Temporal.qCdcApply]]. Per-key state holds the
+    * current snapshot row (the latest change by (ts, seq)); a key emits
+    * one upsert/tombstone per micro-batch ONLY when its current row
+    * actually advanced, and out-of-order deliveries at or below the
+    * key's high-water mark are ignored — exactly the batch operator's
+    * max_by semantics, so a consumer materializing the emissions holds
+    * the same snapshot the batch query computes.
+    *
+    * State is one row per live key — the inherent floor for CDC
+    * materialization (the state IS the snapshot); no watermark is
+    * involved because a snapshot key never expires. */
+  def cdcApplyStream(changes: Dataset[CdcChange]): Dataset[CdcCurrent] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    def update(key: Long, rows: Iterator[CdcChange],
+        state: GroupState[CdcCurrent]): Iterator[CdcCurrent] = {
+      val before = state.getOption
+      var cur = before
+      rows.foreach { c =>
+        val advances = cur.forall(s =>
+          c.ts.getTime > s.last_ts.getTime ||
+            (c.ts.getTime == s.last_ts.getTime && c.event_id > s.event_id))
+        if (advances)
+          cur = Some(CdcCurrent(key, c.ts, c.event_id, c.op == "D", c.value, c.props))
+      }
+      if (cur != before) { state.update(cur.get); cur.iterator }
+      else Iterator.empty
+    }
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
   /** Streaming exact dedup — the continuous face of graft.dedup.Dedup

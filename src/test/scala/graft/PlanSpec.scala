@@ -182,6 +182,13 @@ class PlanSpec extends SparkSpec {
     assert(!nplan.contains("Exchange"), "normalization must stay embarrassingly parallel")
   }
 
+  test("grouped top-N aggregate plans partial+final ObjectHashAggregate, no window sort") {
+    val plan = planOf(queries.Warehouse.qWindowTopNAgg(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "bounded-heap top-N must reduce map-side before the exchange")
+    assert(!plan.contains("Window"), "the aggregate form must not plan a window sort")
+  }
+
   test("bigram top-K plans as TakeOrderedAndProject, not a global sort") {
     val plan = planOf(queries.LlmOps.qBigramCounts(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"),

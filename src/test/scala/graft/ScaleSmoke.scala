@@ -124,6 +124,19 @@ object ScaleSmoke {
     time("q_vocab") { queries.LlmOps.qVocab(spark, dir) }
     time("q_event_debounce") { queries.Warehouse.qEventDebounce(spark, dir) }
     time("q_dedup_incremental") { queries.LlmOps.qDedupIncremental(spark, dir) }
+    // round-5 operators
+    time("q_cdc_apply") { queries.Temporal.qCdcApply(spark, dir) }
+    time("q_scd2") { queries.Temporal.qScd2(spark, dir) }
+    time("q_fill_gaps") { queries.Temporal.qFillGaps(spark, dir) }
+    time("q_pivot") { queries.Warehouse.qPivot(spark, dir) }
+    time("q_histogram") { queries.Warehouse.qHistogram(spark, dir) }
+    time("q_skew_join") { queries.Warehouse.qSkewJoin(spark, dir) }
+    time("q_ntile") { queries.Warehouse.qNtile(spark, dir) }
+    time("q_entropy") { queries.LlmOps.qEntropy(spark, dir) }
+    time("q_text_normalize") { queries.LlmOps.qTextNormalize(spark, dir) }
+    time("q_bigram_counts") { queries.LlmOps.qBigramCounts(spark, dir) }
+    time("q_heavy_hitters") { queries.LlmOps.qHeavyHitters(spark, dir) }
+    time("q_profile") { queries.Etl.qProfile(spark, dir) }
     spark.stop()
   }
 }

@@ -325,4 +325,39 @@ class StreamingSpec extends SparkSpec {
       assert(kept == Set(1L, 3L))
     } finally query.stop()
   }
+
+  test("streaming cdc apply: advances emit, out-of-order is ignored, tombstones delete") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.CdcChange]
+    val query = Events.cdcApplyStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_current")
+      .outputMode("update").start()
+    def emitted(): Array[Events.CdcCurrent] =
+      spark.table("cdc_current").as[Events.CdcCurrent].collect()
+    try {
+      input.addData(
+        Events.CdcChange(1L, ts(0), 1L, "U", 1.0, "v1"),
+        Events.CdcChange(1L, ts(10), 2L, "U", 2.0, "v2"), // same batch: latest wins
+        Events.CdcChange(2L, ts(0), 3L, "U", 9.0, "a"))
+      query.processAllAvailable()
+      val b1 = emitted()
+      assert(b1.length == 2, "one emission per advanced key")
+      assert(b1.find(_.user_id == 1L).get.props == "v2")
+      input.addData(
+        Events.CdcChange(1L, ts(5), 4L, "U", 5.0, "stale"), // below high-water: ignored
+        Events.CdcChange(2L, ts(20), 5L, "D", 0.0, ""),     // tombstone
+        Events.CdcChange(3L, ts(1), 6L, "U", 7.0, "new"))
+      query.processAllAvailable()
+      val all = emitted()
+      assert(all.length == 4, "stale delivery must not emit")
+      // materialized snapshot = last emission per key, tombstones removed
+      val snapshot = all.groupBy(_.user_id)
+        .map { case (k, v) => k -> v.maxBy(c => (c.last_ts.getTime, c.event_id)) }
+        .filter(!_._2.deleted)
+      assert(snapshot.keySet == Set(1L, 3L))
+      assert(snapshot(1L).props == "v2", "user 1 must keep v2, not the stale v")
+    } finally query.stop()
+  }
 }
