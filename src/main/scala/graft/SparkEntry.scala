@@ -86,6 +86,13 @@ object SparkEntry {
     "q_ntile" -> ((s, dir) => Warehouse.qNtile(s, dir)),
     "q_profile" -> ((s, dir) => Etl.qProfile(s, dir)),
     "q_window_topn_agg" -> ((s, dir) => Warehouse.qWindowTopNAgg(s, dir)),
+    "q_cube" -> ((s, dir) => Warehouse.qCube(s, dir)),
+    "q_retention" -> ((s, dir) => Warehouse.qRetention(s, dir)),
+    "q_rolling_agg" -> ((s, dir) => Warehouse.qRollingAgg(s, dir)),
+    "q_sliding_window" -> ((s, dir) => Warehouse.qSlidingWindow(s, dir)),
+    "q_json_extract" -> ((s, dir) => Etl.qJsonExtract(s, dir)),
+    "q_fuzzy_join" -> ((s, dir) => LlmOps.qFuzzyJoin(s, dir)),
+    "q_group_centroid" -> ((s, dir) => LlmOps.qGroupCentroid(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -901,5 +908,80 @@ object SparkEntry {
         |SELECT user_id, rn, event_id, value
         |FROM ranked WHERE rn <= 3
         |ORDER BY user_id, rn""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    // both engines truncate to Monday-start weeks; DuckDB's DATE result
+    // casts to TIMESTAMP to match Spark's date_trunc type
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS event_week
+        |  FROM events),
+        |c AS (SELECT user_id, min(event_week) AS cohort_week
+        |      FROM e GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, e.event_week) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // the Spark side anchors its range frame on unix_micros, which equals
+    // this INTERVAL frame exactly (naive timestamps, no DST)
+    "q_rolling_agg" ->
+      """SELECT event_id, user_id, ts, value,
+        |  count(*) OVER w AS roll_n,
+        |  round(avg(value) OVER w, 4) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // every event lands in exactly size/hop = 2 hopping windows: the
+    // hop-aligned bucket and the one before it
+    "q_sliding_window" ->
+      """WITH w AS (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+        |    AS window_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_json_extract" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_valid,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // centroid = per-position mean (unnest zips with its subscripts);
+    // list_cosine_similarity matches the codegen CosineSimilarity formula
+    "q_group_centroid" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |      FROM v),
+        |m AS (SELECT label, i, avg(x) AS s FROM e GROUP BY label, i),
+        |c AS (SELECT label, list(s ORDER BY i) AS centroid FROM m GROUP BY label)
+        |SELECT v.vec_id, v.label,
+        |  round(list_cosine_similarity(v.v, c.centroid), 4) AS cos_centroid
+        |FROM v JOIN c ON v.label = c.label
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,42 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{cosineSim, vectorSum}
+
+/** Per-group embedding centroids and distance-to-centroid scoring — the
+  * curation step that catches mislabeled / off-cluster vectors: a sample
+  * whose cosine to its own label's centroid is low is a labeling or
+  * embedding outlier (the same signal contrastive-data pipelines use to
+  * prune noisy pairs).
+  *
+  * Plan: ONE aggregate over the vectors (VectorSum partials — a dim-length
+  * buffer per group per partition crosses the shuffle, not N×dim exploded
+  * rows), centroids then BROADCAST back onto the vector scan (group
+  * cardinality = labels, always tiny next to the corpus), and the cosine
+  * is a map-side codegen expression. Total cost: one pass + one shuffle of
+  * groups×dim, regardless of corpus size. Downstream top-k "worst
+  * offenders per label" composes with functions.topKByScore over the
+  * negated score — no global sort.
+  */
+object Centroids {
+
+  /** Mean vector per group: (groupCol, centroid array<double>, n). */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), Ann.asDouble(col(vecCol)).as("__v"))
+      .groupBy(col(groupCol))
+      .agg(vectorSum(col("__v")).as("__sum"), count(col("__v")).as("n"))
+      .select(col(groupCol),
+        transform(col("__sum"), x => x / col("n")).as("centroid"), col("n"))
+
+  /** Every vector scored against its own group's centroid:
+    * (idCol, groupCol, cos_centroid). */
+  def scoreAgainstCentroid(df: DataFrame, idCol: String, groupCol: String,
+      vecCol: String): DataFrame = {
+    val cents = centroids(df, groupCol, vecCol)
+    df.select(col(idCol), col(groupCol), Ann.asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(cents), groupCol)
+      .select(col(idCol), col(groupCol),
+        round(cosineSim(col("__v"), col("centroid")), 4).as("cos_centroid"))
+  }
+}

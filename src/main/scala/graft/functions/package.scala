@@ -130,6 +130,14 @@ package object functions {
     ColumnBridge.column(expressions.FreqSketch(
       ColumnBridge.expression(value), k).toAggregateExpression())
 
+  /** Elementwise sum of array<double> vectors with map-side partial
+    * reduction — one dim-length buffer per (group, partition) crosses the
+    * exchange, never per-element rows (see expressions.VectorSum). Mean
+    * centroid = vectorSum(v) / count. */
+  def vectorSum(vec: Column): Column =
+    ColumnBridge.column(expressions.VectorSum(
+      ColumnBridge.expression(vec)).toAggregateExpression())
+
   /** The KMV sketch itself as a sorted array<long> (sign-flipped hashes so
     * the signed sort order is the unsigned hash order) — the mergeable
     * set-valued form that feeds intersection estimators. */

@@ -176,4 +176,29 @@ object Etl {
         s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_nulls, n_distinct)")
       .orderBy("column_name")
   }
+
+  /** A15: typed extraction from a semi-structured payload column — the
+    * JSON `props` blob decodes against an EXPLICIT schema (from_json), a
+    * validity flag marks rows whose payload failed to parse or lacked the
+    * field, and the typed value feeds a per-type aggregate. The
+    * schema-on-read step every event pipeline has between ingest and
+    * warehouse. Declared schema (never schema inference) keeps this a
+    * pure map-side projection: at 100 TB, `spark.read.json`-style
+    * inference is a full extra pass over the data; from_json with a
+    * declared struct is free and whole-stage-codegen'd. Malformed rows
+    * degrade to NULL (PERMISSIVE), they never kill the job. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .select($"event_id", $"event_type",
+        from_json($"props", "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count($"k").as("n_valid"),
+        sum($"k").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
 }

@@ -477,4 +477,25 @@ object LlmOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
   }
+
+  /** D9: fuzzy self-join — all distinct part-name pairs within Levenshtein
+    * distance ≤ 2 via symmetric-delete blocking (exact: the ≤2-deletion
+    * neighborhoods of two strings within distance 2 always intersect, and
+    * the final distance filter drops blocking's false positives). The
+    * entity-resolution / typo-clustering primitive for short keys; the
+    * exchange carries 8-byte variant hashes, never a cross product. See
+    * graft.operators.FuzzyJoin. */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.editDistancePairs(
+      Tables.table(spark, dir, "part"), "p_name", maxDistance = 2)
+      .orderBy("name_a", "name_b")
+
+  /** E5: per-label centroids + distance-to-centroid scoring — the
+    * mislabeled-sample / off-cluster detector: one VectorSum aggregate
+    * (dim-length partials, groups×dim shuffle), centroids broadcast back,
+    * cosine map-side. See graft.ann.Centroids. */
+  def qGroupCentroid(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Centroids.scoreAgainstCentroid(
+      Tables.table(spark, dir, "embeddings"), "vec_id", "label", "embedding")
+      .orderBy("vec_id")
 }

@@ -386,6 +386,89 @@ object Warehouse {
       .orderBy($"event_type", $"decile")
   }
 
+  /** C19: CUBE aggregation — all four grouping sets over (returnflag,
+    * linestatus) in ONE Expand + one shuffle: detail, each one-dimension
+    * margin, and the grand total. Same single-pass grouping-sets plan as
+    * C11's ROLLUP; the input replicates 4× inside the Expand BEFORE the
+    * map-side partial aggregate, so the exchange still carries only group
+    * rows, never 4× the fact table. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"gid", $"n", $"sum_qty", $"avg_disc")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  /** C20: weekly cohort retention — assign every user to the week of
+    * their first event, then count distinct users active per (cohort
+    * week, weeks-since-cohort) cell. The product-analytics retention
+    * matrix. Plan: one user-keyed aggregate for cohorts, a co-partitioned
+    * join back to events (both sides hash on user_id — the cohort
+    * exchange is reused, not re-shuffled), then a distinct-user count per
+    * cell. Output is cohorts × offsets — independent of fact scale. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.table(spark, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").as("event_week"))
+    val cohorts = events.groupBy($"user_id")
+      .agg(min($"event_week").as("cohort_week"))
+    events.join(cohorts, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"event_week", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .agg(count_distinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** C21: time-range rolling aggregation — for every event, the count and
+    * mean of the same user's values over the trailing hour (RANGE frame
+    * on event time, not ROWS: simultaneous timestamps share one frame, so
+    * the result is deterministic under any within-key order). One
+    * user-keyed window shuffle; the frame bounds advance monotonically
+    * over each sorted partition, and per-row cost is bounded by the
+    * user's activity inside one hour — never the table. The frame is
+    * anchored on microsecond epoch (unix_micros), which equals the
+    * INTERVAL '1 hour' range frame exactly; casting ts to long seconds
+    * would truncate and disagree with the oracle at frame boundaries.
+    * The feature-engineering primitive behind "activity in the last
+    * hour" model inputs. */
+  def qRollingAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.table(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_avg", round(avg($"value").over(w), 4))
+      .orderBy($"event_id")
+  }
+
+  /** C22: hopping (sliding) window aggregation — 10-minute windows every
+    * 5 minutes per event type: each event lands in exactly
+    * size/hop = 2 windows. Spark's `window(ts, size, hop)` plans the
+    * window-set as a map-side projection (an Expand of 2 rows per event)
+    * feeding ONE (window, type) aggregate with partials — the overlap
+    * never re-reads the input. The batch twin of the streaming hopping
+    * window; smoothing/trend surfaces over event streams. */
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -194,4 +194,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       "bounded top-K must not materialize a total sort")
   }
+
+  test("cube plans one Expand + one aggregate pass, not a union of aggregates") {
+    val plan = planOf(queries.Warehouse.qCube(spark, sfDir))
+    assert(plan.contains("Expand"), "grouping sets must plan through Expand")
+    assert(!plan.contains("Union"), "cube must not union per-set aggregates")
+  }
+
+  test("fuzzy join never plans a cross product; the exchange carries hashed keys") {
+    val plan = planOf(queries.LlmOps.qFuzzyJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "symmetric-delete blocking must plan as an equi-join")
+    assert(plan.contains("xxhash64"), "join key must be the variant hash, not variant text")
+  }
+
+  test("group centroid: partial+final vector aggregate, centroids broadcast back") {
+    val plan = planOf(queries.LlmOps.qGroupCentroid(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "VectorSum must reduce map-side before the exchange")
+    assert(plan.contains("BroadcastHashJoin"),
+      "tiny centroid dimension must broadcast onto the vector scan")
+  }
+
+  test("rolling agg plans one user-keyed window, never a global partition") {
+    val df = queries.Warehouse.qRollingAgg(spark, sfDir)
+    val win = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(win.nonEmpty && win.forall(_.partitionSpec.nonEmpty),
+      "range frame must be keyed on user_id (a global window single-tasks)")
+  }
+
+  test("sliding window plans map-side window-set expansion feeding ONE aggregate") {
+    val plan = planOf(queries.Warehouse.qSlidingWindow(spark, sfDir))
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      "hopping windows must expand map-side")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "the overlap aggregate still runs with map-side partials")
+  }
 }

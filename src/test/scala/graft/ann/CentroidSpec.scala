@@ -1,0 +1,71 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Centroids / VectorSum: exact means, outlier scoring, and the aggregate's
+  * mergeability (same result under any partitioning). */
+class CentroidSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centroid is the exact per-position mean") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(0.0f, 1.0f)),
+      (3L, 1, Seq(2.0f, 2.0f))).toDF("id", "label", "vec")
+    val c = Centroids.centroids(df, "label", "vec")
+      .orderBy("label").as[(Int, Seq[Double], Long)].collect()
+    assert(c(0) == ((0, Seq(0.5, 0.5), 2L)))
+    assert(c(1) == ((1, Seq(2.0, 2.0), 1L)))
+  }
+
+  test("planted mislabeled vector scores lowest against its label centroid") {
+    // label 0 clusters near (1, 0); the outlier points the opposite way
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.1f)),
+      (2L, 0, Seq(1.0f, -0.1f)),
+      (3L, 0, Seq(0.9f, 0.0f)),
+      (4L, 0, Seq(-1.0f, 0.0f)), // mislabeled
+      (5L, 1, Seq(0.0f, 1.0f))).toDF("id", "label", "vec")
+    val scored = Centroids.scoreAgainstCentroid(df, "id", "label", "vec")
+      .filter($"label" === 0)
+      .orderBy($"cos_centroid")
+      .as[(Long, Int, Double)].collect()
+    assert(scored.head._1 == 4L, "outlier must rank last in its own label")
+    assert(scored.head._3 < 0.0)
+    assert(scored.tail.forall(_._3 > 0.9))
+  }
+
+  test("VectorSum is partitioning-independent (mergeable partials)") {
+    val df = (1 to 200).map(i => (i.toLong, i % 3, Seq(i.toFloat, (i * 2).toFloat)))
+      .toDF("id", "label", "vec")
+    val one = Centroids.centroids(df.coalesce(1), "label", "vec")
+      .orderBy("label").collect().toSeq
+    val many = Centroids.centroids(df.repartition(13), "label", "vec")
+      .orderBy("label").collect().toSeq
+    assert(one == many)
+  }
+
+  test("null vectors are skipped; null elements count as zero") {
+    val df = Seq(
+      (1L, 0, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, 0, null.asInstanceOf[Seq[java.lang.Double]]),
+      (3L, 0, Seq[java.lang.Double](3.0, null))).toDF("id", "label", "vec")
+    val c = Centroids.centroids(df, "label", "vec").collect()(0)
+    // n counts the 2 non-null vectors; sums: (1+3)/2, (2+0)/2
+    assert(c.getLong(2) == 2L)
+    assert(c.getSeq[Double](1) == Seq(2.0, 1.0))
+  }
+
+  test("inconsistent dimensions fail fast with a clear error") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),
+      (2L, 0, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "label", "vec")
+    val e = intercept[Exception] {
+      Centroids.centroids(df.coalesce(1), "label", "vec").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("inconsistent dimensions")))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Query-level ETL cases that don't fit the sink/state suites — currently
+  * the semi-structured payload decode (A15). */
+class EtlQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json extract: every synthetic props payload parses to a typed k") {
+    val rows = Etl.qJsonExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_valid") == r.getAs[Long]("n"),
+        "synthetic props are all well-formed JSON with k")
+    }
+  }
+
+  test("malformed and schema-less payloads degrade to NULL, never fail the job") {
+    val df = Seq(
+      (1L, """{"k": 7}"""),   // valid
+      (2L, """{"j": 7}"""),   // field absent
+      (3L, """not json"""),   // malformed
+      (4L, null)              // null payload
+    ).toDF("id", "props")
+    val parsed = df.select($"id",
+      from_json($"props", "k BIGINT", Map.empty[String, String])
+        .getField("k").as("k"))
+      .orderBy("id")
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(parsed.toSeq == Seq(Some(7L), None, None, None))
+  }
+}

@@ -136,4 +136,73 @@ class WarehouseSpec extends SparkSpec {
       assert(math.abs(a90 - p90) / spread < 0.05, s"$k p90 exact=$p90 approx=$a90")
     }
   }
+
+  test("cube: all four grouping sets present, every margin sums its details") {
+    val rows = Warehouse.qCube(spark, sfDir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val details = byGid(0L)
+    // flag margins (gid=1: linestatus rolled away) sum their detail counts
+    byGid(1L).foreach { m =>
+      val want = details.filter(_.getAs[String]("returnflag") == m.getAs[String]("returnflag"))
+        .map(_.getAs[Long]("n")).sum
+      assert(m.getAs[Long]("n") == want)
+    }
+    // status margins (gid=2) too, and the grand total tops out
+    byGid(2L).foreach { m =>
+      val want = details.filter(_.getAs[String]("linestatus") == m.getAs[String]("linestatus"))
+        .map(_.getAs[Long]("n")).sum
+      assert(m.getAs[Long]("n") == want)
+    }
+    assert(byGid(3L).head.getAs[Long]("n") == details.map(_.getAs[Long]("n")).sum)
+  }
+
+  test("retention: week-0 cell equals cohort size, offsets never negative") {
+    val rows = Warehouse.qRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("week_offset") >= 0L))
+    // offset-0 count per cohort = number of users whose first week is that week
+    val cohortSizes = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      .groupBy(col("cw")).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[Long]("week_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_users") == cohortSizes(r.get(0)))
+    }
+    // retained users never exceed the cohort
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <= cohortSizes(r.get(0))))
+  }
+
+  test("rolling agg matches a brute-force trailing-hour scan") {
+    val rows = Warehouse.qRollingAgg(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("roll_n"), r.getAs[Double]("roll_avg"))).toMap
+    // compare on microsecond epoch — Timestamp.getTime is millis and
+    // would blur the frame boundary the query computes in micros
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val byUser = ev.groupBy(_._2)
+    ev.foreach { case (id, user, ts, _) =>
+      val frame = byUser(user).filter { case (_, _, t, _) =>
+        t <= ts && t >= ts - 3600000000L }
+      val vals = frame.flatMap(_._4)
+      val (gotN, gotAvg) = rows(id)
+      assert(gotN == frame.length, s"event $id frame size")
+      if (vals.nonEmpty)
+        assert(math.abs(gotAvg - vals.sum / vals.length) < 1e-3, s"event $id avg")
+    }
+  }
+
+  test("sliding window: every event lands in exactly size/hop = 2 windows") {
+    val total = graft.sources.Tables.table(spark, sfDir, "events").count()
+    val rows = Warehouse.qSlidingWindow(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * total)
+    // consecutive window starts differ by the 5-minute hop, not the size
+    val starts = rows.map(_.getTimestamp(0).getTime).distinct.sorted
+    assert(starts.sliding(2).forall(w => w.length < 2 || (w(1) - w(0)) % 300000L == 0))
+  }
 }
