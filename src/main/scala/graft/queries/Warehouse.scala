@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -467,6 +467,131 @@ object Warehouse {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
       .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"window_start", $"event_type")
+  }
+
+  /** C23: distribution moments per group — mean, stddev, skewness, excess
+    * kurtosis derived from POWER SUMS (Σx..Σx⁴) in one map-side-partial
+    * aggregate. Built-in `skewness`/`kurtosis` exist, but engines disagree
+    * on sample-vs-population corrections; deriving every statistic from
+    * the same power sums with the population formula makes the result
+    * engine-exact (the oracle computes the identical expressions) AND
+    * keeps the aggregate a plain mergeable sum — the sketch-friendly form
+    * you'd ship at 100 TB. NULL measurements drop first so n matches. */
+  def qMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"value"
+    Tables.table(spark, dir, "events")
+      .filter(x.isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select($"event_type", $"n",
+        round($"s1" / $"n", 4).as("mean"),
+        round(sqrt($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")), 4).as("stddev"),
+        round(
+          ($"s3" / $"n" - lit(3.0) * ($"s1" / $"n") * ($"s2" / $"n")
+            + lit(2.0) * pow($"s1" / $"n", 3))
+            / pow($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n"), 1.5), 4)
+          .as("skewness"),
+        round(
+          ($"s4" / $"n" - lit(4.0) * ($"s1" / $"n") * ($"s3" / $"n")
+            + lit(6.0) * pow($"s1" / $"n", 2) * ($"s2" / $"n")
+            - lit(3.0) * pow($"s1" / $"n", 4))
+            / pow($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n"), 2) - lit(3.0), 4)
+          .as("kurtosis"))
+      .orderBy($"event_type")
+  }
+
+  /** C24: correlation readout — Pearson corr and population covariance
+    * between the event value and the typed JSON payload field, per event
+    * type, derived from co-sums (n, Σx, Σy, Σxy, Σx², Σy²) over rows
+    * where BOTH sides are present. Same rationale as C23: one mergeable
+    * sum aggregate, engine-exact derivation, no corr() sample-correction
+    * dialect trap. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .select($"event_type", $"value".as("x"),
+        from_json($"props", "k BIGINT", Map.empty[String, String])
+          .getField("k").cast("double").as("y"))
+      .filter($"x".isNotNull && $"y".isNotNull)
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sx2"), sum($"y" * $"y").as("sy2"))
+      .select($"event_type", $"n",
+        round(($"sxy" / $"n") - ($"sx" / $"n") * ($"sy" / $"n"), 4).as("covar"),
+        round((($"n" * $"sxy") - ($"sx" * $"sy")) /
+          (sqrt($"n" * $"sx2" - $"sx" * $"sx") * sqrt($"n" * $"sy2" - $"sy" * $"sy")), 4)
+          .as("corr"))
+      .orderBy($"event_type")
+  }
+
+  /** C25: A/B experiment readout — split users into two deterministic
+    * cohorts (user_id parity stands in for an assignment table), compare
+    * mean event value per type with Welch's z statistic. Conditional sums
+    * in ONE aggregate pass (no per-cohort scans or joins); the z-score
+    * derives from (n, Σx, Σx²) per arm — again the mergeable-sums shape.
+    * The experimentation counterpart of C13's funnel. */
+  def qAbtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val inA = $"user_id" % 2 === 0
+    val x = $"value"
+    def armSum(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0.0)))
+    Tables.table(spark, dir, "events")
+      .filter(x.isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"),
+        armSum(inA, x).as("sa"), armSum(!inA, x).as("sb"),
+        armSum(inA, x * x).as("sa2"), armSum(!inA, x * x).as("sb2"))
+      .select($"event_type", $"n_a", $"n_b",
+        round($"sa" / $"n_a", 4).as("mean_a"),
+        round($"sb" / $"n_b", 4).as("mean_b"),
+        round(($"sa" / $"n_a" - $"sb" / $"n_b") /
+          sqrt(($"sa2" / $"n_a" - pow($"sa" / $"n_a", 2)) / $"n_a"
+            + ($"sb2" / $"n_b" - pow($"sb" / $"n_b", 2)) / $"n_b"), 4).as("z"))
+      .orderBy($"event_type")
+  }
+
+  /** C26: per-group z-score standardization — the feature-normalization
+    * primitive: group stats from ONE power-sum aggregate (a
+    * groups-sized dimension), broadcast back onto the fact scan, the
+    * score itself a map-side projection. Two passes over the fact side
+    * but zero fact-side shuffles. Same power-sum parity story as C23. */
+  def qZscore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events").filter($"value".isNotNull)
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s1"),
+        sum($"value" * $"value").as("s2"))
+    ev.join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type",
+        round(($"value" - $"s1" / $"n") /
+          sqrt($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")), 4).as("z"))
+      .orderBy($"event_id")
+  }
+
+  /** H4-adjacent: winsorized clipping — clamp each group's values into its
+    * own [p05, p95] (outlier taming before training/aggregation).
+    * Exact interpolated percentiles keep the oracle exact (C12's
+    * pattern); approx_percentile is the documented drop-in past
+    * driver-unfriendly group sizes. Cutoffs are a groups-sized broadcast
+    * dimension; the clip is map-side. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events").filter($"value".isNotNull)
+    val cuts = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .select($"event_id", $"event_type",
+        round(least(greatest($"value", $"lo"), $"hi"), 2).as("value_clipped"),
+        ($"value" < $"lo" || $"value" > $"hi").as("was_clipped"))
+      .orderBy($"event_id")
   }
 
   /** C6: tumbling-window aggregation — the batch twin of the Structured

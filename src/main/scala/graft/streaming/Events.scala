@@ -98,6 +98,17 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** G10: watermarked HOPPING-window counts — streaming twin of
+    * Warehouse.qSlidingWindow (10-minute windows every 5 minutes). Same
+    * map-side window-set expansion as batch; per-event state cost is
+    * size/hop concurrent windows, all bounded by the watermark. */
+  def hoppingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** G2: streaming sessionization with explicit state — the 30-minute-gap
     * semantics of the batch C5 operator, kept incrementally per user via
     * flatMapGroupsWithState with an event-time timeout. Sessions emit when

@@ -232,4 +232,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "the overlap aggregate still runs with map-side partials")
   }
+
+  test("moments/corr/abtest are one partial+final aggregate, no join, no window") {
+    for (df <- Seq(queries.Warehouse.qMoments(spark, sfDir),
+        queries.Warehouse.qCorr(spark, sfDir),
+        queries.Warehouse.qAbtest(spark, sfDir))) {
+      val plan = planOf(df)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, "map-side partials required")
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        "power-sum statistics need no join and no window")
+    }
+  }
+
+  test("zscore and winsorize broadcast the group-stats dimension onto the fact scan") {
+    for (df <- Seq(queries.Warehouse.qZscore(spark, sfDir),
+        queries.Warehouse.qWinsorize(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        "group cutoffs/stats are a tiny dim — must broadcast, never shuffle the facts")
+      assert(!plan.contains("SortMergeJoin"))
+    }
+  }
 }

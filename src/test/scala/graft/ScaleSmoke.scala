@@ -137,6 +137,21 @@ object ScaleSmoke {
     time("q_bigram_counts") { queries.LlmOps.qBigramCounts(spark, dir) }
     time("q_heavy_hitters") { queries.LlmOps.qHeavyHitters(spark, dir) }
     time("q_profile") { queries.Etl.qProfile(spark, dir) }
+    // round-5 session-2 operators
+    time("q_cube") { queries.Warehouse.qCube(spark, dir) }
+    time("q_retention") { queries.Warehouse.qRetention(spark, dir) }
+    time("q_rolling_agg") { queries.Warehouse.qRollingAgg(spark, dir) }
+    time("q_sliding_window") { queries.Warehouse.qSlidingWindow(spark, dir) }
+    time("q_json_extract") { queries.Etl.qJsonExtract(spark, dir) }
+    time("q_fuzzy_join") { queries.LlmOps.qFuzzyJoin(spark, dir) }
+    time("q_group_centroid") { queries.LlmOps.qGroupCentroid(spark, dir) }
+    time("q_moments") { queries.Warehouse.qMoments(spark, dir) }
+    time("q_corr") { queries.Warehouse.qCorr(spark, dir) }
+    time("q_abtest") { queries.Warehouse.qAbtest(spark, dir) }
+    time("q_containment") { queries.LlmOps.qContainment(spark, dir) }
+    time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
+    time("q_zscore") { queries.Warehouse.qZscore(spark, dir) }
+    time("q_winsorize") { queries.Warehouse.qWinsorize(spark, dir) }
     spark.stop()
   }
 }

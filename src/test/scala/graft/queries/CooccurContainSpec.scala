@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Containment (D10) and PMI co-occurrence (F17) semantics. */
+class CooccurContainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment catches a verbatim excerpt that Jaccard misses") {
+    // doc 2 is a 6-token excerpt of the 40-token doc 1: containment of the
+    // pair is 1.0 while Jaccard stays small
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq((10L, "s1", long), (15L, "s1", excerpt), (20L, "s2", long))
+      .toDF("doc_id", "source", "text")
+      .select($"doc_id", $"source",
+        graft.dedup.Dedup.hashedNgrams(split($"text", " "), 2).as("grams"))
+    val pairs = graft.dedup.Buckets.gridSelfJoin(
+      docs.select($"source", $"doc_id"), Seq("source"), "doc_id", chunkSize = 4096)
+      .join(docs.select($"doc_id".as("id_a"), $"grams".as("g_a")), "id_a")
+      .join(docs.select($"doc_id".as("id_b"), $"grams".as("g_b")), "id_b")
+      .select($"id_a", $"id_b",
+        (lit(1000) * size(array_intersect($"g_a", $"g_b")) /
+          least(size(array_distinct($"g_a")), size(array_distinct($"g_b"))))
+          .cast("long").as("containment_x1000"),
+        graft.functions.longSetJaccardSorted($"g_a", $"g_b").as("jaccard_x1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (containment, jaccard) = pairs((10L, 15L))
+    assert(containment == 1000L, "full excerpt => containment 1.0")
+    assert(jaccard < 200L, "Jaccard dilutes the excerpt signal")
+    assert(!pairs.contains((10L, 20L)), "cross-source pairs stay out of the block")
+  }
+
+  test("q_containment bounds: 0..1000, canonical order, sample respected") {
+    val rows = LlmOps.qContainment(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(0) % 5 == 0 && r.getLong(1) % 5 == 0)
+      val c = r.getAs[Long]("containment_x1000")
+      assert(c >= 0L && c <= 1000L)
+    }
+  }
+
+  test("containment dominates Jaccard on every sampled pair") {
+    val c = LlmOps.qContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val j = LlmOps.qNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(c.keySet == j.keySet, "same grid-join candidate pairs")
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always; integer floors keep the inequality
+    c.foreach { case (k, cv) => assert(cv >= j(k), s"pair $k") }
+  }
+
+  test("PMI pairs: min support respected, co-count bounded by doc frequencies") {
+    val rows = LlmOps.qCooccurPmi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+    val nDocs = docs.count()
+    val df = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .distinct().groupBy($"term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, nab, pmi) =
+        (r.getString(0), r.getString(1), r.getAs[Long]("n_ab"), r.getAs[Double]("pmi"))
+      assert(a < b)
+      assert(nab >= 5L)
+      assert(nab <= math.min(df(a), df(b)), s"co-count can't exceed either df")
+      val want = math.log(nab.toDouble * nDocs / (df(a).toDouble * df(b)))
+      assert(math.abs(pmi - want) < 1e-2, s"($a,$b)")
+    }
+  }
+}

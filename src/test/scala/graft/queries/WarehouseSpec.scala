@@ -197,6 +197,81 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("moments match a driver-side population-formula computation") {
+    val got = Warehouse.qMoments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value")).na.drop()
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    byType.foreach { case (t, xs) =>
+      val v = xs.map(_._2); val n = v.length.toDouble
+      val mean = v.sum / n
+      val m2 = v.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = v.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = v.map(x => math.pow(x - mean, 4)).sum / n
+      val r = got(t)
+      assert(r.getAs[Long]("n") == v.length)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-3)
+      assert(math.abs(r.getAs[Double]("stddev") - math.sqrt(m2)) < 1e-3)
+      assert(math.abs(r.getAs[Double]("skewness") - m3 / math.pow(m2, 1.5)) < 1e-3)
+      assert(math.abs(r.getAs[Double]("kurtosis") - (m4 / (m2 * m2) - 3.0)) < 1e-3)
+    }
+  }
+
+  test("corr column equals Spark's built-in Pearson corr (corrections cancel)") {
+    val got = Warehouse.qCorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr")).toMap
+    val want = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .na.drop()
+      .groupBy(col("event_type")).agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (t, c) => assert(math.abs(c - want(t)) < 1e-3, t) }
+  }
+
+  test("abtest: cohorts partition each type; z sign follows the mean difference") {
+    val rows = Warehouse.qAbtest(spark, sfDir).collect()
+    val totals = graft.sources.Tables.table(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == totals(r.getString(0)))
+      val diff = r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b")
+      assert(diff == 0.0 || math.signum(diff) == math.signum(r.getAs[Double]("z")))
+    }
+  }
+
+  test("zscore: per-group mean ~0, stddev ~1, order preserved within group") {
+    val rows = Warehouse.qZscore(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val z = rs.map(_.getAs[Double]("z"))
+      val mean = z.sum / z.length
+      val sd = math.sqrt(z.map(x => (x - mean) * (x - mean)).sum / z.length)
+      assert(math.abs(mean) < 1e-2, s"$t mean")
+      assert(math.abs(sd - 1.0) < 1e-2, s"$t stddev")
+    }
+  }
+
+  test("winsorize: clipped values inside [p05, p95], ~10% of rows clipped") {
+    val rows = Warehouse.qWinsorize(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val clipped = rs.count(_.getAs[Boolean]("was_clipped"))
+      val frac = clipped.toDouble / rs.length
+      assert(frac > 0.02 && frac < 0.2, s"$t clip fraction $frac")
+      val lo = rs.map(_.getAs[Double]("value_clipped")).min
+      val hi = rs.map(_.getAs[Double]("value_clipped")).max
+      // clipped extremes sit exactly at the cut points
+      assert(rs.filter(_.getAs[Boolean]("was_clipped"))
+        .forall { r =>
+          val v = r.getAs[Double]("value_clipped"); v == lo || v == hi })
+    }
+  }
+
   test("sliding window: every event lands in exactly size/hop = 2 windows") {
     val total = graft.sources.Tables.table(spark, sfDir, "events").count()
     val rows = Warehouse.qSlidingWindow(spark, sfDir).collect()

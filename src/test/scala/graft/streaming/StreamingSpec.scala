@@ -34,6 +34,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hopping windows over a stream match the batch sliding twin") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val events = (1 to 100).map(i =>
+      Events.Event(i.toLong, ts(i.toLong), i % 5L, s"type${i % 3}", i * 1.0))
+    input.addData(events: _*)
+    val query = Events.hoppingCounts(input.toDF())
+      .writeStream.format("memory").queryName("hop_counts")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("hop_counts").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = events.toDF()
+        .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"w.start", $"event_type", $"n", $"sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      // each event contributes to exactly 2 windows
+      assert(streamed.toSeq.map(_._3).sum == 2L * events.length)
+    } finally query.stop()
+  }
+
   test("streaming sessionization emits gap-separated sessions") {
     val sparkSession = spark
     import sparkSession.implicits._
