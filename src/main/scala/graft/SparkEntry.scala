@@ -100,6 +100,10 @@ object SparkEntry {
     "q_cooccur_pmi" -> ((s, dir) => LlmOps.qCooccurPmi(s, dir)),
     "q_zscore" -> ((s, dir) => Warehouse.qZscore(s, dir)),
     "q_winsorize" -> ((s, dir) => Warehouse.qWinsorize(s, dir)),
+    "q_tokenize" -> ((s, dir) => LlmOps.qTokenize(s, dir)),
+    "q_ngram_lm" -> ((s, dir) => LlmOps.qNgramLm(s, dir)),
+    "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
+    "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1061,6 +1065,64 @@ object SparkEntry {
         |FROM pc JOIN tdf ta ON pc.term_a = ta.term
         |        JOIN tdf tb ON pc.term_b = tb.term, nd
         |ORDER BY term_a, term_b""".stripMargin,
+    "q_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.c_nationkey->nation' AS relation,
+        |    (SELECT count(*) FROM customer WHERE NOT EXISTS (
+        |       SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        |       SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        |       SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        |       SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders WHERE NOT EXISTS (
+        |       SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |) ORDER BY relation""".stripMargin,
+    // vocabulary CTE = the q_vocab oracle inlined; OOV encodes as -1
+    "q_tokenize" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS n FROM w GROUP BY term),
+        |top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 1000),
+        |v AS (SELECT term,
+        |        CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+        |          AS vocab_id
+        |      FROM top),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |        generate_subscripts(string_split(text, ' '), 1) AS pos
+        |      FROM documents WHERE text IS NOT NULL),
+        |j AS (SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, -1) AS id
+        |      FROM t LEFT JOIN v USING (term))
+        |SELECT doc_id,
+        |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ')
+        |    AS token_ids,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(t)),
+        |                              i -> t[i] || ' ' || t[i + 1])) AS gram
+        |      FROM toks),
+        |cg AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |cw AS (SELECT string_split(gram, ' ')[1] AS w1, count(*) AS c1
+        |       FROM g GROUP BY 1),
+        |s AS (SELECT g.doc_id, ln(cg.c::DOUBLE / cw.c1::DOUBLE) AS lp
+        |      FROM g JOIN cg USING (gram)
+        |             JOIN cw ON string_split(g.gram, ' ')[1] = cw.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(lp), 3) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_zscore" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n, sum(value) AS s1,

@@ -88,4 +88,52 @@ object MinHashLsh {
         graft.functions.longSetJaccardSorted(col("sh_a"), col("sh_b")).as("jaccard_x1000"))
       .filter(col("jaccard_x1000") >= minJaccardX1000)
   }
+
+  /** Cross-corpus near-dup JOIN (D11): for every NEW document, its
+    * near-duplicates in an EXISTING corpus — the batch-ingest face of the
+    * daily-crawl dedup (D8 catches exact copies by content hash; this
+    * catches the reworded/perturbed ones; streaming twin = G8's SimHash
+    * flagger). Both sides band identically, candidates come from an
+    * A⋈B equi-join on (band_idx, band_hash) — never a cross product —
+    * and exact hashed-shingle Jaccard verifies.
+    *
+    * Hot corpus buckets (boilerplate bands shared by millions of corpus
+    * docs) cap at `maxBucketSize` rows kept in deterministic id order —
+    * the cross-join analog of Buckets.cappedSelfJoin's star degrade: the
+    * bucket's cap-window stays probe-able, candidates beyond it are
+    * dropped (documented recall trade under the same heuristic contract
+    * as D2; the verify stage keeps precision exact). The cap window and
+    * the join key share one exchange. Returns (new_id, corpus_id,
+    * jaccard_x1000) with jaccard ≥ minJaccardX1000. */
+  def crossNearDups(
+      newDf: DataFrame, corpusDf: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
+      minJaccardX1000: Long = 500L, maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def shingled(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
+    def banded(sh: DataFrame) = bands(
+      sh.select(col(idCol),
+        graft.functions.minhashSignature(col("shingles"), numHashes).as("sig")),
+      "sig", idCol, rowsPerBand)
+    val shNew = shingled(newDf)
+    val shCorp = shingled(corpusDf)
+    val w = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col(idCol))
+    val corpCapped = banded(shCorp)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("corpus_id"))
+    val candidates = banded(shNew)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("new_id"))
+      .join(corpCapped, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    candidates
+      .join(shNew.select(col(idCol).as("new_id"), col("shingles").as("sh_a")), "new_id")
+      .join(shCorp.select(col(idCol).as("corpus_id"), col("shingles").as("sh_b")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.longSetJaccardSorted(col("sh_a"), col("sh_b")).as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") >= minJaccardX1000)
+  }
 }

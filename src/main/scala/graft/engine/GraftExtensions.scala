@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expressions.{CosineSimilarity, LshBucket, MinHashSignature, PolyHash, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, FreqSketch, InterleaveBits, KmvSketch, LongSetJaccard, LshBucket, MinHashSignature, PolyHash, SimHash64, TopKByScore, VectorSum}
 
 /** SparkSessionExtensions hook: registers the engine's custom codegen
   * expressions as SQL functions, so `spark.sql` queries (and any SQL-first
@@ -47,5 +47,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("lsh_bucket", "lsh_bucket(array<double>, dims, planes) - hyperplane LSH bucket"),
       (args: Seq[Expression]) => LshBucket(args.head,
         intArg(args(1), "lsh_bucket dims"), intArg(args(2), "lsh_bucket planes"))))
+    ext.injectFunction((FunctionIdentifier("long_set_jaccard"),
+      info("long_set_jaccard",
+        "long_set_jaccard(array<bigint>, array<bigint>) - exact set Jaccard x1000"),
+      (args: Seq[Expression]) => LongSetJaccard(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("interleave_bits"),
+      info("interleave_bits",
+        "interleave_bits(bigint, ...) - Morton Z-order key over N columns"),
+      (args: Seq[Expression]) => InterleaveBits(args)))
+    // aggregates: the analyzer wraps a returned AggregateFunction in its
+    // AggregateExpression, so these work directly under GROUP BY
+    ext.injectFunction((FunctionIdentifier("vector_sum"),
+      info("vector_sum", "vector_sum(array<double>) - elementwise sum (centroids)"),
+      (args: Seq[Expression]) => VectorSum(args.head)))
+    ext.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(double, bigint, k) - bounded top-k (score desc, id asc)"),
+      (args: Seq[Expression]) =>
+        TopKByScore(args(0), args(1), intArg(args(2), "topk_by_score k"))))
+    ext.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(value, k) - KMV distinct-count estimate"),
+      (args: Seq[Expression]) =>
+        KmvSketch(args(0), intArg(args(1), "kmv_distinct k"))))
+    ext.injectFunction((FunctionIdentifier("freq_items"),
+      info("freq_items", "freq_items(value, k) - Misra-Gries heavy hitters map"),
+      (args: Seq[Expression]) =>
+        FreqSketch(args(0), intArg(args(1), "freq_items k"))))
   }
 }

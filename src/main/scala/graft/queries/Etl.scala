@@ -177,6 +177,39 @@ object Etl {
       .orderBy("column_name")
   }
 
+  /** A16: referential-integrity audit — orphan counts for every foreign
+    * key in the star schema (the data-quality gate a sync pipeline runs
+    * before declaring a snapshot consistent; complements B6's per-column
+    * schema validation with CROSS-TABLE checks). Each relation is one
+    * left-anti join against the referenced key set — dimension keys
+    * broadcast, the orders/lineitem keys co-partition — and the output
+    * is one row per relation regardless of fact scale. NULL foreign keys
+    * count as orphans on both engines (anti-join and NOT EXISTS agree). */
+  def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.table(spark, dir, n)
+    val checks = Seq(
+      ("customer.c_nationkey->nation",
+        t("customer").select(col("c_nationkey").as("k")),
+        t("nation").select(col("n_nationkey").as("k"))),
+      ("lineitem.l_orderkey->orders",
+        t("lineitem").select(col("l_orderkey").as("k")),
+        t("orders").select(col("o_orderkey").as("k"))),
+      ("lineitem.l_partkey->part",
+        t("lineitem").select(col("l_partkey").as("k")),
+        t("part").select(col("p_partkey").as("k"))),
+      ("lineitem.l_suppkey->supplier",
+        t("lineitem").select(col("l_suppkey").as("k")),
+        t("supplier").select(col("s_suppkey").as("k"))),
+      ("orders.o_custkey->customer",
+        t("orders").select(col("o_custkey").as("k")),
+        t("customer").select(col("c_custkey").as("k"))))
+    checks.map { case (name, fact, dim) =>
+      fact.join(dim.distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_orphans"))
+    }.reduce(_ unionAll _).orderBy("relation")
+  }
+
   /** A15: typed extraction from a semi-structured payload column — the
     * JSON `props` blob decodes against an EXPLICIT schema (from_json), a
     * validity flag marks rows whose payload failed to parse or lacked the

@@ -571,6 +571,40 @@ object LlmOps {
       .orderBy("term_a", "term_b")
   }
 
+  /** D11: cross-corpus near-dup join — odd doc ids are the "new batch",
+    * even ids the accumulated corpus (the same split as D8's exact-hash
+    * incremental dedup, which this upgrades to NEAR duplicates). Banded
+    * A⋈B equi-join + exact Jaccard verify; see MinHashLsh.crossNearDups.
+    * Rows-only check: LSH recall < 1 in general, so no SQL oracle — the
+    * spec proves planted cross-corpus near-dups surface and pairs ⊆ the
+    * exact τ-filtered set. */
+  def qDedupCross(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    graft.dedup.MinHashLsh.crossNearDups(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id")
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** F18: tokenizer apply — encode every document against the trained
+    * top-1000 vocabulary (F12), OOV → -1. See
+    * TextAnalysis.encodeWithVocab; the vocabulary is top-K bounded so it
+    * always broadcasts. */
+  def qTokenize(spark: SparkSession, dir: String, k: Int = 1000): DataFrame =
+    graft.text.TextAnalysis.encodeWithVocab(
+      Tables.table(spark, dir, "documents"), "text", "doc_id",
+      qVocab(spark, dir, k).select(col("term"), col("vocab_id")))
+      .orderBy("doc_id")
+
+  /** F19: bigram-LM quality scoring — the perplexity-filter signal
+    * (mean log conditional probability of each doc's bigrams under
+    * corpus counts). See TextAnalysis.bigramLogProb. */
+  def qNgramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.bigramLogProb(
+      Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** D9: fuzzy self-join — all distinct part-name pairs within Levenshtein
     * distance ≤ 2 via symmetric-delete blocking (exact: the ≤2-deletion
     * neighborhoods of two strings within distance 2 always intersect, and

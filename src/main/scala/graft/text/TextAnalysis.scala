@@ -142,6 +142,68 @@ object TextAnalysis {
     * standard pre-tokenization cleanup; pure projection, scale-free.
     * Patterns are Java-regex/RE2-portable (the F10 portability rule) so
     * the operator behaves identically under any engine's regex library. */
+  /** Tokenizer APPLY: encode whitespace tokens against a (term, vocab_id)
+    * dictionary — the step between vocabulary training (LlmOps.qVocab)
+    * and model input. Out-of-vocabulary tokens encode as -1 ([UNK]).
+    * Plan: posexplode keeps token order, the vocabulary broadcasts (it
+    * is top-K bounded by construction), and the id sequence reassembles
+    * in ONE doc-keyed aggregate (sorted by position inside the array —
+    * no window). Output ids as a space-joined string: deterministic,
+    * engine-comparable, and the exact inverse of the split it came from. */
+  def encodeWithVocab(df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("vocab_id"), lit(-1L)).as("id")))),
+          x => x.getField("id").cast("string"))).as("token_ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vocab_id").isNull, 1L).otherwise(0L)).as("n_unk"))
+  }
+
+  /** Bigram language-model scoring — mean log MLE conditional probability
+    * of each document's bigrams under counts from the corpus itself:
+    * avg over bigram instances of ln(c(w1 w2) / c(w1 ·)). The
+    * KenLM-style "perplexity filter" quality signal: repetitive,
+    * predictable text scores near 0, surprising token sequences go
+    * negative. Every count is an MLE over the same corpus so no
+    * smoothing is needed (every doc bigram has c ≥ 1), and
+    * avg_logp ≤ 0 always (a bigram never outnumbers its own prefix).
+    * Plan: gram instances carry xxhash64 keys (8-byte shuffles, never
+    * gram text — counts over hashed keys equal counts over strings bar
+    * collisions, the same contract as the hashed-shingle Jaccard
+    * verify); ONE instance aggregate keyed (gram_hash, prefix_hash),
+    * prefix totals derive from that DISTINCT-gram table (cheap sum over
+    * distinct grams, not a second instance-wide count), and the per-doc
+    * score joins instances to the count dimension on the gram hash —
+    * co-partitioned, linear, no broadcast of unbounded vocabulary. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // tokens materialize as an attribute FIRST: inlining split() into the
+    // gram lambda re-tokenizes once per element_at (no CSE across lambda
+    // boundaries — the Dedup.wordNgrams perf note)
+    val grams = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        explode(graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gh"),
+        xxhash64(substring_index(col("gram"), " ", 1)).as("wh"))
+    // wh is functionally dependent on gh, so it rides the same aggregate
+    val cg = grams.groupBy("gh", "wh").agg(count(lit(1)).as("c"))
+    val cw = cg.groupBy("wh").agg(sum(col("c")).as("c1"))
+    val dim = cg.join(cw, "wh").select(col("gh"), col("c"), col("c1"))
+    grams.select(col(idCol), col("gh"))
+      .join(dim, "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c").cast("double") / col("c1").cast("double"))), 3)
+          .as("avg_logp"))
+  }
+
   def normalize(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.where(col(textCol).isNotNull)
       .select(col(idCol),

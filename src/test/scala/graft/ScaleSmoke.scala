@@ -152,6 +152,10 @@ object ScaleSmoke {
     time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
     time("q_zscore") { queries.Warehouse.qZscore(spark, dir) }
     time("q_winsorize") { queries.Warehouse.qWinsorize(spark, dir) }
+    time("q_tokenize") { queries.LlmOps.qTokenize(spark, dir) }
+    time("q_ngram_lm") { queries.LlmOps.qNgramLm(spark, dir) }
+    time("q_integrity") { queries.Etl.qIntegrity(spark, dir) }
+    time("q_dedup_cross") { queries.LlmOps.qDedupCross(spark, dir) }
     spark.stop()
   }
 }

@@ -44,6 +44,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("jaccard_x1000") == 600L)
   }
 
+  test("cross-corpus near-dup join finds planted cross pairs, never within-side pairs") {
+    // corpus: 1..4; new batch: 11 is a near-dup of corpus doc 1, 12 is a
+    // near-dup of corpus doc 3, 13 is novel. 11/12 must surface against
+    // their corpus twins ONLY; identical new docs (11 vs 14) must NOT
+    // pair with each other (that's the self-join's job, not this one's)
+    val newBatch = docs(
+      11L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      12L -> "completely different content about spark query engines and distributed shuffles there",
+      13L -> "entirely novel text with no overlap whatsoever against anything stored before now",
+      14L -> "the quick brown fox jumps over the lazy dog near the river bank tonight")
+    val got = MinHashLsh.crossNearDups(newBatch, corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (11,2)/(14,2) sit exactly at J = 8/16 = 0.500: one trigram changed
+    // on the new side (last word), three on the corpus side (mid-word)
+    assert(got == Set((11L, 1L), (11L, 2L), (12L, 3L), (14L, 1L), (14L, 2L)))
+    // pairs ⊆ exact: every emitted pair really clears the Jaccard bar
+    val exact = newBatch.select(col("doc_id").as("new_id"),
+        Dedup.hashedNgrams(split(col("text"), " "), 3).as("ga"))
+      .crossJoin(corpus.select(col("doc_id").as("corpus_id"),
+        Dedup.hashedNgrams(split(col("text"), " "), 3).as("gb")))
+      .filter(graft.functions.longSetJaccardSorted(col("ga"), col("gb")) >= 500L)
+      .select("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, "at this size LSH candidates cover the exact pair set")
+  }
+
   test("minhash signature approximates jaccard for near-dups") {
     import spark.implicits._
     val sigs = corpus

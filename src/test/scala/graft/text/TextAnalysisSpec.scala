@@ -142,6 +142,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1) == (("cat sat", 2L)))
     assert(rows(2) == (("a dog", 1L))) // lexicographic among the count-1 ties
   }
+
+  test("vocab encode: exact ids in token order, OOV -> -1, stable under repartition") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val vocab = Seq(("hello", 0L), ("world", 1L)).toDF("term", "vocab_id")
+    val docs = Seq((1L, "hello world xyzzy hello"), (2L, "xyzzy"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.encodeWithVocab(docs.repartition(7), "text", "doc_id", vocab)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "0 1 -1 0", 4L, 1L)))
+    assert(got(1) == ((2L, "-1", 1L, 1L)))
+  }
+
+  test("bigram LM: the rare continuation of a common prefix scores negative") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 9 docs say "the cat"; one says "the dog" — same prefix, rare tail
+    val docs = ((1 to 9).map(i => (i.toLong, "the cat")) :+ (10L, "the dog"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(math.abs(scores(10L) - math.log(1.0 / 10.0)) < 1e-3)
+    assert((1 to 9).forall(i => math.abs(scores(i.toLong) - math.log(9.0 / 10.0)) < 1e-3))
+    assert(scores(10L) < scores(1L))
+  }
+
+  test("bigram LM invariant: avg_logp is never positive (MLE counts)") {
+    val rows = graft.queries.LlmOps.qNgramLm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("avg_logp") <= 0.0))
+  }
 }
 
 object SimHashTestAccess {
