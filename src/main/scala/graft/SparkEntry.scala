@@ -104,6 +104,8 @@ object SparkEntry {
     "q_ngram_lm" -> ((s, dir) => LlmOps.qNgramLm(s, dir)),
     "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
     "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
+    "q_sample_weighted" -> ((s, dir) => LlmOps.qSampleWeighted(s, dir)),
+    "q_curate_e2e" -> ((s, dir) => LlmOps.qCurateE2e(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1065,6 +1067,63 @@ object SparkEntry {
         |FROM pc JOIN tdf ta ON pc.term_a = ta.term
         |        JOIN tdf tb ON pc.term_b = tb.term, nd
         |ORDER BY term_a, term_b""".stripMargin,
+    // content-hash weighted draw: keep iff polyhash(text) mod 1500 < quality
+    "q_sample_weighted" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT doc_id, text,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS quality_x1000
+        |      FROM f),
+        |ph AS (SELECT doc_id, quality_x1000,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS h
+        |  FROM q)
+        |SELECT doc_id, quality_x1000 FROM ph
+        |WHERE h % 1500 < quality_x1000
+        |ORDER BY doc_id""".stripMargin,
+    // the composed pipeline: normalize -> quality gate -> exact dedup
+    // (min id per normalized md5) -> deterministic split — each stage's
+    // SQL is its own proven oracle, chained
+    "q_curate_e2e" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      '  +', ' ', 'g')) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, nt,
+        |    CAST(length(nt) - length(replace(nt, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || nt || ' ') - length(replace(' ' || nt || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || nt || ' ') - length(replace(' ' || nt || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM norm),
+        |q AS (SELECT doc_id, nt,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS quality_x1000
+        |      FROM f
+        |      WHERE least(1000, n_words * 5) + least(500, stop_hits * 20) >= 300),
+        |c AS (SELECT md5(nt) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
+        |k AS (SELECT q.* FROM q JOIN c ON md5(q.nt) = c.h AND q.doc_id = c.doc_id),
+        |ph AS (SELECT doc_id, quality_x1000,
+        |    CASE WHEN length(nt) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(nt) + 1),
+        |                       i -> CAST(ascii(substr(nt, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS h
+        |  FROM k)
+        |SELECT doc_id,
+        |  CASE WHEN h % 10 < 8 THEN 'train'
+        |       WHEN h % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  quality_x1000
+        |FROM ph ORDER BY doc_id""".stripMargin,
     "q_integrity" ->
       """SELECT * FROM (
         |  SELECT 'customer.c_nationkey->nation' AS relation,

@@ -571,6 +571,46 @@ object LlmOps {
       .orderBy("term_a", "term_b")
   }
 
+  /** H5: quality-weighted deterministic subsampling — keep each document
+    * with probability proportional to its quality score, decided by a
+    * CONTENT-HASH draw (polyhash(text) mod maxQ < quality): stable under
+    * reruns, row order, partitioning, and engines — the H1/H2 determinism
+    * contract applied to weighted sampling (upsample quality without an
+    * RNG you can't replay). Pure map-side projection, no shuffle. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val maxQ = 1500L
+    graft.text.TextAnalysis.qualityScore(
+      Tables.table(spark, dir, "documents"), "text")
+      .filter(pmod(graft.functions.polyhash(col("text")), lit(maxQ)) < col("quality_x1000"))
+      .select(col("doc_id"), col("quality_x1000"))
+      .orderBy("doc_id")
+  }
+
+  /** H6: the end-to-end curation pipeline — normalize → quality gate →
+    * exact dedup (keep min id per normalized-content hash) → train/val/
+    * test split, COMPOSED from the individually-proven stages (F14, F2/
+    * H3's formula, D1, H1) into one declarative plan: projections fuse
+    * map-side, the only shuffle is the dedup groupBy on the 16-byte
+    * hash, and the oracle is the same composition in SQL. The "does the
+    * whole pipeline hold together" demonstration a user runs first. */
+  def qCurateE2e(spark: SparkSession, dir: String,
+      minQuality: Long = 300L): DataFrame = {
+    val norm = graft.text.TextAnalysis.normalize(
+      Tables.table(spark, dir, "documents"), "text", "doc_id")
+    val gated = graft.text.TextAnalysis.qualityScore(norm, "norm_text")
+      .filter(col("quality_x1000") >= minQuality)
+      .select(col("doc_id"), col("norm_text"), col("quality_x1000"))
+      .withColumn("h", md5(col("norm_text")))
+    val canonical = gated.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    gated.join(canonical, Seq("h", "doc_id"))
+      .withColumn("split",
+        when(pmod(graft.functions.polyhash(col("norm_text")), lit(10L)) < 8, "train")
+          .when(pmod(graft.functions.polyhash(col("norm_text")), lit(10L)) < 9, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"), col("quality_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** D11: cross-corpus near-dup join — odd doc ids are the "new batch",
     * even ids the accumulated corpus (the same split as D8's exact-hash
     * incremental dedup, which this upgrades to NEAR duplicates). Banded

@@ -594,6 +594,33 @@ object Warehouse {
       .orderBy($"event_id")
   }
 
+  /** C18's 100 TB shape: approximate equal-frequency binning. Exact
+    * ntile is a per-group SORT of every row (5.6s at 50× — the one
+    * sort-bound operator in the smoke); this twin computes the 9 decile
+    * cutoffs with approx_percentile (mergeable GK summaries, one
+    * bounded-memory aggregate), broadcasts them, and assigns buckets as
+    * a map-side binary search — no sort anywhere. Bucket populations are
+    * approximately equal (GK ε-bounded) instead of exactly equal;
+    * WarehouseSpec quantifies the deviation against the exact tiling.
+    * Spec-proven twin (approx_percentile differs across engines, so no
+    * DuckDB oracle — the C12 exact/approx pairing). */
+  def ntileApprox(df: DataFrame, groupCol: String, valueCol: String,
+      n: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until n).map(i => i.toDouble / n)
+    val cuts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile($valueCol, array(${probs.mkString(",")}), $accuracy)")
+        .as("__cuts"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(cuts), groupCol)
+      // decile = 1 + number of cutoffs at or below the value: a map-side
+      // scan of the 9-element array (aggregate over the broadcast cuts)
+      .withColumn("decile",
+        (lit(1) + aggregate(col("__cuts"), lit(0L),
+          (acc, c) => acc + when(col(valueCol) > c, 1L).otherwise(0L))))
+      .drop("__cuts")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

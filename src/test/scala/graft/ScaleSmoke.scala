@@ -156,6 +156,12 @@ object ScaleSmoke {
     time("q_ngram_lm") { queries.LlmOps.qNgramLm(spark, dir) }
     time("q_integrity") { queries.Etl.qIntegrity(spark, dir) }
     time("q_dedup_cross") { queries.LlmOps.qDedupCross(spark, dir) }
+    time("q_sample_weighted") { queries.LlmOps.qSampleWeighted(spark, dir) }
+    time("q_curate_e2e") { queries.LlmOps.qCurateE2e(spark, dir) }
+    time("ntile_approx") {
+      queries.Warehouse.ntileApprox(
+        graft.sources.Tables.table(spark, dir, "events"), "event_type", "value")
+    }
     spark.stop()
   }
 }

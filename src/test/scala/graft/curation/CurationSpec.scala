@@ -83,4 +83,68 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(train / total - 0.8) < 0.2)
     }
   }
+
+  test("weighted sampling: deterministic, keep rate rises with quality") {
+    val a = graft.queries.LlmOps.qSampleWeighted(spark, sfDir).collect()
+    val b = graft.queries.LlmOps.qSampleWeighted(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq, "rerun-stable")
+    val all = graft.text.TextAnalysis.qualityScore(
+      graft.sources.Tables.table(spark, sfDir, "documents"), "text")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("quality_x1000"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = a.map(_.getLong(0)).toSet
+    def keepRate(p: Long => Boolean) = {
+      val ids = all.filter { case (_, q) => p(q) }.keys
+      if (ids.isEmpty) 0.0 else ids.count(kept).toDouble / ids.size
+    }
+    val median = all.values.toSeq.sorted.apply(all.size / 2)
+    val lowRate = keepRate(_ < median)
+    val highRate = keepRate(_ >= median)
+    assert(highRate > lowRate, s"high-quality docs must survive more often ($highRate vs $lowRate)")
+    // expected keep rate = quality/1500; aggregate check within sampling noise
+    val expected = all.values.map(_.toDouble / 1500.0).sum
+    assert(math.abs(kept.size - expected) < 0.15 * all.size)
+  }
+
+  test("curation pipeline: unique normalized content, gated quality, canonical ids") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qCurateE2e(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("quality_x1000") >= 300L))
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // reconstruct the reference: survivors are exactly the min-id docs of
+    // each gated normalized-content group
+    val gated = graft.text.TextAnalysis.qualityScore(
+      graft.text.TextAnalysis.normalize(
+        graft.sources.Tables.table(spark, sfDir, "documents"), "text", "doc_id"),
+      "norm_text")
+      .filter(col("quality_x1000") >= 300)
+      .select(col("doc_id"), md5(col("norm_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val canonical = gated.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(out.map(_.getLong(0)).toSet == canonical)
+  }
+
+  test("approx ntile twin: buckets near-equal, assignment monotone in value") {
+    import org.apache.spark.sql.functions._
+    val tiled = graft.queries.Warehouse.ntileApprox(
+      graft.sources.Tables.table(spark, sfDir, "events"), "event_type", "value")
+      .select(col("event_type"), col("value"), col("decile")).collect()
+    tiled.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val byDecile = rs.groupBy(_.getAs[Long]("decile"))
+      assert(byDecile.keySet.subsetOf((1L to 10L).toSet), t)
+      // near-equal populations: each bucket within 40% of the ideal tenth
+      val ideal = rs.length / 10.0
+      byDecile.values.foreach(b =>
+        assert(math.abs(b.length - ideal) < 0.4 * ideal + 3, s"$t bucket ${b.length} vs $ideal"))
+      // monotone: max(value) of decile d <= min(value) of decile d+2
+      val sorted = byDecile.toSeq.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Seq((_, lo), (_, hi)) =>
+          assert(lo.map(_.getDouble(1)).max <= hi.map(_.getDouble(1)).min + 1e-9, t)
+        case _ =>
+      }
+    }
+  }
 }
