@@ -1089,41 +1089,41 @@ object SparkEntry {
         |SELECT doc_id, quality_x1000 FROM ph
         |WHERE h % 1500 < quality_x1000
         |ORDER BY doc_id""".stripMargin,
-    // the composed pipeline: normalize -> quality gate -> exact dedup
-    // (min id per normalized md5) -> deterministic split — each stage's
-    // SQL is its own proven oracle, chained
+    // the composed pipeline: quality gate (raw text) -> normalize ->
+    // exact dedup (min id per normalized md5) -> deterministic split —
+    // each stage's SQL is its own proven oracle, chained
     "q_curate_e2e" ->
-      """WITH norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(
-        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |      '  +', ' ', 'g')) AS nt
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
         |  FROM documents WHERE text IS NOT NULL),
-        |f AS (SELECT doc_id, nt,
-        |    CAST(length(nt) - length(replace(nt, ' ', '')) + 1 AS BIGINT) AS n_words,
-        |    CAST((length(' ' || nt || ' ') - length(replace(' ' || nt || ' ', ' the ', ''))) / 5 AS BIGINT)
-        |      + CAST((length(' ' || nt || ' ') - length(replace(' ' || nt || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
-        |  FROM norm),
-        |q AS (SELECT doc_id, nt,
+        |q AS (SELECT doc_id, text,
         |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS quality_x1000
         |      FROM f
         |      WHERE least(1000, n_words * 5) + least(500, stop_hits * 20) >= 300),
-        |c AS (SELECT md5(nt) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
-        |k AS (SELECT q.* FROM q JOIN c ON md5(q.nt) = c.h AND q.doc_id = c.doc_id),
-        |ph AS (SELECT doc_id, quality_x1000,
-        |    CASE WHEN length(nt) = 0 THEN 0 ELSE
+        |n AS (SELECT doc_id, quality_x1000,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      '  +', ' ', 'g')) AS nt
+        |  FROM q),
+        |hashed AS (SELECT doc_id, quality_x1000, md5(nt) AS h,
+        |    (CASE WHEN length(nt) = 0 THEN 0 ELSE
         |      list_reduce(
         |        list_transform(range(1, length(nt) + 1),
         |                       i -> CAST(ascii(substr(nt, i, 1)) AS BIGINT)),
         |        (h, c) -> (h * 131 + c) % 2147483647)
-        |    END AS h
-        |  FROM k)
+        |    END) % 10 AS ph
+        |  FROM n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |      FROM hashed)
         |SELECT doc_id,
-        |  CASE WHEN h % 10 < 8 THEN 'train'
-        |       WHEN h % 10 < 9 THEN 'val'
+        |  CASE WHEN ph < 8 THEN 'train'
+        |       WHEN ph < 9 THEN 'val'
         |       ELSE 'test' END AS split,
         |  quality_x1000
-        |FROM ph ORDER BY doc_id""".stripMargin,
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_integrity" ->
       """SELECT * FROM (
         |  SELECT 'customer.c_nationkey->nation' AS relation,

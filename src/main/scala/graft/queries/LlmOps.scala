@@ -586,27 +586,41 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  /** H6: the end-to-end curation pipeline — normalize → quality gate →
-    * exact dedup (keep min id per normalized-content hash) → train/val/
-    * test split, COMPOSED from the individually-proven stages (F14, F2/
-    * H3's formula, D1, H1) into one declarative plan: projections fuse
-    * map-side, the only shuffle is the dedup groupBy on the 16-byte
-    * hash, and the oracle is the same composition in SQL. The "does the
-    * whole pipeline hold together" demonstration a user runs first. */
+  /** H6: the end-to-end curation pipeline — quality gate (on raw text)
+    * → normalize → exact dedup (keep min id per normalized-content
+    * hash) → train/val/test split, COMPOSED from the individually-
+    * proven stages (F2/H3's formula, F14, D1, H1) into one declarative
+    * plan. The "does the whole pipeline hold together" demonstration a
+    * user runs first.
+    *
+    * Plan discipline, learned at 50×: the normalized text reduces to
+    * its TWO hashes (md5 for dedup identity, polyhash for the split) in
+    * the same map-side projection, so the normalize regexes evaluate
+    * O(1) times per row and the dedup exchange carries ~32 bytes per
+    * row, never normalized text. (A groupBy+join-back keep-min
+    * recomputes the gate lineage twice and an early normalize gets
+    * re-inlined into every downstream reference — the first cut cost
+    * 113s at 50×; this shape runs in seconds.) Keep-min is one window
+    * over the hash — clone groups are duplication-bounded, so the
+    * within-group sort is tiny. */
   def qCurateE2e(spark: SparkSession, dir: String,
       minQuality: Long = 300L): DataFrame = {
-    val norm = graft.text.TextAnalysis.normalize(
-      Tables.table(spark, dir, "documents"), "text", "doc_id")
-    val gated = graft.text.TextAnalysis.qualityScore(norm, "norm_text")
+    import org.apache.spark.sql.expressions.Window
+    val gated = graft.text.TextAnalysis.qualityScore(
+      Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
       .filter(col("quality_x1000") >= minQuality)
-      .select(col("doc_id"), col("norm_text"), col("quality_x1000"))
-      .withColumn("h", md5(col("norm_text")))
-    val canonical = gated.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    gated.join(canonical, Seq("h", "doc_id"))
+      .select(col("doc_id"), col("text"), col("quality_x1000"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    val hashed = gated.select(col("doc_id"), col("quality_x1000"),
+      md5(norm).as("h"),
+      pmod(graft.functions.polyhash(norm), lit(10L)).as("ph"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .withColumn("split",
-        when(pmod(graft.functions.polyhash(col("norm_text")), lit(10L)) < 8, "train")
-          .when(pmod(graft.functions.polyhash(col("norm_text")), lit(10L)) < 9, "val")
-          .otherwise("test"))
+        when(col("ph") < 8, "train").when(col("ph") < 9, "val").otherwise("test"))
       .select(col("doc_id"), col("split"), col("quality_x1000"))
       .orderBy("doc_id")
   }

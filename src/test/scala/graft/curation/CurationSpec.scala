@@ -114,13 +114,14 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("quality_x1000") >= 300L))
     assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
     // reconstruct the reference: survivors are exactly the min-id docs of
-    // each gated normalized-content group
+    // each gated doc's normalized-content group
+    val nt = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
     val gated = graft.text.TextAnalysis.qualityScore(
-      graft.text.TextAnalysis.normalize(
-        graft.sources.Tables.table(spark, sfDir, "documents"), "text", "doc_id"),
-      "norm_text")
+      graft.sources.Tables.table(spark, sfDir, "documents")
+        .filter(col("text").isNotNull), "text")
       .filter(col("quality_x1000") >= 300)
-      .select(col("doc_id"), md5(col("norm_text")).as("h"))
+      .select(col("doc_id"), md5(nt).as("h"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val canonical = gated.groupBy(_._2).values.map(_.map(_._1).min).toSet
     assert(out.map(_.getLong(0)).toSet == canonical)
