@@ -56,9 +56,7 @@ object FuzzyJoin {
   def editDistancePairs(df: DataFrame, nameCol: String,
       maxDistance: Int = 1): DataFrame = {
     val names = df.select(col(nameCol).as("__name")).na.drop().distinct()
-    val keyed = names.select(col("__name"),
-      explode(deleteNeighborhood(col("__name"), maxDistance)).as("__variant"))
-      .select(col("__name"), xxhash64(col("__variant")).as("__key"))
+    val keyed = keyedVariants(names, maxDistance)
     val a = keyed.select(col("__key"), col("__name").as("name_a"))
     val b = keyed.select(col("__key"), col("__name").as("name_b"))
     a.join(b, Seq("__key"))
@@ -68,4 +66,30 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= maxDistance)
   }
+
+  /** Fuzzy LOOKUP (the two-sided form): for every query string, all
+    * dictionary entries within levenshtein ≤ maxDistance — spell
+    * correction / alias matching against a canonical list. Same exact
+    * symmetric-delete blocking, across two tables: both sides explode
+    * their ≤d-deletion neighborhoods and equi-join on the variant hash.
+    * Output (query, match, dist), one row per qualifying pair. */
+  def editDistanceLookup(queries: DataFrame, queryCol: String,
+      dict: DataFrame, dictCol: String, maxDistance: Int = 1): DataFrame = {
+    val q = keyedVariants(
+      queries.select(col(queryCol).as("__name")).na.drop().distinct(), maxDistance)
+      .select(col("__key"), col("__name").as("query"))
+    val d = keyedVariants(
+      dict.select(col(dictCol).as("__name")).na.drop().distinct(), maxDistance)
+      .select(col("__key"), col("__name").as("match"))
+    q.join(d, Seq("__key"))
+      .select(col("query"), col("match"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("query"), col("match")).cast("long"))
+      .filter(col("dist") <= maxDistance)
+  }
+
+  private def keyedVariants(names: DataFrame, maxDistance: Int): DataFrame =
+    names.select(col("__name"),
+      explode(deleteNeighborhood(col("__name"), maxDistance)).as("__variant"))
+      .select(col("__name"), xxhash64(col("__variant")).as("__key"))
 }

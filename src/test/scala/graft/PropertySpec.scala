@@ -194,4 +194,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzzy join equals brute-force levenshtein pairs on random small-alphabet strings") {
+    import spark.implicits._
+    // a 3-letter alphabet and short lengths force dense distance-1/2
+    // neighborhoods — the regime where a blocking bug would show
+    val word = for {
+      n <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val gen = Gen.listOfN(60, word)
+    for (seed <- 1 to 6; d <- Seq(1, 2)) {
+      val names = sample(gen, seed.toLong)
+      val df = names.toDF("name").repartition(3)
+      val got = operators.FuzzyJoin.editDistancePairs(df, "name", d)
+        .orderBy("name_a", "name_b")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val distinct = names.distinct
+      val want = (for {
+        a <- distinct; b <- distinct if a < b
+        dist = levenshteinRef(a, b) if dist <= d
+      } yield (a, b, dist.toLong)).sortBy(p => (p._1, p._2))
+      assert(got == want, s"seed=$seed d=$d")
+      assert(want.nonEmpty, s"seed=$seed d=$d must generate close pairs")
+    }
+  }
+
+  /** Textbook DP Levenshtein — the independent reference. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val sub = dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1), sub)
+    }
+    dp(a.length)(b.length)
+  }
 }

@@ -64,6 +64,38 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("lookup: queries correct against the dictionary, exact vs brute force") {
+    val dict = Seq("spark", "scala", "kafka", "flink", "parquet", "arrow")
+      .toDF("entry")
+    val queries = Seq("sprak", "scala", "kafkaa", "paruet", "nomatch", "arow")
+      .toDF("q")
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.editDistanceLookup(queries, "q", dict, "entry", d)
+        .orderBy("query", "match")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val want = (for {
+        q <- Seq("sprak", "scala", "kafkaa", "paruet", "nomatch", "arow")
+        e <- Seq("spark", "scala", "kafka", "flink", "parquet", "arrow")
+      } yield (q, e)).map { case (q, e) =>
+        val dist = {
+          val dp = Array.tabulate(q.length + 1, e.length + 1)((i, j) =>
+            if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to q.length; j <- 1 to e.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+              dp(i - 1)(j - 1) + (if (q(i - 1) == e(j - 1)) 0 else 1))
+          dp(q.length)(e.length)
+        }
+        (q, e, dist.toLong)
+      }.filter(_._3 <= d).sortBy(p => (p._1, p._2))
+      assert(got == want, s"d=$d")
+    }
+    // the transposition typo "sprak"→"spark" needs d=2 (plain Levenshtein)
+    val d2 = FuzzyJoin.editDistanceLookup(queries, "q", dict, "entry", 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d2.contains(("sprak", "spark")))
+    assert(!d2.exists(_._1 == "nomatch"))
+  }
+
   test("deleteNeighborhood sizes: identity + deletions (+ distinct 2-deletions)") {
     val s = Seq("abcd").toDF("s")
     val d1 = s.select(size(FuzzyJoin.deleteNeighborhood($"s", 1))).as[Int].head()

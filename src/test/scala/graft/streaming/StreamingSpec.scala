@@ -203,6 +203,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("JSONL file-stream ingest: declared schema, streamed rows match batch read") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang").limit(40)
+    graft.sources.TextFormats.writeJsonlSharded(docs, s"$dir/in", targetBytes = 8 * 1024)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(s"$dir/in")
+      // the stateless curation column runs unchanged on the stream
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val query = stream.writeStream.format("memory").queryName("jsonl_in")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("jsonl_in")
+        .select($"doc_id", $"text", $"lang", $"n_tokens")
+        .orderBy("doc_id").collect().toSeq
+      val batch = docs
+        .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join enriches events within the window") {
     val sparkSession = spark
     import sparkSession.implicits._
