@@ -106,6 +106,10 @@ object SparkEntry {
     "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
     "q_sample_weighted" -> ((s, dir) => LlmOps.qSampleWeighted(s, dir)),
     "q_curate_e2e" -> ((s, dir) => LlmOps.qCurateE2e(s, dir)),
+    "q_unpivot" -> ((s, dir) => Warehouse.qUnpivot(s, dir)),
+    "q_active_users" -> ((s, dir) => Warehouse.qActiveUsers(s, dir)),
+    "q_new_vs_returning" -> ((s, dir) => Warehouse.qNewVsReturning(s, dir)),
+    "q_embedding_drift" -> ((s, dir) => LlmOps.qEmbeddingDrift(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1067,6 +1071,44 @@ object SparkEntry {
         |FROM pc JOIN tdf ta ON pc.term_a = ta.term
         |        JOIN tdf tb ON pc.term_b = tb.term, nd
         |ORDER BY term_a, term_b""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, t.event_type, t.n FROM p,
+        |  LATERAL (VALUES ('view', n_view), ('click', n_click),
+        |                  ('purchase', n_purchase), ('signup', n_signup),
+        |                  ('error', n_error)) AS t(event_type, n)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_active_users" ->
+      """SELECT * FROM (
+        |  SELECT 'day' AS period, date_trunc('day', ts)::TIMESTAMP AS period_start,
+        |    count(DISTINCT user_id) AS active_users
+        |  FROM events GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'week', date_trunc('week', ts)::TIMESTAMP,
+        |    count(DISTINCT user_id)
+        |  FROM events GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'month', date_trunc('month', ts)::TIMESTAMP,
+        |    count(DISTINCT user_id)
+        |  FROM events GROUP BY 2)
+        |ORDER BY period, period_start""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS day, user_id
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id)
+        |SELECT du.day,
+        |  count(*) FILTER (WHERE du.day = fd.first_day) AS n_new,
+        |  count(*) FILTER (WHERE du.day <> fd.first_day) AS n_returning
+        |FROM du JOIN fd ON du.user_id = fd.user_id
+        |GROUP BY du.day ORDER BY du.day""".stripMargin,
     // content-hash weighted draw: keep iff polyhash(text) mod 1500 < quality
     "q_sample_weighted" ->
       """WITH f AS (
@@ -1204,6 +1246,23 @@ object SparkEntry {
         |FROM events e JOIN c USING (event_type)
         |WHERE e.value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q_embedding_drift" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    vec_id % 2 = 0 AS isa
+        |  FROM embeddings),
+        |e AS (SELECT label, isa, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |      FROM v),
+        |m AS (SELECT label, isa, i, avg(x) AS s FROM e GROUP BY 1, 2, 3),
+        |c AS (SELECT label, isa, list(s ORDER BY i) AS centroid
+        |      FROM m GROUP BY 1, 2),
+        |n AS (SELECT label, isa, count(*) AS cnt FROM v GROUP BY 1, 2)
+        |SELECT a.label, na.cnt AS n_a, nb.cnt AS n_b,
+        |  round(list_cosine_similarity(a.centroid, b.centroid), 4) AS cos_ab
+        |FROM c a JOIN c b ON a.label = b.label AND a.isa AND NOT b.isa
+        |  JOIN n na ON na.label = a.label AND na.isa
+        |  JOIN n nb ON nb.label = a.label AND NOT nb.isa
+        |ORDER BY a.label""".stripMargin,
     // centroid = per-position mean (unnest zips with its subscripts);
     // list_cosine_similarity matches the codegen CosineSimilarity formula
     "q_group_centroid" ->

@@ -29,6 +29,27 @@ object Centroids {
       .select(col(groupCol),
         transform(col("__sum"), x => x / col("n")).as("centroid"), col("n"))
 
+  /** Drift between two cohorts' centroids per group: ONE aggregate pass
+    * with conditional VectorSums (null inputs skip, so `when(cohort, v)`
+    * routes each row to exactly one sum — no second scan, no cohort
+    * self-join). Output: (groupCol, n_a, n_b, cos_ab). Groups missing a
+    * cohort emit NULL cos_ab (0-length sum ⇒ NULL centroid). */
+  def cohortDrift(df: DataFrame, groupCol: String, vecCol: String,
+      cohortACol: String): DataFrame = {
+    val v = Ann.asDouble(col(vecCol))
+    val isA = col(cohortACol)
+    df.groupBy(col(groupCol))
+      .agg(
+        graft.functions.vectorSum(when(isA, v)).as("__sa"),
+        count(when(isA, 1)).as("n_a"),
+        graft.functions.vectorSum(when(!isA, v)).as("__sb"),
+        count(when(!isA, 1)).as("n_b"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(cosineSim(
+          transform(col("__sa"), x => x / col("n_a")),
+          transform(col("__sb"), x => x / col("n_b"))), 4).as("cos_ab"))
+  }
+
   /** Every vector scored against its own group's centroid:
     * (idCol, groupCol, cos_centroid). */
   def scoreAgainstCentroid(df: DataFrame, idCol: String, groupCol: String,

@@ -571,6 +571,20 @@ object LlmOps {
       .orderBy("term_a", "term_b")
   }
 
+  /** E6: embedding drift monitor — per label, the cosine between the
+    * centroids of two ingestion cohorts (even/odd vec_id stands in for
+    * old/new windows): a drop below ~1.0 flags distribution shift in
+    * the embedding space before it poisons retrieval or dedup
+    * thresholds. ONE pass: conditional VectorSum per cohort inside the
+    * same aggregate (null vectors skip, so when(cohort, v) routes each
+    * row to exactly one sum) — never two scans or a cohort self-join. */
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Centroids.cohortDrift(
+      Tables.table(spark, dir, "embeddings")
+        .withColumn("isa", col("vec_id") % 2 === 0),
+      "label", "embedding", "isa")
+      .orderBy("label")
+
   /** H5: quality-weighted deterministic subsampling — keep each document
     * with probability proportional to its quality score, decided by a
     * CONTENT-HASH draw (polyhash(text) mod maxQ < quality): stable under

@@ -621,6 +621,55 @@ object Warehouse {
       .drop("__cuts")
   }
 
+  /** C27: UNPIVOT — the wide per-user counts of C15 back to long
+    * (metric, value) rows via `stack`: a pure map-side Expand, the exact
+    * inverse transform of the pivot (modulo zero-count cells, which the
+    * pivot materializes and the long form keeps explicit). Wide→long is
+    * how fixed-column exports feed generic metric stores. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+    qPivot(spark, dir)
+      .selectExpr("user_id", s"stack(${types.size}, $stackArgs) AS (event_type, n)")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** C28: active-user periods — DAU/WAU/MAU as one unioned frame of
+    * (period, start, active_users): three distinct-count aggregates over
+    * progressively coarser truncations of the same scan. The engagement
+    * headline metric; at 100 TB each distinct-count swaps to
+    * kmvDistinct/approx_count_distinct (F6) with the same plan. */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events").select($"user_id", $"ts")
+    def per(unit: String): DataFrame = ev
+      .groupBy(date_trunc(unit, $"ts").as("period_start"))
+      .agg(count_distinct($"user_id").as("active_users"))
+      .select(lit(unit).as("period"), $"period_start", $"active_users")
+    per("day").unionAll(per("week")).unionAll(per("month"))
+      .orderBy($"period", $"period_start")
+  }
+
+  /** C29: new vs returning users per day — classify each (day, user)
+    * activity cell by whether it is the user's FIRST active day. The
+    * distinct (day, user) grid reduces first (one exchange), the
+    * first-day aggregate and the classification join co-partition on
+    * user_id, and the final per-day rollup is calendar-bounded. */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayUser = Tables.table(spark, dir, "events")
+      .select(date_trunc("day", $"ts").as("day"), $"user_id")
+      .distinct()
+    val firstDay = dayUser.groupBy($"user_id").agg(min($"day").as("first_day"))
+    dayUser.join(firstDay, "user_id")
+      .groupBy($"day")
+      .agg(
+        count(when($"day" === $"first_day", 1)).as("n_new"),
+        count(when($"day" =!= $"first_day", 1)).as("n_returning"))
+      .orderBy($"day")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -162,6 +162,10 @@ object ScaleSmoke {
       queries.Warehouse.ntileApprox(
         graft.sources.Tables.table(spark, dir, "events"), "event_type", "value")
     }
+    time("q_unpivot") { queries.Warehouse.qUnpivot(spark, dir) }
+    time("q_active_users") { queries.Warehouse.qActiveUsers(spark, dir) }
+    time("q_new_vs_returning") { queries.Warehouse.qNewVsReturning(spark, dir) }
+    time("q_embedding_drift") { queries.LlmOps.qEmbeddingDrift(spark, dir) }
     spark.stop()
   }
 }

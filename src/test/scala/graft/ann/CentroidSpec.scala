@@ -57,6 +57,24 @@ class CentroidSpec extends SparkSpec {
     assert(c.getSeq[Double](1) == Seq(2.0, 1.0))
   }
 
+  test("cohort drift: aligned cohorts score ~1, an inverted cohort scores -1") {
+    val df = Seq(
+      // label 0: both cohorts drawn around (1, 0) → cos ≈ 1
+      (1L, 0, true, Seq(1.0f, 0.1f)), (2L, 0, true, Seq(1.0f, -0.1f)),
+      (3L, 0, false, Seq(0.9f, 0.05f)), (4L, 0, false, Seq(1.1f, -0.05f)),
+      // label 1: cohort B is the negation of cohort A → cos = -1
+      (5L, 1, true, Seq(1.0f, 2.0f)), (6L, 1, true, Seq(3.0f, 2.0f)),
+      (7L, 1, false, Seq(-1.0f, -2.0f)), (8L, 1, false, Seq(-3.0f, -2.0f)),
+      // label 2: cohort B missing → NULL drift
+      (9L, 2, true, Seq(1.0f, 1.0f))).toDF("id", "label", "isa", "vec")
+    val out = Centroids.cohortDrift(df, "label", "vec", "isa")
+      .orderBy("label").collect()
+    assert(out(0).getAs[Double]("cos_ab") > 0.99)
+    assert(math.abs(out(1).getAs[Double]("cos_ab") + 1.0) < 1e-9)
+    assert(out(2).isNullAt(3), "missing cohort must yield NULL, not a crash")
+    assert(out(2).getAs[Long]("n_b") == 0L)
+  }
+
   test("inconsistent dimensions fail fast with a clear error") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 0.0f)),

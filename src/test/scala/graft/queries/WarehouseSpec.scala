@@ -272,6 +272,34 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("unpivot inverts the pivot: per-user long rows sum to event counts") {
+    val rows = Warehouse.qUnpivot(spark, sfDir).collect()
+    val users = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == users * 5)
+    val perUser = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    val wantTotals = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wantTotals.foreach { case (u, n) => assert(perUser(u) == n, s"user $u") }
+  }
+
+  test("active users: coarser periods are supersets; new+returning partition days") {
+    val au = Warehouse.qActiveUsers(spark, sfDir).collect()
+    val byPeriod = au.groupBy(_.getString(0))
+    assert(byPeriod.keySet == Set("day", "week", "month"))
+    val maxDay = byPeriod("day").map(_.getAs[Long]("active_users")).max
+    val maxMonth = byPeriod("month").map(_.getAs[Long]("active_users")).max
+    assert(maxMonth >= maxDay, "monthly actives can never trail a day within the month")
+    val nvr = Warehouse.qNewVsReturning(spark, sfDir).collect()
+    val totalUsers = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(nvr.map(_.getAs[Long]("n_new")).sum == totalUsers,
+      "every user is new exactly once")
+    assert(nvr.head.getAs[Long]("n_returning") == 0L,
+      "nobody returns on the first day of history")
+  }
+
   test("sliding window: every event lands in exactly size/hop = 2 windows") {
     val total = graft.sources.Tables.table(spark, sfDir, "events").count()
     val rows = Warehouse.qSlidingWindow(spark, sfDir).collect()
