@@ -110,6 +110,7 @@ object SparkEntry {
     "q_active_users" -> ((s, dir) => Warehouse.qActiveUsers(s, dir)),
     "q_new_vs_returning" -> ((s, dir) => Warehouse.qNewVsReturning(s, dir)),
     "q_embedding_drift" -> ((s, dir) => LlmOps.qEmbeddingDrift(s, dir)),
+    "q_dedup_apply_lsh" -> ((s, dir) => LlmOps.qDedupApplyLsh(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */

@@ -103,6 +103,27 @@ object LlmOps {
     } finally { pairs.unpersist(); () }
   }
 
+  /** D6b scale path: the same end-to-end dedup drop over LSH-bucketed
+    * candidate pairs instead of the exact all-pairs oracle baseline —
+    * the plan a deployment runs (11.6s vs 70s exact at 50×, measured in
+    * ScaleSmoke as dedup_apply_lsh since round 4; now registered with
+    * its own CORRECTNESS row). Rows-only: LSH recall < 1, so the keep
+    * set is a SUPERSET of the exact apply's (fewer pairs ⇒ fewer drops
+    * — the conservative direction); DedupSpec proves that containment
+    * plus full agreement on clustered data. */
+  def qDedupApplyLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Ann.nearDupPairsLsh(
+      Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.35, dims = 64, planes = 8, probeBits = 1)
+      .persist()
+    try {
+      pairs.count()
+      Dedup.keepCanonical(
+        Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
+        .orderBy("vec_id")
+    } finally { pairs.unpersist(); () }
+  }
+
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
     * embedding distribution; real corpora use 0.95+). */
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =

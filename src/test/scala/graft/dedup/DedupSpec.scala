@@ -71,6 +71,18 @@ class DedupSpec extends SparkSpec {
     assert(got == exact, "at this size LSH candidates cover the exact pair set")
   }
 
+  test("LSH dedup apply keeps a superset of the exact apply (conservative direction)") {
+    val sfDir01 = "/root/testdata/sf0.001"
+    val exact = graft.queries.LlmOps.qDedupApply(spark, sfDir01)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = graft.queries.LlmOps.qDedupApplyLsh(spark, sfDir01)
+      .collect().map(_.getLong(0)).toSet
+    // missed LSH pairs mean fewer drops — the apply may only keep MORE
+    assert(exact.subsetOf(lsh), s"exact-kept ids missing from LSH keep set: ${exact -- lsh}")
+    val total = graft.sources.Tables.table(spark, sfDir01, "embeddings").count()
+    assert(lsh.size < total, "LSH apply must still drop the found near-dups")
+  }
+
   test("minhash signature approximates jaccard for near-dups") {
     import spark.implicits._
     val sigs = corpus
