@@ -27,17 +27,36 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "ann_lsh_bucket" -> (try timed { graft.queries.LlmOps.annLshIndex(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two passes per query: pass 1 pays whole-stage-codegen compile +
+    // JIT (cold), pass 2 is the amortized steady state a long-running
+    // cluster job sees (warm). The headline `queries`/total are WARM;
+    // cold per-query numbers go to the full-artifact file and
+    // cold_total to the stdout line. (Round 5's single cold pass let
+    // one plan-compile land on an arbitrary query in Map order and
+    // produced an unexplained 9x outlier.)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def pass(): Seq[(String, Double)] = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val st = setup.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$st,"sf":"$sfDir"}""")
+    val cold = pass()
+    val warm = pass()
+    def fmt(v: Double): String = f"$v%.3f"
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val st = jmap(setup)
+    val warmTotal = warm.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
+    // full artifact to a file so a stdout-tail capture can't truncate it
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

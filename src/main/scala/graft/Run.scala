@@ -27,6 +27,9 @@ import graft.target.{ApiSink, JavaHttpPoster}
   *   --chunk-rows <n>            chunked resumable sync (state per chunk)
   *   --active-keys <tbl:col>     active-entity key table for the
   *                               incremental semi-join (default: no filter)
+  *   --active-url <base>         fetch the active-entity set over HTTP from
+  *                               the target's aggregation endpoint instead
+  *                               (sync.py:30-54 fetch_uuids parity)
   *   --join-column <col>         source column joined to the active keys
   *   --activate-first            emit ACTIVATE_VERSION at full-table start
   */
@@ -45,6 +48,7 @@ object Run {
       outState: Option[String] = None,
       chunkRows: Option[Int] = None,
       activeKeys: Option[(String, String)] = None,
+      activeUrl: Option[String] = None,
       joinColumn: Option[String] = None,
       activateFirst: Boolean = false)
 
@@ -69,6 +73,7 @@ object Run {
           case _ => throw new IllegalArgumentException(
             s"--active-keys expects <table>:<column>, got: $v")
         }
+      case "--active-url" :: v :: t => loop(t, acc.copy(activeUrl = Some(v)))
       case "--join-column" :: v :: t => loop(t, acc.copy(joinColumn = Some(v)))
       case "--activate-first" :: t => loop(t, acc.copy(activateFirst = true))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
@@ -115,13 +120,17 @@ object Run {
           st = r.state
         case ReplicationMethod.Incremental =>
           val jc = a.joinColumn.getOrElse(s.keyProperties.head)
-          // default active set = the slice's own join keys (no target-side
-          // filter); --active-keys narrows to the target's known entities
-          val ak = a.activeKeys match {
-            case Some((tbl, c)) =>
+          // active set precedence: HTTP fetch from the target's
+          // aggregation endpoint (fetch_uuids parity) > a local key
+          // table > the slice's own join keys (no target-side filter)
+          val ak = (a.activeUrl, a.activeKeys) match {
+            case (Some(url), _) =>
+              graft.sources.ApiSource.fetchActiveKeys(
+                spark, url, s.targetEntity, s.targetPrimaryKey, cfg.headers)
+            case (None, Some((tbl, c))) =>
               graft.sources.Tables.table(spark, a.dataDir, tbl)
                 .select(org.apache.spark.sql.functions.col(c)).distinct()
-            case None =>
+            case (None, None) =>
               graft.sources.Tables.table(spark, a.dataDir, s.sourceTable)
                 .select(org.apache.spark.sql.functions.col(jc)).distinct()
           }

@@ -635,12 +635,16 @@ object LlmOps {
     * row, never normalized text. (A groupBy+join-back keep-min
     * recomputes the gate lineage twice and an early normalize gets
     * re-inlined into every downstream reference — the first cut cost
-    * 113s at 50×; this shape runs in seconds.) Keep-min is one window
-    * over the hash — clone groups are duplication-bounded, so the
-    * within-group sort is tiny. */
+    * 113s at 50×; this shape runs in seconds.) Keep-min is a
+    * min_by(struct(...), doc_id) hash aggregate over the content hash:
+    * map-side partials shrink each clone group to one row per
+    * partition BEFORE the exchange, so the shuffle carries at most
+    * (distinct hashes × partitions) rows and there is no per-group
+    * sort at all — strictly less work than the row_number window this
+    * replaced (full-width shuffle + sort, and the 14.9s cold outlier
+    * in the round-5 driver bench). */
   def qCurateE2e(spark: SparkSession, dir: String,
       minQuality: Long = 300L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val gated = graft.text.TextAnalysis.qualityScore(
       Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
       .filter(col("quality_x1000") >= minQuality)
@@ -650,13 +654,14 @@ object LlmOps {
     val hashed = gated.select(col("doc_id"), col("quality_x1000"),
       md5(norm).as("h"),
       pmod(graft.functions.polyhash(norm), lit(10L)).as("ph"))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     hashed
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .withColumn("split",
-        when(col("ph") < 8, "train").when(col("ph") < 9, "val").otherwise("test"))
-      .select(col("doc_id"), col("split"), col("quality_x1000"))
+      .groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("quality_x1000"), col("ph")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"),
+        when(col("r.ph") < 8, "train").when(col("r.ph") < 9, "val")
+          .otherwise("test").as("split"),
+        col("r.quality_x1000").as("quality_x1000"))
       .orderBy("doc_id")
   }
 

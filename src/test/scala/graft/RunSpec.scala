@@ -143,6 +143,80 @@ class RunSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("active-entity set fetched over HTTP drives the incremental semi-join " +
+      "(sync.py:30-54 fetch_uuids parity)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-run").toString
+    // warehouse variant whose join column is UUID-shaped, like the
+    // reference's Redshift tables keyed by Pendo visitor uuids
+    val dataDir = s"$tmp/data"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_uuid", graft.functions.uuidify(col("o_orderkey")))
+      .write.parquet(s"$dataDir/orders.parquet")
+    val (tapPath, _) = writeConfigs(tmp)
+    val target = """{
+      |"integration_key":"test-key-123",
+      |"orders":{
+      |  "key_properties":["o_orderkey"],"primary_key":"visitorId",
+      |  "replication_method":"INCREMENTAL","replication_key":["o_orderdate"],
+      |  "field_mappings":{"visitorId":"o_uuid","total_price":"o_totalprice"}}
+      |}""".stripMargin
+    Files.writeString(Paths.get(s"$tmp/target.json"), target)
+    // the "target's" known-active entities: 7 real order uuids + one
+    // junk id the client-side UUID validation must drop
+    val active = spark.read.parquet(s"$dataDir/orders.parquet")
+      .filter(col("o_orderkey") % 97 === 0).limit(7)
+      .select(col("o_uuid")).collect().map(_.getString(0)).toSeq
+    val aggBodies = new ConcurrentLinkedQueue[(String, String)]() // intKey, body
+    val aggregation = new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        aggBodies.add((
+          Option(ex.getRequestHeaders.getFirst("X-Pendo-Integration-Key")).getOrElse(""),
+          body))
+        val ids = (active :+ "not-a-uuid-but-thirty-six-chars-long")
+          .map(u => s"""{"visitorId":"$u"}""").mkString(",")
+        val resp = s"""{"results":[$ids]}""".getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    }
+    val recorder = new Recorder
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/aggregation", aggregation)
+    server.createContext("/api/v1/metadata", recorder)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val args = Run.parseArgs(Seq(
+        "-c", tapPath, "--target-config", s"$tmp/target.json",
+        "--data-dir", dataDir, "--landing-dir", s"$tmp/landing",
+        "--base-url", base, "--active-url", base,
+        "--join-column", "o_uuid", "--out-state", s"$tmp/state.json"))
+      Run.sync(spark, args, JavaHttpPoster())
+      // the aggregation request carried the auth header and the
+      // reference's pipeline body (source -> len==36 filter -> select)
+      val aggs = aggBodies.asScala.toSeq
+      assert(aggs.size == 1)
+      assert(aggs.head._1 == "test-key-123")
+      assert(aggs.head._2.contains(""""filter":"len(visitorId) == 36""""))
+      // stream name "orders" has no "visitor" → accounts entity, keyed
+      // by the config's primary_key
+      assert(aggs.head._2.contains(""""source":{"accounts":null}"""))
+      // exactly the 7 valid active uuids' orders were extracted and
+      // pushed — the junk id contributed nothing
+      val pushed = recorder.requests.asScala.toSeq
+        .map(r => "\"values\":\\{".r.findAllIn(r._3).length).sum
+      assert(pushed == 7)
+      val pushedUuids = recorder.requests.asScala.toSeq
+        .flatMap(r => "\"visitorId\":\"([0-9a-f-]{36})\"".r
+          .findAllMatchIn(r._3).map(_.group(1)))
+      assert(pushedUuids.toSet == active.toSet)
+    } finally server.stop(0)
+  }
+
   test("parseArgs: parsed_args.py surface and unknown-flag rejection") {
     val a = Run.parseArgs(Seq("-c", "cfg.json", "-s", "st.json", "-l", "42",
       "--catalog", "cat.json", "--active-keys", "customer:c_custkey",
