@@ -972,10 +972,17 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM w GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    // the json_type guard makes the oracle degrade exactly like Spark's
+    // typed from_json: a quoted numeric ({"k":"7"}), a float, or
+    // malformed JSON all yield NULL on both engines (a bare TRY_CAST of
+    // json_extract_string would parse "7" to 7 where Spark yields NULL)
     "q_json_extract" ->
       """WITH x AS (
         |  SELECT event_type,
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    CASE WHEN json_valid(props)
+        |           AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n, count(k) AS n_valid,
         |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
@@ -1008,7 +1015,10 @@ object SparkEntry {
     "q_corr" ->
       """WITH e AS (
         |  SELECT event_type, value AS x,
-        |    CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS y
+        |    CAST(CASE WHEN json_valid(props)
+        |                AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         END AS DOUBLE) AS y
         |  FROM events),
         |f AS (SELECT * FROM e WHERE x IS NOT NULL AND y IS NOT NULL),
         |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,

@@ -98,18 +98,22 @@ object MinHashLsh {
     * and exact hashed-shingle Jaccard verifies.
     *
     * Hot corpus buckets (boilerplate bands shared by millions of corpus
-    * docs) cap at `maxBucketSize` rows kept in deterministic id order —
-    * the cross-join analog of Buckets.cappedSelfJoin's star degrade: the
-    * bucket's cap-window stays probe-able, candidates beyond it are
-    * dropped (documented recall trade under the same heuristic contract
-    * as D2; the verify stage keeps precision exact). The cap window and
-    * the join key share one exchange. Returns (new_id, corpus_id,
-    * jaccard_x1000) with jaccard ≥ minJaccardX1000. */
+    * docs) degrade to their canonical minimum-id member above
+    * `maxBucketSize` — the cross-join analog of Buckets.cappedSelfJoin's
+    * star degrade, built from the SAME mechanism: one aggregate over the
+    * band key (bucket size + canonical min id) joined back onto the
+    * banded rows, never a row_number window (the windowed cap measured
+    * ~3.4x slower on clone-heavy data — Buckets.scala doc — because its
+    * sort-derived children poison the downstream exchanges). A
+    * boilerplate bucket stays probe-able through its representative;
+    * candidates beyond it are dropped (documented recall trade under the
+    * same heuristic contract as D2; the verify stage keeps precision
+    * exact). Returns (new_id, corpus_id, jaccard_x1000) with
+    * jaccard ≥ minJaccardX1000. */
   def crossNearDups(
       newDf: DataFrame, corpusDf: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
       minJaccardX1000: Long = 500L, maxBucketSize: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def shingled(df: DataFrame) = df
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
@@ -119,10 +123,13 @@ object MinHashLsh {
       "sig", idCol, rowsPerBand)
     val shNew = shingled(newDf)
     val shCorp = shingled(corpusDf)
-    val w = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col(idCol))
-    val corpCapped = banded(shCorp)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucketSize)
+    val corpBanded = banded(shCorp)
+    val bucketStats = corpBanded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
+    val corpCapped = corpBanded
+      .join(bucketStats, Seq("band_idx", "band_hash"))
+      .filter(col("__n") <= maxBucketSize || col(idCol) === col("__min_id"))
       .select(col("band_idx"), col("band_hash"), col(idCol).as("corpus_id"))
     val candidates = banded(shNew)
       .select(col("band_idx"), col("band_hash"), col(idCol).as("new_id"))

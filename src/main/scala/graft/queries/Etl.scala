@@ -180,34 +180,60 @@ object Etl {
   /** A16: referential-integrity audit — orphan counts for every foreign
     * key in the star schema (the data-quality gate a sync pipeline runs
     * before declaring a snapshot consistent; complements B6's per-column
-    * schema validation with CROSS-TABLE checks). Each relation is one
-    * left-anti join against the referenced key set — dimension keys
-    * broadcast, the orders/lineitem keys co-partition — and the output
-    * is one row per relation regardless of fact scale. NULL foreign keys
-    * count as orphans on both engines (anti-join and NOT EXISTS agree). */
+    * schema validation with CROSS-TABLE checks). NULL foreign keys count
+    * as orphans on both engines (membership NULL and NOT EXISTS agree).
+    *
+    * Plan shape: the BIGGEST fact table is scanned ONCE for all three of
+    * its FK checks — a narrow 3-key projection picks up a membership
+    * verdict per referenced table (part/supplier keys broadcast; orders
+    * keys, too big to broadcast at scale, via one key-partitioned left
+    * join carrying ~3 longs + 2 booleans per row), and one conditional
+    * aggregate counts all three orphan kinds simultaneously, unpivoted to
+    * the per-relation rows. The earlier anti-join-per-relation form was
+    * individually optimal per check but rescanned lineitem three times —
+    * at 100 TB the scan IS the cost, so one pass for all verdicts wins.
+    * The two small-table checks stay broadcast left-antis. Build sides
+    * keep a distinct() so a (corrupt) duplicated PK can't multiply fact
+    * rows and corrupt the audit itself. */
   def qIntegrity(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tables.table(spark, dir, n)
-    val checks = Seq(
+    val liCounts = t("lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(t("part").select(col("p_partkey")).distinct()
+        .withColumn("__in_part", lit(true))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(t("supplier").select(col("s_suppkey")).distinct()
+        .withColumn("__in_supp", lit(true))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .join(t("orders").select(col("o_orderkey")).distinct()
+        .withColumn("__in_ord", lit(true)),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        // coalesce: an empty fact table must audit as 0 orphans, not NULL
+        coalesce(sum(when(col("__in_ord").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("ord_orphans"),
+        coalesce(sum(when(col("__in_part").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("part_orphans"),
+        coalesce(sum(when(col("__in_supp").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("supp_orphans"))
+      .select(expr(
+        """stack(3,
+          |  'lineitem.l_orderkey->orders', ord_orphans,
+          |  'lineitem.l_partkey->part', part_orphans,
+          |  'lineitem.l_suppkey->supplier', supp_orphans)
+          |  AS (relation, n_orphans)""".stripMargin))
+    val smallChecks = Seq(
       ("customer.c_nationkey->nation",
         t("customer").select(col("c_nationkey").as("k")),
         t("nation").select(col("n_nationkey").as("k"))),
-      ("lineitem.l_orderkey->orders",
-        t("lineitem").select(col("l_orderkey").as("k")),
-        t("orders").select(col("o_orderkey").as("k"))),
-      ("lineitem.l_partkey->part",
-        t("lineitem").select(col("l_partkey").as("k")),
-        t("part").select(col("p_partkey").as("k"))),
-      ("lineitem.l_suppkey->supplier",
-        t("lineitem").select(col("l_suppkey").as("k")),
-        t("supplier").select(col("s_suppkey").as("k"))),
       ("orders.o_custkey->customer",
         t("orders").select(col("o_custkey").as("k")),
         t("customer").select(col("c_custkey").as("k"))))
-    checks.map { case (name, fact, dim) =>
+    smallChecks.map { case (name, fact, dim) =>
       fact.join(dim.distinct(), Seq("k"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
         .select(lit(name).as("relation"), col("n_orphans"))
-    }.reduce(_ unionAll _).orderBy("relation")
+    }.reduce(_ unionAll _).unionAll(liCounts).orderBy("relation")
   }
 
   /** A15: typed extraction from a semi-structured payload column — the

@@ -604,6 +604,12 @@ object LlmOps {
       Tables.table(spark, dir, "embeddings")
         .withColumn("isa", col("vec_id") % 2 === 0),
       "label", "embedding", "isa")
+      // drift is defined only when BOTH cohorts have vectors; a label
+      // present in one parity cohort only would emit a NULL-cos row here
+      // while the oracle's inner join drops it — align on the inner-join
+      // semantic (cohortDrift itself keeps the NULL row for monitoring
+      // callers that want to see one-sided labels)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .orderBy("label")
 
   /** H5: quality-weighted deterministic subsampling — keep each document

@@ -613,8 +613,9 @@ object Warehouse {
         .as("__cuts"))
     df.filter(col(valueCol).isNotNull)
       .join(broadcast(cuts), groupCol)
-      // decile = 1 + number of cutoffs at or below the value: a map-side
-      // scan of the 9-element array (aggregate over the broadcast cuts)
+      // decile = 1 + number of cutoffs strictly below the value (a value
+      // equal to a cutoff lands in the LOWER bucket): a map-side scan of
+      // the 9-element array (aggregate over the broadcast cuts)
       .withColumn("decile",
         (lit(1) + aggregate(col("__cuts"), lit(0L),
           (acc, c) => acc + when(col(valueCol) > c, 1L).otherwise(0L))))

@@ -253,4 +253,12 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"))
     }
   }
+
+  test("integrity audit scans lineitem ONCE for all three of its FK checks") {
+    val plan = planOf(queries.Etl.qIntegrity(spark, sfDir))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      "the three lineitem FK orphan counts must share one fact scan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "part/supplier membership probes must broadcast")
+  }
 }

@@ -51,11 +51,15 @@ object ScaleSmoke {
       sentinel.createNewFile(): Unit
     }
 
-    def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
-    }
+    // optional args beyond the multiplier restrict which blocks run
+    // (substring match), e.g. `Test/runMain graft.ScaleSmoke 10 dedup`
+    val only = args.drop(1).toSeq
+    def time(name: String)(df: => DataFrame): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+      }
 
     println(s"lineitem rows: ${spark.read.parquet(s"$dir/lineitem.parquet").count()}")
     time("q1_pricing_summary") { queries.Warehouse.q1PricingSummary(spark, dir) }

@@ -71,6 +71,27 @@ class DedupSpec extends SparkSpec {
     assert(got == exact, "at this size LSH candidates cover the exact pair set")
   }
 
+  test("cross-corpus hot buckets degrade to the canonical min-id member, " +
+      "not a sorted cap window") {
+    // four identical corpus docs — every band bucket they form has size 4;
+    // with maxBucketSize = 1 each bucket degrades to corpus doc 21 (min id),
+    // so the probing near-dup matches exactly {21}, never 22/23/24
+    val boiler = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val corpus = docs(21L -> boiler, 22L -> boiler, 23L -> boiler, 24L -> boiler)
+    val newBatch = docs(31L -> boiler)
+    val got = MinHashLsh.crossNearDups(newBatch, corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4,
+      minJaccardX1000 = 500L, maxBucketSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((31L, 21L)))
+    // and with the cap above the bucket size, all four surface
+    val uncapped = MinHashLsh.crossNearDups(newBatch, corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4,
+      minJaccardX1000 = 500L, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((31L, 21L), (31L, 22L), (31L, 23L), (31L, 24L)))
+  }
+
   test("LSH dedup apply keeps a superset of the exact apply (conservative direction)") {
     val sfDir01 = "/root/testdata/sf0.001"
     val exact = graft.queries.LlmOps.qDedupApply(spark, sfDir01)

@@ -22,13 +22,19 @@ class EtlQuerySpec extends SparkSpec {
       (1L, """{"k": 7}"""),   // valid
       (2L, """{"j": 7}"""),   // field absent
       (3L, """not json"""),   // malformed
-      (4L, null)              // null payload
+      (4L, null),             // null payload
+      (5L, """{"k": "7"}"""), // QUOTED numeric: typed BIGINT decode rejects
+      (6L, """{"k": 7.5}""")  // float where BIGINT declared: rejects
     ).toDF("id", "props")
     val parsed = df.select($"id",
       from_json($"props", "k BIGINT", Map.empty[String, String])
         .getField("k").as("k"))
       .orderBy("id")
       .collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
-    assert(parsed.toSeq == Seq(Some(7L), None, None, None))
+    // the quoted/float rejections are pinned because the DuckDB oracle
+    // mirrors them with a json_type guard (SparkEntry q_json_extract /
+    // q_corr) — if from_json's coercion behavior ever changes, the
+    // oracle must change with it
+    assert(parsed.toSeq == Seq(Some(7L), None, None, None, None, None))
   }
 }
