@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * Real pipelines carry images/audio as parquet `binary` columns next to
   * typed metadata and run batched model inference per partition. The
-  * container has no image/audio libraries, so the decode step is a
-  * clearly-marked deterministic STUB — but the Spark-side plumbing (schema,
-  * partition-wise batching, feature schema) is real and is what's tested.
+  * IMAGE path is real (javax.imageio decode/resize — [[decodeImageMeta]],
+  * [[resizeImages]]); the model-inference "feature" stage stays a
+  * clearly-marked deterministic STUB (no inference runtime in this
+  * container), sharing the same batched-partition shape so swapping the
+  * per-batch body is the only change a real model needs.
   */
 object Binary {
 
@@ -85,6 +87,96 @@ object Binary {
           }
         }
       }
+  }
+
+  final case class ImageMeta(doc_id: Long, ok: Boolean, width: Int,
+      height: Int, channels: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image decode — the honest codec counterpart to the
+    * [[extractFeatures]] stub: each batch's payloads decode through
+    * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JDK — no external
+    * native libs), emitting dimensions, channel count, and per-channel
+    * mean intensity. Undecodable payloads degrade to an `ok = false` row
+    * (a corrupt image must never kill a 100 TB scan — same contract as
+    * PERMISSIVE JSON parsing).
+    *
+    * Same batched-partition shape as the stubs (partition iterator →
+    * fixed-size batches → flat result iterator): a model-inference stage
+    * swaps the per-batch body, nothing else. ImageIO reader instances are
+    * per-JVM; the in-memory `ByteArrayInputStream` path does no disk-cache
+    * I/O (`ImageIO.setUseCache(false)` per executor). */
+  def decodeImageMeta(media: DataFrame, batchSize: Int = 64): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: java.io.IOException => None }
+            img match {
+              case Some(im) =>
+                val (w, h) = (im.getWidth, im.getHeight)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = im.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = w.toLong * h
+                ImageMeta(id, ok = true, w, h, im.getColorModel.getNumComponents,
+                  sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+              case None =>
+                ImageMeta(id, ok = false, 0, 0, 0, 0.0, 0.0, 0.0)
+            }
+          }
+        }
+      }
+  }
+
+  /** REAL resize — decode + area-averaging resample + PNG re-encode, per
+    * batch, same degrade contract as [[decodeImageMeta]] (undecodable
+    * rows drop; a filter on decodability belongs upstream where the
+    * caller can count them). Output payloads are valid PNG bytes of
+    * exactly `width`×`height`. */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(width > 0 && height > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: java.io.IOException => None }
+            img.map { im =>
+              val scaled = im.getScaledInstance(width, height,
+                java.awt.Image.SCALE_AREA_AVERAGING)
+              val out = new java.awt.image.BufferedImage(width, height,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              (id, width, height, buf.toByteArray)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "payload")
   }
 
   /** Frame sampling: treat the payload as fixed-size frames and emit every

@@ -59,4 +59,55 @@ class BinarySpec extends SparkSpec {
     val plan = Binary.sampleFrames(media, 3, 2).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
+
+  /** A real w×h image, PNG- or JPEG-encoded via the same JDK codec the
+    * decode path uses — filled with a solid color so channel means are
+    * predictable. */
+  private def imageBytes(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, buf)
+    buf.toByteArray
+  }
+
+  test("real image decode: dims + channel stats from actual PNG/JPEG bytes") {
+    import spark.implicits._
+    val red = 0xff0000
+    val gray = 0x808080
+    val media = Seq(
+      (1L, imageBytes(32, 16, red, "png")),
+      (2L, imageBytes(8, 8, gray, "jpg")),
+      (3L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val metas = Binary.decodeImageMeta(media, batchSize = 2).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).ok && metas(1L).width == 32 && metas(1L).height == 16)
+    assert(metas(1L).mean_r == 255.0 && metas(1L).mean_g == 0.0 && metas(1L).mean_b == 0.0)
+    assert(metas(1L).channels == 3)
+    // JPEG is lossy — solid gray must round-trip to ~gray, not exactly
+    assert(metas(2L).ok && metas(2L).width == 8 && metas(2L).height == 8)
+    assert(math.abs(metas(2L).mean_r - 0x80) < 4 &&
+      math.abs(metas(2L).mean_g - 0x80) < 4 && math.abs(metas(2L).mean_b - 0x80) < 4)
+    // garbage bytes degrade to ok=false, never an exception
+    assert(!metas(3L).ok && metas(3L).width == 0)
+  }
+
+  test("real resize: output payloads are valid PNGs of the target dimensions") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, imageBytes(64, 32, 0x00ff00, "png")),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Binary.resizeImages(media, 16, 16).collect()
+    // undecodable rows drop; the resized payload re-decodes at 16x16
+    // with the color preserved
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    val bytes = out.head.getAs[Array[Byte]]("payload")
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(im.getWidth == 16 && im.getHeight == 16)
+    val rgb = im.getRGB(8, 8)
+    assert(((rgb >> 8) & 0xff) == 0xff && ((rgb >> 16) & 0xff) == 0)
+  }
 }
