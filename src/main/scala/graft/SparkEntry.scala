@@ -73,6 +73,7 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => LlmOps.qTokenCount(s, dir)),
     "q_fingerprint" -> ((s, dir) => LlmOps.qFingerprint(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => LlmOps.qMultimodalMeta(s, dir)),
+    "q_image_meta" -> ((s, dir) => LlmOps.qImageMeta(s, dir)),
     "q_cdc_apply" -> ((s, dir) => Temporal.qCdcApply(s, dir)),
     "q_scd2" -> ((s, dir) => Temporal.qScd2(s, dir)),
     "q_fill_gaps" -> ((s, dir) => Temporal.qFillGaps(s, dir)),
@@ -651,6 +652,16 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  'application/octet-stream' AS mime, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the Spark side REALLY encodes and decodes a PNG per id; the oracle
+    // computes what lossless round-trip of the solid color must yield —
+    // hash parity proves the codec path exact (see LlmOps.qImageMeta)
+    "q_image_meta" ->
+      """SELECT doc_id,
+        |  16 AS width, 8 AS height, 3 AS channels,
+        |  CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 101) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 211) % 256 AS DOUBLE) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -93,6 +93,43 @@ object Binary {
       height: Int, channels: Int, mean_r: Double, mean_g: Double,
       mean_b: Double)
 
+  /** Deterministic REAL-image table: one solid-color `width`×`height` PNG
+    * per row, color derived from the id (r,g,b = id·37, id·101, id·211
+    * mod 256). Real bytes through the real encoder — and because the
+    * color function is plain integer arithmetic and PNG is lossless, the
+    * decoded metadata is exactly computable by an engine with no image
+    * codec at all, which is what makes the G3 decode path ORACLE-checkable
+    * (q_image_meta) instead of rows-only. */
+  def syntheticImageTable(df: DataFrame, idCol: String,
+      width: Int = 16, height: Int = 8, batchSize: Int = 64): DataFrame = {
+    require(width > 0 && height > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.grouped(batchSize).flatMap { batch =>
+          batch.map { id =>
+            val rgb = ((math.floorMod(id * 37, 256).toInt << 16)
+              | (math.floorMod(id * 101, 256).toInt << 8)
+              | math.floorMod(id * 211, 256).toInt)
+            val im = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) { im.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(im, "png", buf)
+            (id, buf.toByteArray)
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** REAL image decode — the honest codec counterpart to the
     * [[extractFeatures]] stub: each batch's payloads decode through
     * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JDK — no external

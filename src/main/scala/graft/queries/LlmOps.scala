@@ -453,6 +453,23 @@ object LlmOps {
     Binary.mediaMeta(Binary.toMediaTable(Tables.table(spark, dir, "documents"), "text", "doc_id"))
       .orderBy("doc_id")
 
+  /** G3b: the REAL image-codec path, oracle-checked end to end — every
+    * document id renders as a deterministic solid-color PNG (real bytes
+    * through javax.imageio's encoder), decodes back through
+    * [[Binary.decodeImageMeta]], and emits dims + exact channel means.
+    * The color function is integer arithmetic and PNG is lossless, so
+    * DuckDB computes the expected metadata with NO image codec — a hash
+    * match proves the encode→decode round-trip is bit-exact, not just
+    * that some rows came out. */
+  def qImageMeta(spark: SparkSession, dir: String): DataFrame =
+    Binary.decodeImageMeta(
+      Binary.syntheticImageTable(
+        Tables.table(spark, dir, "documents").select(col("doc_id")), "doc_id"))
+      .filter(col("ok"))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("doc_id")
+
   /** F13: per-doc token entropy (map-side run-length fold, no shuffle). */
   def qEntropy(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.table(spark, dir, "documents"), "text", "doc_id")
