@@ -74,6 +74,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => LlmOps.qFingerprint(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => LlmOps.qMultimodalMeta(s, dir)),
     "q_image_meta" -> ((s, dir) => LlmOps.qImageMeta(s, dir)),
+    "q_audio_meta" -> ((s, dir) => LlmOps.qAudioMeta(s, dir)),
     "q_cdc_apply" -> ((s, dir) => Temporal.qCdcApply(s, dir)),
     "q_scd2" -> ((s, dir) => Temporal.qScd2(s, dir)),
     "q_fill_gaps" -> ((s, dir) => Temporal.qFillGaps(s, dir)),
@@ -662,6 +663,15 @@ object SparkEntry {
         |  CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 101) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 211) % 256 AS DOUBLE) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // constant-amplitude PCM ⇒ RMS = amplitude exactly; duration divides
+    // by 8 (a power of two) so the double is exact on both engines
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS DOUBLE) AS sample_rate, 1 AS channels,
+        |  CAST(4000 + (doc_id * 13) % 1000 AS BIGINT) AS n_frames,
+        |  CAST(4000 + (doc_id * 13) % 1000 AS DOUBLE) / 8 AS duration_ms,
+        |  CAST((doc_id * 73) % 16384 + 1000 AS DOUBLE) AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_skew_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -216,6 +216,99 @@ object Binary {
       .toDF("doc_id", "width", "height", "payload")
   }
 
+  final case class AudioMeta(doc_id: Long, ok: Boolean, sample_rate: Double,
+      channels: Int, n_frames: Long, duration_ms: Double, rms: Double)
+
+  /** REAL audio decode — WAV/AIFF/AU through the JDK's
+    * `javax.sound.sampled` (no native libs): sample rate, channel count,
+    * frame count, duration, and RMS amplitude of the PCM signal.
+    * Undecodable payloads degrade to `ok = false` rows, the same
+    * corrupt-input contract as [[decodeImageMeta]]. Batched-partition
+    * shape identical to the image path. PCM decode supports the
+    * 16-bit-signed and 8-bit cases the WAV container commonly carries. */
+  def decodeAudioMeta(media: DataFrame, batchSize: Int = 64): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = in.getFormat
+                val data = in.readAllBytes()
+                val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+                val n = data.length / bytesPerSample
+                var sumSq = 0.0
+                var i = 0
+                while (i < n) {
+                  val v: Double =
+                    if (fmt.getSampleSizeInBits == 16) {
+                      val off = i * 2
+                      val lo = data(off) & 0xff
+                      val hi = data(off + 1)
+                      if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort.toDouble
+                      else ((hi << 8) | lo).toShort.toDouble
+                    } else data(i).toDouble
+                  sumSq += v * v
+                  i += 1
+                }
+                val frames = in.getFrameLength
+                AudioMeta(id, ok = true, fmt.getSampleRate.toDouble,
+                  fmt.getChannels, frames,
+                  frames * 1000.0 / fmt.getSampleRate,
+                  if (n == 0) 0.0 else math.sqrt(sumSq / n))
+              } finally in.close()
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException |
+                   _: java.io.IOException =>
+                AudioMeta(id, ok = false, 0.0, 0, 0L, 0.0, 0.0)
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic REAL-audio table: one mono 16-bit PCM WAV per row at
+    * 8 kHz — a constant-amplitude signal (amplitude = id·73 mod 16384 +
+    * 1000, frames = 4000 + id·13 mod 1000), so RMS equals the amplitude
+    * EXACTLY and every metadata field is integer arithmetic an engine
+    * with no audio codec can compute — [[decodeAudioMeta]]'s
+    * oracle-checkable face (q_audio_meta), the audio twin of
+    * [[syntheticImageTable]]. */
+  def syntheticAudioTable(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(batchSize).flatMap { batch =>
+          batch.map { id =>
+            val amp = (math.floorMod(id * 73, 16384) + 1000).toInt
+            val frames = (4000 + math.floorMod(id * 13, 1000)).toInt
+            val pcm = new Array[Byte](frames * 2)
+            var i = 0
+            while (i < frames) {
+              pcm(i * 2) = (amp & 0xff).toByte
+              pcm(i * 2 + 1) = ((amp >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+              true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+            (id, buf.toByteArray)
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames and emit every
     * `everyN`-th one as its own row. Fully declarative (sequence +
     * transform + substring over binary run inside whole-stage codegen, and

@@ -470,6 +470,21 @@ object LlmOps {
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy("doc_id")
 
+  /** G3c: the REAL audio-codec path, oracle-checked the same way as
+    * G3b — deterministic constant-amplitude 16-bit PCM WAVs render
+    * through javax.sound.sampled's real encoder, decode back through
+    * [[Binary.decodeAudioMeta]], and every output field (rate, channels,
+    * frames, duration, RMS) is integer arithmetic DuckDB computes with
+    * no audio codec; constant signal ⇒ RMS = amplitude exactly. */
+  def qAudioMeta(spark: SparkSession, dir: String): DataFrame =
+    Binary.decodeAudioMeta(
+      Binary.syntheticAudioTable(
+        Tables.table(spark, dir, "documents").select(col("doc_id")), "doc_id"))
+      .filter(col("ok"))
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"), col("rms"))
+      .orderBy("doc_id")
+
   /** F13: per-doc token entropy (map-side run-length fold, no shuffle). */
   def qEntropy(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.table(spark, dir, "documents"), "text", "doc_id")

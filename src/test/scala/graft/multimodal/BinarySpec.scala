@@ -94,6 +94,22 @@ class BinarySpec extends SparkSpec {
     assert(!metas(3L).ok && metas(3L).width == 0)
   }
 
+  test("real audio decode: format + RMS from actual WAV bytes, corrupt degrades") {
+    import spark.implicits._
+    val media = Binary.syntheticAudioTable(
+      Seq(5L, 12L).toDF("doc_id"), "doc_id")
+      .unionAll(Seq((99L, "not audio at all".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+    val metas = Binary.decodeAudioMeta(media, batchSize = 2).collect()
+      .map(m => m.doc_id -> m).toMap
+    // id 5: amplitude 5*73+1000 = 1365, frames 4000+65 = 4065
+    assert(metas(5L).ok && metas(5L).sample_rate == 8000.0 && metas(5L).channels == 1)
+    assert(metas(5L).n_frames == 4065L && metas(5L).duration_ms == 4065.0 / 8)
+    assert(metas(5L).rms == 1365.0, "constant signal: RMS equals amplitude exactly")
+    assert(metas(12L).ok && metas(12L).rms == (12 * 73 % 16384 + 1000).toDouble)
+    assert(!metas(99L).ok && metas(99L).n_frames == 0L)
+  }
+
   test("real resize: output payloads are valid PNGs of the target dimensions") {
     import spark.implicits._
     val media = Seq(
