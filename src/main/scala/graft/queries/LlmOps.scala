@@ -673,14 +673,23 @@ object LlmOps {
     * row, never normalized text. (A groupBy+join-back keep-min
     * recomputes the gate lineage twice and an early normalize gets
     * re-inlined into every downstream reference — the first cut cost
-    * 113s at 50×; this shape runs in seconds.) Keep-min is a
-    * min_by(struct(...), doc_id) hash aggregate over the content hash:
-    * map-side partials shrink each clone group to one row per
-    * partition BEFORE the exchange, so the shuffle carries at most
-    * (distinct hashes × partitions) rows and there is no per-group
-    * sort at all — strictly less work than the row_number window this
-    * replaced (full-width shuffle + sort, and the 14.9s cold outlier
-    * in the round-5 driver bench). */
+    * 113s at 50×; this shape runs in seconds.) Keep-min is ONE
+    * `min(bigint)` hash aggregate over the content hash: doc_id (the
+    * keep-min key) packs into the HIGH bits of a single long with the
+    * row's small payload (quality ≤ 1500 → 11 bits, split bucket < 10
+    * → 4 bits) below it, so the minimum long IS the minimum-doc_id row
+    * — HashAggregate with map-side partials shrinks each clone group
+    * to one 8-byte value per partition before the exchange. (A
+    * min_by/min-of-struct formulation is semantically identical but
+    * plans as SortAggregate — struct buffers aren't hash-aggregable —
+    * which re-inserts a per-partition sort; the row_number window this
+    * all replaced additionally shuffled full rows, and produced the
+    * 14.9s cold outlier in the round-5 driver bench. Honest numbers,
+    * CurateProbe at 50×: all three formulations tie warm (~6.0s) —
+    * the pipeline is bound by the normalize projection there, so the
+    * hash-aggregate shape is chosen for its asymptotics (no per-
+    * partition sort as group sizes grow), not a measured local win.
+    * Packing bound: doc_id < 2^48.) */
   def qCurateE2e(spark: SparkSession, dir: String,
       minQuality: Long = 300L): DataFrame = {
     val gated = graft.text.TextAnalysis.qualityScore(
@@ -689,17 +698,21 @@ object LlmOps {
       .select(col("doc_id"), col("text"), col("quality_x1000"))
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
-    val hashed = gated.select(col("doc_id"), col("quality_x1000"),
+    val hashed = gated.select(
       md5(norm).as("h"),
-      pmod(graft.functions.polyhash(norm), lit(10L)).as("ph"))
+      (shiftleft(col("doc_id"), 15)
+        .bitwiseOR(shiftleft(col("quality_x1000"), 4))
+        .bitwiseOR(pmod(graft.functions.polyhash(norm), lit(10L)))).as("packed"))
     hashed
       .groupBy(col("h"))
-      .agg(min_by(struct(col("doc_id"), col("quality_x1000"), col("ph")),
-        col("doc_id")).as("r"))
-      .select(col("r.doc_id").as("doc_id"),
-        when(col("r.ph") < 8, "train").when(col("r.ph") < 9, "val")
+      .agg(min(col("packed")).as("p"))
+      .select(shiftrightunsigned(col("p"), 15).as("doc_id"),
+        shiftrightunsigned(col("p"), 4).bitwiseAND(lit(0x7ffL)).as("q"),
+        col("p").bitwiseAND(lit(0xfL)).as("ph"))
+      .select(col("doc_id"),
+        when(col("ph") < 8, "train").when(col("ph") < 9, "val")
           .otherwise("test").as("split"),
-        col("r.quality_x1000").as("quality_x1000"))
+        col("q").as("quality_x1000"))
       .orderBy("doc_id")
   }
 

@@ -254,6 +254,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline keep-min is a pure hash aggregate (no sort, no window)") {
+    val plan = planOf(queries.LlmOps.qCurateE2e(spark, sfDir))
+    assert(!plan.contains("Window"), "keep-min must not be a row_number window")
+    assert(!plan.contains("SortAggregate"),
+      "packed-long min must hash-aggregate (struct min_by would sort)")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "map-side partial + final required")
+  }
+
   test("integrity audit scans lineitem ONCE for all three of its FK checks") {
     val plan = planOf(queries.Etl.qIntegrity(spark, sfDir))
     assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,

@@ -170,6 +170,10 @@ object ScaleSmoke {
     time("q_active_users") { queries.Warehouse.qActiveUsers(spark, dir) }
     time("q_new_vs_returning") { queries.Warehouse.qNewVsReturning(spark, dir) }
     time("q_embedding_drift") { queries.LlmOps.qEmbeddingDrift(spark, dir) }
+    // round-6: the real-codec paths — every row encodes AND decodes a
+    // PNG / WAV through the JDK codecs, so these time the codec itself
+    time("q_image_meta") { queries.LlmOps.qImageMeta(spark, dir) }
+    time("q_audio_meta") { queries.LlmOps.qAudioMeta(spark, dir) }
     spark.stop()
   }
 }
