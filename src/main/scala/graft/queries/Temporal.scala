@@ -26,11 +26,17 @@ object Temporal {
     *
     * The changelog here derives deterministically from `events`: every
     * event upserts its user's profile, `error` events are tombstones.
-    * Latest-per-key is a `max_by` over the (ts, event_id) order — an
-    * ObjectHashAggregate with map-side partial reduction, so at 100 TB
-    * the shuffle carries one candidate row per key per map partition,
-    * never the raw changelog (a window row_number would sort every
-    * change; the oracle states that equivalent form).
+    * Latest-per-key is a `max_by` over the (ts, event_id) order. Plan
+    * shape: SortAggregate with a map-side PARTIAL (struct-valued
+    * buffers aren't hash-aggregable), so each map partition sorts on
+    * the grouping key locally and the shuffle carries one candidate
+    * row per key per map partition — never the raw changelog, and
+    * never a global sort (a window row_number would shuffle + sort
+    * every change; the oracle states that equivalent form). The
+    * packed-long HashAggregate trick (see qCurateE2e) doesn't apply
+    * here: the carried payload (props string) doesn't fit in a long,
+    * and a winners+join-back alternative would rescan the changelog —
+    * one sorted scan is the better trade for wide payloads.
     */
   def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
