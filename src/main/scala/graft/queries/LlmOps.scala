@@ -464,7 +464,14 @@ object LlmOps {
   def qImageMeta(spark: SparkSession, dir: String): DataFrame =
     Binary.decodeImageMeta(
       Binary.syntheticImageTable(
-        Tables.table(spark, dir, "documents").select(col("doc_id")), "doc_id"))
+        // codec-bound stage over an 8-byte-per-row input: repartition to
+        // the full parallelism FIRST — a parquet this narrow often maps
+        // to one split (maxPartitionBytes), which would serialize all
+        // encode/decode work on one core; the id shuffle is free
+        // relative to the codec (measured: q_audio_meta 56.5s → one
+        // task at 50× before this)
+        Tables.table(spark, dir, "documents").select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism), "doc_id"))
       .filter(col("ok"))
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
         col("mean_r"), col("mean_g"), col("mean_b"))
@@ -479,7 +486,9 @@ object LlmOps {
   def qAudioMeta(spark: SparkSession, dir: String): DataFrame =
     Binary.decodeAudioMeta(
       Binary.syntheticAudioTable(
-        Tables.table(spark, dir, "documents").select(col("doc_id")), "doc_id"))
+        // same codec-parallelism note as qImageMeta
+        Tables.table(spark, dir, "documents").select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism), "doc_id"))
       .filter(col("ok"))
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("n_frames"), col("duration_ms"), col("rms"))

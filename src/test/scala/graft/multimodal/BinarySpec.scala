@@ -110,6 +110,29 @@ class BinarySpec extends SparkSpec {
     assert(!metas(99L).ok && metas(99L).n_frames == 0L)
   }
 
+  test("non-WAV audio containers decode through the AudioSystem fallback") {
+    import spark.implicits._
+    // an AIFF (big-endian PCM) — NOT parseable by the lock-free WAV fast
+    // path, must round-trip through javax.sound.sampled instead
+    val amp = 2000
+    val frames = 3000
+    val pcm = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) { // big-endian 16-bit constant signal
+      pcm(i * 2) = ((amp >> 8) & 0xff).toByte
+      pcm(i * 2 + 1) = (amp & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, buf)
+    val media = Seq((7L, buf.toByteArray)).toDF("doc_id", "payload")
+    val m = Binary.decodeAudioMeta(media).collect().head
+    assert(m.ok && m.sample_rate == 16000.0 && m.channels == 1)
+    assert(m.n_frames == frames.toLong && m.rms == amp.toDouble)
+  }
+
   test("real resize: output payloads are valid PNGs of the target dimensions") {
     import spark.implicits._
     val media = Seq(
