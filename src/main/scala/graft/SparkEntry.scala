@@ -107,6 +107,7 @@ object SparkEntry {
     "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
     "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
     "q_sample_weighted" -> ((s, dir) => LlmOps.qSampleWeighted(s, dir)),
+    "q_token_budget_sample" -> ((s, dir) => LlmOps.qTokenBudgetSample(s, dir)),
     "q_curate_e2e" -> ((s, dir) => LlmOps.qCurateE2e(s, dir)),
     "q_unpivot" -> ((s, dir) => Warehouse.qUnpivot(s, dir)),
     "q_active_users" -> ((s, dir) => Warehouse.qActiveUsers(s, dir)),
@@ -1162,6 +1163,33 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, quality_x1000 FROM ph
         |WHERE h % 1500 < quality_x1000
+        |ORDER BY doc_id""".stripMargin,
+    // temperature sampling: all arithmetic integer by design (isqrt via
+    // floor(sqrt(double)) is exact below 2^52; ppm thresholds via
+    // integer division) so the two engines can't diverge on a float ulp
+    "q_token_budget_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |l AS (SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS t_l,
+        |    CAST(floor(sqrt(CAST(sum(ws_tokens) AS DOUBLE))) AS BIGINT) AS w_l
+        |  FROM t GROUP BY lang),
+        |s AS (SELECT lang, t_l,
+        |    CAST(least(1000000,
+        |      ((15000 * w_l) // (SELECT CAST(sum(w_l) AS BIGINT) FROM l))
+        |        * 1000000 // t_l) AS BIGINT) AS keep_ppm
+        |  FROM l),
+        |ph AS (SELECT doc_id, t.lang AS lang, ws_tokens, keep_ppm,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS h
+        |  FROM t JOIN s ON t.lang = s.lang)
+        |SELECT doc_id, lang, ws_tokens, keep_ppm FROM ph
+        |WHERE h % 1000000 < keep_ppm
         |ORDER BY doc_id""".stripMargin,
     // the composed pipeline: quality gate (raw text) -> normalize ->
     // exact dedup (min id per normalized md5) -> deterministic split —

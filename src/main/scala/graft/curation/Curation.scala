@@ -84,6 +84,48 @@ object Curation {
       .filter(col("rank") <= n)
   }
 
+  /** Temperature-weighted sampling to a TOKEN budget (H7) — the corpus-
+    * mixing step of multilingual pretraining (mC4/XLM-R style): language
+    * l's share of the budget is proportional to T_l^α (α < 1 upsamples
+    * low-resource languages relative to their raw token mass), and each
+    * document keeps independently with its language's probability,
+    * decided by the same deterministic content-hash draw as H5 (stable
+    * under reruns, row order, and engines).
+    *
+    * ALL-INTEGER arithmetic, deliberately: α = 1/2 via
+    * floor(sqrt(T_l)) (exact for T_l < 2^52 — IEEE sqrt is correctly
+    * rounded and the ulp gap can't cross an integer below 2^26²),
+    * budget apportioning and the keep threshold via integer division
+    * in parts-per-million. A float formulation would hash-diverge from
+    * the oracle whenever a double summed in a different order lands
+    * within an ulp of a floor boundary; integers make Spark and DuckDB
+    * agree bit-for-bit. Per-language keep probability
+    * ppm_l = min(1e6, budget·w_l·1e6 / (W·T_l)), w_l = isqrt(T_l),
+    * W = Σ w_l.
+    *
+    * Plan: one 5-row aggregate over lang → broadcast back onto the doc
+    * scan → map-side filter. No full-data shuffle at any corpus size. */
+  def temperatureSample(df: DataFrame, langCol: String, textCol: String,
+      idCol: String, budgetTokens: Long): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokenCounts(
+      df.filter(col(textCol).isNotNull), textCol)
+      .select(col(idCol), col(langCol), col(textCol), col("ws_tokens"))
+    val perLang = toks.groupBy(col(langCol))
+      .agg(sum(col("ws_tokens")).as("t_l"))
+      .withColumn("w_l", floor(sqrt(col("t_l").cast("double"))).cast("long"))
+    // W is a tiny driver-safe aggregate of the language dim (|langs| rows)
+    val langStats = perLang
+      .crossJoin(broadcast(perLang.agg(sum(col("w_l")).as("w_total"))))
+      .withColumn("target_tokens", expr(s"$budgetTokens * w_l div w_total"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr("target_tokens * 1000000 div t_l")))
+      .select(col(langCol), col("t_l"), col("keep_ppm"))
+    toks
+      .join(broadcast(langStats), langCol)
+      .filter(pmod(polyhash(col(textCol)), lit(1000000L)) < col("keep_ppm"))
+      .select(col(idCol), col(langCol), col("ws_tokens"), col("keep_ppm"))
+  }
+
   /** Deterministic dataset split: bucket by a content hash (polyhash —
     * the codegen rolling hash, oracle-replicable via list_reduce), then
     * map cumulative integer shares to split names. Content-keyed, so the

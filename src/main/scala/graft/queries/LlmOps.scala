@@ -725,6 +725,19 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** H7: temperature-weighted sampling to a token budget — the
+    * multilingual corpus-mixing step (see Curation.temperatureSample):
+    * language shares ∝ sqrt(token mass), per-doc keep via the
+    * deterministic content-hash draw, all-integer arithmetic so the
+    * DuckDB oracle is bit-exact. Budget 15000 tokens ≈ half the sf0.01
+    * corpus (every language partially sampled, low-resource ones
+    * upsampled relative to raw mass). */
+  def qTokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.temperatureSample(
+      Tables.table(spark, dir, "documents"), "lang", "text", "doc_id",
+      budgetTokens = 15000L)
+      .orderBy("doc_id")
+
   /** D11: cross-corpus near-dup join — odd doc ids are the "new batch",
     * even ids the accumulated corpus (the same split as D8's exact-hash
     * incremental dedup, which this upgrades to NEAR duplicates). Banded

@@ -107,6 +107,36 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept.size - expected) < 0.15 * all.size)
   }
 
+  test("temperature sampling: low-resource languages upsampled, budget respected") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val budget = 15000L
+    val kept = graft.curation.Curation.temperatureSample(
+      docs, "lang", "text", "doc_id", budget).collect()
+    // deterministic rerun
+    val again = graft.curation.Curation.temperatureSample(
+      docs, "lang", "text", "doc_id", budget).collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+    val ppmByLang = kept.map(r => r.getString(1) -> r.getLong(3)).toMap
+    val massByLang = graft.text.TextAnalysis.tokenCounts(
+      docs.filter(col("text").isNotNull), "text")
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("ws_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 1/2: languages with LESS raw mass get a HIGHER keep probability
+    // (keep_ppm ∝ budget·sqrt(T)/T·W = c/sqrt(T))
+    val ordered = massByLang.toSeq.sortBy(_._2).map(_._1)
+    val ppms = ordered.flatMap(ppmByLang.get)
+    assert(ppms.zip(ppms.tail).forall { case (lo, hi) => lo >= hi },
+      s"keep_ppm must be non-increasing in language mass: $ordered -> $ppms")
+    // kept token mass ≈ budget (hash draw is uniform; generous tolerance)
+    val keptTokens = kept.map(_.getLong(2)).sum
+    assert(math.abs(keptTokens - budget) < 0.2 * budget,
+      s"kept $keptTokens tokens for a $budget budget")
+    // every language still represented (the point of upsampling)
+    assert(kept.map(_.getString(1)).toSet == massByLang.keySet)
+  }
+
   test("curation pipeline: unique normalized content, gated quality, canonical ids") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.LlmOps.qCurateE2e(spark, sfDir).collect()
