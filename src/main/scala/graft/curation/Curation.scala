@@ -105,24 +105,39 @@ object Curation {
     *
     * Plan: one 5-row aggregate over lang → broadcast back onto the doc
     * scan → map-side filter. No full-data shuffle at any corpus size. */
-  def temperatureSample(df: DataFrame, langCol: String, textCol: String,
-      idCol: String, budgetTokens: Long): DataFrame = {
-    val toks = graft.text.TextAnalysis.tokenCounts(
+  /** The per-language keep-probability dimension of
+    * [[temperatureSample]]: (langCol, t_l, keep_ppm). Computed from the
+    * STATIC corpus; a stream reuses it as the broadcast side of a
+    * stream-static join (G5 pattern — the gate itself stays a stateless
+    * predicate). */
+  def temperatureStats(df: DataFrame, langCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val perLang = graft.text.TextAnalysis.tokenCounts(
       df.filter(col(textCol).isNotNull), textCol)
-      .select(col(idCol), col(langCol), col(textCol), col("ws_tokens"))
-    val perLang = toks.groupBy(col(langCol))
+      .groupBy(col(langCol))
       .agg(sum(col("ws_tokens")).as("t_l"))
       .withColumn("w_l", floor(sqrt(col("t_l").cast("double"))).cast("long"))
     // W is a tiny driver-safe aggregate of the language dim (|langs| rows)
-    val langStats = perLang
+    perLang
       .crossJoin(broadcast(perLang.agg(sum(col("w_l")).as("w_total"))))
       .withColumn("target_tokens", expr(s"$budgetTokens * w_l div w_total"))
       .withColumn("keep_ppm",
         least(lit(1000000L), expr("target_tokens * 1000000 div t_l")))
       .select(col(langCol), col("t_l"), col("keep_ppm"))
+  }
+
+  /** The content-hash keep predicate (against a joined `keep_ppm`). */
+  def temperatureKeep(textCol: String): Column =
+    pmod(polyhash(col(textCol)), lit(1000000L)) < col("keep_ppm")
+
+  def temperatureSample(df: DataFrame, langCol: String, textCol: String,
+      idCol: String, budgetTokens: Long): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokenCounts(
+      df.filter(col(textCol).isNotNull), textCol)
+      .select(col(idCol), col(langCol), col(textCol), col("ws_tokens"))
     toks
-      .join(broadcast(langStats), langCol)
-      .filter(pmod(polyhash(col(textCol)), lit(1000000L)) < col("keep_ppm"))
+      .join(broadcast(temperatureStats(df, langCol, textCol, budgetTokens)), langCol)
+      .filter(temperatureKeep(textCol))
       .select(col(idCol), col(langCol), col("ws_tokens"), col("keep_ppm"))
   }
 

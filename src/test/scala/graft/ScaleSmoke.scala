@@ -174,6 +174,7 @@ object ScaleSmoke {
     // PNG / WAV through the JDK codecs, so these time the codec itself
     time("q_image_meta") { queries.LlmOps.qImageMeta(spark, dir) }
     time("q_audio_meta") { queries.LlmOps.qAudioMeta(spark, dir) }
+    time("q_token_budget_sample") { queries.LlmOps.qTokenBudgetSample(spark, dir) }
     spark.stop()
   }
 }

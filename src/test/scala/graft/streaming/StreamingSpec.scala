@@ -231,6 +231,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("temperature corpus-mixing gate filters a stream against static language stats") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables.table(spark, sfDir, "documents")
+    val budget = 15000L
+    // keep_ppm dimension from the STATIC corpus; the stream gate is a
+    // stateless stream-static broadcast join + content-hash predicate
+    val stats = graft.curation.Curation
+      .temperatureStats(corpus, "lang", "text", budget)
+    val input = MemoryStream[(Long, String, String)]
+    val docs = corpus.select($"doc_id", $"lang", $"text").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    input.addData(docs.toIndexedSeq: _*)
+    val gated = input.toDF().toDF("doc_id", "lang", "text")
+      .join(broadcast(stats), "lang")
+      .filter(graft.curation.Curation.temperatureKeep("text"))
+      .select($"doc_id")
+    val query = gated.writeStream.format("memory").queryName("temp_gate")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("temp_gate").collect().map(_.getLong(0)).toSet
+      val batch = graft.curation.Curation.temperatureSample(
+        corpus, "lang", "text", "doc_id", budget)
+        .collect().map(_.getLong(0)).toSet
+        .intersect(docs.map(_._1).toSet)
+      assert(streamed == batch, "stream keep set ≡ batch keep set on the same docs")
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join enriches events within the window") {
     val sparkSession = spark
     import sparkSession.implicits._
