@@ -108,6 +108,8 @@ object SparkEntry {
     "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
     "q_sample_weighted" -> ((s, dir) => LlmOps.qSampleWeighted(s, dir)),
     "q_token_budget_sample" -> ((s, dir) => LlmOps.qTokenBudgetSample(s, dir)),
+    "q_shard_manifest" -> ((s, dir) => LlmOps.qShardManifest(s, dir)),
+    "q_length_histogram" -> ((s, dir) => LlmOps.qLengthHistogram(s, dir)),
     "q_curate_e2e" -> ((s, dir) => LlmOps.qCurateE2e(s, dir)),
     "q_unpivot" -> ((s, dir) => Warehouse.qUnpivot(s, dir)),
     "q_active_users" -> ((s, dir) => Warehouse.qActiveUsers(s, dir)),
@@ -1191,6 +1193,36 @@ object SparkEntry {
         |SELECT doc_id, lang, ws_tokens, keep_ppm FROM ph
         |WHERE h % 1000000 < keep_ppm
         |ORDER BY doc_id""".stripMargin,
+    // bit_xor is commutative/associative → the checksum is partition- and
+    // order-independent on both engines; polyhash values are positive so
+    // pmod ≡ %
+    "q_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS fp
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT fp % 16 AS shard, count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  bit_xor(fp) AS checksum
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
+    // bucket k = floor(log2(tokens)) via binary-string length — exact
+    // integer arithmetic on both engines (log2 doubles can straddle
+    // powers of two)
+    "q_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(length(bin(ws_tokens)) - 1 AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS n_tokens,
+        |  min(ws_tokens) AS min_tokens, max(ws_tokens) AS max_tokens
+        |FROM t GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
     // the composed pipeline: quality gate (raw text) -> normalize ->
     // exact dedup (min id per normalized md5) -> deterministic split —
     // each stage's SQL is its own proven oracle, chained

@@ -367,6 +367,56 @@ object LlmOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** H8: shard manifest — the delivery-side contract of a training
+    * dataset: every document lands in a deterministic content-keyed
+    * shard (polyhash mod nShards — stable under row order, partitioning,
+    * and reruns, like every H-block assignment), and each shard's
+    * manifest row carries the verifiable stats a consumer re-derives to
+    * validate the handoff: document count, token mass, and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of the per-doc
+    * fingerprints — XOR is commutative/associative, so the checksum is
+    * identical however the shard's rows were partitioned or ordered, and
+    * any single flipped/missing/duplicated document changes it). One
+    * map-side projection + one nShards-row aggregate; no sort, no
+    * window, no shuffle wider than the manifest itself. */
+  def qShardManifest(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame =
+    graft.text.TextAnalysis.tokenCounts(
+      Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
+      .select(
+        pmod(graft.functions.polyhash(col("text")), lit(nShards.toLong)).as("shard"),
+        col("doc_id"), col("ws_tokens"),
+        graft.functions.polyhash(col("text")).as("fp"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(fp)").as("checksum"))
+      .orderBy("shard")
+
+  /** F20: log2-bucketed sequence-length histogram — the planning view
+    * for F11's sequence packing and context-length budgeting: how much
+    * token mass sits in each length octave (a doc of 2^k..2^(k+1)-1
+    * whitespace tokens lands in bucket k). Map-side bucket assignment
+    * (floor(log2) via the bit length of the token count), one
+    * bounded-cardinality aggregate. */
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.tokenCounts(
+      Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
+      .select(col("ws_tokens"),
+        // floor(log2(n)) for n ≥ 1 == 63 - leading_zeros(n); expressed
+        // engine-portably as length of the binary string minus one
+        (length(conv(col("ws_tokens"), 10, 2)) - 1).cast("long").as("len_bucket"))
+      .groupBy(col("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("n_tokens"),
+        min(col("ws_tokens")).as("min_tokens"),
+        max(col("ws_tokens")).as("max_tokens"))
+      .orderBy("len_bucket")
+
   /** D8: incremental ingestion dedup — drop new-batch documents whose
     * exact content (md5) already exists in the ingested corpus (the
     * daily-crawl shape: dedup the increment against the accumulated

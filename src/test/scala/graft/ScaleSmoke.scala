@@ -175,6 +175,8 @@ object ScaleSmoke {
     time("q_image_meta") { queries.LlmOps.qImageMeta(spark, dir) }
     time("q_audio_meta") { queries.LlmOps.qAudioMeta(spark, dir) }
     time("q_token_budget_sample") { queries.LlmOps.qTokenBudgetSample(spark, dir) }
+    time("q_shard_manifest") { queries.LlmOps.qShardManifest(spark, dir) }
+    time("q_length_histogram") { queries.LlmOps.qLengthHistogram(spark, dir) }
     spark.stop()
   }
 }

@@ -137,6 +137,38 @@ class CurationSpec extends SparkSpec {
     assert(kept.map(_.getString(1)).toSet == massByLang.keySet)
   }
 
+  test("shard manifest: checksum invariant under partitioning, sensitive to content") {
+    import org.apache.spark.sql.functions.col
+    val a = graft.queries.LlmOps.qShardManifest(spark, sfDir).collect()
+    // a wildly different physical layout must produce the identical
+    // manifest — XOR checksums are order/partition-independent
+    val repartitioned = graft.sources.Tables.table(spark, sfDir, "documents")
+      .repartition(17, col("lang"))
+    val b = graft.text.TextAnalysis.tokenCounts(
+      repartitioned.filter(col("text").isNotNull), "text")
+      .select(
+        org.apache.spark.sql.functions.pmod(
+          graft.functions.polyhash(col("text")),
+          org.apache.spark.sql.functions.lit(16L)).as("shard"),
+        col("doc_id"), col("ws_tokens"),
+        graft.functions.polyhash(col("text")).as("fp"))
+      .groupBy(col("shard"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("ws_tokens")).as("n_tokens"),
+        org.apache.spark.sql.functions.min(col("doc_id")).as("min_doc_id"),
+        org.apache.spark.sql.functions.max(col("doc_id")).as("max_doc_id"),
+        org.apache.spark.sql.functions.expr("bit_xor(fp)").as("checksum"))
+      .orderBy("shard").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // every document is in exactly one shard
+    val total = a.map(_.getAs[Long]("n_docs")).sum
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(total == docs)
+  }
+
   test("curation pipeline: unique normalized content, gated quality, canonical ids") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.LlmOps.qCurateE2e(spark, sfDir).collect()
