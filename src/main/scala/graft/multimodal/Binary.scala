@@ -231,7 +231,7 @@ object Binary {
     * scaling a 100 TB scan needs survives. Non-WAV containers
     * (AIFF/AU/…) still fall back to AudioSystem in [[decodeAudioMeta]].
     */
-  private[multimodal] object WavCodec {
+  private[graft] object WavCodec {
     /** Canonical 44-byte-header PCM WAV (little-endian). */
     def encodePcm(pcm: Array[Byte], sampleRate: Int, channels: Int,
         bitsPerSample: Int): Array[Byte] = {

@@ -195,6 +195,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WavCodec round-trips arbitrary PCM: parse(encode(x)) recovers format and data") {
+    val gen = for {
+      frames <- Gen.choose(0, 5000)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      channels <- Gen.choose(1, 2)
+      bytes <- Gen.listOfN(frames * channels * 2, Gen.choose(-128, 127).map(_.toByte))
+    } yield (bytes.toArray, rate, channels)
+    (1 to 12).foreach { seed =>
+      val (pcm, rate, channels) = sample(gen, seed.toLong)
+      val wav = multimodal.Binary.WavCodec.encodePcm(pcm, rate, channels, 16)
+      val parsed = multimodal.Binary.WavCodec.parse(wav)
+      assert(parsed.isDefined, s"seed=$seed")
+      val p = parsed.get
+      assert(p.sampleRate == rate && p.channels == channels && p.bitsPerSample == 16)
+      assert(p.dataLength == pcm.length)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(wav, p.dataOffset, p.dataOffset + p.dataLength),
+        pcm), s"seed=$seed data bytes must round-trip exactly")
+      // and the JDK's own reader agrees on the container we wrote
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(in.getFormat.getSampleRate.toInt == rate &&
+        in.getFormat.getChannels == channels)
+      in.close()
+    }
+    // fuzz: random garbage never throws, PCM-less containers fall through
+    val junkGen = Gen.listOfN(200, Gen.choose(-128, 127).map(_.toByte))
+    (1 to 20).foreach { seed =>
+      val junk = sample(junkGen, 100L + seed).toArray
+      assert(multimodal.Binary.WavCodec.parse(junk).isEmpty || junk.length >= 44)
+    }
+  }
+
+  test("packed keep-min recovers (doc_id, quality, bucket) for boundary values") {
+    import spark.implicits._
+    val gen = for {
+      id <- Gen.oneOf(Gen.choose(0L, 1L << 47), Gen.oneOf(0L, 1L, (1L << 48) - 1))
+      q <- Gen.choose(0L, 1500L)
+      ph <- Gen.choose(0L, 9L)
+    } yield (id, q, ph)
+    val rows = (1 to 40).map(s => sample(gen, s.toLong))
+    val df = rows.toDF("doc_id", "q", "ph")
+      .select((shiftleft($"doc_id", 15)
+        .bitwiseOR(shiftleft($"q", 4)).bitwiseOR($"ph")).as("p"))
+      .select(
+        shiftrightunsigned($"p", 15).as("doc_id"),
+        shiftrightunsigned($"p", 4).bitwiseAND(lit(0x7ffL)).as("q"),
+        $"p".bitwiseAND(lit(0xfL)).as("ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(df.toSeq == rows, "pack/unpack must be the identity on the bit budget")
+    // min over packed longs == min_by doc_id (doc_id dominates the high bits)
+    val minPacked = rows.map { case (id, q, ph) => (id << 15) | (q << 4) | ph }.min
+    val byMinId = rows.minBy(_._1)
+    assert((minPacked >>> 15) == byMinId._1)
+  }
+
   test("fuzzy join equals brute-force levenshtein pairs on random small-alphabet strings") {
     import spark.implicits._
     // a 3-letter alphabet and short lengths force dense distance-1/2
