@@ -104,6 +104,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => Warehouse.qWinsorize(s, dir)),
     "q_tokenize" -> ((s, dir) => LlmOps.qTokenize(s, dir)),
     "q_ngram_lm" -> ((s, dir) => LlmOps.qNgramLm(s, dir)),
+    "q_bm25" -> ((s, dir) => LlmOps.qBm25(s, dir)),
     "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
     "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
     "q_sample_weighted" -> ((s, dir) => LlmOps.qSampleWeighted(s, dir)),
@@ -1316,6 +1317,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(lp), 3) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |      FROM documents WHERE text IS NOT NULL),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END) AS df_2
+        |  FROM toks),
+        |tf AS (SELECT doc_id, dl,
+        |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS DOUBLE) AS tf_1,
+        |    CAST(len(list_filter(t, x -> x = 'the')) AS DOUBLE) AS tf_2
+        |  FROM toks)
+        |SELECT doc_id, dl, round(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+        |             / (CAST(df_0 AS DOUBLE) + 0.5))
+        |      * (tf_0 * 2.5) / (tf_0 + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |  + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+        |             / (CAST(df_1 AS DOUBLE) + 0.5))
+        |      * (tf_1 * 2.5) / (tf_1 + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |  + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+        |             / (CAST(df_2 AS DOUBLE) + 0.5))
+        |      * (tf_2 * 2.5) / (tf_2 + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+        |  4) AS bm25
+        |FROM tf CROSS JOIN stats ORDER BY doc_id""".stripMargin,
     "q_zscore" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n, sum(value) AS s1,

@@ -822,6 +822,16 @@ object LlmOps {
       Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** F21: BM25 relevance scoring against a fixed query-term set — the
+    * retrieval-grade relevance signal (idf × saturated tf with document-
+    * length normalization). Corpus stats are one broadcast scalar row;
+    * the scorer itself is map-side. See TextAnalysis.bm25. */
+  val bm25Terms: Seq[String] = Seq("spark", "vector", "the")
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.bm25(
+      Tables.table(spark, dir, "documents"), "text", "doc_id", bm25Terms)
+      .orderBy("doc_id")
+
   /** D9: fuzzy self-join — all distinct part-name pairs within Levenshtein
     * distance ≤ 2 via symmetric-delete blocking (exact: the ≤2-deletion
     * neighborhoods of two strings within distance 2 always intersect, and

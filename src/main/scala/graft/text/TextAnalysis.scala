@@ -211,4 +211,44 @@ object TextAnalysis {
           regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
           "  +", " ")).as("norm_text"))
       .withColumn("n_chars", length(col("norm_text")).cast("long"))
+
+  /** F21: BM25 relevance of every document to a fixed query-term set —
+    * the standard retrieval/quality scorer (Robertson–Spärck Jones idf,
+    * Okapi tf saturation with document-length normalization):
+    * score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *              · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Defaults k1 = 1.5, b = 0.75 are EXACTLY representable doubles (as
+    * are 1−b and k1+1), so the only rounding in the formula is the ln
+    * and the divisions themselves — evaluated in the same literal
+    * shape by the oracle, with a final round(,4) absorbing last-ulp
+    * libm differences (the bigramLogProb parity pattern).
+    *
+    * Plan: corpus statistics (N, avgdl, one df per query term) are ONE
+    * aggregate row broadcast back onto the document scan; per-document
+    * tf for the handful of query terms is an array filter over the
+    * tokens already split for dl — the whole scorer is a single pass,
+    * map-side after a scalar-dimension broadcast, no per-term explode
+    * and no (doc, term) shuffle at any corpus size. */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      (avg(col("dl")).as("avgdl") +: terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("__toks"), t).cast("long")).as(s"__df_$i")
+      }): _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t))).cast("double")
+      val dfT = col(s"__df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    toks.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), round(score, 4).as("bm25"))
+  }
 }

@@ -174,6 +174,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Double]("avg_logp") <= 0.0))
   }
+
+  test("bm25: exact score on a hand-computed corpus") {
+    import spark.implicits._
+    // N=3, avgdl=2; df(spark)=df(vector)=1 → idf = ln(1 + 2.5/1.5)
+    val docs = Seq(
+      (1L, "spark spark table"), (2L, "the table"), (3L, "vector"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "text", "doc_id", Seq("spark", "vector"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val idf = math.log(1.0 + 2.5 / 1.5)
+    // d1: tf=2, dl=3 → denom 2 + 1.5·(0.25 + 0.75·1.5) = 4.0625
+    assert(out(1L) == math.rint(idf * 5.0 / 4.0625 * 1e4) / 1e4)
+    assert(out(2L) == 0.0) // no query terms
+    // d3: tf=1, dl=1 → denom 1 + 1.5·(0.25 + 0.375) = 1.9375
+    assert(out(3L) == math.rint(idf * 2.5 / 1.9375 * 1e4) / 1e4)
+  }
+
+  test("bm25 invariants: longer doc with same tf scores lower; zero-tf docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark pad"), (2L, "spark pad pad pad pad pad pad pad"),
+      (3L, "pad pad")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(out(1L) > out(2L) && out(2L) > 0.0 && out(3L) == 0.0)
+  }
 }
 
 object SimHashTestAccess {
