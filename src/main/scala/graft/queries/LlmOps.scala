@@ -212,6 +212,17 @@ object LlmOps {
     Ivf.ivfTopK(annQueries(spark, dir), annIvfIndex(spark, dir), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
 
+  /** D13: SemDeDup — semantic near-duplicate removal in embedding space
+    * (k-means cells from the memoized E3 quantizer, within-cell cosine ≥
+    * τ drops the higher id). One keep-decision row per vector; rows-only
+    * check (the k-means fit is iterative, not SQL-expressible) — AnnSpec
+    * proves clone collapse, soundness vs the exact D5 pair set, and the
+    * no-threshold identity. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.SemDedup.keepDecisions(
+      annIvfIndex(spark, dir), "vec_id", tau = 0.35, chunkSize = 4096)
+      .orderBy("vec_id")
+
   /** D7: benchmark decontamination — drop corpus docs sharing any word
     * 4-gram with the holdout slice (doc_id % 97 standing in for a
     * benchmark suite). Gram-keyed join; the holdout gram set broadcasts. */

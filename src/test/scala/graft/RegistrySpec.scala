@@ -11,11 +11,12 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented seven, no silent oracle drops") {
+  test("rows-only queries are the documented set, no silent oracle drops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_embedding_neardup_lsh",
-      "q_ann_lsh", "q_ann_ivf", "q_dedup_cross", "q_dedup_apply_lsh"),
+      "q_ann_lsh", "q_ann_ivf", "q_dedup_cross", "q_dedup_apply_lsh",
+      "q_semdedup"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

@@ -176,4 +176,46 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(sims(0)) < 1e-12)
     assert(math.abs(sims(1) - 1.0) < 1e-12)
   }
+
+  test("semdedup: exact clones collapse to the minimum id, originals survive") {
+    import spark.implicits._
+    // identical vectors assign to identical cells, so clone collapse is
+    // guaranteed regardless of how k-means carves the space
+    val rng = new scala.util.Random(23)
+    val dims = 16
+    val base = (0L until 50L).map(i => i -> Array.fill(dims)(rng.nextGaussian()).toSeq)
+    val clones = (0 until 10).flatMap(i =>
+      Seq((100L + i) -> base(i)._2, (200L + i) -> base(i)._2))
+    val corpus = (base ++ clones).toDF("vec_id", "embedding")
+    val out = SemDedup.keepDecisions(corpus, "vec_id", "embedding",
+      nCells = 8, tau = 0.999).collect()
+    assert(out.length == 70) // one decision row per vector
+    val kept = out.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == (0L until 50L).toSet,
+      s"expected exactly the 50 originals kept, got ${kept.size}: $kept")
+  }
+
+  test("semdedup soundness: every dropped id has an exact smaller-id near neighbor") {
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val decisions = LlmOps.qSemDedup(spark, sfDir).collect()
+    assert(decisions.length == emb.count())
+    val dropped = decisions.filterNot(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    // exact D5 pair set at the same τ: a drop is justified iff the id
+    // appears as the LARGER side of some exact near-dup pair
+    val justified = Ann.nearDupPairs(emb, "vec_id", "embedding", tau = 0.35)
+      .collect().map(_.getAs[Long]("id_b")).toSet
+    assert(dropped.subsetOf(justified),
+      s"unjustified drops: ${dropped -- justified}")
+  }
+
+  test("semdedup with an unreachable threshold keeps everything") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val corpus = (0L until 40L).map(i => i -> Array.fill(8)(rng.nextGaussian()).toSeq)
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.keepDecisions(corpus, "vec_id", "embedding",
+      nCells = 4, tau = 1.0000001).collect()
+    assert(out.length == 40 && out.forall(_.getAs[Boolean]("kept")))
+  }
 }
