@@ -786,6 +786,43 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** H10 feature/label/split table shared by training and scoring:
+    * F2+F5 features, heuristic label (quality threshold — the stand-in
+    * for production annotations), content-hash 80/20 split. */
+  private def qualityClfTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val split = docs.select(col("doc_id"),
+      graft.curation.Curation.assignSplit("text",
+        Seq("train" -> 4, "eval" -> 1)).as("split"))
+    graft.curation.QualityModel.features(docs, "text", "doc_id")
+      .withColumn("label", (col("quality_x1000") >= 350L).cast("double"))
+      .join(split, "doc_id")
+  }
+
+  /** H10 memoized classifier fit — like the ANN indexes, a train-once
+    * artifact (|features|+1 doubles) whose build Bench reports as setup,
+    * not query work. */
+  def qualityClfModel(spark: SparkSession, dir: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "qlr"),
+      graft.curation.QualityModel.fit(
+        qualityClfTable(spark, dir).filter(col("split") === "train"), "label"))
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  /** H10: model-based quality scoring — the fitted coefficients fold into
+    * a pure sigmoid(w·x+b) Column, so scoring is a codegen'd map-side
+    * projection (streaming-safe, no UDF, no model object on the hot
+    * path). Rows-only check (an L-BFGS fit isn't SQL-expressible);
+    * QualityModelSpec proves scorer ≡ MLlib transform, held-out AUC, and
+    * fit determinism. */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val model = qualityClfModel(spark, dir)
+    qualityClfTable(spark, dir)
+      .select(col("doc_id"), col("split"), col("label").cast("long").as("label"),
+        round(graft.curation.QualityModel.scoreColumn(model), 6).as("quality_prob"))
+      .orderBy("doc_id")
+  }
+
   /** H7: temperature-weighted sampling to a token budget — the
     * multilingual corpus-mixing step (see Curation.temperatureSample):
     * language shares ∝ sqrt(token mass), per-doc keep via the
