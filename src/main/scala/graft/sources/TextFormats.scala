@@ -63,4 +63,18 @@ object TextFormats {
     lines.repartition(shards).write.mode("overwrite").text(path)
     shards
   }
+
+  /** ORC export — the Hive-ecosystem columnar interchange (a corpus
+    * handed to an ORC-native warehouse keeps stripe min/max stats, so
+    * the receiving engine prunes like we prune parquet). zstd default
+    * matches the compaction path's parquet codec choice. */
+  def writeOrc(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+  /** ORC read. Schema rides the file footer (no inference pass to dodge,
+    * unlike JSONL/CSV), and the scan supports the same predicate
+    * pushdown + column pruning as parquet — OrcSpec pins both, plus
+    * timestamp/array round-trip fidelity. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -62,6 +62,35 @@ class TextFormatsSpec extends SparkSpec {
     assert(rows(1).getDouble(2) == 4.0)
   }
 
+  test("orc round-trip: timestamps and float arrays survive bit-exact") {
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val eOut = tmpDir("orc-events"); val mOut = tmpDir("orc-emb")
+    TextFormats.writeOrc(events, eOut)
+    TextFormats.writeOrc(emb, mOut)
+    assert(TextFormats.readOrc(spark, eOut).exceptAll(events).isEmpty
+      && events.exceptAll(TextFormats.readOrc(spark, eOut)).isEmpty,
+      "event rows (incl. micros timestamps) must round-trip")
+    assert(TextFormats.readOrc(spark, mOut).exceptAll(emb).isEmpty
+      && emb.exceptAll(TextFormats.readOrc(spark, mOut)).isEmpty,
+      "embedding rows (array<float>) must round-trip")
+  }
+
+  test("orc scans push filters and prune columns like parquet") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val out = tmpDir("orc-push")
+    TextFormats.writeOrc(docs, out)
+    val q = TextFormats.readOrc(spark, out)
+      .filter(col("doc_id") > 400L).select("doc_id", "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,400)"),
+      s"predicate must reach the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"scan must read only the projected columns:\n$plan")
+    assert(q.count() == docs.filter(col("doc_id") > 400L).count())
+  }
+
   test("empty input exports a single empty shard without failing") {
     val out = tmpDir("jsonl-empty")
     val empty = graft.sources.Tables.table(spark, sfDir, "documents")
