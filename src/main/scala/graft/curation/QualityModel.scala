@@ -38,19 +38,32 @@ object QualityModel {
 
   /** F-block feature vector per document: the F2 quality components and
     * the F5 repetition signals, all cast to double for the optimizer.
-    * Keeps `quality_x1000` alongside for heuristic-label derivation. */
+    * Keeps `quality_x1000` alongside for heuristic-label derivation.
+    *
+    * ONE stateless projection (no self-join of two feature branches) —
+    * which is what lets the identical code score a STREAM: a streaming
+    * ingest gate is `features → scoreColumn ≥ τ`, no state, no
+    * watermark. The repetition fractions reuse the F5 expressions
+    * verbatim (sorted-gram run-length fold; n_words from the same token
+    * split), so values match `repetitionSignals` exactly. */
   def features(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df.filter(col(textCol).isNotNull)
-    val q = graft.text.TextAnalysis.qualityScore(base, textCol)
-      .select(col(idCol), col("n_words").cast("double").as("n_words"),
+    import graft.text.TextAnalysis
+    val toks = split(col(textCol), " ")
+    TextAnalysis.qualityScore(df.filter(col(textCol).isNotNull), textCol)
+      .withColumn("__toks", toks)
+      .withColumn("__rep_n_words", size(col("__toks")).cast("long"))
+      .withColumn("__top_bigram", TextAnalysis.maxRunLength(
+        array_sort(graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2))))
+      .select(col(idCol),
+        col("n_words").cast("double").as("n_words"),
         col("avg_word_len_x100").cast("double").as("avg_word_len_x100"),
         col("stop_hits").cast("double").as("stop_hits"),
+        expr("CAST(1000 * (__rep_n_words - size(array_distinct(__toks))) div __rep_n_words AS BIGINT)")
+          .cast("double").as("dup_word_frac_x1000"),
+        when(col("__rep_n_words") < 2, lit(0L))
+          .otherwise(expr("CAST(1000 * __top_bigram div (__rep_n_words - 1) AS BIGINT)"))
+          .cast("double").as("top_bigram_frac_x1000"),
         col("quality_x1000"))
-    val r = graft.text.TextAnalysis.repetitionSignals(base, textCol, idCol)
-      .select(col(idCol),
-        col("dup_word_frac_x1000").cast("double").as("dup_word_frac_x1000"),
-        col("top_bigram_frac_x1000").cast("double").as("top_bigram_frac_x1000"))
-    q.join(r, idCol)
   }
 
   /** Fit the classifier. Deterministic: L-BFGS from a zero start over the

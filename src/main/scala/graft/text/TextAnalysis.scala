@@ -82,20 +82,27 @@ object TextAnalysis {
     * of the sorted array = max multiplicity) — no explode, no
     * (doc, gram) shuffle, so the operator costs a projection even at
     * corpus scale. Integer x1000 fractions keep oracle parity exact. */
-  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Longest equal run of a SORTED string array = the max multiplicity of
+    * any element — the no-explode core of the F5 repetition signals,
+    * reusable wherever a per-row mode-count is needed. */
+  def maxRunLength(sortedArr: Column): Column = {
     val runState = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(sortedArr, runState,
+      (acc, g) => {
+        val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     df.select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), col("__toks"),
         graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2).as("__grams"))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_words"),
         size(array_distinct(col("__toks"))).cast("long").as("n_distinct_words"),
-        aggregate(array_sort(col("__grams")), runState,
-          (acc, g) => {
-            val run = when(g === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
-            struct(g.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-          },
-          acc => acc("best")).as("top_bigram_count"))
+        maxRunLength(array_sort(col("__grams"))).as("top_bigram_count"))
       .select(col(idCol), col("n_words"), col("n_distinct_words"),
         expr("CAST(1000 * (n_words - n_distinct_words) div n_words AS BIGINT)")
           .as("dup_word_frac_x1000"),

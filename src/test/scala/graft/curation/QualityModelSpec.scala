@@ -16,6 +16,19 @@ class QualityModelSpec extends SparkSpec {
       .cache()
   }
 
+  test("single-projection features match the F2/F5 operators exactly") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val got = QualityModel.features(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_word_frac_x1000"), r.getAs[Double]("top_bigram_frac_x1000"))).toMap
+    val want = graft.text.TextAnalysis.repetitionSignals(
+      docs.filter(col("text").isNotNull), "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_word_frac_x1000").toDouble,
+          r.getAs[Long]("top_bigram_frac_x1000").toDouble)).toMap
+    assert(got == want)
+  }
+
   test("column scorer reproduces MLlib transform probabilities exactly") {
     val model = QualityModel.fit(table.filter(col("split") === "train"), "label")
     val viaColumn = table

@@ -352,6 +352,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("learned quality gate scores a stream with the batch-trained coefficients") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // H10 end-to-end on a stream: the model trains once on the static
+    // corpus; its coefficients fold into a pure Column, so the identical
+    // features → sigmoid expression gates documents as they arrive (no
+    // state, no watermark, no model object per row)
+    val model = graft.queries.LlmOps.qualityClfModel(spark, sfDir)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while the sun sets over " +
+        "a quiet river and the evening wind moves through a line of tall trees " +
+        "carrying the scent of rain across the open field toward a distant farm " +
+        "where the lights glow warm against the fading sky and a dog barks"),
+      (2L, "z"),
+      (3L, "rep rep rep rep rep rep rep rep"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.curation.QualityModel.features(df, "text", "doc_id")
+        .withColumn("p", graft.curation.QualityModel.scoreColumn(model))
+        .filter($"p" >= 0.5).select("doc_id")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val query = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("qgate").collect().map(_.getLong(0)).toSet
+      val batch = gate(docs.toDF("doc_id", "text")).collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, "stream gate must equal the batch gate")
+      assert(batch == Set(1L), s"only the quality doc passes, got $batch")
+    } finally query.stop()
+  }
+
   test("streaming simhash near-dup flagging against a static corpus index") {
     val sparkSession = spark
     import sparkSession.implicits._
