@@ -264,6 +264,16 @@ class PlanSpec extends SparkSpec {
       "map-side partial + final required")
   }
 
+  test("bm25: one-row stats dim broadcasts back, scorer has no per-term explode") {
+    val plan = planOf(queries.LlmOps.qBm25(spark, sfDir))
+    assert(!plan.contains("Generate"),
+      "per-doc tf must be an array filter, not a (doc, term) explode")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the single-row corpus-stats dimension must broadcast")
+    assert("documents\\.parquet".r.findAllIn(plan).size == 2,
+      "one scan for stats, one for scoring — never a third")
+  }
+
   test("integrity audit scans lineitem ONCE for all three of its FK checks") {
     val plan = planOf(queries.Etl.qIntegrity(spark, sfDir))
     assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,

@@ -177,6 +177,21 @@ object ScaleSmoke {
     time("q_token_budget_sample") { queries.LlmOps.qTokenBudgetSample(spark, dir) }
     time("q_shard_manifest") { queries.LlmOps.qShardManifest(spark, dir) }
     time("q_length_histogram") { queries.LlmOps.qLengthHistogram(spark, dir) }
+    // round-6 session-2 operators
+    time("q_bm25") { queries.LlmOps.qBm25(spark, dir) }
+    // semdedup over the amplified embeddings: cell count scales with the
+    // corpus (~800 vectors/cell here), matching how k is sized at 100 TB
+    time("semdedup") {
+      graft.ann.SemDedup.keepDecisions(
+        graft.sources.Tables.table(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCells = math.max(16, (mult * 2000) / 800), tau = 0.35)
+    }
+    time("q_quality_classifier") {
+      queries.LlmOps.clearAnnIndexes() // time a cold L-BFGS fit + full score
+      queries.LlmOps.qQualityClassifier(spark, dir)
+    }
+    // fit now memoized: the recurring per-corpus cost is this scoring pass
+    time("quality_score_only") { queries.LlmOps.qQualityClassifier(spark, dir) }
     spark.stop()
   }
 }
