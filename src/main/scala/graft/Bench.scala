@@ -28,6 +28,8 @@ object Bench {
       "ann_lsh_bucket" -> (try timed { graft.queries.LlmOps.annLshIndex(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
       "quality_lr_fit" -> (try timed { graft.queries.LlmOps.qualityClfModel(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "bpe_train" -> (try timed { graft.queries.LlmOps.bpeMerges(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
     // Two passes per query: pass 1 pays whole-stage-codegen compile +
     // JIT (cold), pass 2 is the amortized steady state a long-running

@@ -61,6 +61,8 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_semdedup" -> ((s, dir) => LlmOps.qSemDedup(s, dir)),
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
+    "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),
+    "q_bpe_encode" -> ((s, dir) => LlmOps.qBpeEncode(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),

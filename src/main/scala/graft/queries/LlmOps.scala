@@ -823,6 +823,45 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** F22 memoized BPE training — the corpus-scale pass is ONE Spark
+    * aggregate (word-type histogram, maxTypes-capped); the merge loop
+    * runs over that bounded histogram on the driver (the production
+    * trainer structure — distributing a few-MB table numMerges times
+    * buys nothing). Bench reports the train as setup. */
+  def bpeMerges(spark: SparkSession, dir: String,
+      numMerges: Int = 40): Seq[graft.text.Bpe.Merge] =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "bpe"), {
+      val hist = graft.text.Bpe.wordHistogram(
+        Tables.table(spark, dir, "documents"), "text", maxTypes = 50000)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      graft.text.Bpe.train(hist, numMerges)
+    }).asInstanceOf[Seq[graft.text.Bpe.Merge]]
+
+  /** F22: the learned merge table (rank, left, right, count) — the
+    * tokenizer-training artifact itself. Rows-only check (the merge
+    * loop is iterative, not SQL-expressible); BpeSpec pins the classic
+    * reference corpus's merges and the tiebreak order. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir)
+      .map(m => (m.rank.toLong, m.left, m.right, m.count))
+      .toDF("rank", "left", "right", "count")
+      .orderBy("rank")
+  }
+
+  /** F22b: BPE segmentation of the corpus vocabulary — the learned
+    * merges fold into a chain of declarative array passes (rank order,
+    * leftmost-greedy — the reference apply), so encoding is one
+    * map-side projection. Output: word, count, space-joined subwords. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir)
+    graft.text.Bpe.wordHistogram(
+      Tables.table(spark, dir, "documents"), "text", maxTypes = 50000)
+      .select(col("word"), col("n"),
+        concat_ws(" ", graft.text.Bpe.applyMerges(col("word"), merges)).as("subwords"))
+      .orderBy("word")
+  }
+
   /** H7: temperature-weighted sampling to a token budget — the
     * multilingual corpus-mixing step (see Curation.temperatureSample):
     * language shares ∝ sqrt(token mass), per-doc keep via the

@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  // the Sennrich et al. reference corpus (word → frequency)
+  private val classic = Seq(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("classic corpus learns the reference merges in order, ties broken lexicographically") {
+    val merges = Bpe.train(classic, numMerges = 5)
+    // pair counts: (e,s)=9 (s,t)=9 (t,</w>)=9 tie → lexicographic (e,s)
+    // first; then (es,t)=9, (est,</w>)=9; then (l,o)=7/(o,w)=7 tie → (l,o)
+    assert(merges.map(m => (m.left, m.right)) == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    assert(merges.map(_.count) == Seq(9L, 9L, 9L, 7L, 7L))
+  }
+
+  test("declarative apply matches the imperative trainer fold on every word") {
+    import spark.implicits._
+    val merges = Bpe.train(classic, numMerges = 8)
+    def reference(w: String): Seq[String] =
+      merges.sortBy(_.rank).foldLeft(w.map(_.toString).toArray :+ "</w>") {
+        (s, m) => Bpe.mergeOnce(s, m.left, m.right)
+      }.toSeq
+    val words = classic.map(_._1) ++ Seq("lowest", "newer", "wide", "x")
+    val got = words.toDF("word")
+      .select($"word", Bpe.applyMerges($"word", merges).as("sym"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(got(w) == reference(w), s"mismatch for '$w'"))
+  }
+
+  test("overlapping pairs merge leftmost-first (the aaa case)") {
+    import spark.implicits._
+    val merges = Seq(Bpe.Merge(0, "a", "a", 9L))
+    val got = Seq("aaa", "aaaa", "aa").toDF("word")
+      .select($"word", Bpe.applyMerges($"word", merges).as("sym"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("aaa") == Seq("aa", "a", "</w>"))
+    assert(got("aaaa") == Seq("aa", "aa", "</w>"))
+    assert(got("aa") == Seq("aa", "</w>"))
+  }
+
+  test("segmentation round-trips: concatenated subwords reproduce the word") {
+    val out = graft.queries.LlmOps.qBpeEncode(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rebuilt = r.getAs[String]("subwords").replace(" ", "")
+      assert(rebuilt == r.getAs[String]("word") + "</w>",
+        s"round-trip failed for ${r.getAs[String]("word")}: $rebuilt")
+    }
+  }
+
+  test("merges below the count floor are never learned") {
+    val merges = Bpe.train(Seq("ab" -> 1L, "cd" -> 1L), numMerges = 5, minCount = 2L)
+    assert(merges.isEmpty)
+  }
+
+  test("registered trainer emits ranked merges over the corpus") {
+    val rows = graft.queries.LlmOps.qBpeTrain(spark, sfDir).collect()
+    assert(rows.length == 40)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (0L until 40L))
+    // counts are non-increasing only within a pass structure, but every
+    // learned merge must have met the floor
+    rows.foreach(r => assert(r.getAs[Long]("count") >= 2L))
+  }
+}
