@@ -61,6 +61,7 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_semdedup" -> ((s, dir) => LlmOps.qSemDedup(s, dir)),
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
+    "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
     "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => LlmOps.qBpeEncode(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -1321,6 +1322,37 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(lp), 3) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_corpus_report" ->
+      """WITH per AS (
+        |  SELECT lang, text,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) END AS toks,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN least(1000, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) * 5)
+        |            + least(500, (CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |                        + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT)) * 20) END AS q,
+        |    CASE WHEN text IS NOT NULL THEN md5(text) END AS h
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n_docs, count(text) AS n_text_docs,
+        |    coalesce(sum(toks), 0) AS total_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(h) - count(DISTINCT h) AS exact_dup_docs,
+        |    coalesce(sum(CASE WHEN q >= 350 THEN 1 ELSE 0 END), 0) AS quality_pass_docs,
+        |    coalesce(max(toks), 0) AS max_doc_tokens,
+        |    coalesce(min(toks), 0) AS min_doc_tokens
+        |  FROM per)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM s
+        |  UNION ALL SELECT 'n_text_docs', n_text_docs FROM s
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM s
+        |  UNION ALL SELECT 'n_langs', n_langs FROM s
+        |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM s
+        |  UNION ALL SELECT 'quality_pass_docs', quality_pass_docs FROM s
+        |  UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM s
+        |  UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM s
+        |  UNION ALL SELECT 'mean_doc_tokens_x100',
+        |    CASE WHEN n_text_docs > 0 THEN total_tokens * 100 // n_text_docs ELSE 0 END FROM s)
+        |ORDER BY metric""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl

@@ -823,6 +823,47 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** H11: corpus data-card report — the one-glance summary published
+    * with a training dataset (docs, token mass, language spread, exact-
+    * dup mass, quality-gate pass rate, length extremes). ONE scan: a
+    * null-guarded per-doc projection (tokens, quality, content hash)
+    * feeds a single aggregate row, unpivoted to long (metric, value)
+    * format via stack. All-integer metrics (the H7 parity rule). */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWords = (length(t) - length(replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val stops =
+      graft.text.TextAnalysis.countOccurrences(concat(lit(" "), t, lit(" ")), " the ") +
+        graft.text.TextAnalysis.countOccurrences(concat(lit(" "), t, lit(" ")), " a ")
+    val quality = least(lit(1000L), nWords * 5L) + least(lit(500L), stops * 20L)
+    Tables.table(spark, dir, "documents")
+      .select(
+        when(t.isNotNull, nWords).as("toks"),
+        when(t.isNotNull, quality).as("q"),
+        when(t.isNotNull, md5(t)).as("h"),
+        col("lang"), t.as("text"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("text")).as("n_text_docs"),
+        coalesce(sum(col("toks")), lit(0L)).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(col("h")) - countDistinct(col("h"))).as("exact_dup_docs"),
+        coalesce(sum((col("q") >= 350L).cast("long")), lit(0L)).as("quality_pass_docs"),
+        coalesce(max(col("toks")), lit(0L)).as("max_doc_tokens"),
+        coalesce(min(col("toks")), lit(0L)).as("min_doc_tokens"))
+      .withColumn("mean_doc_tokens_x100",
+        when(col("n_text_docs") > 0,
+          expr("total_tokens * 100 div n_text_docs")).otherwise(lit(0L)))
+      .selectExpr("""stack(9,
+          'n_docs', n_docs, 'n_text_docs', n_text_docs,
+          'total_tokens', total_tokens, 'n_langs', n_langs,
+          'exact_dup_docs', exact_dup_docs,
+          'quality_pass_docs', quality_pass_docs,
+          'max_doc_tokens', max_doc_tokens, 'min_doc_tokens', min_doc_tokens,
+          'mean_doc_tokens_x100', mean_doc_tokens_x100) AS (metric, value)""")
+      .orderBy("metric")
+  }
+
   /** F22 memoized BPE training — the corpus-scale pass is ONE Spark
     * aggregate (word-type histogram, maxTypes-capped); the merge loop
     * runs over that bounded histogram on the driver (the production
