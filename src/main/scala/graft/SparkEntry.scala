@@ -62,6 +62,7 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) => LlmOps.qSemDedup(s, dir)),
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
     "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
+    "q_hard_negatives" -> ((s, dir) => LlmOps.qHardNegatives(s, dir)),
     "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => LlmOps.qBpeEncode(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -626,6 +627,18 @@ object SparkEntry {
         |               e.vec_id) AS "rank"
         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec, label AS qlabel
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS "rank"
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.query_id AND e.label <> q.qlabel) t
+        |WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin,
     "q_lang_id" ->
       """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents),
         |hits AS (

@@ -45,6 +45,26 @@ object Ann {
     topKReduce(scored, k)
   }
 
+  /** E7: hard-negative mining — for each query vector, the k most
+    * SIMILAR vectors of a DIFFERENT label: the contrastive-training
+    * counterpart of top-k retrieval (easy negatives are random; hard
+    * negatives sit near the decision boundary and are what embedding
+    * fine-tuning actually needs). Same scale shape as E1: queries
+    * broadcast, corpus streams, per-query bounded-heap aggregate — the
+    * label predicate rides the broadcast join condition so disqualified
+    * pairs never reach the heap. For query sets too big to broadcast,
+    * the E2/E3 bucketed candidate generation composes in front
+    * unchanged. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries),
+        col("query_id") =!= col(idCol) && col("qlabel") =!= col(labelCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosineSim(col("qvec"), col(embCol)).as("sim"))
+    topKReduce(scored, k)
+  }
+
   /** D5 exact baseline: ALL pairs with cosine similarity above a
     * threshold. O(N²) with one side broadcast — correct and fast while
     * one side fits in memory (the oracle-checked reference semantics);

@@ -187,6 +187,19 @@ object LlmOps {
       bucketed
     }).asInstanceOf[DataFrame]
 
+  /** E7: hard-negative mining — top-3 most-similar OTHER-label vectors
+    * per query vector (the contrastive fine-tuning data op). */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        Ann.asDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
+    Ann.hardNegatives(queries,
+      emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"), col("label")),
+      "vec_id", "emb", "label", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** E1: exact brute-force cosine top-10 per query vector. */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
     Ann.bruteForceTopK(annQueries(spark, dir),

@@ -177,6 +177,21 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(sims(1) - 1.0) < 1e-12)
   }
 
+  test("hard negatives: never the query's own label, ranks contiguous per query") {
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val labelOf = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = LlmOps.qHardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(n != q)
+      assert(labelOf(n) != labelOf(q), s"query $q got same-label negative $n")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach(g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.sameElements(1L to g.length)))
+  }
+
   test("semdedup: exact clones collapse to the minimum id, originals survive") {
     import spark.implicits._
     // identical vectors assign to identical cells, so clone collapse is
