@@ -63,6 +63,7 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
     "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
     "q_hard_negatives" -> ((s, dir) => LlmOps.qHardNegatives(s, dir)),
+    "q_corpus_diff" -> ((s, dir) => LlmOps.qCorpusDiff(s, dir)),
     "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => LlmOps.qBpeEncode(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -1335,6 +1336,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(lp), 3) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, true AS p1, md5(text) AS h1
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, true AS p2,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 9 <> 1)
+        |SELECT doc_id,
+        |  CASE WHEN p1 IS NULL THEN 'added'
+        |       WHEN p2 IS NULL THEN 'removed'
+        |       WHEN h1 IS DISTINCT FROM h2 THEN 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |WHERE CASE WHEN p1 IS NULL THEN 'added'
+        |           WHEN p2 IS NULL THEN 'removed'
+        |           WHEN h1 IS DISTINCT FROM h2 THEN 'changed' END IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       """WITH per AS (
         |  SELECT lang, text,

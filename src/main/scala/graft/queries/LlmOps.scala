@@ -877,6 +877,39 @@ object LlmOps {
       .orderBy("metric")
   }
 
+  /** H12: corpus snapshot DIFF — the dataset-versioning changeset
+    * between two snapshots of the same corpus (what a crawl refresh or
+    * recuration actually changed): per-doc `added` / `removed` /
+    * `changed` by content hash, unchanged rows dropped. Here the two
+    * "snapshots" derive from the one synthetic table (v1 misses the
+    * doc_id%10 cohort, v2 drops the doc_id%9==1 cohort and rewrites the
+    * doc_id%7 cohort's text — all three statuses exercised) — the
+    * operator under test is the diff itself.
+    *
+    * Plan: each side reduces to (id, present, content-hash) map-side —
+    * 1 long + 16 bytes per row crosses the exchange, never text — then
+    * ONE key-partitioned full outer join decides the status. Presence
+    * flags (not hash-nullness) distinguish a missing row from a null
+    * text, and the hash compare is null-safe, so `(null text) →
+    * (null text)` reads unchanged, not changed. Two co-bucketed
+    * snapshots (G6 layout) diff with NO exchange at all. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), lit(true).as("p1"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") % 9 =!= 1)
+      .select(col("doc_id"), lit(true).as("p2"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(!(col("h1") <=> col("h2")), "changed").as("status"))
+      .filter(col("status").isNotNull)
+      .orderBy("doc_id")
+  }
+
   /** F22 memoized BPE training — the corpus-scale pass is ONE Spark
     * aggregate (word-type histogram, maxTypes-capped); the merge loop
     * runs over that bounded histogram on the driver (the production
