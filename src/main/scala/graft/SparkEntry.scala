@@ -64,6 +64,7 @@ object SparkEntry {
     "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
     "q_hard_negatives" -> ((s, dir) => LlmOps.qHardNegatives(s, dir)),
     "q_corpus_diff" -> ((s, dir) => LlmOps.qCorpusDiff(s, dir)),
+    "q_infer_batches" -> ((s, dir) => LlmOps.qInferBatches(s, dir)),
     "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => LlmOps.qBpeEncode(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
@@ -1336,6 +1337,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(lp), 3) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_infer_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT doc_id, ws_tokens,
+        |    CAST(length(bin(ws_tokens)) - 1 AS BIGINT) AS octave FROM t),
+        |r AS (SELECT *, CAST((row_number() OVER (PARTITION BY octave
+        |    ORDER BY ws_tokens, doc_id) - 1) // 32 AS BIGINT) AS batch_idx FROM o)
+        |SELECT octave, batch_idx,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ws_tokens) AS BIGINT) AS batch_tokens,
+        |  CAST(max(ws_tokens) * count(*) AS BIGINT) AS padded_tokens,
+        |  (CAST(max(ws_tokens) * count(*) AS BIGINT) - CAST(sum(ws_tokens) AS BIGINT))
+        |    * 1000000 // CAST(max(ws_tokens) * count(*) AS BIGINT) AS waste_ppm
+        |FROM r GROUP BY octave, batch_idx
+        |ORDER BY octave, batch_idx""".stripMargin,
     "q_corpus_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, true AS p1, md5(text) AS h1

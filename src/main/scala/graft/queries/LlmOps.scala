@@ -441,6 +441,42 @@ object LlmOps {
         max(col("ws_tokens")).as("max_tokens"))
       .orderBy("len_bucket")
 
+  /** F23: length-bucketed inference micro-batching with padding-waste
+    * accounting — the SERVING counterpart of F11's training-sequence
+    * packing: a batch pads every member to its longest sequence, so
+    * batching docs of similar length is what keeps GPU utilization up.
+    * Docs bucket by length octave (F20's log2 bucketing), rank within
+    * the octave by (tokens, id), and chunk into fixed-size batches;
+    * per batch: doc count, real token mass, padded mass (max × n), and
+    * integer-ppm waste.
+    *
+    * Plan: the rank is a per-octave window — the H2 argument applies
+    * (octave strata are FEW by construction, ≤ ~60 for any length
+    * range, so each stratum ranks in one task); if a single octave
+    * outgrows a task at 100 TB, B4's range-partition + per-partition
+    * offset structure replaces the window per octave, unchanged
+    * semantics. */
+  def qInferBatches(spark: SparkSession, dir: String,
+      batchSize: Int = 32): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokenCounts(
+      Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
+      .select(col("doc_id"), col("ws_tokens"),
+        (length(conv(col("ws_tokens"), 10, 2)) - 1).cast("long").as("octave"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("octave")).orderBy(col("ws_tokens"), col("doc_id"))
+    toks
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("octave"), col("batch_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("batch_tokens"),
+        (max(col("ws_tokens")) * count(lit(1))).as("padded_tokens"))
+      .withColumn("waste_ppm",
+        expr("(padded_tokens - batch_tokens) * 1000000 div padded_tokens"))
+      .orderBy("octave", "batch_idx")
+  }
+
   /** D8: incremental ingestion dedup — drop new-batch documents whose
     * exact content (md5) already exists in the ingested corpus (the
     * daily-crawl shape: dedup the increment against the accumulated
