@@ -192,6 +192,14 @@ object ScaleSmoke {
     }
     // fit now memoized: the recurring per-corpus cost is this scoring pass
     time("quality_score_only") { queries.LlmOps.qQualityClassifier(spark, dir) }
+    time("q_hard_negatives") { queries.LlmOps.qHardNegatives(spark, dir) }
+    time("q_corpus_report") { queries.LlmOps.qCorpusReport(spark, dir) }
+    time("q_corpus_diff") { queries.LlmOps.qCorpusDiff(spark, dir) }
+    time("q_infer_batches") { queries.LlmOps.qInferBatches(spark, dir) }
+    time("q_bpe_encode") { // cold: includes the histogram pass + driver merge loop
+      queries.LlmOps.clearAnnIndexes()
+      queries.LlmOps.qBpeEncode(spark, dir)
+    }
     spark.stop()
   }
 }
