@@ -9,7 +9,11 @@ import graft.functions.polyhash
   *
   * All features are built from length/replace arithmetic and regexes with
   * identical semantics in the DuckDB oracle dialect (SURVEY.md §6), and all
-  * are map-side column expressions — no shuffle, fully codegen'd.
+  * are map-side column expressions — no shuffle. The scalar arithmetic
+  * participates in whole-stage codegen; the higher-order array folds
+  * (repetition, entropy, BPE apply — Spark HOFs are CodegenFallback)
+  * evaluate interpreted but remain per-row projections, so the scaling
+  * shape is unchanged (measured linear in the 50× smokes).
   */
 object TextAnalysis {
 

@@ -328,6 +328,9 @@ class StreamingSpec extends SparkSpec {
       (2L, "rep rep rep rep rep rep"), // repetition-gated out
       (3L, "another ordinary text sample here"))
     input.addData(docs: _*)
+    // BPE apply is a pure column chain too — segment the first word
+    // in-stream with merges trained on the static corpus
+    val merges = graft.queries.LlmOps.bpeMerges(spark, sfDir)
     val streamed = input.toDF().toDF("doc_id", "text")
       .withColumn("split", graft.curation.Curation.assignSplit(
         "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)))
@@ -335,7 +338,9 @@ class StreamingSpec extends SparkSpec {
       .withColumn("dup_frac",
         expr("CAST(1000 * (size(__toks) - size(array_distinct(__toks))) div size(__toks) AS BIGINT)"))
       .filter($"dup_frac" < 500)
-      .select("doc_id", "split")
+      .withColumn("first_word_bpe", concat_ws(" ",
+        graft.text.Bpe.applyMerges(element_at($"__toks", 1), merges)))
+      .select("doc_id", "split", "first_word_bpe")
     val query = streamed.writeStream.format("memory")
       .queryName("curated").outputMode("append").start()
     try {
@@ -349,6 +354,12 @@ class StreamingSpec extends SparkSpec {
           "text", Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(out.forall { case (id, s) => batch(id) == s })
+      // BPE segmentation ran in-stream and round-trips
+      val bpe = spark.table("curated").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      val firstWord = docs.toMap
+      assert(bpe.forall { case (id, seg) =>
+        seg.replace(" ", "") == firstWord(id).split(" ").head + "</w>" })
     } finally query.stop()
   }
 

@@ -58,6 +58,38 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("property: random small-alphabet corpora — declarative ≡ imperative, round-trip holds") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // 3-letter alphabet → dense repeated pairs, overlapping runs ("aaa"),
+    // and merge chains deeper than the classic corpus exercises
+    val word = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (seed <- 1 to 5) {
+      val words = sample(Gen.listOfN(40, word), seed.toLong)
+      val hist = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val merges = Bpe.train(hist, numMerges = 12)
+      assert(merges.nonEmpty, s"seed=$seed should learn merges")
+      def reference(w: String): Seq[String] =
+        merges.sortBy(_.rank).foldLeft(w.map(_.toString).toArray :+ "</w>") {
+          (s, m) => Bpe.mergeOnce(s, m.left, m.right)
+        }.toSeq
+      val distinct = words.distinct
+      val got = distinct.toDF("word")
+        .select($"word", Bpe.applyMerges($"word", merges).as("sym"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      distinct.foreach { w =>
+        assert(got(w) == reference(w), s"seed=$seed apply mismatch for '$w'")
+        assert(got(w).mkString == w + "</w>", s"seed=$seed round-trip for '$w'")
+      }
+    }
+  }
+
   test("registered trainer emits ranked merges over the corpus") {
     val rows = graft.queries.LlmOps.qBpeTrain(spark, sfDir).collect()
     assert(rows.length == 40)
