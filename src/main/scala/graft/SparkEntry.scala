@@ -63,6 +63,7 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
     "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
     "q_hard_negatives" -> ((s, dir) => LlmOps.qHardNegatives(s, dir)),
+    "q_hard_negatives_lsh" -> ((s, dir) => LlmOps.qHardNegativesLsh(s, dir)),
     "q_corpus_diff" -> ((s, dir) => LlmOps.qCorpusDiff(s, dir)),
     "q_infer_batches" -> ((s, dir) => LlmOps.qInferBatches(s, dir)),
     "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),

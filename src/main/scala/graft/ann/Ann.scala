@@ -65,6 +65,30 @@ object Ann {
     topKReduce(scored, k)
   }
 
+  /** E7 scale path: hard negatives over an LSH-bucketed corpus — E2's
+    * multi-probe candidate generation with the label disqualifier ON
+    * THE CANDIDATE JOIN, so same-label candidates drop before any
+    * cosine is computed. `bucketed` must carry (idCol, embCol,
+    * labelCol, bucket); queries carry (query_id, qvec, qlabel). At
+    * cluster scale the bucket is the shuffle key and the query set
+    * never needs to broadcast. */
+  def hardNegativesLsh(queries: DataFrame, bucketed: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int, dims: Int, planes: Int = 8,
+      probeBits: Int = 2): DataFrame = {
+    val flips = array(probeMasks(planes, probeBits).map(lit): _*)
+    val probed = queries
+      .withColumn("qbucket", lshBucket(col("qvec"), dims, planes))
+      .select(col("query_id"), col("qvec"), col("qlabel"),
+        explode(transform(flips, flip => col("qbucket").bitwiseXOR(flip))).as("bucket"))
+    val candidates = probed.join(bucketed,
+        probed("bucket") === bucketed("bucket") && col("query_id") =!= col(idCol) &&
+          col("qlabel") =!= col(labelCol))
+      .select(col("query_id"), col("qvec"), col(idCol).as("neighbor_id"), col(embCol))
+      .dropDuplicates("query_id", "neighbor_id")
+    topKReduce(candidates.select(col("query_id"), col("neighbor_id"),
+      cosineSim(asDouble(col("qvec")), asDouble(col(embCol))).as("sim")), k)
+  }
+
   /** D5 exact baseline: ALL pairs with cosine similarity above a
     * threshold. O(N²) with one side broadcast — correct and fast while
     * one side fits in memory (the oracle-checked reference semantics);

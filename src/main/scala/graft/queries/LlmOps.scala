@@ -200,6 +200,23 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E7 scale path: the same hard-negative semantics over LSH buckets —
+    * the deployment plan when the query set outgrows a broadcast.
+    * Rows-only (LSH recall < 1); AnnSpec proves label-validity always
+    * and recall vs the exact E7 on clustered data. */
+  def qHardNegativesLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        Ann.asDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
+    val bucketed = emb.select(col("vec_id"),
+      Ann.asDouble(col("embedding")).as("emb"), col("label"),
+      Ann.lshBucket(Ann.asDouble(col("embedding")), dims = 64, planes = 8).as("bucket"))
+    Ann.hardNegativesLsh(queries, bucketed, "vec_id", "emb", "label",
+      k = 3, dims = 64, planes = 8, probeBits = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** E1: exact brute-force cosine top-10 per query vector. */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
     Ann.bruteForceTopK(annQueries(spark, dir),

@@ -192,6 +192,41 @@ class AnnSpec extends SparkSpec {
       assert(g.map(_.getAs[Long]("rank")).sorted.sameElements(1L to g.length)))
   }
 
+  test("LSH hard negatives: label-valid always, high recall vs exact on clusters") {
+    import spark.implicits._
+    // labeled clusters around ONE shared direction: other-label clusters
+    // are genuinely NEAR the query (the hard-negative regime — boundary
+    // cases, not random far vectors, which no bucketing could rank)
+    val rng = new scala.util.Random(41)
+    val dims = 16
+    val shared = Array.fill(dims)(rng.nextGaussian())
+    val corpus = (0 until 12).flatMap { c =>
+      val base = shared.map(x => x + 0.3 * rng.nextGaussian())
+      (0 until 8).map { m =>
+        (c * 10L + m, base.map(x => x + 0.1 * rng.nextGaussian()).toSeq, c % 4)
+      }
+    }.toDF("vec_id", "emb", "label")
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"emb".as("qvec"), $"label".as("qlabel"))
+    val exact = Ann.hardNegatives(queries, corpus, "vec_id", "emb", "label", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bucketed = corpus.select($"vec_id", $"emb", $"label",
+      Ann.lshBucket(Ann.asDouble($"emb"), dims, planes = 6).as("bucket"))
+    // hard negatives live in OTHER clusters (cluster-scale distances),
+    // so they need deeper multi-probe than same-cluster top-k: 3 flipped
+    // bits probes 42/64 buckets — the recall/cost dial the operator exposes
+    val approx = Ann.hardNegativesLsh(queries, bucketed, "vec_id", "emb", "label",
+      k = 5, dims = dims, planes = 6, probeBits = 3).collect()
+    val labelOf = corpus.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    approx.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(labelOf(n) != labelOf(q), s"same-label negative $n for query $q")
+    }
+    val approxSet = approx.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approxSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH hard-negative recall $recall too low")
+  }
+
   test("semdedup: exact clones collapse to the minimum id, originals survive") {
     import spark.implicits._
     // identical vectors assign to identical cells, so clone collapse is
