@@ -62,6 +62,7 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) => LlmOps.qSemDedup(s, dir)),
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
     "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
+    "q_corpus_report_incremental" -> ((s, dir) => LlmOps.qCorpusReportIncremental(s, dir)),
     "q_hard_negatives" -> ((s, dir) => LlmOps.qHardNegatives(s, dir)),
     "q_hard_negatives_lsh" -> ((s, dir) => LlmOps.qHardNegativesLsh(s, dir)),
     "q_corpus_diff" -> ((s, dir) => LlmOps.qCorpusDiff(s, dir)),

@@ -963,6 +963,23 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** H13: incremental data-card maintenance — the standing corpus and an
+    * ingest increment each aggregate their own one-row mergeable state
+    * (counts, sums, extrema, KMV sketches); the published card renders
+    * from the MERGED state without rescanning the standing corpus.
+    * Rows-only (sketch state isn't SQL-expressible); IncrementalStats-
+    * Spec proves merge ≡ full recompute bit-for-bit and estimate
+    * accuracy. */
+  def qCorpusReportIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val standing = graft.curation.CorpusState.state(
+      docs.filter(col("doc_id") % 3 =!= 0), "text")
+    val increment = graft.curation.CorpusState.state(
+      docs.filter(col("doc_id") % 3 === 0), "text")
+    graft.curation.CorpusState.render(
+      graft.curation.CorpusState.merge(standing.unionAll(increment)))
+  }
+
   /** F22 memoized BPE training — the corpus-scale pass is ONE Spark
     * aggregate (word-type histogram, maxTypes-capped); the merge loop
     * runs over that bounded histogram on the driver (the production
