@@ -363,6 +363,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("corpus-state card maintains itself as a streaming aggregate (complete mode)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // H13's mergeable state IS a streaming aggregation: the same
+    // state() expressions (incl. the KMV TypedImperativeAggregates) run
+    // under continuous update, and after all batches the live card must
+    // equal the batch card over the same rows
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val streamed = graft.curation.CorpusState.state(
+      input.toDF().toDF("doc_id", "text", "lang"), "text")
+    val query = streamed.writeStream.format("memory")
+      .queryName("live_card").outputMode("complete").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      input.addData(h1: _*); query.processAllAvailable()
+      input.addData(h2: _*); query.processAllAvailable()
+      val live = graft.curation.CorpusState.render(spark.table("live_card"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("value")).toMap
+      val batch = graft.curation.CorpusState.render(
+        graft.curation.CorpusState.state(
+          docs.toSeq.toDF("doc_id", "text", "lang"), "text"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("value")).toMap
+      assert(live == batch, s"live card $live must equal batch card $batch")
+    } finally query.stop()
+  }
+
   test("learned quality gate scores a stream with the batch-trained coefficients") {
     val sparkSession = spark
     import sparkSession.implicits._
