@@ -48,6 +48,8 @@ object SparkEntry {
     "q_schema_validate" -> ((s, dir) => Etl.qSchemaValidate(s, dir)),
     "q_bloom_sync" -> ((s, dir) => Etl.qBloomSync(s, dir)),
     "q_dedup_exact" -> ((s, dir) => LlmOps.qDedupExact(s, dir)),
+    "q_span_dedup" -> ((s, dir) => LlmOps.qSpanDedup(s, dir)),
+    "q_join_estimate" -> ((s, dir) => Warehouse.qJoinEstimate(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => LlmOps.qDedupIncremental(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
@@ -557,6 +559,40 @@ object SparkEntry {
       """SELECT md5(props) AS content_hash, min(event_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM events GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // span hash = fold of per-token polyhashes (same char fold as
+    // q_fingerprint) with the same (·131 mod 2³¹−1) combiner — both
+    // engines evaluate identical integer arithmetic; range(0, n-7) is
+    // empty for docs under 8 tokens, matching Spark's guarded sequence
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |th AS (SELECT doc_id, len(toks) AS n,
+        |        list_transform(toks, tk ->
+        |          CASE WHEN length(tk) = 0 THEN 0 ELSE list_reduce(
+        |            list_transform(range(1, length(tk) + 1),
+        |                           i -> CAST(ascii(substr(tk, i, 1)) AS BIGINT)),
+        |            (h, c) -> (h * 131 + c) % 2147483647) END) AS hs
+        |       FROM t),
+        |s0 AS (SELECT doc_id,
+        |        unnest(list_transform(range(0, greatest(n - 7, 0)), pos ->
+        |          {'pos': pos,
+        |           'h': list_reduce(hs[pos + 1:pos + 8],
+        |                            (a, x) -> (a * 131 + x) % 2147483647)})) AS sp
+        |       FROM th),
+        |s AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM s0),
+        |d AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+        |ds AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (h)),
+        |dp0 AS (SELECT doc_id, unnest(list_transform(range(0, 8), o -> pos + o)) AS p
+        |        FROM ds),
+        |dp AS (SELECT DISTINCT doc_id, p FROM dp0),
+        |m AS (SELECT doc_id, count(*) AS n_dup_tokens FROM dp GROUP BY doc_id),
+        |sp2 AS (SELECT doc_id, count(*) AS n_dup_spans FROM ds GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(sp2.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(m.n_dup_tokens, 0) AS n_dup_tokens,
+        |  CAST(1000 * COALESCE(m.n_dup_tokens, 0) // len(t.toks) AS BIGINT)
+        |    AS dup_frac_x1000
+        |FROM t LEFT JOIN m USING (doc_id) LEFT JOIN sp2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL text in the corpus set would NULL
     // out a NOT IN entirely, while Spark's left_anti (null keys never
     // match) keeps the normal result

@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (duplicated-span) detection — the token-level
+  * complement of the document-level D-block: find every w-token span
+  * whose content occurs more than once ANYWHERE in the corpus (another
+  * document, or a repeat inside the same document) and account, per
+  * document, for the tokens such spans cover. This is the practical
+  * corpus-scale shape of suffix-array exact-substring dedup (Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better"):
+  * a suffix array over 100 TB is not a distributed-friendly structure,
+  * but fixed-width span hashing finds the same ≥w-token duplicated
+  * regions — any duplicated region of length ≥ w contains a duplicated
+  * w-span, and the union of covered positions recovers the region.
+  *
+  * Scale notes (100 TB):
+  *  - Span hashing is entirely map-side: one polyhash per TOKEN (not per
+  *    span), then each span hash folds w precomputed 8-byte token hashes
+  *    ((h·B + x) mod M) — O(w) long ops per token, no per-span string
+  *    re-join, no O(chars·w) rehash.
+  *  - The only wide exchanges are keyed on the 8-byte span hash and the
+  *    document id. Text never shuffles.
+  *  - Duplicated-hash selection is groupBy(h).count ≥ 2 — NOT
+  *    collect_list of occurrences per hash: a boilerplate span shared by
+  *    millions of documents would put millions of structs in one
+  *    aggregation buffer (the D6 viral-bucket hazard). The count-then-
+  *    join-back shape keeps every aggregation state a single long, at
+  *    the cost of computing the span stream twice — two map-side scans
+  *    beat one unbounded buffer.
+  *  - Per-document mask union IS a bounded collect_list: span starts per
+  *    doc are capped by the doc's own token count, the same per-group
+  *    bound as holding the document text itself.
+  */
+object SpanDedup {
+
+  /** Same constants as [[graft.functions.expressions.PolyHash]] so the
+    * span fold stays in the no-overflow envelope: h < M = 2³¹−1, so
+    * h·131 + x < 2³⁹. */
+  final val M = 2147483647L
+  final val B = 131L
+
+  /** The (id, pos, h) span-hash stream: one row per w-token window.
+    * Documents shorter than w tokens emit nothing. */
+  def spanHashes(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      // token hashes become an attribute BEFORE the span fold — lambda
+      // bodies are not CSE'd, so inlining split() would re-tokenize per
+      // span (the wordNgrams O(words²) trap)
+      .select(col(idCol),
+        transform(col("__toks"), t => graft.functions.polyhash(t)).as("__hs"),
+        size(col("__toks")).as("__n"))
+      .select(col(idCol),
+        when(col("__n") >= w,
+          transform(sequence(lit(0), col("__n") - w), p =>
+            struct(p.cast("long").as("pos"),
+              aggregate(slice(col("__hs"), p + 1, lit(w)), lit(0L),
+                (a, x) => (a * B + x) % M).as("h"))))
+          .otherwise(array().cast("array<struct<pos:bigint,h:bigint>>"))
+          .as("__spans"))
+      .select(col(idCol), explode(col("__spans")).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.h").as("h"))
+
+  /** Span hashes whose content occurs ≥2 times corpus-wide (the
+    * "duplicated substring" set). Single-long aggregation state per
+    * hash — safe under any span popularity skew. */
+  def duplicatedHashes(spans: DataFrame): DataFrame =
+    spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+
+  /** Per-document duplicated-span accounting:
+    * (id, n_tokens, n_dup_spans, n_dup_tokens, dup_frac_x1000) where
+    * n_dup_tokens is the size of the UNION of [pos, pos+w) intervals of
+    * duplicated spans — the token mass exact-substring dedup would drop.
+    * Integer-scaled fraction for engine-parity. */
+  def docSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, w)
+    val dup = duplicatedHashes(spans).select("h")
+    val perDoc = spans.join(dup, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        collect_list(col("pos")).as("__ps"))
+      // interval union via position explode INSIDE the per-doc array —
+      // bounded by w × spans-per-doc, never a corpus-wide explode
+      .select(col(idCol), col("n_dup_spans"),
+        size(array_distinct(flatten(
+          transform(col("__ps"), p => sequence(p, p + (w - 1))))))
+          .cast("long").as("n_dup_tokens"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_spans", "n_dup_tokens"))
+      .withColumn("dup_frac_x1000",
+        F.expr("CAST(1000 * n_dup_tokens div n_tokens AS BIGINT)"))
+  }
+}

@@ -19,6 +19,15 @@ object LlmOps {
     Dedup.exact(Tables.table(spark, dir, "events"), "props", "event_id")
       .orderBy("content_hash")
 
+  /** D14: exact-substring span dedup — per-document accounting of
+    * duplicated 8-token spans (see [[graft.dedup.SpanDedup]] for the
+    * 100 TB shape: per-token hashing, count-then-join-back duplicate
+    * selection, per-doc-bounded interval union). */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SpanDedup.docSpanStats(
+      Tables.table(spark, dir, "documents"), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
   /** D2: MinHash-LSH near-dup pairs. Unigram shingles — the synthetic docs
     * share a vocabulary, so near-dup structure exists at the unigram level;
     * the 3-gram configuration is exercised in MinHashSpec with planted

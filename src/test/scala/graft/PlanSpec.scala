@@ -281,4 +281,18 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       "part/supplier membership probes must broadcast")
   }
+
+  test("span dedup: no window/sort-aggregate; dup selection is a count agg, not collect per hash") {
+    val df = graft.dedup.SpanDedup.docSpanStats(
+      graft.sources.Tables.table(spark, sfDir, "documents"), "doc_id", "text", 8)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "span accounting must not window")
+    assert(!plan.contains("SortAggregate"),
+      "span aggs must stay hash-based (collect_list is per-doc bounded)")
+    // the duplicated-hash side aggregates counts only — the ONE logical
+    // collect_list (the per-doc, per-group-bounded mask union) shows as
+    // its partial + final pair and nothing more
+    assert("collect_list".r.findAllIn(plan).size <= 2,
+      "never collect occurrence lists per span hash (viral-span hazard)")
+  }
 }
