@@ -682,4 +682,13 @@ object Warehouse {
       .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
       .orderBy($"window_start", $"event_type")
   }
+
+  /** C30: pre-flight join-size estimation — orders ⋈ lineitem sized from
+    * two map-side KMV key sketches, never running the join (see
+    * [[graft.engine.JoinEstimate]]). Deterministic (xxhash64), rows-only
+    * checked: JoinEstimateSpec bounds the error against the exact join. */
+  def qJoinEstimate(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.JoinEstimate.estimateEquiJoin(
+      Tables.table(spark, dir, "orders"), "o_orderkey",
+      Tables.table(spark, dir, "lineitem"), "l_orderkey", k = 8192)
 }
