@@ -50,6 +50,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => LlmOps.qDedupExact(s, dir)),
     "q_span_dedup" -> ((s, dir) => LlmOps.qSpanDedup(s, dir)),
     "q_join_estimate" -> ((s, dir) => Warehouse.qJoinEstimate(s, dir)),
+    "q_join_estimate_skew" -> ((s, dir) => Warehouse.qJoinEstimateSkew(s, dir)),
+    "q_span_dedup_apply" -> ((s, dir) => LlmOps.qSpanDedupApply(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => LlmOps.qDedupIncremental(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
@@ -592,6 +594,38 @@ object SparkEntry {
         |  CAST(1000 * COALESCE(m.n_dup_tokens, 0) // len(t.toks) AS BIGINT)
         |    AS dup_frac_x1000
         |FROM t LEFT JOIN m USING (doc_id) LEFT JOIN sp2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // same span stream; canonical = min packed (doc·2²⁴+pos); DuckDB's
+    // array_to_string(NULL-on-empty) needs the COALESCE to match Spark's
+    // array_join('' on empty); list_filter's index is 1-based vs Spark's 0
+    "q_span_dedup_apply" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |th AS (SELECT doc_id, len(toks) AS n,
+        |        list_transform(toks, tk ->
+        |          CASE WHEN length(tk) = 0 THEN 0 ELSE list_reduce(
+        |            list_transform(range(1, length(tk) + 1),
+        |                           i -> CAST(ascii(substr(tk, i, 1)) AS BIGINT)),
+        |            (h, c) -> (h * 131 + c) % 2147483647) END) AS hs
+        |       FROM t),
+        |s0 AS (SELECT doc_id,
+        |        unnest(list_transform(range(0, greatest(n - 7, 0)), pos ->
+        |          {'pos': pos,
+        |           'h': list_reduce(hs[pos + 1:pos + 8],
+        |                            (a, x) -> (a * 131 + x) % 2147483647)})) AS sp
+        |       FROM th),
+        |s AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM s0),
+        |occ AS (SELECT h, count(*) AS n_occ, min(doc_id * 16777216 + pos) AS canon
+        |        FROM s GROUP BY h),
+        |mk AS (SELECT s.doc_id, s.pos FROM s JOIN occ USING (h)
+        |       WHERE occ.n_occ >= 2 AND s.doc_id * 16777216 + s.pos <> occ.canon),
+        |mp0 AS (SELECT doc_id, unnest(list_transform(range(0, 8), o -> pos + o)) AS p
+        |        FROM mk),
+        |ml AS (SELECT doc_id, list(DISTINCT p) AS mask FROM mp0 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - COALESCE(len(ml.mask), 0) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(list_filter(t.toks, (x, i) ->
+        |    NOT list_contains(COALESCE(ml.mask, []), i - 1)), ' '), '') AS clean_text
+        |FROM t LEFT JOIN ml USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // NOT EXISTS, not NOT IN: a NULL text in the corpus set would NULL
     // out a NOT IN entirely, while Spark's left_anti (null keys never

@@ -97,4 +97,46 @@ object SpanDedup {
       .withColumn("dup_frac_x1000",
         F.expr("CAST(1000 * n_dup_tokens div n_tokens AS BIGINT)"))
   }
+
+  /** The dedup TRANSFORM: drop every NON-CANONICAL occurrence of a
+    * duplicated span (canonical = smallest (doc, pos), kept whole) and
+    * reconstruct the cleaned text — Lee et al.'s "keep one copy of each
+    * duplicated substring" as a distributed plan.
+    *
+    * Canonical selection is a PACKED-LONG min in the same hash aggregate
+    * that counts occurrences (doc_id·2²⁴ + pos orders (doc, pos)
+    * lexicographically while keeping the aggregate a HashAggregate — a
+    * min-of-struct would plan a SortAggregate, the H6 lesson; pos < 2²⁴
+    * and doc_id < 2³⁹ hold to ~550 B docs). Text reconstruction is
+    * map-side: the per-doc mask joins back by id and a filter-with-index
+    * lambda keeps unmasked tokens — the document text itself never
+    * shuffles. */
+  def dedupApply(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, w)
+    val packed = col(idCol) * lit(1L << 24) + col("pos")
+    val occ = spans
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("__n_occ"), min(packed).as("__canon"))
+      .filter(col("__n_occ") >= 2)
+    val masked = spans.join(occ, "h")
+      .filter(packed =!= col("__canon"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__ps"))
+      .select(col(idCol),
+        array_sort(array_distinct(flatten(
+          transform(col("__ps"), p => sequence(p, p + (w - 1))))))
+          .as("__mask"))
+    docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .join(masked, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        filter(col("__toks"),
+          (_, i) => !array_contains(
+            coalesce(col("__mask"), array().cast("array<bigint>")),
+            i.cast("long"))).as("__clean"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__clean")).cast("long").as("n_kept"),
+        array_join(col("__clean"), " ").as("clean_text"))
+  }
 }

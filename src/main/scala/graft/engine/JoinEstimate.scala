@@ -78,4 +78,71 @@ object JoinEstimate {
           * (col("n_b").cast("double") / dB)).cast("long")
           .as("est_join_rows"))
   }
+
+  /** Skew-aware variant: heavy-hitter keys (per-side Misra–Gries sketch,
+    * F16's aggregate) contribute their EXACT-ish cA(k)·cB(k) products;
+    * the uniform-multiplicity model only covers the residual. This is
+    * what makes self-join / fact⋈fact size prediction honest under Zipf
+    * keys — Σc(k)² is dominated by the head the uniform model averages
+    * away.
+    *
+    * A key counts as heavy only when its stored count clears the MG
+    * noise floor n/(kHH+1) on BOTH sides — below it, survivors of the
+    * decrement process carry junk counts and the residual model is the
+    * better estimate (uniform inputs therefore reduce to
+    * [[estimateEquiJoin]]'s answer). MG counts under-estimate by ≤ the
+    * same floor, so the heavy part is conservative. Still one bounded
+    * aggregate per side (k + kHH state), still nothing data-sized after
+    * the scans. */
+  def estimateEquiJoinSkewAware(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, k: Int = 8192, kHH: Int = 256): DataFrame = {
+    val sa = a.agg(
+      count(col(aKey)).as("n_a"),
+      graft.functions.kmvSketch(col(aKey), k).as("sk_a"),
+      graft.functions.freqItems(col(aKey).cast("string"), kHH).as("hh_a"))
+    val sb = b.agg(
+      count(col(bKey)).as("n_b"),
+      graft.functions.kmvSketch(col(bKey), k).as("sk_b"),
+      graft.functions.freqItems(col(bKey).cast("string"), kHH).as("hh_b"))
+    val u = array_sort(array_union(col("sk_a"), col("sk_b")))
+    val unionK = slice(u, 1, k)
+    val dU = when(size(u) < k, size(u).cast("double"))
+      .otherwise(estimateFromSketch(unionK, k))
+    val interFrac = when(size(unionK) === 0, lit(0.0))
+      .otherwise(size(array_intersect(unionK,
+        array_intersect(col("sk_a"), col("sk_b")))).cast("double")
+        / size(unionK))
+    val dA = estimateFromSketch(col("sk_a"), k)
+    val dB = estimateFromSketch(col("sk_b"), k)
+    val common = interFrac * dU
+    val floorA = col("n_a").cast("double") / (kHH + 1)
+    val floorB = col("n_b").cast("double") / (kHH + 1)
+    val bVal = (e: Column) =>
+      coalesce(element_at(col("hh_b"), e.getField("key")), lit(0L))
+    val both = filter(map_entries(col("hh_a")), e =>
+      e.getField("value").cast("double") >= floorA &&
+        bVal(e).cast("double") >= floorB)
+    val hhRows = aggregate(both, lit(0.0), (acc, e) =>
+      acc + e.getField("value").cast("double") * bVal(e).cast("double"))
+    val hhKeys = size(both).cast("double")
+    val hhMassA = aggregate(both, lit(0L), (acc, e) =>
+      acc + e.getField("value")).cast("double")
+    val hhMassB = aggregate(both, lit(0L), (acc, e) =>
+      acc + bVal(e)).cast("double")
+    val dAr = dA - hhKeys
+    val dBr = dB - hhKeys
+    val commonR = greatest(common - hhKeys, lit(0.0))
+    val resRows = when(dAr > 0.0 && dBr > 0.0,
+      commonR * (greatest(col("n_a").cast("double") - hhMassA, lit(0.0)) / dAr)
+        * (greatest(col("n_b").cast("double") - hhMassB, lit(0.0)) / dBr))
+      .otherwise(lit(0.0))
+    sa.crossJoin(sb)
+      .select(
+        col("n_a"), col("n_b"),
+        round(dA).cast("long").as("est_distinct_a"),
+        round(dB).cast("long").as("est_distinct_b"),
+        round(common).cast("long").as("est_common_keys"),
+        hhKeys.cast("long").as("hh_common_keys"),
+        round(hhRows + resRows).cast("long").as("est_join_rows"))
+  }
 }

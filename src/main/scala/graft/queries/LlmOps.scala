@@ -28,6 +28,14 @@ object LlmOps {
       Tables.table(spark, dir, "documents"), "doc_id", "text", w = 8)
       .orderBy("doc_id")
 
+  /** D14b: the span-dedup TRANSFORM — drop non-canonical occurrences of
+    * duplicated 8-token spans, keep-first canonical, rebuild clean text
+    * map-side (see [[graft.dedup.SpanDedup.dedupApply]]). */
+  def qSpanDedupApply(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SpanDedup.dedupApply(
+      Tables.table(spark, dir, "documents"), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
   /** D2: MinHash-LSH near-dup pairs. Unigram shingles — the synthetic docs
     * share a vocabulary, so near-dup structure exists at the unigram level;
     * the 3-gram configuration is exercised in MinHashSpec with planted

@@ -691,4 +691,13 @@ object Warehouse {
     graft.engine.JoinEstimate.estimateEquiJoin(
       Tables.table(spark, dir, "orders"), "o_orderkey",
       Tables.table(spark, dir, "lineitem"), "l_orderkey", k = 8192)
+
+  /** C30b: the skew-aware twin sizing the events⋈events self-join on the
+    * Zipf-ish user_id — Σc(u)² is exactly what the uniform model misses
+    * and what decides salting (C17) before the join runs. */
+  def qJoinEstimateSkew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    graft.engine.JoinEstimate.estimateEquiJoinSkewAware(
+      ev, "user_id", ev, "user_id", k = 8192, kHH = 256)
+  }
 }

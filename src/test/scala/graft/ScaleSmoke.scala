@@ -69,6 +69,7 @@ object ScaleSmoke {
     time("q_sessionize") { queries.Warehouse.qSessionize(spark, dir) }
     time("q_dedup_exact") { queries.LlmOps.qDedupExact(spark, dir) }
     time("q_span_dedup") { queries.LlmOps.qSpanDedup(spark, dir) }
+    time("q_span_dedup_apply") { queries.LlmOps.qSpanDedupApply(spark, dir) }
     time("q_dedup_minhash") { queries.LlmOps.qDedupMinhash(spark, dir) }
     time("q_dedup_simhash") { queries.LlmOps.qDedupSimhash(spark, dir) }
     // at this corpus size the LSH near-dup needs planes sized to the data

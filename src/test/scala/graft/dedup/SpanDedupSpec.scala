@@ -91,6 +91,41 @@ class SpanDedupSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0), "corpus should contain duplicated spans")
   }
 
+  test("apply keeps the canonical (first) occurrence and drops the rest") {
+    val out = SpanDedup.dedupApply(docs(
+      1L -> "a b c d e f",
+      2L -> "x y c d e f",   // shares "c d e f" (w=4) — doc 1 is canonical
+      3L -> "c d e f q r"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((6L, "a b c d e f")), "canonical doc untouched")
+    assert(out(2L) == ((2L, "x y")), "non-canonical occurrence dropped")
+    assert(out(3L) == ((2L, "q r")))
+  }
+
+  test("apply masks within-doc repeats, keeping the earliest span whole") {
+    // "x x x x x x": spans at 0,1,2 share one hash; canonical pos 0 kept,
+    // spans 1 and 2 masked -> positions 1..5 dropped, "x" remains
+    val out = SpanDedup.dedupApply(docs(1L -> "x x x x x x"),
+      "doc_id", "text", w).collect().head
+    assert(out.getLong(2) == 1 && out.getString(3) == "x")
+  }
+
+  test("apply on a dup-free corpus is the identity") {
+    val rows = Seq(1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six")
+    val out = SpanDedup.dedupApply(docs(rows: _*), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == rows.toMap)
+  }
+
+  test("apply drops a fully-duplicated doc to empty text, never null") {
+    val out = SpanDedup.dedupApply(docs(
+      1L -> "a b c d", 2L -> "a b c d"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((4L, "a b c d")))
+    assert(out(2L) == ((0L, "")), "empty result must be '' (oracle parity)")
+  }
+
   test("dup_frac_x1000 is the integer-scaled mask ratio") {
     val out = SpanDedup.docSpanStats(docs(
       1L -> "a b c d e f g h i j",   // 10 tokens, no dup

@@ -52,6 +52,41 @@ class JoinEstimateSpec extends SparkSpec {
     assert(est.getAs[Long]("est_join_rows") == 0)
   }
 
+  test("skew-aware estimate recovers the viral-key join size") {
+    import spark.implicits._
+    val a = (Seq.fill(1000)(0) ++ (1 until 100)).toDF("k")
+    val b = (Seq.fill(1000)(0) ++ (1 until 100)).toDF("k")
+    val est = JoinEstimate.estimateEquiJoinSkewAware(a, "k", b, "k",
+      k = 1024, kHH = 64).collect().head
+    val exact = 1000L * 1000 + 99
+    assert(est.getAs[Long]("hh_common_keys") == 1, "the hot key must surface")
+    assert(relErr(est.getAs[Long]("est_join_rows"), exact) < 0.10,
+      s"skew-aware: est=${est.getAs[Long]("est_join_rows")} exact=$exact")
+  }
+
+  test("skew-aware reduces to the uniform model on uniform keys") {
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+    val lineitem = graft.sources.Tables.table(spark, sfDir, "lineitem")
+    val est = JoinEstimate.estimateEquiJoinSkewAware(
+      orders, "o_orderkey", lineitem, "l_orderkey", k = 8192, kHH = 256)
+      .collect().head
+    val exactRows = orders.join(lineitem,
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(est.getAs[Long]("hh_common_keys") == 0,
+      "uniform multiplicities sit below the MG noise floor")
+    assert(relErr(est.getAs[Long]("est_join_rows"), exactRows) < 0.05)
+  }
+
+  test("skew-aware sizes the events self-join (sum of squared counts)") {
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    val est = JoinEstimate.estimateEquiJoinSkewAware(
+      ev, "user_id", ev, "user_id", k = 8192, kHH = 256).collect().head
+    val exact = ev.groupBy("user_id").count()
+      .agg(sum(col("count") * col("count"))).collect().head.getLong(0)
+    assert(relErr(est.getAs[Long]("est_join_rows"), exact) < 0.15,
+      s"self-join: est=${est.getAs[Long]("est_join_rows")} exact=$exact")
+  }
+
   test("uniform-multiplicity model is honest about skew (documented contract)") {
     import spark.implicits._
     // one viral key: 1000 copies on each side; 99 singleton shared keys.
