@@ -59,6 +59,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => LlmOps.qDedupClusters(s, dir)),
     "q_dedup_apply" -> ((s, dir) => LlmOps.qDedupApply(s, dir)),
     "q_decontaminate" -> ((s, dir) => LlmOps.qDecontaminate(s, dir)),
+    "q_contamination_report" -> ((s, dir) => LlmOps.qContaminationReport(s, dir)),
     "q_split_assign" -> ((s, dir) => LlmOps.qSplitAssign(s, dir)),
     "q_sample_per_group" -> ((s, dir) => LlmOps.qSamplePerGroup(s, dir)),
     "q_embedding_neardup" -> ((s, dir) => LlmOps.qEmbeddingNearDup(s, dir)),
@@ -857,6 +858,27 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    // the audit twin of q_decontaminate: same 4-gram stream, distinct
+    // per-holdout grams vs the corpus's distinct gram set; integer
+    // x1000 fraction so the hash compare is exact
+    "q_contamination_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2), i ->
+        |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram FROM toks),
+        |hg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 = 0),
+        |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM hg GROUP BY doc_id),
+        |mt AS (SELECT hg.doc_id, count(*) AS n_matched
+        |       FROM hg JOIN cg USING (gram) GROUP BY hg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(mt.n_matched, 0) AS BIGINT) AS n_matched,
+        |  CAST(CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0
+        |       ELSE 1000 * COALESCE(mt.n_matched, 0) // tot.n_grams END
+        |    AS BIGINT) AS contamination_x1000
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN mt USING (doc_id)
+        |WHERE d.doc_id % 97 = 0
+        |ORDER BY d.doc_id""".stripMargin,
     "q_split_assign" ->
       """WITH ph AS (
         |  SELECT doc_id, lang,

@@ -67,6 +67,52 @@ object Curation {
     corpus.join(contaminatedIds(corpus, holdout, textCol, idCol, n),
       Seq(idCol), "left_anti")
 
+  /** The AUDIT half of decontamination: per holdout/benchmark document,
+    * how much of it leaked into the training corpus — distinct-n-gram
+    * match fraction, the number an eval-integrity review wants per
+    * benchmark item (the D7 drop is pass/fail; this is the severity).
+    *
+    * Output: (idCol, n_grams, n_matched, contamination_x1000) — all
+    * integers (x1000 via integer division) so the DuckDB oracle hash
+    * matches bit-for-bit.
+    *
+    * Plan shape: the holdout's distinct (id, gram) pairs are
+    * benchmark-sized and BROADCAST; the corpus side explodes to bare
+    * grams map-side and hash-joins against them, so the only exchange
+    * after the corpus scan carries the MATCHED grams (tiny) into a
+    * distinct + per-holdout count. No corpus-wide gram distinct, no
+    * gram-keyed shuffle of the full corpus — at 100 TB the corpus pass
+    * stays embarrassingly parallel, same contract as [[contaminatedIds]].
+    * Short holdout docs (< n tokens) report 0 grams / 0 contamination
+    * rather than vanishing. */
+  def contaminationReport(corpus: DataFrame, holdout: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    // tokens materialize as their own projection first (the
+    // Dedup.wordNgrams lambda-CSE note: inlining split re-tokenizes
+    // per gram element)
+    val hToks = holdout
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val hGrams = hToks
+      .select(col(idCol), explode(Dedup.ngramsFromTokens(col("__toks"), n)).as("gram"))
+      .distinct()
+    val totals = hToks
+      .select(col(idCol),
+        size(array_distinct(Dedup.ngramsFromTokens(col("__toks"), n)))
+          .cast("long").as("n_grams"))
+    val corpusGrams = corpus
+      .select(split(col(textCol), " ").as("__toks"))
+      .select(explode(Dedup.ngramsFromTokens(col("__toks"), n)).as("gram"))
+    val matched = corpusGrams.join(broadcast(hGrams), "gram")
+      .select(col(idCol), col("gram")).distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contamination_x1000",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("CAST(1000 * n_matched div n_grams AS BIGINT)")))
+  }
+
   /** Deterministic balanced subsample: exactly `n` rows per group, chosen
     * by content-hash order (md5 of `textCol`, id tiebreak) — a stable
     * "take 10k docs per language" that every rerun and every engine

@@ -282,6 +282,19 @@ object LlmOps {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** D7b: the contamination AUDIT — per holdout document, the fraction
+    * of its distinct word 4-grams found anywhere in the training corpus
+    * (see [[graft.curation.Curation.contaminationReport]]); D7 is the
+    * drop, this is the per-benchmark-item severity readout. */
+  def qContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    graft.curation.Curation.contaminationReport(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "text", "doc_id", n = 4)
+      .orderBy("doc_id")
+  }
+
   /** H1: deterministic content-keyed train/val/test split (80/10/10) —
     * stable under row order, partitioning, and id reassignment; pure
     * map-side projection. */

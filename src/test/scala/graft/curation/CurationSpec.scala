@@ -23,6 +23,40 @@ class CurationSpec extends SparkSpec {
     assert(clean == Set(2L, 3L))
   }
 
+  test("contamination report scores per-holdout leak severity") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains holdout 200's grams
+      (2L, "unrelated words entirely elsewhere today"))
+      .toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "alpha beta gamma delta"),        // 1 gram, fully leaked
+      (200L, "alpha beta gamma delta epsilon nope"), // 3 grams, 2 leaked
+      (300L, "nothing here matches the corpus text"),// 0 leaked
+      (400L, "too short"))                     // < n tokens → 0 grams
+      .toDF("doc_id", "text")
+    val got = Curation.contaminationReport(corpus, holdout, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(100L) == ((1L, 1L, 1000L)), "verbatim substring scores 1000")
+    assert(got(200L) == ((3L, 2L, 666L)), "partial leak is the integer ratio")
+    assert(got(300L) == ((3L, 0L, 0L)))
+    assert(got(400L) == ((0L, 0L, 0L)), "short docs report zero, not vanish")
+  }
+
+  test("contamination report agrees with the decontamination verdict") {
+    // any corpus doc flagged by contaminatedIds shares ≥1 gram with SOME
+    // holdout doc, so some holdout doc must report n_matched > 0 — and a
+    // zero-report across all holdout docs implies nothing was flagged
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val holdout = docs.filter(col("doc_id") % 97 === 0)
+    val flagged = Curation.contaminatedIds(corpus, holdout, "text", "doc_id", 4).count()
+    val reported = Curation.contaminationReport(corpus, holdout, "text", "doc_id", 4)
+      .agg(sum(col("n_matched"))).collect().head.getLong(0)
+    assert((flagged > 0) == (reported > 0))
+  }
+
   test("exact per-group sample: n per stratum, stable under repartitioning") {
     import spark.implicits._
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
