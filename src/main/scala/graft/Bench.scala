@@ -29,6 +29,8 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "quality_lr_fit" -> (try timed { graft.queries.LlmOps.qualityClfModel(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
+      "pq_fit" -> (try timed { graft.queries.LlmOps.pqIndex(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
       "bpe_train" -> (try timed { graft.queries.LlmOps.bpeMerges(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
     // Two passes per query: pass 1 pays whole-stage-codegen compile +

@@ -77,6 +77,7 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
+    "q_pq_topk" -> ((s, dir) => LlmOps.qPqTopK(s, dir)),
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
     "q_pack_sequences" -> ((s, dir) => LlmOps.qPackSequences(s, dir)),
     "q_quality_gate" -> ((s, dir) => LlmOps.qQualityGate(s, dir)),

@@ -1,0 +1,110 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{pqAdc, pqDistTable, pqEncode, topKByScore}
+
+/** Product quantization (E8, SURVEY.md §2) — the MEMORY-bound ANN scale
+  * path (Jégou et al. 2011): each d-dim vector compresses to m codebook
+  * ids (m bytes at k ≤ 256), a 32× shrink for float32·64-dim — the
+  * difference between an embedding store that fits executor memory at
+  * 100 TB corpus scale and one that doesn't. Search is asymmetric
+  * (ADC): the query stays full-precision, builds one m·k distance table,
+  * and every candidate costs m array lookups.
+  *
+  * Scale shape: codebooks train on a bounded SAMPLE (m independent
+  * per-subspace k-means — FAISS trains on ~100k-1M points regardless of
+  * corpus size; the quantizer needs the distribution, not the corpus),
+  * then encoding is one map-side pass with the codebooks riding the
+  * generated code as a reference object. The scored scan reuses E1's
+  * broadcast-queries + bounded-heap-aggregate shape, so the only
+  * exchange carries partitions×k rows per query. Composes with IVF
+  * (E3) for cell-pruned candidate generation in front — this module is
+  * the compressed-scoring half.
+  */
+object Pq {
+
+  /** Trained product quantizer: flattened m×k×dsub centroid matrix plus
+    * its shape. Driver-side object, KBs — broadcast implicitly via the
+    * expressions that close over it. */
+  final case class PqCodebooks(flat: Array[Double], m: Int, k: Int, dsub: Int)
+
+  /** Fit per-subspace codebooks on a sample of the corpus. Deterministic
+    * for a fixed seed and layout (MLlib k-means). `sampleFraction` bounds
+    * the training cost independent of corpus size; the m fits each scan
+    * only the (dsub-wide) subvector projection of the sample. */
+  def fit(corpus: DataFrame, embCol: String, m: Int, k: Int,
+      seed: Long = 42L, maxIter: Int = 10,
+      sampleFraction: Double = 1.0): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Ann.asDouble(col(embCol))
+    val dims = corpus.select(size(emb)).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val sample =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    // one narrow materialization feeds all m fits: the full-width
+    // embedding is read once, not m times
+    val subs = sample.select(
+      (0 until m).map(j => slice(emb, j * dsub + 1, dsub).as(s"__s$j")): _*)
+      .persist()
+    val flat = new Array[Double](m * k * dsub)
+    try {
+      (0 until m).foreach { j =>
+        val model = new KMeans()
+          .setK(k).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol("__features")
+          .fit(subs.select(array_to_vector(col(s"__s$j")).as("__features")))
+        model.clusterCenters.zipWithIndex.foreach { case (v, c) =>
+          val a = v.toArray
+          var d = 0
+          while (d < dsub) { flat((j * k + c) * dsub + d) = a(d); d += 1 }
+        }
+      }
+    } finally subs.unpersist()
+    PqCodebooks(flat, m, k, dsub)
+  }
+
+  /** Encode every corpus vector to its m codebook ids — one map-side
+    * projection ([[graft.functions.pqEncode]]). */
+  def encode(corpus: DataFrame, idCol: String, embCol: String,
+      cb: PqCodebooks): DataFrame =
+    corpus.select(col(idCol),
+      pqEncode(Ann.asDouble(col(embCol)), cb.flat, cb.m, cb.k, cb.dsub)
+        .as("codes"))
+
+  /** Decoded (reconstructed) vectors — each subvector replaced by its
+    * centroid. The quantization-error side of the compression trade;
+    * spec fodder, not a hot path. */
+  def decode(encoded: DataFrame, idCol: String, cb: PqCodebooks): DataFrame = {
+    val cbCol = lit(cb.flat)
+    encoded.select(col(idCol),
+      flatten(transform(sequence(lit(0), lit(cb.m - 1)), j =>
+        slice(cbCol,
+          (j * cb.k + col("codes").getItem(j).cast("int")) * cb.dsub + 1,
+          lit(cb.dsub)))).as("decoded"))
+  }
+
+  /** E8: ADC top-k — queries (query_id, qvec) against the encoded corpus
+    * (idCol, codes). E1's broadcast + bounded-heap shape, but the corpus
+    * side carries m·8-byte codes instead of d·8-byte vectors and each
+    * candidate costs m lookups. Rank by ascending approximate distance
+    * (ties to the lower id, matching the exact baselines). */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, idCol: String,
+      cb: PqCodebooks, topK: Int): DataFrame = {
+    val q = queries.select(col("query_id"),
+      pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub).as("__table"))
+    val scored = encoded
+      .join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        // heap keeps the LARGEST scores: negate the distance
+        (-pqAdc(col("__table"), col("codes"), cb.k)).as("sim"))
+    scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("neighbor_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+}

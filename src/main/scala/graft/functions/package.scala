@@ -80,6 +80,28 @@ package object functions {
     ColumnBridge.column(expressions.LongSetJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted = true))
 
+  /** Product-quantization encode: array<double> vector → array<bigint>
+    * of m nearest-centroid ids, one fused loop (see expressions.PqEncode).
+    * `codebooks` is the flattened m×k×dsub centroid matrix. */
+  def pqEncode(emb: Column, codebooks: Array[Double], m: Int, k: Int,
+      dsub: Int): Column =
+    ColumnBridge.column(expressions.PqEncode(
+      ColumnBridge.expression(emb), codebooks, m, k, dsub))
+
+  /** Per-query ADC distance table (m·k squared-L2 entries — see
+    * expressions.PqDistTable): built once per query row, then every
+    * candidate costs m lookups via [[pqAdc]]. */
+  def pqDistTable(qvec: Column, codebooks: Array[Double], m: Int, k: Int,
+      dsub: Int): Column =
+    ColumnBridge.column(expressions.PqDistTable(
+      ColumnBridge.expression(qvec), codebooks, m, k, dsub))
+
+  /** ADC approximate squared-L2 distance: Σⱼ table[j·k + codes[j]]
+    * (see expressions.PqAdc). */
+  def pqAdc(table: Column, codes: Column, k: Int): Column =
+    ColumnBridge.column(expressions.PqAdc(
+      ColumnBridge.expression(table), ColumnBridge.expression(codes), k))
+
   /** Bounded top-k aggregate over (score, id): keeps the k best pairs with
     * map-side partial reduction (see expressions.TopKByScore). Use inside
     * groupBy().agg(...); result is array<struct<sim, neighbor_id>> sorted

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.{Ann, Ivf}
+import graft.ann.{Ann, Ivf, Pq}
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.multimodal.Binary
 import graft.sources.Tables
@@ -258,6 +258,29 @@ object LlmOps {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     Ivf.ivfTopK(annQueries(spark, dir), annIvfIndex(spark, dir), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
+
+  /** Memoized product quantizer + encoded corpus (E8) — train-once,
+    * same contract as the IVF/LSH indexes. m=8 subspaces × k=32
+    * centroids over the 64-dim embeddings: 8 codes/vector, a 64× byte
+    * shrink vs float64 scoring columns. */
+  def pqIndex(spark: SparkSession, dir: String): (Pq.PqCodebooks, DataFrame) =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "pq"), {
+      val corpus = Tables.table(spark, dir, "embeddings")
+      val cb = Pq.fit(corpus, "embedding", m = 8, k = 32)
+      val encoded = Pq.encode(corpus, "vec_id", "embedding", cb).persist()
+      encoded.count()
+      (cb, encoded)
+    }).asInstanceOf[(Pq.PqCodebooks, DataFrame)]
+
+  /** E8: product-quantized ADC top-10 — the memory-bound ANN scale path
+    * (corpus side carries 8 codes per vector, not 64 doubles); rows-only
+    * check (iterative k-means codebooks), PqSpec proves recall vs exact
+    * and the compression contract. */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, encoded) = pqIndex(spark, dir)
+    Pq.pqTopK(annQueries(spark, dir), encoded, "vec_id", cb, topK = 10)
+      .orderBy("query_id", "rank")
+  }
 
   /** D13: SemDeDup — semantic near-duplicate removal in embedding space
     * (k-means cells from the memoized E3 quantizer, within-cell cosine ≥

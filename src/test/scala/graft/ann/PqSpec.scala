@@ -1,0 +1,115 @@
+package graft.ann
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+
+  private def clusteredCorpus(nClusters: Int, perCluster: Int, dims: Int,
+      jitter: Double, seed: Int) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (0 until nClusters).flatMap { c =>
+      val base = Array.fill(dims)(rng.nextGaussian())
+      (0 until perCluster).map { m =>
+        (c * perCluster.toLong + m,
+          base.map(x => x + jitter * rng.nextGaussian()).toSeq)
+      }
+    }.toDF("vec_id", "emb")
+  }
+
+  test("exact clones encode to identical codes; encoding is rerun-stable") {
+    val corpus = clusteredCorpus(8, 10, 16, 0.05, seed = 3)
+    val cb = Pq.fit(corpus, "emb", m = 4, k = 8)
+    // clone vec 0 under a new id: same vector must get the same codes
+    val withClone = corpus.union(
+      corpus.filter(col("vec_id") === 0).select(lit(9999L), col("emb")))
+    val codes = Pq.encode(withClone, "vec_id", "emb", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(9999L) == codes(0L))
+    val again = Pq.encode(withClone, "vec_id", "emb", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == codes, "encoding must be deterministic")
+  }
+
+  test("reconstruction error shrinks as the codebook grows") {
+    val corpus = clusteredCorpus(8, 12, 16, 0.3, seed = 11)
+    def mse(k: Int): Double = {
+      val cb = Pq.fit(corpus, "emb", m = 4, k = k)
+      val dec = Pq.decode(
+        Pq.encode(corpus, "vec_id", "emb", cb), "vec_id", cb)
+      corpus.join(dec, "vec_id")
+        .select(aggregate(
+          zip_with(col("emb"), col("decoded"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(avg(col("e"))).head().getDouble(0)
+    }
+    val coarse = mse(2)
+    val fine = mse(16)
+    assert(fine < coarse * 0.5,
+      s"k=16 must quantize much better than k=2: $fine vs $coarse")
+  }
+
+  test("ADC lookup equals the distance to the decoded vector") {
+    val corpus = clusteredCorpus(6, 8, 16, 0.2, seed = 5)
+    val cb = Pq.fit(corpus, "emb", m = 4, k = 8)
+    val enc = Pq.encode(corpus, "vec_id", "emb", cb)
+    val dec = Pq.decode(enc, "vec_id", cb)
+    val q = corpus.filter(col("vec_id") === 0)
+      .select(col("emb").as("qvec"))
+    val adc = enc.crossJoin(q)
+      .select(col("vec_id"),
+        graft.functions.pqAdc(
+          graft.functions.pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub),
+          col("codes"), cb.k).as("adc"))
+    val direct = dec.crossJoin(q)
+      .select(col("vec_id"), aggregate(
+        zip_with(col("qvec"), col("decoded"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+    val diff = adc.join(direct, "vec_id")
+      .select(max(abs(col("adc") - col("d2")))).head().getDouble(0)
+    assert(diff < 1e-9, s"ADC must equal decoded distance, max diff $diff")
+  }
+
+  test("PQ top-k: high recall vs exact L2 on clustered data") {
+    val corpus = clusteredCorpus(20, 10, 16, 0.05, seed = 7)
+    val cb = Pq.fit(corpus, "emb", m = 4, k = 16)
+    val enc = Pq.encode(corpus, "vec_id", "emb", cb)
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qvec"))
+    // recall is measured at CLUSTER width (top-9 = the 9 co-cluster
+    // members): within a tight cluster all members share codes, so ADC
+    // distances tie and intra-cluster RANKING is undefined by design —
+    // what PQ must get right is separating this cluster from the rest
+    val approx = Pq.pqTopK(queries, enc, "vec_id", cb, topK = 9).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // exact L2 top-9, computed driver-side (200 vectors)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = vecs.keys.filter(_ % 10 == 0).flatMap { qid =>
+      val q = vecs(qid)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(9)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall $recall too low on clustered data")
+    // and every returned neighbor is a true co-cluster member
+    val sameCluster = approx.count { case (q, n) => q / 10 == n / 10 }
+    assert(sameCluster.toDouble / approx.size >= 0.9,
+      "PQ neighbors must come from the query's own cluster")
+  }
+
+  test("q_pq_topk: k rows per query, contiguous ranks, self excluded") {
+    val rows = LlmOps.qPqTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length == 10))
+    assert(perQuery.values.forall(
+      _.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 10L)))
+  }
+}
