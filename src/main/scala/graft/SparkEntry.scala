@@ -78,6 +78,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
     "q_pq_topk" -> ((s, dir) => LlmOps.qPqTopK(s, dir)),
+    "q_pq_ivf" -> ((s, dir) => LlmOps.qPqIvf(s, dir)),
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
     "q_pack_sequences" -> ((s, dir) => LlmOps.qPackSequences(s, dir)),
     "q_quality_gate" -> ((s, dir) => LlmOps.qQualityGate(s, dir)),
@@ -91,6 +92,8 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) => LlmOps.qMultimodalMeta(s, dir)),
     "q_image_meta" -> ((s, dir) => LlmOps.qImageMeta(s, dir)),
     "q_audio_meta" -> ((s, dir) => LlmOps.qAudioMeta(s, dir)),
+    "q_image_phash" -> ((s, dir) => LlmOps.qImagePhash(s, dir)),
+    "q_image_neardup" -> ((s, dir) => LlmOps.qImageNearDup(s, dir)),
     "q_cdc_apply" -> ((s, dir) => Temporal.qCdcApply(s, dir)),
     "q_scd2" -> ((s, dir) => Temporal.qScd2(s, dir)),
     "q_fill_gaps" -> ((s, dir) => Temporal.qFillGaps(s, dir)),
@@ -762,6 +765,37 @@ object SparkEntry {
         |  CAST((doc_id * 101) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 211) % 256 AS DOUBLE) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // dHash bit (y·8+x) compares gradient pixels (x+1,y) vs (x,y) of the
+    // 9×8 luminance ramp (id·31 + x·7 + y·13 mod 256); r=g=b ⇒ Rec.601
+    // integer luminance is the ramp value itself, and PNG is lossless, so
+    // the real decode's hash equals this arithmetic bit for bit
+    "q_image_phash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN (doc_id * 31 + ((i % 8) + 1) * 7 + (i // 8) * 13) % 256
+        |              > (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
+        |           THEN '1' ELSE '0' END),
+        |    (a, b) -> a || b) AS phash_bits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the banded Spark plan is COMPLETE for hamming <= 3 (3-of-6
+    // pigeonhole), so the definitional all-pairs answer is the oracle
+    "q_image_neardup" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN (doc_id * 31 + ((i % 8) + 1) * 7 + (i // 8) * 13) % 256
+        |              > (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
+        |           THEN 1 ELSE 0 END) AS bits
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN a.bits[i] != c.bits[i] THEN 1 ELSE 0 END)) AS INTEGER)
+        |      AS hamming
+        |  FROM b a JOIN b c ON a.doc_id < c.doc_id)
+        |SELECT id_a, id_b, hamming FROM p
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     // constant-amplitude PCM ⇒ RMS = amplitude exactly; duration divides
     // by 8 (a power of two) so the double is exact on both engines
     "q_audio_meta" ->

@@ -87,6 +87,47 @@ object Pq {
           lit(cb.dsub)))).as("decoded"))
   }
 
+  /** E8b: IVF-PQ — the composed deployment plan (FAISS's IVFPQ shape,
+    * by_residual=false): the IVF coarse quantizer prunes the scan to each
+    * query's `nprobe` nearest cells, and within those cells candidates
+    * are scored by ADC over their PQ codes instead of their full vectors.
+    * The scan cost drops twice — nprobe/nCells of the corpus is touched,
+    * and what IS touched moves m bytes per vector, not d·8.
+    *
+    * `encodedCells`: (idCol, cell_id, codes) — the IVF assignment joined
+    * to the PQ codes, built once with the index ([[encode]] +
+    * IvfIndex.assigned; both map-side). Candidate generation is the same
+    * bounded (cell_id-keyed) join as Ivf.ivfTopK — cell_id is the shuffle
+    * key at 100 TB; the full-precision embedding never ships. Scoring
+    * non-residual codes trades a little quantization error (centered
+    * residuals quantize tighter) for reusing one corpus-wide codebook
+    * across all cells — the PqSpec recall bound is the measured price. */
+  def ivfPqTopK(queries: DataFrame, ivf: Ivf.IvfIndex, encodedCells: DataFrame,
+      idCol: String, cb: PqCodebooks, topK: Int, nprobe: Int): DataFrame = {
+    import graft.functions.cosineSim
+    // nprobe best cells per query by centroid cosine (centroids are tiny)
+    val probes = queries.crossJoin(broadcast(ivf.centroids))
+      .select(col("query_id"),
+        cosineSim(col("qvec"), col("centroid")).as("csim"), col("cell_id"))
+      .groupBy(col("query_id"))
+      .agg(topKByScore(col("csim"), col("cell_id"), nprobe).as("cells"))
+      .select(col("query_id"), explode(col("cells.neighbor_id")).as("cell_id"))
+    // one ADC table per query, carried to its probed cells' members only
+    val q = queries.select(col("query_id"),
+      pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub).as("__table"))
+    val scored = probes
+      .join(q, "query_id")
+      .join(encodedCells, "cell_id")
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (-pqAdc(col("__table"), col("codes"), cb.k)).as("sim"))
+    scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("neighbor_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** E8: ADC top-k — queries (query_id, qvec) against the encoded corpus
     * (idCol, codes). E1's broadcast + bounded-heap shape, but the corpus
     * side carries m·8-byte codes instead of d·8-byte vectors and each

@@ -87,20 +87,28 @@ object SimHash {
     * output for exhaustive-pair recall inside degenerate buckets (clone
     * clusters keep a canonical representative). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    nearDupPairsFromSigs(signatures(df, textCol, idCol), idCol, "simhash",
+      maxHamming, maxBucketSize)
+
+  /** [[nearDupPairs]] over an ALREADY-COMPUTED 64-bit signature column —
+    * the banding/capping/verify machinery is hash-agnostic, so any 64-bit
+    * locality-sensitive signature (text SimHash, image dHash, …) shares
+    * it. Signatures verify via per-DOC join-backs, not by riding the
+    * banded explode: carrying them per-pair widens the candidate
+    * distinct's exchange (measured 3x slower at 50x) while the id-keyed
+    * joins against the small signature table stay cheap. */
+  def nearDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "3-of-6 block pigeonhole is only complete for hamming <= 3")
-    val sigs = signatures(df, textCol, idCol)
-    // signatures verify via per-DOC join-backs, not by riding the banded
-    // explode: carrying them per-pair widens the candidate distinct's
-    // exchange (measured 3x slower at 50x) while the id-keyed joins
-    // against the small signature table stay cheap
-    val banded = sigs.select(col(idCol),
-      posexplode(comboKeys(col("simhash"))).as(Seq("table_idx", "table_key")))
+    val s = sigs.select(col(idCol), col(sigCol).as("__sig"))
+    val banded = s.select(col(idCol),
+      posexplode(comboKeys(col("__sig"))).as(Seq("table_idx", "table_key")))
     val pairs = Buckets.cappedSelfJoin(
       banded, Seq("table_idx", "table_key"), idCol, maxBucketSize)
     pairs
-      .join(sigs.select(col(idCol).as("id_a"), col("simhash").as("sig_a")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("simhash").as("sig_b")), "id_b")
+      .join(s.select(col(idCol).as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(s.select(col(idCol).as("id_b"), col("__sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

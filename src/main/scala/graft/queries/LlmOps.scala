@@ -282,6 +282,31 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Memoized IVF-cell × PQ-code corpus (E8b) — the two proven indexes
+    * joined once: (vec_id, cell_id, codes). Build side of every IVF-PQ
+    * scan; persisting it is what makes cell_id the shuffle key and keeps
+    * full vectors out of the query path entirely. */
+  def pqIvfIndex(spark: SparkSession, dir: String): DataFrame =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "pqivf"), {
+      val ivf = annIvfIndex(spark, dir)
+      val (_, encoded) = pqIndex(spark, dir)
+      val cells = ivf.assigned.select(col("vec_id"), col("cell_id"))
+        .join(encoded, "vec_id").persist()
+      cells.count()
+      cells
+    }).asInstanceOf[DataFrame]
+
+  /** E8b: IVF-PQ top-10 — nprobe cell pruning in front of the ADC scan
+    * (the composed 100 TB deployment plan: touch nprobe/nCells of the
+    * corpus, move m bytes per touched vector). Rows-only check; PqSpec
+    * proves recall vs exact on clustered data. */
+  def qPqIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, _) = pqIndex(spark, dir)
+    Pq.ivfPqTopK(annQueries(spark, dir), annIvfIndex(spark, dir),
+      pqIvfIndex(spark, dir), "vec_id", cb, topK = 10, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** D13: SemDeDup — semantic near-duplicate removal in embedding space
     * (k-means cells from the memoized E3 quantizer, within-cell cosine ≥
     * τ drops the higher id). One keep-decision row per vector; rows-only
@@ -673,6 +698,39 @@ object LlmOps {
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("n_frames"), col("duration_ms"), col("rms"))
       .orderBy("doc_id")
+
+  /** The deterministic gradient-image corpus both image-dedup queries
+    * share: luminance(x,y) = (id·31 + x·7 + y·13) mod 256 — REAL 9×8
+    * PNGs whose decoded dHash is reproducible by integer arithmetic
+    * (see [[graft.multimodal.ImageDedup.syntheticGradientImageTable]]). */
+  private def gradientImages(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageDedup.syntheticGradientImageTable(
+      // same codec-parallelism note as qImageMeta
+      Tables.table(spark, dir, "documents").select(col("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism), "doc_id")
+
+  /** G3d: perceptual image hash (dHash), oracle-checked end to end —
+    * real PNG encode → real decode → 9×8 luminance gradient bits, with
+    * DuckDB recomputing the 64-bit string arithmetically (lossless PNG +
+    * integer luminance ⇒ hash parity proves the whole codec+hash path
+    * bit-exact). */
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageDedup.dHash(gradientImages(spark, dir))
+      .filter(col("ok"))
+      .select(col("doc_id"), col("phash_bits"))
+      .orderBy("doc_id")
+
+  /** G3e: image near-dup pairs — dHash + the shared 64-bit Hamming
+    * banding (SimHash's 3-of-6 pigeonhole tables, capped buckets, fused
+    * verify — complete for hamming ≤ 3, so the banded plan's output is
+    * EXACTLY the all-pairs answer and the all-pairs DuckDB oracle
+    * hash-checks it). The gradient corpus has real structure: ids with
+    * id·31 ≡ id'·31 (mod 256) render identical images (hamming 0), and
+    * nearby luminance offsets differ in few wrap positions. */
+  def qImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageDedup.nearDupPairs(gradientImages(spark, dir),
+      maxHamming = 3)
+      .orderBy("id_a", "id_b")
 
   /** F13: per-doc token entropy (map-side run-length fold, no shuffle). */
   def qEntropy(spark: SparkSession, dir: String): DataFrame =

@@ -103,6 +103,37 @@ class PqSpec extends SparkSpec {
       "PQ neighbors must come from the query's own cluster")
   }
 
+  test("IVF-PQ top-k: cell pruning keeps recall on clustered data") {
+    val corpus = clusteredCorpus(20, 10, 16, 0.05, seed = 13)
+    val cb = Pq.fit(corpus, "emb", m = 4, k = 16)
+    val ivf = Ivf.buildIndex(corpus, "vec_id", "emb", nCells = 10)
+    val encodedCells = ivf.assigned.select(col("vec_id"), col("cell_id"))
+      .join(Pq.encode(corpus, "vec_id", "emb", cb), "vec_id")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qvec"))
+    val approx = Pq.ivfPqTopK(queries, ivf, encodedCells, "vec_id", cb,
+      topK = 9, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // cluster-width recall (see the PQ top-k test for why): the probed
+    // cells must cover the query's own cluster, so co-cluster members
+    // dominate the returned set exactly as in the unpruned scan
+    val sameCluster = approx.count { case (q, n) => q / 10 == n / 10 }
+    assert(sameCluster.toDouble / approx.size >= 0.9,
+      "IVF-PQ neighbors must come from the query's own cluster")
+    val perQuery = approx.groupBy(_._1)
+    assert(perQuery.values.forall(_.size == 9))
+  }
+
+  test("q_pq_ivf: k rows per query, contiguous ranks, self excluded") {
+    val rows = LlmOps.qPqIvf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.values.forall(_.length == 10))
+    assert(perQuery.values.forall(
+      _.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 10L)))
+  }
+
   test("q_pq_topk: k rows per query, contiguous ranks, self excluded") {
     val rows = LlmOps.qPqTopK(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.queries.LlmOps
+import org.apache.spark.sql.functions._
+
+class ImageDedupSpec extends SparkSpec {
+
+  private def pngOf(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(x, y) & 0xff
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", buf)
+    buf.toByteArray
+  }
+
+  test("re-encoded clone hashes identically; corrupt payload degrades") {
+    import spark.implicits._
+    val a = pngOf(9, 8)((x, y) => 20 * x + 5 * y)
+    val b = pngOf(9, 8)((x, y) => 20 * x + 5 * y) // independent encode
+    val media = Seq((1L, a), (2L, b), (3L, "not a png".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = ImageDedup.dHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("ok"), r.getAs[Long]("phash"))).toMap
+    assert(rows(1L)._1 && rows(2L)._1 && !rows(3L)._1)
+    assert(rows(1L)._2 == rows(2L)._2, "same pixels must hash identically")
+  }
+
+  test("a 10x-upscaled copy stays within small hamming; distinct images are far") {
+    import spark.implicits._
+    def ramp(x: Int, y: Int) = 13 * x + 7 * y
+    val small = pngOf(9, 8)(ramp)
+    // same picture rendered at 90x80: the resample must recover the
+    // gradient structure (dHash's whole point — survive resize/re-encode)
+    val big = pngOf(90, 80)((x, y) => ramp(x / 10, y / 10))
+    val other = pngOf(9, 8)((x, y) => (x * 41 + y * 97 + (x * y) % 7) * 31)
+    val media = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "payload")
+    val h = ImageDedup.dHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 6,
+      s"resized copy drifted ${ham(h(1L), h(2L))} bits")
+    assert(ham(h(1L), h(3L)) > 10,
+      s"distinct images too close: ${ham(h(1L), h(3L))} bits")
+  }
+
+  test("phash_bits string is the long's bits, bit 0 first") {
+    import spark.implicits._
+    val media = Seq((1L, pngOf(9, 8)((x, y) => 20 * x + 5 * y)))
+      .toDF("doc_id", "payload")
+    val r = ImageDedup.dHash(media).head()
+    val h = r.getAs[Long]("phash")
+    val bits = r.getAs[String]("phash_bits")
+    assert(bits.length == 64)
+    assert((0 until 64).forall(i => (bits(i) == '1') == (((h >>> i) & 1L) == 1L)))
+  }
+
+  test("near-dup pairs: planted identical gradients pair at hamming 0") {
+    import spark.implicits._
+    // ids i and i+256 render the SAME gradient image (id*31 mod 256 ties)
+    val ids = (0L until 300L).toDF("doc_id")
+    val media = ImageDedup.syntheticGradientImageTable(ids, "doc_id")
+    val pairs = ImageDedup.nearDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    val zero = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert((0L until 44L).forall(i => zero.contains((i, i + 256))),
+      "every id pair 256 apart must pair at hamming 0")
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
+  }
+
+  test("q_image_phash / q_image_neardup run on the sf dir") {
+    val ph = LlmOps.qImagePhash(spark, sfDir).collect()
+    assert(ph.nonEmpty && ph.forall(_.getAs[String]("phash_bits").length == 64))
+    val nd = LlmOps.qImageNearDup(spark, sfDir).collect()
+    assert(nd.nonEmpty)
+    assert(nd.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}
