@@ -765,37 +765,84 @@ object SparkEntry {
         |  CAST((doc_id * 101) % 256 AS DOUBLE) AS mean_g,
         |  CAST((doc_id * 211) % 256 AS DOUBLE) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // dHash bit (y·8+x) compares gradient pixels (x+1,y) vs (x,y) of the
-    // 9×8 luminance ramp (id·31 + x·7 + y·13 mod 256); r=g=b ⇒ Rec.601
-    // integer luminance is the ramp value itself, and PNG is lossless, so
-    // the real decode's hash equals this arithmetic bit for bit
+    // the planted corpus encodes ImageDedup.plantedHash(id) into the 9×8
+    // luminance staircase (row starts at 128, steps ±5 per bit), so the
+    // real decode's dHash equals this wrapping-Long arithmetic bit for
+    // bit: background ids scatter by (id+1)·K mod 2^64, planted members
+    // (id%16<3) share (2g+1)·K2 with 0/1/2 group-determined bit flips.
+    // HUGEINT carries the mod-2^64 product; the signed-BIGINT rendering
+    // makes bin() emit the same 64 two's-complement bits Java sees.
     "q_image_phash" ->
-      """SELECT doc_id,
-        |  list_reduce(
-        |    list_transform(range(0, 64), i ->
-        |      CASE WHEN (doc_id * 31 + ((i % 8) + 1) * 7 + (i // 8) * 13) % 256
-        |              > (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
-        |           THEN '1' ELSE '0' END),
-        |    (a, b) -> a || b) AS phash_bits
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // the banded Spark plan is COMPLETE for hamming <= 3 (3-of-6
-    // pigeonhole), so the definitional all-pairs answer is the oracle
-    "q_image_neardup" ->
-      """WITH b AS (
+      s"""WITH hh AS (
         |  SELECT doc_id,
-        |    list_transform(range(0, 64), i ->
-        |      CASE WHEN (doc_id * 31 + ((i % 8) + 1) * 7 + (i // 8) * 13) % 256
-        |              > (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
-        |           THEN 1 ELSE 0 END) AS bits
+        |    CASE WHEN doc_id % 16 < 3 THEN
+        |      ((2 * (doc_id // 16) + 1)::HUGEINT * 14029467366897019727)
+        |        % 18446744073709551616
+        |    ELSE
+        |      ((doc_id + 1)::HUGEINT * 11400714819323198485)
+        |        % 18446744073709551616
+        |    END AS hu
         |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-        |    CAST(list_sum(list_transform(range(1, 65), i ->
-        |      CASE WHEN a.bits[i] != c.bits[i] THEN 1 ELSE 0 END)) AS INTEGER)
-        |      AS hamming
-        |  FROM b a JOIN b c ON a.doc_id < c.doc_id)
-        |SELECT id_a, id_b, hamming FROM p
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hu >= 9223372036854775808
+        |         THEN (hu - 18446744073709551616)::BIGINT ELSE hu::BIGINT
+        |    END AS h0,
+        |    doc_id % 16 AS m, doc_id // 16 AS g
+        |  FROM hh),
+        |hf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m = 1 THEN xor(h0,
+        |           CASE WHEN g % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << (g % 64) END)
+        |         WHEN m = 2 THEN xor(xor(h0,
+        |           CASE WHEN (g+7) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+7) % 64) END),
+        |           CASE WHEN (g+23) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+23) % 64) END)
+        |         ELSE h0 END AS h
+        |  FROM hs)
+        |SELECT doc_id, reverse(lpad(bin(h), 64, '0')) AS phash_bits
+        |FROM hf ORDER BY doc_id""".stripMargin,
+    // the banded Spark plan is COMPLETE for hamming <= 3 (3-of-6
+    // pigeonhole), so the definitional all-pairs answer is the oracle;
+    // bit_count(xor(...)) over the same signed-BIGINT hashes is the
+    // 64-bit hamming distance
+    "q_image_neardup" ->
+      s"""WITH hh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 3 THEN
+        |      ((2 * (doc_id // 16) + 1)::HUGEINT * 14029467366897019727)
+        |        % 18446744073709551616
+        |    ELSE
+        |      ((doc_id + 1)::HUGEINT * 11400714819323198485)
+        |        % 18446744073709551616
+        |    END AS hu
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hu >= 9223372036854775808
+        |         THEN (hu - 18446744073709551616)::BIGINT ELSE hu::BIGINT
+        |    END AS h0,
+        |    doc_id % 16 AS m, doc_id // 16 AS g
+        |  FROM hh),
+        |hf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m = 1 THEN xor(h0,
+        |           CASE WHEN g % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << (g % 64) END)
+        |         WHEN m = 2 THEN xor(xor(h0,
+        |           CASE WHEN (g+7) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+7) % 64) END),
+        |           CASE WHEN (g+23) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+23) % 64) END)
+        |         ELSE h0 END AS h
+        |  FROM hs)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, c.h)) AS INTEGER) AS hamming
+        |FROM hf a JOIN hf c ON a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.h, c.h)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // constant-amplitude PCM ⇒ RMS = amplitude exactly; duration divides
     // by 8 (a power of two) so the double is exact on both engines
     "q_audio_meta" ->

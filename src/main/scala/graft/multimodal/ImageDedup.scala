@@ -106,16 +106,56 @@ object ImageDedup {
       dHash(media, batchSize).filter(col("ok")), "doc_id", "phash",
       maxHamming, maxBucketSize)
 
+  /** Group width of the planted near-dup structure in
+    * [[syntheticPlantedImageTable]]: ids sharing `id / 16` form a group;
+    * members `id % 16 < 3` of each group are planted near-dups. */
+  val PlantGroup = 16
+
+  /** The 64-bit dHash each row of [[syntheticPlantedImageTable]] decodes
+    * to, as pure wrapping-Long arithmetic (so an engine with no image
+    * codec — the DuckDB oracle — reproduces it bit for bit):
+    *
+    *  - background rows (`id % 16 >= 3`): `(id+1) · K mod 2⁶⁴` for an
+    *    odd 64-bit constant K — a multiplicative scatter, so DISTINCT
+    *    ids give hashes ~32 bits apart (two scatters land within
+    *    hamming ≤ 3 only if their id-difference times K hits a ≤3-bit
+    *    residue — probability ~2⁻⁴⁴ per pair; no accidental near-dups
+    *    at any realistic corpus size);
+    *  - planted rows (`id % 16 < 3`): a per-group base scatter
+    *    `(2g+1) · K₂ mod 2⁶⁴` (g = id/16; the 2g+1 domain is odd, so it
+    *    cannot collide with a background id's scatter pattern) with 0,
+    *    1, or 2 group-determined bits flipped — members sit at hamming
+    *    1/2/3 of each other, yielding EXACTLY 3 near-dup pairs per
+    *    complete group: output grows linearly in corpus size (~3n/16),
+    *    the shape a real near-dup corpus has. (The previous gradient
+    *    corpus admitted only 256 distinct images, making the TRUE
+    *    answer quadratic — a bench pathology no banding could fix.)
+    */
+  private[multimodal] def plantedHash(id: Long): Long = {
+    val m = (id % PlantGroup).toInt
+    val g = id / PlantGroup
+    if (m < 3) {
+      val base = (2 * g + 1) * 0xC2B2AE3D27D4EB4FL
+      m match {
+        case 0 => base
+        case 1 => base ^ (1L << (g % 64))
+        case _ => base ^ (1L << ((g + 7) % 64)) ^ (1L << ((g + 23) % 64))
+      }
+    } else (id + 1) * 0x9E3779B97F4A7C15L
+  }
+
   /** Deterministic REAL-image table for the oracle face: one 9×8
-    * grayscale-gradient PNG per row, luminance(x, y) = (id·31 + x·7 +
-    * y·13) mod 256 at every pixel (r = g = b, so the Rec.601 luminance is
-    * exactly that value). Real bytes through the real encoder; because
-    * PNG is lossless and the grid is already 9×8 (no resample), the
-    * decoded dHash is plain integer arithmetic an engine with no codec
-    * can compute — [[dHash]]'s oracle-checkable face (q_image_phash /
+    * grayscale PNG per row whose decoded dHash is EXACTLY
+    * [[plantedHash]] — each row of the grid starts at luminance 128 and
+    * steps ±5 per target bit (bit y·8+x set ⇒ lum(x+1,y) = lum(x,y)+5),
+    * so the gradient comparison recovers the bit. r = g = b keeps the
+    * Rec.601 luminance equal to the ramp value, PNG is lossless, and the
+    * grid is already 9×8 (no resample), so the whole encode→decode→hash
+    * path is integer arithmetic the DuckDB oracle computes with no
+    * codec — [[dHash]]'s oracle-checkable face (q_image_phash /
     * q_image_neardup), the dedup sibling of
     * [[Binary.syntheticImageTable]]. */
-  def syntheticGradientImageTable(df: DataFrame, idCol: String,
+  def syntheticPlantedImageTable(df: DataFrame, idCol: String,
       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -124,14 +164,17 @@ object ImageDedup {
         javax.imageio.ImageIO.setUseCache(false)
         ids.grouped(batchSize).flatMap { batch =>
           batch.map { id =>
+            val h = plantedHash(id)
             val im = new java.awt.image.BufferedImage(GridW, GridH,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
             var y = 0
             while (y < GridH) {
+              var v = 128
+              im.setRGB(0, y, (v << 16) | (v << 8) | v)
               var x = 0
-              while (x < GridW) {
-                val v = math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
-                im.setRGB(x, y, (v << 16) | (v << 8) | v)
+              while (x < GridW - 1) {
+                v += (if (((h >>> (y * 8 + x)) & 1L) == 1L) 5 else -5)
+                im.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
                 x += 1
               }
               y += 1

@@ -699,12 +699,13 @@ object LlmOps {
         col("n_frames"), col("duration_ms"), col("rms"))
       .orderBy("doc_id")
 
-  /** The deterministic gradient-image corpus both image-dedup queries
-    * share: luminance(x,y) = (id·31 + x·7 + y·13) mod 256 — REAL 9×8
-    * PNGs whose decoded dHash is reproducible by integer arithmetic
-    * (see [[graft.multimodal.ImageDedup.syntheticGradientImageTable]]). */
-  private def gradientImages(spark: SparkSession, dir: String): DataFrame =
-    graft.multimodal.ImageDedup.syntheticGradientImageTable(
+  /** The deterministic planted-near-dup image corpus both image-dedup
+    * queries share: REAL 9×8 PNGs whose decoded dHash is a per-id 64-bit
+    * scatter with planted near-dup triples every 16 ids, all
+    * reproducible by integer arithmetic
+    * (see [[graft.multimodal.ImageDedup.syntheticPlantedImageTable]]). */
+  private def plantedImages(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.ImageDedup.syntheticPlantedImageTable(
       // same codec-parallelism note as qImageMeta
       Tables.table(spark, dir, "documents").select(col("doc_id"))
         .repartition(spark.sparkContext.defaultParallelism), "doc_id")
@@ -715,7 +716,7 @@ object LlmOps {
     * integer luminance ⇒ hash parity proves the whole codec+hash path
     * bit-exact). */
   def qImagePhash(spark: SparkSession, dir: String): DataFrame =
-    graft.multimodal.ImageDedup.dHash(gradientImages(spark, dir))
+    graft.multimodal.ImageDedup.dHash(plantedImages(spark, dir))
       .filter(col("ok"))
       .select(col("doc_id"), col("phash_bits"))
       .orderBy("doc_id")
@@ -724,11 +725,12 @@ object LlmOps {
     * banding (SimHash's 3-of-6 pigeonhole tables, capped buckets, fused
     * verify — complete for hamming ≤ 3, so the banded plan's output is
     * EXACTLY the all-pairs answer and the all-pairs DuckDB oracle
-    * hash-checks it). The gradient corpus has real structure: ids with
-    * id·31 ≡ id'·31 (mod 256) render identical images (hamming 0), and
-    * nearby luminance offsets differ in few wrap positions. */
+    * hash-checks it). The planted corpus pairs members of each 16-id
+    * group at hamming 1/2/3 (3 pairs per group — output LINEAR in corpus
+    * size); background scatters never pair, so the banded plan's buckets
+    * stay tiny at any scale. */
   def qImageNearDup(spark: SparkSession, dir: String): DataFrame =
-    graft.multimodal.ImageDedup.nearDupPairs(gradientImages(spark, dir),
+    graft.multimodal.ImageDedup.nearDupPairs(plantedImages(spark, dir),
       maxHamming = 3)
       .orderBy("id_a", "id_b")
 

@@ -60,18 +60,52 @@ class ImageDedupSpec extends SparkSpec {
     assert((0 until 64).forall(i => (bits(i) == '1') == (((h >>> i) & 1L) == 1L)))
   }
 
-  test("near-dup pairs: planted identical gradients pair at hamming 0") {
+  test("near-dup pairs: exactly the planted triples, linear in corpus size") {
     import spark.implicits._
-    // ids i and i+256 render the SAME gradient image (id*31 mod 256 ties)
-    val ids = (0L until 300L).toDF("doc_id")
-    val media = ImageDedup.syntheticGradientImageTable(ids, "doc_id")
+    val ids = (0L until 320L).toDF("doc_id") // 20 complete groups of 16
+    val media = ImageDedup.syntheticPlantedImageTable(ids, "doc_id")
     val pairs = ImageDedup.nearDupPairs(media, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Int]("hamming")))
-    val zero = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
-    assert((0L until 44L).forall(i => zero.contains((i, i + 256))),
-      "every id pair 256 apart must pair at hamming 0")
-    assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
+    // each group of 16 plants members {16g, 16g+1, 16g+2} at pairwise
+    // hamming 1/2/3; background scatters must contribute NOTHING
+    val expected = (0L until 20L).flatMap { g =>
+      val b = 16 * g
+      Seq((b, b + 1, 1), (b, b + 2, 2), (b + 1, b + 2, 3))
+    }.toSet
+    assert(pairs.toSet == expected.map { case (a, b, h) => (a, b, h) },
+      s"got ${pairs.length} pairs, expected exactly the ${expected.size} planted")
+  }
+
+  test("decoded dHash equals plantedHash for every member kind") {
+    import spark.implicits._
+    // one background id, one of each planted member, and a bit-63 flip
+    // group (g % 64 == 63 exercises the top-bit mask edge)
+    val ids = Seq(5L, 16L, 17L, 18L, 63L * 16, 63L * 16 + 1).toDF("doc_id")
+    val media = ImageDedup.syntheticPlantedImageTable(ids, "doc_id")
+    val got = ImageDedup.dHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    got.foreach { case (id, h) =>
+      assert(h == ImageDedup.plantedHash(id),
+        s"id $id decoded hash != arithmetic plantedHash")
+    }
+  }
+
+  test("over-cap clone bucket degrades to canonical stars") {
+    import spark.implicits._
+    // 40 byte-identical images: every banding table collapses to one
+    // 40-member bucket, far above the cap of 10 — the pair generator
+    // must emit the n-1 star pairs on the canonical min id, never the
+    // 780-pair clique (the path a real monochrome/logo corpus hits)
+    val clone = pngOf(9, 8)((x, y) => 20 * x + 5 * y)
+    val media = (0L until 40L).map(i => (i, clone)).toDF("doc_id", "payload")
+    val pairs = ImageDedup.nearDupPairs(media, maxHamming = 3, maxBucketSize = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    val expected = (1L until 40L).map(i => (0L, i, 0)).toSet
+    assert(pairs.toSet == expected,
+      s"expected ${expected.size} star pairs on id 0, got ${pairs.length}")
   }
 
   test("q_image_phash / q_image_neardup run on the sf dir") {
