@@ -33,13 +33,13 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "bpe_train" -> (try timed { graft.queries.LlmOps.bpeMerges(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
-    // Two passes per query: pass 1 pays whole-stage-codegen compile +
-    // JIT (cold), pass 2 is the amortized steady state a long-running
-    // cluster job sees (warm). The headline `queries`/total are WARM;
-    // cold per-query numbers go to the full-artifact file and
-    // cold_total to the stdout line. (Round 5's single cold pass let
-    // one plan-compile land on an arbitrary query in Map order and
-    // produced an unexplained 9x outlier.)
+    // Four passes per query: pass 1 pays whole-stage-codegen compile +
+    // JIT (cold); passes 2-4 are the amortized steady state a
+    // long-running cluster job sees, reported as the PER-QUERY MEDIAN —
+    // a single warm pass let run-to-run machine noise (measured 2.4x on
+    // an unchanged plan) masquerade as regressions. The headline
+    // `queries`/total are warm medians; per-pass numbers and the
+    // min/max spread go to the full-artifact file.
     val names = SparkEntry.queries.keys.toSeq.sorted
     def pass(): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -48,21 +48,31 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val cold = pass()
-    val warm = pass()
+    val warmPasses = Seq(pass(), pass(), pass())
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val byName = warmPasses.map(_.toMap)
+    val warm = names.map(n => n -> median(byName.map(_(n))))
+    val spread = names.map { n =>
+      val vs = byName.map(_(n)); n -> (vs.max - vs.min)
+    }
     def fmt(v: Double): String = f"$v%.3f"
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val st = jmap(setup)
     val warmTotal = warm.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_passes":3,"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
     // full artifact to a file so a stdout-tail capture can't truncate it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(line)
+    // the structured line is the LAST stdout the process emits (after
+    // spark.stop(), whose shutdown chatter goes to stderr but whose
+    // ordering we don't want to gamble the driver's tail-capture on)
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -24,7 +24,10 @@ object Ivf {
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
   /** Fit the coarse quantizer and assign every corpus vector to its cell.
-    * Deterministic for a fixed seed. */
+    * Deterministic for a fixed seed. Assignment goes through [[assign]]
+    * (not `model.transform`) so an index REBUILT from persisted
+    * centroids reproduces the build-time assignment bit for bit — both
+    * paths share one arithmetic. */
   def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
       nCells: Int, seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -38,13 +41,59 @@ object Ivf {
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features")
       .fit(feats)
-    val assigned = model.transform(feats)
-      .select(col(idCol), col("__emb"),
-        col(model.getPredictionCol).cast("long").as("cell_id"))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toArray.toSeq) }
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val centroids = centers.map { case (i, a) => (i, a.toSeq) }
       .toSeq.toDF("cell_id", "centroid")
-    IvfIndex(centroids, assigned)
+    IvfIndex(centroids, assign(corpus, idCol, embCol, centers))
+  }
+
+  /** Map-side nearest-centroid assignment: one codegen'd projection per
+    * row computing the argmin squared-euclidean over the (driver-held,
+    * k×dims — KBs) centroid array. No MLlib vector UDT, no UDF; ties
+    * break to the lowest cell id via the struct min. This is the whole
+    * "load an index" story at scale: centroids ship as literals, the
+    * corpus is touched once. */
+  def assign(corpus: DataFrame, idCol: String, embCol: String,
+      centers: Seq[(Long, Array[Double])]): DataFrame = {
+    val emb = Ann.asDouble(col(embCol))
+    val scored = array(centers.map { case (cid, cvec) =>
+      struct(
+        aggregate(zip_with(emb, lit(cvec), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _).as("d2"),
+        lit(cid).as("cell_id"))
+    }: _*)
+    corpus.select(col(idCol), emb.as("__emb"),
+      array_min(scored).getField("cell_id").as("cell_id"))
+  }
+
+  /** Persist the trained half of the index — the centroids — stamped
+    * with the source corpus's row count (the staleness guard
+    * [[graft.catalog.Artifacts]] documents). The assignment is NOT
+    * persisted: it's one [[assign]] pass from the centroids, and at
+    * corpus scale you'd materialize it as a regular table anyway. */
+  def saveCentroids(index: IvfIndex, path: String, srcCount: Long): Unit =
+    index.centroids.withColumn("src_count", lit(srcCount))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load centroids persisted by [[saveCentroids]] and rebuild the full
+    * index against `corpus`; None when the artifact is absent or its
+    * stamp disagrees with `srcCount` (stale → caller refits). */
+  def loadIndex(corpus: DataFrame, idCol: String, embCol: String,
+      path: String, srcCount: Long): Option[IvfIndex] = {
+    val spark = corpus.sparkSession
+    if (!graft.catalog.Artifacts.exists(spark, path)) None
+    else {
+      val stored = spark.read.parquet(path)
+      val rows = stored.select("cell_id", "centroid", "src_count").collect()
+      if (rows.isEmpty || rows.exists(_.getLong(2) != srcCount)) None
+      else {
+        val centers = rows.map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+        val centroids = stored.select("cell_id", "centroid")
+        Some(IvfIndex(centroids, assign(corpus, idCol, embCol, centers)))
+      }
+    }
   }
 
   /** E3: IVF top-k. `queries`: (query_id, qvec). Each query probes its

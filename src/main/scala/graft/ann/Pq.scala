@@ -67,6 +67,32 @@ object Pq {
     PqCodebooks(flat, m, k, dsub)
   }
 
+  /** Persist the trained codebooks (one parquet row: shape + flattened
+    * centroid matrix) stamped with the source corpus row count — the
+    * train-once artifact a deployment ships instead of refitting m
+    * k-means per session (see [[graft.catalog.Artifacts]]). */
+  def saveCodebooks(cb: PqCodebooks, spark: org.apache.spark.sql.SparkSession,
+      path: String, srcCount: Long): Unit = {
+    import spark.implicits._
+    Seq((cb.flat.toSeq, cb.m, cb.k, cb.dsub, srcCount))
+      .toDF("flat", "m", "k", "dsub", "src_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks persisted by [[saveCodebooks]]; None when absent or
+    * the stamp disagrees with `srcCount` (stale → caller refits). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, srcCount: Long): Option[PqCodebooks] = {
+    if (!graft.catalog.Artifacts.exists(spark, path)) None
+    else {
+      val rows = spark.read.parquet(path)
+        .select("flat", "m", "k", "dsub", "src_count").collect()
+      rows.headOption.filter(_.getLong(4) == srcCount).map { r =>
+        PqCodebooks(r.getSeq[Double](0).toArray, r.getInt(1), r.getInt(2), r.getInt(3))
+      }
+    }
+  }
+
   /** Encode every corpus vector to its m codebook ids — one map-side
     * projection ([[graft.functions.pqEncode]]). */
   def encode(corpus: DataFrame, idCol: String, embCol: String,

@@ -79,12 +79,45 @@ object QualityModel {
       .fit(assembled)
   }
 
-  /** The fitted model as a pure column expression over the feature
-    * columns: sigmoid(w·x + b). Codegen'd, streaming-safe, no UDF. */
-  def scoreColumn(model: LogisticRegressionModel): Column = {
-    val linear = featureCols.zip(model.coefficients.toArray)
-      .map { case (c, w) => col(c) * lit(w) }
-      .reduce(_ + _) + lit(model.intercept)
+  /** The scoring artifact: |features|+1 doubles, weight order =
+    * [[featureCols]]. This — not the MLlib model object — is what ships:
+    * everything downstream (batch scorer, streaming gate) needs only
+    * these numbers. */
+  final case class Coefs(weights: Seq[Double], intercept: Double)
+
+  def coefsOf(model: LogisticRegressionModel): Coefs =
+    Coefs(model.coefficients.toArray.toSeq, model.intercept)
+
+  /** The fitted coefficients as a pure column expression over the
+    * feature columns: sigmoid(w·x + b). Codegen'd, streaming-safe, no
+    * UDF. */
+  def scoreColumn(c: Coefs): Column = {
+    val linear = featureCols.zip(c.weights)
+      .map { case (f, w) => col(f) * lit(w) }
+      .reduce(_ + _) + lit(c.intercept)
     lit(1.0) / (lit(1.0) + exp(-linear))
+  }
+
+  def scoreColumn(model: LogisticRegressionModel): Column =
+    scoreColumn(coefsOf(model))
+
+  /** Persist the coefficients (one parquet row) stamped with the
+    * training-table row count (see [[graft.catalog.Artifacts]]). */
+  def saveCoefs(c: Coefs, spark: org.apache.spark.sql.SparkSession,
+      path: String, srcCount: Long): Unit = {
+    import spark.implicits._
+    Seq((c.weights, c.intercept, srcCount))
+      .toDF("weights", "intercept", "src_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load coefficients persisted by [[saveCoefs]]; None when absent or
+    * stale. */
+  def loadCoefs(spark: org.apache.spark.sql.SparkSession,
+      path: String, srcCount: Long): Option[Coefs] = {
+    if (!graft.catalog.Artifacts.exists(spark, path)) None
+    else spark.read.parquet(path).select("weights", "intercept", "src_count")
+      .collect().headOption.filter(_.getLong(2) == srcCount)
+      .map(r => Coefs(r.getSeq[Double](0), r.getDouble(1)))
   }
 }

@@ -186,10 +186,27 @@ object LlmOps {
     annIndexCache.clear()
   }
 
+  /** Source-table row count, memoized per (session, dir, table) — the
+    * staleness stamp every persisted artifact carries (one cheap
+    * aggregate per session; a snapshot id at warehouse scale). */
+  private def srcCount(spark: SparkSession, dir: String, table: String): Long =
+    annIndexCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, s"count_$table"),
+      java.lang.Long.valueOf(Tables.table(spark, dir, table).count()))
+      .asInstanceOf[java.lang.Long].longValue()
+
   def annIvfIndex(spark: SparkSession, dir: String): Ivf.IvfIndex =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "ivf"), {
-      val idx = Ivf.buildIndex(
-        Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", nCells = 16)
+      // disk-first: a prior session's persisted centroids skip the
+      // k-means refit entirely (setup ≈ 0); a fresh fit persists them
+      val corpus = Tables.table(spark, dir, "embeddings")
+      val n = srcCount(spark, dir, "embeddings")
+      val path = graft.catalog.Artifacts.path(dir, "ivf_c16_s42")
+      val idx = Ivf.loadIndex(corpus, "vec_id", "embedding", path, n).getOrElse {
+        val built = Ivf.buildIndex(corpus, "vec_id", "embedding", nCells = 16)
+        Ivf.saveCentroids(built, path, n)
+        built
+      }
       idx.assigned.persist().count()
       idx
     }).asInstanceOf[Ivf.IvfIndex]
@@ -266,7 +283,15 @@ object LlmOps {
   def pqIndex(spark: SparkSession, dir: String): (Pq.PqCodebooks, DataFrame) =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "pq"), {
       val corpus = Tables.table(spark, dir, "embeddings")
-      val cb = Pq.fit(corpus, "embedding", m = 8, k = 32)
+      val n = srcCount(spark, dir, "embeddings")
+      val path = graft.catalog.Artifacts.path(dir, "pq_m8_k32_s42")
+      // disk-first: codebooks are the trained artifact; encoding is one
+      // map-side projection either way
+      val cb = Pq.loadCodebooks(spark, path, n).getOrElse {
+        val fitted = Pq.fit(corpus, "embedding", m = 8, k = 32)
+        Pq.saveCodebooks(fitted, spark, path, n)
+        fitted
+      }
       val encoded = Pq.encode(corpus, "vec_id", "embedding", cb).persist()
       encoded.count()
       (cb, encoded)
@@ -980,13 +1005,20 @@ object LlmOps {
 
   /** H10 memoized classifier fit — like the ANN indexes, a train-once
     * artifact (|features|+1 doubles) whose build Bench reports as setup,
-    * not query work. */
+    * not query work; disk-first, so a prior session's coefficients skip
+    * the L-BFGS refit. */
   def qualityClfModel(spark: SparkSession, dir: String)
-      : org.apache.spark.ml.classification.LogisticRegressionModel =
-    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "qlr"),
-      graft.curation.QualityModel.fit(
-        qualityClfTable(spark, dir).filter(col("split") === "train"), "label"))
-      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      : graft.curation.QualityModel.Coefs =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "qlr"), {
+      val n = srcCount(spark, dir, "documents")
+      val path = graft.catalog.Artifacts.path(dir, "quality_lr_r001_i100")
+      graft.curation.QualityModel.loadCoefs(spark, path, n).getOrElse {
+        val c = graft.curation.QualityModel.coefsOf(graft.curation.QualityModel.fit(
+          qualityClfTable(spark, dir).filter(col("split") === "train"), "label"))
+        graft.curation.QualityModel.saveCoefs(c, spark, path, n)
+        c
+      }
+    }).asInstanceOf[graft.curation.QualityModel.Coefs]
 
   /** H10: model-based quality scoring — the fitted coefficients fold into
     * a pure sigmoid(w·x+b) Column, so scoring is a codegen'd map-side
@@ -1101,10 +1133,16 @@ object LlmOps {
   def bpeMerges(spark: SparkSession, dir: String,
       numMerges: Int = 40): Seq[graft.text.Bpe.Merge] =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "bpe"), {
-      val hist = graft.text.Bpe.wordHistogram(
-        Tables.table(spark, dir, "documents"), "text", maxTypes = 50000)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      graft.text.Bpe.train(hist, numMerges)
+      val n = srcCount(spark, dir, "documents")
+      val path = graft.catalog.Artifacts.path(dir, s"bpe_m${numMerges}_t50000")
+      graft.text.Bpe.loadMerges(spark, path, n).getOrElse {
+        val hist = graft.text.Bpe.wordHistogram(
+          Tables.table(spark, dir, "documents"), "text", maxTypes = 50000)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val merges = graft.text.Bpe.train(hist, numMerges)
+        graft.text.Bpe.saveMerges(merges, spark, path, n)
+        merges
+      }
     }).asInstanceOf[Seq[graft.text.Bpe.Merge]]
 
   /** F22: the learned merge table (rank, left, right, count) — the

@@ -74,6 +74,32 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist the learned merge table (rank, left, right, count) stamped
+    * with the source corpus row count — the tokenizer-training artifact
+    * a deployment ships (see [[graft.catalog.Artifacts]]). */
+  def saveMerges(merges: Seq[Merge], spark: org.apache.spark.sql.SparkSession,
+      path: String, srcCount: Long): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.count, srcCount))
+      .toDF("rank", "left", "right", "count", "src_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load merges persisted by [[saveMerges]]; None when absent or
+    * stale. Rank order restored by sort (parquet rows are unordered). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String, srcCount: Long): Option[Seq[Merge]] = {
+    if (!graft.catalog.Artifacts.exists(spark, path)) None
+    else {
+      val rows = spark.read.parquet(path)
+        .select("rank", "left", "right", "count", "src_count").collect()
+      if (rows.isEmpty || rows.exists(_.getLong(4) != srcCount)) None
+      else Some(rows.map(r =>
+        Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_.rank).toSeq)
+    }
+  }
+
   /** One leftmost-greedy merge pass over a symbol array (the reference
     * apply step: merged symbols don't re-pair with what preceded them
     * in the same pass). */

@@ -295,4 +295,35 @@ class PlanSpec extends SparkSpec {
     assert("collect_list".r.findAllIn(plan).size <= 2,
       "never collect occurrence lists per span hash (viral-span hazard)")
   }
+
+  test("ntileApprox plans no sort and no window — cutoffs broadcast, buckets map-side") {
+    // the documented 100 TB drop-in for exact ntile: the whole point is
+    // removing the per-group sort, so the plan shape IS the contract
+    val df = queries.Warehouse.ntileApprox(
+      graft.sources.Tables.table(spark, sfDir, "events"), "event_type", "value")
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "approx tiling must not window")
+    assert(!plan.contains("Sort"), "approx tiling must not sort anywhere")
+    assert(plan.contains("BroadcastHashJoin"), "decile cutoffs must broadcast")
+  }
+
+  test("kmv distinct sketch plans partial+final hash aggregate, no window, no expand") {
+    // the documented 100 TB drop-in for COUNT(DISTINCT): one mergeable
+    // sketch per group, exchanged as ≤k longs — the multi-distinct
+    // Expand (and any window) would defeat it. (The registered query's
+    // final orderBy is a 5-row presentation sort, so "no Sort" is
+    // asserted on the pre-order plan.)
+    val df = queries.LlmOps.qDistinctSketch(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "sketch agg must not window")
+    assert(!plan.contains("Expand"),
+      "sketches must not plan the multi-distinct Expand")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "KmvSketch must run partial (map-side) + final")
+    val preOrder = planOf(graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(graft.functions.kmvDistinct(
+        org.apache.spark.sql.functions.col("user_id"), 8192).as("d")))
+    assert(!preOrder.contains("Sort"), "sketch aggregation itself must not sort")
+  }
 }

@@ -188,8 +188,18 @@ object ScaleSmoke {
         graft.sources.Tables.table(spark, dir, "embeddings"),
         "vec_id", "embedding", nCells = math.max(16, (mult * 2000) / 800), tau = 0.35)
     }
+    // artifacts now persist to disk (catalog.Artifacts): a "cold fit"
+    // timing must drop BOTH the session memo and the on-disk artifact,
+    // else it silently times a parquet load
+    def dropArtifacts(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(graft.catalog.Artifacts.path(dir, "")))
+    }
     time("q_quality_classifier") {
-      queries.LlmOps.clearAnnIndexes() // time a cold L-BFGS fit + full score
+      queries.LlmOps.clearAnnIndexes(); dropArtifacts() // cold L-BFGS fit + full score
       queries.LlmOps.qQualityClassifier(spark, dir)
     }
     // fit now memoized: the recurring per-corpus cost is this scoring pass
@@ -199,8 +209,27 @@ object ScaleSmoke {
     time("q_corpus_diff") { queries.LlmOps.qCorpusDiff(spark, dir) }
     time("q_infer_batches") { queries.LlmOps.qInferBatches(spark, dir) }
     time("q_bpe_encode") { // cold: includes the histogram pass + driver merge loop
-      queries.LlmOps.clearAnnIndexes()
+      queries.LlmOps.clearAnnIndexes(); dropArtifacts()
       queries.LlmOps.qBpeEncode(spark, dir)
+    }
+    // round-7: image perceptual-hash family — every row encodes AND
+    // decodes a real PNG, so phash times the codec (expect ~linear in
+    // corpus size); neardup adds the shared Hamming banding, output
+    // ~3n/16 by the planted-corpus contract
+    time("q_image_phash") { queries.LlmOps.qImagePhash(spark, dir) }
+    time("q_image_neardup") { queries.LlmOps.qImageNearDup(spark, dir) }
+    // round-7: PQ probes — cold pays m sub-space k-means fits + encode;
+    // warm probes are cell/partition-bounded ADC scans; reload proves
+    // the persisted-codebook path skips the refit at scale
+    time("q_pq_topk_cold") {
+      queries.LlmOps.clearAnnIndexes(); dropArtifacts()
+      queries.LlmOps.qPqTopK(spark, dir)
+    }
+    time("q_pq_topk") { queries.LlmOps.qPqTopK(spark, dir) }
+    time("q_pq_ivf") { queries.LlmOps.qPqIvf(spark, dir) }
+    time("pq_artifact_reload") {
+      queries.LlmOps.clearAnnIndexes() // memo gone, disk artifact stays
+      queries.LlmOps.qPqTopK(spark, dir)
     }
     spark.stop()
   }

@@ -1,0 +1,88 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.ann.{Ivf, Pq}
+import graft.curation.QualityModel
+import graft.text.Bpe
+import org.apache.spark.sql.functions._
+
+/** Train-once artifact persistence: every fitted artifact (IVF
+  * centroids, PQ codebooks, LR coefficients, BPE merges) round-trips
+  * through parquet bit-exact, stale stamps refuse to load, and the
+  * rebuilt IVF index reproduces the build-time cell assignment. */
+class ArtifactsSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-artifacts-spec")
+    s"$d/$name"
+  }
+
+  test("IVF centroids round-trip and the rebuilt assignment is identical") {
+    val corpus = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val built = Ivf.buildIndex(corpus, "vec_id", "embedding", nCells = 8)
+    val path = tmp("ivf")
+    Ivf.saveCentroids(built, path, srcCount = 123L)
+    val loaded = Ivf.loadIndex(corpus, "vec_id", "embedding", path, srcCount = 123L)
+      .getOrElse(fail("artifact did not load"))
+    val a = built.centroids.orderBy("cell_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val b = loaded.centroids.orderBy("cell_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(a.sameElements(b), "centroids must round-trip bit-exact")
+    val assignA = built.assigned.select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val assignB = loaded.assigned.select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assignA == assignB,
+      "rebuilt index must assign every vector to the same cell")
+  }
+
+  test("PQ codebooks round-trip bit-exact; encode agrees") {
+    val corpus = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val cb = Pq.fit(corpus, "embedding", m = 8, k = 8)
+    val path = tmp("pq")
+    Pq.saveCodebooks(cb, spark, path, srcCount = 7L)
+    val loaded = Pq.loadCodebooks(spark, path, srcCount = 7L)
+      .getOrElse(fail("artifact did not load"))
+    assert(loaded.m == cb.m && loaded.k == cb.k && loaded.dsub == cb.dsub)
+    assert(loaded.flat.sameElements(cb.flat), "flat centroid matrix bit-exact")
+    val a = Pq.encode(corpus, "vec_id", "embedding", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Pq.encode(corpus, "vec_id", "embedding", loaded).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "same codebooks must encode identically")
+  }
+
+  test("LR coefficients round-trip bit-exact") {
+    val c = QualityModel.Coefs(Seq(0.5, -1.25, 3.75e-3, 0.0, 42.0), -0.125)
+    val path = tmp("lr")
+    QualityModel.saveCoefs(c, spark, path, srcCount = 99L)
+    assert(QualityModel.loadCoefs(spark, path, srcCount = 99L).contains(c))
+  }
+
+  test("BPE merges round-trip in rank order") {
+    val merges = Seq(
+      Bpe.Merge(0, "e", "s</w>", 9L), Bpe.Merge(1, "l", "o", 7L),
+      Bpe.Merge(2, "lo", "w", 5L))
+    val path = tmp("bpe")
+    Bpe.saveMerges(merges, spark, path, srcCount = 11L)
+    assert(Bpe.loadMerges(spark, path, srcCount = 11L).contains(merges))
+  }
+
+  test("stale stamp and missing path refuse to load") {
+    val c = QualityModel.Coefs(Seq(1.0), 0.0)
+    val path = tmp("stale")
+    QualityModel.saveCoefs(c, spark, path, srcCount = 10L)
+    assert(QualityModel.loadCoefs(spark, path, srcCount = 11L).isEmpty,
+      "a different source count must invalidate the artifact")
+    assert(QualityModel.loadCoefs(spark, tmp("absent"), srcCount = 10L).isEmpty)
+    assert(Bpe.loadMerges(spark, tmp("absent2"), srcCount = 1L).isEmpty)
+    assert(Pq.loadCodebooks(spark, tmp("absent3"), srcCount = 1L).isEmpty)
+  }
+
+  test("artifact paths sit under the root, keyed by data dir") {
+    val p = Artifacts.path("/root/testdata/sf0.01", "ivf_c16_s42")
+    assert(p.startsWith(Artifacts.root))
+    assert(p.endsWith("root_testdata_sf0.01/ivf_c16_s42"))
+  }
+}
