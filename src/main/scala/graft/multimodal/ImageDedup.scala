@@ -99,12 +99,22 @@ object ImageDedup {
 
   /** Near-duplicate image pairs: dHash + the shared Hamming banding
     * (complete for hamming ≤ 3 by the 3-of-6 pigeonhole). Output
-    * (id_a, id_b, hamming), id_a < id_b, distinct. */
+    * (id_a, id_b, hamming), id_a < id_b, distinct.
+    *
+    * The signature frame is MATERIALIZED once (localCheckpoint —
+    * lineage-truncating, storage reclaimed by the context cleaner when
+    * the frame is unreferenced) before it fans out into the banding
+    * plan: the capped self-join legitimately re-derives its banded
+    * input ~5× (stats, clique sides, star branches — cheap for text,
+    * where a signature is a split+hash), but HERE each re-derivation
+    * would be a full image-decode pass of the corpus. Measured 2.7s →
+    * sub-second at sf0.1 for exactly that reason. */
   def nearDupPairs(media: DataFrame, maxHamming: Int = 3,
       maxBucketSize: Int = 10000, batchSize: Int = 64): DataFrame =
     SimHash.nearDupPairsFromSigs(
-      dHash(media, batchSize).filter(col("ok")), "doc_id", "phash",
-      maxHamming, maxBucketSize)
+      dHash(media, batchSize).filter(col("ok"))
+        .select("doc_id", "phash").localCheckpoint(),
+      "doc_id", "phash", maxHamming, maxBucketSize)
 
   /** Group width of the planted near-dup structure in
     * [[syntheticPlantedImageTable]]: ids sharing `id / 16` form a group;
