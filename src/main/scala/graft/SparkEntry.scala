@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, LlmOps, Temporal, Warehouse}
+import graft.queries.{Etl, LlmOps, Mix, Temporal, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -136,6 +136,9 @@ object SparkEntry {
     "q_new_vs_returning" -> ((s, dir) => Warehouse.qNewVsReturning(s, dir)),
     "q_embedding_drift" -> ((s, dir) => LlmOps.qEmbeddingDrift(s, dir)),
     "q_dedup_apply_lsh" -> ((s, dir) => LlmOps.qDedupApplyLsh(s, dir)),
+    "q_global_shuffle" -> ((s, dir) => Mix.qGlobalShuffle(s, dir)),
+    "q_epoch_plan" -> ((s, dir) => Mix.qEpochPlan(s, dir)),
+    "q_domain_mix" -> ((s, dir) => Mix.qDomainMix(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1656,5 +1659,65 @@ object SparkEntry {
         |  round(list_cosine_similarity(v.v, c.centroid), 4) AS cos_centroid
         |FROM v JOIN c ON v.label = c.label
         |ORDER BY vec_id""".stripMargin,
+    // the polyhash CTE reproduces graft.functions.polyhash (fold of
+    // UTF-8 codepoints, h*131+c mod 2^31-1; list_reduce seeds with the
+    // first element, which equals Java's 0-seeded fold since c0 < M)
+    "q_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(range(1, length('shuf42:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('shuf42:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, CAST(h % 64 AS INTEGER) AS shard FROM h),
+        |r AS (SELECT doc_id, shard,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |      FROM s)
+        |SELECT doc_id, shard, pos,
+        |  CAST((pos - 1) * 64 + shard AS BIGINT) AS global_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS corpus_tokens,
+        |        CAST(floor(sqrt(CAST(sum(ws_tokens) AS DOUBLE))) AS BIGINT) AS weight
+        |      FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(corpus_tokens) * 4 AS BIGINT) AS t_budget,
+        |          CAST(sum(weight) AS BIGINT) AS w_sum FROM w),
+        |a AS (SELECT source, corpus_tokens, weight,
+        |        weight * (t_budget // w_sum)
+        |          + (weight * (t_budget % w_sum)) // w_sum AS target_tokens
+        |      FROM w CROSS JOIN tot)
+        |SELECT source, corpus_tokens, weight, target_tokens,
+        |  target_tokens // corpus_tokens AS full_epochs,
+        |  ((target_tokens % corpus_tokens) * 1000000) // corpus_tokens AS partial_ppm
+        |FROM a ORDER BY source""".stripMargin,
+    "q_domain_mix" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_s,
+        |        CAST(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+        |             THEN 3 ELSE 1 END AS BIGINT) AS w_s
+        |      FROM n),
+        |tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_sum FROM w),
+        |q AS (SELECT source, n_s, w_s, w_sum, (n_s * w_sum) // w_s AS n_cap
+        |      FROM w CROSS JOIN tot),
+        |nm AS (SELECT min(n_cap) AS n_max FROM q),
+        |k AS (SELECT source, (w_s * n_max) // w_sum AS k_s FROM q CROSS JOIN nm),
+        |hh AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, hh.source, k.k_s,
+        |        CAST(row_number() OVER (PARTITION BY hh.source ORDER BY h, doc_id) AS INTEGER) AS mix_rank
+        |      FROM hh JOIN k ON hh.source = k.source)
+        |SELECT doc_id, source, mix_rank FROM r
+        |WHERE mix_rank <= k_s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.polyhash
+import graft.sources.Tables
+
+/** Corpus-mixing / training-order operators (SURVEY.md §2 H14–H16):
+  * the step between a curated corpus and a training run — what order
+  * the examples stream in, how many passes each domain gets, and how a
+  * mixed corpus is rebalanced to a target domain distribution.
+  *
+  * All three are DETERMINISTIC BY CONTENT-HASH, not RNG: the same
+  * corpus produces the same shuffle order / sample on any cluster, any
+  * partitioning, any engine — the same replayability contract as
+  * H1/H2/H5 (reference analog: none — LLM-brief extension; the
+  * reference pipeline's closest concern is stable batch ordering for
+  * its API push, target-pendo/src/sender.py).
+  *
+  * Every quotient here is integer (`DIV`, `pmod`, isqrt-below-2^52) so
+  * the DuckDB oracle can't diverge on a float ulp — SURVEY §6 rules.
+  */
+object Mix {
+
+  /** Number of shards in [[qGlobalShuffle]] — at 100 TB this is
+    * `ceil(corpus / targetShardSize)` (thousands), so one shard is one
+    * write task and the per-shard sort stays executor-sized. */
+  val ShuffleShards = 64
+
+  /** H14: seeded deterministic global shuffle — the training-order
+    * operator. Each doc hashes to a pseudo-random key; `shard` is the
+    * key mod [[ShuffleShards]], `pos` the doc's sorted position WITHIN
+    * its shard, and `global_pos = (pos-1)*shards + shard` a strided
+    * interleave that defines a single global training order while only
+    * ever sorting per-shard (the Window partitions by shard: shuffle +
+    * per-partition sort, NO global ordering/rangepartition anywhere —
+    * at scale each shard sort is one task, and the interleave keeps
+    * neighboring global positions on different shards, which is
+    * exactly the anti-clustering a data loader wants). */
+  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = polyhash(concat(lit("shuf42:"), col("doc_id").cast("string")))
+    val byShard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(byShard))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        ((col("pos") - 1) * ShuffleShards + col("shard")).cast("long").as("global_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** H15: per-domain epoch / repetition planner — given a token budget
+    * of `budgetX` corpus passes, split it across sources by temperature-
+    * 0.5 weights (w = isqrt(tokens): upsamples small domains, the same
+    * mixing rule as H7's per-lang sampling) and express each domain's
+    * allocation as FULL PASSES + a partial-pass ppm — the repetition
+    * schedule a data loader executes directly (domains with fewer
+    * tokens than their share repeat; the ppm remainder is one H5-style
+    * hash-filtered partial epoch).
+    *
+    * Two tiny aggregates (20 sources), broadcast join, integer math.
+    * `target = w*(T DIV S) + (w*(T mod S)) DIV S` is the exact identity
+    * for `(w*T) DIV S` that never forms the w×T product — at 100 TB
+    * token counts (1e13) times weights would overflow a long; the
+    * factored form's largest intermediate is w × (S-1). */
+  def qEpochPlan(spark: SparkSession, dir: String, budgetX: Int = 4): DataFrame = {
+    val perSource = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("corpus_tokens"))
+      .withColumn("weight", floor(sqrt(col("corpus_tokens").cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      (sum("corpus_tokens") * budgetX).as("t_budget"),
+      sum("weight").as("w_sum"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr("weight * (t_budget DIV w_sum) + (weight * (t_budget % w_sum)) DIV w_sum"))
+      .select(col("source"), col("corpus_tokens"), col("weight"), col("target_tokens"),
+        expr("target_tokens DIV corpus_tokens").as("full_epochs"),
+        expr("((target_tokens % corpus_tokens) * 1000000) DIV corpus_tokens").as("partial_ppm"))
+      .orderBy("source")
+  }
+
+  /** H16: exact-quota domain rebalancing — subsample a mixed corpus to
+    * a TARGET domain distribution (here: even-numbered sources weighted
+    * 3, odd 1) keeping as much data as the scarcest domain allows:
+    * `N = min_s (n_s*Σw) DIV w_s` is the largest output size whose
+    * per-domain quota `k_s = (w_s*N) DIV Σw` every domain can fill.
+    * Which k_s docs survive is the per-domain HASH RANK (order by
+    * content-hash, then id): a deterministic uniform draw, same
+    * replayability contract as H5.
+    *
+    * Plan: one 20-row count aggregate → quota frame broadcast back →
+    * per-source Window rank. At 100 TB the per-source rank-k selection
+    * swaps for the approx twin (hash threshold from a sampled k_s/n_s
+    * quantile, map-side filter, no window) — C12/C18's documented
+    * exact-vs-approx pattern. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val weighted = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s",
+        when(pmod(substring(col("source"), 4, 10).cast("long"), lit(2L)) === 0, 3L)
+          .otherwise(1L))
+    // N = min_s (n_s * w_sum) DIV w_s needs w_sum first: two tiny aggs
+    val wSum = weighted.agg(sum("w_s").as("w_sum"))
+    val quota = weighted.crossJoin(broadcast(wSum))
+      .withColumn("n_cap", expr("(n_s * w_sum) DIV w_s"))
+    val nMax = quota.agg(min("n_cap").as("n_max"))
+    val kPerSource = quota.crossJoin(broadcast(nMax))
+      .select(col("source"), expr("(w_s * n_max) DIV w_sum").as("k_s"))
+    val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
+    val bySource = Window.partitionBy("source").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .join(broadcast(kPerSource), "source")
+      .withColumn("mix_rank", row_number().over(bySource))
+      .filter(col("mix_rank") <= col("k_s"))
+      .select(col("doc_id"), col("source"), col("mix_rank"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixing operators (SURVEY §2 H14–H16): training-order shuffle,
+  * epoch planning, exact-quota domain rebalancing. */
+class MixSpec extends SparkSpec {
+
+  test("global shuffle is a bijection onto strided positions, deterministic") {
+    val out = Mix.qGlobalShuffle(spark, sfDir).cache()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val n = docs.count()
+    assert(out.count() == n, "every doc gets exactly one position")
+    assert(out.select("doc_id").distinct().count() == n)
+    assert(out.select("global_pos").distinct().count() == n,
+      "global positions are unique (strided interleave is injective)")
+    // shard must agree with the hash the query derives positions from,
+    // and pos must be dense 1..count within each shard
+    val dense = out.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("c") || col("mn") =!= 1)
+    assert(dense.count() == 0, "per-shard positions are dense 1..n_shard")
+    // content-hash determinism: a rerun (fresh plan) is identical
+    val again = Mix.qGlobalShuffle(spark, sfDir)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // pseudo-random balance: no shard hoards the corpus (loose bound —
+    // 500 docs over 64 shards, expect ~8/shard; a constant-hash bug
+    // would put everything in one shard)
+    val maxShard = out.groupBy("shard").count().agg(max("count")).head().getLong(0)
+    assert(maxShard < n / 4, s"shard sizes should be spread, max=$maxShard of $n")
+    out.unpersist()
+  }
+
+  test("epoch plan: targets exhaust the budget and decompose exactly") {
+    val plan = Mix.qEpochPlan(spark, sfDir, budgetX = 4).cache()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    val budget = 4L * totalTokens
+    val rows = plan.collect()
+    val sumTargets = rows.map(_.getAs[Long]("target_tokens")).sum
+    // each per-source floor-div loses < 1 token of share; Σ within |sources|
+    assert(sumTargets <= budget && budget - sumTargets <= rows.length,
+      s"targets $sumTargets should fill budget $budget within ${rows.length}")
+    rows.foreach { r =>
+      val (t, target) = (r.getAs[Long]("corpus_tokens"), r.getAs[Long]("target_tokens"))
+      val (epochs, ppm) = (r.getAs[Long]("full_epochs"), r.getAs[Long]("partial_ppm"))
+      assert(epochs == target / t)
+      assert(ppm == (target % t) * 1000000L / t)
+      assert(ppm >= 0 && ppm < 1000000L)
+    }
+    // temperature mixing upsamples small domains: every source gets at
+    // least one full pass when the budget is 4x the corpus
+    assert(rows.forall(_.getAs[Long]("full_epochs") >= 1))
+    plan.unpersist()
+  }
+
+  test("factored DIV identity: w*(T DIV S) + (w*(T mod S)) DIV S == (w*T) DIV S") {
+    // the overflow-safe form qEpochPlan uses must be EXACT, not approximate
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val w = rnd.nextInt(1 << 20).toLong + 1
+      val t = rnd.nextInt(1 << 21).toLong + 1
+      val s = rnd.nextInt(1 << 10).toLong + 1
+      assert(w * (t / s) + (w * (t % s)) / s == (w * t) / s, s"w=$w t=$t s=$s")
+    }
+  }
+
+  test("domain mix hits per-source quotas exactly with the hash-rank draw") {
+    val out = Mix.qDomainMix(spark, sfDir).cache()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    // recompute the quota arithmetic independently
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.keys.map(s => s -> (if (s.drop(3).toLong % 2 == 0) 3L else 1L)).toMap
+    val wSum = w.values.sum
+    val nMax = counts.map { case (s, n) => n * wSum / w(s) }.min
+    val k = w.map { case (s, ws) => s -> ws * nMax / wSum }
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    k.filter(_._2 > 0).foreach { case (s, ks) =>
+      assert(got.getOrElse(s, 0L) == ks, s"source $s: expected quota $ks, got ${got.get(s)}")
+    }
+    // survivors are the lowest (hash, id) per source — spot-check one source
+    val src = counts.keys.head
+    val hashed = docs.filter(col("source") === src)
+      .select(col("doc_id"),
+        graft.functions.polyhash(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy("h", "doc_id").limit(k(src).toInt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = out.filter(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == hashed, s"survivors for $src must be the ${k(src)} lowest hash ranks")
+    out.unpersist()
+  }
+}
