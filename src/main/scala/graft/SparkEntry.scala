@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Etl, LlmOps, Mix, Temporal, Warehouse}
+import graft.queries.{Etl, LlmOps, Mix, Retrieval, Temporal, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -139,6 +139,9 @@ object SparkEntry {
     "q_global_shuffle" -> ((s, dir) => Mix.qGlobalShuffle(s, dir)),
     "q_epoch_plan" -> ((s, dir) => Mix.qEpochPlan(s, dir)),
     "q_domain_mix" -> ((s, dir) => Mix.qDomainMix(s, dir)),
+    "q_rank_fusion" -> ((s, dir) => Retrieval.qRankFusion(s, dir)),
+    "q_mmr_diversify" -> ((s, dir) => Retrieval.qMmrDiversify(s, dir)),
+    "q_ann_recall" -> ((s, dir) => Retrieval.qAnnRecall(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1719,5 +1722,44 @@ object SparkEntry {
         |      FROM hh JOIN k ON hh.source = k.source)
         |SELECT doc_id, source, mix_rank FROM r
         |WHERE mix_rank <= k_s ORDER BY doc_id""".stripMargin,
+    // hybrid RRF: integer ppb scores; dense rank parity rests on the
+    // same bit-identical DOUBLE cosine the q_ann_topk oracle proves
+    "q_rank_fusion" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |dense AS (
+        |  SELECT query_id, neighbor_id, r FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |                 e.vec_id) AS r
+        |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+        |  WHERE r <= 20),
+        |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        |         FROM documents WHERE text IS NOT NULL),
+        |qt AS (SELECT doc_id AS query_id, t AS qtok FROM toks WHERE doc_id % 50 = 0),
+        |sparse AS (
+        |  SELECT query_id, neighbor_id, r FROM (
+        |    SELECT qt.query_id, d.doc_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qt.query_id
+        |        ORDER BY (1000 * len(list_intersect(qt.qtok, d.t)))
+        |                   // len(list_distinct(qt.qtok || d.t)) DESC,
+        |                 d.doc_id) AS r
+        |    FROM qt JOIN toks d ON d.doc_id <> qt.query_id) t
+        |  WHERE r <= 20),
+        |fused AS (
+        |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+        |    coalesce(d.neighbor_id, s.neighbor_id) AS doc_id,
+        |    CAST(coalesce(1000000000 // (60 + d.r), 0)
+        |       + coalesce(1000000000 // (60 + s.r), 0) AS BIGINT) AS rrf_ppb,
+        |    CAST(coalesce(d.r, 0) AS BIGINT) AS dense_rank,
+        |    CAST(coalesce(s.r, 0) AS BIGINT) AS sparse_rank
+        |  FROM dense d FULL OUTER JOIN sparse s
+        |    ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id)
+        |SELECT query_id, doc_id, rrf_ppb, dense_rank, sparse_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppb DESC, doc_id) AS fr FROM fused) z
+        |WHERE fr <= 10 ORDER BY query_id, doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.functions.{cosineSim, topKByScore}
+import graft.sources.Tables
+
+/** Retrieval-stack operators (SURVEY.md §2 E9–E11): hybrid rank
+  * fusion, diversity re-ranking, and index-quality evaluation — the
+  * ops between "an ANN index exists" and "retrieval you'd ship"
+  * (RAG context selection, retrieval-based curation, hard-negative
+  * pipelines). Reference analog: none — LLM-brief extension.
+  */
+object Retrieval {
+
+  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+
+  /** Dense candidate list: exact cosine top-`k` per query, E1's shape
+    * (queries broadcast, corpus streams, per-query bounded heap), but
+    * KEEPING the similarity for downstream re-rankers. */
+  private[queries] def denseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val corpus = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
+    corpus.join(broadcast(queryVecs(spark, dir)), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineSim(col("qvec"), col("emb")).as("sim"))
+      .groupBy("query_id")
+      .agg(topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.sim").as("sim"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Sparse candidate list: token-SET Jaccard (×1000, integer) top-`k`
+    * per query doc — the lexical leg of hybrid retrieval. Same
+    * broadcast shape as the dense leg; at 100 TB the all-candidates
+    * product swaps for inverted-index candidate generation (only docs
+    * sharing ≥1 token can score > 0 — F21's posting-list pattern). */
+  private[queries] def sparseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val qt = toks.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("t").as("qt"))
+    toks.join(broadcast(qt), col("query_id") =!= col("doc_id"))
+      .withColumn("inter", size(array_intersect(col("qt"), col("t"))).cast("long"))
+      .withColumn("uni", size(array_distinct(concat(col("qt"), col("t")))).cast("long"))
+      .withColumn("j_x1000", expr("(1000 * inter) DIV uni"))
+      .groupBy("query_id")
+      .agg(topKByScore(col("j_x1000").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** E9: reciprocal-rank fusion of the dense (cosine) and sparse
+    * (token Jaccard) top-20 lists — the standard hybrid-retrieval
+    * combiner (Cormack/Clarke/Büttcher RRF, k=60). Scores are INTEGER
+    * ppb (`1e9 DIV (60+rank)`, absent list contributes 0) so the fused
+    * ordering can't diverge on a float ulp between engines. The final
+    * per-query top-10 runs as a Window over a frame already bounded to
+    * ≤40 rows/query BY CONSTRUCTION (two rank-≤20 lists) — bounded
+    * input is what makes a window scale-safe here. */
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = denseTopK(spark, dir, k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("dr"))
+    val s = sparseTopK(spark, dir, k = 20)
+      .select(col("query_id").as("s_query_id"),
+        col("neighbor_id").as("s_neighbor_id"), col("rank").as("sr"))
+    val fused = d.join(s,
+        col("query_id") === col("s_query_id") &&
+          col("neighbor_id") === col("s_neighbor_id"), "full_outer")
+      .select(
+        coalesce(col("query_id"), col("s_query_id")).as("query_id"),
+        coalesce(col("neighbor_id"), col("s_neighbor_id")).as("doc_id"),
+        (coalesce(expr("1000000000 DIV (60 + dr)"), lit(0L))
+          + coalesce(expr("1000000000 DIV (60 + sr)"), lit(0L))).as("rrf_ppb"),
+        coalesce(col("dr"), lit(0L)).as("dense_rank"),
+        coalesce(col("sr"), lit(0L)).as("sparse_rank"))
+    val byFused = Window.partitionBy("query_id").orderBy(col("rrf_ppb").desc, col("doc_id"))
+    fused.withColumn("fr", row_number().over(byFused))
+      .filter(col("fr") <= 10)
+      .select("query_id", "doc_id", "rrf_ppb", "dense_rank", "sparse_rank")
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** E10: MMR (maximal marginal relevance) diversity re-ranking — pick
+    * 10 of the dense top-20 greedily by `λ·rel(q,i) − (1−λ)·max_{j∈S}
+    * sim(i,j)`: relevant results that aren't near-duplicates of ones
+    * already picked (the context-window curation step of RAG; λ=0.7).
+    * Greedy selection is inherently sequential PER QUERY, so it runs as
+    * one `mapGroups` over a group bounded to 20 candidates × dim
+    * doubles — O(k²·dim) ≈ 25k flops per query, embarrassingly parallel
+    * across queries; never a driver loop, never an unbounded group.
+    * Scores exported as ×1e6 integers (rounded half-even) for stable
+    * downstream comparison. */
+  def qMmrDiversify(spark: SparkSession, dir: String, lambda: Double = 0.7): DataFrame = {
+    val vecs = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), Ann.asDouble(col("embedding")).as("nvec"))
+    val cand = denseTopK(spark, dir, k = 20)
+      .join(vecs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("nvec"))
+    mmrSelect(cand, lambda, pick = 10)
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  /** The MMR kernel over a candidate frame (query_id, neighbor_id, sim,
+    * nvec) — bounded-group greedy selection; see [[qMmrDiversify]]. */
+  private[queries] def mmrSelect(cand: DataFrame, lambda: Double, pick: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"), col("nvec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, id asc
+        val n = cs.length
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        def norm(a: Seq[Double]): Double = math.sqrt(dot(a, a))
+        val nrm = cs.map(c => norm(c._4))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val pairSim = Array.ofDim[Double](n, n)
+        for (i <- 0 until n; j <- 0 until n if j > i) {
+          val s = dot(cs(i)._4, cs(j)._4) / (nrm(i) * nrm(j))
+          pairSim(i)(j) = s; pairSim(j)(i) = s
+        }
+        (0 until math.min(pick, n)).map { r =>
+          var best = -1; var bestScore = Double.NegativeInfinity
+          for (i <- 0 until n if !selected.contains(i)) {
+            val div = if (selected.isEmpty) 0.0
+              else selected.map(pairSim(i)).max
+            val score = lambda * cs(i)._3 - (1 - lambda) * div
+            // deterministic: strict improvement, first (lowest-id) wins ties
+            if (score > bestScore + 1e-12 ||
+                (math.abs(score - bestScore) <= 1e-12 && best >= 0 && cs(i)._2 < cs(best)._2)) {
+              best = i; bestScore = score
+            }
+          }
+          selected += best
+          (qid, (r + 1).toLong, cs(best)._2, math.rint(bestScore * 1e6).toLong)
+        }
+      }
+      .toDF("query_id", "mmr_rank", "doc_id", "mmr_score_x1e6")
+  }
+
+  /** E11: ANN index-quality evaluation — per-query recall@10 of the
+    * IVF index (E3, nprobe=4) against the exact top-10 (E1): the
+    * measurement you run before trusting an approximate index for
+    * curation or retrieval (AnnSpec asserts the aggregate bound; this
+    * operator is the per-query REPORT — which queries the index fails
+    * tells you which cells are under-probed). Two rank-≤10 frames
+    * joined on (query, neighbor): output is O(queries), never corpus-
+    * sized. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallReport(
+      LlmOps.qAnnTopK(spark, dir).select(col("query_id"), col("neighbor_id")),
+      LlmOps.qAnnIvf(spark, dir).select(col("query_id"), col("neighbor_id")))
+      .orderBy("query_id")
+
+  /** Per-query recall of `approx` against `exact` (both: query_id,
+    * neighbor_id rank lists); see [[qAnnRecall]]. */
+  private[queries] def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id").as("a_query_id"),
+      col("neighbor_id").as("a_neighbor_id"))
+    val overlap = exact.join(a,
+        col("query_id") === col("a_query_id") &&
+          col("neighbor_id") === col("a_neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_x100", expr("(n_overlap * 100) DIV n_exact"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Retrieval-stack operators (SURVEY §2 E9–E11): RRF hybrid fusion,
+  * MMR diversification, ANN recall evaluation. */
+class RetrievalSpec extends SparkSpec {
+
+  test("rank fusion: bounded fanout, integer scores match rank arithmetic") {
+    val out = Retrieval.qRankFusion(spark, sfDir).cache()
+    val perQuery = out.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") > 10).count() == 0, "≤10 rows per query")
+    // rrf score must equal the closed form of its two ranks
+    val bad = out.filter(
+      col("rrf_ppb") =!=
+        when(col("dense_rank") > 0, expr("1000000000 DIV (60 + dense_rank)")).otherwise(0L)
+          + when(col("sparse_rank") > 0, expr("1000000000 DIV (60 + sparse_rank)")).otherwise(0L))
+    assert(bad.count() == 0, "rrf_ppb is exactly the two-list closed form")
+    // a doc ranked in BOTH lists dominates any doc whose best single
+    // rank is no better: both-lists rank-(a,b) ≥ single-list rank-min(a,b)
+    val both = out.filter(col("dense_rank") > 0 && col("sparse_rank") > 0)
+    if (both.count() > 0) {
+      val w = both.select(min("rrf_ppb")).head().getLong(0)
+      val singleBest = 1000000000L / 61
+      assert(w > 1000000000L / 80 || w <= 2 * singleBest, "sane score range")
+    }
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  test("mmr: rank 1 is the most relevant; λ=1 degenerates to relevance order") {
+    val pure = Retrieval.qMmrDiversify(spark, sfDir, lambda = 1.0).cache()
+    val dense = Retrieval.denseTopK(spark, sfDir, k = 20)
+      .filter(col("rank") <= 10).cache()
+    // with no diversity term the MMR order IS the relevance order
+    val mismatch = pure
+      .join(dense,
+        pure("query_id") === dense("query_id") &&
+          pure("mmr_rank") === dense("rank") &&
+          pure("doc_id") =!= dense("neighbor_id"))
+    assert(mismatch.count() == 0, "λ=1 must reproduce the dense ranking")
+    // λ=0.7: first pick is still the relevance argmax (no selected set yet)
+    val mmr = Retrieval.qMmrDiversify(spark, sfDir, lambda = 0.7).cache()
+    val firstMismatch = mmr.filter(col("mmr_rank") === 1)
+      .join(dense.filter(col("rank") === 1),
+        mmr("query_id") === dense("query_id") &&
+          mmr("doc_id") =!= dense("neighbor_id"))
+    assert(firstMismatch.count() == 0, "rank-1 pick is the relevance top-1")
+    // determinism
+    val again = Retrieval.qMmrDiversify(spark, sfDir, lambda = 0.7)
+    assert(mmr.except(again).count() == 0 && again.except(mmr).count() == 0)
+    pure.unpersist(); dense.unpersist(); mmr.unpersist()
+  }
+
+  test("mmr demotes a planted near-duplicate below a diverse pick") {
+    import spark.implicits._
+    // query q=0 with candidates: a (sim .9), a' (sim .89, clone of a),
+    // b (sim .5, orthogonal). Pure relevance orders a, a', b; MMR with
+    // λ=0.7 must pick a then b (a' pays .3 × ~1.0 clone penalty).
+    val cand = Seq(
+      (0L, 10L, 0.90, Seq(1.0, 0.0, 0.0)),
+      (0L, 11L, 0.89, Seq(0.999, 0.01, 0.0)),
+      (0L, 12L, 0.50, Seq(0.0, 1.0, 0.0)))
+      .toDF("query_id", "neighbor_id", "sim", "nvec")
+    val picks = Retrieval.mmrSelect(cand, lambda = 0.7, pick = 3)
+      .orderBy("mmr_rank").collect()
+    assert(picks.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 12L, 11L),
+      s"expected relevant-then-diverse, got ${picks.mkString(",")}")
+  }
+
+  test("ann recall: self-recall is 100, report is bounded and integer") {
+    val exact = LlmOps.qAnnTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val self = Retrieval.recallReport(exact, exact)
+    assert(self.filter(col("recall_x100") =!= 100).count() == 0,
+      "exact vs itself must be perfect recall")
+    val out = Retrieval.qAnnRecall(spark, sfDir).cache()
+    assert(out.filter(col("recall_x100") < 0 || col("recall_x100") > 100).count() == 0)
+    assert(out.filter(col("n_overlap") > col("n_exact")).count() == 0)
+    // the IVF index at nprobe=4 of 16 cells should not be useless
+    val mean = out.agg(avg("recall_x100")).head().getDouble(0)
+    assert(mean >= 50.0, s"mean recall@10 suspiciously low: $mean")
+    exact.unpersist(); out.unpersist()
+  }
+}
