@@ -142,6 +142,7 @@ object SparkEntry {
     "q_rank_fusion" -> ((s, dir) => Retrieval.qRankFusion(s, dir)),
     "q_mmr_diversify" -> ((s, dir) => Retrieval.qMmrDiversify(s, dir)),
     "q_ann_recall" -> ((s, dir) => Retrieval.qAnnRecall(s, dir)),
+    "q_image_patches" -> ((s, dir) => LlmOps.qImagePatches(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1761,5 +1762,51 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY rrf_ppb DESC, doc_id) AS fr FROM fused) z
         |WHERE fr <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    // every pixel of the planted staircase corpus is hash-bit
+    // arithmetic: lum(x,y) = 128 + 5·Σ_{i<x} (bit(y·8+i) ? +1 : −1) —
+    // the oracle rebuilds all 72 pixels per image from the planted
+    // hash (same hh/hs/hf derivation as q_image_phash) and
+    // re-aggregates the 3×4 tiles
+    "q_image_patches" ->
+      s"""WITH hh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 3 THEN
+        |      ((2 * (doc_id // 16) + 1)::HUGEINT * 14029467366897019727)
+        |        % 18446744073709551616
+        |    ELSE
+        |      ((doc_id + 1)::HUGEINT * 11400714819323198485)
+        |        % 18446744073709551616
+        |    END AS hu
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hu >= 9223372036854775808
+        |         THEN (hu - 18446744073709551616)::BIGINT ELSE hu::BIGINT
+        |    END AS h0,
+        |    doc_id % 16 AS m, doc_id // 16 AS g
+        |  FROM hh),
+        |hf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m = 1 THEN xor(h0,
+        |           CASE WHEN g % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << (g % 64) END)
+        |         WHEN m = 2 THEN xor(xor(h0,
+        |           CASE WHEN (g+7) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+7) % 64) END),
+        |           CASE WHEN (g+23) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+23) % 64) END)
+        |         ELSE h0 END AS h
+        |  FROM hs),
+        |b AS (SELECT doc_id, reverse(lpad(bin(h), 64, '0')) AS bits FROM hf),
+        |lum AS (
+        |  SELECT doc_id, x, y,
+        |    128 + 5 * CAST(coalesce(list_sum(list_transform(range(1, x + 1),
+        |        i -> CASE WHEN substr(bits, y*8 + i, 1) = '1' THEN 1 ELSE -1 END)), 0) AS BIGINT) AS l
+        |  FROM b, range(9) tx(x), range(8) ty(y))
+        |SELECT doc_id, CAST((y//4)*3 + (x//3) AS INTEGER) AS patch_id,
+        |  CAST(sum(l) AS BIGINT) AS sum_lum, CAST(min(l) AS INTEGER) AS min_lum,
+        |  CAST(max(l) AS INTEGER) AS max_lum
+        |FROM lum GROUP BY doc_id, (y//4)*3 + (x//3)
+        |ORDER BY doc_id, patch_id""".stripMargin,
   )
 }

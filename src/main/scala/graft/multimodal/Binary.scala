@@ -180,6 +180,57 @@ object Binary {
       }
   }
 
+  /** G3f: ViT-style PATCH GRID extraction over real decoded pixels —
+    * the preprocessing step between "image bytes in a column" and
+    * "patch embeddings": the image splits into a floor grid of
+    * `patchW`×`patchH` tiles (partial edge tiles drop, the standard
+    * ViT crop contract) and each patch emits integer luminance stats
+    * (Rec.601 ×1000 integer weights, same arithmetic as the dHash
+    * path) — sum/min/max are what batch-norm calibration and trivial-
+    * patch filtering (solid-color sky/background tiles) consume, and
+    * integers make the whole decode→tile→reduce path oracle-checkable
+    * bit-for-bit. One batched map-side decode pass, ~patches×8 bytes
+    * out per image, pixels never leave the scan — the same scale shape
+    * as [[decodeImageMeta]]; undecodable payloads emit no patches. */
+  def patchStats(media: DataFrame, patchW: Int, patchH: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(patchW > 0 && patchH > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val img =
+              try Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes)))
+              catch { case _: java.io.IOException => None }
+            img.toSeq.flatMap { im =>
+              val (gw, gh) = (im.getWidth / patchW, im.getHeight / patchH)
+              for (py <- 0 until gh; px <- 0 until gw) yield {
+                var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+                var y = py * patchH
+                while (y < (py + 1) * patchH) {
+                  var x = px * patchW
+                  while (x < (px + 1) * patchW) {
+                    val rgb = im.getRGB(x, y)
+                    val l = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                      + 114 * (rgb & 0xff)) / 1000
+                    sum += l; if (l < mn) mn = l; if (l > mx) mx = l
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, py * gw + px, sum, mn, mx)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "patch_id", "sum_lum", "min_lum", "max_lum")
+  }
+
   /** REAL resize — decode + area-averaging resample + PNG re-encode, per
     * batch, same degrade contract as [[decodeImageMeta]] (undecodable
     * rows drop; a filter on decodability belongs upstream where the

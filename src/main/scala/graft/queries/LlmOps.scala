@@ -759,6 +759,18 @@ object LlmOps {
       maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** G3f: ViT patch-grid stats over the planted corpus — real PNG
+    * decode → 3×4-pixel tiles (a 3×2 patch grid per 9×8 image) →
+    * integer luminance sum/min/max per tile. The staircase corpus
+    * makes every pixel's luminance pure hash-bit arithmetic, so the
+    * DuckDB oracle recomputes all 72 pixels per image from the planted
+    * hash and re-aggregates the tiles — parity proves decode, tiling,
+    * and reduction bit-exact (see [[graft.multimodal.Binary.patchStats]]). */
+  def qImagePatches(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Binary.patchStats(plantedImages(spark, dir),
+      patchW = 3, patchH = 4)
+      .orderBy("doc_id", "patch_id")
+
   /** F13: per-doc token entropy (map-side run-length fold, no shuffle). */
   def qEntropy(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenEntropy(Tables.table(spark, dir, "documents"), "text", "doc_id")

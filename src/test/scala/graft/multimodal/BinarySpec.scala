@@ -133,6 +133,34 @@ class BinarySpec extends SparkSpec {
     assert(m.n_frames == frames.toLong && m.rms == amp.toDouble)
   }
 
+  test("patch stats: floor-grid tiles with integer luminance, corrupt emits nothing") {
+    import spark.implicits._
+    // 7x5 grayscale PNG with lum(x,y) = 10*y + x: patches of 3x2 form a
+    // 2x2 floor grid (column 6 and row 4 drop — the partial-tile crop)
+    val im = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val v = 10 * y + x
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", buf)
+    val media = Seq((1L, buf.toByteArray), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Binary.patchStats(media, patchW = 3, patchH = 2).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L), "corrupt payload emits no patches")
+    assert(out.length == 4, s"2x2 floor grid, got ${out.length}")
+    val byId = out.map(r => r.getAs[Int]("patch_id") ->
+      (r.getAs[Long]("sum_lum"), r.getAs[Int]("min_lum"), r.getAs[Int]("max_lum"))).toMap
+    // patch 0 covers x 0..2, y 0..1: lums {0,1,2,10,11,12}
+    assert(byId(0) == ((36L, 0, 12)), s"patch 0: ${byId(0)}")
+    // patch 1 covers x 3..5, y 0..1: lums {3,4,5,13,14,15}
+    assert(byId(1) == ((54L, 3, 15)))
+    // patch 2 covers x 0..2, y 2..3: lums {20,21,22,30,31,32}
+    assert(byId(2) == ((156L, 20, 32)))
+    assert(byId(3) == ((174L, 23, 35)))
+  }
+
   test("real resize: output payloads are valid PNGs of the target dimensions") {
     import spark.implicits._
     val media = Seq(
