@@ -143,6 +143,7 @@ object SparkEntry {
     "q_mmr_diversify" -> ((s, dir) => Retrieval.qMmrDiversify(s, dir)),
     "q_ann_recall" -> ((s, dir) => Retrieval.qAnnRecall(s, dir)),
     "q_image_patches" -> ((s, dir) => LlmOps.qImagePatches(s, dir)),
+    "q_asof_nearest" -> ((s, dir) => Warehouse.qAsofNearest(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1808,5 +1809,43 @@ object SparkEntry {
         |  CAST(max(l) AS INTEGER) AS max_lum
         |FROM lum GROUP BY doc_id, (y//4)*3 + (x//3)
         |ORDER BY doc_id, patch_id""".stripMargin,
+    // nearest = pick the closer of the two directional inclusive
+    // carries (same tagged-union construction as q_asof_forward, both
+    // sort directions); cid/cts carry independently — both non-null on
+    // exactly the right-side rows; tie at equal distance goes backward
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, max(event_id) AS cid
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id,
+        |         CAST(NULL AS BIGINT) AS cid, CAST(NULL AS TIMESTAMP) AS cts
+        |  FROM p
+        |  UNION ALL
+        |  SELECT user_id, c_ts, -1, NULL, cid, c_ts FROM c),
+        |w AS (
+        |  SELECT user_id, ts, side, event_id,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid,
+        |    last_value(cts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+        |    last_value(cid IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fid,
+        |    last_value(cts IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, side ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fts
+        |  FROM u)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+        |         epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+        |       THEN bid ELSE fid END AS click_event_id,
+        |  CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+        |         epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+        |       THEN bts ELSE fts END AS click_ts
+        |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,4 +107,65 @@ object AsOfJoin {
       strict: Boolean = false): DataFrame =
     asOfImpl(left, right, keyCol, leftTime, rightTime, carryCols, strict,
       forward = true)
+
+  /** NEAREST as-of: for every left row, the right row of the same key
+    * MINIMIZING |rightTime − leftTime|, ties broken BACKWARD — pandas
+    * merge_asof direction='nearest' (sensor alignment, quote-to-trade
+    * matching where the quote may land just after the trade clock).
+    *
+    * Still ONE shuffle: both directional carries ride the same tagged
+    * union and key partitioning — the ascending-sort running frame
+    * yields the latest right at-or-before, the descending-sort one the
+    * earliest right at-or-after (same side ordering: right rows sort
+    * before the left row at equal time in BOTH scans, so both carries
+    * are inclusive and an exact-time match wins at distance 0). The
+    * plan is Exchange → Sort asc → Window → Sort desc → Window: two
+    * per-key sorts, never two shuffles, never a pair blowup.
+    *
+    * Distances compare in µs for timestamp columns (micros is the
+    * engine-truncated precision — see sources.Tables), raw long
+    * otherwise. Same NULL / determinism contract as [[asOf]]. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTime: String, rightTime: String, carryCols: Seq[String]): DataFrame = {
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val carryAll = (carryCols :+ rightTime).distinct
+    val rType = org.apache.spark.sql.types.StructType(carryAll.map(c => right.schema(c)))
+    val rTagged = right
+      .where(col(rightTime).isNotNull)
+      .select(
+        col(keyCol).as("__key"), col(rightTime).as("__t"), lit(-1).as("__side"),
+        lit(null).cast(lType).as("__l"),
+        struct(carryAll.map(col): _*).as("__r"))
+    val lTagged = left.select(
+      col(keyCol).as("__key"), col(leftTime).as("__t"), lit(0).as("__side"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val wBack = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val rtType = right.schema(rightTime).dataType
+    val ltType = left.schema(leftTime).dataType
+    val leftT = micros(col(s"__l.`$leftTime`"), ltType)
+    val backT = micros(col(s"__back.`$rightTime`"), rtType)
+    val fwdT = micros(col(s"__fwd.`$rightTime`"), rtType)
+    val chooseBack = col("__fwd").isNull ||
+      (col("__back").isNotNull && (leftT - backT) <= (fwdT - leftT))
+    lTagged.unionAll(rTagged)
+      .select(col("__side"), col("__l"),
+        last(col("__r"), ignoreNulls = true).over(wBack).as("__back"),
+        last(col("__r"), ignoreNulls = true).over(wFwd).as("__fwd"))
+      .filter(col("__side") === 0)
+      .withColumn("__carried", when(chooseBack, col("__back")).otherwise(col("__fwd")))
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.`$c`").as(c)) ++
+        carryCols.map(c =>
+          when(col(s"__l.`$leftTime`").isNotNull, col(s"__carried.`$c`")).as(c)): _*)
+  }
 }

@@ -181,6 +181,25 @@ object Warehouse {
       .orderBy($"event_id")
   }
 
+  /** C8c: NEAREST as-of join — match each purchase to the user's click
+    * CLOSEST in time, either direction, ties backward (pandas
+    * merge_asof direction='nearest'; sensor/clock-skew alignment).
+    * Both directional carries ride one shuffle — Exchange → Sort asc →
+    * Window → Sort desc → Window (see AsOfJoin.asOfNearest). */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.table(spark, dir, "events")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = events.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("click_event_id"))
+      .select($"user_id", $"ts".as("click_ts"), $"click_event_id")
+    graft.operators.AsOfJoin.asOfNearest(purchases, clicks, "user_id",
+      "ts", "click_ts", Seq("click_event_id", "click_ts"))
+      .orderBy($"event_id")
+  }
+
   /** C9: salted aggregation over pathologically skewed keys — events has
     * 5 distinct event types over the whole table, the worst case for a
     * plain hash aggregate (5 reducers own everything). The two-phase

@@ -173,6 +173,18 @@ class PlanSpec extends SparkSpec {
       s"change detection and interval close must share one shuffle:\n$plan")
   }
 
+  test("nearest as-of plans both window passes over one key exchange") {
+    // the final orderBy adds a rangepartitioning exchange; the JOIN
+    // machinery itself must contribute exactly one hash exchange for
+    // both directional window sorts
+    val plan = planOf(queries.Warehouse.qAsofNearest(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"both directional carries must share the tagged-union shuffle:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2, "two window passes expected")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "nearest as-of must never pair-explode")
+  }
+
   test("entropy and normalization are map-side projections (no shuffle)") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")

@@ -143,6 +143,56 @@ class AsOfJoinSpec extends SparkSpec {
     assert(strict == "before")
   }
 
+  test("nearest as-of picks the closer side, ties backward, one-sided keys degrade") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 09:00 (1h) vs fwd 10:30 (30m) → fwd
+      (2L, 10L, ts("2024-01-01 11:30:00")), // back 10:30 (1h) vs fwd 14:00 (2.5h) → back
+      (3L, 20L, ts("2024-01-01 11:00:00")), // equidistant ±1h → tie goes BACKWARD
+      (4L, 30L, ts("2024-01-01 09:00:00")), // only a future right row → forward
+      (5L, 40L, ts("2024-01-01 09:00:00"))) // no right rows at all → NULL
+      .toDF("lid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), "b1"),
+      (10L, ts("2024-01-01 10:30:00"), "f1"),
+      (10L, ts("2024-01-01 14:00:00"), "f2"),
+      (20L, ts("2024-01-01 10:00:00"), "tb"),
+      (20L, ts("2024-01-01 12:00:00"), "tf"),
+      (30L, ts("2024-01-01 23:00:00"), "fut"))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("lid")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, Some("f1")), (2L, Some("f1")), (3L, Some("tb")),
+      (4L, Some("fut")), (5L, None)), s"got $out")
+  }
+
+  test("nearest as-of equals the naive argmin scan on random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(100000).toLong)).toDF("lid", "k", "t")
+    val right = (1 to 200).map(i =>
+      ((i % 7).toLong, rnd.nextInt(100000).toLong, i.toLong)).toDF("k", "rt", "rid")
+    // determinism contract: unique right per (key, time)
+    val rightU = right.groupBy("k", "rt").agg(max("rid").as("rid"))
+    val got = AsOfJoin.asOfNearest(left, rightU, "k", "t", "rt", Seq("rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rights = rightU.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    left.collect().foreach { l =>
+      val (lid, k, t) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val expected = rights.get(k).flatMap { rs =>
+        // nearest by |Δt|; tie → backward (rt <= t), then the unique row
+        val best = rs.minBy(r => (math.abs(r._2 - t), if (r._2 <= t) 0 else 1))
+        Some(best._3)
+      }
+      assert(got(lid) == expected, s"lid=$lid k=$k t=$t")
+    }
+  }
+
   test("registered query: every purchase row present, attribution never in the future") {
     val out = graft.queries.Warehouse.qAsofJoin(spark, sfDir).collect()
     val purchases = graft.sources.Tables.table(spark, sfDir, "events")
