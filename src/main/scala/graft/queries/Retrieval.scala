@@ -15,18 +15,25 @@ import graft.sources.Tables
   */
 object Retrieval {
 
-  private def queryVecs(spark: SparkSession, dir: String): DataFrame =
+  /** The query batch: every `queryMod`-th vector. The REGISTERED
+    * queries fix queryMod=50 (so the oracle-checked face and the
+    * corpus grow together — an exact-baseline stress the bench keeps
+    * honest); deployment and the scale smoke bound the batch instead
+    * (a retrieval batch is a request-side quantity, not a corpus-side
+    * one — Q×N with Q ∝ N is quadratic by construction). */
+  private def queryVecs(spark: SparkSession, dir: String, queryMod: Long): DataFrame =
     Tables.table(spark, dir, "embeddings")
-      .filter(col("vec_id") % 50 === 0)
+      .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
 
   /** Dense candidate list: exact cosine top-`k` per query, E1's shape
     * (queries broadcast, corpus streams, per-query bounded heap), but
     * KEEPING the similarity for downstream re-rankers. */
-  private[queries] def denseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private[queries] def denseTopK(spark: SparkSession, dir: String, k: Int,
+      queryMod: Long = 50): DataFrame = {
     val corpus = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
-    corpus.join(broadcast(queryVecs(spark, dir)), col("query_id") =!= col("vec_id"))
+    corpus.join(broadcast(queryVecs(spark, dir, queryMod)), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineSim(col("qvec"), col("emb")).as("sim"))
       .groupBy("query_id")
@@ -47,13 +54,14 @@ object Retrieval {
     * vocabulary-bounded odds ~V²/2³²). At 100 TB the all-candidates
     * product swaps for inverted-index candidate generation (only docs
     * sharing ≥1 token can score > 0 — F21's posting-list pattern). */
-  private[queries] def sparseTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private[queries] def sparseTopK(spark: SparkSession, dir: String, k: Int,
+      queryMod: Long = 50): DataFrame = {
     val toks = Tables.table(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         sort_array(array_distinct(transform(split(col("text"), " "),
           t => graft.functions.polyhash(t)))).as("t"))
-    val qt = toks.filter(col("doc_id") % 50 === 0)
+    val qt = toks.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("t").as("qt"))
     toks.join(broadcast(qt), col("query_id") =!= col("doc_id"))
       .select(col("query_id"), col("doc_id"),
@@ -74,10 +82,15 @@ object Retrieval {
     * per-query top-10 runs as a Window over a frame already bounded to
     * ≤40 rows/query BY CONSTRUCTION (two rank-≤20 lists) — bounded
     * input is what makes a window scale-safe here. */
-  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
-    val d = denseTopK(spark, dir, k = 20)
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame =
+    rankFusion(spark, dir, queryMod = 50)
+
+  /** [[qRankFusion]] with a caller-bounded query batch (deployment /
+    * scale-smoke face). */
+  def rankFusion(spark: SparkSession, dir: String, queryMod: Long): DataFrame = {
+    val d = denseTopK(spark, dir, k = 20, queryMod)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("dr"))
-    val s = sparseTopK(spark, dir, k = 20)
+    val s = sparseTopK(spark, dir, k = 20, queryMod)
       .select(col("query_id").as("s_query_id"),
         col("neighbor_id").as("s_neighbor_id"), col("rank").as("sr"))
     val fused = d.join(s,
@@ -107,10 +120,11 @@ object Retrieval {
     * across queries; never a driver loop, never an unbounded group.
     * Scores exported as ×1e6 integers (rounded half-even) for stable
     * downstream comparison. */
-  def qMmrDiversify(spark: SparkSession, dir: String, lambda: Double = 0.7): DataFrame = {
+  def qMmrDiversify(spark: SparkSession, dir: String, lambda: Double = 0.7,
+      queryMod: Long = 50): DataFrame = {
     val vecs = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id").as("neighbor_id"), Ann.asDouble(col("embedding")).as("nvec"))
-    val cand = denseTopK(spark, dir, k = 20)
+    val cand = denseTopK(spark, dir, k = 20, queryMod)
       .join(vecs, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("nvec"))
     mmrSelect(cand, lambda, pick = 10)

@@ -231,6 +231,27 @@ object ScaleSmoke {
       queries.LlmOps.clearAnnIndexes() // memo gone, disk artifact stays
       queries.LlmOps.qPqTopK(spark, dir)
     }
+    // round-7: corpus mixing — shuffle/mix are hash + per-shard (resp.
+    // per-source) window work, expect ~linear; epoch plan is two tiny
+    // aggregates, expect flat
+    time("q_global_shuffle") { queries.Mix.qGlobalShuffle(spark, dir) }
+    time("q_epoch_plan") { queries.Mix.qEpochPlan(spark, dir) }
+    time("q_domain_mix") { queries.Mix.qDomainMix(spark, dir) }
+    // round-7: retrieval with a BOUNDED query batch (queryMod scales
+    // with mult so the batch stays ~100 queries: a retrieval batch is a
+    // request-side quantity — Q ∝ corpus would be quadratic by
+    // construction, the registered sf0.1 face already stresses that).
+    // Expect ~linear in corpus for the scan legs, flat for the fuse.
+    time("q_rank_fusion_b100") {
+      queries.Retrieval.rankFusion(spark, dir, queryMod = 50L * mult)
+    }
+    time("q_mmr_diversify_b100") {
+      queries.Retrieval.qMmrDiversify(spark, dir, queryMod = 50L * mult)
+    }
+    // patches: one decode pass, ~linear; asof-nearest: one key shuffle
+    // + two per-key window sorts over 5M events, ~linear
+    time("q_image_patches") { queries.LlmOps.qImagePatches(spark, dir) }
+    time("q_asof_nearest") { queries.Warehouse.qAsofNearest(spark, dir) }
     spark.stop()
   }
 }
