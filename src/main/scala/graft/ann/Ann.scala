@@ -143,7 +143,13 @@ object Ann {
     // measured far slower downstream on clone-heavy corpora)
     val stats = bucketed.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__min_id"))
-    val sized = bucketed.join(stats, "__bucket")
+    // MATERIALIZED once (localCheckpoint — lineage-truncating, cleaned
+    // when unreferenced): five plan branches read this frame (probe
+    // side, base side, star filter, canonical lookups), and each would
+    // otherwise recompute the signature dot-products AND the stats
+    // aggregate+join — measured 2.2–2.5s → ~1s warm at sf0.1 for the
+    // two registered LSH faces. Same fix as ImageDedup.nearDupPairs.
+    val sized = bucketed.join(stats, "__bucket").localCheckpoint()
     val small = sized.filter(col("__n") <= maxBucketSize)
 
     val flips = array(probeMasks(planes, probeBits).map(lit): _*)
@@ -158,7 +164,7 @@ object Ann {
 
     // hot buckets: each member pairs with the bucket canonical only
     // (B-1 rows instead of B²); join the canonical's embedding back in
-    val canonEmb = bucketed.select(col(idCol).as("id_a"), col("__emb").as("emb_a"))
+    val canonEmb = sized.select(col(idCol).as("id_a"), col("__emb").as("emb_a"))
     val starPairs = sized.filter(col("__n") > maxBucketSize)
       .filter(col(idCol) =!= col("__min_id"))
       .select(col("__min_id").as("id_a"), col(idCol).as("id_b"), col("__emb").as("emb_b"))
