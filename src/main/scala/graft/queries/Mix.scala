@@ -38,12 +38,18 @@ object Mix {
     * at scale each shard sort is one task, and the interleave keeps
     * neighboring global positions on different shards, which is
     * exactly the anti-clustering a data loader wants). */
-  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val h = polyhash(concat(lit("shuf42:"), col("doc_id").cast("string")))
-    val byShard = Window.partitionBy("shard").orderBy("h", "doc_id")
-    Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), h.as("h"))
+  /** The STATELESS half of H14 — content-hash shard assignment as a
+    * pure projection (adds `h`, `shard`). Runs unchanged on a stream
+    * (no state, no ordering): an ingest pipeline can route docs to
+    * training shards at arrival time; only the within-shard POSITION
+    * needs the batch sort. */
+  def assignShard(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("h", polyhash(concat(lit("shuf42:"), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+
+  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val byShard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    assignShard(Tables.table(spark, dir, "documents").select("doc_id"), "doc_id")
       .withColumn("pos", row_number().over(byShard))
       .select(col("doc_id"), col("shard"), col("pos"),
         ((col("pos") - 1) * ShuffleShards + col("shard")).cast("long").as("global_pos"))

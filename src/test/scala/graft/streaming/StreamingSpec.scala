@@ -486,6 +486,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming shard assignment routes docs identically to the batch shuffle") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    input.addData(1L to 300L: _*)
+    val query = graft.queries.Mix.assignShard(input.toDF().toDF("doc_id"), "doc_id")
+      .writeStream.format("memory").queryName("shard_assign")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("shard_assign")
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = graft.queries.Mix.assignShard(
+          (1L to 300L).toDF("doc_id"), "doc_id")
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch,
+        "arrival-time shard routing must equal the batch assignment")
+      assert(streamed.values.toSet.size > 16, "docs spread across shards")
+    } finally query.stop()
+  }
+
   test("streaming cdc apply: advances emit, out-of-order is ignored, tombstones delete") {
     val sparkSession = spark
     import sparkSession.implicits._
