@@ -144,6 +144,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => Retrieval.qAnnRecall(s, dir)),
     "q_image_patches" -> ((s, dir) => LlmOps.qImagePatches(s, dir)),
     "q_asof_nearest" -> ((s, dir) => Warehouse.qAsofNearest(s, dir)),
+    "q_loss_mask" -> ((s, dir) => LlmOps.qLossMask(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1847,5 +1848,29 @@ object SparkEntry {
         |         epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
         |       THEN bts ELSE fts END AS click_ts
         |FROM w WHERE side = 0 ORDER BY event_id""".stripMargin,
+    // token-contains semantics: regexp_matches (DuckDB) and rlike
+    // (Spark) are both find-anywhere; patterns are the Java/RE2-parity
+    // set from Redact
+    "q_loss_mask" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' reach user' || CAST(doc_id AS VARCHAR) || '@' || source
+        |        || '.example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |        || ' card 4111111111111111'
+        |    ELSE text END AS t0
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, string_split(t0, ' ') AS toks,
+        |    list_transform(string_split(t0, ' '), s ->
+        |      CASE WHEN regexp_matches(s,
+        |        '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}|\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b|[0-9]{13,}')
+        |      THEN '1' ELSE '0' END) AS marks
+        |  FROM base)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(marks, x -> x = '1')) AS BIGINT) AS n_masked,
+        |  array_to_string(marks, '') AS mask_bits
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -494,6 +494,27 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** F10b: token-level loss mask over the SAME PII-enriched corpus as
+    * F10 — which token positions a trainer must exclude from the loss
+    * (tagging alone still trains tag prediction in context). See
+    * [[graft.text.Redact.lossMask]]. */
+  def qLossMask(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@"), col("source"), lit(".example.org from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id") * 7, lit(256)).cast("string"),
+            lit(" card 4111111111111111")))
+          .otherwise(col("text")).as("text"))
+    graft.text.Redact.lossMask(docs, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** F11: sequence packing — non-overlapping 32-token chunks packed into
     * ~256-token training sequences in deterministic content-hash order
     * (each sequence mixes documents; assignment stable across reruns,

@@ -48,4 +48,25 @@ object Redact {
     step2.select(col(idCol), col("n_emails"), col("n_ips"),
       nNums.as("n_longnums"), t3.as("redacted_text"))
   }
+
+  /** F10b: token-level LOSS MASK — which whitespace tokens contain PII
+    * (any of the three patterns), as a '0'/'1' string aligned with the
+    * token sequence plus counts. The step between redaction and the
+    * trainer: replacing PII with tags (F10) still trains the model to
+    * PREDICT the tag in context; masking those token positions out of
+    * the loss is how the span is actually excluded. Token-contains
+    * semantics (rlike = find, both engines), pure map-side projection —
+    * the same scale-free shape as [[pii]]. NULL text yields no row
+    * (callers filter; a mask over absent text is meaningless). */
+  def lossMask(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val pat = s"$emailRe|$ipv4Re|$longNumRe"
+    val toks = split(col(textCol), " ")
+    val marks = transform(toks,
+      t => when(t.rlike(pat), lit("1")).otherwise(lit("0")))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(marks, m => m === "1")).cast("long").as("n_masked"),
+        array_join(marks, "").as("mask_bits"))
+  }
 }

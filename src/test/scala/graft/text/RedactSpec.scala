@@ -46,6 +46,22 @@ class RedactSpec extends SparkSpec {
     assert(out(1).getString(4) == "<EMAIL>")
   }
 
+  test("loss mask marks exactly the PII-bearing tokens, aligned to the sequence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at bob@example.com or 10.1.2.3 today"),
+      (2L, "clean text with no pii at all"),
+      (3L, "card 4111111111111111 expires")).toDF("doc_id", "text")
+    val out = Redact.lossMask(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"), r.getAs[String]("mask_bits"))).toMap
+    assert(out(1L) == ((7L, 2L, "0001010")), s"got ${out(1L)}")
+    assert(out(2L) == ((7L, 0L, "0000000")))
+    assert(out(3L) == ((3L, 1L, "010")))
+    // mask length always equals the token count
+    out.values.foreach { case (n, _, bits) => assert(bits.length == n) }
+  }
+
   test("redaction is idempotent: placeholders do not re-match") {
     import spark.implicits._
     val once = Redact.pii(
