@@ -145,6 +145,7 @@ object SparkEntry {
     "q_image_patches" -> ((s, dir) => LlmOps.qImagePatches(s, dir)),
     "q_asof_nearest" -> ((s, dir) => Warehouse.qAsofNearest(s, dir)),
     "q_loss_mask" -> ((s, dir) => LlmOps.qLossMask(s, dir)),
+    "q_sketch_calibration" -> ((s, dir) => LlmOps.qSketchCalibration(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */

@@ -89,6 +89,49 @@ object MinHashLsh {
       .filter(col("jaccard_x1000") >= minJaccardX1000)
   }
 
+  /** D15: sketch CALIBRATION — per LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (matching-lane fraction: P[min collides] =
+    * J exactly, so lanes are k Bernoulli(J) trials) next to the EXACT
+    * hashed-shingle Jaccard, rolled up into an error curve by exact-
+    * similarity decile. The measurement you run before trusting
+    * signature agreement as a similarity proxy (σ = √(J(1−J)/k): k=64
+    * lanes ⇒ ±6 points at J=0.5 — whether that's acceptable is a
+    * per-corpus call this report answers). Candidates come from the
+    * SAME banded path as D2, so the report also reflects deployment
+    * bias: banding over-samples high-J pairs by design. Output is
+    * O(deciles), never corpus-sized; all averages integer (sum DIV n). */
+  def calibration(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val shingled = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
+    val sigs = shingled.select(col(idCol), col("shingles"),
+      graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
+      // one frame, three consumers (banding + two pair join-backs):
+      // signatures are k lane-minima over every shingle — the
+      // expensive-derivation multi-branch shape (see Ann/ImageDedup)
+      .localCheckpoint()
+    val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
+    val pairs = candidatePairs(banded, idCol, maxBucketSize)
+    val perPair = pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .withColumn("__n_match", size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => a === b), m => m)).cast("long"))
+      .select(expr(s"(__n_match * 1000) DIV $numHashes").as("est_x1000"),
+        graft.functions.longSetJaccardSorted(col("sh_a"), col("sh_b")).as("exact_x1000"))
+    perPair
+      .groupBy(least(expr("exact_x1000 DIV 100"), lit(9L)).cast("int").as("exact_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_x1000) DIV count(1)").as("mean_est_x1000"),
+        expr("sum(exact_x1000) DIV count(1)").as("mean_exact_x1000"),
+        expr("sum(abs(est_x1000 - exact_x1000)) DIV count(1)").as("mean_abs_err_x1000"),
+        max(abs(col("est_x1000") - col("exact_x1000"))).as("max_abs_err_x1000"))
+  }
+
   /** Cross-corpus near-dup JOIN (D11): for every NEW document, its
     * near-duplicates in an EXISTING corpus — the batch-ingest face of the
     * daily-crawl dedup (D8 catches exact copies by content hash; this

@@ -47,6 +47,17 @@ object LlmOps {
       shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L)
       .orderBy("id_a", "id_b")
 
+  /** D15: MinHash calibration report — estimate-vs-exact Jaccard error
+    * by similarity decile over the banded candidate pairs (see
+    * [[MinHashLsh.calibration]]); same corpus slice and lane/band
+    * configuration as D2 so the curve describes the deployed sketch. */
+  def qSketchCalibration(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.calibration(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
+      "text", "doc_id",
+      shingleSize = 1, numHashes = 64, rowsPerBand = 4)
+      .orderBy("exact_decile")
+
   /** D3: SimHash near-dup pairs (hamming ≤ 3 via 4-chunk pigeonhole). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(Tables.table(spark, dir, "documents"), "text", "doc_id")

@@ -244,4 +244,22 @@ class DedupSpec extends SparkSpec {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     assert(df.select(Dedup.jaccardX1000($"x", $"y")).first().getLong(0) == 500L) // 2/4
   }
+
+  test("sketch calibration: estimates track exact jaccard within the sampling bound") {
+    val report = graft.queries.LlmOps.qSketchCalibration(spark, sfDir).collect()
+    assert(report.nonEmpty, "banded candidates must produce at least one decile")
+    report.foreach { r =>
+      val (decile, n) = (r.getAs[Int]("exact_decile"), r.getAs[Long]("n_pairs"))
+      val (est, exact) = (r.getAs[Long]("mean_est_x1000"), r.getAs[Long]("mean_exact_x1000"))
+      val err = r.getAs[Long]("mean_abs_err_x1000")
+      assert(n > 0 && decile >= 0 && decile <= 9)
+      assert(est >= 0 && est <= 1000 && exact >= 0 && exact <= 1000)
+      // k=64 lanes: σ ≤ √(0.25/64) ≈ 62.5 x1000-points; mean |err| of a
+      // decile should sit within ~3σ (loose — small deciles are noisy)
+      assert(err <= 190, s"decile $decile mean abs err $err exceeds the k=64 bound")
+      // the mean estimate itself must land in (or adjacent to) its decile
+      assert(est >= (decile - 2) * 100 && est <= (decile + 3) * 100,
+        s"decile $decile mean est $est drifted out of band")
+    }
+  }
 }
