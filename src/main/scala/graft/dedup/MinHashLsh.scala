@@ -99,10 +99,17 @@ object MinHashLsh {
     * per-corpus call this report answers). Candidates come from the
     * SAME banded path as D2, so the report also reflects deployment
     * bias: banding over-samples high-J pairs by design. Output is
-    * O(deciles), never corpus-sized; all averages integer (sum DIV n). */
+    * O(deciles), never corpus-sized; all averages integer (sum DIV n).
+    *
+    * `pairSamplePpm` keeps a deterministic hash-sampled fraction of the
+    * candidate pairs BEFORE the wide verify join-backs: a calibration
+    * curve is a statistical estimate — thousands of pairs pin each
+    * decile to a few points — so at scale you sample the pair stream,
+    * never verify every candidate (the 100× smoke's clone-heavy corpus
+    * took 323s exhaustively vs seconds sampled, for the same curve). */
   def calibration(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, pairSamplePpm: Long = 1000000L): DataFrame = {
     val shingled = df
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
@@ -113,7 +120,11 @@ object MinHashLsh {
       // expensive-derivation multi-branch shape (see Ann/ImageDedup)
       .localCheckpoint()
     val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
-    val pairs = candidatePairs(banded, idCol, maxBucketSize)
+    val allPairs = candidatePairs(banded, idCol, maxBucketSize)
+    val pairs =
+      if (pairSamplePpm >= 1000000L) allPairs
+      else allPairs.filter(
+        pmod(xxhash64(col("id_a"), col("id_b")), lit(1000000L)) < pairSamplePpm)
     val perPair = pairs
       .join(sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
         col("sig").as("sig_a")), "id_a")

@@ -173,6 +173,46 @@ class PlanSpec extends SparkSpec {
       s"change detection and interval close must share one shuffle:\n$plan")
   }
 
+  test("loss mask is one map-side projection (no shuffle, no join)") {
+    import org.apache.spark.sql.functions.col
+    val masked = graft.text.Redact.lossMask(
+      graft.sources.Tables.table(spark, sfDir, "documents"), "text", "doc_id")
+    val plan = planOf(masked)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      "token masking must stay embarrassingly parallel")
+  }
+
+  test("global shuffle: shard routing is map-side; positions cost one hash exchange") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val assigned = graft.queries.Mix.assignShard(
+      graft.sources.Tables.table(spark, sfDir, "documents").select("doc_id"), "doc_id")
+    assert(!planOf(assigned).contains("Exchange"), "shard assignment is map-side")
+    // the position window (the operator minus the presentation orderBy)
+    // partitions by shard — one hash exchange, NO range partitioning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    val positions = assigned.withColumn("pos", row_number().over(w))
+    val plan = planOf(positions)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"one shard shuffle:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      "a global training order must never cost a global sort")
+    col("pos") // silence unused-import lint paths
+  }
+
+  test("domain mix broadcasts the quota dim onto the corpus (no shuffle join)") {
+    val plan = planOf(graft.queries.Mix.qDomainMix(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source quotas must broadcast, not shuffle-join the corpus")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join expected:\n$plan")
+  }
+
+  test("rank fusion legs broadcast the query batch; fuse never re-shuffles wide rows") {
+    val plan = planOf(queries.Retrieval.qRankFusion(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query batch must broadcast against the streamed corpus")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("nearest as-of plans both window passes over one key exchange") {
     // the final orderBy adds a rangepartitioning exchange; the JOIN
     // machinery itself must contribute exactly one hash exchange for

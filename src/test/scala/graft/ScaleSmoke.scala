@@ -252,6 +252,18 @@ object ScaleSmoke {
     // + two per-key window sorts over 5M events, ~linear
     time("q_image_patches") { queries.LlmOps.qImagePatches(spark, dir) }
     time("q_asof_nearest") { queries.Warehouse.qAsofNearest(spark, dir) }
+    // loss mask: pure regex projection, ~linear. Calibration runs on a
+    // 2% SAMPLED candidate-pair stream (a calibration curve is a
+    // statistical estimate; the exhaustive join-back on this clone-
+    // heavy corpus measured 323s for the same curve)
+    time("q_loss_mask") { queries.LlmOps.qLossMask(spark, dir) }
+    time("sketch_calibration_s2pct") {
+      graft.dedup.MinHashLsh.calibration(
+        graft.sources.Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", shingleSize = 1, numHashes = 64, rowsPerBand = 4,
+        pairSamplePpm = 20000L)
+    }
     spark.stop()
   }
 }
