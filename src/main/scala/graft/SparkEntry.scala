@@ -146,6 +146,7 @@ object SparkEntry {
     "q_asof_nearest" -> ((s, dir) => Warehouse.qAsofNearest(s, dir)),
     "q_loss_mask" -> ((s, dir) => LlmOps.qLossMask(s, dir)),
     "q_sketch_calibration" -> ((s, dir) => LlmOps.qSketchCalibration(s, dir)),
+    "q_chunk_dedup" -> ((s, dir) => LlmOps.qChunkDedup(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1873,5 +1874,18 @@ object SparkEntry {
         |  CAST(len(list_filter(marks, x -> x = '1')) AS BIGINT) AS n_masked,
         |  array_to_string(marks, '') AS mask_bits
         |FROM m ORDER BY doc_id""".stripMargin,
+    // F8's chunk construction (parity proven by q_doc_chunk) + D1's
+    // keep-min canonical on the packed doc*2^24+chunk long
+    "q_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start FROM toks),
+        |ch AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+        |         md5(array_to_string(list_slice(t, start + 1, start + 16), ' ')) AS h,
+        |         doc_id * 16777216 + (start // 16) AS packed
+        |       FROM s),
+        |c AS (SELECT h, min(packed) AS canon FROM ch GROUP BY h)
+        |SELECT doc_id, chunk_id, packed = canon AS kept
+        |FROM ch JOIN c USING (h)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -474,6 +474,30 @@ object LlmOps {
       size = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
+  /** D16: CHUNK-granularity exact dedup — F8's non-overlapping token
+    * windows (16 tokens) hashed and deduplicated with D1's keep-min
+    * canonical, composed: the multi-granularity dedup practice
+    * (document-level dedup misses a duplicated paragraph inside
+    * otherwise-distinct docs; span dedup (D14) catches arbitrary
+    * substrings but costs per-token hashing — fixed windows are the
+    * cheap middle). Canonical = min packed doc·2²⁴+chunk per md5 in ONE
+    * HashAggregate (H6's packed-long trick — min-of-struct would
+    * SortAggregate), join-back co-partitioned on the same hash key as
+    * the aggregate: one exchange total. Output marks every chunk
+    * kept/dropped — the mask a rebuild (D14b-style) consumes. */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.text.Chunking.chunk(
+      Tables.table(spark, dir, "documents"), "text", "doc_id",
+      size = 16, stride = 16)
+    val packed = chunks.select(col("doc_id"), col("chunk_id"),
+      md5(col("chunk_text")).as("h"),
+      (col("doc_id") * 16777216L + col("chunk_id")).as("packed"))
+    val canon = packed.groupBy("h").agg(min("packed").as("canon"))
+    packed.join(canon, "h")
+      .select(col("doc_id"), col("chunk_id"), (col("packed") === col("canon")).as("kept"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** F9: corpus-frequency boilerplate removal — drop every non-overlapping
     * 2-token unit that occurs in more than 50 distinct documents (the
     * CCNet line-dedup shape; the tiny-vocabulary synthetic corpus makes

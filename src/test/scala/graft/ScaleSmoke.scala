@@ -257,6 +257,8 @@ object ScaleSmoke {
     // statistical estimate; the exhaustive join-back on this clone-
     // heavy corpus measured 323s for the same curve)
     time("q_loss_mask") { queries.LlmOps.qLossMask(spark, dir) }
+    // chunk dedup: one hash exchange over ~n/16 chunk hashes, ~linear
+    time("q_chunk_dedup") { queries.LlmOps.qChunkDedup(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

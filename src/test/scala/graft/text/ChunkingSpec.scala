@@ -108,4 +108,27 @@ class ChunkingSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getLong(2) == 0L && out(0).getString(3) == "")
   }
+
+  test("chunk dedup: a paragraph duplicated across docs keeps exactly one canonical") {
+    import spark.implicits._
+    // 16-token "paragraph" P embedded in three docs at different
+    // positions, chunk-aligned (16-token windows): the (doc 1, chunk 0)
+    // occurrence is the packed-min canonical; distinct chunks all keep
+    val p = (1 to 16).map(i => s"p$i").mkString(" ")
+    val filler1 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val filler2 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p $filler1"),          // P at chunk 0 ← canonical
+      (2L, s"$filler2 $p"),          // P at chunk 1 → dropped
+      (3L, s"$p"))                   // P at chunk 0 → dropped
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("chunkdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qChunkDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(out((1L, 0L)), "first occurrence is the canonical")
+    assert(!out((2L, 1L)) && !out((3L, 0L)), "later occurrences drop")
+    assert(out((1L, 1L)) && out((2L, 0L)), "distinct chunks all keep")
+  }
 }
