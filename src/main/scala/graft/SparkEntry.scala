@@ -147,6 +147,8 @@ object SparkEntry {
     "q_loss_mask" -> ((s, dir) => LlmOps.qLossMask(s, dir)),
     "q_sketch_calibration" -> ((s, dir) => LlmOps.qSketchCalibration(s, dir)),
     "q_chunk_dedup" -> ((s, dir) => LlmOps.qChunkDedup(s, dir)),
+    "q_ngram_novelty" -> ((s, dir) => LlmOps.qNgramNovelty(s, dir)),
+    "q_compression_ratio" -> ((s, dir) => LlmOps.qCompressionRatio(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1887,5 +1889,19 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, packed = canon AS kept
         |FROM ch JOIN c USING (h)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        list_transform(range(1, len(tk) - 1), i ->
+        |          tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+        |      FROM t),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  (CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

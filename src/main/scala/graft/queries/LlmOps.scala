@@ -474,6 +474,65 @@ object LlmOps {
       size = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
+  /** F24: n-gram NOVELTY scoring — per doc, the fraction of its
+    * distinct 3-grams FIRST seen in that doc (first = min doc_id; any
+    * stable ingest order works): the memorization/redundancy signal —
+    * a crawl batch full of already-seen phrasing adds tokens but no
+    * information, and novelty-weighted sampling is the curation lever.
+    * Shape: distinct grams explode (F7's exchange), one gram→min-doc
+    * aggregate, join-back co-partitioned on the gram key, per-doc
+    * re-aggregate. Gram strings shuffle at test scale; at 100 TB the
+    * carry is their xxhash64 lanes (D2's carry-format note — identity
+    * preserved, 8-byte keys). Docs with < 3 tokens have no grams and
+    * no row. All-integer output. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.ngramsFromTokens(col("__toks"), 3))).as("gram"))
+    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) DIV n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** F25: COMPRESSION-RATIO quality signal — deflate (zlib level 6)
+    * each doc and report compressed/raw ×1000: the classic cheap
+    * junk detector (boilerplate/repetition compresses far below
+    * natural text; near-random noise doesn't compress at all), the
+    * codec-pass sibling of F5's explicit repetition counters. One
+    * batched map-side pass, Deflater REUSED per partition (reset per
+    * doc — allocation, not compression, dominates naive per-row
+    * usage); deterministic for fixed input+level, so rows-only
+    * correctness is replayable. Output O(docs), bytes never shuffle. */
+  def qCompressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val ratio = if (raw.length == 0) 0L else compressed * 1000L / raw.length
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio_x1000")
+      .orderBy("doc_id")
+  }
+
   /** D16: CHUNK-granularity exact dedup — F8's non-overlapping token
     * windows (16 tokens) hashed and deduplicated with D1's keep-min
     * canonical, composed: the multi-granularity dedup practice

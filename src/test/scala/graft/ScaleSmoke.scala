@@ -259,6 +259,10 @@ object ScaleSmoke {
     time("q_loss_mask") { queries.LlmOps.qLossMask(spark, dir) }
     // chunk dedup: one hash exchange over ~n/16 chunk hashes, ~linear
     time("q_chunk_dedup") { queries.LlmOps.qChunkDedup(spark, dir) }
+    // novelty: gram explode + min-doc agg + join-back, ~linear in gram
+    // mass; compression: one deflate pass per doc, ~linear
+    time("q_ngram_novelty") { queries.LlmOps.qNgramNovelty(spark, dir) }
+    time("q_compression_ratio") { queries.LlmOps.qCompressionRatio(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -200,6 +200,43 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
     assert(out(1L) > out(2L) && out(2L) > 0.0 && out(3L) == 0.0)
   }
+
+  test("ngram novelty: a clone scores 0, an all-new doc 1e6, first occurrence wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // all grams first here
+      (2L, "alpha beta gamma delta epsilon"),   // exact clone → novelty 0
+      (3L, "zeta eta theta iota kappa"))        // disjoint → novelty 1e6
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qNgramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novelty_ppm")).toMap
+    assert(out(1L) == 1000000L, s"first occurrence owns its grams: ${out(1L)}")
+    assert(out(2L) == 0L, "the clone saw nothing first")
+    assert(out(3L) == 1000000L)
+  }
+
+  test("compression ratio orders repetitive < varied < incompressible, deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compress").toString
+    val rnd = new scala.util.Random(5)
+    Seq(
+      (1L, "spam " * 200),                                     // highly repetitive
+      (2L, (1 to 200).map(i => s"word${i * 37 % 991}").mkString(" ")), // varied text
+      (3L, Seq.fill(200)(rnd.nextPrintableChar()).mkString))    // near-random chars
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run1 = graft.queries.LlmOps.qCompressionRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ratio_x1000")).toMap
+    assert(run1(1L) < run1(2L) && run1(2L) < run1(3L), s"ordering: $run1")
+    assert(run1(1L) < 100L, s"repetition must compress hard: ${run1(1L)}")
+    val run2 = graft.queries.LlmOps.qCompressionRatio(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ratio_x1000")).toMap
+    assert(run1 == run2, "deflate at a fixed level is deterministic")
+  }
 }
 
 object SimHashTestAccess {
