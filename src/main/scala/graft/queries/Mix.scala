@@ -76,6 +76,10 @@ object Mix {
       .groupBy("source")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("corpus_tokens"))
       .withColumn("weight", floor(sqrt(col("corpus_tokens").cast("double"))).cast("long"))
+      // |sources| rows feeding two plan branches (totals + the final
+      // join): materialize once or the corpus token-count scan runs
+      // twice (the multi-branch recompute rule — see Ann/ImageDedup)
+      .localCheckpoint()
     val totals = perSource.agg(
       (sum("corpus_tokens") * budgetX).as("t_budget"),
       sum("weight").as("w_sum"))
@@ -108,6 +112,9 @@ object Mix {
       .withColumn("w_s",
         when(pmod(substring(col("source"), 4, 10).cast("long"), lit(2L)) === 0, 3L)
           .otherwise(1L))
+      // |sources| rows feeding three quota branches — materialize once
+      // or the corpus count scan reruns per branch
+      .localCheckpoint()
     // N = min_s (n_s * w_sum) DIV w_s needs w_sum first: two tiny aggs
     val wSum = weighted.agg(sum("w_s").as("w_sum"))
     val quota = weighted.crossJoin(broadcast(wSum))
