@@ -149,6 +149,7 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, dir) => LlmOps.qChunkDedup(s, dir)),
     "q_ngram_novelty" -> ((s, dir) => LlmOps.qNgramNovelty(s, dir)),
     "q_compression_ratio" -> ((s, dir) => LlmOps.qCompressionRatio(s, dir)),
+    "q_doc_keywords" -> ((s, dir) => LlmOps.qDocKeywords(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -1903,5 +1904,20 @@ object SparkEntry {
         |    // CAST(count(*) AS BIGINT) AS novelty_ppm
         |FROM g JOIN f USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |r AS (SELECT doc_id, term, tf, df,
+        |        (tf * 1000000) // df AS score_ppm,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY (tf * 1000000) // df DESC, term) AS INTEGER) AS term_rank
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, term_rank, term, tf, df, score_ppm
+        |FROM r WHERE term_rank <= 3
+        |ORDER BY doc_id, term_rank""".stripMargin,
   )
 }

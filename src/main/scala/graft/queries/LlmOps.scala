@@ -500,6 +500,33 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** F26: per-doc KEYWORD extraction — each doc's top-3 terms by
+    * tf/df rank (the rarity-weighted salience that tf·idf orders;
+    * dropping the log keeps the score a pure INTEGER ppm, and log is
+    * monotone in 1/df so the top-k set for fixed tf differs only on
+    * tf-vs-df trade points — the score definition IS the contract
+    * here, chosen for cross-engine exactness). Per-doc term counts
+    * aggregate map-side; df is one |vocab|-row aggregate joined back
+    * on the term key; the top-3 Window runs per doc over its own
+    * distinct terms (bounded by doc length — the C4 top-N shape).
+    * Deterministic tiebreak (score desc, term asc). */
+  def qDocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score_ppm", expr("(tf * 1000000) DIV df"))
+      .withColumn("term_rank", row_number().over(byDoc))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("term"), col("tf"),
+        col("df"), col("score_ppm"))
+      .orderBy("doc_id", "term_rank")
+  }
+
   /** F25: COMPRESSION-RATIO quality signal — deflate (zlib level 6)
     * each doc and report compressed/raw ×1000: the classic cheap
     * junk detector (boilerplate/repetition compresses far below

@@ -263,6 +263,8 @@ object ScaleSmoke {
     // mass; compression: one deflate pass per doc, ~linear
     time("q_ngram_novelty") { queries.LlmOps.qNgramNovelty(spark, dir) }
     time("q_compression_ratio") { queries.LlmOps.qCompressionRatio(spark, dir) }
+    // keywords: term counts + |vocab|-row df join-back + per-doc top-3
+    time("q_doc_keywords") { queries.LlmOps.qDocKeywords(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -218,6 +218,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 1000000L)
   }
 
+  test("doc keywords: a planted rare term outranks common terms; ties break by term") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("keywords").toString
+    Seq(
+      (1L, "common common common zyzzyva"), // rare term: tf 1, df 1 → 1e6 ppm
+      (2L, "common common other other"),
+      (3L, "common other filler words"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qDocKeywords(spark, dir).collect()
+    val top1 = out.filter(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[Int]("term_rank") == 1).head
+    // doc 1: 'common' tf=3 df=3 → 1e6 ppm; 'zyzzyva' tf=1 df=1 → 1e6 ppm
+    // — equal score, term asc tiebreak puts 'common' first
+    assert(top1.getAs[String]("term") == "common", s"tie → lexicographic: $top1")
+    val top2 = out.filter(r => r.getAs[Long]("doc_id") == 1L &&
+      r.getAs[Int]("term_rank") == 2).head
+    assert(top2.getAs[String]("term") == "zyzzyva")
+    assert(top2.getAs[Long]("score_ppm") == 1000000L)
+    // doc 3: all terms tf=1 — df=1 terms (1e6) outrank 'other' (df=2,
+    // 5e5) outrank 'common' (df=3, dropped from top-3)
+    val d3 = out.filter(_.getAs[Long]("doc_id") == 3L)
+      .sortBy(_.getAs[Int]("term_rank")).map(_.getAs[String]("term")).toSeq
+    assert(d3 == Seq("filler", "words", "other"), s"rare-first ordering: $d3")
+  }
+
   test("compression ratio orders repetitive < varied < incompressible, deterministic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compress").toString
