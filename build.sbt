@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-captures stdout and parses the LAST line as
+// JSON; sbt's "[success] Total time..." trailer after graft.Bench's
+// structured line broke that for two rounds. Suppress it globally so
+// the bench JSON is genuinely the final stdout line, and pass the
+// forked process's stdout through raw (no "[info] " logger prefix,
+// which would equally break a last-line JSON parse).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
