@@ -19,7 +19,7 @@ run / fork := true
 // which would equally break a last-line JSON parse).
 Global / showSuccess := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -139,7 +139,9 @@ object SparkEntry {
     "q_global_shuffle" -> ((s, dir) => Mix.qGlobalShuffle(s, dir)),
     "q_epoch_plan" -> ((s, dir) => Mix.qEpochPlan(s, dir)),
     "q_domain_mix" -> ((s, dir) => Mix.qDomainMix(s, dir)),
+    "q_domain_mix_approx" -> ((s, dir) => Mix.qDomainMixApprox(s, dir)),
     "q_rank_fusion" -> ((s, dir) => Retrieval.qRankFusion(s, dir)),
+    "q_rank_fusion_indexed" -> ((s, dir) => Retrieval.qRankFusionIndexed(s, dir)),
     "q_mmr_diversify" -> ((s, dir) => Retrieval.qMmrDiversify(s, dir)),
     "q_ann_recall" -> ((s, dir) => Retrieval.qAnnRecall(s, dir)),
     "q_image_patches" -> ((s, dir) => LlmOps.qImagePatches(s, dir)),
@@ -1730,6 +1732,43 @@ object SparkEntry {
         |      FROM hh JOIN k ON hh.source = k.source)
         |SELECT doc_id, source, mix_rank FROM r
         |WHERE mix_rank <= k_s ORDER BY doc_id""".stripMargin,
+    // the approx twin is deterministic integer math end-to-end (sampled-
+    // quantile hash threshold), so unlike C18's approx twin it carries a
+    // full oracle: both polyhash lanes re-derived, the per-source sorted
+    // hash sample, the clamped quantile pick, the h <= thr filter
+    "q_domain_mix_approx" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_s,
+        |        CAST(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+        |             THEN 3 ELSE 1 END AS BIGINT) AS w_s
+        |      FROM n),
+        |tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_sum FROM w),
+        |q AS (SELECT source, n_s, w_s, w_sum, (n_s * w_sum) // w_s AS n_cap
+        |      FROM w CROSS JOIN tot),
+        |nm AS (SELECT min(n_cap) AS n_max FROM q),
+        |k AS (SELECT source, n_s, (w_s * n_max) // w_sum AS k_s FROM q CROSS JOIN nm),
+        |hh AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h,
+        |    list_reduce(
+        |      list_transform(range(1, length('mixsmp:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('mixsmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2
+        |  FROM documents),
+        |s AS (SELECT source, list_sort(list(h)) AS smp FROM hh
+        |      WHERE h2 % 16 = 0 GROUP BY source),
+        |t AS (SELECT k.source,
+        |        CASE WHEN s.smp IS NULL OR len(s.smp) < 8
+        |          THEN (k.k_s * 2147483646) // k.n_s
+        |          ELSE s.smp[CAST(greatest(1, least(len(s.smp), (k.k_s * (len(s.smp) + 1)) // k.n_s)) AS INT)]
+        |        END AS h_thr
+        |      FROM k LEFT JOIN s ON k.source = s.source)
+        |SELECT hh.doc_id, hh.source FROM hh JOIN t ON hh.source = t.source
+        |WHERE hh.h <= t.h_thr ORDER BY doc_id""".stripMargin,
     // hybrid RRF: integer ppb scores; dense rank parity rests on the
     // same bit-identical DOUBLE cosine the q_ann_topk oracle proves
     "q_rank_fusion" ->

@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       // testdata events.parquet carries TIMESTAMP(NANOS); see Tables.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are isAdjustedToUTC=false; read them as the
+      // session-UTC TIMESTAMP (LTZ) the whole engine and the DuckDB
+      // oracle compare were built on, not TIMESTAMP_NTZ (see Tables.table)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

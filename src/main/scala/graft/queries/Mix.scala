@@ -107,8 +107,25 @@ object Mix {
     * quantile, map-side filter, no window) — C12/C18's documented
     * exact-vs-approx pattern. */
   def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
-    val weighted = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val kPerSource = domainQuotas(spark, dir)
+      .select(col("source"), col("k_s"))
+    val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
+    val bySource = Window.partitionBy("source").orderBy("h", "doc_id")
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .join(broadcast(kPerSource), "source")
+      .withColumn("mix_rank", row_number().over(bySource))
+      .filter(col("mix_rank") <= col("k_s"))
+      .select(col("doc_id"), col("source"), col("mix_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared quota head of H16: per-source (n_s, k_s) under the
+    * even-source-weighted-3 target distribution — two tiny aggregates and
+    * two broadcast products, all integer. */
+  private def domainQuotas(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = Tables.table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_s"))
       .withColumn("w_s",
         when(pmod(substring(col("source"), 4, 10).cast("long"), lit(2L)) === 0, 3L)
           .otherwise(1L))
@@ -120,15 +137,64 @@ object Mix {
     val quota = weighted.crossJoin(broadcast(wSum))
       .withColumn("n_cap", expr("(n_s * w_sum) DIV w_s"))
     val nMax = quota.agg(min("n_cap").as("n_max"))
-    val kPerSource = quota.crossJoin(broadcast(nMax))
-      .select(col("source"), expr("(w_s * n_max) DIV w_sum").as("k_s"))
+    quota.crossJoin(broadcast(nMax))
+      .select(col("source"), col("n_s"), expr("(w_s * n_max) DIV w_sum").as("k_s"))
+  }
+
+  /** H16 approx twin (the C12/C18 exact↔approx pattern): the per-source
+    * rank-k Window swaps for a HASH THRESHOLD read off a sampled quantile
+    * — the form that survives 100 TB, where a per-source sort of the
+    * whole corpus (even shard-local) is the bottleneck the Window form
+    * carries.
+    *
+    * A deterministic 1/`sampleMod` hash-sample per source (SECONDARY hash
+    * `h2`, decorrelated from the selection hash) is collected and sorted
+    * as one bounded per-source array — at deployment `sampleMod` scales
+    * with the corpus so the sample stays ~10⁴–10⁵ elements (executor-
+    * sized; n_s/sampleMod). The threshold is the sample's k_s/n_s
+    * quantile — `smp[(k_s·(m+1)) DIV n_s]`, clamped to [1, m]: the m+1
+    * numerator makes E[kept] = idx/(m+1) ≈ k_s/n_s (order-statistic
+    * expectation) AND degenerates to the EXACT rank selection when the
+    * sample is the whole source (MixSpec proves sampleMod=1 reproduces
+    * the quotas exactly). Selection is the pure MAP-SIDE filter
+    * `h ≤ thr` against the broadcast 20-row threshold frame: no window,
+    * no sort, no shuffle of the corpus. A sample below `minSample`
+    * (tiny source) falls back to the uniform-hash threshold
+    * `(k_s·M) DIV n_s` over polyhash's [0, M] range — on a uniform hash
+    * that is already the right quantile, and it carries no small-sample
+    * variance; the sampled path takes over exactly where it has the
+    * data to beat it.
+    *
+    * Output size per source is k_s ± sampling error (binomial around the
+    * quantile; MixSpec bounds it); WHICH docs survive is monotone in the
+    * content hash — the selected set is exactly the h-prefix of each
+    * source below its threshold, so rerunning with a looser quota only
+    * ADDS docs, never swaps them. Every step is integer/deterministic, so
+    * unlike C18's approx twin this face carries a FULL DuckDB oracle. */
+  def qDomainMixApprox(spark: SparkSession, dir: String): DataFrame =
+    domainMixApprox(spark, dir, sampleMod = 16L).orderBy("doc_id")
+
+  /** [[qDomainMixApprox]] without the presentation sort (PlanSpec asserts
+    * no Sort/Window on this shape) and with caller-set sampling knobs. */
+  private[graft] def domainMixApprox(spark: SparkSession, dir: String,
+      sampleMod: Long, minSample: Int = 8): DataFrame = {
     val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
-    val bySource = Window.partitionBy("source").orderBy("h", "doc_id")
-    docs.select(col("doc_id"), col("source"), h.as("h"))
-      .join(broadcast(kPerSource), "source")
-      .withColumn("mix_rank", row_number().over(bySource))
-      .filter(col("mix_rank") <= col("k_s"))
-      .select(col("doc_id"), col("source"), col("mix_rank"))
-      .orderBy("doc_id")
+    val h2 = polyhash(concat(lit("mixsmp:"), col("doc_id").cast("string")))
+    val hashed = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"), h2.as("h2"))
+    val sample = hashed.filter(pmod(col("h2"), lit(sampleMod)) === 0)
+      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("smp"))
+    val thr = domainQuotas(spark, dir)
+      .join(sample, Seq("source"), "left")
+      .select(col("source"), expr(
+        // M = 2^31-2 is polyhash's max (fold mod 2^31-1)
+        s"""CASE WHEN smp IS NULL OR size(smp) < $minSample
+          |  THEN (k_s * 2147483646L) DIV n_s
+          |  ELSE element_at(smp, CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
+          |         (k_s * (size(smp) + 1L)) DIV n_s)) AS INT))
+          |END""".stripMargin).as("h_thr"))
+    hashed.join(broadcast(thr), "source")
+      .filter(col("h") <= col("h_thr"))
+      .select(col("doc_id"), col("source"))
   }
 }

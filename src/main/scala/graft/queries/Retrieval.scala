@@ -51,16 +51,12 @@ object Retrieval {
     * (O(|A|+|B|) long compares — the string-array `array_intersect`
     * formulation cost 6.6s at sf0.1, the hashed merge ~1s; same D4
     * trade: a cross-token polyhash collision could perturb a count,
-    * vocabulary-bounded odds ~V²/2³²). At 100 TB the all-candidates
-    * product swaps for inverted-index candidate generation (only docs
-    * sharing ≥1 token can score > 0 — F21's posting-list pattern). */
+    * vocabulary-bounded odds ~V²/2³¹ — polyhash folds mod 2³¹−1, so the
+    * birthday bound is over a 31-bit space). At 100 TB the
+    * all-candidates product swaps for [[sparseTopKIndexed]]. */
   private[queries] def sparseTopK(spark: SparkSession, dir: String, k: Int,
       queryMod: Long = 50): DataFrame = {
-    val toks = Tables.table(spark, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        sort_array(array_distinct(transform(split(col("text"), " "),
-          t => graft.functions.polyhash(t)))).as("t"))
+    val toks = docTokenSets(spark, dir)
     val qt = toks.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("t").as("qt"))
     toks.join(broadcast(qt), col("query_id") =!= col("doc_id"))
@@ -71,6 +67,68 @@ object Retrieval {
       .agg(topKByScore(col("j_x1000"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
       .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.sim").cast("long").as("j_x1000"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Per-doc sorted distinct token-hash set — the shared reduction both
+    * sparse legs score with. */
+  private def docTokenSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(split(col("text"), " "),
+          t => graft.functions.polyhash(t)))).as("t"))
+
+  /** [[sparseTopK]]'s 100 TB form: inverted-index candidate generation
+    * instead of the Q×N product. Only docs sharing ≥1 token with the
+    * query can have Jaccard > 0, so candidates come from a posting-list
+    * equi-join (token → doc, F21's pattern): explode doc token sets,
+    * equi-join on the query batch's exploded tokens, dedupe the
+    * (query, doc) pairs, then score ONLY those pairs with the same
+    * fused merge kernel. Every join is an equi-join — no
+    * BroadcastNestedLoopJoin anywhere in the plan (PlanSpec pins this),
+    * and the work is ∝ Σ_t df(t)·qf(t) over SHARED tokens, not Q×N.
+    *
+    * Output contract: identical to [[sparseTopK]] restricted to rows
+    * with quantized Jaccard > 0 (RetrievalSpec proves it) — the exact
+    * leg can pad its top-k with unrelated score-0 docs, the indexed leg
+    * by construction cannot; both rank score DESC, doc_id ASC, so the
+    * positive-score prefix agrees rank-for-rank.
+    *
+    * `maxDf` drops tokens with document frequency above the cap from
+    * CANDIDATE GENERATION only (scoring still uses the full arrays) —
+    * the standard stop-word hatch: at corpus scale a ubiquitous token's
+    * posting list is ~N and contributes candidates that almost all
+    * score near 0. The over-cap token set is small by construction
+    * (bounded by corpus-tokens / maxDf), so it broadcasts as an
+    * anti-join. Uncapped by default so the parity contract is exact. */
+  private[graft] def sparseTopKIndexed(spark: SparkSession, dir: String, k: Int,
+      queryMod: Long = 50, maxDf: Long = Long.MaxValue): DataFrame = {
+    val toks = docTokenSets(spark, dir)
+    val qt = toks.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("query_id"), col("t").as("qt"))
+    val posting = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+    val capped =
+      if (maxDf == Long.MaxValue) posting
+      else posting.join(
+        broadcast(posting.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("tok")),
+        Seq("tok"), "left_anti")
+    val cand = capped
+      .join(qt.select(col("query_id"), explode(col("qt")).as("tok")), "tok")
+      .filter(col("query_id") =!= col("doc_id"))
+      .select("query_id", "doc_id").distinct()
+    cand.join(toks, "doc_id").join(broadcast(qt), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.longSetJaccardSorted(col("qt"), col("t"))
+          .cast("double").as("j_x1000"))
+      .filter(col("j_x1000") > 0) // sharing a token can still quantize to 0
+      .groupBy("query_id")
+      .agg(topKByScore(col("j_x1000"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        col("nbr.sim").cast("long").as("j_x1000"),
         (col("pos") + 1).cast("long").as("rank"))
   }
 
@@ -85,12 +143,26 @@ object Retrieval {
   def qRankFusion(spark: SparkSession, dir: String): DataFrame =
     rankFusion(spark, dir, queryMod = 50)
 
+  /** [[qRankFusion]] with the sparse leg swapped for the inverted-index
+    * candidate path ([[sparseTopKIndexed]]) — the form that survives
+    * 100 TB: no Q×N product anywhere. Differs from [[qRankFusion]] only
+    * where the exact leg padded its sparse top-20 with score-0 docs
+    * (which contribute rank-based RRF mass the index legitimately
+    * doesn't generate), so it is registered as a rows-only face;
+    * RetrievalSpec proves the underlying legs agree wherever J > 0. */
+  def qRankFusionIndexed(spark: SparkSession, dir: String): DataFrame =
+    rankFusion(spark, dir, queryMod = 50, indexedSparse = true)
+
   /** [[qRankFusion]] with a caller-bounded query batch (deployment /
     * scale-smoke face). */
-  def rankFusion(spark: SparkSession, dir: String, queryMod: Long): DataFrame = {
+  def rankFusion(spark: SparkSession, dir: String, queryMod: Long,
+      indexedSparse: Boolean = false): DataFrame = {
     val d = denseTopK(spark, dir, k = 20, queryMod)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("dr"))
-    val s = sparseTopK(spark, dir, k = 20, queryMod)
+    val sparse =
+      if (indexedSparse) sparseTopKIndexed(spark, dir, k = 20, queryMod)
+      else sparseTopK(spark, dir, k = 20, queryMod)
+    val s = sparse
       .select(col("query_id").as("s_query_id"),
         col("neighbor_id").as("s_neighbor_id"), col("rank").as("sr"))
     val fused = d.join(s,

@@ -25,6 +25,14 @@ object Tables {
     // normally set by GraftSession; only fixed up here for foreign sessions.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Timestamps in the driver-written testdata are isAdjustedToUTC=false;
+    // Spark 4 would infer TIMESTAMP_NTZ, but the engine's temporal operators
+    // (epoch casts, unix_micros, window ranges) and the DuckDB oracle
+    // compare are built on session-UTC TIMESTAMP (LTZ). With the session
+    // timezone pinned to UTC the wall-clock values are identical either
+    // way, so reading as LTZ changes no query result — only the type.
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only when the file actually carried nanos (read back as long) —
     // tables written by this engine already carry micros timestamps

@@ -213,6 +213,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("indexed sparse leg plans only equi-joins (no Q×N product anywhere)") {
+    // the 100 TB contract of E9b: candidate generation is a posting-list
+    // equi-join, so the whole plan must be hash/sort-merge joins — any
+    // NestedLoop or CartesianProduct means the Q×N product crept back
+    val plan = planOf(queries.Retrieval.sparseTopKIndexed(spark, sfDir, k = 20))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"inverted-index candidates must never pair-explode:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-batch score join must broadcast on the equi key")
+  }
+
   test("nearest as-of plans both window passes over one key exchange") {
     // the final orderBy adds a rangepartitioning exchange; the JOIN
     // machinery itself must contribute exactly one hash exchange for
@@ -357,6 +368,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "approx tiling must not window")
     assert(!plan.contains("Sort"), "approx tiling must not sort anywhere")
     assert(plan.contains("BroadcastHashJoin"), "decile cutoffs must broadcast")
+  }
+
+  test("approx domain mix plans no sort and no window — thresholds broadcast, filter map-side") {
+    // H16b's 100 TB contract: the exact face's per-source Window rank is
+    // replaced by a sampled-quantile hash threshold, so the plan must
+    // carry NO window and NO sort anywhere — the corpus is touched by a
+    // scan, a bounded sample aggregate, and a broadcast-filtered scan
+    val plan = planOf(queries.Mix.domainMixApprox(spark, sfDir, sampleMod = 16L))
+    assert(!plan.contains("Window"), "approx mix must not window")
+    assert(!plan.contains("Sort"), "approx mix must not sort anywhere")
+    assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
   test("kmv distinct sketch plans partial+final hash aggregate, no window, no expand") {

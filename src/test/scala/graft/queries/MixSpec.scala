@@ -95,4 +95,62 @@ class MixSpec extends SparkSpec {
     assert(kept == hashed, s"survivors for $src must be the ${k(src)} lowest hash ranks")
     out.unpersist()
   }
+
+  test("approx domain mix: near-quota, h-prefix monotone, deterministic") {
+    val out = Mix.qDomainMixApprox(spark, sfDir).cache()
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    // independent quota arithmetic (same as the exact-face test)
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.keys.map(s => s -> (if (s.drop(3).toLong % 2 == 0) 3L else 1L)).toMap
+    val wSum = w.values.sum
+    val nMax = counts.map { case (s, n) => n * wSum / w(s) }.min
+    val k = w.map { case (s, ws) => s -> ws * nMax / wSum }
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // near-quota: threshold selection is binomial around the target
+    // quantile — allow 4σ (uniform fallback at this scale: σ² ≤ n_s·p(1−p))
+    k.foreach { case (s, ks) =>
+      val n = counts(s).toDouble
+      val p = ks / n
+      val tol = math.max(4.0, 4.0 * math.sqrt(n * p * (1 - p)))
+      assert(math.abs(got.getOrElse(s, 0L) - ks) <= tol,
+        s"source $s: quota $ks, got ${got.getOrElse(s, 0L)} (tol $tol)")
+    }
+    // monotone h-prefix: within each source the kept set is exactly the
+    // docs below a hash threshold — max kept hash < min dropped hash
+    val hashed = docs.select(col("doc_id"), col("source"),
+      graft.functions.polyhash(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+    val kept = hashed.join(out.select("doc_id"), "doc_id")
+      .groupBy("source").agg(max("h").as("max_kept"))
+    val dropped = hashed.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(min("h").as("min_dropped"))
+    val violations = kept.join(dropped, "source")
+      .filter(col("max_kept") >= col("min_dropped"))
+    assert(violations.count() == 0,
+      "selection must be an h-prefix per source (pure threshold filter)")
+    // content-hash determinism: a fresh plan is identical
+    val again = Mix.qDomainMixApprox(spark, sfDir)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("approx domain mix: full sample degenerates to the exact quotas") {
+    // sampleMod=1 samples every doc, so the (k_s·(m+1)) DIV n_s index is
+    // the exact k_s-th order statistic and output counts hit k_s exactly
+    val full = Mix.domainMixApprox(spark, sfDir, sampleMod = 1L, minSample = 1)
+    val exact = Mix.qDomainMix(spark, sfDir)
+    val gotFull = full.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotExact = exact.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotFull == gotExact,
+      s"full-sample approx must hit the exact per-source quotas: $gotFull vs $gotExact")
+    // and the SETS agree, not just the counts: both select the lowest-h
+    // prefix (rank ties broken by doc_id can only matter on hash
+    // collisions, absent in this corpus)
+    val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactIds = exact.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fullIds == exactIds)
+  }
 }

@@ -29,6 +29,36 @@ class RetrievalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("indexed sparse leg ≡ exact sparse leg wherever Jaccard > 0") {
+    // the exact Q×N leg may pad its top-k with score-0 docs; the
+    // inverted-index leg by construction only generates docs sharing a
+    // token. Restricted to positive quantized scores, the two must be
+    // IDENTICAL — same docs, same scores, same ranks (both kernels
+    // order score DESC, doc_id ASC).
+    val exact = Retrieval.sparseTopK(spark, sfDir, k = 20)
+      .filter(col("j_x1000") > 0).cache()
+    val indexed = Retrieval.sparseTopKIndexed(spark, sfDir, k = 20).cache()
+    assert(exact.count() > 0, "corpus must produce positive-Jaccard pairs")
+    assert(exact.except(indexed).count() == 0 &&
+      indexed.except(exact).count() == 0,
+      "indexed candidates must reproduce the exact leg on J > 0 rows")
+    exact.unpersist(); indexed.unpersist()
+  }
+
+  test("indexed sparse leg: df cap drops only ubiquitous-token candidates") {
+    // k large enough to disable truncation: under top-k a cap could
+    // PROMOTE a doc that missed the uncapped top-20, so the subset
+    // property only holds on the full candidate sets
+    val uncapped = Retrieval.sparseTopKIndexed(spark, sfDir, k = 1000)
+      .select("query_id", "neighbor_id", "j_x1000").cache()
+    val capped = Retrieval.sparseTopKIndexed(spark, sfDir, k = 1000, maxDf = 50L)
+      .select("query_id", "neighbor_id", "j_x1000").cache()
+    assert(capped.except(uncapped).count() == 0,
+      "a df cap can only remove candidates, never invent or rescore them")
+    assert(capped.count() > 0, "a 50-doc df cap must not empty the corpus")
+    uncapped.unpersist(); capped.unpersist()
+  }
+
   test("mmr: rank 1 is the most relevant; λ=1 degenerates to relevance order") {
     val pure = Retrieval.qMmrDiversify(spark, sfDir, lambda = 1.0).cache()
     val dense = Retrieval.denseTopK(spark, sfDir, k = 20)
