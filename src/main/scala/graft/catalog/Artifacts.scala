@@ -10,10 +10,14 @@ import org.apache.spark.sql.SparkSession
   * persists as parquet under an artifacts root keyed by the data
   * directory it was trained on, and the per-operator loaders
   * (Ivf/Pq/QualityModel/Bpe `save*`/`load*`) validate a stored
-  * source-row-count stamp before trusting it — the staleness guard for
-  * a rewritten corpus. (At warehouse scale the stamp would be the table
-  * format's snapshot id rather than a count; the count is this repo's
-  * engine-agnostic stand-in, one cheap aggregate per session.)
+  * staleness stamp before trusting it. The stamp folds the source row
+  * count together with a FILE-LEVEL content fingerprint (lengths +
+  * modification times of the table's data files, [[fingerprint]]) — a
+  * corpus rewritten with an identical row count still changes the
+  * fingerprint, so it can't silently reuse a stale model. (At warehouse
+  * scale the stamp would be the table format's snapshot id; this is the
+  * engine-agnostic stand-in — one cheap aggregate plus one FS listing
+  * per session, no data read.)
   *
   * Root resolution: `SPARK_GRAFT_ARTIFACTS` env var, else
   * `<cwd>/artifacts` — NEVER inside the (possibly read-only) data dir.
@@ -24,13 +28,40 @@ object Artifacts {
   def root: String = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
     new java.io.File(sys.props("user.dir"), "artifacts").getAbsolutePath)
 
-  /** `<root>/<sanitized data dir>/<name>` — name should bake in the fit
-    * hyperparameters (e.g. `ivf_c16_s42`) so a config change can't read
-    * a mismatched artifact. */
+  /** `<root>/<sanitized data dir>_<hash>/<name>` — name should bake in
+    * the fit hyperparameters (e.g. `ivf_c16_s42`) so a config change
+    * can't read a mismatched artifact. The short hash of the RAW dir
+    * string keeps distinct dirs distinct even when sanitization would
+    * collapse them (`/data/x` vs `/data_x` both sanitize to `data_x`). */
   def path(dataDir: String, name: String): String = {
     val key = dataDir.stripSuffix("/").replaceAll("[^A-Za-z0-9._-]", "_")
       .dropWhile(_ == '_')
-    s"$root/$key/$name"
+    val disambig = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir.stripSuffix("/")))
+    s"$root/${key}_$disambig/$name"
+  }
+
+  /** Cheap file-level content fingerprint of one source table: XOR-fold
+    * of hashed (name, length, mtime) over its parquet data files. Any
+    * rewrite — even count-preserving — touches lengths or mtimes.
+    * Metadata-only (no data read); order-independent fold so listing
+    * order can't matter. Returns 0 for unreadable/missing paths (the
+    * stamp then degrades to the row count alone rather than failing the
+    * load path). */
+  def fingerprint(spark: SparkSession, tablePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val files: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        else Seq(fs.getFileStatus(p))
+      files.foldLeft(0L) { (acc, f) =>
+        acc ^ scala.util.hashing.MurmurHash3.productHash(
+          (f.getPath.getName, f.getLen, f.getModificationTime)).toLong
+      }
+    } catch { case _: java.io.IOException => 0L }
   }
 
   /** True iff a COMPLETE parquet write exists at `path` (the _SUCCESS

@@ -197,13 +197,18 @@ object LlmOps {
     annIndexCache.clear()
   }
 
-  /** Source-table row count, memoized per (session, dir, table) — the
-    * staleness stamp every persisted artifact carries (one cheap
-    * aggregate per session; a snapshot id at warehouse scale). */
+  /** Staleness stamp every persisted artifact carries, memoized per
+    * (session, dir, table): row count folded with the file-level content
+    * fingerprint (Artifacts.fingerprint — lengths+mtimes, no data read),
+    * so a count-preserving corpus rewrite still invalidates the
+    * artifact. One cheap aggregate + one FS listing per session; a
+    * snapshot id at warehouse scale. */
   private def srcCount(spark: SparkSession, dir: String, table: String): Long =
     annIndexCache.getOrElseUpdate(
       (System.identityHashCode(spark), dir, s"count_$table"),
-      java.lang.Long.valueOf(Tables.table(spark, dir, table).count()))
+      java.lang.Long.valueOf(
+        Tables.table(spark, dir, table).count() ^
+          graft.catalog.Artifacts.fingerprint(spark, s"$dir/$table.parquet")))
       .asInstanceOf[java.lang.Long].longValue()
 
   def annIvfIndex(spark: SparkSession, dir: String): Ivf.IvfIndex =
@@ -543,6 +548,13 @@ object LlmOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
+        // native zlib memory is NOT gc-tracked: release it the moment the
+        // partition iterator drains (task completion also covers the
+        // abnormal paths — a killed/failed task never reaches exhaustion)
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => deflater.end()); ()
+        }
         val buf = new Array[Byte](1 << 16)
         rows.map { case (id, text) =>
           val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

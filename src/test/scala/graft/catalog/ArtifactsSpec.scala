@@ -83,6 +83,30 @@ class ArtifactsSpec extends SparkSpec {
   test("artifact paths sit under the root, keyed by data dir") {
     val p = Artifacts.path("/root/testdata/sf0.01", "ivf_c16_s42")
     assert(p.startsWith(Artifacts.root))
-    assert(p.endsWith("root_testdata_sf0.01/ivf_c16_s42"))
+    assert(p.matches(""".*root_testdata_sf0\.01_[0-9a-f]+/ivf_c16_s42$"""),
+      s"sanitized key + raw-dir hash expected: $p")
+    // sanitization collisions stay distinct via the raw-dir hash, and a
+    // trailing slash is NOT a distinct dir
+    assert(Artifacts.path("/data/x", "m") != Artifacts.path("/data_x", "m"))
+    assert(Artifacts.path("/data/x/", "m") == Artifacts.path("/data/x", "m"))
+  }
+
+  test("file-level fingerprint changes on rewrite, stable on re-read") {
+    val d = java.nio.file.Files.createTempDirectory("fp").toFile
+    val f = new java.io.File(d, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, "aaaa".getBytes)
+    f.setLastModified(1000000L)
+    val fp1 = Artifacts.fingerprint(spark, d.getAbsolutePath)
+    assert(fp1 == Artifacts.fingerprint(spark, d.getAbsolutePath), "deterministic")
+    // same length, different mtime — the count-preserving rewrite case
+    f.setLastModified(2000000L)
+    val fp2 = Artifacts.fingerprint(spark, d.getAbsolutePath)
+    assert(fp1 != fp2, "mtime change must change the fingerprint")
+    // different length
+    java.nio.file.Files.write(f.toPath, "aaaaaa".getBytes)
+    f.setLastModified(2000000L)
+    assert(Artifacts.fingerprint(spark, d.getAbsolutePath) != fp2)
+    // missing path degrades to 0, never throws
+    assert(Artifacts.fingerprint(spark, d.getAbsolutePath + "/nope") == 0L)
   }
 }
