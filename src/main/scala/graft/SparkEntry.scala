@@ -149,6 +149,7 @@ object SparkEntry {
     "q_loss_mask" -> ((s, dir) => LlmOps.qLossMask(s, dir)),
     "q_sketch_calibration" -> ((s, dir) => LlmOps.qSketchCalibration(s, dir)),
     "q_chunk_dedup" -> ((s, dir) => LlmOps.qChunkDedup(s, dir)),
+    "q_chunk_dedup_apply" -> ((s, dir) => LlmOps.qChunkDedupApply(s, dir)),
     "q_ngram_novelty" -> ((s, dir) => LlmOps.qNgramNovelty(s, dir)),
     "q_compression_ratio" -> ((s, dir) => LlmOps.qCompressionRatio(s, dir)),
     "q_doc_keywords" -> ((s, dir) => LlmOps.qDocKeywords(s, dir)),
@@ -1929,6 +1930,25 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, packed = canon AS kept
         |FROM ch JOIN c USING (h)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // D16b rebuild: same canonical rule, then per-doc reassembly of the
+    // kept chunks in chunk order (list ORDER BY + FILTER mirrors the
+    // Spark sort_array(collect_list(when(...))) null-skip semantics)
+    "q_chunk_dedup_apply" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start FROM toks),
+        |ch AS (SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+        |         array_to_string(list_slice(t, start + 1, start + 16), ' ') AS chunk_text,
+        |         md5(array_to_string(list_slice(t, start + 1, start + 16), ' ')) AS h,
+        |         doc_id * 16777216 + (start // 16) AS packed
+        |       FROM s),
+        |c AS (SELECT h, min(packed) AS canon FROM ch GROUP BY h),
+        |k AS (SELECT doc_id, chunk_id, chunk_text, packed = canon AS kept
+        |      FROM ch JOIN c USING (h))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(array_to_string(list(chunk_text ORDER BY chunk_id)
+        |    FILTER (WHERE kept), ' '), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents WHERE text IS NOT NULL),

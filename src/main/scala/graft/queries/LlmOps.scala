@@ -106,15 +106,16 @@ object LlmOps {
 
   /** D6: near-dup clusters — connected components over the near-dup pair
     * set, one (id, cluster_id=min member) row per clustered doc. The pair
-    * input is persisted and materialized up front: connectedComponents
-    * runs a size probe plus an iterative path over it, and without the
-    * persist each action would recompute the whole pair pipeline. */
+    * set is materialized up front with localCheckpoint (NOT persist):
+    * connectedComponents runs a size probe plus an iterative path over
+    * it, i.e. several actions — a persisted frame keeps the full
+    * candidate-gen lineage, so EVERY action re-plans the deep LSH/verify
+    * DAG (AQE re-optimizes per job; measured as most of the r5→r7 apply-
+    * face drift in ApplyLshProbe), while a checkpoint truncates to a
+    * tiny materialized leaf each follow-up action plans in one stage. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = clusterPairs(spark, dir).persist()
-    try {
-      pairs.count() // materialize fully (a limit probe caches only partial partitions)
-      Dedup.connectedComponents(pairs).orderBy("id", "cluster_id")
-    } finally { pairs.unpersist(); () }
+    val pairs = clusterPairs(spark, dir).localCheckpoint()
+    Dedup.connectedComponents(pairs).orderBy("id", "cluster_id")
   }
 
   /** D6 apply: the end-to-end dedup drop — keep one member (min id) per
@@ -122,13 +123,10 @@ object LlmOps {
     * candidates → verify → cluster → drop as one registered,
     * oracle-checked query. */
   def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = clusterPairs(spark, dir).persist()
-    try {
-      pairs.count()
-      Dedup.keepCanonical(
-        Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
-        .orderBy("vec_id")
-    } finally { pairs.unpersist(); () }
+    val pairs = clusterPairs(spark, dir).localCheckpoint()
+    Dedup.keepCanonical(
+      Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
+      .orderBy("vec_id")
   }
 
   /** D6b scale path: the same end-to-end dedup drop over LSH-bucketed
@@ -140,16 +138,18 @@ object LlmOps {
     * — the conservative direction); DedupSpec proves that containment
     * plus full agreement on clustered data. */
   def qDedupApplyLsh(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint, not persist: see qDedupClusters — the pair set is
+    // tiny, and truncating the LSH DAG keeps cc's probe/collect and the
+    // anti-join from re-planning it per action (ApplyLshProbe pins the
+    // bench-drift cause; in-suite the deep-lineage re-planning amplified
+    // under load)
     val pairs = Ann.nearDupPairsLsh(
       Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.35, dims = 64, planes = 8, probeBits = 1)
-      .persist()
-    try {
-      pairs.count()
-      Dedup.keepCanonical(
-        Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
-        .orderBy("vec_id")
-    } finally { pairs.unpersist(); () }
+      .localCheckpoint()
+    Dedup.keepCanonical(
+      Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
+      .orderBy("vec_id")
   }
 
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
@@ -594,6 +594,40 @@ object LlmOps {
     packed.join(canon, "h")
       .select(col("doc_id"), col("chunk_id"), (col("packed") === col("canon")).as("kept"))
       .orderBy("doc_id", "chunk_id")
+  }
+
+  /** D16b: the chunk-dedup TRANSFORM — D14b's rebuild applied to D16's
+    * kept/dropped mask: drop every non-canonical chunk (keep-min packed
+    * doc·2²⁴+chunk per md5, same canonical rule as [[qChunkDedup]]) and
+    * reassemble the surviving chunks into clean text in chunk order.
+    * The extra work over D16 is ONE more exchange: the h-keyed
+    * join-back re-keys by doc for the rebuild aggregate (collect_list
+    * of kept (chunk_id, text) structs — per-doc bounded by doc length,
+    * so the group never exceeds one document's own chunks; nulls from
+    * the `when` guard vanish in collect_list, so dropped chunks never
+    * ride the shuffle as text). Output mirrors D14b: per-doc totals +
+    * the rebuilt text a trainer consumes. */
+  def qChunkDedupApply(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupApply(Tables.table(spark, dir, "documents")).orderBy("doc_id")
+
+  /** [[qChunkDedupApply]] over a caller-provided documents frame
+    * (ChunkingSpec drives it on planted cross-doc duplicates). */
+  private[graft] def chunkDedupApply(docs: DataFrame): DataFrame = {
+    val chunks = graft.text.Chunking.chunk(docs, "text", "doc_id",
+      size = 16, stride = 16)
+    val packed = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+      md5(col("chunk_text")).as("h"),
+      (col("doc_id") * 16777216L + col("chunk_id")).as("packed"))
+    val canon = packed.groupBy("h").agg(min("packed").as("canon"))
+    packed.join(canon, "h")
+      .withColumn("kept", col("packed") === col("canon"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
   /** F9: corpus-frequency boilerplate removal — drop every non-overlapping

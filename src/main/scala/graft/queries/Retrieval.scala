@@ -55,8 +55,13 @@ object Retrieval {
     * birthday bound is over a 31-bit space). At 100 TB the
     * all-candidates product swaps for [[sparseTopKIndexed]]. */
   private[queries] def sparseTopK(spark: SparkSession, dir: String, k: Int,
-      queryMod: Long = 50): DataFrame = {
-    val toks = docTokenSets(spark, dir)
+      queryMod: Long = 50): DataFrame =
+    sparseTopKFrom(docTokenSets(spark, dir), k, queryMod)
+
+  /** [[sparseTopK]] over a caller-provided (doc_id, t) token-set frame —
+    * the shared core; ScaleSmoke drives it on synthesized corpora. */
+  private[graft] def sparseTopKFrom(toks: DataFrame, k: Int,
+      queryMod: Long): DataFrame = {
     val qt = toks.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("t").as("qt"))
     toks.join(broadcast(qt), col("query_id") =!= col("doc_id"))
@@ -104,8 +109,12 @@ object Retrieval {
     * (bounded by corpus-tokens / maxDf), so it broadcasts as an
     * anti-join. Uncapped by default so the parity contract is exact. */
   private[graft] def sparseTopKIndexed(spark: SparkSession, dir: String, k: Int,
-      queryMod: Long = 50, maxDf: Long = Long.MaxValue): DataFrame = {
-    val toks = docTokenSets(spark, dir)
+      queryMod: Long = 50, maxDf: Long = Long.MaxValue): DataFrame =
+    sparseTopKIndexedFrom(docTokenSets(spark, dir), k, queryMod, maxDf)
+
+  /** [[sparseTopKIndexed]] over a caller-provided token-set frame. */
+  private[graft] def sparseTopKIndexedFrom(toks: DataFrame, k: Int,
+      queryMod: Long, maxDf: Long): DataFrame = {
     val qt = toks.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("t").as("qt"))
     val posting = toks.select(col("doc_id"), explode(col("t")).as("tok"))

@@ -40,6 +40,15 @@ object ApplyLshProbe {
       },
       "full qDedupApplyLsh" -> (() =>
         graft.queries.LlmOps.qDedupApplyLsh(spark, dir).count()),
+      "apply via localCheckpoint" -> { () =>
+        // candidate variant: truncate lineage at the (tiny) pair set so
+        // cc probe/collect and the anti-join plan one-stage jobs instead
+        // of re-planning the full LSH DAG per action
+        val p = lshPairs.localCheckpoint()
+        graft.dedup.Dedup.keepCanonical(
+          emb.select(col("vec_id")), "vec_id", p)
+          .orderBy("vec_id").count()
+      },
       "sibling q_embedding_neardup_lsh" -> (() =>
         graft.queries.LlmOps.qEmbeddingNearDupLsh(spark, dir).count()),
       "sketch_jaccard (F6b re-measure)" -> (() =>

@@ -231,6 +231,26 @@ object ScaleSmoke {
       queries.LlmOps.clearAnnIndexes() // memo gone, disk artifact stays
       queries.LlmOps.qPqTopK(spark, dir)
     }
+    // round-8: the registered PQ faces keep the mod-50 query set, so at
+    // 50× the batch is 5,000 queries — Q ∝ N, the declared exact-
+    // baseline stress (ADC cost = Q·N/32 lookups for topk, Q·N·nprobe/
+    // nCells for IVF-PQ). A retrieval batch is request-side: these
+    // bounded ~100-query blocks time the per-batch deployment cost,
+    // where IVF's cell pruning shows as the topk→ivf gap
+    if (only.isEmpty || only.exists("pq_b100".contains)) {
+      val q100 = graft.sources.Tables.table(spark, dir, "embeddings")
+        .filter(col("vec_id") % (50L * mult) === 0)
+        .select(col("vec_id").as("query_id"),
+          graft.ann.Ann.asDouble(col("embedding")).as("qvec"))
+      val (cb, encoded) = queries.LlmOps.pqIndex(spark, dir)
+      val t0 = System.nanoTime()
+      val n0 = graft.ann.Pq.pqTopK(q100, encoded, "vec_id", cb, topK = 10).count()
+      println(f"pq_topk_b100           ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n0")
+      val t1 = System.nanoTime()
+      val n1 = graft.ann.Pq.ivfPqTopK(q100, queries.LlmOps.annIvfIndex(spark, dir),
+        queries.LlmOps.pqIvfIndex(spark, dir), "vec_id", cb, topK = 10, nprobe = 4).count()
+      println(f"pq_ivf_b100            ${(System.nanoTime() - t1) / 1e9}%8.2fs  rows=$n1")
+    }
     // round-7: corpus mixing — shuffle/mix are hash + per-shard (resp.
     // per-source) window work, expect ~linear; epoch plan is two tiny
     // aggregates, expect flat
@@ -257,8 +277,10 @@ object ScaleSmoke {
     // statistical estimate; the exhaustive join-back on this clone-
     // heavy corpus measured 323s for the same curve)
     time("q_loss_mask") { queries.LlmOps.qLossMask(spark, dir) }
-    // chunk dedup: one hash exchange over ~n/16 chunk hashes, ~linear
+    // chunk dedup: one hash exchange over ~n/16 chunk hashes, ~linear;
+    // apply adds the doc-keyed rebuild exchange (collect_list per doc)
     time("q_chunk_dedup") { queries.LlmOps.qChunkDedup(spark, dir) }
+    time("q_chunk_dedup_apply") { queries.LlmOps.qChunkDedupApply(spark, dir) }
     // novelty: gram explode + min-doc agg + join-back, ~linear in gram
     // mass; compression: one deflate pass per doc, ~linear
     time("q_ngram_novelty") { queries.LlmOps.qNgramNovelty(spark, dir) }
@@ -271,6 +293,48 @@ object ScaleSmoke {
           .filter(col("doc_id") % 10 === 0),
         "text", "doc_id", shingleSize = 1, numHashes = 64, rowsPerBand = 4,
         pairSamplePpm = 20000L)
+    }
+    // round-8: approx domain mix vs the exact Window face — the approx
+    // twin's contract is NO per-source sort at any scale; expect the gap
+    // to widen with corpus size while output stays near-quota
+    time("q_domain_mix_approx") { queries.Mix.qDomainMixApprox(spark, dir) }
+    // round-8: sparse-leg crossover, exact Q×N vs inverted-index. The
+    // PROVIDED corpus' 31-token vocabulary puts every token in ~78% of
+    // docs — every posting list is ~0.78N, so indexed candidates ≈ Q×N
+    // BY DATA CONSTRUCTION and the index can only lose there (measured:
+    // 2.86s vs 1.09s at sf0.1). Real text has a heavy-tailed vocab, so
+    // the crossover evidence runs on a deterministic Zipf-vocab corpus
+    // (V = n/5, P(rank r) ∝ r^(-1/2) via the u² inverse transform,
+    // hash-derived — replayable): candidate mass is Σ_t df(t)·qf(t),
+    // orders of magnitude below Q×N.
+    if (only.isEmpty || only.exists("sparse_crossover".contains)) {
+      val n = 5000L * mult
+      val vocab = math.max(1000L, n / 5)
+      val docLen = 20
+      // token rank for slot i of a doc: u = hash-uniform in [0,1), rank
+      // = floor(V·u²) — all integer/hash math, no RNG, so the corpus is
+      // identical across runs and engines
+      val toks = spark.range(n).select(col("id").as("doc_id"),
+        sort_array(array_distinct(array((0 until docLen).map { i =>
+          val u = pmod(xxhash64(concat_ws(":", lit("zipf"), col("id"), lit(i))),
+            lit(1000003L)).cast("double") / lit(1000003.0)
+          floor(lit(vocab.toDouble) * u * u).cast("long")
+        }: _*))).as("t"))
+        .localCheckpoint() // time the legs, not the synthesis
+      // two batch sizes: the exact leg is linear in Q (Q·N pairs), the
+      // indexed leg pays a fixed posting-list build then candidate mass
+      // ∝ Σ df(t)·qf(t) — the crossover is where the batch amortizes
+      // the build, exactly the deployment trade
+      for (q <- Seq(100L, 1000L)) {
+        val qm = n / q
+        val t0 = System.nanoTime()
+        val nExact = queries.Retrieval.sparseTopKFrom(toks, k = 20, queryMod = qm).count()
+        println(f"sparse_exact_zipf_q$q%-4d ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$nExact")
+        val t1 = System.nanoTime()
+        val nIdx = queries.Retrieval.sparseTopKIndexedFrom(
+          toks, k = 20, queryMod = qm, maxDf = n / 10).count()
+        println(f"sparse_indexed_zipf_q$q%-4d ${(System.nanoTime() - t1) / 1e9}%5.2fs  rows=$nIdx")
+      }
     }
     spark.stop()
   }

@@ -131,4 +131,21 @@ class ChunkingSpec extends SparkSpec {
     assert(!out((2L, 1L)) && !out((3L, 0L)), "later occurrences drop")
     assert(out((1L, 1L)) && out((2L, 0L)), "distinct chunks all keep")
   }
+
+  test("chunk dedup apply: rebuild drops exactly the copied paragraph, totals reconcile") {
+    import spark.implicits._
+    val p = (1 to 16).map(i => s"p$i").mkString(" ")
+    val filler1 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val filler2 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p $filler1"),          // canonical doc: keeps everything
+      (2L, s"$filler2 $p"),          // loses the copied P, keeps filler2
+      (3L, s"$p"))                   // entire doc is the dup → empty rebuild
+      .toDF("doc_id", "text")
+    val out = graft.queries.LlmOps.chunkDedupApply(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 2L, s"$p $filler1")), "canonical doc rebuilds unchanged")
+    assert(out(2L) == ((2L, 1L, filler2)), "copied chunk drops, survivor keeps order")
+    assert(out(3L) == ((1L, 0L, "")), "all-duplicate doc rebuilds to empty text")
+  }
 }
