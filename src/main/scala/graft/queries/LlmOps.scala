@@ -486,16 +486,24 @@ object LlmOps {
     * information, and novelty-weighted sampling is the curation lever.
     * Shape: distinct grams explode (F7's exchange), one gram→min-doc
     * aggregate, join-back co-partitioned on the gram key, per-doc
-    * re-aggregate. Gram strings shuffle at test scale; at 100 TB the
-    * carry is their xxhash64 lanes (D2's carry-format note — identity
-    * preserved, 8-byte keys). Docs with < 3 tokens have no grams and
-    * no row. All-integer output. */
+    * re-aggregate. The carry across BOTH exchanges is the grams'
+    * xxhash64 lanes, never the strings (D2's carry-format rule: 8-byte
+    * keys; shuffle bytes drop ~5× — a 3-gram string here averages ~40
+    * bytes). The 64-bit lane is load-bearing at 100 TB: billions of
+    * distinct grams need a space ≫ 2³¹, which is why this lane is NOT
+    * polyhash. The DuckDB oracle stays on exact gram STRINGS — parity
+    * is statistical with collision odds ~G²/2⁶⁵ (a collision would
+    * merge two grams' first-doc identities on the Spark side only; at
+    * sf0.01's ~2·10⁴ distinct grams that is ~10⁻¹¹), so the oracle
+    * checks the SEMANTICS, not a mirrored hash. Docs with < 3 tokens
+    * have no grams and no row. All-integer output. */
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.table(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"),
-        explode(array_distinct(Dedup.ngramsFromTokens(col("__toks"), 3))).as("gram"))
+        explode(array_distinct(transform(
+          Dedup.ngramsFromTokens(col("__toks"), 3), g => xxhash64(g)))).as("gram"))
     val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
     grams.join(first, "gram")
       .groupBy("doc_id")

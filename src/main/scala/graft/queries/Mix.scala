@@ -47,13 +47,42 @@ object Mix {
     df.withColumn("h", polyhash(concat(lit("shuf42:"), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
 
-  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val byShard = Window.partitionBy("shard").orderBy("h", "doc_id")
-    assignShard(Tables.table(spark, dir, "documents").select("doc_id"), "doc_id")
-      .withColumn("pos", row_number().over(byShard))
-      .select(col("doc_id"), col("shard"), col("pos"),
-        ((col("pos") - 1) * ShuffleShards + col("shard")).cast("long").as("global_pos"))
+  def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalShuffle(Tables.table(spark, dir, "documents").select("doc_id"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("global_pos"))
       .orderBy("doc_id")
+
+  /** The H14 core over any doc frame (payload columns ride along):
+    * shard/pos/global_pos appended, no presentation sort. */
+  private[graft] def globalShuffle(df: DataFrame): DataFrame = {
+    val byShard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    assignShard(df, "doc_id")
+      .withColumn("pos", row_number().over(byShard))
+      .withColumn("global_pos",
+        ((col("pos") - 1) * ShuffleShards + col("shard")).cast("long"))
+      .drop("h")
+  }
+
+  /** H14 MATERIALIZED: execute the training order to disk — one shard =
+    * one parquet file, rows inside each file in `pos` order, so a data
+    * loader streams shard files round-robin and reads the exact
+    * global_pos order with ZERO read-time sorting. The write IS the
+    * operator's 100 TB contract ("one shard = one write task"):
+    * `repartition(shards, shard)` routes each shard's rows to a single
+    * task (a task may carry two hash-colliding shards — each still
+    * lands in its own file via partitionBy), `sortWithinPartitions
+    * (shard, pos)` satisfies the dynamic-partition writer's required
+    * ordering so it streams rows straight to the files with NO extra
+    * sort, and the per-task sort is shard-local — the global order
+    * exists on disk without any global sort having run anywhere.
+    * Returns the row count read back from the written layout. */
+  def writeTrainingOrder(spark: SparkSession, dir: String, outDir: String): Long = {
+    globalShuffle(Tables.table(spark, dir, "documents")
+      .select("doc_id", "source", "text"))
+      .repartition(ShuffleShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir).count()
   }
 
   /** H15: per-domain epoch / repetition planner — given a token budget

@@ -96,6 +96,42 @@ class MixSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("training order materializes one file per shard, pos-ordered, a bijection") {
+    val out = java.nio.file.Files.createTempDirectory("trainorder").toString
+    val written = Mix.writeTrainingOrder(spark, sfDir, out)
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    assert(written == docs.count(), "every doc lands in the layout exactly once")
+    // one parquet data file per shard directory (one shard = one write task)
+    val shardDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty && shardDirs.length <= Mix.ShuffleShards)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: one shard = one file, got ${files.length}")
+    }
+    // reading a shard file back yields pos order 1..n with the strided
+    // global_pos — the loader's zero-sort contract; row order in a
+    // single parquet file is the written order
+    val expected = Mix.qGlobalShuffle(spark, sfDir)
+      .select("doc_id", "shard", "pos", "global_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._2)
+    shardDirs.take(4).foreach { d =>
+      val shard = d.getName.stripPrefix("shard=").toInt
+      val rows = spark.read.parquet(d.getAbsolutePath)
+        .select("doc_id", "pos", "global_pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.map(_._2).toSeq == (1 to rows.length).toSeq,
+        s"shard $shard file must be in dense pos order")
+      rows.foreach { case (_, pos, gp) =>
+        assert(gp == (pos - 1).toLong * Mix.ShuffleShards + shard) }
+      // content matches the registered H14 face for this shard
+      val exp = expected(shard).sortBy(_._3).map(t => (t._1, t._4))
+      assert(rows.map(t => (t._1, t._3)).toSeq == exp.toSeq,
+        s"shard $shard rows must be the H14 assignment in global order")
+    }
+  }
+
   test("approx domain mix: near-quota, h-prefix monotone, deterministic") {
     val out = Mix.qDomainMixApprox(spark, sfDir).cache()
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
