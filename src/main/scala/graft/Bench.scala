@@ -57,6 +57,15 @@ object Bench {
     val spread = names.map { n =>
       val vs = byName.map(_(n)); n -> (vs.max - vs.min)
     }
+    // JIT/codegen-compile tail per query: (cold − warm_median)/warm_median.
+    // A large ratio on a small median (e.g. q_sketch_calibration's 9.7s
+    // first pass vs 1.4s steady) is the deployment cold-start story a
+    // warm median alone hides — self-auditing in the full artifact.
+    val coldByName = cold.toMap
+    val jitGap = names.map { n =>
+      val med = median(byName.map(_(n)))
+      n -> (if (med <= 0) 0.0 else (coldByName(n) - med) / med)
+    }
     def fmt(v: Double): String = f"$v%.3f"
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -66,7 +75,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_passes":3,"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
     // full artifact to a file so a stdout-tail capture can't truncate it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"jit_gap":${jmap(jitGap)},"setup":$st,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
