@@ -123,6 +123,8 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => Warehouse.qWinsorize(s, dir)),
     "q_tokenize" -> ((s, dir) => LlmOps.qTokenize(s, dir)),
     "q_ngram_lm" -> ((s, dir) => LlmOps.qNgramLm(s, dir)),
+    "q_ppl_buckets" -> ((s, dir) => LlmOps.qPplBuckets(s, dir)),
+    "q_dedup_soft" -> ((s, dir) => LlmOps.qDedupSoft(s, dir)),
     "q_bm25" -> ((s, dir) => LlmOps.qBm25(s, dir)),
     "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
     "q_dedup_cross" -> ((s, dir) => LlmOps.qDedupCross(s, dir)),
@@ -1530,6 +1532,47 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(lp), 3) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // F19b: the F19 CTE + per-source exact-tercile window; rank on the
+    // ROUNDED score (both engines round identically — F19's proven
+    // parity) with doc_id tiebreak, so bucket assignment is exact
+    "q_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(t)),
+        |                              i -> t[i] || ' ' || t[i + 1])) AS gram
+        |      FROM toks),
+        |cg AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |cw AS (SELECT string_split(gram, ' ')[1] AS w1, count(*) AS c1
+        |       FROM g GROUP BY 1),
+        |s AS (SELECT g.doc_id, ln(cg.c::DOUBLE / cw.c1::DOUBLE) AS lp
+        |      FROM g JOIN cg USING (gram)
+        |             JOIN cw ON string_split(g.gram, ' ')[1] = cw.w1),
+        |lm AS (SELECT doc_id, round(avg(lp), 3) AS avg_logp
+        |       FROM s GROUP BY doc_id),
+        |j AS (SELECT lm.doc_id, d.source, lm.avg_logp FROM lm
+        |      JOIN documents d ON lm.doc_id = d.doc_id),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY avg_logp DESC, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS n_s
+        |      FROM j)
+        |SELECT doc_id, source, avg_logp,
+        |  (3 * (rk - 1)) // n_s AS bucket_id,
+        |  CASE (3 * (rk - 1)) // n_s WHEN 0 THEN 'head'
+        |    WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // D1b: keep-at-most-c exact dedup; the c smallest ids per hash
+    "q_dedup_soft" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash
+        |           FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, content_hash,
+        |        row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY content_hash) AS n_copies
+        |      FROM h)
+        |SELECT doc_id, content_hash, CAST(n_copies AS BIGINT) AS n_copies,
+        |  rk <= 2 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_infer_batches" ->
       """WITH t AS (
         |  SELECT doc_id,

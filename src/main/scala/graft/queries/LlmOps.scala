@@ -1425,6 +1425,61 @@ object LlmOps {
       Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** F19b: CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020) — the
+    * quality-stratification step between LM scoring and sampling: each
+    * source's docs split into head/middle/tail TERCILES by the F19
+    * bigram-LM score (high avg_logp = predictable text = head — CCNet
+    * keeps head+middle and drops or downsamples tail). Terciles are
+    * EXACT integer ranks (`(3·(rank−1)) DIV n_s`, rank on the rounded
+    * score with doc_id tiebreak), not engine-dependent quantiles, so
+    * the face carries a full oracle — the C12 lesson. Both window
+    * passes (rank + source count) share ONE source-keyed exchange.
+    * 100 TB shape: the per-source sort swaps for two sampled-quantile
+    * score cutoffs broadcast back, H16b's EXECUTED threshold pattern —
+    * a bucket boundary is a quantile, and H16b proves the estimator. */
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val bySource = w.orderBy(col("avg_logp").desc, col("doc_id"))
+    graft.text.TextAnalysis.bigramLogProb(
+      Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .withColumn("r", row_number().over(bySource))
+      .withColumn("n_s", count(lit(1)).over(w))
+      .withColumn("bucket_id", expr("(3 * (r - 1)) DIV n_s"))
+      .select(col("doc_id"), col("source"), col("avg_logp"), col("bucket_id"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("bucket_id").cast("int") + 1).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** D1b: SOFT dedup — cap every exact-duplicate cluster at `c` copies
+    * (SlimPajama-style "keep at most c" instead of D1's keep-one: a
+    * bounded amount of natural repetition is signal, unbounded
+    * duplication is the memorization hazard). Selection = the c SMALLEST
+    * doc ids per content hash, computed with the bounded-heap top-k
+    * AGGREGATE (score = −doc_id) — one HashAggregate with map-side
+    * partial reduction, NO window, NO per-group sort, and a viral
+    * duplicate cluster costs c slots of aggregate state instead of a
+    * million-row sorted group (the D14 viral-span hazard, pre-empted).
+    * Join-back is co-partitioned on the same hash key: one exchange
+    * total, D16's shape. Output: every doc with its cluster size and
+    * kept mask — the report a corpus rebuild consumes. */
+  def qDedupSoft(spark: SparkSession, dir: String, c: Int = 2): DataFrame = {
+    val hashed = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val caps = hashed.groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        graft.functions.topKByScore(
+          -col("doc_id").cast("double"), col("doc_id"), c).as("keep"))
+      .select(col("content_hash"), col("n_copies"),
+        transform(col("keep"), x => x.getField("neighbor_id")).as("keep_ids"))
+    hashed.join(caps, "content_hash")
+      .select(col("doc_id"), col("content_hash"), col("n_copies"),
+        array_contains(col("keep_ids"), col("doc_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** F21: BM25 relevance scoring against a fixed query-term set — the
     * retrieval-grade relevance signal (idf × saturated tf with document-
     * length normalization). Corpus stats are one broadcast scalar row;

@@ -381,6 +381,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
+  test("soft dedup plans a bounded-heap aggregate — no window, no per-group sort") {
+    // D1b's viral-cluster contract: selection of the c smallest ids runs
+    // as the TopKByScore aggregate (c slots of state), never a window
+    // rank (which would sort a million-row duplicate cluster)
+    val df = queries.LlmOps.qDedupSoft(spark, sfDir, c = 2)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "soft dedup must not window")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "TopKByScore must run partial (map-side) + final")
+  }
+
   test("kmv distinct sketch plans partial+final hash aggregate, no window, no expand") {
     // the documented 100 TB drop-in for COUNT(DISTINCT): one mergeable
     // sketch per group, exchanged as ≤k longs — the multi-distinct

@@ -281,6 +281,10 @@ object ScaleSmoke {
     // apply adds the doc-keyed rebuild exchange (collect_list per doc)
     time("q_chunk_dedup") { queries.LlmOps.qChunkDedup(spark, dir) }
     time("q_chunk_dedup_apply") { queries.LlmOps.qChunkDedupApply(spark, dir) }
+    // round-8: soft dedup is one heap aggregate + co-partitioned join
+    // (~linear); ppl buckets add a per-source window over the F19 score
+    time("q_dedup_soft") { queries.LlmOps.qDedupSoft(spark, dir) }
+    time("q_ppl_buckets") { queries.LlmOps.qPplBuckets(spark, dir) }
     // novelty: gram explode + min-doc agg + join-back, ~linear in gram
     // mass; compression: one deflate pass per doc, ~linear
     time("q_ngram_novelty") { queries.LlmOps.qNgramNovelty(spark, dir) }

@@ -244,4 +244,52 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("soft dedup caps clusters at c, keeps the c smallest ids, spares singletons") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qDedupSoft(spark, sfDir, c = 2).cache()
+    // per cluster: kept count = min(c, size); kept ids are the smallest
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    rows.groupBy(_._2).foreach { case (h, cluster) =>
+      val n = cluster.length
+      assert(cluster.head._3 == n, s"$h n_copies must equal cluster size")
+      val kept = cluster.filter(_._4).map(_._1).sorted
+      assert(kept.length == math.min(2, n), s"$h kept ${kept.length} of $n")
+      assert(kept.toSeq == cluster.map(_._1).sorted.take(2).toSeq,
+        s"$h must keep the smallest ids")
+    }
+    // c=1 degenerates to D1's keep-min canonical on duplicated clusters
+    val c1 = graft.queries.LlmOps.qDedupSoft(spark, sfDir, c = 1)
+      .filter(col("kept")).groupBy("content_hash").count()
+      .filter(col("count") =!= 1)
+    assert(c1.count() == 0, "c=1 keeps exactly one doc per cluster")
+    out.unpersist()
+  }
+
+  test("ppl buckets: terciles within 1 per source, head outscores tail, monotone") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qPplBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.nonEmpty)
+    assert(out.forall(t => Seq("head", "middle", "tail")(t._4.toInt) == t._5),
+      "bucket label must match bucket id")
+    out.groupBy(_._2).foreach { case (src, docs) =>
+      val sizes = docs.groupBy(_._4).view.mapValues(_.length).toMap
+      val n = docs.length
+      // exact integer terciles: every bucket within 1 of n/3
+      (0L to 2L).foreach { b =>
+        val expect = ((b + 1) * n) / 3 - (b * n) / 3
+        assert(math.abs(sizes.getOrElse(b, 0) - expect) <= 1,
+          s"$src bucket $b: ${sizes.getOrElse(b, 0)} vs ~$expect of $n")
+      }
+      // monotone: every head score >= every tail score (rank-based carve)
+      val heads = docs.filter(_._4 == 0L).map(_._3)
+      val tails = docs.filter(_._4 == 2L).map(_._3)
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.min >= tails.max - 1e-9,
+          s"$src head must outscore tail")
+    }
+  }
 }
