@@ -208,12 +208,27 @@ object Mix {
   private[graft] def domainMixApprox(spark: SparkSession, dir: String,
       sampleMod: Long, minSample: Int = 8): DataFrame = {
     val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .join(broadcast(domainMixThresholds(spark, dir, sampleMod, minSample)), "source")
+      .filter(col("h") <= col("h_thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** H16b's trained half: the per-source (source, h_thr) threshold frame
+    * — ~|sources| rows. Deployment splits here: a planner computes the
+    * thresholds once per corpus snapshot; selection anywhere (batch
+    * join, or [[domainMixGate]] on an ingest stream) is a stateless
+    * map-side filter against them. */
+  private[graft] def domainMixThresholds(spark: SparkSession, dir: String,
+      sampleMod: Long, minSample: Int = 8): DataFrame = {
+    val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
     val h2 = polyhash(concat(lit("mixsmp:"), col("doc_id").cast("string")))
-    val hashed = Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), h.as("h"), h2.as("h2"))
-    val sample = hashed.filter(pmod(col("h2"), lit(sampleMod)) === 0)
+    val sample = Tables.table(spark, dir, "documents")
+      .select(col("source"), h.as("h"), h2.as("h2"))
+      .filter(pmod(col("h2"), lit(sampleMod)) === 0)
       .groupBy("source").agg(sort_array(collect_list(col("h"))).as("smp"))
-    val thr = domainQuotas(spark, dir)
+    domainQuotas(spark, dir)
       .join(sample, Seq("source"), "left")
       .select(col("source"), expr(
         // M = 2^31-2 is polyhash's max (fold mod 2^31-1)
@@ -222,8 +237,21 @@ object Mix {
           |  ELSE element_at(smp, CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
           |         (k_s * (size(smp) + 1L)) DIV n_s)) AS INT))
           |END""".stripMargin).as("h_thr"))
-    hashed.join(broadcast(thr), "source")
-      .filter(col("h") <= col("h_thr"))
-      .select(col("doc_id"), col("source"))
+  }
+
+  /** The H16b selection as a pure stateless Column over (id, source):
+    * `polyhash("mix:"+id) ≤ thr(source)` with the (collected, ~20-entry)
+    * threshold map folded into a literal CASE chain — no state, no
+    * shuffle, so an ingest stream applies the SAME domain rebalancing
+    * decision at arrival time (StreamingSpec proves stream ≡ batch; the
+    * H1/H10 gate pattern). Unknown sources fail closed (false). */
+  def domainMixGate(thresholds: Map[String, Long],
+      idCol: org.apache.spark.sql.Column,
+      sourceCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = polyhash(concat(lit("mix:"), idCol.cast("string")))
+    val thr = thresholds.foldLeft(lit(Long.MinValue)) { case (acc, (s, t)) =>
+      when(sourceCol === s, lit(t)).otherwise(acc)
+    }
+    h <= thr
   }
 }

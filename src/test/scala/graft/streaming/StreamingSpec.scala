@@ -510,6 +510,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming domain-mix gate keeps exactly the batch face's selection") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // trained half: thresholds from the reference corpus (batch-side)
+    val thr = graft.queries.Mix.domainMixThresholds(spark, sfDir, sampleMod = 16L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val query = input.toDF().toDF("doc_id", "source")
+      .filter(graft.queries.Mix.domainMixGate(
+        thr, org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")))
+      .writeStream.format("memory").queryName("mix_gate")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("mix_gate")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.queries.Mix.qDomainMixApprox(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch,
+        "arrival-time gating must equal the batch rebalancing selection")
+      // unknown source fails closed
+      val unknown = spark.range(1).select(
+        graft.queries.Mix.domainMixGate(thr,
+          org.apache.spark.sql.functions.lit(1L),
+          org.apache.spark.sql.functions.lit("src_never_seen")))
+        .head().getBoolean(0)
+      assert(!unknown, "unknown sources must fail closed")
+    } finally query.stop()
+  }
+
   test("streaming cdc apply: advances emit, out-of-order is ignored, tombstones delete") {
     val sparkSession = spark
     import sparkSession.implicits._
