@@ -146,6 +146,7 @@ object SparkEntry {
     "q_rank_fusion_indexed" -> ((s, dir) => Retrieval.qRankFusionIndexed(s, dir)),
     "q_mmr_diversify" -> ((s, dir) => Retrieval.qMmrDiversify(s, dir)),
     "q_ann_recall" -> ((s, dir) => Retrieval.qAnnRecall(s, dir)),
+    "q_index_recall" -> ((s, dir) => Retrieval.qIndexRecall(s, dir)),
     "q_image_patches" -> ((s, dir) => LlmOps.qImagePatches(s, dir)),
     "q_asof_nearest" -> ((s, dir) => Warehouse.qAsofNearest(s, dir)),
     "q_loss_mask" -> ((s, dir) => LlmOps.qLossMask(s, dir)),

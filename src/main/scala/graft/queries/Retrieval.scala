@@ -284,4 +284,36 @@ object Retrieval {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("recall_x100", expr("(n_overlap * 100) DIV n_exact"))
   }
+
+  /** E11b: the INDEX-SELECTION report — every approximate index the
+    * engine ships (LSH, IVF, PQ, IVF-PQ), evaluated against the exact
+    * top-10 in ONE table of (index, n_queries, mean/min recall): the
+    * acceptance matrix you read before choosing which index serves a
+    * workload (mean = expected quality; MIN = the worst query — a mean
+    * can hide an unserved cell; E11 is the per-query drill-down for
+    * whichever row looks wrong). The `exact` control row pins the
+    * harness itself at 100/100. Each leg is the registered face's own
+    * frame, so this measures exactly what deployments run; output is
+    * O(indexes), all integer. */
+  def qIndexRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = LlmOps.qAnnTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      // five report legs read the exact frame (1000 rows at sf0.1):
+      // materialize once, not five broadcast-side recomputes
+      .localCheckpoint()
+    val legs: Seq[(String, DataFrame)] = Seq(
+      "exact" -> exact,
+      "lsh" -> LlmOps.qAnnLsh(spark, dir),
+      "ivf" -> LlmOps.qAnnIvf(spark, dir),
+      "pq" -> LlmOps.qPqTopK(spark, dir),
+      "ivf_pq" -> LlmOps.qPqIvf(spark, dir))
+    legs.map { case (name, approx) =>
+      recallReport(exact, approx.select(col("query_id"), col("neighbor_id")))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("(sum(recall_x100) ) DIV count(1)").as("mean_recall_x100"),
+          min(col("recall_x100")).as("min_recall_x100"))
+        .select(lit(name).as("index_name"), col("n_queries"),
+          col("mean_recall_x100"), col("min_recall_x100"))
+    }.reduce(_.unionAll(_)).orderBy("index_name")
+  }
 }

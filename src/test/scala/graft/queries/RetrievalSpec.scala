@@ -59,6 +59,22 @@ class RetrievalSpec extends SparkSpec {
     uncapped.unpersist(); capped.unpersist()
   }
 
+  test("index recall matrix: exact control at 100, all rows bounded, uniform query count") {
+    val rows = Retrieval.qIndexRecall(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("exact", "lsh", "ivf", "pq", "ivf_pq"))
+    val (nq, meanE, minE) = rows("exact")
+    assert(meanE == 100L && minE == 100L, "exact-vs-exact control must be perfect")
+    rows.values.foreach { case (n, mean, mn) =>
+      assert(n == nq, "every index evaluates the same query batch")
+      assert(mean >= 0 && mean <= 100 && mn >= 0 && mn <= mean)
+    }
+    // the IVF row must agree with E11's per-query report aggregated
+    val e11 = Retrieval.qAnnRecall(spark, sfDir).collect()
+    val e11Mean = e11.map(_.getAs[Long]("recall_x100")).sum / e11.length
+    assert(rows("ivf")._2 == e11Mean, "matrix row must equal the E11 aggregate")
+  }
+
   test("mmr: rank 1 is the most relevant; λ=1 degenerates to relevance order") {
     val pure = Retrieval.qMmrDiversify(spark, sfDir, lambda = 1.0).cache()
     val dense = Retrieval.denseTopK(spark, sfDir, k = 20)
