@@ -124,6 +124,7 @@ object SparkEntry {
     "q_tokenize" -> ((s, dir) => LlmOps.qTokenize(s, dir)),
     "q_ngram_lm" -> ((s, dir) => LlmOps.qNgramLm(s, dir)),
     "q_ppl_buckets" -> ((s, dir) => LlmOps.qPplBuckets(s, dir)),
+    "q_video_frames" -> ((s, dir) => LlmOps.qVideoFrames(s, dir)),
     "q_dedup_soft" -> ((s, dir) => LlmOps.qDedupSoft(s, dir)),
     "q_bm25" -> ((s, dir) => LlmOps.qBm25(s, dir)),
     "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
@@ -1563,6 +1564,29 @@ object SparkEntry {
         |  CASE (3 * (rk - 1)) // n_s WHEN 0 THEN 'head'
         |    WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // G3g: the oracle rebuilds every sampled frame's mean intensity from
+    // the GVID generative formula (polyhash-derived bytes) — the
+    // q_image_patches rebuild pattern; sampling indices and timestamps
+    // are pure integer arithmetic on the header fields
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS n_frames FROM documents),
+        |s AS (SELECT doc_id, n_frames, unnest(range(0, 4)) AS j FROM d),
+        |f AS (SELECT doc_id, (j * n_frames) // 4 AS frame_idx FROM s),
+        |px AS (SELECT doc_id, frame_idx, unnest(range(0, 48)) AS p FROM f),
+        |hv AS (SELECT doc_id, frame_idx,
+        |    list_reduce(
+        |      list_transform(range(1, length('vid:' || CAST(doc_id AS VARCHAR) || ':'
+        |          || CAST(frame_idx AS VARCHAR) || ':' || CAST(p AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('vid:' || CAST(doc_id AS VARCHAR) || ':'
+        |          || CAST(frame_idx AS VARCHAR) || ':' || CAST(p AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) % 256 AS v
+        |  FROM px),
+        |m AS (SELECT doc_id, frame_idx, sum(v) // 48 AS mean_intensity
+        |      FROM hv GROUP BY doc_id, frame_idx)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+        |  CAST(mean_intensity AS BIGINT) AS mean_intensity, true AS ok
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     // D1b: keep-at-most-c exact dedup; the c smallest ids per hash
     "q_dedup_soft" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash

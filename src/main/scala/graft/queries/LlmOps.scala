@@ -1425,6 +1425,23 @@ object LlmOps {
       Tables.table(spark, dir, "documents"), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** G3g: VIDEO frame sampling — the multimodal ingestion step that
+    * turns footage into a bounded per-video frame set (uniform spread,
+    * seek-not-scan): one row per sampled frame with timestamp and mean
+    * intensity. The container/codec is the documented GVID deterministic
+    * stand-in (no video stack in this runtime); the Spark plumbing —
+    * opaque binary column, batched partition iteration, ByteBuffer
+    * header parse + frame seek, typed output schema — is real, and the
+    * polyhash-derived frame bytes make the whole path ORACLE-checkable:
+    * DuckDB rebuilds every sampled frame's mean from first principles
+    * (the q_image_patches pattern). See [[graft.multimodal.Video]]. */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Video.sampleFrames(
+      graft.multimodal.Video.syntheticVideoTable(
+        Tables.table(spark, dir, "documents"), "doc_id"),
+      nSamples = 4)
+      .orderBy("doc_id", "frame_idx")
+
   /** F19b: CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020) — the
     * quality-stratification step between LM scoring and sampling: each
     * source's docs split into head/middle/tail TERCILES by the F19

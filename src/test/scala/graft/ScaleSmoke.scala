@@ -285,6 +285,8 @@ object ScaleSmoke {
     // (~linear); ppl buckets add a per-source window over the F19 score
     time("q_dedup_soft") { queries.LlmOps.qDedupSoft(spark, dir) }
     time("q_ppl_buckets") { queries.LlmOps.qPplBuckets(spark, dir) }
+    // video: synth + parse + seek-sample per doc, one map pass, ~linear
+    time("q_video_frames") { queries.LlmOps.qVideoFrames(spark, dir) }
     // novelty: gram explode + min-doc agg + join-back, ~linear in gram
     // mass; compression: one deflate pass per doc, ~linear
     time("q_ngram_novelty") { queries.LlmOps.qNgramNovelty(spark, dir) }

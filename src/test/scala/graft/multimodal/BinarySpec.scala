@@ -177,4 +177,40 @@ class BinarySpec extends SparkSpec {
     val rgb = im.getRGB(8, 8)
     assert(((rgb >> 8) & 0xff) == 0xff && ((rgb >> 16) & 0xff) == 0)
   }
+
+  test("video frames: uniform seek-sampling, mean ≡ direct recompute, corrupt degrades") {
+    import spark.implicits._
+    val ids = Seq(5L, 12L, 100L).toDF("doc_id")
+    val table = Video.syntheticVideoTable(ids, "doc_id")
+    val out = Video.sampleFrames(table, nSamples = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // 4 samples per video, indices uniformly spread over n_frames
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val nFrames = 8 + math.floorMod(id, 16)
+      assert(rows.length == 4)
+      assert(rows.map(_._2).sorted.toSeq ==
+        (0 until 4).map(j => j.toLong * nFrames / 4),
+        s"video $id must sample (j*n) DIV 4")
+      rows.foreach { case (_, idx, ts, mean, ok) =>
+        assert(ok && ts == idx * 100, "ts from the header fps")
+        // mean matches recomputing the generative formula directly
+        val expect = (0 until 48).map(p =>
+          Video.polyhash31(s"vid:$id:$idx:$p") % 256).sum / 48
+        assert(mean == expect, s"video $id frame $idx")
+      }
+    }
+    // determinism: a fresh build+sample is identical
+    val again = Video.sampleFrames(
+      Video.syntheticVideoTable(ids, "doc_id"), nSamples = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq ==
+      out.map(t => (t._1, t._2, t._4)).sortBy(t => (t._1, t._2)).toSeq)
+    // corrupt payloads degrade to an ok=false row, never throw
+    val bad = Seq(
+      (1L, "GARBAGE".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val degraded = Video.sampleFrames(bad, nSamples = 4).collect()
+    assert(degraded.length == 3 && degraded.forall(!_.getBoolean(4)))
+  }
 }
