@@ -381,6 +381,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
+  test("video frame sampling plans a pure map pass — zero exchanges") {
+    // G3g's shape contract: synth + header parse + seek-sample are all
+    // per-partition object maps; any Exchange means frame bytes or
+    // payloads started traveling
+    val plan = planOf(graft.multimodal.Video.sampleFrames(
+      graft.multimodal.Video.syntheticVideoTable(
+        graft.sources.Tables.table(spark, sfDir, "documents"), "doc_id"),
+      nSamples = 4))
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+
+  test("chunk dedup apply: no window; canonical + rebuild are hash aggregates") {
+    // D16b re-keys by doc for the rebuild, but neither the canonical
+    // selection nor the reassembly may plan a Window or sort-aggregate
+    // (collect_list of kept structs runs as ObjectHashAggregate)
+    val plan = planOf(queries.LlmOps.chunkDedupApply(
+      graft.sources.Tables.table(spark, sfDir, "documents")))
+    assert(!plan.contains("Window"), "chunk apply must not window")
+    assert(!plan.contains("SortAggregate"), "rebuild must hash-aggregate, not sort")
+    assert(plan.contains("ObjectHashAggregate"), "collect_list rebuild runs as object hash agg")
+  }
+
   test("soft dedup plans a bounded-heap aggregate — no window, no per-group sort") {
     // D1b's viral-cluster contract: selection of the c smallest ids runs
     // as the TopKByScore aggregate (c slots of state), never a window
