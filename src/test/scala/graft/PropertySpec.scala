@@ -14,6 +14,27 @@ class PropertySpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("Video.polyhash31 equals the Catalyst polyhash expression on random strings") {
+    import spark.implicits._
+    // the GVID oracle parity silently rests on this identity: the
+    // builder/decoder hash frame bytes with the plain-Scala fold while
+    // the DuckDB oracle mirrors the documented Column semantics — any
+    // drift between the two folds would break q_video_frames obscurely
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.listOfN(12, Gen.choose(32.toChar, 126.toChar)).map(_.mkString),
+      Gen.const(""),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(id => s"vid:$id:3:47")))
+    val strings = sample(gen, seed = 88L).distinct
+    val viaColumn = strings.toDF("s")
+      .select(col("s"), graft.functions.polyhash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strings.foreach { s =>
+      assert(graft.multimodal.Video.polyhash31(s) == viaColumn(s),
+        s"fold divergence on ${s.take(40)}")
+    }
+  }
+
   test("gridSelfJoin equals naive all-pairs for random block shapes") {
     import spark.implicits._
     // the blocking key must PARTITION ids (the operator's precondition:
