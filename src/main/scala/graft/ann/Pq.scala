@@ -138,13 +138,22 @@ object Pq {
       .groupBy(col("query_id"))
       .agg(topKByScore(col("csim"), col("cell_id"), nprobe).as("cells"))
       .select(col("query_id"), explode(col("cells.neighbor_id")).as("cell_id"))
-    // one ADC table per query, carried to its probed cells' members only
+    // one ADC table per query, carried to its probed cells' members only.
+    // JOIN ORDER MATTERS: both query-side frames broadcast EXPLICITLY so
+    // the codes corpus never shuffles — (probes ⋈ tables) first would
+    // weigh Q·nprobe × an m·k-double table (past the auto-broadcast
+    // threshold), and the planner then sort-merges on cell_id: a full
+    // shuffle of the corpus into nCells effective partitions (measured
+    // 5× at 250k vectors / 100 queries: 2.24s vs 0.44s for flat PQ).
+    // Broadcasting the bare (query_id, cell_id) probe pairs prunes the
+    // corpus scan map-side; the (query_id, table) frame attaches after,
+    // also broadcast — Q tables travel once, not nprobe times.
     val q = queries.select(col("query_id"),
       pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub).as("__table"))
-    val scored = probes
-      .join(q, "query_id")
-      .join(encodedCells, "cell_id")
+    val scored = encodedCells
+      .join(broadcast(probes), "cell_id")
       .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(q), "query_id")
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         (-pqAdc(col("__table"), col("codes"), cb.k)).as("sim"))
     scored.groupBy(col("query_id"))

@@ -381,6 +381,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
+  test("ivf-pq scan: probes and tables broadcast — the codes corpus never sort-merges") {
+    // E8b's 100 TB contract after the round-8 fix: a Q·nprobe×(m·k
+    // doubles) probe frame past the auto-broadcast threshold made the
+    // planner sort-merge on cell_id — a full corpus shuffle into nCells
+    // skewed partitions (measured 5×). Both query-side frames broadcast
+    // explicitly; any SortMergeJoin here means the corpus shuffled.
+    val plan = planOf(queries.LlmOps.qPqIvf(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVF-PQ must never shuffle the codes corpus:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "probe pairs and ADC tables must both broadcast")
+  }
+
   test("video frame sampling plans a pure map pass — zero exchanges") {
     // G3g's shape contract: synth + header parse + seek-sample are all
     // per-partition object maps; any Exchange means frame bytes or
