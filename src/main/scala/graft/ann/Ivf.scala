@@ -108,10 +108,17 @@ object Ivf {
       .groupBy(col("query_id"))
       .agg(topKByScore(col("csim"), col("cell_id"), nprobe).as("cells"))
       .select(col("query_id"), explode(col("cells.neighbor_id")).as("cell_id"))
-    val candidates = probes
-      .join(queries, "query_id")
-      .join(index.assigned, "cell_id")
+    // join order + explicit broadcasts (the E8b round-8 lesson): the
+    // corpus-side assigned frame must never shuffle on cell_id — probe
+    // pairs broadcast first (map-side cell pruning), query vectors
+    // attach after (each qvec travels once, not nprobe times). Left
+    // implicit, the probe⋈queries frame crosses the auto-broadcast
+    // threshold right around the Q∝N stress batch and the planner
+    // sort-merges the corpus into nCells skewed partitions.
+    val candidates = index.assigned
+      .join(broadcast(probes), "cell_id")
       .filter(col("query_id") =!= col(index.assigned.columns.head))
+      .join(broadcast(queries), "query_id")
     val scored = candidates.select(col("query_id"),
       col(index.assigned.columns.head).as("neighbor_id"),
       cosineSim(col("qvec"), col("__emb")).as("sim"))

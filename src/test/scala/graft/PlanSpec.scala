@@ -381,6 +381,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
+  test("ivf scan: probes and query vectors broadcast — assigned corpus never sort-merges") {
+    val plan = planOf(queries.LlmOps.qAnnIvf(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVF must never shuffle the assigned corpus:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "probe pairs and query vectors must both broadcast")
+  }
+
   test("ivf-pq scan: probes and tables broadcast — the codes corpus never sort-merges") {
     // E8b's 100 TB contract after the round-8 fix: a Q·nprobe×(m·k
     // doubles) probe frame past the auto-broadcast threshold made the

@@ -88,6 +88,7 @@ object ScaleSmoke {
     time("embedding_neardup_lsh") { lshPairs() }
     time("q_embedding_neardup") { queries.LlmOps.qEmbeddingNearDup(spark, dir) }
     time("q_ann_topk") { queries.LlmOps.qAnnTopK(spark, dir) }
+    time("q_ann_ivf") { queries.LlmOps.qAnnIvf(spark, dir) }
     time("q_token_count") { queries.LlmOps.qTokenCount(spark, dir) }
     time("q_anti_join") { queries.Warehouse.qAntiJoin(spark, dir) }
     time("q_batch_assign") { queries.Etl.qBatchAssign(spark, dir) }
