@@ -34,6 +34,9 @@ object Bench {
       "pq_fit" -> (try timed { graft.queries.LlmOps.pqIndex(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
       "bpe_train" -> (try timed { graft.queries.LlmOps.bpeMerges(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "sparse_posting_build" -> (try timed {
+        graft.queries.Retrieval.postingIndex(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
     // Four passes per query: pass 1 pays whole-stage-codegen compile +
     // JIT (cold); passes 2-4 are the amortized steady state a

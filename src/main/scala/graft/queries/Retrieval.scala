@@ -110,14 +110,35 @@ object Retrieval {
     * anti-join. Uncapped by default so the parity contract is exact. */
   private[graft] def sparseTopKIndexed(spark: SparkSession, dir: String, k: Int,
       queryMod: Long = 50, maxDf: Long = Long.MaxValue): DataFrame =
-    sparseTopKIndexedFrom(docTokenSets(spark, dir), k, queryMod, maxDf)
+    sparseTopKIndexedFrom(docTokenSets(spark, dir), k, queryMod, maxDf,
+      postingOverride = Some(postingIndex(spark, dir)))
 
-  /** [[sparseTopKIndexed]] over a caller-provided token-set frame. */
+  /** Session-memoized posting-list index per (session, dir) — the
+    * sparse leg's build-once artifact, same amortization contract as
+    * E2's bucketed corpus and E3's IVF assignment (the 50×/100×
+    * crossover measurement says the build cost is exactly what a
+    * query batch amortizes): (doc_id, tok) exploded once, persisted,
+    * reused by every subsequent batch in the session. */
+  private val postingCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  def postingIndex(spark: SparkSession, dir: String): DataFrame =
+    postingCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val p = docTokenSets(spark, dir)
+        .select(col("doc_id"), explode(col("t")).as("tok")).persist()
+      p.count()
+      p
+    })
+
+  /** [[sparseTopKIndexed]] over a caller-provided token-set frame.
+    * `postingOverride` lets the dir-based face reuse the memoized
+    * [[postingIndex]] instead of re-exploding per run. */
   private[graft] def sparseTopKIndexedFrom(toks: DataFrame, k: Int,
-      queryMod: Long, maxDf: Long): DataFrame = {
+      queryMod: Long, maxDf: Long,
+      postingOverride: Option[DataFrame] = None): DataFrame = {
     val qt = toks.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("query_id"), col("t").as("qt"))
-    val posting = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+    val posting = postingOverride.getOrElse(
+      toks.select(col("doc_id"), explode(col("t")).as("tok")))
     val capped =
       if (maxDf == Long.MaxValue) posting
       else posting.join(
