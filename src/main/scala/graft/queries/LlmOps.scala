@@ -185,7 +185,9 @@ object LlmOps {
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), AnyRef]
 
-  /** Drop every memoized ANN index (and release its cached storage). */
+  /** Drop every memoized ANN index (and release its cached storage),
+    * including Retrieval's posting-list index — "cold" measurements
+    * must drop every session memo, not just this file's. */
   def clearAnnIndexes(): Unit = {
     annIndexCache.values.foreach {
       // Dataset[_] sidesteps the erased-Row type-pattern warning; the
@@ -195,6 +197,7 @@ object LlmOps {
       case _ => ()
     }
     annIndexCache.clear()
+    Retrieval.clearPostingIndex()
   }
 
   /** Staleness stamp every persisted artifact carries, memoized per

@@ -129,6 +129,13 @@ object Retrieval {
       p
     })
 
+  /** Release the memoized posting indexes (LlmOps.clearAnnIndexes calls
+    * this so cold measurements drop EVERY session memo). */
+  private[queries] def clearPostingIndex(): Unit = {
+    postingCache.values.foreach(_.unpersist())
+    postingCache.clear()
+  }
+
   /** [[sparseTopKIndexed]] over a caller-provided token-set frame.
     * `postingOverride` lets the dir-based face reuse the memoized
     * [[postingIndex]] instead of re-exploding per run. */
