@@ -48,9 +48,11 @@ object Artifacts {
     * order can't matter. Returns 0 for unreadable/missing paths (the
     * stamp then degrades to the row count alone rather than failing the
     * load path). */
-  def fingerprint(spark: SparkSession, tablePath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(tablePath)
+  def fingerprint(spark: SparkSession, tablePath: String): Long =
     try {
+      // Path construction itself throws IllegalArgumentException on
+      // malformed strings — inside the try, per the degrade contract
+      val p = new org.apache.hadoop.fs.Path(tablePath)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val files: Seq[org.apache.hadoop.fs.FileStatus] =
         if (fs.getFileStatus(p).isDirectory)
@@ -61,8 +63,7 @@ object Artifacts {
         acc ^ scala.util.hashing.MurmurHash3.productHash(
           (f.getPath.getName, f.getLen, f.getModificationTime)).toLong
       }
-    } catch { case _: java.io.IOException => 0L }
-  }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** True iff a COMPLETE parquet write exists at `path` (the _SUCCESS
     * marker guards against a half-written artifact from a killed job). */

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * derived from the 31-bit polyhash of `"vid:<id>:<frame>:<pixel>"` —
   * the q_image_patches planted-content pattern. What is REAL — and what
   * the operator exists to prove at 100 TB shape — is the Spark side:
-  * binary payloads ride an opaque `binary` column, the decoder batch-
-  * iterates partitions and parses actual bytes with ByteBuffer (header
-  * + frame slicing), the sampling policy picks frames WITHOUT decoding
-  * the rest, and output is one row per sampled frame with typed
-  * metadata. Swapping the byte-parsing body for an FFmpeg/JNI call
-  * changes nothing about the schema, partitioning, or batch shape.
+  * binary payloads ride an opaque `binary` column, the decoder
+  * iterates partitions in fixed-size groups (the G3 batched-partition
+  * CONTRACT: rows are handed to the body batch-at-a-time so a model-
+  * inference stage swaps in without reshaping the operator — the
+  * synthetic body itself needs no per-batch state), parses actual
+  * bytes with ByteBuffer (header + frame slicing), the sampling
+  * policy picks frames WITHOUT decoding the rest, and output is one
+  * row per sampled frame with typed metadata. Swapping the
+  * byte-parsing body for an FFmpeg/JNI call changes nothing about the
+  * schema, partitioning, or batch shape.
   *
   * Because the frame bytes are polyhash-derived, an engine with no
   * video stack at all can rebuild every sampled frame's statistics from
@@ -95,7 +99,10 @@ object Video {
                 val fps = bb.getInt()
                 val nFrames = bb.getInt()
                 val (w, h) = (wh >>> 16, wh & 0xffff)
+                // zero-area frames are corrupt too: frameLen = 0 would
+                // divide by zero below — degrade, never kill the scan
                 if (magic != Magic || fps <= 0 || nFrames <= 0 ||
+                    w <= 0 || h <= 0 ||
                     bytes.length < 16 + nFrames.toLong * w * h) None
                 else Some((w, h, fps, nFrames))
               }
@@ -104,8 +111,12 @@ object Video {
                 Seq((id, -1L, -1L, -1L, false))
               case Some((w, h, fps, nFrames)) =>
                 val frameLen = w * h
-                (0 until math.min(nSamples, nFrames)).map { j =>
-                  val idx = (j.toLong * nFrames) / nSamples
+                // the divisor is the ACTUAL sample count: with
+                // nSamples > nFrames, dividing by nSamples would emit
+                // duplicate indices and never reach the tail frames
+                val m = math.min(nSamples, nFrames)
+                (0 until m).map { j =>
+                  val idx = (j.toLong * nFrames) / m
                   val off = 16 + idx.toInt * frameLen
                   var sum = 0L
                   var p = 0

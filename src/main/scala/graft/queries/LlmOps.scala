@@ -112,7 +112,14 @@ object LlmOps {
     * candidate-gen lineage, so EVERY action re-plans the deep LSH/verify
     * DAG (AQE re-optimizes per job; measured as most of the r5→r7 apply-
     * face drift in ApplyLshProbe), while a checkpoint truncates to a
-    * tiny materialized leaf each follow-up action plans in one stage. */
+    * tiny materialized leaf each follow-up action plans in one stage.
+    * The trade is explicit: localCheckpoint blocks live in NON-RELIABLE
+    * executor storage with no lineage behind them — losing an executor
+    * mid-query fails the job instead of recomputing (acceptable for a
+    * KB–MB pair set; at cluster scale with preemption, swap for
+    * `df.checkpoint()` against a reliable checkpoint dir — same
+    * truncation, recoverable blocks), and cleanup is deferred to the
+    * ContextCleaner's RDD GC rather than an explicit unpersist. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = clusterPairs(spark, dir).localCheckpoint()
     Dedup.connectedComponents(pairs).orderBy("id", "cluster_id")

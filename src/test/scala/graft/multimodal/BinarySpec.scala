@@ -205,12 +205,31 @@ class BinarySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(again.sortBy(t => (t._1, t._2)).toSeq ==
       out.map(t => (t._1, t._2, t._4)).sortBy(t => (t._1, t._2)).toSeq)
-    // corrupt payloads degrade to an ok=false row, never throw
+    // corrupt payloads degrade to an ok=false row, never throw —
+    // including a CRAFTED header with valid magic but zero frame area
+    // (w=0), which would otherwise divide by zero at scoring time
+    val zeroArea = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.putInt(Video.Magic).putInt(0).putInt(10).putInt(1)
+      bb.array()
+    }
     val bad = Seq(
       (1L, "GARBAGE".getBytes("UTF-8")),
       (2L, Array.empty[Byte]),
-      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, zeroArea)).toDF("doc_id", "payload")
     val degraded = Video.sampleFrames(bad, nSamples = 4).collect()
-    assert(degraded.length == 3 && degraded.forall(!_.getBoolean(4)))
+    assert(degraded.length == 4 && degraded.forall(!_.getBoolean(4)))
+  }
+
+  test("video frames: nSamples above nFrames samples every frame once, no duplicates") {
+    import spark.implicits._
+    // doc_id 0 -> nFrames = 8; oversampling must yield each of the 8
+    // frames exactly once ((j*n) DIV m with m = actual count), never
+    // duplicate early frames while skipping the tail
+    val table = Video.syntheticVideoTable(Seq(0L).toDF("doc_id"), "doc_id")
+    val out = Video.sampleFrames(table, nSamples = 100).collect()
+      .map(r => r.getLong(1))
+    assert(out.sorted.toSeq == (0L to 7L), s"got ${out.toSeq}")
   }
 }
