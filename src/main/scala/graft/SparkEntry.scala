@@ -124,6 +124,7 @@ object SparkEntry {
     "q_tokenize" -> ((s, dir) => LlmOps.qTokenize(s, dir)),
     "q_ngram_lm" -> ((s, dir) => LlmOps.qNgramLm(s, dir)),
     "q_ppl_buckets" -> ((s, dir) => LlmOps.qPplBuckets(s, dir)),
+    "q_ppl_buckets_approx" -> ((s, dir) => LlmOps.qPplBucketsApprox(s, dir)),
     "q_video_frames" -> ((s, dir) => LlmOps.qVideoFrames(s, dir)),
     "q_dedup_soft" -> ((s, dir) => LlmOps.qDedupSoft(s, dir)),
     "q_bm25" -> ((s, dir) => LlmOps.qBm25(s, dir)),
@@ -1587,6 +1588,49 @@ object SparkEntry {
         |  CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
         |  CAST(mean_intensity AS BIGINT) AS mean_intensity, true AS ok
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // F19b approx twin: the H16b estimator on the tercile boundaries —
+    // conditional hash-sample (tiny sources contribute everything),
+    // sorted score list, (k*(m+1)) DIV 3 order-stat cutoffs, map-side
+    // CASE bucketing; left-join fallback buckets a sample-less source
+    // to head on both engines identically
+    "q_ppl_buckets_approx" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(t)),
+        |                              i -> t[i] || ' ' || t[i + 1])) AS gram
+        |      FROM toks),
+        |cg AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+        |cw AS (SELECT string_split(gram, ' ')[1] AS w1, count(*) AS c1
+        |       FROM g GROUP BY 1),
+        |s AS (SELECT g.doc_id, ln(cg.c::DOUBLE / cw.c1::DOUBLE) AS lp
+        |      FROM g JOIN cg USING (gram)
+        |             JOIN cw ON string_split(g.gram, ' ')[1] = cw.w1),
+        |lm AS (SELECT doc_id, round(avg(lp), 3) AS avg_logp
+        |       FROM s GROUP BY doc_id),
+        |j AS (SELECT lm.doc_id, d.source, lm.avg_logp FROM lm
+        |      JOIN documents d ON lm.doc_id = d.doc_id),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM j GROUP BY source),
+        |hh AS (SELECT j.doc_id, j.source, j.avg_logp, n.n_s,
+        |        list_reduce(
+        |          list_transform(range(1, length('pplsmp:' || CAST(j.doc_id AS VARCHAR)) + 1),
+        |            i -> CAST(ascii(substr('pplsmp:' || CAST(j.doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |          (h, c) -> (h * 131 + c) % 2147483647) AS h2
+        |       FROM j JOIN n ON j.source = n.source),
+        |smp AS (SELECT source, list_sort(list(avg_logp)) AS smp FROM hh
+        |        WHERE h2 % 4 = 0 OR n_s <= 32 GROUP BY source),
+        |cu AS (SELECT source,
+        |        smp[CAST(greatest(1, least(len(smp), (2 * (len(smp) + 1)) // 3)) AS INT)] AS c_head,
+        |        smp[CAST(greatest(1, least(len(smp), (1 * (len(smp) + 1)) // 3)) AS INT)] AS c_mid
+        |       FROM smp)
+        |SELECT j.doc_id, j.source, j.avg_logp,
+        |  CAST(CASE WHEN cu.c_head IS NULL THEN 0
+        |    WHEN j.avg_logp >= cu.c_head THEN 0
+        |    WHEN j.avg_logp >= cu.c_mid THEN 1 ELSE 2 END AS BIGINT) AS bucket_id,
+        |  CASE WHEN cu.c_head IS NULL THEN 'head'
+        |    WHEN j.avg_logp >= cu.c_head THEN 'head'
+        |    WHEN j.avg_logp >= cu.c_mid THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM j LEFT JOIN cu ON j.source = cu.source ORDER BY doc_id""".stripMargin,
     // D1b: keep-at-most-c exact dedup; the c smallest ids per hash
     "q_dedup_soft" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash

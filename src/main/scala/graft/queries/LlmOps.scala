@@ -1479,6 +1479,57 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** F19b's 100 TB twin — the H16b estimator applied to BUCKET
+    * BOUNDARIES: instead of the per-source rank Window, the two
+    * tercile cutoffs come from a sorted per-source SCORE SAMPLE
+    * (deterministic secondary-hash draw; a source smaller than
+    * sampleMod·minSample contributes ALL its scores, so tiny sources
+    * get exact boundaries by construction) and bucketing is the
+    * map-side CASE `score ≥ c_head → head, ≥ c_mid → middle, else
+    * tail` against the broadcast ~|sources|-row cutoff frame. No
+    * window, no per-source sort of the corpus — the plan PlanSpec
+    * pins. Equal scores land in the higher bucket (the exact face
+    * splits ties by doc_id rank; the documented ±ε). Every step is
+    * deterministic, so the face carries a full oracle. */
+  def qPplBucketsApprox(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
+    val scored = graft.text.TextAnalysis.bigramLogProb(
+      Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .join(Tables.table(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      // the LM scoring is the expensive part and feeds BOTH the sample
+      // aggregate and the final bucketing scan — materialize once
+      // (|docs| narrow rows; the D6 localCheckpoint rule)
+      .localCheckpoint()
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val sample = scored
+      .join(broadcast(counts), "source")
+      .withColumn("h2",
+        graft.functions.polyhash(concat(lit("pplsmp:"), col("doc_id").cast("string"))))
+      .filter(pmod(col("h2"), lit(sampleMod)) === 0 ||
+        col("n_s") <= lit(sampleMod * minSample))
+      .groupBy("source").agg(sort_array(collect_list(col("avg_logp"))).as("smp"))
+    val cuts = sample.select(col("source"),
+      // ascending sample: head boundary at the 2/3 order statistic,
+      // middle at 1/3 — the H16b (k·(m+1)) DIV n index shape
+      expr("""element_at(smp, CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
+            |  (2L * (size(smp) + 1L)) DIV 3)) AS INT))""".stripMargin).as("c_head"),
+      expr("""element_at(smp, CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
+            |  (1L * (size(smp) + 1L)) DIV 3)) AS INT))""".stripMargin).as("c_mid"))
+    // left join + null-cutoff fallback to head: a >minSample source
+    // whose hash-sample came up EMPTY (possible, vanishingly) must not
+    // silently drop its docs from the output
+    scored.join(broadcast(cuts), Seq("source"), "left")
+      .withColumn("bucket_id",
+        when(col("c_head").isNull, 0L)
+          .when(col("avg_logp") >= col("c_head"), 0L)
+          .when(col("avg_logp") >= col("c_mid"), 1L)
+          .otherwise(2L))
+      .select(col("doc_id"), col("source"), col("avg_logp"), col("bucket_id"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          col("bucket_id").cast("int") + 1).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** D1b: SOFT dedup — cap every exact-duplicate cluster at `c` copies
     * (SlimPajama-style "keep at most c" instead of D1's keep-one: a
     * bounded amount of natural repetition is signal, unbounded

@@ -381,6 +381,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
+  test("approx ppl buckets plan no window — cutoffs broadcast onto the scored scan") {
+    // F19c's contract: the per-source tercile Window of the exact face
+    // is gone; boundaries ride a broadcast ~|sources|-row frame
+    val plan = planOf(queries.LlmOps.qPplBucketsApprox(spark, sfDir))
+    assert(!plan.contains("Window"), "approx bucketing must not window")
+    assert(plan.contains("BroadcastHashJoin"), "cutoffs must broadcast")
+  }
+
   test("ivf scan: probes and query vectors broadcast — assigned corpus never sort-merges") {
     val plan = planOf(queries.LlmOps.qAnnIvf(spark, sfDir))
     assert(!plan.contains("SortMergeJoin"),

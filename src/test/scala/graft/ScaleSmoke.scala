@@ -286,6 +286,7 @@ object ScaleSmoke {
     // (~linear); ppl buckets add a per-source window over the F19 score
     time("q_dedup_soft") { queries.LlmOps.qDedupSoft(spark, dir) }
     time("q_ppl_buckets") { queries.LlmOps.qPplBuckets(spark, dir) }
+    time("q_ppl_buckets_approx") { queries.LlmOps.qPplBucketsApprox(spark, dir) }
     // video: synth + parse + seek-sample per doc, one map pass, ~linear
     time("q_video_frames") { queries.LlmOps.qVideoFrames(spark, dir) }
     // novelty: gram explode + min-doc agg + join-back, ~linear in gram

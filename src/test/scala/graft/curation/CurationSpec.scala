@@ -267,6 +267,40 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("approx ppl buckets: near-terciles, threshold-monotone, full sample ≈ exact") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qPplBucketsApprox(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, docs) =>
+      val n = docs.length
+      val sizes = docs.groupBy(_._4).view.mapValues(_.length).toMap
+      // sampled boundaries: each bucket within 40% of n/3 plus slack
+      (0L to 2L).foreach { b =>
+        val got = sizes.getOrElse(b, 0)
+        assert(math.abs(got - n / 3.0) <= 0.4 * n / 3.0 + 4,
+          s"$src bucket $b: $got of $n")
+      }
+      // threshold monotonicity is exact: min(head) >= max(middle) etc.
+      def scores(b: Long) = docs.filter(_._4 == b).map(_._3)
+      for (hi <- 0L to 1L; lo = hi + 1 if scores(hi).nonEmpty && scores(lo).nonEmpty)
+        assert(scores(hi).min >= scores(lo).max,
+          s"$src: bucket $hi must outscore bucket $lo everywhere")
+    }
+    // sampleMod=1 collects every score: boundaries are exact order
+    // statistics, so sizes match the exact face within ties
+    val full = graft.queries.LlmOps.qPplBucketsApprox(spark, sfDir, sampleMod = 1L)
+      .groupBy("source", "bucket_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = graft.queries.LlmOps.qPplBuckets(spark, sfDir)
+      .groupBy("source", "bucket_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (full.keySet ++ exact.keySet).foreach { k =>
+      assert(math.abs(full.getOrElse(k, 0L) - exact.getOrElse(k, 0L)) <= 3,
+        s"$k: full-sample ${full.get(k)} vs exact ${exact.get(k)} (ties only)")
+    }
+  }
+
   test("ppl buckets: terciles within 1 per source, head outscores tail, monotone") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.LlmOps.qPplBuckets(spark, sfDir).collect()
