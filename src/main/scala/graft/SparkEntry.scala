@@ -74,6 +74,7 @@ object SparkEntry {
     "q_infer_batches" -> ((s, dir) => LlmOps.qInferBatches(s, dir)),
     "q_bpe_train" -> ((s, dir) => LlmOps.qBpeTrain(s, dir)),
     "q_bpe_encode" -> ((s, dir) => LlmOps.qBpeEncode(s, dir)),
+    "q_bpe_fertility" -> ((s, dir) => LlmOps.qBpeFertility(s, dir)),
     "q_ann_topk" -> ((s, dir) => LlmOps.qAnnTopK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),

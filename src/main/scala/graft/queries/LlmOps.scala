@@ -1388,6 +1388,33 @@ object LlmOps {
       .orderBy("word")
   }
 
+  /** F22c: tokenizer FERTILITY report — per language, the mass-weighted
+    * mean number of BPE pieces per word ×1000 (how many subwords an
+    * average running word fragments into): THE tokenizer-evaluation
+    * metric — a vocabulary fit to one language reads fertility ≈ 1.x
+    * there and high everywhere it under-serves, which is what decides
+    * vocab size and training-mix share per language. Shape: per-(lang,
+    * word-type) counts (vocabulary-bounded aggregate, F22's histogram
+    * carve), ONE merge-chain apply per distinct type (never per running
+    * word), mass-weighted roll-up to |langs| rows — all integer. Rows-
+    * only: the BPE apply is the F22 iterative carve, not expressible in
+    * the oracle dialect. */
+  def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir)
+    Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        size(graft.text.Bpe.applyMerges(col("word"), merges)).cast("long").as("pieces"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("pieces")).as("n_pieces"))
+      .withColumn("fertility_x1000", expr("(n_pieces * 1000) DIV n_words"))
+      .orderBy("lang")
+  }
+
   /** H7: temperature-weighted sampling to a token budget — the
     * multilingual corpus-mixing step (see Curation.temperatureSample):
     * language shares ∝ sqrt(token mass), per-doc keep via the

@@ -20,7 +20,8 @@ class RegistrySpec extends AnyFunSuite {
       "q_hard_negatives_lsh", "q_corpus_report_incremental",
       "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
       "q_mmr_diversify", "q_ann_recall", "q_sketch_calibration",
-      "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall"),
+      "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
+      "q_bpe_fertility"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

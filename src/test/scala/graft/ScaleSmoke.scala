@@ -213,6 +213,9 @@ object ScaleSmoke {
       queries.LlmOps.clearAnnIndexes(); dropArtifacts()
       queries.LlmOps.qBpeEncode(spark, dir)
     }
+    // fertility: per-(lang, word-type) aggregate + one merge-apply per
+    // distinct type — vocabulary-bounded, ~flat in corpus size
+    time("q_bpe_fertility") { queries.LlmOps.qBpeFertility(spark, dir) }
     // round-7: image perceptual-hash family — every row encodes AND
     // decodes a real PNG, so phash times the codec (expect ~linear in
     // corpus size); neardup adds the shared Hamming banding, output

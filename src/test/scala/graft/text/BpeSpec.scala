@@ -98,4 +98,40 @@ class BpeSpec extends SparkSpec {
     // learned merge must have met the floor
     rows.foreach(r => assert(r.getAs[Long]("count") >= 2L))
   }
+
+  test("fertility report: >= 1000 per lang, mass-weighted, merges reduce it") {
+    import spark.implicits._
+    val out = graft.queries.LlmOps.qBpeFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (lang, nWords, nPieces, fert) =>
+      assert(nWords > 0 && nPieces >= nWords, lang)
+      assert(fert == nPieces * 1000L / nWords, s"$lang roll-up arithmetic")
+      assert(fert >= 1000L, s"$lang: a word is always >= 1 piece")
+    }
+    // independent word-mass check: n_words matches a plain count
+    val expect = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where($"text".isNotNull)
+      .select($"lang", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .where(org.apache.spark.sql.functions.length($"w") > 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(t => t._1 -> t._2).toMap == expect)
+    // with NO merges every word splits to its characters + </w>: the
+    // corpus merges must strictly reduce fertility below that ceiling
+    val merges = graft.queries.LlmOps.bpeMerges(spark, sfDir)
+    assert(merges.nonEmpty)
+    val unmergedPieces = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where($"text".isNotNull)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .where(org.apache.spark.sql.functions.length($"w") > 0)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length($"w") + 1).cast("long"))
+      .head().getLong(0)
+    val totalPieces = out.map(_._3).sum
+    assert(totalPieces < unmergedPieces,
+      "trained merges must compress below the char-split ceiling")
+  }
 }
