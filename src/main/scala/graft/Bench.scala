@@ -75,10 +75,16 @@ object Bench {
     val st = jmap(setup)
     val warmTotal = warm.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_passes":3,"cold_total":${fmt(coldTotal)},"setup":$st,"sf":"$sfDir"}"""
     // full artifact to a file so a stdout-tail capture can't truncate it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"jit_gap":${jmap(jitGap)},"setup":$st,"sf":"$sfDir"}"""
+    // The final stdout line must fit the driver's tail-capture buffer
+    // (~4 KB observed): a full 147-query map is ~23 KB and got truncated
+    // to an unparseable fragment three rounds running. Keep the line
+    // COMPACT — totals, setup, and only the slowest 10 queries — and
+    // point at the full artifact for everything else.
+    val slowest = warm.sortBy(-_._2).take(10)
+    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","n":${names.size},"queries":${jmap(slowest)},"warm_passes":3,"cold_total":${fmt(coldTotal)},"setup":$st,"detail":"$outPath","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

@@ -420,7 +420,7 @@ object SparkEntry {
         |  CASE sql_type WHEN 'int' THEN CAST(2147483647 AS BIGINT)
         |    WHEN 'bigint' THEN CAST(9223372036854775807 AS BIGINT) END AS maximum,
         |  CAST(NULL AS BIGINT) AS max_length,
-        |  false AS is_view
+        |  CASE WHEN table_name = 'v_active_customer' THEN true ELSE false END AS is_view
         |FROM (VALUES
         |  ('region', 1, 'r_regionkey', 'int', 'integer', '', 'automatic', false),
         |  ('region', 2, 'r_name', 'string', 'string', '', 'available', false),
@@ -472,7 +472,10 @@ object SparkEntry {
         |  ('documents', 5, 'n_chars', 'bigint', 'integer', '', 'available', false),
         |  ('embeddings', 1, 'vec_id', 'bigint', 'integer', '', 'automatic', false),
         |  ('embeddings', 2, 'embedding', 'array<float>', 'unsupported', '', 'unsupported', false),
-        |  ('embeddings', 3, 'label', 'int', 'integer', '', 'available', false)
+        |  ('embeddings', 3, 'label', 'int', 'integer', '', 'available', false),
+        |  ('v_active_customer', 1, 'c_custkey', 'bigint', 'integer', '', 'available', false),
+        |  ('v_active_customer', 2, 'c_name', 'string', 'string', '', 'available', false),
+        |  ('v_active_customer', 3, 'c_acctbal', 'double', 'number', '', 'available', false)
         |) AS t(table_name, ordinal, column_name, sql_type, json_type, format, inclusion, is_replication_key)
         |ORDER BY table_name, ordinal""".stripMargin,
     "q_select_columns" ->

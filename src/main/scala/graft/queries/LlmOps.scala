@@ -188,21 +188,27 @@ object LlmOps {
     * Staleness contract, same as any database index: the memo reflects the
     * corpus at build time. After rewriting the data under `dir` in the
     * SAME session, call [[clearAnnIndexes]] (which also unpersists the
-    * cached frames) — there is no automatic invalidation. */
-  private val annIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), AnyRef]
+    * cached frames) — there is no automatic invalidation.
+    *
+    * Bounded (count-LRU, default 64 entries, env-tunable): a long-lived
+    * session scanning many corpora evicts least-recently-used indexes,
+    * unpersisting their cached frames at eviction; an evicted index is
+    * rebuilt transparently on next use (IndexCache's recompute-safety
+    * note explains why eviction can never corrupt an in-flight query). */
+  private[graft] val annIndexCache =
+    new graft.engine.IndexCache[(Int, String, String), AnyRef](
+      sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_CAP", "64").toInt)({
+      // Dataset[_] sidesteps the erased-Row type-pattern warning; the
+      // cache only ever holds DataFrames, IvfIndexes, and small POJOs
+      case df: org.apache.spark.sql.Dataset[_] => df.unpersist(); ()
+      case idx: Ivf.IvfIndex => idx.assigned.unpersist(); ()
+      case _ => ()
+    })
 
   /** Drop every memoized ANN index (and release its cached storage),
     * including Retrieval's posting-list index — "cold" measurements
     * must drop every session memo, not just this file's. */
   def clearAnnIndexes(): Unit = {
-    annIndexCache.values.foreach {
-      // Dataset[_] sidesteps the erased-Row type-pattern warning; the
-      // cache only ever holds DataFrames and IvfIndexes
-      case df: org.apache.spark.sql.Dataset[_] => df.unpersist(); ()
-      case idx: Ivf.IvfIndex => idx.assigned.unpersist(); ()
-      case _ => ()
-    }
     annIndexCache.clear()
     Retrieval.clearPostingIndex()
   }
@@ -1562,7 +1568,10 @@ object LlmOps {
     * bounded amount of natural repetition is signal, unbounded
     * duplication is the memorization hazard). Selection = the c SMALLEST
     * doc ids per content hash, computed with the bounded-heap top-k
-    * AGGREGATE (score = −doc_id) — one HashAggregate with map-side
+    * AGGREGATE at CONSTANT score — the heap's deterministic tie-break
+    * (score DESC, id ASC) then selects ids in EXACT long order, so the
+    * kept set is correct over the full 64-bit id range (a −id double
+    * score would collapse ids ≥ 2^53). One HashAggregate with map-side
     * partial reduction, NO window, NO per-group sort, and a viral
     * duplicate cluster costs c slots of aggregate state instead of a
     * million-row sorted group (the D14 viral-span hazard, pre-empted).
@@ -1575,8 +1584,7 @@ object LlmOps {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
     val caps = hashed.groupBy("content_hash")
       .agg(count(lit(1)).as("n_copies"),
-        graft.functions.topKByScore(
-          -col("doc_id").cast("double"), col("doc_id"), c).as("keep"))
+        graft.functions.topKByScore(lit(0.0), col("doc_id"), c).as("keep"))
       .select(col("content_hash"), col("n_copies"),
         transform(col("keep"), x => x.getField("neighbor_id")).as("keep_ids"))
     hashed.join(caps, "content_hash")

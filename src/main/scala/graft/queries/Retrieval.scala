@@ -119,8 +119,10 @@ object Retrieval {
     * crossover measurement says the build cost is exactly what a
     * query batch amortizes): (doc_id, tok) exploded once, persisted,
     * reused by every subsequent batch in the session. */
-  private val postingCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private[graft] val postingCache =
+    new graft.engine.IndexCache[(Int, String), DataFrame](
+      sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_CAP", "64").toInt)(
+      df => { df.unpersist(); () })
   def postingIndex(spark: SparkSession, dir: String): DataFrame =
     postingCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val p = docTokenSets(spark, dir)
@@ -131,10 +133,7 @@ object Retrieval {
 
   /** Release the memoized posting indexes (LlmOps.clearAnnIndexes calls
     * this so cold measurements drop EVERY session memo). */
-  private[queries] def clearPostingIndex(): Unit = {
-    postingCache.values.foreach(_.unpersist())
-    postingCache.clear()
-  }
+  private[queries] def clearPostingIndex(): Unit = postingCache.clear()
 
   /** [[sparseTopKIndexed]] over a caller-provided token-set frame.
     * `postingOverride` lets the dir-based face reuse the memoized

@@ -18,7 +18,9 @@ object CatalogJson {
   def render(spark: SparkSession, dir: String, dbName: String = "graft"): String = {
     val root = mapper.createObjectNode()
     val streams = root.putArray("streams")
-    Tables.all.foreach { table =>
+    // views render next to tables (discover.py:83 emits both, the view
+    // streams carrying is-view=true and no table-key-properties)
+    (Tables.all ++ Tables.views).foreach { table =>
       streams.add(streamNode(spark, dir, table, dbName))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)

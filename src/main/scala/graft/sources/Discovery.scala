@@ -93,17 +93,23 @@ object Discovery {
     }.toSeq
   }
 
-  /** Tables known to be views (discover.py:83 marks table_type == 'VIEW';
-    * a parquet warehouse has none, so this is the registry hook). */
-  val views: Set[String] = Set.empty
+  /** Streams known to be views (discover.py:83 marks table_type == 'VIEW');
+    * the registry lives with the view definitions in [[Tables.views]]. */
+  def views: Set[String] = Tables.views.toSet
 
-  def columns(spark: SparkSession, dir: String, table: String): Seq[ColumnInfo] =
-    columnsOf(Tables.table(spark, dir, table).schema, table, views.contains(table))
+  def columns(spark: SparkSession, dir: String, table: String): Seq[ColumnInfo] = {
+    val isView = views.contains(table)
+    val schema =
+      if (isView) Tables.view(spark, dir, table).schema
+      else Tables.table(spark, dir, table).schema
+    columnsOf(schema, table, isView)
+  }
 
-  /** Full-catalog discovery over every table in the warehouse dir. */
+  /** Full-catalog discovery over every table AND view in the warehouse
+    * dir — both branches of the reference's table_type marking. */
   def discoverCatalog(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.all.flatMap(columns(spark, dir, _)).toDF()
+    (Tables.all ++ Tables.views).flatMap(columns(spark, dir, _)).toDF()
       .orderBy("table_name", "ordinal")
   }
 }

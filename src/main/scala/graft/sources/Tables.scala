@@ -17,6 +17,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Logical views over the base tables — the catalog analog of
+    * discover.py:83's table_type == 'VIEW' streams (Redshift exposes
+    * views next to tables in INFORMATION_SCHEMA; a parquet warehouse
+    * has no system catalog, so the registry declares them). Views are
+    * discoverable (A1 marks them is_view=true, with no 'automatic'
+    * key columns — views carry no PK constraint, same as the
+    * reference's discovered views) but are not sync streams: `all`
+    * drives extraction, `views` only joins it for discovery. */
+  val views: Seq[String] = Seq("v_active_customer")
+
+  def view(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "v_active_customer" =>
+      table(spark, dir, "customer")
+        .filter(expr("c_acctbal > 0"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    case other =>
+      throw new IllegalArgumentException(s"unknown view: $other")
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The events table carries TIMESTAMP(NANOS) which Spark's vectorized
     // parquet reader rejects; read nanos as long and truncate to micros —

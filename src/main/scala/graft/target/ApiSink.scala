@@ -53,7 +53,17 @@ object ApiSink {
     * carries a 429 Retry-After hint when the server sends one. */
   final case class PostResult(
       status: Int, updated: Long, failed: Long, failedIds: Seq[String],
-      retryAfterMillis: Option[Long] = None)
+      retryAfterMillis: Option[Long] = None,
+      /** remaining-quota header (X-Rate-Limit-Remaining), when sent */
+      rateLimitRemaining: Option[Long] = None)
+
+  /** Last-observed rate-limit state of a run — the engine's
+    * client.py:10 `rate_limit_details`: what the server most recently
+    * said about throttling (429 Retry-After) and remaining quota.
+    * `atEpochMs` orders observations across concurrent sink tasks. */
+  final case class RateLimitDetails(
+      atEpochMs: Long, status: Int,
+      retryAfterMillis: Option[Long], remaining: Option[Long])
 
   /** Pluggable HTTP layer. Implementations must be serializable (shipped to
     * executors). */
@@ -102,8 +112,29 @@ object ApiSink {
         * can't throw per-batch without failing the whole job, so the
         * error objects surface here for the caller to branch on. */
       errors: CollectionAccumulator[String],
+      /** rate-limit observations (client.py:10 rate_limit_details), one
+        * per response that carried throttle state — encoded
+        * "epochMs|status|retryAfterMs|remaining" ('-' for absent) so
+        * they ride the same string-accumulator channel as errors. */
+      rateLimit: CollectionAccumulator[String],
       deadLetterPath: Option[String] = None) {
     def terminalErrors: Seq[String] = errors.value.asScala.toSeq
+
+    /** Every recorded rate-limit observation, oldest first. */
+    def rateLimitObservations: Seq[RateLimitDetails] =
+      rateLimit.value.asScala.toSeq.flatMap { s =>
+        s.split('|') match {
+          case Array(ts, st, ra, rem) =>
+            Some(RateLimitDetails(ts.toLong, st.toInt,
+              ra.toLongOption, rem.toLongOption))
+          case _ => None
+        }
+      }.sortBy(_.atEpochMs)
+
+    /** The run's last-seen throttle state (None when the server never
+      * sent rate-limit headers). */
+    def rateLimitDetails: Option[RateLimitDetails] =
+      rateLimitObservations.lastOption
     /** The captured rejects of this run, read back from the dead-letter
       * table (empty when the run was driven without capture). */
     def deadLetters(spark: SparkSession): Dataset[SinkRecord] = {
@@ -122,8 +153,16 @@ object ApiSink {
       sc.longAccumulator("sink.updated"), sc.longAccumulator("sink.failed"),
       sc.longAccumulator("sink.retries"),
       sc.longAccumulator("sink.deadLetterCount"),
-      sc.collectionAccumulator[String]("sink.errors"))
+      sc.collectionAccumulator[String]("sink.errors"),
+      sc.collectionAccumulator[String]("sink.rateLimit"))
   }
+
+  /** Record a response's throttle state when it carried any: a 429
+    * (with or without Retry-After) or a remaining-quota header. */
+  private def recordRateLimit(m: SinkMetrics, res: PostResult): Unit =
+    if (res.status == 429 || res.rateLimitRemaining.isDefined)
+      m.rateLimit.add(s"${System.currentTimeMillis()}|${res.status}|" +
+        s"${res.retryAfterMillis.getOrElse("-")}|${res.rateLimitRemaining.getOrElse("-")}")
 
   /** POST one batch with backoff; returns the records the API rejected, as
     * full payloads keyed by primary-key value (handle_failures,
@@ -140,6 +179,7 @@ object ApiSink {
         try poster.post(url, batch.map(_.payload), cfg.headers)
         catch { case _: Exception => PostResult(599, 0, batch.size, Seq.empty) }
       attempt += 1
+      recordRateLimit(m, res)
       if (res.status / 100 == 2) {
         // per-record rejections inside a successful bulk response: match by
         // pkey value (or full body, for servers that echo the record back)
@@ -278,14 +318,17 @@ object ApiSink {
       rejectId: String => Boolean = _ => false,
       transientFailures: Int = 0,
       transientStatus: Int = 503,
-      retryAfterMillis: Option[Long] = None) extends HttpPoster {
+      retryAfterMillis: Option[Long] = None,
+      rateLimitRemaining: Option[Long] = None) extends HttpPoster {
     override def post(url: String, jsonBatch: Seq[String]): PostResult = {
       val n = RecordingPoster.calls.size()
       RecordingPoster.calls.add(url -> jsonBatch)
       if (n < transientFailures)
-        return PostResult(transientStatus, 0, 0, Seq.empty, retryAfterMillis)
+        return PostResult(transientStatus, 0, 0, Seq.empty, retryAfterMillis,
+          rateLimitRemaining)
       val failed = jsonBatch.filter(rejectId)
-      PostResult(200, jsonBatch.size - failed.size, failed.size, failed)
+      PostResult(200, jsonBatch.size - failed.size, failed.size, failed,
+        None, rateLimitRemaining.map(r => math.max(0L, r - n - 1)))
     }
   }
   object RecordingPoster {

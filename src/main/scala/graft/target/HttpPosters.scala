@@ -46,14 +46,22 @@ final case class JavaHttpPoster(
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     val retryAfterMillis = resp.headers().firstValue("Retry-After")
       .map[Option[Long]](v => v.toLongOption.map(_ * 1000L)).orElse(None)
-    parseBody(resp.statusCode(), resp.body(), jsonBatch.size, retryAfterMillis)
+    // remaining-quota header, either common spelling (rate_limit_details'
+    // input — servers disagree on the hyphenation)
+    val remaining = Seq("X-Rate-Limit-Remaining", "X-RateLimit-Remaining")
+      .flatMap(h => resp.headers().firstValue(h)
+        .map[Option[Long]](_.toLongOption).orElse(None).toSeq)
+      .headOption
+    parseBody(resp.statusCode(), resp.body(), jsonBatch.size, retryAfterMillis,
+      remaining)
   }
 
   /** Bulk-response fields, tolerantly: a 2xx with no parseable body counts
     * the whole batch as updated (nothing reported failed); `errors[].id`
     * carries the per-record rejections. */
   private def parseBody(status: Int, body: String, batchSize: Int,
-      retryAfterMillis: Option[Long]): ApiSink.PostResult = {
+      retryAfterMillis: Option[Long],
+      rateLimitRemaining: Option[Long] = None): ApiSink.PostResult = {
     val parsed = Try(mapper.readTree(body)).toOption.filter(_ != null).filter(_.isObject)
     val failedIds = parsed.flatMap(n => Option(n.get("errors")))
       .map(_.elements().asScala.flatMap(e => Option(e.get("id")).map(_.asText())).toSeq)
@@ -62,6 +70,7 @@ final case class JavaHttpPoster(
       .getOrElse(failedIds.size.toLong)
     val updated = parsed.flatMap(n => Option(n.get("updated")).map(_.asLong()))
       .getOrElse(if (status / 100 == 2) batchSize.toLong - failed else 0L)
-    ApiSink.PostResult(status, updated, failed, failedIds, retryAfterMillis)
+    ApiSink.PostResult(status, updated, failed, failedIds, retryAfterMillis,
+      rateLimitRemaining)
   }
 }

@@ -9,7 +9,7 @@ class CatalogJsonSpec extends SparkSpec {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val streams = root.get("streams")
-    assert(streams.size() == Tables.all.size)
+    assert(streams.size() == Tables.all.size + Tables.views.size)
     val orders = (0 until streams.size()).map(streams.get)
       .find(_.get("stream").asText() == "orders").get
     assert(orders.get("tap_stream_id").asText() == "graft.orders")
@@ -29,6 +29,28 @@ class CatalogJsonSpec extends SparkSpec {
     assert(props.get("o_orderkey").get("maximum").asLong() == Long.MaxValue)
     assert(!props.get("o_orderstatus").has("minimum"))
     assert(!tableMd.get("is-view").asBoolean())
+    // the view stream renders is-view=true with NO automatic key columns
+    // (views carry no PK constraint — discover.py:83's VIEW branch)
+    val view = (0 until streams.size()).map(streams.get)
+      .find(_.get("stream").asText() == "v_active_customer").get
+    val viewMd = view.get("metadata").get(0).get("metadata")
+    assert(viewMd.get("is-view").asBoolean())
+    assert(viewMd.get("table-key-properties").size() == 0)
+    assert(view.get("schema").get("properties").get("c_custkey")
+      .get("inclusion").asText() == "available")
+  }
+
+  test("discoverCatalog covers both table_type branches end-to-end") {
+    val cat = Discovery.discoverCatalog(spark, sfDir)
+    val viewRows = cat.filter("is_view").collect()
+    assert(viewRows.length == 3)
+    assert(viewRows.forall(_.getAs[String]("table_name") == "v_active_customer"))
+    assert(viewRows.forall(_.getAs[String]("inclusion") == "available"))
+    assert(cat.filter("NOT is_view AND table_name = 'customer'").count() == 5)
+    // the view is readable and its schema matches what discovery declared
+    val v = Tables.view(spark, sfDir, "v_active_customer")
+    assert(v.columns.toSeq == Seq("c_custkey", "c_name", "c_acctbal"))
+    assert(v.count() > 0)
   }
 
   test("columnsOf emits declared varchar lengths and view flags") {

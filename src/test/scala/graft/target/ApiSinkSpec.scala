@@ -86,6 +86,34 @@ class ApiSinkSpec extends SparkSpec {
     assert(slept == Seq(7000L, 7000L)) // Retry-After (7s) > expo backoff (1s, 2s)
   }
 
+  test("rate-limit headers round-trip into metrics (client.py rate_limit_details)") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    // a throttled run: two 429s (Retry-After 7s, remaining 0) then a 2xx
+    // that still carries the remaining-quota header
+    val df = Seq("""{"id":1}""").toDF("payload").coalesce(1)
+    val poster = new RecordingPoster(
+      transientFailures = 2, transientStatus = 429,
+      retryAfterMillis = Some(7000L), rateLimitRemaining = Some(0L))
+    // postWithRetry directly (injected sleep) so the test doesn't wait out
+    // the honored 7s Retry-After
+    val m = metrics(df)
+    val failed = postWithRetry(
+      poster, "u", Seq(SinkRecord("1", """{"id":1}""")), cfg(), m, _ => ())
+    assert(failed.isEmpty)
+    val obs = m.rateLimitObservations
+    assert(obs.size == 3)
+    assert(obs.take(2).forall(o =>
+      o.status == 429 && o.retryAfterMillis.contains(7000L) && o.remaining.contains(0L)))
+    // last-seen detail is the final response's state, not the first 429's
+    val last = m.rateLimitDetails.get
+    assert(last.status == 200 && last.retryAfterMillis.isEmpty)
+    // a run with no throttle headers records nothing
+    RecordingPoster.reset()
+    val clean = push(df, new RecordingPoster(), cfg())
+    assert(clean.rateLimitDetails.isEmpty)
+  }
+
   test("429 exhaustion after maxAttempts fails the batch (not an infinite loop)") {
     import spark.implicits._
     val m = metrics(Seq("x").toDF("payload"))
