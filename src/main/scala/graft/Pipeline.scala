@@ -76,7 +76,10 @@ object Pipeline {
       state: SyncState, limit: Int = 1000000,
       nowMs: => Long = System.currentTimeMillis(),
       deadLetterDir: Option[String] = None,
-      alignToBookmark: Boolean = false): SyncResult = {
+      alignToBookmark: Boolean = false,
+      /** extract from this frame instead of `dir`'s parquet warehouse
+        * (e.g. a live Jdbc.read — see Sync.incrementalSlice). */
+      source: Option[DataFrame] = None): SyncResult = {
     val replKey = stream.replicationKey.getOrElse(
       throw new IllegalArgumentException(s"${stream.streamName} is not incremental"))
     val version = Bookmarks.streamVersion(state, stream.streamName, nowMs)
@@ -87,7 +90,8 @@ object Pipeline {
     // would retreat the bookmark and re-push the whole boundary group);
     // persisted because the plan feeds the bookmark agg and the push
     val probe = Sync.incrementalSlice(
-      spark, dir, stream, bookmark, activeKeys, joinColumn, limit + 1).persist()
+      spark, dir, stream, bookmark, activeKeys, joinColumn, limit + 1,
+      sourceOverride = source).persist()
     try {
       val truncated = probe.count() > limit
       val slice =
@@ -161,7 +165,8 @@ object Pipeline {
       onStateFlush: SyncState => Unit = _ => (),
       maxChunks: Int = Int.MaxValue,
       nowMs: => Long = System.currentTimeMillis(),
-      deadLetterDir: Option[String] = None): ChunkedResult = {
+      deadLetterDir: Option[String] = None,
+      source: Option[DataFrame] = None): ChunkedResult = {
     require(chunkRows > 0 && maxChunks > 0, "chunkRows and maxChunks must be positive")
     var st = state
     var chunks = 0
@@ -174,7 +179,8 @@ object Pipeline {
       // captured rejects with later (possibly empty) ones
       val chunkDlq = deadLetterDir.map(d => s"$d/chunk_$chunks")
       val res = runIncremental(spark, dir, stream, activeKeys, joinColumn,
-        poster, cfg, st, chunkRows, nowMs, chunkDlq, alignToBookmark = true)
+        poster, cfg, st, chunkRows, nowMs, chunkDlq, alignToBookmark = true,
+        source = source)
       onStateFlush(res.state)
       total += res.metrics.records.value
       exhausted = res.exhausted

@@ -54,6 +54,7 @@ object SparkEntry {
     "q_span_dedup_apply" -> ((s, dir) => LlmOps.qSpanDedupApply(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => LlmOps.qDedupIncremental(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => LlmOps.qDedupMinhash(s, dir)),
+    "q_dedup_minhash_fast" -> ((s, dir) => LlmOps.qDedupMinhashFast(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => LlmOps.qDedupSimhash(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => LlmOps.qNgramJaccard(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => LlmOps.qDedupClusters(s, dir)),
@@ -732,6 +733,65 @@ object SparkEntry {
         |               e.vec_id) AS "rank"
         |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // E10: the greedy MMR selection replayed exactly — selection state
+    // (the picked-so-far id list) rides a recursive CTE, the per-step
+    // argmax is a row_number over λ·rel − (1−λ)·max-sim-to-selected with
+    // the same id-asc tiebreak, and pairwise candidate cosines are
+    // precomputed once as per-candidate (id, sim) struct lists so the
+    // recursive term stays pure expressions (no aggregates over the
+    // recursive relation).
+    "q_mmr_diversify" ->
+      """WITH RECURSIVE
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, sim FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS sim,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |                 e.vec_id) AS r
+        |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+        |  WHERE r <= 20),
+        |cvec AS (
+        |  SELECT c.query_id, c.neighbor_id, c.sim, e.embedding::DOUBLE[] AS nvec
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        |psim AS (
+        |  SELECT a.query_id, a.neighbor_id, a.sim,
+        |    list(struct_pack(ib := b.neighbor_id,
+        |                     s := list_cosine_similarity(a.nvec, b.nvec))) AS sims
+        |  FROM cvec a JOIN cvec b
+        |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        |  GROUP BY a.query_id, a.neighbor_id, a.sim),
+        |sel AS (
+        |  SELECT query_id, 1 AS mmr_rank, neighbor_id AS doc_id,
+        |    0.7 * sim AS score, [neighbor_id] AS selected
+        |  FROM (
+        |    SELECT query_id, neighbor_id, sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rn
+        |    FROM psim) t
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT query_id, mmr_rank, doc_id, score, list_append(selected, doc_id) FROM (
+        |    SELECT s.query_id, s.mmr_rank + 1 AS mmr_rank, c.neighbor_id AS doc_id,
+        |      0.7 * c.sim - 0.3 * list_max(list_transform(
+        |        list_filter(c.sims, x -> list_contains(s.selected, x.ib)),
+        |        x -> x.s)) AS score,
+        |      s.selected,
+        |      row_number() OVER (PARTITION BY s.query_id
+        |        ORDER BY 0.7 * c.sim - 0.3 * list_max(list_transform(
+        |          list_filter(c.sims, x -> list_contains(s.selected, x.ib)),
+        |          x -> x.s)) DESC, c.neighbor_id) AS rn
+        |    FROM sel s JOIN psim c
+        |      ON c.query_id = s.query_id AND NOT list_contains(s.selected, c.neighbor_id)
+        |    WHERE s.mmr_rank < 10) t
+        |  WHERE rn = 1)
+        |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, doc_id,
+        |  CAST(round(score * 1e6) AS BIGINT) AS mmr_score_x1e6
+        |FROM sel
+        |ORDER BY query_id, mmr_rank""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec, label AS qlabel

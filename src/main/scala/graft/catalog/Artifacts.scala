@@ -42,12 +42,18 @@ object Artifacts {
   }
 
   /** Cheap file-level content fingerprint of one source table: XOR-fold
-    * of hashed (name, length, mtime) over its parquet data files. Any
-    * rewrite — even count-preserving — touches lengths or mtimes.
-    * Metadata-only (no data read); order-independent fold so listing
-    * order can't matter. Returns 0 for unreadable/missing paths (the
-    * stamp then degrades to the row count alone rather than failing the
-    * load path). */
+    * of hashed (name, length, mtime, footer-tail bytes) over its parquet
+    * data files. Lengths/mtimes catch ordinary rewrites; the last 16
+    * bytes of each file (parquet footer: metadata length + magic + the
+    * tail of the serialized row-group stats) catch the pathological
+    * rewrite that preserves both length and mtime (rsync -a, cp -p onto
+    * a coarse-mtime filesystem) — different content almost surely
+    * serializes different footer metadata, while a byte-identical copy
+    * keeps the same fingerprint, which is the correct answer. One
+    * O(16-byte) pread per file, no data pages read; order-independent
+    * fold so listing order can't matter. Returns 0 for unreadable/
+    * missing paths (the stamp then degrades to the row count alone
+    * rather than failing the load path). */
   def fingerprint(spark: SparkSession, tablePath: String): Long =
     try {
       // Path construction itself throws IllegalArgumentException on
@@ -60,8 +66,14 @@ object Artifacts {
             !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         else Seq(fs.getFileStatus(p))
       files.foldLeft(0L) { (acc, f) =>
+        val tail = new Array[Byte](math.min(16L, f.getLen).toInt)
+        if (tail.nonEmpty) {
+          val in = fs.open(f.getPath)
+          try { in.readFully(f.getLen - tail.length, tail) } finally in.close()
+        }
         acc ^ scala.util.hashing.MurmurHash3.productHash(
-          (f.getPath.getName, f.getLen, f.getModificationTime)).toLong
+          (f.getPath.getName, f.getLen, f.getModificationTime,
+            java.util.Arrays.hashCode(tail))).toLong
       }
     } catch { case scala.util.control.NonFatal(_) => 0L }
 

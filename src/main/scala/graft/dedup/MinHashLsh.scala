@@ -53,12 +53,41 @@ object MinHashLsh {
       maxBucketSize: Int = 10000): DataFrame =
     Buckets.cappedSelfJoin(banded, Seq("band_idx", "band_hash"), idCol, maxBucketSize)
 
+  /** The sampling bound the calibration curve (D15) measures: z standard
+    * deviations of the k-lane matching-fraction estimator at J = τ,
+    * in x1000 points (σ = √(J(1−J)/k); each lane matches independently
+    * with probability exactly J). Pairs whose estimate clears τ by more
+    * than this are (mis)classified only when the estimator errs beyond
+    * zσ — the band [[nearDupPairs]]' fast path still verifies exactly. */
+  def samplingBoundX1000(minJaccardX1000: Long, numHashes: Int,
+      z: Double = 4.0): Long = {
+    val j = minJaccardX1000.toDouble / 1000.0
+    math.ceil(z * math.sqrt(j * (1.0 - j) / numHashes) * 1000.0).toLong
+  }
+
   /** Full pipeline: near-dup pairs with exact-Jaccard verification.
-    * Returns (id_a, id_b, jaccard_x1000) for pairs ≥ minJaccardX1000. */
+    * Returns (id_a, id_b, jaccard_x1000) for pairs ≥ minJaccardX1000.
+    *
+    * `fastMarginX1000` (opt-in, D15-calibrated) adds a signature-
+    * agreement PREFILTER to the verify stage: each candidate pair's
+    * matching-lane estimate est is computed from the k-long signatures
+    * already materialized for banding (512 bytes/doc on the join, not
+    * the full shingle set), and only pairs in the uncertainty band
+    * τ ± margin pay the exact hashed-shingle verify. est ≥ τ+margin is
+    * accepted outright (emitting est as jaccard_x1000 — the score is
+    * the sketch estimate, the pair decision is what the margin bounds);
+    * est ≤ τ−margin is dropped outright. On clone-heavy corpora — where
+    * verify dominates D2's cost precisely because most candidates are
+    * near-identical (est ≈ 1000, far above any τ) — the band is a small
+    * fraction of the candidate stream. Choose the margin from the D15
+    * calibration curve ([[calibration]]) or [[samplingBoundX1000]]'s
+    * analytic bound; misclassification requires the k-lane estimator to
+    * err beyond the margin (4σ default ⇒ ~3e-5 two-sided per pair). */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
-      minJaccardX1000: Long = 500L, maxBucketSize: Int = 10000): DataFrame = {
+      minJaccardX1000: Long = 500L, maxBucketSize: Int = 10000,
+      fastMarginX1000: Option[Long] = None): DataFrame = {
     // verify on HASHED shingles: Jaccard over xxhash64'd shingle sets is
     // the same similarity (sets are isomorphic, collisions negligible)
     // but long-array intersection is several times cheaper than string
@@ -74,12 +103,9 @@ object MinHashLsh {
       .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
     val sigs = shingled.select(col(idCol), col("shingles"),
       graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
-    val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
-    val pairs = candidatePairs(banded, idCol, maxBucketSize)
-    val byId = shingled
-    pairs
-      .join(byId.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(byId.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+    def exactVerify(pairs: DataFrame): DataFrame = pairs
+      .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       // fused merge-only Jaccard kernel (inputs doc-sorted by
       // hashedNgrams): bit-identical to Dedup.jaccardX1000 on long
       // arrays, zero per-pair allocation beyond the array copies —
@@ -87,6 +113,29 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"),
         graft.functions.longSetJaccardSorted(col("sh_a"), col("sh_b")).as("jaccard_x1000"))
       .filter(col("jaccard_x1000") >= minJaccardX1000)
+    fastMarginX1000 match {
+      case None =>
+        val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
+        exactVerify(candidatePairs(banded, idCol, maxBucketSize))
+      case Some(margin) =>
+        // one frame, three consumers (banding + two est join-backs):
+        // signatures checkpoint so the k lane-minima over every shingle
+        // aren't recomputed per branch (the D15 multi-branch shape)
+        val sigFrame = sigs.select(col(idCol), col("sig")).localCheckpoint()
+        val banded = bands(sigFrame, "sig", idCol, rowsPerBand)
+        val est = candidatePairs(banded, idCol, maxBucketSize)
+          .join(sigFrame.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigFrame.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+          .withColumn("est_x1000",
+            expr(s"(size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), m -> m)) * 1000L) DIV $numHashes"))
+          .select(col("id_a"), col("id_b"), col("est_x1000"))
+        val confident = est.filter(col("est_x1000") >= minJaccardX1000 + margin)
+          .select(col("id_a"), col("id_b"), col("est_x1000").as("jaccard_x1000"))
+        val band = est.filter(col("est_x1000") < minJaccardX1000 + margin &&
+            col("est_x1000") > minJaccardX1000 - margin)
+          .select(col("id_a"), col("id_b"))
+        confident.unionAll(exactVerify(band))
+    }
   }
 
   /** D15: sketch CALIBRATION — per LSH candidate pair, the MinHash

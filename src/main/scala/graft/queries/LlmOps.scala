@@ -47,6 +47,21 @@ object LlmOps {
       shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L)
       .orderBy("id_a", "id_b")
 
+  /** D2 fast verify path: the same near-dup pairs with the D15-calibrated
+    * signature-agreement prefilter on the verify stage — only candidate
+    * pairs inside the τ ± samplingBound uncertainty band pay the exact
+    * hashed-shingle Jaccard; confident pairs are accepted on the lane
+    * estimate alone (see [[MinHashLsh.nearDupPairs]] fastMarginX1000).
+    * Rows-only ([R]): accepted scores are sketch estimates by design;
+    * DedupSpec pins decisions ⊆ exact ∪ the bounded band. */
+  def qDedupMinhashFast(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.nearDupPairs(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
+      "text", "doc_id",
+      shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L,
+      fastMarginX1000 = Some(MinHashLsh.samplingBoundX1000(700L, 64)))
+      .orderBy("id_a", "id_b")
+
   /** D15: MinHash calibration report — estimate-vs-exact Jaccard error
     * by similarity decile over the banded candidate pairs (see
     * [[MinHashLsh.calibration]]); same corpus slice and lane/band

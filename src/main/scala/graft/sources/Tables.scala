@@ -50,8 +50,14 @@ object Tables {
     // compare are built on session-UTC TIMESTAMP (LTZ). With the session
     // timezone pinned to UTC the wall-clock values are identical either
     // way, so reading as LTZ changes no query result — only the type.
-    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+    // The "identical either way" equivalence REQUIRES the UTC session
+    // timezone, so the foreign-session fixup pins both confs together
+    // (a non-UTC session reading NTZ-written micros as LTZ would shift
+    // every wall-clock value by its zone offset).
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false") {
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only when the file actually carried nanos (read back as long) —
     // tables written by this engine already carry micros timestamps

@@ -47,10 +47,15 @@ object Sync {
       joinColumn: String,
       limit: Int = 1000000,
       broadcastKeys: Boolean = true,
-      bloomPrefilter: Option[(Long, Double)] = None): DataFrame = {
+      bloomPrefilter: Option[(Long, Double)] = None,
+      /** extract from this frame instead of the parquet warehouse — the
+        * JDBC deployment shape (Jdbc.read): the bookmark filter below
+        * lands on the frame and pushes into the warehouse query
+        * (JdbcDerbySpec proves the replication-key pushdown). */
+      sourceOverride: Option[DataFrame] = None): DataFrame = {
     val replKey = stream.replicationKey.getOrElse(
       throw new IllegalArgumentException(s"stream ${stream.streamName} has no replication key"))
-    val src = Tables.table(spark, dir, stream.sourceTable)
+    val src = sourceOverride.getOrElse(Tables.table(spark, dir, stream.sourceTable))
     val filtered = bookmark match {
       case Some(b) => src.filter(col(replKey) > lit(b))
       case None => src

@@ -14,12 +14,13 @@ class RegistrySpec extends AnyFunSuite {
   test("rows-only queries are the documented set, no silent oracle drops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
-      "q_dedup_minhash", "q_dedup_simhash", "q_embedding_neardup_lsh",
+      "q_dedup_minhash", "q_dedup_minhash_fast", "q_dedup_simhash",
+      "q_embedding_neardup_lsh",
       "q_ann_lsh", "q_ann_ivf", "q_dedup_cross", "q_dedup_apply_lsh",
       "q_semdedup", "q_quality_classifier", "q_bpe_train", "q_bpe_encode",
       "q_hard_negatives_lsh", "q_corpus_report_incremental",
       "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
-      "q_mmr_diversify", "q_ann_recall", "q_sketch_calibration",
+      "q_ann_recall", "q_sketch_calibration",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")

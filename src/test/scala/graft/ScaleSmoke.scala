@@ -71,6 +71,10 @@ object ScaleSmoke {
     time("q_span_dedup") { queries.LlmOps.qSpanDedup(spark, dir) }
     time("q_span_dedup_apply") { queries.LlmOps.qSpanDedupApply(spark, dir) }
     time("q_dedup_minhash") { queries.LlmOps.qDedupMinhash(spark, dir) }
+    // fast twin: the D15-calibrated prefilter skips the exact verify for
+    // clone pairs (est=1000 » τ+bound) — on this clone-amplified corpus
+    // that's most of the candidate stream
+    time("q_dedup_minhash_fast") { queries.LlmOps.qDedupMinhashFast(spark, dir) }
     time("q_dedup_simhash") { queries.LlmOps.qDedupSimhash(spark, dir) }
     // at this corpus size the LSH near-dup needs planes sized to the data
     // (≈ log2(N / target-bucket-size)) — the sf0.01-tuned planes=8 of the

@@ -105,7 +105,20 @@ class ArtifactsSpec extends SparkSpec {
     // different length
     java.nio.file.Files.write(f.toPath, "aaaaaa".getBytes)
     f.setLastModified(2000000L)
-    assert(Artifacts.fingerprint(spark, d.getAbsolutePath) != fp2)
+    val fp3 = Artifacts.fingerprint(spark, d.getAbsolutePath)
+    assert(fp3 != fp2)
+    // the pathological rewrite: same name, same LENGTH, same MTIME,
+    // different content (rsync -a / cp -p onto a coarse-mtime fs) — the
+    // footer-tail bytes must still change the fingerprint
+    java.nio.file.Files.write(f.toPath, "bbbbbb".getBytes)
+    f.setLastModified(2000000L)
+    assert(Artifacts.fingerprint(spark, d.getAbsolutePath) != fp3,
+      "content rewrite preserving length+mtime must change the fingerprint")
+    // while a byte-identical restore recovers the original fingerprint
+    java.nio.file.Files.write(f.toPath, "aaaaaa".getBytes)
+    f.setLastModified(2000000L)
+    assert(Artifacts.fingerprint(spark, d.getAbsolutePath) == fp3,
+      "identical content+metadata must fingerprint identically")
     // missing path degrades to 0, never throws
     assert(Artifacts.fingerprint(spark, d.getAbsolutePath + "/nope") == 0L)
   }

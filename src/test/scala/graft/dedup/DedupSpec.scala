@@ -44,6 +44,54 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("jaccard_x1000") == 600L)
   }
 
+  test("fast verify prefilter: decisions ⊆ exact ∪ the calibrated band, band pairs exact") {
+    // planted similarity spectrum around τ=0.5: clones (J=1), a strong
+    // near-dup (J=0.6), a borderline pair (J=0.5), and unrelated docs
+    val spectrum = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      3L -> "the quick brown fox jumps over the lazy cat near the river bank today",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bank tonight yes",
+      5L -> "completely different content about spark query engines and distributed shuffles here",
+      6L -> "another unrelated document mentioning parquet files and columnar compression formats only")
+    val tau = 500L
+    val m = MinHashLsh.samplingBoundX1000(tau, 64)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("jaccard_x1000")).toMap
+    val exact = pairSet(MinHashLsh.nearDupPairs(spectrum, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = tau))
+    val fast = pairSet(MinHashLsh.nearDupPairs(spectrum, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = tau,
+      fastMarginX1000 = Some(m)))
+    // widened exact run = ground truth similarity for every plausible pair
+    val exactLow = pairSet(MinHashLsh.nearDupPairs(spectrum, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4,
+      minJaccardX1000 = math.max(0L, tau - m)))
+    assert(exact.nonEmpty && fast.nonEmpty)
+    // 1. no confident pair lost: every exact pair clearing τ+m is kept
+    exact.foreach { case (p, j) =>
+      if (j >= tau + m) assert(fast.contains(p), s"confident pair $p (J=$j) dropped")
+    }
+    // 2. false accepts bounded: every fast pair is truly above τ−m
+    fast.keys.foreach { p =>
+      assert(exactLow.contains(p), s"fast pair $p below the τ−m band")
+    }
+    // 3. disagreements live inside the band (τ−m, τ+m) only
+    ((exact.keySet diff fast.keySet) ++ (fast.keySet diff exact.keySet)).foreach { p =>
+      val j = exactLow.getOrElse(p, 0L)
+      assert(j > tau - m && j < tau + m, s"pair $p (J=$j) misclassified outside band")
+    }
+    // 4. a fast pair's score is either the exact Jaccard (band-verified)
+    // or a confident estimate ≥ τ+m (fast-path accept) — never a
+    // below-band estimate smuggled through
+    fast.foreach { case (p, score) =>
+      val j = exactLow(p)
+      assert(score == j || score >= tau + m, s"pair $p: score $score, exact $j")
+    }
+    // clones must ride the fast path with est=1000 (identical signatures)
+    assert(fast((1L, 2L)) == 1000L)
+  }
+
   test("cross-corpus near-dup join finds planted cross pairs, never within-side pairs") {
     // corpus: 1..4; new batch: 11 is a near-dup of corpus doc 1, 12 is a
     // near-dup of corpus doc 3, 13 is novel. 11/12 must surface against

@@ -218,6 +218,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 1000000L)
   }
 
+  test("ngram novelty's 64-bit gram lanes stay far below the birthday bound") {
+    // the hash-laned aggregation is exact only while distinct-gram
+    // cardinality G keeps the collision odds ~G²/2⁶⁵ negligible; pin the
+    // sf0.01 gate corpus well under a 2³⁰ budget (odds < 2⁻⁵, and the
+    // gate corpus measures in the thousands) so a corpus change that
+    // explodes gram cardinality fails loudly instead of flaking the
+    // oracle compare
+    import org.apache.spark.sql.functions._
+    val grams = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select(explode(graft.dedup.Dedup.wordNgrams(col("text"), 3)).as("g"))
+      .agg(countDistinct(col("g"))).first().getLong(0)
+    assert(grams > 0 && grams < (1L << 30),
+      s"distinct gram cardinality $grams approaches the 64-bit birthday bound")
+  }
+
   test("doc keywords: a planted rare term outranks common terms; ties break by term") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("keywords").toString
