@@ -160,6 +160,11 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, dir) => LlmOps.qNgramNovelty(s, dir)),
     "q_compression_ratio" -> ((s, dir) => LlmOps.qCompressionRatio(s, dir)),
     "q_doc_keywords" -> ((s, dir) => LlmOps.qDocKeywords(s, dir)),
+    "q_gopher_rules" -> ((s, dir) => LlmOps.qGopherRules(s, dir)),
+    "q_script_mix" -> ((s, dir) => LlmOps.qScriptMix(s, dir)),
+    "q_ttr" -> ((s, dir) => LlmOps.qTtr(s, dir)),
+    "q_time_weighted_avg" -> ((s, dir) => Warehouse.qTimeWeightedAvg(s, dir)),
+    "q_event_transitions" -> ((s, dir) => Warehouse.qEventTransitions(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2154,5 +2159,130 @@ object SparkEntry {
         |SELECT doc_id, term_rank, term, tf, df, score_ppm
         |FROM r WHERE term_rank <= 3
         |ORDER BY doc_id, term_rank""".stripMargin,
+    // F27/F28 share the deterministic branch-exercising mutation of
+    // LlmOps.ruleEnriched; chr(10) mirrors the Scala "\n" literals
+    "q_gopher_rules" ->
+      """WITH enr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' ### ... ### #'
+        |         WHEN doc_id % 7 = 2 THEN '- intro' || chr(10) || '- ' || text
+        |           || chr(10) || '- one' || chr(10) || '- two' || chr(10) || '- three'
+        |         WHEN doc_id % 7 = 3 THEN 'tiny doc'
+        |         WHEN doc_id % 7 = 4 THEN text
+        |           || ' 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15'
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS nonspace,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) AS BIGINT) // 3
+        |      AS symbols,
+        |    CAST((length(text) - length(replace(text, chr(10) || '- ', ''))) AS BIGINT) // 3
+        |      + CASE WHEN text LIKE '- %' THEN 1 ELSE 0 END AS bullets,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST((CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% be %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% that %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% have %' THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ' ' || text || ' ' LIKE '% with %' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS stop_hits
+        |  FROM enr),
+        |r AS (
+        |  SELECT doc_id, n_words, n_lines,
+        |    (nonspace * 100) // n_words AS mean_word_len_x100,
+        |    (symbols * 1000000) // n_words AS symbol_word_ppm,
+        |    (bullets * 1000000) // n_lines AS bullet_line_ppm,
+        |    (alpha_words * 1000000) // n_words AS alpha_word_ppm,
+        |    stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words, n_lines, mean_word_len_x100, symbol_word_ppm,
+        |  bullet_line_ppm, alpha_word_ppm, stop_hits,
+        |  (n_words BETWEEN 10 AND 100000)
+        |    AND (mean_word_len_x100 BETWEEN 300 AND 1000)
+        |    AND symbol_word_ppm < 100000 AND bullet_line_ppm < 900000
+        |    AND alpha_word_ppm >= 800000 AND stop_hits >= 1 AS gopher_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_script_mix" ->
+      """WITH enr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN text || ' ### ... ### #'
+        |         WHEN doc_id % 7 = 2 THEN '- intro' || chr(10) || '- ' || text
+        |           || chr(10) || '- one' || chr(10) || '- two' || chr(10) || '- three'
+        |         WHEN doc_id % 7 = 3 THEN 'tiny doc'
+        |         WHEN doc_id % 7 = 4 THEN text
+        |           || ' 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15'
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+        |    CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS a,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
+        |    CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS s
+        |  FROM enr WHERE length(text) > 0),
+        |r AS (
+        |  SELECT doc_id, n_chars_total,
+        |    (a * 1000000) // n_chars_total AS alpha_ppm,
+        |    (d * 1000000) // n_chars_total AS digit_ppm,
+        |    (s * 1000000) // n_chars_total AS space_ppm
+        |  FROM f)
+        |SELECT doc_id, n_chars_total, alpha_ppm, digit_ppm, space_ppm,
+        |  1000000 - alpha_ppm - digit_ppm - space_ppm AS other_ppm,
+        |  CASE WHEN alpha_ppm >= digit_ppm AND alpha_ppm >= space_ppm
+        |         AND alpha_ppm >= (1000000 - alpha_ppm - digit_ppm - space_ppm)
+        |       THEN 'alpha'
+        |       WHEN digit_ppm >= space_ppm
+        |         AND digit_ppm >= (1000000 - alpha_ppm - digit_ppm - space_ppm)
+        |       THEN 'digit'
+        |       WHEN space_ppm >= (1000000 - alpha_ppm - digit_ppm - space_ppm)
+        |       THEN 'space'
+        |       ELSE 'other' END AS dominant
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // F29's oracle runs the unnest+groupBy formulation the Spark side
+    // deliberately avoids (sorted-neighbor HOF, no token shuffle) —
+    // agreement proves the rewrite exact
+    "q_ttr" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |per AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM words GROUP BY doc_id, w),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          CAST(count(*) AS BIGINT) AS n_types,
+        |          CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+        |        FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  (n_types * 1000000) // n_tokens AS ttr_ppm,
+        |  (n_hapax * 1000000) // n_types AS hapax_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |l AS (SELECT user_id, event_id, us, value,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt_us
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(dt_us) AS BIGINT) AS dur_us,
+        |  round(sum(value * dt_us) / sum(dt_us), 4) AS twa
+        |FROM l WHERE dt_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |p AS (SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM l WHERE from_type IS NOT NULL GROUP BY from_type, event_type),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY from_type)
+        |SELECT p.from_type, p.to_type, p.n, t.n_from,
+        |  (p.n * 1000000) // t.n_from AS prob_ppm
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -149,7 +149,7 @@ object Ann {
     // otherwise recompute the signature dot-products AND the stats
     // aggregate+join — measured 2.2–2.5s → ~1s warm at sf0.1 for the
     // two registered LSH faces. Same fix as ImageDedup.nearDupPairs.
-    val sized = bucketed.join(stats, "__bucket").localCheckpoint()
+    val sized = bucketed.join(stats, "__bucket").transform(graft.engine.Materialized.checkpoint)
     val small = sized.filter(col("__n") <= maxBucketSize)
 
     val flips = array(probeMasks(planes, probeBits).map(lit): _*)

@@ -134,7 +134,7 @@ object Dedup {
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
-        .localCheckpoint()
+        .transform(graft.engine.Materialized.checkpoint)
       // sum(label) over an empty frame is null → coalesce (empty pair
       // input is legal: zero near-dups found)
       def labelSum(df: DataFrame): Long =
@@ -155,7 +155,7 @@ object Dedup {
           l = l.unionAll(prop)
             .groupBy(col("id")).agg(min(col("label")).as("label"))
         }
-        labels = l.localCheckpoint()
+        labels = l.transform(graft.engine.Materialized.checkpoint)
         prevSum = curSum
         curSum = labelSum(labels)
         i += 1

@@ -121,7 +121,7 @@ object MinHashLsh {
         // one frame, three consumers (banding + two est join-backs):
         // signatures checkpoint so the k lane-minima over every shingle
         // aren't recomputed per branch (the D15 multi-branch shape)
-        val sigFrame = sigs.select(col(idCol), col("sig")).localCheckpoint()
+        val sigFrame = sigs.select(col(idCol), col("sig")).transform(graft.engine.Materialized.checkpoint)
         val banded = bands(sigFrame, "sig", idCol, rowsPerBand)
         val est = candidatePairs(banded, idCol, maxBucketSize)
           .join(sigFrame.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -129,6 +129,15 @@ object MinHashLsh {
           .withColumn("est_x1000",
             expr(s"(size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), m -> m)) * 1000L) DIV $numHashes"))
           .select(col("id_a"), col("id_b"), col("est_x1000"))
+          // the est frame feeds TWO consumers (confident emit + the
+          // uncertainty band); without truncation each re-runs the
+          // bucket join AND both k-long signature join-backs — the 100×
+          // sweep measured that double execution at 594s vs 275s for
+          // PLAIN D2 (the prefilter was slower than the verify it
+          // replaced). Materialized narrow — 3 scalars/pair, O(cands) —
+          // the heavy joins run once and only the sliver inside
+          // τ±margin pays the exact verify
+          .transform(graft.engine.Materialized.checkpoint)
         val confident = est.filter(col("est_x1000") >= minJaccardX1000 + margin)
           .select(col("id_a"), col("id_b"), col("est_x1000").as("jaccard_x1000"))
         val band = est.filter(col("est_x1000") < minJaccardX1000 + margin &&
@@ -167,7 +176,7 @@ object MinHashLsh {
       // one frame, three consumers (banding + two pair join-backs):
       // signatures are k lane-minima over every shingle — the
       // expensive-derivation multi-branch shape (see Ann/ImageDedup)
-      .localCheckpoint()
+      .transform(graft.engine.Materialized.checkpoint)
     val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
     val allPairs = candidatePairs(banded, idCol, maxBucketSize)
     val pairs =

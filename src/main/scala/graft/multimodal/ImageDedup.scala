@@ -113,7 +113,7 @@ object ImageDedup {
       maxBucketSize: Int = 10000, batchSize: Int = 64): DataFrame =
     SimHash.nearDupPairsFromSigs(
       dHash(media, batchSize).filter(col("ok"))
-        .select("doc_id", "phash").localCheckpoint(),
+        .select("doc_id", "phash").transform(graft.engine.Materialized.checkpoint),
       "doc_id", "phash", maxHamming, maxBucketSize)
 
   /** Group width of the planted near-dup structure in

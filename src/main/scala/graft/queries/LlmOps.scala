@@ -136,7 +136,7 @@ object LlmOps {
     * truncation, recoverable blocks), and cleanup is deferred to the
     * ContextCleaner's RDD GC rather than an explicit unpersist. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = clusterPairs(spark, dir).localCheckpoint()
+    val pairs = clusterPairs(spark, dir).transform(graft.engine.Materialized.checkpoint)
     Dedup.connectedComponents(pairs).orderBy("id", "cluster_id")
   }
 
@@ -145,7 +145,7 @@ object LlmOps {
     * candidates → verify → cluster → drop as one registered,
     * oracle-checked query. */
   def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = clusterPairs(spark, dir).localCheckpoint()
+    val pairs = clusterPairs(spark, dir).transform(graft.engine.Materialized.checkpoint)
     Dedup.keepCanonical(
       Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
       .orderBy("vec_id")
@@ -168,7 +168,7 @@ object LlmOps {
     val pairs = Ann.nearDupPairsLsh(
       Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.35, dims = 64, planes = 8, probeBits = 1)
-      .localCheckpoint()
+      .transform(graft.engine.Materialized.checkpoint)
     Dedup.keepCanonical(
       Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
       .orderBy("vec_id")
@@ -894,6 +894,55 @@ object LlmOps {
       .select("doc_id", "n_chars_text", "n_words", "stop_hits", "avg_word_len_x100", "quality_x1000")
       .orderBy("doc_id")
 
+  /** Deterministic corpus mutations that exercise every branch of the
+    * F27/F28 rule sets — the provided corpus is uniform lowercase
+    * word-space prose, so without planted symbol/bullet/digit/short docs
+    * the pass flags would be constant and the oracle would prove nothing
+    * (the qLossMask planted-PII pattern). Pure integer/string arithmetic
+    * on doc_id: identical in the DuckDB mirror. */
+  private def ruleEnriched(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 1, concat(col("text"), lit(" ### ... ### #")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("- intro\n- "), col("text"), lit("\n- one\n- two\n- three")))
+          .when(col("doc_id") % 7 === 3, lit("tiny doc"))
+          .when(col("doc_id") % 7 === 4,
+            concat(col("text"), lit(" 0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15")))
+          .otherwise(col("text")).as("text"))
+
+  /** F27: Gopher quality rules over the branch-exercising corpus; bounds
+    * tuned to this corpus' ~30–70-word documents (the paper's 50-word web
+    * floor would fail nearly every row — the thresholds are parameters by
+    * design). See [[graft.text.TextAnalysis.gopherRules]]. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    // minStopHits=1: the synthetic corpus draws from a spark-jargon
+    // vocabulary where 'the' is the only member of the paper's required
+    // set that occurs — the paper's >=2 would fail every row and the
+    // pass flag would be a constant (proving nothing)
+    graft.text.TextAnalysis.gopherRules(
+      ruleEnriched(spark, dir), "text", minWords = 10L, minStopHits = 1L)
+      .select("doc_id", "n_words", "n_lines", "mean_word_len_x100",
+        "symbol_word_ppm", "bullet_line_ppm", "alpha_word_ppm", "stop_hits",
+        "gopher_pass")
+      .orderBy("doc_id")
+
+  /** F28: character-class composition + dominant script over the same
+    * enriched corpus. See [[graft.text.TextAnalysis.scriptMix]]. */
+  def qScriptMix(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.scriptMix(ruleEnriched(spark, dir), "text")
+      .select("doc_id", "n_chars_total", "alpha_ppm", "digit_ppm",
+        "space_ppm", "other_ppm", "dominant")
+      .orderBy("doc_id")
+
+  /** F29: lexical diversity (type-token + hapax ratios) on the raw
+    * corpus. See [[graft.text.TextAnalysis.ttr]]. */
+  def qTtr(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.ttr(
+      Tables.table(spark, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** F3: token counts (whitespace + regex). */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.table(spark, dir, "documents"), "text")
@@ -1547,7 +1596,7 @@ object LlmOps {
       // the LM scoring is the expensive part and feeds BOTH the sample
       // aggregate and the final bucketing scan — materialize once
       // (|docs| narrow rows; the D6 localCheckpoint rule)
-      .localCheckpoint()
+      .transform(graft.engine.Materialized.checkpoint)
     val counts = scored.groupBy("source").agg(count(lit(1)).as("n_s"))
     val sample = scored
       .join(broadcast(counts), "source")

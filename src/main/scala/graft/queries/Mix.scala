@@ -108,7 +108,7 @@ object Mix {
       // |sources| rows feeding two plan branches (totals + the final
       // join): materialize once or the corpus token-count scan runs
       // twice (the multi-branch recompute rule — see Ann/ImageDedup)
-      .localCheckpoint()
+      .transform(graft.engine.Materialized.checkpoint)
     val totals = perSource.agg(
       (sum("corpus_tokens") * budgetX).as("t_budget"),
       sum("weight").as("w_sum"))
@@ -160,7 +160,7 @@ object Mix {
           .otherwise(1L))
       // |sources| rows feeding three quota branches — materialize once
       // or the corpus count scan reruns per branch
-      .localCheckpoint()
+      .transform(graft.engine.Materialized.checkpoint)
     // N = min_s (n_s * w_sum) DIV w_s needs w_sum first: two tiny aggs
     val wSum = weighted.agg(sum("w_s").as("w_sum"))
     val quota = weighted.crossJoin(broadcast(wSum))

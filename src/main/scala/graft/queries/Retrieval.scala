@@ -327,7 +327,7 @@ object Retrieval {
       .select(col("query_id"), col("neighbor_id"))
       // five report legs read the exact frame (1000 rows at sf0.1):
       // materialize once, not five broadcast-side recomputes
-      .localCheckpoint()
+      .transform(graft.engine.Materialized.checkpoint)
     val legs: Seq[(String, DataFrame)] = Seq(
       "exact" -> exact,
       "lsh" -> LlmOps.qAnnLsh(spark, dir),

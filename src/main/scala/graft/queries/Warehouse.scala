@@ -690,6 +690,59 @@ object Warehouse {
       .orderBy($"day")
   }
 
+  /** C31: time-weighted average over an irregular event series — each
+    * observation holds its value until the user's next event, so the
+    * metric weighs every reading by its holding duration (the standard
+    * ops/finance aggregate a plain avg() silently gets wrong on
+    * irregular sampling). One lead() per user-partition (the sessionize
+    * exchange+sort shape — a single hash exchange on user_id, per-key
+    * sort bounded by a user's own events) then a hash aggregate; spans
+    * are exact integer micros, only the final weighted mean is a
+    * rounded double (the q_moments parity pattern). Users with a single
+    * event carry no holding period and drop out, same as the oracle. */
+  def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ordered by the projected micros (monotone in ts) — the oracle's
+    // lead() orders by the same epoch_us
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+      .withColumn("dt_us", lead($"us", 1).over(byUser) - $"us")
+      .filter($"dt_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum($"dt_us").as("dur_us"),
+        round(sum($"value" * $"dt_us".cast("double")) / sum($"dt_us".cast("double")), 4)
+          .as("twa"))
+      .orderBy($"user_id")
+  }
+
+  /** C32: behavioral transition matrix — counts of consecutive
+    * (from_type → to_type) event pairs within each user's timeline plus
+    * the per-source-state transition probability (integer ppm). The
+    * Markov-chain summary behind funnel discovery and anomaly detection
+    * (an error→error self-loop spike is an incident signature). Same
+    * single-exchange lag() shape as C31; the probability denominator is
+    * a |types|²-bounded aggregate joined back broadcast. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(byUser))
+      .filter($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .withColumn("prob_ppm", expr("(n * 1000000) DIV n_from"))
+      .select($"from_type", $"to_type", $"n", $"n_from", $"prob_ppm")
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -262,4 +262,119 @@ object TextAnalysis {
     toks.crossJoin(broadcast(stats))
       .select(col(idCol), col("dl"), round(score, 4).as("bm25"))
   }
+
+  /** F27: the Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1 — the published filter
+    * battery most web-corpus pipelines start from): word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio ('#' and '...'),
+    * bullet-line ratio, fraction of words containing an alphabetic
+    * character, and a minimum count of distinct required stopwords.
+    * Every feature is integer (ppm / x100) length-and-replace arithmetic
+    * over ONE map-side projection — no shuffle, no explode; the word-level
+    * predicates ride the `filter` HOF over the split array. Thresholds are
+    * parameters so corpus-appropriate bounds stay in the caller's hands
+    * (the paper's web defaults assume 50+-word pages). */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minWordLenX100: Long = 300L, maxWordLenX100: Long = 1000L,
+      maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 900000L,
+      minAlphaPpm: Long = 800000L, minStopHits: Long = 2L): DataFrame = {
+    val t = col(textCol)
+    val padded = concat(lit(" "), t, lit(" "))
+    // the paper's required-stopword set; a hit = the word OCCURS (distinct
+    // membership, not occurrence count)
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopSet.map(w =>
+      when(countOccurrences(padded, s" $w ") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    // raw counts first, ratios via exact integer DIV (a `/` on two longs
+    // is DOUBLE division in Spark SQL — a true quotient sitting just
+    // below an integer can round up and truncate differently than the
+    // oracle's floor-division `//`)
+    df.filter(t.isNotNull)
+      .withColumn("n_words", (countOccurrences(t, " ") + 1L).cast("long"))
+      .withColumn("n_lines", (countOccurrences(t, "\n") + 1L).cast("long"))
+      .withColumn("__nonspace", length(replace(t, lit(" "), lit(""))).cast("long"))
+      .withColumn("__symbols", countOccurrences(t, "#") + countOccurrences(t, "..."))
+      .withColumn("__bullets", countOccurrences(t, "\n- ")
+        + when(t.startsWith("- "), 1L).otherwise(0L))
+      .withColumn("__alpha_words",
+        size(filter(split(t, " "), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("mean_word_len_x100", expr("(__nonspace * 100) DIV n_words"))
+      .withColumn("symbol_word_ppm", expr("(__symbols * 1000000) DIV n_words"))
+      .withColumn("bullet_line_ppm", expr("(__bullets * 1000000) DIV n_lines"))
+      .withColumn("alpha_word_ppm", expr("(__alpha_words * 1000000) DIV n_words"))
+      .withColumn("stop_hits", stopHits)
+      .drop("__nonspace", "__symbols", "__bullets", "__alpha_words")
+      .withColumn("gopher_pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len_x100").between(minWordLenX100, maxWordLenX100) &&
+          col("symbol_word_ppm") < maxSymbolPpm &&
+          col("bullet_line_ppm") < maxBulletPpm &&
+          col("alpha_word_ppm") >= minAlphaPpm &&
+          col("stop_hits") >= minStopHits)
+  }
+
+  /** F28: character-class (script) composition — per-doc ppm of
+    * alphabetic / digit / whitespace / other characters plus the dominant
+    * class with a fixed tie priority (alpha > digit > space > other).
+    * The cheap script-ID signal for routing multilingual corpora; one
+    * map-side regexp-strip projection, no shuffle. */
+  def scriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    df.filter(t.isNotNull && length(t) > 0)
+      .withColumn("n_chars_total", length(t).cast("long"))
+      .withColumn("__alpha", cnt("[a-z]"))
+      .withColumn("__digit", cnt("[0-9]"))
+      .withColumn("__space", cnt("[ ]"))
+      .withColumn("alpha_ppm", expr("(__alpha * 1000000) DIV n_chars_total"))
+      .withColumn("digit_ppm", expr("(__digit * 1000000) DIV n_chars_total"))
+      .withColumn("space_ppm", expr("(__space * 1000000) DIV n_chars_total"))
+      // remainder, so the four classes always sum to exactly 1e6 and the
+      // DIV flooring of the first three can't leak into a negative
+      .withColumn("other_ppm",
+        lit(1000000L) - col("alpha_ppm") - col("digit_ppm") - col("space_ppm"))
+      .drop("__alpha", "__digit", "__space")
+      .withColumn("dominant",
+        when(col("alpha_ppm") >= col("digit_ppm")
+          && col("alpha_ppm") >= col("space_ppm")
+          && col("alpha_ppm") >= col("other_ppm"), "alpha")
+          .when(col("digit_ppm") >= col("space_ppm")
+            && col("digit_ppm") >= col("other_ppm"), "digit")
+          .when(col("space_ppm") >= col("other_ppm"), "space")
+          .otherwise("other"))
+  }
+
+  /** F29: lexical-diversity metrics — type-token ratio and hapax-legomenon
+    * ratio per document (the templated/boilerplate-text detector that
+    * complements F5's repetition score: generated spam has LOW TTR, clean
+    * prose sits in a stable band). Per-doc distinct/once-only word counts
+    * come from ONE sorted array projection + adjacent-neighbor HOF scans —
+    * O(L log L) per row, NO explode and NO (doc, term) shuffle at any
+    * corpus size (the naive unnest+groupBy mirror the oracle runs would
+    * shuffle every token). */
+  def ttr(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull)
+      .select(col(idCol), sort_array(split(t, " ")).as("__sorted"))
+      .withColumn("n_tokens", size(col("__sorted")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("__sorted"))).cast("long"))
+      // hapax: words whose sorted neighbors both differ — exactly the
+      // count-1 groups of the unnest+groupBy formulation. element_at is
+      // 1-based and ANSI-strict (out-of-bounds THROWS, and boolean ops
+      // don't short-circuit evaluation), so boundary probes clamp into
+      // range — the clamped probe compares the word to itself, and the
+      // position disjunct alone decides those edges
+      .withColumn("n_hapax", size(filter(col("__sorted"), (w, i) =>
+        (i === 0 ||
+          element_at(col("__sorted"), greatest(i, lit(1))) =!= w) &&
+          (i === size(col("__sorted")) - 1 ||
+            element_at(col("__sorted"),
+              least(i + 2, size(col("__sorted")))) =!= w))).cast("long"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) DIV n_tokens"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000) DIV n_types"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("ttr_ppm"), col("hapax_ppm"))
+  }
 }

@@ -302,6 +302,14 @@ object ScaleSmoke {
     time("q_compression_ratio") { queries.LlmOps.qCompressionRatio(spark, dir) }
     // keywords: term counts + |vocab|-row df join-back + per-doc top-3
     time("q_doc_keywords") { queries.LlmOps.qDocKeywords(spark, dir) }
+    // round-9: rule batteries + lexical diversity are pure map-side
+    // projections (~linear, no exchange); the two temporal faces are one
+    // user-keyed exchange + bounded per-user sort (the sessionize shape)
+    time("q_gopher_rules") { queries.LlmOps.qGopherRules(spark, dir) }
+    time("q_script_mix") { queries.LlmOps.qScriptMix(spark, dir) }
+    time("q_ttr") { queries.LlmOps.qTtr(spark, dir) }
+    time("q_time_weighted_avg") { queries.Warehouse.qTimeWeightedAvg(spark, dir) }
+    time("q_event_transitions") { queries.Warehouse.qEventTransitions(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")
@@ -350,6 +358,135 @@ object ScaleSmoke {
           toks, k = 20, queryMod = qm, maxDf = n / 10).count()
         println(f"sparse_indexed_zipf_q$q%-4d ${(System.nanoTime() - t1) / 1e9}%5.2fs  rows=$nIdx")
       }
+    }
+    // round-9: the D2b prefilter's crossover corpus. On the PROVIDED
+    // corpus the prefilter LOSES (measured 209s vs 123s plain at 100×
+    // post-fix): the 31-token vocabulary keeps every hashed shingle set
+    // ≤31 longs — SMALLER than the k=64 signature — so the exact verify
+    // join is already cheaper than the sketch estimate. The prefilter's
+    // economics need |shingles| ≫ k: this deterministic long-doc corpus
+    // (300 words, V=50k, groups of 8 siblings at ~3% word perturbation,
+    // J≈0.94) makes the verify payload ~300 longs vs the 64-long sig —
+    // the real-text shape where verify dominates and est≥τ+margin skips
+    // it for nearly every clone pair.
+    if (only.isEmpty || only.exists("minhash_longdoc".contains)) {
+      val nDocs = 2000L * mult
+      val words = (0 until 300).map { j =>
+        val base = pmod(xxhash64(concat_ws(":", lit("w"),
+          expr("CAST(id DIV 8 AS BIGINT)"), lit(j))), lit(50000L))
+        val pert = pmod(xxhash64(concat_ws(":", lit("p"), col("id"), lit(j))),
+          lit(37L)) === 0
+        concat(lit("w"), when(pert,
+          pmod(xxhash64(concat_ws(":", lit("v"), col("id"), lit(j))), lit(50000L)))
+          .otherwise(base).cast("string"))
+      }
+      val longDocs = spark.range(nDocs)
+        .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+        .localCheckpoint() // time the dedup legs, not the synthesis
+      val t0 = System.nanoTime()
+      val nPlain = graft.dedup.MinHashLsh.nearDupPairs(
+        longDocs, "text", "doc_id", shingleSize = 3, numHashes = 64,
+        rowsPerBand = 4, minJaccardX1000 = 700L).count()
+      println(f"minhash_longdoc_plain  ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$nPlain")
+      val t1 = System.nanoTime()
+      val nFast = graft.dedup.MinHashLsh.nearDupPairs(
+        longDocs, "text", "doc_id", shingleSize = 3, numHashes = 64,
+        rowsPerBand = 4, minJaccardX1000 = 700L,
+        fastMarginX1000 = Some(graft.dedup.MinHashLsh.samplingBoundX1000(700L, 64)))
+        .count()
+      println(f"minhash_longdoc_fast   ${(System.nanoTime() - t1) / 1e9}%8.2fs  rows=$nFast")
+    }
+    // round-9: plan-shape audit AT SCALE — the contracts PlanSpec pins at
+    // sf0.01 re-checked against the amplified corpus, where larger file
+    // stats can push a frame past the auto-broadcast threshold and turn a
+    // pinned broadcast into a sort-merge corpus shuffle (exactly how the
+    // E8b defect slipped past the sf0.01 pins in round 8). Plan
+    // compilation only — no execution — so this block is cheap.
+    if (only.isEmpty || only.exists("plan_audit".contains)) {
+      // cached index frames (IVF assignments, PQ codes) print their own
+      // nested AdaptiveSparkPlan with BOTH the final AND the initial
+      // (pre-AQE) tree; the initial tree may show a SortMergeJoin that
+      // AQE already replaced — and for corpus⋈corpus INDEX-BUILD joins a
+      // shuffle join is the correct 100 TB plan anyway. The audited
+      // contract is the STATIC top-level plan (the probe path must pin
+      // its broadcasts explicitly, not rely on AQE rescue), so nested
+      // initial-plan sections are stripped by indentation before
+      // matching (first found in the round-9 100× run: q_pq_ivf's
+      // "violation" was its cached codes build's pre-AQE text).
+      def stripInitialPlans(plan: String): String = {
+        val out = List.newBuilder[String]
+        var skipIndent = -1
+        plan.linesIterator.foreach { line =>
+          val indent = line.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+          // the section's nodes print aligned with the "==" marker text
+          // (equal indent), so only a STRICTLY shallower line ends it
+          if (skipIndent >= 0 && indent < skipIndent) skipIndent = -1
+          if (skipIndent < 0) {
+            if (line.contains("== Initial Plan ==")) skipIndent = indent
+            else out += line
+          }
+        }
+        out.result().mkString("\n")
+      }
+      def planOf(df: DataFrame): String =
+        stripInitialPlans(df.queryExecution.executedPlan.toString)
+      var bad = 0
+      def audit(name: String)(df: => DataFrame)(
+          checks: (String, String => Boolean)*): Unit = {
+        val plan =
+          try planOf(df)
+          catch { case e: Throwable =>
+            println(f"plan_audit $name%-22s BUILD FAILED: ${e.getMessage}")
+            bad += 1; return }
+        checks.foreach { case (what, ok) =>
+          if (!ok(plan)) { println(f"plan_audit $name%-22s VIOLATION: $what"); bad += 1 }
+        }
+      }
+      val noSmj = "no SortMergeJoin" -> ((p: String) => !p.contains("SortMergeJoin"))
+      val noBnlj = "no BroadcastNestedLoopJoin" ->
+        ((p: String) => !p.contains("BroadcastNestedLoopJoin"))
+      val hasBhj = "has BroadcastHashJoin" -> ((p: String) => p.contains("BroadcastHashJoin"))
+      val noWindow = "no Window" -> ((p: String) => !p.contains("Window"))
+      val noCartesian = "no CartesianProduct" -> ((p: String) => !p.contains("CartesianProduct"))
+      // (no BNLJ check here: the |sources|-row quota legs legitimately
+      // crossJoin broadcast ONE-ROW totals frames — the corpus-side join
+      // is what must stay a broadcast hash join)
+      audit("q_domain_mix") { queries.Mix.qDomainMix(spark, dir) }(noSmj, hasBhj)
+      audit("q_domain_mix_approx") { queries.Mix.qDomainMixApprox(spark, dir) }(noWindow, hasBhj)
+      audit("q_zscore") { queries.Warehouse.qZscore(spark, dir) }(noSmj, hasBhj)
+      audit("q_winsorize") { queries.Warehouse.qWinsorize(spark, dir) }(noSmj, hasBhj)
+      audit("q_ann_ivf") { queries.LlmOps.qAnnIvf(spark, dir) }(noSmj)
+      audit("q_pq_ivf") { queries.LlmOps.qPqIvf(spark, dir) }(noSmj)
+      audit("q_ppl_buckets_approx") { queries.LlmOps.qPplBucketsApprox(spark, dir) }(
+        noWindow, hasBhj)
+      // the operator minus its presentation orderBy (the registered face
+      // ends in an oracle-determinism sort that legitimately range-
+      // partitions the REPORT; the pinned property is that the training
+      // order itself costs one hash exchange, never a global sort —
+      // PlanSpec's probe, re-run here against the amplified corpus)
+      audit("q_global_shuffle_core") {
+        val assigned = queries.Mix.assignShard(
+          graft.sources.Tables.table(spark, dir, "documents").select("doc_id"), "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")
+        assigned.withColumn("pos", row_number().over(w))
+      }(
+        "no rangepartitioning (global sort)" ->
+          ((p: String) => !p.contains("rangepartitioning")),
+        "one hash exchange" ->
+          ((p: String) => "Exchange hashpartitioning".r.findAllIn(p).size == 1))
+      audit("q_cdc_apply") { queries.Temporal.qCdcApply(spark, dir) }(noWindow)
+      audit("q_bloom_sync") { queries.Etl.qBloomSync(spark, dir) }(
+        "bloom prefilter present" -> ((p: String) => p.contains("bloommightcontain")),
+        "residual left-semi present" -> ((p: String) => p.contains("LeftSemi")))
+      audit("q_incremental_sync") { queries.Etl.qIncrementalSync(spark, dir) }(
+        "left-semi join" -> ((p: String) => p.contains("LeftSemi")))
+      audit("q_curate_e2e") { queries.LlmOps.qCurateE2e(spark, dir) }(noSmj, noWindow)
+      audit("q_rank_fusion_b100") {
+        queries.Retrieval.rankFusion(spark, dir, queryMod = 50L * mult) }(noCartesian)
+      audit("q_dedup_soft") { queries.LlmOps.qDedupSoft(spark, dir) }(noWindow)
+      println(if (bad == 0) "plan_audit: ALL CONTRACTS HOLD at this scale"
+              else s"plan_audit: $bad VIOLATIONS")
     }
     spark.stop()
   }

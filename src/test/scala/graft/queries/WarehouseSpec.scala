@@ -308,4 +308,45 @@ class WarehouseSpec extends SparkSpec {
     val starts = rows.map(_.getTimestamp(0).getTime).distinct.sorted
     assert(starts.sliding(2).forall(w => w.length < 2 || (w(1) - w(0)) % 300000L == 0))
   }
+
+  test("time-weighted avg: hand-computed spans; constant series gives the constant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("twa").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    Seq(
+      // user 1: 10 for 10s, then 20 for 20s; last value (99) holds nothing
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(10), 20.0), (3L, 1L, ts(30), 99.0),
+      // user 2: constant 5.0
+      (4L, 2L, ts(0), 5.0), (5L, 2L, ts(7), 5.0), (6L, 2L, ts(100), 5.0),
+      // user 3: single event — no holding period, drops out
+      (7L, 3L, ts(0), 42.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qTimeWeightedAvg(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[Long]("n_spans") == 2L)
+    assert(out(1L).getAs[Long]("dur_us") == 30000000L)
+    // (10*10 + 20*20) / 30 = 16.6667
+    assert(out(1L).getAs[Double]("twa") == 16.6667)
+    assert(out(2L).getAs[Double]("twa") == 5.0)
+  }
+
+  test("event transitions: probabilities sum to ~1e6 per state; pair mass = events - users") {
+    val rows = Warehouse.qEventTransitions(spark, sfDir).collect()
+    val byFrom = rows.groupBy(_.getAs[String]("from_type"))
+    byFrom.foreach { case (from, rs) =>
+      val pSum = rs.map(_.getAs[Long]("prob_ppm")).sum
+      // each DIV floors: the sum undershoots 1e6 by at most |types|
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"$from: prob mass $pSum over ${rs.length} targets")
+      val nFrom = rs.head.getAs[Long]("n_from")
+      assert(rs.map(_.getAs[Long]("n")).sum == nFrom)
+    }
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+    val expectedPairs = events.count() -
+      events.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expectedPairs,
+      "every event except each user's first contributes exactly one transition")
+  }
 }

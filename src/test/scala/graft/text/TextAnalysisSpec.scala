@@ -279,6 +279,68 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ratio_x1000")).toMap
     assert(run1 == run2, "deflate at a fixed level is deterministic")
   }
+
+  test("gopher rules: each planted defect trips exactly its rule") {
+    import spark.implicits._
+    val clean = "the cat and the dog have fun with all of that stuff here now"
+    val docs = Seq(
+      1L -> clean,                                      // passes everything
+      2L -> (clean + " ### ### ... ... # # # #"),       // symbol-heavy
+      3L -> "- a\n- b\n- c\n- d",                       // all bullet lines
+      4L -> "tiny doc",                                 // too short
+      5L -> (clean + (" 0 1 2 3 4 5 6 7 8 9" * 6)))    // digit-word flood
+      .map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text", minWords = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"), s"clean doc must pass: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("gopher_pass")
+      && out(2L).getAs[Long]("symbol_word_ppm") >= 100000L, s"${out(2L)}")
+    assert(out(3L).getAs[Long]("bullet_line_ppm") == 1000000L
+      && !out(3L).getAs[Boolean]("gopher_pass"), s"${out(3L)}")
+    assert(out(4L).getAs[Long]("n_words") == 2L
+      && !out(4L).getAs[Boolean]("gopher_pass"))
+    assert(out(5L).getAs[Long]("alpha_word_ppm") < 800000L
+      && !out(5L).getAs[Boolean]("gopher_pass"), s"${out(5L)}")
+    // the clean doc's exact stopword membership count: the, and, have,
+    // with, of, that = 6 of the 8 required words occur
+    assert(out(1L).getAs[Long]("stop_hits") == 6L)
+  }
+
+  test("script mix: exact ppm arithmetic, classes sum to 1e6, tie priority") {
+    import spark.implicits._
+    val out = TextAnalysis.scriptMix(
+      Seq((1L, "abc 12"), (2L, "a 1")).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L) // 6 chars: 3 alpha, 2 digit, 1 space
+    assert(r1.getAs[Long]("alpha_ppm") == 500000L)
+    assert(r1.getAs[Long]("digit_ppm") == 333333L)
+    assert(r1.getAs[Long]("space_ppm") == 166666L)
+    assert(r1.getAs[Long]("other_ppm") == 1L) // exact remainder of the floors
+    assert(r1.getAs[String]("dominant") == "alpha")
+    val r2 = out(2L) // three-way tie resolves by the fixed priority
+    assert(r2.getAs[String]("dominant") == "alpha")
+    for (r <- Seq(r1, r2))
+      assert(r.getAs[Long]("alpha_ppm") + r.getAs[Long]("digit_ppm")
+        + r.getAs[Long]("space_ppm") + r.getAs[Long]("other_ppm") == 1000000L)
+  }
+
+  test("ttr: hand-computed diversity ratios, hapax edges") {
+    import spark.implicits._
+    val out = TextAnalysis.ttr(
+      Seq((1L, "a b c"), (2L, "a a a"), (3L, "a a b c")).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("ttr_ppm") == 1000000L
+      && out(1L).getAs[Long]("hapax_ppm") == 1000000L)
+    assert(out(2L).getAs[Long]("n_types") == 1L
+      && out(2L).getAs[Long]("ttr_ppm") == 333333L
+      && out(2L).getAs[Long]("n_hapax") == 0L)
+    assert(out(3L).getAs[Long]("n_tokens") == 4L
+      && out(3L).getAs[Long]("n_types") == 3L
+      && out(3L).getAs[Long]("n_hapax") == 2L
+      && out(3L).getAs[Long]("ttr_ppm") == 750000L
+      && out(3L).getAs[Long]("hapax_ppm") == 666666L)
+  }
 }
 
 object SimHashTestAccess {
