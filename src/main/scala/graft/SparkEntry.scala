@@ -165,6 +165,10 @@ object SparkEntry {
     "q_ttr" -> ((s, dir) => LlmOps.qTtr(s, dir)),
     "q_time_weighted_avg" -> ((s, dir) => Warehouse.qTimeWeightedAvg(s, dir)),
     "q_event_transitions" -> ((s, dir) => Warehouse.qEventTransitions(s, dir)),
+    "q_audio_fingerprint" -> ((s, dir) => LlmOps.qAudioFingerprint(s, dir)),
+    "q_audio_neardup" -> ((s, dir) => LlmOps.qAudioNearDup(s, dir)),
+    "q_knn_classify" -> ((s, dir) => LlmOps.qKnnClassify(s, dir)),
+    "q_schema_drift" -> ((s, dir) => Etl.qSchemaDrift(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2284,5 +2288,125 @@ object SparkEntry {
         |  (p.n * 1000000) // t.n_from AS prob_ppm
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // G3h: the Spark side REALLY encodes each doc as a 16-segment PCM
+    // WAV and decodes it back through the RIFF parser; the oracle
+    // recomputes the expected envelope-contour hash from the planted
+    // amplitude arithmetic with NO audio codec — hash parity proves the
+    // encode→decode→envelope pipeline bit-exact (the G3b/G3c proof
+    // shape). 63 bits: bit i (0..62) set iff window i is louder than
+    // window i+1; windows align 4-per-segment by construction.
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id // 8 AS g,
+        |             (doc_id % 8 = 7) AS pert FROM documents),
+        |e AS (SELECT doc_id, list_transform(range(0, 16), s ->
+        |        ((g * 31 + s * 17) % 97) * 120
+        |          + CASE WHEN pert AND s = g % 16 THEN 7000 ELSE 1000 END) AS seg
+        |      FROM d)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 63), i ->
+        |    CASE WHEN seg[(i // 4) + 1] > seg[((i + 1) // 4) + 1]
+        |         THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+        |  AS BIGINT) AS ehash
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // G3h near-dup: banding is COMPLETE for hamming <= 3, so the Spark
+    // output must equal this ALL-PAIRS answer exactly (the G3e proof)
+    "q_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 8 AS g,
+        |             (doc_id % 8 = 7) AS pert FROM documents),
+        |e AS (SELECT doc_id, list_transform(range(0, 16), s ->
+        |        ((g * 31 + s * 17) % 97) * 120
+        |          + CASE WHEN pert AND s = g % 16 THEN 7000 ELSE 1000 END) AS seg
+        |      FROM d),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 63), i ->
+        |          CASE WHEN seg[(i // 4) + 1] > seg[((i + 1) // 4) + 1]
+        |               THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+        |        AS BIGINT) AS ehash
+        |      FROM e)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |                 e.vec_id) AS r
+        |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+        |  WHERE r <= 10),
+        |v AS (SELECT t.query_id, CAST(e.label AS BIGINT) AS label,
+        |        CAST(count(*) AS BIGINT) AS votes
+        |      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        |      GROUP BY t.query_id, e.label),
+        |p AS (SELECT query_id, label AS predicted_label, votes,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, label) AS rn
+        |      FROM v)
+        |SELECT p.query_id, CAST(e.label AS BIGINT) AS true_label,
+        |  p.predicted_label, p.votes,
+        |  CAST(e.label AS BIGINT) = p.predicted_label AS correct
+        |FROM p JOIN embeddings e ON e.vec_id = p.query_id
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // A18: the same live-catalog VALUES as q_discover_catalog, trimmed
+    // to (table, column, type), with the baseline mutation applied in
+    // SQL — the full-outer classification must match exactly
+    "q_schema_drift" ->
+      """WITH cur AS (SELECT * FROM (VALUES
+        |  ('region', 'r_regionkey', 'int'), ('region', 'r_name', 'string'),
+        |  ('nation', 'n_nationkey', 'int'), ('nation', 'n_name', 'string'),
+        |  ('nation', 'n_regionkey', 'int'),
+        |  ('customer', 'c_custkey', 'bigint'), ('customer', 'c_name', 'string'),
+        |  ('customer', 'c_nationkey', 'int'), ('customer', 'c_acctbal', 'double'),
+        |  ('customer', 'c_mktsegment', 'string'),
+        |  ('supplier', 's_suppkey', 'bigint'), ('supplier', 's_name', 'string'),
+        |  ('supplier', 's_nationkey', 'int'), ('supplier', 's_acctbal', 'double'),
+        |  ('part', 'p_partkey', 'bigint'), ('part', 'p_name', 'string'),
+        |  ('part', 'p_brand', 'string'), ('part', 'p_type', 'string'),
+        |  ('part', 'p_size', 'int'), ('part', 'p_retailprice', 'double'),
+        |  ('orders', 'o_orderkey', 'bigint'), ('orders', 'o_custkey', 'bigint'),
+        |  ('orders', 'o_orderstatus', 'string'), ('orders', 'o_totalprice', 'double'),
+        |  ('orders', 'o_orderdate', 'timestamp'),
+        |  ('orders', 'o_orderpriority', 'string'),
+        |  ('lineitem', 'l_orderkey', 'bigint'), ('lineitem', 'l_partkey', 'bigint'),
+        |  ('lineitem', 'l_suppkey', 'bigint'), ('lineitem', 'l_linenumber', 'int'),
+        |  ('lineitem', 'l_quantity', 'double'),
+        |  ('lineitem', 'l_extendedprice', 'double'),
+        |  ('lineitem', 'l_discount', 'double'), ('lineitem', 'l_tax', 'double'),
+        |  ('lineitem', 'l_returnflag', 'string'),
+        |  ('lineitem', 'l_linestatus', 'string'),
+        |  ('lineitem', 'l_shipdate', 'timestamp'),
+        |  ('events', 'event_id', 'bigint'), ('events', 'ts', 'timestamp'),
+        |  ('events', 'user_id', 'bigint'), ('events', 'event_type', 'string'),
+        |  ('events', 'value', 'double'), ('events', 'props', 'string'),
+        |  ('documents', 'doc_id', 'bigint'), ('documents', 'text', 'string'),
+        |  ('documents', 'lang', 'string'), ('documents', 'source', 'string'),
+        |  ('documents', 'n_chars', 'bigint'),
+        |  ('embeddings', 'vec_id', 'bigint'),
+        |  ('embeddings', 'embedding', 'array<float>'),
+        |  ('embeddings', 'label', 'int'),
+        |  ('v_active_customer', 'c_custkey', 'bigint'),
+        |  ('v_active_customer', 'c_name', 'string'),
+        |  ('v_active_customer', 'c_acctbal', 'double')
+        |) AS t(table_name, column_name, sql_type)),
+        |base AS (
+        |  SELECT table_name, column_name,
+        |    CASE WHEN column_name = 'p_size' THEN 'bigint' ELSE sql_type END
+        |      AS sql_type
+        |  FROM cur WHERE column_name NOT IN ('c_mktsegment', 'l_tax')
+        |  UNION ALL SELECT 'events', 'legacy_ip', 'string')
+        |SELECT coalesce(c.table_name, b.table_name) AS table_name,
+        |  coalesce(c.column_name, b.column_name) AS column_name,
+        |  CASE WHEN b.sql_type IS NULL THEN 'added'
+        |       WHEN c.sql_type IS NULL THEN 'removed'
+        |       ELSE 'type_changed' END AS change,
+        |  b.sql_type AS baseline_type, c.sql_type AS current_type
+        |FROM cur c FULL OUTER JOIN base b
+        |  ON c.table_name = b.table_name AND c.column_name = b.column_name
+        |WHERE b.sql_type IS NULL OR c.sql_type IS NULL OR c.sql_type <> b.sql_type
+        |ORDER BY table_name, column_name""".stripMargin,
   )
 }

@@ -436,6 +436,101 @@ object Binary {
       .toDF("doc_id", "payload")
   }
 
+  /** G3h synthesis: SEGMENTED constant-amplitude PCM — 16 segments ×
+    * 500 frames (1 s mono 16-bit @ 8 kHz) whose per-segment amplitude
+    * is pure integer arithmetic on the doc id, with a PLANTED near-dup
+    * structure: ids sharing `id DIV 8` form a group with identical
+    * amplitude profiles, and the group's last member (`id % 8 = 7`)
+    * perturbs exactly ONE segment (+6000) — an audible edit that moves
+    * ≤2 envelope-hash bits. The amplitude formula is replayable in the
+    * oracle with NO audio codec, the same proof shape as
+    * [[syntheticAudioTable]]/G3b. */
+  def syntheticSegmentedAudioTable(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(batchSize).flatMap { batch =>
+          batch.map { id =>
+            val g = id / 8
+            val perturbed = math.floorMod(id, 8) == 7
+            val pSeg = math.floorMod(g, 16).toInt
+            val frames = 8000
+            val pcm = new Array[Byte](frames * 2)
+            var s = 0
+            while (s < 16) {
+              val base = (math.floorMod(g * 31 + s * 17, 97) * 120 + 1000).toInt
+              val amp = if (perturbed && s == pSeg) base + 6000 else base
+              var i = s * 500
+              val end = i + 500
+              while (i < end) {
+                pcm(i * 2) = (amp & 0xff).toByte
+                pcm(i * 2 + 1) = ((amp >> 8) & 0xff).toByte
+                i += 1
+              }
+              s += 1
+            }
+            (id, WavCodec.encodePcm(pcm, 8000, 1, 16))
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  final case class AudioHash(doc_id: Long, ok: Boolean, ehash: Long)
+
+  /** G3h: energy-envelope perceptual hash — the audio analog of the
+    * image dHash (G3d): REAL WAV decode through the lock-free
+    * [[WavCodec]] parser, mean |amplitude| over 64 equal time windows,
+    * bit i (0..62) set iff window i is louder than window i+1 — a
+    * 63-bit loudness-CONTOUR signature invariant to global gain-ish
+    * edits and stable under local perturbation (one edited segment
+    * moves at most its two boundary comparisons). 63 bits, not 64:
+    * the oracle engine's left-shift overflows at bit 63, and a
+    * contour bit buys nothing there. Undecodable or non-16-bit-mono
+    * payloads degrade to ok=false, the codec-family corrupt-input
+    * contract. One map pass over the bytes; the hash is 8 bytes/doc —
+    * near-dup banding never shuffles audio. */
+  def audioEnvelopeHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val windows = 64
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            WavCodec.parse(bytes) match {
+              case Some(p) if p.bitsPerSample == 16 && p.channels == 1 &&
+                  p.dataLength >= 2 * windows =>
+                val n = p.dataLength / 2
+                val env = new Array[Long](windows)
+                val cnt = new Array[Long](windows)
+                var i = 0
+                while (i < n) {
+                  val o = p.dataOffset + i * 2
+                  val v = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toLong
+                  val w = (i.toLong * windows / n).toInt
+                  env(w) += math.abs(v)
+                  cnt(w) += 1
+                  i += 1
+                }
+                var h = 0L
+                var j = 0
+                while (j < windows - 1) {
+                  val a = if (cnt(j) == 0) 0L else env(j) / cnt(j)
+                  val b = if (cnt(j + 1) == 0) 0L else env(j + 1) / cnt(j + 1)
+                  if (a > b) h |= (1L << j)
+                  j += 1
+                }
+                AudioHash(id, ok = true, h)
+              case _ => AudioHash(id, ok = false, 0L)
+            }
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling: treat the payload as fixed-size frames and emit every
     * `everyN`-th one as its own row. Fully declarative (sequence +
     * transform + substring over binary run inside whole-stage codegen, and

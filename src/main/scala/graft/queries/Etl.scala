@@ -19,6 +19,41 @@ object Etl {
   def qDiscoverCatalog(spark: SparkSession, dir: String): DataFrame =
     Discovery.discoverCatalog(spark, dir)
 
+  /** A18: schema DRIFT report — live re-discovery vs a stored catalog
+    * (the tap re-runs discovery per invocation and merges it with the
+    * persisted catalog's selections — discover.py:17-97 /
+    * resolve.py:10-56; this face reports what CHANGED so selection
+    * review is explicit instead of silent). The baseline here is a
+    * deterministic mutation of the live catalog — two columns retired,
+    * one integer type widened, one legacy column only the baseline
+    * knows — and every (table, column) difference classifies as
+    * added / removed / type_changed. Catalog-sized frames throughout:
+    * this reads parquet FOOTERS, never data. */
+  def qSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val current = Discovery.discoverCatalog(spark, dir)
+      .select(col("table_name"), col("column_name"), col("sql_type"))
+    val baseline = current
+      .filter(!col("column_name").isin("c_mktsegment", "l_tax"))
+      .withColumn("sql_type",
+        when(col("column_name") === "p_size", lit("bigint"))
+          .otherwise(col("sql_type")))
+      .unionAll(Seq(("events", "legacy_ip", "string"))
+        .toDF("table_name", "column_name", "sql_type"))
+    current.withColumnRenamed("sql_type", "current_type")
+      .join(baseline.withColumnRenamed("sql_type", "baseline_type"),
+        Seq("table_name", "column_name"), "full_outer")
+      .withColumn("change",
+        when(col("baseline_type").isNull, "added")
+          .when(col("current_type").isNull, "removed")
+          .when(col("current_type") =!= col("baseline_type"), "type_changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("table_name"), col("column_name"), col("change"),
+        col("baseline_type"), col("current_type"))
+      .orderBy("table_name", "column_name")
+  }
+
   /** A2: column selection — selected ∩ available ∪ automatic. The pkey is
     * 'automatic' so it appears even though not selected. */
   def qSelectColumns(spark: SparkSession, dir: String): DataFrame =

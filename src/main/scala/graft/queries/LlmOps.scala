@@ -281,6 +281,38 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E14: k-NN label classification — predict each probe's label by
+    * majority vote of its top-10 cosine neighbors, with the
+    * retrieval-side accuracy report every embedding pipeline runs as a
+    * quality smoke (labels unrecoverable by kNN ⇒ embeddings broken).
+    * Top-k is E1's exact broadcast-probe bounded-heap shape; the vote
+    * is a |probes|·k aggregate and the argmax label rides the SAME
+    * bounded-heap aggregate at k=1 (votes desc, label asc tie-break —
+    * no per-probe window). Composes with E2/E3 candidate generation
+    * unchanged when the probe set outgrows a broadcast. */
+  def qKnnClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val topk = Ann.bruteForceTopK(annQueries(spark, dir),
+      emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+      "vec_id", "emb", k = k)
+    val votes = topk
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("query_id")
+      .agg(graft.functions.topKByScore(
+        col("votes").cast("double"), col("label"), 1).as("top"))
+      .select(col("query_id"),
+        element_at(col("top"), 1).getField("neighbor_id").as("predicted_label"),
+        element_at(col("top"), 1).getField("sim").cast("long").as("votes"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"), col("predicted_label"),
+        col("votes"), (col("true_label") === col("predicted_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** E7 scale path: the same hard-negative semantics over LSH buckets —
     * the deployment plan when the query set outgrows a broadcast.
     * Rows-only (LSH recall < 1); AnnSpec proves label-validity always
@@ -999,6 +1031,39 @@ object LlmOps {
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("n_frames"), col("duration_ms"), col("rms"))
       .orderBy("doc_id")
+
+  /** The planted segmented-audio corpus both G3h faces share — built
+    * fresh per call (8-byte ids in, real WAV bytes out; the codec pass
+    * is the workload being proven, same as qImageMeta). */
+  private def segmentedAudio(spark: SparkSession, dir: String): DataFrame =
+    Binary.syntheticSegmentedAudioTable(
+      Tables.table(spark, dir, "documents").select(col("doc_id"))
+        .repartition(spark.sparkContext.defaultParallelism), "doc_id")
+
+  /** G3h: audio perceptual fingerprint — REAL WAV decode → 63-bit
+    * energy-envelope contour hash (see [[Binary.audioEnvelopeHash]]).
+    * The segment amplitudes are integer functions of doc_id, so the
+    * oracle recomputes the expected hash with NO audio codec — parity
+    * proves the encode→decode→envelope pipeline bit-exact (the G3b/G3c
+    * proof shape, now for the fingerprint path). */
+  def qAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Binary.audioEnvelopeHash(segmentedAudio(spark, dir))
+      .filter(col("ok"))
+      .select(col("doc_id"), col("ehash"))
+      .orderBy("doc_id")
+
+  /** G3h near-dup: audio pairs within Hamming ≤ 3 of the envelope hash
+    * via the SAME 3-of-6 block banding as image near-dup (G3e) — the
+    * banding is COMPLETE for hamming ≤ 3, so the output is exactly the
+    * all-pairs answer the oracle computes in SQL. Planted contract:
+    * group siblings share a profile (hamming 0) and the perturbed
+    * member's single-segment edit moves ≤ 2 boundary bits. */
+  def qAudioNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SimHash.nearDupPairsFromSigs(
+      Binary.audioEnvelopeHash(segmentedAudio(spark, dir))
+        .filter(col("ok")).select(col("doc_id"), col("ehash")),
+      "doc_id", "ehash", maxHamming = 3)
+      .orderBy("id_a", "id_b")
 
   /** The deterministic planted-near-dup image corpus both image-dedup
     * queries share: REAL 9×8 PNGs whose decoded dHash is a per-id 64-bit

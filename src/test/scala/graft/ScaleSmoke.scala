@@ -305,6 +305,13 @@ object ScaleSmoke {
     // round-9: rule batteries + lexical diversity are pure map-side
     // projections (~linear, no exchange); the two temporal faces are one
     // user-keyed exchange + bounded per-user sort (the sessionize shape)
+    // round-9 batch 2: audio fingerprint family = one codec map pass +
+    // 8-byte-hash banding (~linear); knn = E1's broadcast-probe shape +
+    // two bounded aggregates; drift = catalog-sized footer reads (flat)
+    time("q_audio_fingerprint") { queries.LlmOps.qAudioFingerprint(spark, dir) }
+    time("q_audio_neardup") { queries.LlmOps.qAudioNearDup(spark, dir) }
+    time("q_knn_classify") { queries.LlmOps.qKnnClassify(spark, dir) }
+    time("q_schema_drift") { queries.Etl.qSchemaDrift(spark, dir) }
     time("q_gopher_rules") { queries.LlmOps.qGopherRules(spark, dir) }
     time("q_script_mix") { queries.LlmOps.qScriptMix(spark, dir) }
     time("q_ttr") { queries.LlmOps.qTtr(spark, dir) }

@@ -268,4 +268,19 @@ class AnnSpec extends SparkSpec {
       nCells = 4, tau = 1.0000001).collect()
     assert(out.length == 40 && out.forall(_.getAs[Boolean]("kept")))
   }
+
+  test("knn classify: label-clustered corpus recovers labels; tie-break deterministic") {
+    val out = graft.queries.LlmOps.qKnnClassify(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // every probe row carries a vote count within [1, k] and a verdict
+    assert(out.forall { r =>
+      val v = r.getAs[Long]("votes"); v >= 1L && v <= 10L })
+    val acc = out.count(_.getAs[Boolean]("correct")).toDouble / out.length
+    // the synthetic labels cluster in embedding space; kNN must beat the
+    // 1/|labels| random-guess floor by a wide margin
+    val nLabels = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select("label").distinct().count()
+    assert(acc > 1.5 / nLabels.toDouble,
+      s"kNN accuracy $acc vs ${nLabels} labels — embeddings or vote broken")
+  }
 }

@@ -232,4 +232,40 @@ class BinarySpec extends SparkSpec {
       .map(r => r.getLong(1))
     assert(out.sorted.toSeq == (0L to 7L), s"got ${out.toSeq}")
   }
+
+  test("audio envelope hash: siblings identical, perturbed within 2 bits, corrupt flagged") {
+    import spark.implicits._
+    // one full group (ids 0..7: 7 clean siblings + the perturbed id 7)
+    val media = Binary.syntheticSegmentedAudioTable((0L to 7L).toDF("doc_id"), "doc_id")
+    val hashes = Binary.audioEnvelopeHash(media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Boolean]("ok"), r.getAs[Long]("ehash")))
+      .toMap
+    assert(hashes.values.forall(_._1), "every synthesized WAV must decode")
+    val clean = (0L to 6L).map(hashes(_)._2).distinct
+    assert(clean.size == 1, s"unperturbed siblings share one profile: $clean")
+    val d = java.lang.Long.bitCount(clean.head ^ hashes(7L)._2)
+    assert(d >= 1 && d <= 2,
+      s"one-segment edit moves only its boundary comparisons: hamming $d")
+    assert(hashes.values.forall(_._2 >= 0L), "63-bit hash never sets the sign bit")
+    // corrupt payload degrades, never throws
+    val bad = Binary.audioEnvelopeHash(
+      Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")).collect()
+    assert(bad.length == 1 && !bad(0).getAs[Boolean]("ok"))
+  }
+
+  test("audio near-dup: banding finds exactly the all-pairs hamming<=3 set") {
+    import spark.implicits._
+    val media = Binary.syntheticSegmentedAudioTable((0L until 32L).toDF("doc_id"), "doc_id")
+    val sigs = Binary.audioEnvelopeHash(media).filter(org.apache.spark.sql.functions.col("ok"))
+      .select("doc_id", "ehash")
+    val banded = graft.dedup.SimHash.nearDupPairsFromSigs(sigs, "doc_id", "ehash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = sigs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val allPairs = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(banded == allPairs, s"banding must be complete for hamming<=3")
+    assert(allPairs.nonEmpty, "planted groups must produce pairs")
+  }
 }

@@ -37,4 +37,15 @@ class EtlQuerySpec extends SparkSpec {
     // oracle must change with it
     assert(parsed.toSeq == Seq(Some(7L), None, None, None, None, None))
   }
+
+  test("schema drift: exactly the four planted drifts, each correctly classified") {
+    val out = Etl.qSchemaDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+        r.getAs[String]("change"))).toSet
+    assert(out == Set(
+      ("customer", "c_mktsegment", "added"),
+      ("lineitem", "l_tax", "added"),
+      ("part", "p_size", "type_changed"),
+      ("events", "legacy_ip", "removed")), s"got $out")
+  }
 }
