@@ -169,6 +169,9 @@ object SparkEntry {
     "q_audio_neardup" -> ((s, dir) => LlmOps.qAudioNearDup(s, dir)),
     "q_knn_classify" -> ((s, dir) => LlmOps.qKnnClassify(s, dir)),
     "q_schema_drift" -> ((s, dir) => Etl.qSchemaDrift(s, dir)),
+    "q_active_users_trailing" -> ((s, dir) => Warehouse.qActiveUsersTrailing(s, dir)),
+    "q_active_users_trailing_approx" ->
+      ((s, dir) => Warehouse.qActiveUsersTrailingApprox(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2408,5 +2411,14 @@ object SparkEntry {
         |  ON c.table_name = b.table_name AND c.column_name = b.column_name
         |WHERE b.sql_type IS NULL OR c.sql_type IS NULL OR c.sql_type <> b.sql_type
         |ORDER BY table_name, column_name""".stripMargin,
+    "q_active_users_trailing" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM grid),
+        |c AS (SELECT DISTINCT d.day AS window_day, g.user_id
+        |      FROM days d JOIN grid g ON g.day BETWEEN d.day - 6 AND d.day)
+        |SELECT window_day, CAST(count(*) AS BIGINT) AS active_users_7d
+        |FROM c GROUP BY window_day ORDER BY window_day""".stripMargin,
   )
 }

@@ -180,4 +180,22 @@ package object functions {
     when(size(unionK) === 0, lit(0L))
       .otherwise(floor((lit(1000) * size(interK)) / size(unionK)).cast("long"))
   }
+
+  /** Distinct-count estimate from a [[kmvSketch]] array — including the
+    * k-bounded union of SEVERAL sketches: `slice(array_sort(
+    * array_distinct(flatten(...))), 1, k)` is itself a valid KMV sketch
+    * of the union (the k smallest distinct hashes), which is what makes
+    * per-partition/per-day sketches mergeable into rolling-window
+    * distincts without touching raw keys again. Below saturation the
+    * sketch IS the distinct hash set (estimate exact); at saturation,
+    * (k-1)/θ with θ = the k-th minimum mapped to the unit interval
+    * (Bar-Yossef et al. 2002 — the same formula engine/JoinEstimate
+    * applies to its join-size sketches; hashes are stored sign-flipped
+    * so the +0.5 recenters the signed range onto [0,1)). */
+  def kmvEstimateDistinct(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("long"))
+      .otherwise(
+        (lit((k - 1).toDouble) /
+          (element_at(sk, k).cast("double") / 1.8446744073709552e19 + 0.5))
+          .cast("long"))
 }

@@ -671,6 +671,63 @@ object Warehouse {
       .orderBy($"period", $"period_start")
   }
 
+  /** C33: trailing-7-day active users per day — the rolling-window
+    * distinct that a plain window-range count_distinct can't express
+    * without re-scanning each window. Shape: the (day, user) grid
+    * reduces FIRST (one exchange), each cell then contributes to the ≤7
+    * windows it falls in via a bounded explode, the contribution set
+    * re-distincts, and a hash aggregate counts — cost is `window ×
+    * |grid|` narrow rows, no per-window rescan, no range self-join of
+    * the raw events. Only days that actually occur report (the semi-join
+    * on real days), so the calendar edge is explicit on both engines. */
+  def qActiveUsersTrailing(spark: SparkSession, dir: String,
+      window: Int = 7): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.table(spark, dir, "events")
+      .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .distinct()
+    val days = grid.select($"day").distinct()
+    grid
+      .withColumn("i", explode(sequence(lit(0), lit(window - 1))))
+      .select(date_add($"day", $"i").as("window_day"), $"user_id")
+      .join(days.withColumnRenamed("day", "window_day"), "window_day")
+      .distinct()
+      .groupBy($"window_day")
+      .agg(count(lit(1)).as("active_users_7d"))
+      .orderBy($"window_day")
+  }
+
+  /** C33b: the 100 TB twin — per-day KMV sketches merged per window.
+    * The exact face's `window × grid` re-distinct carries every (day,
+    * user) cell seven times; at billions of users that exchange IS the
+    * query. Here raw user ids cross the network ONCE (into ≤k-long
+    * per-day sketches); each window then merges ≤7 sketches — flatten +
+    * distinct + sort + slice(1,k) is itself a valid KMV sketch of the
+    * union — and estimates. Exact below sketch saturation (the sketch
+    * is the distinct hash set), ~1/√k error beyond; rows-only [R]
+    * (sketch internals aren't SQL-expressible), WarehouseSpec pins
+    * unsaturated ≡ exact and bounds saturated error. */
+  def qActiveUsersTrailingApprox(spark: SparkSession, dir: String,
+      window: Int = 7, k: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.table(spark, dir, "events")
+      .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(graft.functions.kmvSketch($"user_id", k).as("sk"))
+    val days = daily.select($"day")
+    daily
+      .withColumn("i", explode(sequence(lit(0), lit(window - 1))))
+      .select(date_add($"day", $"i").as("window_day"), $"sk")
+      .join(days.withColumnRenamed("day", "window_day"), "window_day")
+      .groupBy($"window_day")
+      .agg(collect_list($"sk").as("sks"))
+      .select($"window_day",
+        graft.functions.kmvEstimateDistinct(
+          slice(array_sort(array_distinct(flatten($"sks"))), 1, k), k)
+          .as("active_users_7d_est"))
+      .orderBy($"window_day")
+  }
+
   /** C29: new vs returning users per day — classify each (day, user)
     * activity cell by whether it is the user's FIRST active day. The
     * distinct (day, user) grid reduces first (one exchange), the

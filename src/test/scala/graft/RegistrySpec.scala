@@ -22,7 +22,8 @@ class RegistrySpec extends AnyFunSuite {
       "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
       "q_ann_recall", "q_sketch_calibration",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
-      "q_bpe_fertility"),
+      "q_bpe_fertility",
+      "q_active_users_trailing_approx"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

@@ -308,6 +308,11 @@ object ScaleSmoke {
     // round-9 batch 2: audio fingerprint family = one codec map pass +
     // 8-byte-hash banding (~linear); knn = E1's broadcast-probe shape +
     // two bounded aggregates; drift = catalog-sized footer reads (flat)
+    // trailing-window distinct: exact = window×grid fanout; approx = the
+    // mergeable-sketch path whose exchange is k longs per day
+    time("q_active_users_trailing") { queries.Warehouse.qActiveUsersTrailing(spark, dir) }
+    time("q_active_users_trailing_approx") {
+      queries.Warehouse.qActiveUsersTrailingApprox(spark, dir) }
     time("q_audio_fingerprint") { queries.LlmOps.qAudioFingerprint(spark, dir) }
     time("q_audio_neardup") { queries.LlmOps.qAudioNearDup(spark, dir) }
     time("q_knn_classify") { queries.LlmOps.qKnnClassify(spark, dir) }

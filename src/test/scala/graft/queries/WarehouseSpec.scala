@@ -349,4 +349,37 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == expectedPairs,
       "every event except each user's first contributes exactly one transition")
   }
+
+  test("trailing active users: window-1 equals daily; trailing >= daily; approx exact when unsaturated") {
+    val daily = Warehouse.qActiveUsersTrailing(spark, sfDir, window = 1).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("active_users_7d")).toMap
+    val dailyRef = Warehouse.qActiveUsers(spark, sfDir).collect()
+      .filter(_.getAs[String]("period") == "day")
+      .map(r => r.getTimestamp(1).toLocalDateTime.toLocalDate.toString ->
+        r.getAs[Long]("active_users")).toMap
+    assert(daily == dailyRef, "window=1 must reproduce the daily distinct exactly")
+    val trailing = Warehouse.qActiveUsersTrailing(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("active_users_7d")).toMap
+    assert(daily.forall { case (d, n) => trailing(d) >= n },
+      "a 7-day window can only add users over its last day")
+    // k=1024 over this corpus' ~150 daily users: sketches unsaturated,
+    // the merged sketch IS the distinct hash set, estimate must be exact
+    val approx = Warehouse.qActiveUsersTrailingApprox(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("active_users_7d_est")).toMap
+    assert(approx == trailing, s"unsaturated sketch must be exact")
+  }
+
+  test("trailing active users approx: saturated sketch stays within the 1/sqrt(k) band") {
+    val k = 64
+    val exact = Warehouse.qActiveUsersTrailing(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("active_users_7d")).toMap
+    val approx = Warehouse.qActiveUsersTrailingApprox(spark, sfDir, k = k).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("active_users_7d_est")).toMap
+    exact.foreach { case (d, n) =>
+      val est = approx(d)
+      val bound = math.max(3.0 * n / math.sqrt(k.toDouble), 1.0)
+      assert(math.abs(est - n) <= bound || n < k,
+        s"$d: est $est vs exact $n beyond 3 sigma of k=$k")
+    }
+  }
 }
