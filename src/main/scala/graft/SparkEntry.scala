@@ -172,6 +172,15 @@ object SparkEntry {
     "q_active_users_trailing" -> ((s, dir) => Warehouse.qActiveUsersTrailing(s, dir)),
     "q_active_users_trailing_approx" ->
       ((s, dir) => Warehouse.qActiveUsersTrailingApprox(s, dir)),
+    "q_outlier_mad" -> ((s, dir) => Warehouse.qOutlierMad(s, dir)),
+    "q_cohort_value" -> ((s, dir) => Warehouse.qCohortValue(s, dir)),
+    "q_attribution" -> ((s, dir) => Warehouse.qAttribution(s, dir)),
+    "q_market_basket" -> ((s, dir) => Warehouse.qMarketBasket(s, dir)),
+    "q_domain_cap" -> ((s, dir) => LlmOps.qDomainCap(s, dir)),
+    "q_split_leakage" -> ((s, dir) => LlmOps.qSplitLeakage(s, dir)),
+    "q_funnel_time" -> ((s, dir) => Warehouse.qFunnelTime(s, dir)),
+    "q_snapshot_series" -> ((s, dir) => Temporal.qSnapshotSeries(s, dir)),
+    "q_ann_filtered" -> ((s, dir) => LlmOps.qAnnFiltered(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2301,29 +2310,35 @@ object SparkEntry {
     "q_audio_fingerprint" ->
       """WITH d AS (SELECT doc_id, doc_id // 8 AS g,
         |             (doc_id % 8 = 7) AS pert FROM documents),
-        |e AS (SELECT doc_id, list_transform(range(0, 16), s ->
-        |        ((g * 31 + s * 17) % 97) * 120
-        |          + CASE WHEN pert AND s = g % 16 THEN 7000 ELSE 1000 END) AS seg
-        |      FROM d)
-        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 63), i ->
-        |    CASE WHEN seg[(i // 4) + 1] > seg[((i + 1) // 4) + 1]
-        |         THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
-        |  AS BIGINT) AS ehash
-        |FROM e ORDER BY doc_id""".stripMargin,
+        |sx AS (SELECT doc_id, g, pert, unnest(range(0, 64)) AS s FROM d),
+        |seg AS (SELECT doc_id, s,
+        |    (xor(((g * 2654435761) % 2147483647) * (10007 + 74 * s) % 2147483647,
+        |         ((g * 2654435761) % 2147483647) * (10007 + 74 * s) % 2147483647
+        |           // 65536) % 97) * 120
+        |      + CASE WHEN pert AND s = g % 64 THEN 13000 ELSE 1000 END AS amp
+        |  FROM sx)
+        |SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN a.amp > b.amp
+        |    THEN CAST(1 AS BIGINT) << CAST(a.s AS INTEGER)
+        |    ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS ehash
+        |FROM seg a JOIN seg b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     // G3h near-dup: banding is COMPLETE for hamming <= 3, so the Spark
     // output must equal this ALL-PAIRS answer exactly (the G3e proof)
     "q_audio_neardup" ->
       """WITH d AS (SELECT doc_id, doc_id // 8 AS g,
         |             (doc_id % 8 = 7) AS pert FROM documents),
-        |e AS (SELECT doc_id, list_transform(range(0, 16), s ->
-        |        ((g * 31 + s * 17) % 97) * 120
-        |          + CASE WHEN pert AND s = g % 16 THEN 7000 ELSE 1000 END) AS seg
-        |      FROM d),
-        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 63), i ->
-        |          CASE WHEN seg[(i // 4) + 1] > seg[((i + 1) // 4) + 1]
-        |               THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
-        |        AS BIGINT) AS ehash
-        |      FROM e)
+        |sx AS (SELECT doc_id, g, pert, unnest(range(0, 64)) AS s FROM d),
+        |seg AS (SELECT doc_id, s,
+        |    (xor(((g * 2654435761) % 2147483647) * (10007 + 74 * s) % 2147483647,
+        |         ((g * 2654435761) % 2147483647) * (10007 + 74 * s) % 2147483647
+        |           // 65536) % 97) * 120
+        |      + CASE WHEN pert AND s = g % 64 THEN 13000 ELSE 1000 END AS amp
+        |  FROM sx),
+        |h AS (SELECT a.doc_id, CAST(coalesce(sum(CASE WHEN a.amp > b.amp
+        |        THEN CAST(1 AS BIGINT) << CAST(a.s AS INTEGER)
+        |        ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS ehash
+        |      FROM seg a JOIN seg b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+        |      GROUP BY a.doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.ehash, b.ehash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -2420,5 +2435,169 @@ object SparkEntry {
         |      FROM days d JOIN grid g ON g.day BETWEEN d.day - 6 AND d.day)
         |SELECT window_day, CAST(count(*) AS BIGINT) AS active_users_7d
         |FROM c GROUP BY window_day ORDER BY window_day""".stripMargin,
+    // C34: DuckDB median() IS quantile_cont(0.5) — the same linear
+    // interpolation at h=(n-1)/2 as Spark's exact `percentile`; the
+    // outlier predicate uses the UNROUNDED med/mad on both sides
+    "q_outlier_mad" ->
+      """WITH m AS (SELECT event_type, median(value) AS med
+        |           FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.value, m.med
+        |      FROM events e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, median(abs(value - med)) AS mad
+        |      FROM d GROUP BY event_type)
+        |SELECT d.event_type, round(any_value(d.med), 4) AS med,
+        |  round(any_value(s.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * s.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM d JOIN s USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q_cohort_value" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM f GROUP BY cohort_day),
+        |cells AS (
+        |  SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+        |      AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS n_purchases, sum(e.value) AS v
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY f.cohort_day, day_idx)
+        |SELECT c.cohort_day, c.day_idx, sz.n_users, c.n_purchases,
+        |  round(c.v, 4) AS day_value,
+        |  round(sum(c.v) OVER (PARTITION BY c.cohort_day ORDER BY c.day_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+        |FROM cells c JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_idx""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS click_us
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+        |  CASE WHEN click_id IS NOT NULL
+        |            AND us - click_us <= CAST(604800000000 AS BIGINT)
+        |       THEN click_id END AS attributed_click_id,
+        |  CASE WHEN click_id IS NOT NULL
+        |            AND us - click_us <= CAST(604800000000 AS BIGINT)
+        |       THEN us - click_us END AS lag_us,
+        |  (click_id IS NOT NULL
+        |    AND us - click_us <= CAST(604800000000 AS BIGINT)) AS attributed
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+    "q_market_basket" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM d a JOIN d b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY part_a, part_b HAVING n_ab >= 2),
+        |c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM d GROUP BY l_partkey),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM d)
+        |SELECT p.part_a, p.part_b, p.n_ab,
+        |  ca.n_orders AS n_a, cb.n_orders AS n_b,
+        |  (p.n_ab * t.n_total * 1000000) // (ca.n_orders * cb.n_orders)
+        |    AS lift_ppm
+        |FROM pairs p
+        |JOIN c ca ON ca.l_partkey = p.part_a
+        |JOIN c cb ON cb.l_partkey = p.part_b
+        |CROSS JOIN t
+        |ORDER BY part_a, part_b""".stripMargin,
+    "q_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+        |  FROM documents)
+        |SELECT doc_id, source, n_source, rn <= 10 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // H18: same 16-token/16-stride chunking + md5 as q_chunk_dedup's
+    // oracle, with the naive id-hash split applied in SQL
+    "q_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start FROM toks),
+        |ch AS (SELECT DISTINCT doc_id,
+        |         md5(array_to_string(list_slice(t, start + 1, start + 16), ' '))
+        |           AS h
+        |       FROM s),
+        |sp AS (SELECT h, doc_id,
+        |         CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |              WHEN doc_id % 10 < 9 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM ch)
+        |SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |FROM sp GROUP BY h HAVING n_splits > 1 ORDER BY h""".stripMargin,
+    // C38: DuckDB quantile_cont == Spark exact percentile (both linear
+    // interpolation at h=(n-1)p); latencies are exact integer micros
+    "q_funnel_time" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT 'view_to_click' AS step,
+        |    epoch_us(c.t_click) - epoch_us(v.t_view) AS lat_us
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS step,
+        |    epoch_us(p.t_purchase) - epoch_us(c.t_click) AS lat_us
+        |  FROM c JOIN p ON c.user_id = p.user_id)
+        |SELECT step, CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(lat_us, 0.5), 1) AS median_lat_us,
+        |  round(quantile_cont(lat_us, 0.9), 1) AS p90_lat_us
+        |FROM lat GROUP BY step ORDER BY step""".stripMargin,
+    // I4: the I1 latest-change rule replayed at each checkpoint — the
+    // oracle states the window row_number form of the same selection
+    "q_snapshot_series" ->
+      """WITH cps AS (SELECT unnest(ARRAY[
+        |    TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15',
+        |    TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29']) AS cp),
+        |log AS (SELECT user_id, ts, event_id,
+        |          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |          value
+        |        FROM events),
+        |lasts AS (
+        |  SELECT cp, user_id, op, value,
+        |    row_number() OVER (PARTITION BY cp, user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log JOIN cps ON ts < cp)
+        |SELECT CAST(cp AS DATE) AS checkpoint,
+        |  CAST(count(*) AS BIGINT) AS live_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM lasts WHERE rn = 1 AND op <> 'D'
+        |GROUP BY cp ORDER BY checkpoint""".stripMargin,
+    // E15: E1's oracle with the predicate applied to the corpus side
+    "q_ann_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |               e.vec_id) AS "rank"
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.query_id AND e.label = 1) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
   )
 }

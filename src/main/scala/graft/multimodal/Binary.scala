@@ -455,15 +455,33 @@ object Binary {
           batch.map { id =>
             val g = id / 8
             val perturbed = math.floorMod(id, 8) == 7
-            val pSeg = math.floorMod(g, 16).toInt
+            val pSeg = math.floorMod(g, 64).toInt
             val frames = 8000
             val pcm = new Array[Byte](frames * 2)
             var s = 0
-            while (s < 16) {
-              val base = (math.floorMod(g * 31 + s * 17, 97) * 120 + 1000).toInt
-              val amp = if (perturbed && s == pSeg) base + 6000 else base
-              var i = s * 500
-              val end = i + 500
+            while (s < 64) {
+              // 64 constant-amplitude segments, aligned one-per-envelope-
+              // window, each from a per-(group, segment) multiplicative
+              // hash + xor-fold — so ALL 63 contour comparisons carry
+              // independent information. The first cut (16 segments from
+              // an arithmetic progression mod 97) had two scale defects
+              // found by the sf0.1 bench: only 97 distinct profiles
+              // (hamming-0 clusters grew linearly with the corpus), and
+              // even fully-mixed 16-segment profiles leave just 15
+              // informative bits, whose hamming≤3 ball is dense (365k
+              // accidental pairs at 5000 docs). With 63 informative bits
+              // the planted groups are the ONLY pairs at any corpus size
+              // (pair output = 28·N/8, linear forever). The +12000 edit
+              // always exceeds the 11520 max inter-window gap, so the
+              // perturbed member's single-window edit moves its ≤2
+              // boundary comparisons and nothing else. Exact-integer
+              // replayable in SQL (the oracle recomputes it verbatim).
+              val m = math.floorMod(g * 2654435761L, 2147483647L)
+              val x = math.floorMod(m * (10007L + 74L * s), 2147483647L)
+              val base = ((x ^ (x >> 16)) % 97L * 120L + 1000L).toInt
+              val amp = if (perturbed && s == pSeg) base + 12000 else base
+              var i = s * 125
+              val end = i + 125
               while (i < end) {
                 pcm(i * 2) = (amp & 0xff).toByte
                 pcm(i * 2 + 1) = ((amp >> 8) & 0xff).toByte

@@ -1060,8 +1060,13 @@ object LlmOps {
     * member's single-segment edit moves ≤ 2 boundary bits. */
   def qAudioNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.SimHash.nearDupPairsFromSigs(
-      Binary.audioEnvelopeHash(segmentedAudio(spark, dir))
-        .filter(col("ok")).select(col("doc_id"), col("ehash")),
+      // the banding consumes the signature frame three times (band
+      // explode + both verify join-backs); 8 bytes/doc materialized once
+      // beats re-running the WAV encode→decode→envelope codec pass per
+      // consumer (measured 3× the codec cost without it at sf0.1)
+      graft.engine.Materialized.checkpoint(
+        Binary.audioEnvelopeHash(segmentedAudio(spark, dir))
+          .filter(col("ok")).select(col("doc_id"), col("ehash"))),
       "doc_id", "ehash", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
@@ -1752,4 +1757,80 @@ object LlmOps {
     graft.ann.Centroids.scoreAgainstCentroid(
       Tables.table(spark, dir, "embeddings"), "vec_id", "label", "embedding")
       .orderBy("vec_id")
+
+  /** E15: FILTERED vector search — exact top-k among corpus vectors
+    * satisfying a metadata predicate (here label = 1), the
+    * vector-database feature every RAG deployment needs ("nearest
+    * docs WHERE tenant = X AND lang = 'en'"). This is PRE-filtering:
+    * the predicate prunes the corpus before scoring, so the k results
+    * are the true top-k of the satisfying set — post-filtering an
+    * unfiltered top-k instead silently returns FEWER than k (or
+    * nothing) when the predicate is selective, the classic recall
+    * bug (AnnSpec pins the separation). Shape = E1 with the predicate
+    * pushed into the corpus scan: broadcast probes, bounded-heap
+    * aggregate, and the filter prunes parquet row groups at 100 TB.
+    * The E2/E3 bucketed candidate generation composes in front
+    * unchanged for the approximate path. */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(annQueries(spark, dir),
+      Tables.table(spark, dir, "embeddings")
+        .filter(col("label") === 1)
+        .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+      "vec_id", "emb", k = 10)
+      .orderBy("query_id", "rank")
+
+  /** H17: per-source document cap — the CommonCrawl-style per-domain
+    * quota (a handful of template-farm domains can otherwise dominate a
+    * crawl snapshot). Keep the `c` smallest doc ids per source via the
+    * same constant-score bounded-heap top-k aggregate as D1b: one
+    * HashAggregate with map-side partials, c slots of state per source
+    * no matter how viral the domain, NO window and NO per-group sort —
+    * a 10M-doc template farm costs the same aggregate state as a
+    * 10-doc blog. The caps frame (one row per source) broadcasts back,
+    * so the corpus is scanned twice and shuffled once. */
+  def qDomainCap(spark: SparkSession, dir: String, c: Int = 10): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val caps = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_source"),
+        graft.functions.topKByScore(lit(0.0), col("doc_id"), c).as("keep"))
+      .select(col("source"), col("n_source"),
+        transform(col("keep"), x => x.getField("neighbor_id")).as("keep_ids"))
+    docs.join(broadcast(caps), "source")
+      .select(col("doc_id"), col("source"), col("n_source"),
+        array_contains(col("keep_ids"), col("doc_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** H18: train/test split-leakage audit — chunk fingerprints (D16's
+    * 16-token granularity) shared across the NAIVE id-hash split
+    * (doc_id mod 10 → 8/1/1). H1's content-hash splitter makes
+    * exact-duplicate leakage structurally impossible, which is exactly
+    * why teams use id-based splits unaudited; this face is the auditor
+    * that catches what id-splitting lets through (shared boilerplate,
+    * syndicated passages, template text straddling the boundary).
+    * Shape: linear chunk explode → distinct (hash, doc) → one
+    * HashAggregate whose state is bounded (count + ≤3-element split
+    * set) regardless of how viral a chunk hash is; only hashes seen in
+    * >1 split survive to the output. Cross-split N-GRAM leakage at
+    * benchmark granularity is D7 decontaminate; this audits the
+    * training corpus against its own split boundary instead. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.text.Chunking.chunk(
+      Tables.table(spark, dir, "documents"), "text", "doc_id",
+      size = 16, stride = 16)
+    val perDoc = chunks
+      .select(md5(col("chunk_text")).as("h"), col("doc_id"))
+      .distinct()
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(10)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10)) < 9, "val")
+          .otherwise("test"))
+    perDoc.groupBy("h")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy("h")
+  }
 }

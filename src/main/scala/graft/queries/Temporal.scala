@@ -38,6 +38,37 @@ object Temporal {
     * and a winners+join-back alternative would rescan the changelog —
     * one sorted scan is the better trade for wide payloads.
     */
+  /** I4: TIME-TRAVEL snapshot series — the table's state AS OF several
+    * checkpoints, reconstructed from the same CDC changelog in ONE scan
+    * (the lakehouse `VERSION AS OF` read, answered from the log instead
+    * of stored snapshots). Each event joins its ≤|checkpoints| future
+    * checkpoints via a broadcast 4-row inequality join (bounded fanout —
+    * the C33 grid pattern), then per (checkpoint, key) the I1 max_by
+    * picks the last change before the checkpoint, tombstones drop, and
+    * the per-checkpoint rollup reports live keys + value mass. Cost is
+    * |checkpoints| × the I1 plan, NOT a per-checkpoint replay of the
+    * log; at 100 TB a date-partitioned changelog additionally prunes
+    * every partition newer than max(checkpoint). */
+  def qSnapshotSeries(spark: SparkSession, dir: String,
+      checkpoints: Seq[String] = Seq(
+        "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")): DataFrame = {
+    import spark.implicits._
+    val cps = checkpoints.toDF("cp_s").select(to_timestamp($"cp_s").as("cp"))
+    val log = Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+        $"value")
+    log.join(broadcast(cps), $"ts" < $"cp")
+      .groupBy($"cp", $"user_id")
+      .agg(max_by(struct($"op", $"value"), struct($"ts", $"event_id")).as("last"))
+      .filter($"last.op" =!= "D")
+      .groupBy($"cp")
+      .agg(count(lit(1)).as("live_users"),
+        round(sum($"last.value"), 2).as("total_value"))
+      .select($"cp".cast("date").as("checkpoint"), $"live_users", $"total_value")
+      .orderBy($"checkpoint")
+  }
+
   def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val log = Tables.table(spark, dir, "events")

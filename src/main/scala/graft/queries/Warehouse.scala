@@ -800,6 +800,161 @@ object Warehouse {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** C34: robust outlier report per event type — median/MAD instead of
+    * mean/stddev (C26's z-score), so a 1%-contaminated stream can't drag
+    * its own threshold (the breakdown point of the mean is 0; of the
+    * median, 50%). Flags |x − med| > 3·1.4826·MAD, the standard
+    * consistent-estimator scaling. Exact `percentile` is per-group
+    * sort-based and needs the median BEFORE the absolute deviations
+    * exist, so this is declared a three-scan exact face (med → MAD →
+    * count); both intermediate frames are |types| rows and broadcast
+    * back, so the scans are the whole cost. At 100 TB swap both
+    * percentile calls for approx_percentile (single-pass KLL-style
+    * sketch, mergeable) — the threshold moves by the sketch error bound,
+    * the shape stays identical. */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame =
+    robustOutlierReport(
+      Tables.table(spark, dir, "events").select(col("event_type"), col("value")),
+      "event_type", "value")
+
+  /** C34 core, reusable over any (group, value) frame. */
+  def robustOutlierReport(df: DataFrame, groupCol: String,
+      valueCol: String, k: Double = 3.0): DataFrame = {
+    val g = col(groupCol); val v = col(valueCol)
+    val med = df.groupBy(g)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(g)
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .groupBy(g)
+      .agg(
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(v - col("med")) > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(g)
+  }
+
+  /** C35: cohort value curve (the LTV table) — users cohorted by
+    * first-seen day, purchase value accumulated by days-since-cohort.
+    * Two linear aggregations (first-seen per user, value per
+    * cohort×day cell) plus ONE window — but the window runs over the
+    * AGGREGATED grid (cohorts × day offsets, ≤ span² rows at any corpus
+    * size), never over raw events, so the cumulative sum costs nothing
+    * at 100 TB. The user→cohort join is a plain shuffle equi-join on
+    * user_id (users are not dimension-sized; no broadcast). */
+  def qCohortValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+    val firsts = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+      .select($"user_id", to_date($"first_ts").as("cohort_day"))
+    val sizes = firsts.groupBy($"cohort_day").agg(count(lit(1)).as("n_users"))
+    val cells = ev.filter($"event_type" === "purchase")
+      .join(firsts, "user_id")
+      .select($"cohort_day",
+        datediff(to_date($"ts"), $"cohort_day").cast("long").as("day_idx"),
+        $"value")
+      .groupBy($"cohort_day", $"day_idx")
+      .agg(count(lit(1)).as("n_purchases"), sum($"value").as("v"))
+    val byCohort = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cohort_day").orderBy($"day_idx")
+    cells
+      .withColumn("cum_value", round(sum($"v").over(byCohort), 4))
+      .join(broadcast(sizes), "cohort_day")
+      .select($"cohort_day", $"day_idx", $"n_users", $"n_purchases",
+        round($"v", 4).as("day_value"), $"cum_value")
+      .orderBy($"cohort_day", $"day_idx")
+  }
+
+  /** C38: funnel step-latency report — how long converting users take
+    * between funnel stages (the companion to C13's who-converts): per
+    * step, converted-user count and exact median/p90 latency in micros.
+    * Reuses C13's reach frame (its per-step min-ts aggregates), unions
+    * the two transition latencies into a (step, lat) long format, and
+    * reduces to a 2-row report with exact `percentile` — per-step groups
+    * are |converted users|, and at 100 TB the same approx_percentile
+    * swap as C34 applies without changing the shape. */
+  def qFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = qFunnel(spark, dir)
+    val vc = f.filter($"t_click".isNotNull)
+      .select(lit("view_to_click").as("step"),
+        (unix_micros($"t_click") - unix_micros($"t_view")).as("lat_us"))
+    val cp = f.filter($"t_purchase".isNotNull)
+      .select(lit("click_to_purchase").as("step"),
+        (unix_micros($"t_purchase") - unix_micros($"t_click")).as("lat_us"))
+    vc.union(cp).groupBy($"step")
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)"), 1).as("median_lat_us"),
+        round(expr("percentile(lat_us, 0.9)"), 1).as("p90_lat_us"))
+      .orderBy($"step")
+  }
+
+  /** C36: last-touch attribution — each purchase credits the most recent
+    * preceding click by the same user within a 7-day lookback. ONE
+    * window pass over the user timeline (last ignoreNulls over rows
+    * [-∞, -1]) instead of a purchases⋈clicks range self-join: the join
+    * shape is quadratic per user in click density, the window is linear
+    * and shares C5/C31/C32's single user_id exchange. The lookback
+    * filter happens AFTER the carry, so a >7-day-old click yields NULL
+    * attribution, exactly the marketing-analytics contract. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lookbackUs = 7L * 86400L * 1000000L
+    val prior = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carried = Tables.table(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
+          .over(prior))
+      .withColumn("click_us",
+        last(when($"event_type" === "click", $"us"), ignoreNulls = true)
+          .over(prior))
+    val attributed = $"click_id".isNotNull &&
+      ($"us" - $"click_us") <= lit(lookbackUs)
+    carried.filter($"event_type" === "purchase")
+      .select(
+        $"event_id".as("purchase_id"), $"user_id", $"us".as("purchase_us"),
+        when(attributed, $"click_id").as("attributed_click_id"),
+        when(attributed, $"us" - $"click_us").as("lag_us"),
+        attributed.as("attributed"))
+      .orderBy($"purchase_id")
+  }
+
+  /** C37: market-basket co-occurrence with lift — part pairs sharing an
+    * order, scored by n_ab·N/(n_a·n_b) in integer ppm. The pair
+    * expansion is the per-order self-join on l_orderkey: co-partitioned
+    * equi-join, output bounded by Σ basket(o)² — baskets are small and
+    * bounded by order economics, so the blowup is a constant factor of
+    * the scan, NOT |parts|² (the all-pairs trap). Support counts join
+    * back on the part key AFTER the n_ab ≥ 2 filter collapses the pair
+    * frame; AQE broadcasts the survivors at test scale and falls back to
+    * shuffle joins when parts outgrow the threshold at 100 TB. */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = d.as("a")
+      .join(d.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+    val counts = d.groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+    val totals = d.select(countDistinct($"l_orderkey").as("n_total"))
+    pairs
+      .join(counts.select($"l_partkey".as("part_a"), $"n_orders".as("n_a")), "part_a")
+      .join(counts.select($"l_partkey".as("part_b"), $"n_orders".as("n_b")), "part_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_ppm", expr("(n_ab * n_total * 1000000) DIV (n_a * n_b)"))
+      .select($"part_a", $"part_b", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
+      .orderBy($"part_a", $"part_b")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -202,6 +202,53 @@ object Events {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** A purchase's attribution verdict (G12); `attributed_click_id` is
+    * None when the user's latest prior click is absent or stale. */
+  final case class Attribution(purchase_id: Long, user_id: Long,
+      purchase_us: Long, attributed_click_id: Option[Long],
+      lag_us: Option[Long], attributed: Boolean)
+
+  /** G12: streaming last-touch attribution — the continuous face of
+    * Warehouse.qAttribution (C36). State per user = ONE (us, event_id)
+    * pair: the latest click seen so far (monotone — an out-of-order
+    * click older than the stored one is ignored, the G9 contract).
+    * Each purchase emits exactly once, credited against that state if
+    * within the lookback. Batch rows arrive unordered, so the group
+    * iterator sorts in-memory (micro-batch-bounded, same as G2);
+    * ACROSS batches correctness needs clicks delivered no later than
+    * the purchases they precede — the upstream watermark's job, as
+    * with every cross-batch ordering contract in this file. */
+  def attributionStream(events: Dataset[Event],
+      lookbackUs: Long = 7L * 86400L * 1000000L): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: Timestamp): Long =
+      ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[(Long, Long)]): Iterator[Attribution] = {
+      var lastClick = state.getOption // (us, event_id)
+      val out = Seq.newBuilder[Attribution]
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        e.event_type match {
+          case "click" if lastClick.forall(c =>
+              c._1 < us || (c._1 == us && c._2 < e.event_id)) =>
+            lastClick = Some((us, e.event_id))
+          case "purchase" =>
+            val hit = lastClick.filter(c => us - c._1 <= lookbackUs)
+            out += Attribution(e.event_id, userId, us,
+              hit.map(_._2), hit.map(us - _._1), hit.isDefined)
+          case _ => ()
+        }
+      }
+      lastClick.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming exact dedup — the continuous face of graft.dedup.Dedup
     * (D1): drops events whose id was already seen within the watermark
     * horizon. State is bounded by the watermark (expired keys age out),

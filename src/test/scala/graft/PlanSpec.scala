@@ -462,4 +462,49 @@ class PlanSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("user_id"), 8192).as("d")))
     assert(!preOrder.contains("Sort"), "sketch aggregation itself must not sort")
   }
+
+  test("outlier mad: both stat frames broadcast back — the corpus never shuffles on the group key twice") {
+    val plan = planOf(queries.Warehouse.qOutlierMad(spark, sfDir))
+    assert(!plan.contains("Window"), "robust stats must not window")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "med and mad frames must both broadcast onto the fact scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "|types|-row stat frames must never sort-merge")
+  }
+
+  test("attribution: one user exchange, no self-join of the event stream") {
+    val df = queries.Warehouse.qAttribution(spark, sfDir)
+    val plan = planOf(df)
+    // the range self-join alternative would plan a second join here
+    assert(!plan.contains("Join"), "attribution must be the window carry, not a join")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      "exactly one user-keyed exchange")
+  }
+
+  test("market basket: pair expansion joins on the order key, no cartesian of parts") {
+    val plan = planOf(queries.Warehouse.qMarketBasket(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      "pair expansion must ride the per-order equi-join")
+    // the one-row totals frame is the only nested-loop (broadcast) join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      "only the one-row totals may cross-join")
+  }
+
+  test("domain cap plans the bounded-heap aggregate with a broadcast caps frame") {
+    val plan = planOf(queries.LlmOps.qDomainCap(spark, sfDir))
+    assert(!plan.contains("Window"), "cap selection must not window")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "TopKByScore must run partial (map-side) + final")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-source caps frame must broadcast onto the doc scan")
+  }
+
+  test("split leakage: bounded-state hash aggregation, no window, docs scanned once") {
+    val df = queries.LlmOps.qSplitLeakage(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), "leak audit must not window")
+    assert(!plan.contains("Join"), "leak audit is aggregation-only — no join")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      "documents must be scanned exactly once")
+  }
 }

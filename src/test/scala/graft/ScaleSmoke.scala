@@ -322,6 +322,23 @@ object ScaleSmoke {
     time("q_ttr") { queries.LlmOps.qTtr(spark, dir) }
     time("q_time_weighted_avg") { queries.Warehouse.qTimeWeightedAvg(spark, dir) }
     time("q_event_transitions") { queries.Warehouse.qEventTransitions(spark, dir) }
+    // round-9 batch 3: outlier_mad = three scans, each reduced to a
+    // broadcast |types|-row frame; cohort/attribution share the single
+    // user-keyed exchange; market_basket's pair frame is Σ basket² then
+    // HAVING-collapsed before the support join-backs; domain_cap is the
+    // D1b bounded-heap aggregate; split_leakage one bounded-state agg
+    time("q_outlier_mad") { queries.Warehouse.qOutlierMad(spark, dir) }
+    time("q_cohort_value") { queries.Warehouse.qCohortValue(spark, dir) }
+    time("q_attribution") { queries.Warehouse.qAttribution(spark, dir) }
+    time("q_market_basket") { queries.Warehouse.qMarketBasket(spark, dir) }
+    time("q_domain_cap") { queries.LlmOps.qDomainCap(spark, dir) }
+    time("q_split_leakage") { queries.LlmOps.qSplitLeakage(spark, dir) }
+    // round-9 batch 4: funnel_time reduces C13's frame to a 2-row report;
+    // snapshot_series = |cps| × the I1 aggregate off one scan;
+    // ann_filtered = E1's broadcast-probe shape over the pruned corpus
+    time("q_funnel_time") { queries.Warehouse.qFunnelTime(spark, dir) }
+    time("q_snapshot_series") { queries.Temporal.qSnapshotSeries(spark, dir) }
+    time("q_ann_filtered") { queries.LlmOps.qAnnFiltered(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -283,4 +283,32 @@ class AnnSpec extends SparkSpec {
     assert(acc > 1.5 / nLabels.toDouble,
       s"kNN accuracy $acc vs ${nLabels} labels — embeddings or vote broken")
   }
+
+  test("filtered ANN: pre-filter returns the true top-k of the satisfying set; post-filter under-returns") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qAnnFiltered(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val allowed = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .filter(col("label") === 1).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // every result satisfies the predicate
+    assert(out.forall(r => allowed(r.getAs[Long]("neighbor_id"))),
+      "a neighbor escaped the predicate")
+    // full k wherever the satisfying set allows (it does at sf0.001)
+    val k = 10
+    assert(allowed.size > k)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.length == k, s"query $q returned ${rs.length} of $k")
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to k.toLong),
+        s"query $q ranks not contiguous")
+    }
+    // the classic recall bug: post-filtering an UNFILTERED top-k returns
+    // fewer than k for any query whose global top-k isn't all label-1 —
+    // pre-filtering is a different (correct) operator, not an optimization
+    val unfiltered = graft.queries.LlmOps.qAnnTopK(spark, sfDir).collect()
+    val postCounts = unfiltered.filter(r => allowed(r.getAs[Long]("neighbor_id")))
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(postCounts.values.exists(_ < k),
+      "corpus labels too uniform to demonstrate the pre/post separation")
+  }
 }

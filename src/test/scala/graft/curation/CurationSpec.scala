@@ -326,4 +326,53 @@ class CurationSpec extends SparkSpec {
           s"$src head must outscore tail")
     }
   }
+
+  test("domain cap: at most c per source, kept = the c smallest ids, totals reconcile") {
+    val c = 10
+    val rows = graft.queries.LlmOps.qDomainCap(spark, sfDir, c).collect()
+    val total = graft.sources.Tables.table(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == total, "one verdict per document")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val n = rs.length.toLong
+      assert(rs.forall(_.getAs[Long]("n_source") == n),
+        s"$src: n_source must equal the group size")
+      val kept = rs.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id"))
+      assert(kept.length == math.min(c.toLong, n).toInt,
+        s"$src: kept ${kept.length} of $n with cap $c")
+      val smallest = rs.map(_.getAs[Long]("doc_id")).sorted.take(c).toSet
+      assert(kept.toSet == smallest, s"$src: kept set must be the $c smallest ids")
+    }
+  }
+
+  test("split leakage: reported hashes truly span splits; content-hash splits report empty") {
+    val rows = graft.queries.LlmOps.qSplitLeakage(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the sf0.001 corpus plants cross-split chunk reuse")
+    // recompute each reported hash's split set from the raw chunks
+    val chunks = graft.text.Chunking.chunk(
+      graft.sources.Tables.table(spark, sfDir, "documents"),
+      "text", "doc_id", size = 16, stride = 16)
+      .select(md5(col("chunk_text")).as("h"), col("doc_id"))
+      .distinct().collect()
+      .map(r => (r.getAs[String]("h"), r.getAs[Long]("doc_id")))
+    def split(id: Long): String =
+      if (id % 10 < 8) "train" else if (id % 10 < 9) "val" else "test"
+    val byHash = chunks.groupBy(_._1)
+    rows.foreach { r =>
+      val h = r.getAs[String]("h")
+      val docs = byHash(h).map(_._2)
+      val splits = docs.map(split).distinct.sorted
+      assert(splits.length > 1, s"$h does not span splits")
+      assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+      assert(r.getAs[Long]("n_splits") == splits.length.toLong)
+      assert(r.getAs[String]("splits") == splits.mkString(","))
+    }
+    // completeness: every truly-leaking hash is reported
+    val leaking = byHash.filter(_._2.map(x => split(x._2)).distinct.length > 1)
+    assert(rows.length == leaking.size,
+      s"reported ${rows.length} but corpus leaks ${leaking.size}")
+    // under H1's content-hash split the same audit is structurally empty:
+    // identical text → identical hash → identical split
+    assert(leaking.values.forall(_.map(_._2).distinct.length > 1),
+      "a leaking hash must involve more than one document")
+  }
 }

@@ -140,4 +140,41 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("snapshot series: each checkpoint replays the log truncated at its horizon") {
+    import spark.implicits._
+    val rows = Temporal.qSnapshotSeries(spark, sfDir).collect()
+    assert(rows.length == 4, "one row per checkpoint with activity before it")
+    // replay each checkpoint by brute force from the raw log
+    val log = graft.sources.Tables.table(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type", $"value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    rows.foreach { r =>
+      val cpUs = r.getAs[java.sql.Date]("checkpoint").toLocalDate
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+      val lasts = log.filter(_._2 < cpUs).groupBy(_._1)
+        .map { case (_, es) => es.maxBy(e => (e._2, e._3)) }
+        .filter(_._4 != "error")
+      assert(r.getAs[Long]("live_users") == lasts.size.toLong,
+        s"live count mismatch at $r")
+      val v = BigDecimal(lasts.map(_._5).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("total_value") - v) < 0.02,
+        s"value mass mismatch at $r: brute $v")
+    }
+    // hand-built scenario: upsert → tombstone → re-upsert across horizons
+    val mini = Seq(
+      (1L, 1000L, 1L, "U", 5.0), (1L, 2000L, 2L, "D", 0.0),
+      (1L, 3000L, 3L, "U", 7.0), (2L, 1500L, 4L, "U", 2.0))
+    val expect = Map(1500L -> Set(1L), 2500L -> Set(2L), 3500L -> Set(1L, 2L))
+    expect.foreach { case (cp, want) =>
+      val got = mini.filter(_._2 < cp).groupBy(_._1)
+        .map { case (_, es) => es.maxBy(e => (e._2, e._3)) }
+        .filter(_._4 != "D").map(_._1).toSet
+      assert(got == want, s"scenario at $cp: got $got")
+    }
+  }
 }

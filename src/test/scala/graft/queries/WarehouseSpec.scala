@@ -382,4 +382,128 @@ class WarehouseSpec extends SparkSpec {
         s"$d: est $est vs exact $n beyond 3 sigma of k=$k")
     }
   }
+
+  test("outlier mad: planted 100x spike flagged, clean uniform column flags zero") {
+    import spark.implicits._
+    // uniform [0,1): max |dev| = 2*MAD < 3*1.4826*MAD — zero outliers
+    val clean = (0 until 1000)
+      .map(i => ("g", (i.toDouble + 0.5) / 1000.0)).toDF("grp", "v")
+    val cleanRow = Warehouse.robustOutlierReport(clean, "grp", "v").collect()(0)
+    assert(cleanRow.getAs[Long]("n_outliers") == 0L,
+      s"uniform column must flag nothing, got $cleanRow")
+    // same column plus ten 100x spikes: exactly those ten flagged, and
+    // the spikes move the median by at most one rank step
+    val spiked = clean.union(Seq.fill(10)(("g", 100.0)).toDF("grp", "v"))
+    val spikedRow = Warehouse.robustOutlierReport(spiked, "grp", "v").collect()(0)
+    assert(spikedRow.getAs[Long]("n_outliers") == 10L,
+      s"exactly the planted spikes must be flagged, got $spikedRow")
+    assert(math.abs(spikedRow.getAs[Double]("med") - 0.5) < 0.02,
+      "median must shrug off 1% contamination")
+  }
+
+  test("outlier mad face: per-type rates are small and stats are sane") {
+    val rows = Warehouse.qOutlierMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val out = r.getAs[Long]("n_outliers")
+      assert(out >= 0 && out < n / 5, s"rate implausible: $r")
+      assert(r.getAs[Double]("mad") > 0.0 && r.getAs[Double]("med") > 0.0)
+    }
+  }
+
+  test("cohort value: cumulative is monotone, closes on the day sum, cohort sizes cover all users") {
+    val rows = Warehouse.qCohortValue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day_idx"))
+      val cums = sorted.map(_.getAs[Double]("cum_value"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"cohort $c: cumulative value must be monotone")
+      val daySum = sorted.map(_.getAs[Double]("day_value")).sum
+      assert(math.abs(cums.last - daySum) < 0.01 * sorted.length,
+        s"cohort $c: final cum $daySum vs ${cums.last}")
+    }
+    val nUsers = byCohort.values
+      .map(_.head.getAs[Long]("n_users")).sum
+    val distinctUsers = graft.sources.Tables.table(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(nUsers <= distinctUsers,
+      "cohorts with zero purchases may be absent, but never overcounted")
+  }
+
+  test("attribution: credited click precedes the purchase within the lookback") {
+    val rows = Warehouse.qAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("us"))).toMap
+    val lookback = 7L * 86400L * 1000000L
+    var attributed = 0
+    rows.foreach { r =>
+      val user = r.getAs[Long]("user_id")
+      val pUs = r.getAs[Long]("purchase_us")
+      if (r.getAs[Boolean]("attributed")) {
+        attributed += 1
+        val (cUser, cType, cUs) = events(r.getAs[Long]("attributed_click_id"))
+        assert(cUser == user && cType == "click", s"wrong credit: $r")
+        assert(cUs <= pUs && pUs - cUs <= lookback, s"outside lookback: $r")
+        assert(r.getAs[Long]("lag_us") == pUs - cUs)
+      } else {
+        // no click in (purchase - 7d, purchase) for this user
+        val stale = events.values.forall { case (u, t, us) =>
+          u != user || t != "click" || us >= pUs || pUs - us > lookback
+        }
+        assert(stale, s"unattributed purchase had an eligible click: $r")
+      }
+    }
+    assert(attributed > 0, "corpus should attribute at least one purchase")
+  }
+
+  test("market basket: pair counts bounded by item supports, lift arithmetic exact") {
+    val rows = Warehouse.qMarketBasket(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val d = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val nTotal = d.map(_._1).distinct.length.toLong
+    val support = d.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val nAb = r.getAs[Long]("n_ab")
+      assert(a < b, s"pair must be canonical: $r")
+      assert(nAb >= 2 && nAb <= math.min(support(a), support(b)),
+        s"support inconsistency: $r")
+      assert(r.getAs[Long]("n_a") == support(a) &&
+        r.getAs[Long]("n_b") == support(b))
+      assert(r.getAs[Long]("lift_ppm") ==
+        nAb * nTotal * 1000000L / (support(a) * support(b)))
+    }
+    // brute-force the most frequent pair's count
+    val byOrder = d.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val top = rows.maxBy(_.getAs[Long]("n_ab"))
+    val (ta, tb) = (top.getAs[Long]("part_a"), top.getAs[Long]("part_b"))
+    val brute = byOrder.values.count(s => s.contains(ta) && s.contains(tb))
+    assert(top.getAs[Long]("n_ab") == brute.toLong)
+  }
+
+  test("funnel time: counts reconcile with the funnel frame, p90 >= median >= 0") {
+    val rows = Warehouse.qFunnelTime(spark, sfDir).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    assert(rows.keySet == Set("view_to_click", "click_to_purchase"))
+    val funnel = Warehouse.qFunnel(spark, sfDir).collect()
+    val clicks = funnel.count(_.getAs[java.sql.Timestamp]("t_click") != null)
+    val purchases = funnel.count(_.getAs[java.sql.Timestamp]("t_purchase") != null)
+    assert(rows("view_to_click").getAs[Long]("n_converted") == clicks.toLong)
+    assert(rows("click_to_purchase").getAs[Long]("n_converted") == purchases.toLong)
+    rows.values.foreach { r =>
+      val med = r.getAs[Double]("median_lat_us")
+      val p90 = r.getAs[Double]("p90_lat_us")
+      assert(med >= 0.0 && p90 >= med, s"quantile ordering broken: $r")
+    }
+  }
 }

@@ -580,4 +580,47 @@ class StreamingSpec extends SparkSpec {
       assert(snapshot(1L).props == "v2", "user 1 must keep v2, not the stale v")
     } finally query.stop()
   }
+
+  test("streaming attribution matches the batch face and carries state across batches") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real sf0.001 event stream, delivered time-ordered in two
+    // batches (the cross-batch contract an upstream watermark provides)
+    val events = graft.sources.Tables.table(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Events.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Events.Event]
+    val query = Events.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("attribution").as[Events.Attribution]
+        .collect()
+        .map(a => a.purchase_id ->
+          (a.attributed_click_id, a.lag_us, a.attributed)).toMap
+      val batch = graft.queries.Warehouse.qAttribution(spark, sfDir).collect()
+        .map { r =>
+          r.getAs[Long]("purchase_id") ->
+            (Option(r.getAs[java.lang.Long]("attributed_click_id")).map(_.longValue),
+              Option(r.getAs[java.lang.Long]("lag_us")).map(_.longValue),
+              r.getAs[Boolean]("attributed"))
+        }.toMap
+      assert(streamed.size == batch.size, "one verdict per purchase")
+      assert(streamed == batch, "stream must reproduce the batch attribution")
+      // the batch boundary must not lose state: at least one purchase in
+      // b2 attributes to a click delivered in b1
+      val b2Purchases = b2.filter(_.event_type == "purchase").map(_.event_id).toSet
+      val b1Clicks = b1.filter(_.event_type == "click").map(_.event_id).toSet
+      assert(streamed.exists { case (pid, (click, _, att)) =>
+        att && b2Purchases(pid) && click.exists(b1Clicks) },
+        "no purchase crossed the batch boundary — split not exercising state")
+    } finally query.stop()
+  }
 }
