@@ -181,6 +181,8 @@ object SparkEntry {
     "q_funnel_time" -> ((s, dir) => Warehouse.qFunnelTime(s, dir)),
     "q_snapshot_series" -> ((s, dir) => Temporal.qSnapshotSeries(s, dir)),
     "q_ann_filtered" -> ((s, dir) => LlmOps.qAnnFiltered(s, dir)),
+    "q_scd2_asof" -> ((s, dir) => Temporal.qScd2Asof(s, dir)),
+    "q_event_paths" -> ((s, dir) => Warehouse.qEventPaths(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2599,5 +2601,39 @@ object SparkEntry {
         |  FROM q JOIN embeddings e
         |    ON e.vec_id <> q.query_id AND e.label = 1) t
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // I5: the I2 episode CTE joined on [valid_from, valid_to) containment
+    "q_scd2_asof" ->
+      """WITH cps AS (SELECT unnest(ARRAY[
+        |    TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-15',
+        |    TIMESTAMP '2024-01-22', TIMESTAMP '2024-01-29']) AS cp),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, props,
+        |    lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |episodes AS (
+        |  SELECT user_id, props, ts, event_id FROM changes
+        |  WHERE rn = 1 OR props IS DISTINCT FROM prev),
+        |hist AS (
+        |  SELECT user_id, props, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM episodes)
+        |SELECT CAST(cp AS DATE) AS checkpoint, user_id, props, valid_from
+        |FROM hist JOIN cps
+        |  ON valid_from <= cp AND (valid_to IS NULL OR cp < valid_to)
+        |ORDER BY checkpoint, user_id""".stripMargin,
+    "q_event_paths" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
   )
 }

@@ -115,6 +115,30 @@ object Temporal {
       .orderBy($"user_id", $"valid_from")
   }
 
+  /** I5: SCD2 POINT-IN-TIME lookup — "which version was current at T"
+    * against the I2 history, for a set of checkpoints: the dimension
+    * read every as-of report and feature-backfill join performs on a
+    * slowly-changing dimension. Containment is [valid_from, valid_to)
+    * with the open current episode matching any later T. The checkpoint
+    * dim is |cps| rows and broadcasts; the history side arrives already
+    * reduced to episodes (change rows only, not the raw changelog), so
+    * the inequality join's output is |matching keys| × |cps| — at
+    * 100 TB the same lookup against a valid_from-sorted history file
+    * prunes with min/max stats (G6's sort-key re-cluster). */
+  def qScd2Asof(spark: SparkSession, dir: String,
+      checkpoints: Seq[String] = Seq(
+        "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")): DataFrame = {
+    import spark.implicits._
+    val cps = checkpoints.toDF("cp_s").select(to_timestamp($"cp_s").as("cp"))
+    val hist = scd2(Tables.table(spark, dir, "events"),
+      "user_id", "ts", "event_id", "props")
+    hist.join(broadcast(cps),
+      $"valid_from" <= $"cp" && ($"valid_to".isNull || $"cp" < $"valid_to"))
+      .select($"cp".cast("date").as("checkpoint"), $"user_id", $"props",
+        $"valid_from")
+      .orderBy($"checkpoint", $"user_id")
+  }
+
   /** Time-series gap fill: complete each key's hourly metric series over
     * its own [min, max] span — missing buckets appear with n=0 and the
     * last observed value carried forward (LOCF), the shape dashboards and

@@ -936,6 +936,17 @@ object Warehouse {
     * shuffle joins when parts outgrow the threshold at 100 TB. */
   def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Declarative self-join kept on MEASUREMENT (100×, 60M lineitem):
+    // this plain form runs 35.1s; an array-collect + higher-order
+    // combination explode ran 73s (nested transform/slice lambdas are
+    // interpreted per element, outside codegen — §5); materializing the
+    // distinct frame with localCheckpoint ran 110s (the checkpoint
+    // erases the distinct's hash partitioning, forcing BOTH self-join
+    // sides to re-shuffle, and defeats Catalyst's ReusedExchange, which
+    // already shares the scan+distinct exchange across the four
+    // consumers in the plain plan). The lesson: exchange REUSE is the
+    // engine's own memoization — hand-materializing can only help when
+    // the reused fragment is recomputed, not merely re-read.
     val d = Tables.table(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
     val pairs = d.as("a")
@@ -953,6 +964,28 @@ object Warehouse {
       .withColumn("lift_ppm", expr("(n_ab * n_total * 1000000) DIV (n_a * n_b)"))
       .select($"part_a", $"part_b", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
       .orderBy($"part_a", $"part_b")
+  }
+
+  /** C39: top event PATHS — the most common 3-step behavioral sequences
+    * (C32's Markov matrix sees only 1-step transitions; funnels fix the
+    * steps in advance — path mining discovers them). Two lead()s on the
+    * single user exchange build each consecutive triple, the path
+    * aggregate is ≤|types|³ rows, and the final order/limit runs on that
+    * bounded frame — the corpus is touched by exactly one window pass
+    * regardless of scale. Deterministic cut: count desc, path asc. */
+  def qEventPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(byUser))
+      .withColumn("t3", lead($"event_type", 2).over(byUser))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .groupBy(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(k)
   }
 
   /** C6: tumbling-window aggregation — the batch twin of the Structured

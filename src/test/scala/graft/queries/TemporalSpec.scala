@@ -177,4 +177,42 @@ class TemporalSpec extends SparkSpec {
       assert(got == want, s"scenario at $cp: got $got")
     }
   }
+
+  test("scd2 asof: each lookup row is the episode covering its checkpoint") {
+    import spark.implicits._
+    val rows = Temporal.qScd2Asof(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // uniqueness: one version per (checkpoint, user)
+    val keys = rows.map(r => (r.getDate(0).toString, r.getAs[Long]("user_id")))
+    assert(keys.distinct.length == keys.length, "as-of lookup must be unique")
+    // cross-check against the history: the matched episode contains T,
+    // and it is the LATEST valid_from at or before T
+    val hist = Temporal.qScd2(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("props"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to"))))
+    val byUser = hist.groupBy(_._1)
+    rows.foreach { r =>
+      val cp = java.sql.Timestamp.valueOf(
+        r.getDate(0).toLocalDate.atStartOfDay())
+      val user = r.getAs[Long]("user_id")
+      val eps = byUser(user).filter(e =>
+        !e._3.after(cp) && e._4.forall(_.after(cp)))
+      assert(eps.length == 1, s"episodes covering $cp for $user: ${eps.length}")
+      assert(eps.head._2 == r.getAs[String]("props"), s"wrong version at $r")
+    }
+    // completeness per checkpoint: exactly the users whose history had
+    // started by T appear (no episode is ever skipped or invented)
+    val cps = rows.map(_.getDate(0).toString).distinct
+    cps.foreach { cpS =>
+      val cp = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.parse(cpS).atStartOfDay())
+      val started = byUser.collect {
+        case (u, eps) if eps.exists(!_._3.after(cp)) => u
+      }.toSet
+      val got = rows.filter(_.getDate(0).toString == cpS)
+        .map(_.getAs[Long]("user_id")).toSet
+      assert(got == started, s"$cpS: coverage mismatch")
+    }
+  }
 }

@@ -491,6 +491,26 @@ class WarehouseSpec extends SparkSpec {
     assert(top.getAs[Long]("n_ab") == brute.toLong)
   }
 
+  test("event paths: counts reconcile with the triple total; cut is deterministic") {
+    val rows = Warehouse.qEventPaths(spark, sfDir, k = 1000).collect()
+    assert(rows.nonEmpty)
+    // with k large enough to keep every path, counts sum to the number
+    // of consecutive triples = sum over users of max(0, n_events - 2)
+    val perUser = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy("user_id").count().collect().map(_.getAs[Long]("count"))
+    val triples = perUser.map(n => math.max(0L, n - 2L)).sum
+    assert(rows.map(_.getAs[Long]("n")).sum == triples)
+    // ordering: non-increasing counts, path asc within equal counts
+    val ns = rows.map(r => (r.getAs[Long]("n"), r.getAs[String]("path")))
+    ns.zip(ns.tail).foreach { case ((n1, p1), (n2, p2)) =>
+      assert(n1 > n2 || (n1 == n2 && p1 < p2), s"cut order broken at $p1/$p2")
+    }
+    // top-20 face is a prefix of the full ranking
+    val top = Warehouse.qEventPaths(spark, sfDir).collect()
+      .map(_.getAs[String]("path")).toSeq
+    assert(top == ns.take(top.length).map(_._2).toSeq)
+  }
+
   test("funnel time: counts reconcile with the funnel frame, p90 >= median >= 0") {
     val rows = Warehouse.qFunnelTime(spark, sfDir).collect()
       .map(r => r.getAs[String]("step") -> r).toMap
