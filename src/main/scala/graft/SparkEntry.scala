@@ -183,6 +183,7 @@ object SparkEntry {
     "q_ann_filtered" -> ((s, dir) => LlmOps.qAnnFiltered(s, dir)),
     "q_scd2_asof" -> ((s, dir) => Temporal.qScd2Asof(s, dir)),
     "q_event_paths" -> ((s, dir) => Warehouse.qEventPaths(s, dir)),
+    "q_pagerank" -> ((s, dir) => Warehouse.qPageRank(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2635,5 +2636,110 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // C40: ten unrolled integer-ppb iterations -- the engines replay
+    // the identical DIV arithmetic, so ranks compare bit-for-bit
+    "q_pagerank" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS n
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY pa, pb HAVING n >= 2),
+        |edges AS (SELECT pa AS src, pb AS dst FROM pairs
+        |          UNION ALL SELECT pb AS src, pa AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+        |r0 AS (SELECT node, 1000000000 // cnt AS r FROM nodes CROSS JOIN nn),
+        |r1 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r0 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r2 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r1 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r3 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r2 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r4 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r3 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r5 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r4 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r6 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r5 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r7 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r6 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r8 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r7 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r9 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r8 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node),
+        |r10 AS (
+        |  SELECT nd.node,
+        |    (150000000 // nn.cnt) + (850 * coalesce(c.s, 0)) // 1000 AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node, CAST(sum(p.r // dg.outdeg) AS BIGINT) AS s
+        |    FROM edges e JOIN r9 p ON p.node = e.src
+        |                 JOIN deg dg ON dg.src = e.src
+        |    GROUP BY e.dst) c ON c.node = nd.node)
+        |SELECT node AS part, CAST(r AS BIGINT) AS rank_ppb FROM r10 ORDER BY part""".stripMargin,
   )
 }

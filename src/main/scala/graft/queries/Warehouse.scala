@@ -988,6 +988,31 @@ object Warehouse {
       .limit(k)
   }
 
+  /** C40: graph centrality over the co-purchase graph — 10 fixed
+    * PageRank iterations in all-integer ppb arithmetic (see
+    * [[graft.operators.PageRank]]): the link-structure weighting a
+    * curation pipeline applies to hosts/domains before sampling
+    * (CommonCrawl ranks hosts exactly this way), demonstrated on C37's
+    * part graph (edges = pairs co-purchased ≥ 2×, both directions).
+    * Every division is integer DIV, so the oracle replays all ten
+    * iterations bit-for-bit — no float summation-order drift. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = d.as("a")
+      .join(d.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    graft.operators.PageRank.rankPpb(edges, iterations = 10)
+      .select($"node".as("part"), $"rank_ppb")
+      .orderBy($"part")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */
