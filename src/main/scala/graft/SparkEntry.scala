@@ -184,6 +184,7 @@ object SparkEntry {
     "q_scd2_asof" -> ((s, dir) => Temporal.qScd2Asof(s, dir)),
     "q_event_paths" -> ((s, dir) => Warehouse.qEventPaths(s, dir)),
     "q_pagerank" -> ((s, dir) => Warehouse.qPageRank(s, dir)),
+    "q_jackknife_ci" -> ((s, dir) => Warehouse.qJackknifeCi(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2741,5 +2742,29 @@ object SparkEntry {
         |                 JOIN deg dg ON dg.src = e.src
         |    GROUP BY e.dst) c ON c.node = nd.node)
         |SELECT node AS part, CAST(r AS BIGINT) AS rank_ppb FROM r10 ORDER BY part""".stripMargin,
+    // C41: replica means from bucket sums; identical double arithmetic
+    // ((s-s_b)/(n-n_b), squared deviations, 1.96 band) on both engines
+    "q_jackknife_ci" ->
+      """WITH b AS (
+        |  SELECT event_type, event_id % 50 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_b, sum(value) AS s_b
+        |  FROM events GROUP BY event_type, bucket),
+        |t AS (SELECT event_type, CAST(sum(n_b) AS BIGINT) AS n, sum(s_b) AS s
+        |      FROM b GROUP BY event_type),
+        |r AS (SELECT b.event_type, (t.s - b.s_b) / (t.n - b.n_b) AS mean_b
+        |      FROM b JOIN t USING (event_type)),
+        |m AS (SELECT event_type, avg(mean_b) AS md,
+        |        CAST(count(*) AS BIGINT) AS nb
+        |      FROM r GROUP BY event_type),
+        |j AS (SELECT r.event_type,
+        |        sqrt((m.nb - 1.0) / m.nb *
+        |             sum((r.mean_b - m.md) * (r.mean_b - m.md))) AS se_raw
+        |      FROM r JOIN m USING (event_type)
+        |      GROUP BY r.event_type, m.nb)
+        |SELECT t.event_type, t.n, round(t.s / t.n, 6) AS mean,
+        |  round(j.se_raw, 6) AS se,
+        |  round(t.s / t.n - 1.96 * j.se_raw, 6) AS ci_lo,
+        |  round(t.s / t.n + 1.96 * j.se_raw, 6) AS ci_hi
+        |FROM t JOIN j USING (event_type) ORDER BY event_type""".stripMargin,
   )
 }

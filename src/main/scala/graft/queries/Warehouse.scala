@@ -1013,6 +1013,43 @@ object Warehouse {
       .orderBy($"part")
   }
 
+  /** C41: distribution-free confidence intervals via the GROUPED
+    * (delete-d) JACKKNIFE — the resampling answer a z-test (C25) can't
+    * give when normality is in doubt, in ONE aggregation pass: rows
+    * partition into B deterministic id-hash buckets, each bucket's
+    * (count, sum) reduces map-side, replica means are the B
+    * leave-one-bucket-out estimates computed from the B-row frame, and
+    * se² = (B−1)/B · Σ(mean_b − mean̄)². No resampling fanout (a
+    * Poisson bootstrap would explode B copies of the corpus through
+    * the shuffle); everything after the first aggregate is |types|×B
+    * rows. The same decomposition jackknifes ANY
+    * from-sums statistic (C23's moments, C24's correlation). */
+  def qJackknifeCi(spark: SparkSession, dir: String, buckets: Int = 50): DataFrame = {
+    import spark.implicits._
+    val b = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", pmod($"event_id", lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum($"value").as("s_b"))
+    val t = b.groupBy($"event_type").agg(sum($"n_b").as("n"), sum($"s_b").as("s"))
+    val r = b.join(broadcast(t), "event_type")
+      .select($"event_type",
+        (($"s" - $"s_b") / ($"n" - $"n_b").cast("double")).as("mean_b"))
+    val m = r.groupBy($"event_type")
+      .agg(avg($"mean_b").as("md"), count(lit(1)).as("nb"))
+    val j = r.join(broadcast(m), "event_type")
+      .groupBy($"event_type")
+      .agg(first($"nb").as("nb"),
+        sum(($"mean_b" - $"md") * ($"mean_b" - $"md")).as("ss"))
+      .select($"event_type",
+        sqrt(($"nb" - 1).cast("double") / $"nb" * $"ss").as("se_raw"))
+    t.join(broadcast(j), "event_type")
+      .select($"event_type", $"n",
+        round($"s" / $"n", 6).as("mean"),
+        round($"se_raw", 6).as("se"),
+        round($"s" / $"n" - lit(1.96) * $"se_raw", 6).as("ci_lo"),
+        round($"s" / $"n" + lit(1.96) * $"se_raw", 6).as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

@@ -342,6 +342,7 @@ object ScaleSmoke {
     time("q_scd2_asof") { queries.Temporal.qScd2Asof(spark, dir) }
     time("q_event_paths") { queries.Warehouse.qEventPaths(spark, dir) }
     time("q_pagerank") { queries.Warehouse.qPageRank(spark, dir) }
+    time("q_jackknife_ci") { queries.Warehouse.qJackknifeCi(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -511,6 +511,28 @@ class WarehouseSpec extends SparkSpec {
     assert(top == ns.take(top.length).map(_._2).toSeq)
   }
 
+  test("jackknife ci: se tracks the analytic sd/sqrt(n); band brackets the mean") {
+    val rows = Warehouse.qJackknifeCi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val stats = graft.sources.Tables.table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), stddev(col("value")).as("sd"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sd"))).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, sd) = stats(t)
+      val analytic = sd / math.sqrt(n.toDouble)
+      val se = r.getAs[Double]("se")
+      assert(se > analytic * 0.75 && se < analytic * 1.25,
+        s"$t: jackknife se $se vs analytic $analytic")
+      val mean = r.getAs[Double]("mean")
+      assert(r.getAs[Double]("ci_lo") < mean && mean < r.getAs[Double]("ci_hi"))
+      assert(r.getAs[Long]("n") == n)
+    }
+  }
+
   test("funnel time: counts reconcile with the funnel frame, p90 >= median >= 0") {
     val rows = Warehouse.qFunnelTime(spark, sfDir).collect()
       .map(r => r.getAs[String]("step") -> r).toMap
