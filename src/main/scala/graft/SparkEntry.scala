@@ -2203,7 +2203,7 @@ object SparkEntry {
         |    CAST((length(text) - length(replace(text, chr(10) || '- ', ''))) AS BIGINT) // 3
         |      + CASE WHEN text LIKE '- %' THEN 1 ELSE 0 END AS bullets,
         |    CAST(len(list_filter(string_split(text, ' '),
-        |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
         |    CAST((CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END)
         |      + (CASE WHEN ' ' || text || ' ' LIKE '% be %' THEN 1 ELSE 0 END)
         |      + (CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END)
@@ -2242,7 +2242,7 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL),
         |f AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
-        |    CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS a,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS a,
         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS d,
         |    CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT) AS s
         |  FROM enr WHERE length(text) > 0),
@@ -2301,7 +2301,7 @@ object SparkEntry {
         |      FROM l WHERE from_type IS NOT NULL GROUP BY from_type, event_type),
         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY from_type)
         |SELECT p.from_type, p.to_type, p.n, t.n_from,
-        |  (p.n * 1000000) // t.n_from AS prob_ppm
+        |  CAST((CAST(p.n AS HUGEINT) * 1000000) // t.n_from AS BIGINT) AS prob_ppm
         |FROM p JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
     // G3h: the Spark side REALLY encodes each doc as a 16-segment PCM
@@ -2512,7 +2512,8 @@ object SparkEntry {
         |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM d)
         |SELECT p.part_a, p.part_b, p.n_ab,
         |  ca.n_orders AS n_a, cb.n_orders AS n_b,
-        |  (p.n_ab * t.n_total * 1000000) // (ca.n_orders * cb.n_orders)
+        |  CAST((CAST(p.n_ab AS HUGEINT) * t.n_total * 1000000)
+        |    // (CAST(ca.n_orders AS HUGEINT) * cb.n_orders) AS BIGINT)
         |    AS lift_ppm
         |FROM pairs p
         |JOIN c ca ON ca.l_partkey = p.part_a

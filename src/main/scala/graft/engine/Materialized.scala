@@ -28,7 +28,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Materialized {
 
-  private val ids = scala.collection.mutable.LinkedHashSet[Int]()
+  // ids are scoped by SparkContext application id: RDD ids are small
+  // integers that RESET when a context restarts, so an unscoped registry
+  // carrying ids from a previous context could alias — and unpersist —
+  // unrelated RDDs in the new one
+  private val ids = scala.collection.mutable.LinkedHashSet[(String, Int)]()
 
   /** `df.localCheckpoint()` + register the persisted RDD for later
     * [[release]]. The checkpointed plan is a [[LogicalRDD]] leaf over
@@ -37,24 +41,33 @@ object Materialized {
     * would race with concurrent persists from other threads). */
   def checkpoint(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint()
+    val app = df.sparkSession.sparkContext.applicationId
     out.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd.id }
-      .foreach(id => ids.synchronized { ids += id; () })
+      .foreach(id => ids.synchronized { ids += ((app, id)); () })
     out
   }
 
   /** Registered checkpoint blocks currently persisted (test/ops probe). */
   def live(spark: SparkSession): Seq[Int] = {
+    val app = spark.sparkContext.applicationId
     val persisted = spark.sparkContext.getPersistentRDDs
-    ids.synchronized(ids.toSeq).filter(persisted.contains)
+    ids.synchronized(ids.toSeq)
+      .collect { case (`app`, id) if persisted.contains(id) => id }
   }
 
-  /** Unpersist every registered checkpoint block still held by `spark`
-    * and clear the registry. Returns the number of RDDs released. */
+  /** Unpersist every checkpoint block registered under `spark`'s
+    * context and still held by it, then drop those entries (entries
+    * from other/old contexts are left alone — their ids are meaningless
+    * here). Returns the number of RDDs released. Contract: call at a
+    * unit-of-work boundary — a released localCheckpoint frame has no
+    * lineage, so a concurrent consumer of the SAME engine frames would
+    * fail rather than recompute (document per call site). */
   def release(spark: SparkSession): Int = {
+    val app = spark.sparkContext.applicationId
     val persisted = spark.sparkContext.getPersistentRDDs
     val mine = ids.synchronized {
-      val out = ids.toList
-      ids.clear()
+      val out = ids.toList.collect { case (`app`, id) => id }
+      ids.filterInPlace(_._1 != app)
       out
     }
     val freed = mine.flatMap(persisted.get)

@@ -436,15 +436,17 @@ object Binary {
       .toDF("doc_id", "payload")
   }
 
-  /** G3h synthesis: SEGMENTED constant-amplitude PCM — 16 segments ×
-    * 500 frames (1 s mono 16-bit @ 8 kHz) whose per-segment amplitude
-    * is pure integer arithmetic on the doc id, with a PLANTED near-dup
-    * structure: ids sharing `id DIV 8` form a group with identical
-    * amplitude profiles, and the group's last member (`id % 8 = 7`)
-    * perturbs exactly ONE segment (+6000) — an audible edit that moves
-    * ≤2 envelope-hash bits. The amplitude formula is replayable in the
-    * oracle with NO audio codec, the same proof shape as
-    * [[syntheticAudioTable]]/G3b. */
+  /** G3h synthesis: SEGMENTED constant-amplitude PCM — 64 segments ×
+    * 125 frames (1 s mono 16-bit @ 8 kHz), one segment per envelope
+    * window so ALL 63 contour comparisons carry information, each
+    * segment's amplitude a pure integer hash of the doc id (details in
+    * the loop comment below), with a PLANTED near-dup structure: ids
+    * sharing `id DIV 8` form a group with identical amplitude
+    * profiles, and the group's last member (`id % 8 = 7`) perturbs
+    * exactly ONE segment (+12000, always above the max inter-window
+    * gap) — an audible edit that moves ≤2 envelope-hash bits. The
+    * amplitude formula is replayable in the oracle with NO audio
+    * codec, the same proof shape as [[syntheticAudioTable]]/G3b. */
   def syntheticSegmentedAudioTable(df: DataFrame, idCol: String,
       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession

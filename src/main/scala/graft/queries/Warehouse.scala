@@ -795,7 +795,8 @@ object Warehouse {
       .agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
     pairs.join(broadcast(totals), "from_type")
-      .withColumn("prob_ppm", expr("(n * 1000000) DIV n_from"))
+      // DECIMAL lane for the same latent wrap at ~1e13 transitions
+      .withColumn("prob_ppm", expr("(CAST(n AS DECIMAL(38,0)) * 1000000) DIV n_from"))
       .select($"from_type", $"to_type", $"n", $"n_from", $"prob_ppm")
       .orderBy($"from_type", $"to_type")
   }
@@ -961,7 +962,13 @@ object Warehouse {
       .join(counts.select($"l_partkey".as("part_a"), $"n_orders".as("n_a")), "part_a")
       .join(counts.select($"l_partkey".as("part_b"), $"n_orders".as("n_b")), "part_b")
       .crossJoin(broadcast(totals))
-      .withColumn("lift_ppm", expr("(n_ab * n_total * 1000000) DIV (n_a * n_b)"))
+      // DECIMAL(38) lanes: n_ab·N·1e6 (and n_a·n_b at web-scale support
+      // counts) exceed Long past ~1.5e9 orders — a silent wrap under
+      // non-ANSI arithmetic; IntegralDivide on decimals keeps the exact
+      // floor and returns BIGINT (oracle mirrors via HUGEINT)
+      .withColumn("lift_ppm", expr(
+        "(CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000000)" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
       .select($"part_a", $"part_b", $"n_ab", $"n_a", $"n_b", $"lift_ppm")
       .orderBy($"part_a", $"part_b")
   }

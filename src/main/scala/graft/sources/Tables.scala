@@ -51,13 +51,15 @@ object Tables {
     // timezone pinned to UTC the wall-clock values are identical either
     // way, so reading as LTZ changes no query result — only the type.
     // The "identical either way" equivalence REQUIRES the UTC session
-    // timezone, so the foreign-session fixup pins both confs together
-    // (a non-UTC session reading NTZ-written micros as LTZ would shift
-    // every wall-clock value by its zone offset).
-    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false") {
+    // timezone, so the foreign-session fixup pins the two confs
+    // INDEPENDENTLY (a non-UTC session reading NTZ-written micros as
+    // LTZ would shift every wall-clock value by its zone offset — and
+    // that session may well arrive with inferTimestampNTZ already
+    // false, so the timezone pin must not hide behind the NTZ guard).
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only when the file actually carried nanos (read back as long) —
     // tables written by this engine already carry micros timestamps

@@ -298,7 +298,7 @@ object TextAnalysis {
       .withColumn("__bullets", countOccurrences(t, "\n- ")
         + when(t.startsWith("- "), 1L).otherwise(0L))
       .withColumn("__alpha_words",
-        size(filter(split(t, " "), w => w.rlike("[a-z]"))).cast("long"))
+        size(filter(split(t, " "), w => w.rlike("[A-Za-z]"))).cast("long"))
       .withColumn("mean_word_len_x100", expr("(__nonspace * 100) DIV n_words"))
       .withColumn("symbol_word_ppm", expr("(__symbols * 1000000) DIV n_words"))
       .withColumn("bullet_line_ppm", expr("(__bullets * 1000000) DIV n_lines"))
@@ -325,7 +325,7 @@ object TextAnalysis {
       (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
     df.filter(t.isNotNull && length(t) > 0)
       .withColumn("n_chars_total", length(t).cast("long"))
-      .withColumn("__alpha", cnt("[a-z]"))
+      .withColumn("__alpha", cnt("[A-Za-z]"))
       .withColumn("__digit", cnt("[0-9]"))
       .withColumn("__space", cnt("[ ]"))
       .withColumn("alpha_ppm", expr("(__alpha * 1000000) DIV n_chars_total"))

@@ -587,10 +587,15 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     // the real sf0.001 event stream, delivered time-ordered in two
     // batches (the cross-batch contract an upstream watermark provides)
+    // delivery order must sort by the SAME key the attribution semantics
+    // use — microseconds, not Timestamp.getTime's milliseconds, or two
+    // same-millisecond events could cross the batch split out of order
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     val events = graft.sources.Tables.table(spark, sfDir, "events")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Events.Event].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (micros(e.ts), e.event_id))
     val input = MemoryStream[Events.Event]
     val query = Events.attributionStream(input.toDS())
       .writeStream.format("memory").queryName("attribution")
