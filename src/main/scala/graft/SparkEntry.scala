@@ -185,6 +185,8 @@ object SparkEntry {
     "q_event_paths" -> ((s, dir) => Warehouse.qEventPaths(s, dir)),
     "q_pagerank" -> ((s, dir) => Warehouse.qPageRank(s, dir)),
     "q_jackknife_ci" -> ((s, dir) => Warehouse.qJackknifeCi(s, dir)),
+    "q_seasonal_decompose" -> ((s, dir) => Warehouse.qSeasonalDecompose(s, dir)),
+    "q_changepoint" -> ((s, dir) => Warehouse.qChangepoint(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2767,5 +2769,76 @@ object SparkEntry {
         |  round(t.s / t.n - 1.96 * j.se_raw, 6) AS ci_lo,
         |  round(t.s / t.n + 1.96 * j.se_raw, 6) AS ci_hi
         |FROM t JOIN j USING (event_type) ORDER BY event_type""".stripMargin,
+    // C42: integer lanes; seasonal uses explicit FLOOR division (a − amod)
+    // // n with amod = ((a % n) + n) % n ∈ [0, n) — Spark's pmod — because
+    // detrended sums go negative and DuckDB's `//` floors while Spark's
+    // DIV truncates. isodow−1 ≡ Spark weekday (0 = Monday).
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |t AS (
+        |  SELECT d, y, count(*) OVER w AS n7,
+        |    CAST(sum(y) OVER w AS BIGINT) AS trend_x7
+        |  FROM series
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |wt AS (
+        |  SELECT d, CAST(isodow(d) - 1 AS BIGINT) AS dow, y, trend_x7,
+        |    7 * y - trend_x7 AS detr_x7
+        |  FROM t WHERE n7 = 7),
+        |seas AS (
+        |  SELECT dow, CAST((1000 * sum(detr_x7)
+        |      - ((1000 * sum(detr_x7) % count(*)) + count(*)) % count(*))
+        |      // count(*) AS BIGINT) AS seas_x7000
+        |  FROM wt GROUP BY dow)
+        |SELECT wt.d, wt.dow, wt.y, wt.trend_x7, seas.seas_x7000,
+        |  CAST(7000 * wt.y - 1000 * wt.trend_x7 - seas.seas_x7000 AS BIGINT)
+        |    AS resid_x7000
+        |FROM wt JOIN seas USING (dow) ORDER BY wt.d""".stripMargin,
+    // C45: S_d = max(0, S_{d−1} + x_d) replayed as prefix − min(0,
+    // running-min of prefix); μ and k divisions have positive operands so
+    // DIV (truncate) and // (floor) agree.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |m AS (SELECT CAST((1000 * sum(y)) // count(*) AS BIGINT) AS mu_x1000
+        |      FROM series),
+        |u AS (
+        |  SELECT d, y, mu_x1000,
+        |    1000 * y - mu_x1000 - mu_x1000 // 4 AS uu,
+        |    mu_x1000 - 1000 * y - mu_x1000 // 4 AS vv
+        |  FROM series, m),
+        |c AS (
+        |  SELECT d, y, mu_x1000,
+        |    CAST(sum(uu) OVER w AS BIGINT) AS pu,
+        |    CAST(sum(vv) OVER w AS BIGINT) AS pv
+        |  FROM u
+        |  WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+        |r AS (
+        |  SELECT d, y, mu_x1000, pu, pv,
+        |    least(0, CAST(min(pu) OVER w2 AS BIGINT)) AS mrun_u,
+        |    least(0, CAST(min(pv) OVER w2 AS BIGINT)) AS mrun_v
+        |  FROM c
+        |  WINDOW w2 AS (ORDER BY d ROWS UNBOUNDED PRECEDING))
+        |SELECT d, y,
+        |  pu - mrun_u AS s_pos_x1000, pv - mrun_v AS s_neg_x1000,
+        |  CAST(pu - mrun_u > 2 * mu_x1000 AS INTEGER) AS alarm_up,
+        |  CAST(pv - mrun_v > 2 * mu_x1000 AS INTEGER) AS alarm_down
+        |FROM r ORDER BY d""".stripMargin,
   )
 }

@@ -1069,6 +1069,109 @@ object Warehouse {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Shared by C42/C45: gap-complete daily event-volume series — one row
+    * per calendar day in the corpus' [min, max] span, `y` = events that
+    * day (0 on silent days, so day-window frames are truly calendar
+    * windows). Aggregates BEFORE the spine join: the frame is bounded by
+    * the calendar span (thousands of rows at any corpus size), so the
+    * downstream single-partition windows C42/C45 run over it cost
+    * nothing at 100 TB — the corpus-sized work is the one map-side
+    * count-by-day aggregation. */
+  def dailyEventSeries(spark: SparkSession, dir: String): DataFrame =
+    dailySeries(Tables.table(spark, dir, "events")
+      .select(to_date(col("ts")).as("d")))
+
+  /** Gap-complete (d, y) daily counts of an already-projected day frame. */
+  def dailySeries(days: DataFrame): DataFrame = {
+    val daily = days.groupBy(col("d")).agg(count(lit(1)).as("y"))
+    val spine = daily.agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        expr("INTERVAL 1 DAY"))).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** C42: seasonal-trend decomposition of the daily event volume —
+    * classical moving-average decomposition (trend = centered 7-day MA,
+    * seasonal = day-of-week mean of the detrended series, residual =
+    * what's left), the triage view behind "is Monday's dip seasonality
+    * or an incident". ALL-INTEGER lanes so both engines replay the
+    * arithmetic bit-for-bit: trend rides ×7 (the window SUM, no
+    * division), detrended ×7, seasonal ×7000 via explicit FLOOR division
+    * (numerator minus its positive mod — Spark DIV truncates toward zero
+    * while DuckDB `//` floors, and day-of-week detrended sums GO
+    * NEGATIVE, so the naive DIV↔// pair would diverge on exactly half
+    * the rows). Edge days without a full 7-day window are excluded (no
+    * partial-window trend). Scale shape: one map-side count-by-day
+    * aggregation is the only corpus-sized stage; the windows and the
+    * 7-row seasonal join run on the bounded calendar frame
+    * ([[dailyEventSeries]]). */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(dailyEventSeries(spark, dir))
+
+  /** C42 core over any gap-complete (d, y) daily series. */
+  def seasonalDecompose(series: DataFrame): DataFrame = {
+    val w7 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("d")).rowsBetween(-3, 3)
+    val withTrend = series
+      .withColumn("__n7", count(lit(1)).over(w7))
+      .withColumn("trend_x7", sum(col("y")).over(w7))
+      .filter(col("__n7") === 7)
+      .withColumn("dow", expr("weekday(d)").cast("long"))
+      .withColumn("detr_x7", lit(7L) * col("y") - col("trend_x7"))
+    // seasonal index per day-of-week: FLOOR(1000·Σdetr_x7 / n) — the
+    // explicit (a − pmod(a, n)) DIV n form keeps floor semantics even
+    // for negative sums (pmod is always in [0, n))
+    val seas = withTrend.groupBy(col("dow"))
+      .agg(expr("(1000 * sum(detr_x7) - pmod(1000 * sum(detr_x7), count(1)))" +
+        " DIV count(1)").as("seas_x7000"))
+    withTrend.join(broadcast(seas), "dow")
+      .select(col("d"), col("dow"), col("y"), col("trend_x7"), col("seas_x7000"),
+        (lit(7000L) * col("y") - lit(1000L) * col("trend_x7")
+          - col("seas_x7000")).as("resid_x7000"))
+      .orderBy(col("d"))
+  }
+
+  /** C45: CUSUM changepoint detection on the daily event volume — the
+    * monitoring primitive for "did ingest rate shift": two one-sided
+    * cumulative sums accumulate evidence of a sustained mean shift
+    * (slack k = μ/4 absorbs noise; alarm at h = 2μ), catching drifts far
+    * smaller than any single-day outlier test (C34 flags points; CUSUM
+    * flags LEVEL SHIFTS). The recursion S_d = max(0, S_{d−1} + x_d) is
+    * not a SQL window aggregate — but it equals prefix(d) − min(0,
+    * running-min of prefix), so TWO stacked window passes (cumsum, then
+    * running min) replay it exactly; all-integer ×1000 lanes, μ via
+    * integer DIV of positive operands (floor = truncate there, so
+    * DIV↔`//` agree). Scale: same bounded-calendar shape as C42 —
+    * corpus-sized work is one aggregation; windows run on days. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusum(dailyEventSeries(spark, dir))
+
+  /** C45 core over any gap-complete (d, y) daily series. */
+  def cusum(series: DataFrame): DataFrame = {
+    val mu = series.agg(
+      expr("(1000 * sum(y)) DIV count(1)").as("mu_x1000"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    series.crossJoin(broadcast(mu))
+      .withColumn("__u", lit(1000L) * col("y") - col("mu_x1000")
+        - expr("mu_x1000 DIV 4"))
+      .withColumn("__v", col("mu_x1000") - lit(1000L) * col("y")
+        - expr("mu_x1000 DIV 4"))
+      .withColumn("__pu", sum(col("__u")).over(wc))
+      .withColumn("__pv", sum(col("__v")).over(wc))
+      .withColumn("s_pos_x1000",
+        col("__pu") - least(lit(0L), min(col("__pu")).over(wc)))
+      .withColumn("s_neg_x1000",
+        col("__pv") - least(lit(0L), min(col("__pv")).over(wc)))
+      .select(col("d"), col("y"), col("s_pos_x1000"), col("s_neg_x1000"),
+        (col("s_pos_x1000") > lit(2L) * col("mu_x1000")).cast("int")
+          .as("alarm_up"),
+        (col("s_neg_x1000") > lit(2L) * col("mu_x1000")).cast("int")
+          .as("alarm_down"))
+      .orderBy(col("d"))
+  }
+
   /** C30: pre-flight join-size estimation — orders ⋈ lineitem sized from
     * two map-side KMV key sketches, never running the join (see
     * [[graft.engine.JoinEstimate]]). Deterministic (xxhash64), rows-only

@@ -343,6 +343,8 @@ object ScaleSmoke {
     time("q_event_paths") { queries.Warehouse.qEventPaths(spark, dir) }
     time("q_pagerank") { queries.Warehouse.qPageRank(spark, dir) }
     time("q_jackknife_ci") { queries.Warehouse.qJackknifeCi(spark, dir) }
+    time("q_seasonal_decompose") { queries.Warehouse.qSeasonalDecompose(spark, dir) }
+    time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -548,4 +548,87 @@ class WarehouseSpec extends SparkSpec {
       assert(med >= 0.0 && p90 >= med, s"quantile ordering broken: $r")
     }
   }
+
+  private def syntheticSeries(ys: Seq[Long]) = {
+    import spark.implicits._
+    val day0 = java.time.LocalDate.parse("2024-01-01") // a Monday
+    ys.zipWithIndex
+      .map { case (y, i) => (java.sql.Date.valueOf(day0.plusDays(i)), y) }
+      .toDF("d", "y")
+  }
+
+  test("seasonal decompose: pure weekly plant recovered bit-exactly") {
+    val s = Seq(3L, -2L, 5L, 0L, -4L, 1L, -3L) // Σ = 0, indexed by weekday
+    val series = syntheticSeries((0 until 35).map(i => 100L + s(i % 7)))
+    val rows = Warehouse.seasonalDecompose(series).collect()
+    assert(rows.length == 35 - 6) // edge days without a full window drop
+    rows.foreach { r =>
+      val dow = r.getAs[Long]("dow").toInt
+      assert(r.getAs[Long]("trend_x7") == 700L, s"trend at $r")
+      assert(r.getAs[Long]("seas_x7000") == 7000L * s(dow), s"seasonal at $r")
+      assert(r.getAs[Long]("resid_x7000") == 0L, s"residual at $r")
+    }
+  }
+
+  test("seasonal decompose face: decomposition identity and dow-mean floor bound") {
+    val rows = Warehouse.qSeasonalDecompose(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // identity: 7000·y == 1000·trend_x7 + seas_x7000 + resid_x7000 by construction
+    rows.foreach { r =>
+      assert(7000L * r.getAs[Long]("y") ==
+        1000L * r.getAs[Long]("trend_x7") + r.getAs[Long]("seas_x7000")
+          + r.getAs[Long]("resid_x7000"))
+    }
+    // seasonal is the floor of the dow-group detrended mean (×7000)
+    rows.groupBy(_.getAs[Long]("dow")).foreach { case (_, g) =>
+      val n = g.length
+      val sumDetr = g.map(r => 7L * r.getAs[Long]("y") - r.getAs[Long]("trend_x7")).sum
+      val seas = g.head.getAs[Long]("seas_x7000")
+      assert(g.forall(_.getAs[Long]("seas_x7000") == seas))
+      assert(seas * n <= 1000L * sumDetr && 1000L * sumDetr < (seas + 1) * n)
+    }
+  }
+
+  test("cusum: flat series accumulates nothing and never alarms") {
+    val rows = Warehouse.cusum(syntheticSeries(Seq.fill(20)(42L))).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s_pos_x1000") == 0L && r.getAs[Long]("s_neg_x1000") == 0L)
+      assert(r.getAs[Int]("alarm_up") == 0 && r.getAs[Int]("alarm_down") == 0)
+    }
+  }
+
+  test("cusum: level shift alarms up only after the shift, down only before") {
+    val series = syntheticSeries(Seq.fill(15)(100L) ++ Seq.fill(15)(400L))
+    val rows = Warehouse.cusum(series).collect().sortBy(_.getAs[java.sql.Date]("d"))
+    val (pre, post) = rows.splitAt(15)
+    assert(pre.forall(_.getAs[Long]("s_pos_x1000") == 0L))
+    assert(pre.forall(_.getAs[Int]("alarm_up") == 0))
+    assert(post.exists(_.getAs[Int]("alarm_up") == 1), "up-shift undetected")
+    // s_neg DECAYS after the shift (CUSUM drains at v≈−212k/day from
+    // ~1.3M, crossing h=500k on post-day 4) — it does not reset
+    assert(post.drop(5).forall(_.getAs[Int]("alarm_down") == 0))
+    assert(pre.exists(_.getAs[Int]("alarm_down") == 1),
+      "below-global-mean prefix should trip the down side")
+    // once alarming, the up side stays on through the end (sustained shift)
+    val firstUp = rows.indexWhere(_.getAs[Int]("alarm_up") == 1)
+    assert(rows.drop(firstUp).forall(_.getAs[Int]("alarm_up") == 1))
+  }
+
+  test("cusum: window identity equals the max(0,·) recursion replayed") {
+    // deterministic LCG series — no Math.random in specs
+    val ys = Iterator.iterate(987654321L)(x => (x * 6364136223846793005L + 1442695040888963407L))
+      .drop(1).take(60).map(x => math.floorMod(x, 200L)).toSeq
+    val rows = Warehouse.cusum(syntheticSeries(ys)).collect()
+      .sortBy(_.getAs[java.sql.Date]("d"))
+    val mu = math.floorDiv(1000L * ys.sum, ys.length.toLong) // positive: DIV == floor
+    val k = mu / 4
+    var sp = 0L; var sn = 0L
+    rows.zip(ys).foreach { case (r, y) =>
+      sp = math.max(0L, sp + (1000L * y - mu - k))
+      sn = math.max(0L, sn + (mu - 1000L * y - k))
+      assert(r.getAs[Long]("s_pos_x1000") == sp, s"pos at $r")
+      assert(r.getAs[Long]("s_neg_x1000") == sn, s"neg at $r")
+    }
+  }
 }
