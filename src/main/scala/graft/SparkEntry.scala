@@ -128,6 +128,7 @@ object SparkEntry {
     "q_ppl_buckets" -> ((s, dir) => LlmOps.qPplBuckets(s, dir)),
     "q_ppl_buckets_approx" -> ((s, dir) => LlmOps.qPplBucketsApprox(s, dir)),
     "q_video_frames" -> ((s, dir) => LlmOps.qVideoFrames(s, dir)),
+    "q_video_neardup" -> ((s, dir) => LlmOps.qVideoNearDup(s, dir)),
     "q_dedup_soft" -> ((s, dir) => LlmOps.qDedupSoft(s, dir)),
     "q_bm25" -> ((s, dir) => LlmOps.qBm25(s, dir)),
     "q_integrity" -> ((s, dir) => Etl.qIntegrity(s, dir)),
@@ -1679,6 +1680,44 @@ object SparkEntry {
         |  CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
         |  CAST(mean_intensity AS BIGINT) AS mean_intensity, true AS ok
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // G3i: full first-principles replay — group-keyed pixel bytes
+    // (':edit' salt on member 7's re-rendered frame), per-sampled-frame
+    // polyhash fold over the 48 pixel VALUES (list_reduce's
+    // first-element init ≡ initial-0 fold because byte < modulus), then
+    // the same (slot, hash) band join + matched-slot count.
+    "q_video_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 8 AS g FROM documents),
+        |n AS (SELECT doc_id, g, 8 + g % 16 AS n_frames FROM d),
+        |s AS (SELECT doc_id, g, n_frames, unnest(range(0, 4)) AS j FROM n),
+        |f AS (SELECT doc_id, g, n_frames, j,
+        |        (j * n_frames) // 4 AS frame_idx FROM s),
+        |px AS (SELECT doc_id, g, n_frames, j, frame_idx,
+        |         unnest(range(0, 48)) AS p FROM f),
+        |k AS (SELECT doc_id, j, p,
+        |       'vidg:' || CAST(g AS VARCHAR) || ':'
+        |         || CAST(frame_idx AS VARCHAR) || ':' || CAST(p AS VARCHAR)
+        |         || CASE WHEN doc_id % 8 = 7 AND frame_idx = g % n_frames
+        |                 THEN ':edit' ELSE '' END AS key
+        |      FROM px),
+        |hv AS (SELECT doc_id, j, p,
+        |    list_reduce(
+        |      list_transform(range(1, length(key) + 1),
+        |        i -> CAST(ascii(substr(key, i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS hraw
+        |  FROM k),
+        |sq AS (SELECT doc_id, j, p,
+        |    (hraw * hraw) % 2147483647 % 256 AS v FROM hv),
+        |fh AS (SELECT doc_id, j,
+        |    list_reduce(list(v ORDER BY p),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS frame_hash
+        |  FROM sq GROUP BY doc_id, j)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_match
+        |FROM fh a JOIN fh b ON a.j = b.j AND a.frame_hash = b.frame_hash
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // F19b approx twin: the H16b estimator on the tercile boundaries —
     // conditional hash-sample (tiny sources contribute everything),
     // sorted score list, (k*(m+1)) DIV 3 order-stat cutoffs, map-side

@@ -73,6 +73,110 @@ object Video {
       .toDF("doc_id", "payload")
   }
 
+  /** G3i synthesis: GROUP-KEYED videos — ids sharing `id DIV 8` carry
+    * IDENTICAL GVID content (the same footage re-encoded per member),
+    * with pixel bytes keyed on the GROUP id so profile diversity scales
+    * with N (the G3h audio lesson: a bounded profile space makes
+    * accidental clusters grow with the corpus and the benchmark ends up
+    * measuring the plant, not the operator — polyhash over the 2³¹
+    * group space cannot collapse). The group's last member (id % 8 = 7)
+    * carries ONE fully re-rendered frame (index `g mod n_frames`,
+    * ':edit'-salted bytes) — an inserted overlay/scene that moves
+    * exactly that frame's content hash and no other. */
+  def syntheticVideoGroupTable(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.grouped(batchSize).flatMap { batch =>
+          batch.map { id =>
+            val g = math.floorDiv(id, 8L)
+            val (w, h, fps) = (8, 6, 10)
+            val nFrames = (8 + math.floorMod(g, 16)).toInt
+            val edited = math.floorMod(id, 8L) == 7L
+            val editFrame = math.floorMod(g, nFrames.toLong).toInt
+            val buf = java.nio.ByteBuffer.allocate(16 + nFrames * w * h)
+            buf.putInt(Magic).putInt((w << 16) | h).putInt(fps).putInt(nFrames)
+            var f = 0
+            while (f < nFrames) {
+              val salt = if (edited && f == editFrame) ":edit" else ""
+              var p = 0
+              while (p < w * h) {
+                // SQUARE-MIX the polyhash before the byte reduction:
+                // the raw hash is AFFINE in p (consecutive p → consecutive
+                // hashes → a frame's 48 bytes collapse to ~2 degrees of
+                // freedom and cross-group videos collide wholesale — the
+                // 100× smoke measured 488k spurious pairs); (H² mod M)
+                // is nonlinear, so two groups share a frame byte-sequence
+                // only on a true 2⁻³¹ prefix-state collision
+                val hh = polyhash31(s"vidg:$g:$f:$p$salt")
+                buf.put((hh * hh % 2147483647L % 256).toByte)
+                p += 1
+              }
+              f += 1
+            }
+            (id, buf.array())
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-sampled-frame CONTENT hashes — the video fingerprint G3i's
+    * near-dup banding joins on: the same uniform-spread O(samples) seek
+    * as [[sampleFrames]] (unsampled frames' bytes never touched), each
+    * sampled frame's pixel bytes folded through the 31-bit polyhash
+    * (h·131 + byte mod 2³¹−1, initial 0 — first-element init in the
+    * oracle's list_reduce is identical because byte < modulus). One row
+    * per (video, sample slot); corrupt payloads contribute NO rows
+    * (their triage lane is [[sampleFrames]]' ok=false — a broken blob
+    * must never kill, or pair up in, a 100 TB near-dup scan). */
+  def frameHashes(media: DataFrame, nSamples: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    require(nSamples > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val parsed: Option[(Int, Int, Int, Int)] =
+              if (bytes == null || bytes.length < 16) None
+              else {
+                val bb = java.nio.ByteBuffer.wrap(bytes)
+                val magic = bb.getInt()
+                val wh = bb.getInt()
+                val fps = bb.getInt()
+                val nFrames = bb.getInt()
+                val (w, h) = (wh >>> 16, wh & 0xffff)
+                if (magic != Magic || fps <= 0 || nFrames <= 0 ||
+                    w <= 0 || h <= 0 ||
+                    bytes.length < 16 + nFrames.toLong * w * h) None
+                else Some((w, h, fps, nFrames))
+              }
+            parsed.toSeq.flatMap { case (w, h, _, nFrames) =>
+              val frameLen = w * h
+              val m = math.min(nSamples, nFrames)
+              (0 until m).map { j =>
+                val idx = (j.toLong * nFrames) / m
+                val off = 16 + idx.toInt * frameLen
+                val M = 2147483647L
+                var hh = 0L
+                var p = 0
+                while (p < frameLen) {
+                  hh = (hh * 131 + (bytes(off + p) & 0xff)) % M
+                  p += 1
+                }
+                (id, j.toLong, hh)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "j", "frame_hash")
+  }
+
   /** Frame sampling: parse the header, pick `nSamples` uniformly spread
     * frame indices (`(j·n_frames) DIV nSamples`), and emit one row per
     * sampled frame with its timestamp and mean intensity — WITHOUT

@@ -1619,6 +1619,37 @@ object LlmOps {
       nSamples = 4)
       .orderBy("doc_id", "frame_idx")
 
+  /** G3i: VIDEO near-duplicate detection — re-encoded/one-edit copies
+    * of the same footage found by banding on per-sampled-frame content
+    * hashes ([[graft.multimodal.Video.frameHashes]]): videos sharing at
+    * least `minMatch` of their 4 sampled-slot hashes pair up. One
+    * re-rendered frame moves exactly one slot hash, so sibling pairs
+    * match 3 or 4 slots while unrelated footage matches only on a
+    * 2⁻³¹-rate hash collision — and a collision pairs up identically in
+    * the oracle's replay, so the face stays hash-exact. Scale shape =
+    * the G3e/G3h banding contract: the shuffle key is (slot, hash),
+    * bucket sizes are the sibling-group sizes (content diversity scales
+    * with N by synthesis design — the G3h lesson), output pairs are
+    * 28·N/8, LINEAR in the corpus; no all-pairs comparison anywhere. */
+  def qVideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupPairs(graft.multimodal.Video.frameHashes(
+      graft.multimodal.Video.syntheticVideoGroupTable(
+        Tables.table(spark, dir, "documents"), "doc_id"),
+      nSamples = 4))
+
+  /** G3i core: (doc_id, slot, frame_hash) rows → near-dup pairs with
+    * their matched-slot count. */
+  def videoNearDupPairs(fh: DataFrame, minMatch: Int = 3): DataFrame = {
+    val a = fh.select(col("j"), col("frame_hash"), col("doc_id").as("doc_a"))
+    val b = fh.select(col("j"), col("frame_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("j", "frame_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** F19b: CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020) — the
     * quality-stratification step between LM scoring and sampling: each
     * source's docs split into head/middle/tail TERCILES by the F19

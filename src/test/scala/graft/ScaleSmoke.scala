@@ -296,6 +296,7 @@ object ScaleSmoke {
     time("q_ppl_buckets_approx") { queries.LlmOps.qPplBucketsApprox(spark, dir) }
     // video: synth + parse + seek-sample per doc, one map pass, ~linear
     time("q_video_frames") { queries.LlmOps.qVideoFrames(spark, dir) }
+    time("q_video_neardup") { queries.LlmOps.qVideoNearDup(spark, dir) }
     // novelty: gram explode + min-doc agg + join-back, ~linear in gram
     // mass; compression: one deflate pass per doc, ~linear
     time("q_ngram_novelty") { queries.LlmOps.qNgramNovelty(spark, dir) }

@@ -268,4 +268,41 @@ class BinarySpec extends SparkSpec {
     assert(banded == allPairs, s"banding must be complete for hamming<=3")
     assert(allPairs.nonEmpty, "planted groups must produce pairs")
   }
+
+  test("video near-dup: planted sibling groups are exactly the output, slot counts exact") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val pairs = graft.queries.LlmOps.videoNearDupPairs(
+      Video.frameHashes(Video.syntheticVideoGroupTable(ids, "doc_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the 8 groups x C(8,2) sibling pairs, nothing cross-group
+    assert(pairs.length == 8 * 28, s"got ${pairs.length}")
+    assert(pairs.forall { case (a, b, _) => a / 8 == b / 8 && a < b })
+    // matched-slot counts: pairs touching the edited member (id%8=7)
+    // lose exactly one slot IF the edited frame is among the 4 sampled
+    pairs.foreach { case (a, b, n) =>
+      val g = a / 8
+      val nFrames = 8 + g % 16
+      val sampled = (0 until 4).map(j => j.toLong * nFrames / 4).toSet
+      val editSampled = sampled.contains(g % nFrames)
+      val touchesEdited = b % 8 == 7
+      val expect = if (touchesEdited && editSampled) 3L else 4L
+      assert(n == expect, s"pair ($a,$b): n_match $n, expected $expect")
+    }
+    // at least one group must actually exercise the 3-slot path
+    assert(pairs.exists(_._3 == 3L), "no group sampled its edited frame")
+  }
+
+  test("video near-dup: corrupt payloads produce no fingerprints and never pair") {
+    import spark.implicits._
+    val good = Video.syntheticVideoGroupTable((0L until 16L).toDF("doc_id"), "doc_id")
+    val bad = Seq((999L, "JUNK".getBytes("UTF-8")),
+      (998L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    assert(Video.frameHashes(bad).count() == 0L)
+    val pairs = graft.queries.LlmOps.videoNearDupPairs(
+      Video.frameHashes(good.unionAll(bad))).collect()
+    assert(pairs.length == 2 * 28)
+    assert(pairs.forall(r => r.getLong(0) < 16L && r.getLong(1) < 16L))
+  }
 }
