@@ -188,6 +188,7 @@ object SparkEntry {
     "q_jackknife_ci" -> ((s, dir) => Warehouse.qJackknifeCi(s, dir)),
     "q_seasonal_decompose" -> ((s, dir) => Warehouse.qSeasonalDecompose(s, dir)),
     "q_changepoint" -> ((s, dir) => Warehouse.qChangepoint(s, dir)),
+    "q_triangle_count" -> ((s, dir) => Warehouse.qTriangleCount(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2879,5 +2880,31 @@ object SparkEntry {
         |  CAST(pu - mrun_u > 2 * mu_x1000 AS INTEGER) AS alarm_up,
         |  CAST(pv - mrun_v > 2 * mu_x1000 AS INTEGER) AS alarm_down
         |FROM r ORDER BY d""".stripMargin,
+    // C43: the oracle needs no orientation trick (DuckDB handles the
+    // sf0.01 wedge mass) — the count is strategy-independent; HUGEINT
+    // mirrors the Spark DECIMAL(38) clustering lane, nullif guards the
+    // edgeless corpus on both sides.
+    "q_triangle_count" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
+        |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM p WHERE n_ab >= 2),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |          (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |        GROUP BY n),
+        |tri AS (SELECT count(*) AS t
+        |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |w AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+        |        AS n_wedges FROM deg)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  w.n_wedges,
+        |  CAST(tri.t AS BIGINT) AS n_triangles,
+        |  CAST((CAST(3000000 AS HUGEINT) * tri.t)
+        |    // nullif(w.n_wedges, 0) AS BIGINT) AS clustering_ppm
+        |FROM tri, w""".stripMargin,
   )
 }

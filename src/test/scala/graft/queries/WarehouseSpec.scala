@@ -615,6 +615,51 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.drop(firstUp).forall(_.getAs[Int]("alarm_up") == 1))
   }
 
+  private def edgeDf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .distinct.toDF("a", "b")
+  }
+
+  test("triangle count: K4 + pendant path + star counted exactly") {
+    // K4 on 1..4 (4 triangles), path 4-5-6, star hub 10 with leaves 11..14
+    val es = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L),(10L,11L),(10L,12L),(10L,13L),(10L,14L))
+    val r = Warehouse.triangleCount(edgeDf(es)).collect().head
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_edges") == 12L)
+    assert(r.getAs[Long]("n_nodes") == 11L)
+    // wedges: K4 degs (4,3,3,3 with node4 deg 4) path adds.. compute directly
+    val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.length.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("clustering_ppm") == 3000000L * 4L / wedges)
+  }
+
+  test("triangle count: star graph has zero triangles, matches brute force on LCG graph") {
+    val hub = (1L to 20L).map(i => (0L, i))
+    val star = Warehouse.triangleCount(edgeDf(hub)).collect().head
+    assert(star.getAs[Long]("n_triangles") == 0L)
+    assert(star.getAs[Long]("clustering_ppm") == 0L)
+    // LCG-random graph on 24 nodes vs brute-force enumeration
+    val rnd = Iterator.iterate(42L)(x => x * 6364136223846793005L + 1442695040888963407L)
+      .drop(1).take(300).toSeq
+    val es = rnd.map { x =>
+      val a = math.floorMod(x, 24L); val b = math.floorMod(x >> 17, 24L)
+      (a, b)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val eset = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var brute = 0L
+    for (i <- nodes; j <- nodes if i < j; k <- nodes if j < k)
+      if (eset((i, j)) && eset((j, k)) && eset((i, k))) brute += 1
+    val r = Warehouse.triangleCount(edgeDf(es)).collect().head
+    assert(r.getAs[Long]("n_triangles") == brute,
+      s"oriented count ${r.getAs[Long]("n_triangles")} vs brute $brute")
+    assert(r.getAs[Long]("n_edges") == es.length.toLong)
+  }
+
   test("cusum: window identity equals the max(0,·) recursion replayed") {
     // deterministic LCG series — no Math.random in specs
     val ys = Iterator.iterate(987654321L)(x => (x * 6364136223846793005L + 1442695040888963407L))
