@@ -189,6 +189,7 @@ object SparkEntry {
     "q_seasonal_decompose" -> ((s, dir) => Warehouse.qSeasonalDecompose(s, dir)),
     "q_changepoint" -> ((s, dir) => Warehouse.qChangepoint(s, dir)),
     "q_triangle_count" -> ((s, dir) => Warehouse.qTriangleCount(s, dir)),
+    "q_peak_concurrency" -> ((s, dir) => Warehouse.qPeakConcurrency(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2906,5 +2907,50 @@ object SparkEntry {
         |  CAST((CAST(3000000 AS HUGEINT) * tri.t)
         |    // nullif(w.n_wedges, 0) AS BIGINT) AS clustering_ppm
         |FROM tri, w""".stripMargin,
+    // C44: C5's session episodes → ±1 boundary points → per-hour prefix
+    // sums + cross-hour carry. Starts sort before ends at one instant
+    // (delta DESC); within equal (ts, delta) the prefix is a same-sign
+    // run, so the hourly max is tie-order independent in both engines.
+    "q_peak_concurrency" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |se AS (
+        |  SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM sess GROUP BY user_id, session_id),
+        |pts AS (
+        |  SELECT session_start AS ts, 1 AS delta FROM se
+        |  UNION ALL SELECT session_end AS ts, -1 AS delta FROM se),
+        |hp AS (SELECT date_trunc('hour', ts) AS h, ts, delta FROM pts),
+        |runs AS (
+        |  SELECT h, delta,
+        |    CAST(sum(delta) OVER (PARTITION BY h ORDER BY ts, delta DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM hp),
+        |hourly AS (
+        |  SELECT h, max(run) AS intra_max, sum(delta) AS net,
+        |    CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts
+        |  FROM runs GROUP BY h),
+        |c AS (
+        |  SELECT h, n_starts, intra_max,
+        |    coalesce(sum(net) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS carry
+        |  FROM hourly)
+        |SELECT h AS hour, n_starts,
+        |  CAST(carry + greatest(intra_max, 0) AS BIGINT) AS peak_concurrency
+        |FROM c ORDER BY hour""".stripMargin,
   )
 }

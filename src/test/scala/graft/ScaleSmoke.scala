@@ -347,6 +347,7 @@ object ScaleSmoke {
     time("q_seasonal_decompose") { queries.Warehouse.qSeasonalDecompose(spark, dir) }
     time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("q_triangle_count") { queries.Warehouse.qTriangleCount(spark, dir) }
+    time("q_peak_concurrency") { queries.Warehouse.qPeakConcurrency(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

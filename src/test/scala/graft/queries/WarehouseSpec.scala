@@ -615,6 +615,53 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.drop(firstUp).forall(_.getAs[Int]("alarm_up") == 1))
   }
 
+  test("peak concurrency: plateau carry, handoff tie, and drain hour exact") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A spans 09:10–11:50 (carry-only plateau through hour 10 until a
+    // drain); B 09:20–09:40; C starts 09:40 exactly as B ends (handoff
+    // tie: closed intervals ⇒ momentarily 3 concurrent); D 11:00–11:05
+    val sessions = Seq(
+      ("A", t("2024-01-01 09:10:00"), t("2024-01-01 11:50:00")),
+      ("B", t("2024-01-01 09:20:00"), t("2024-01-01 09:40:00")),
+      ("C", t("2024-01-01 09:40:00"), t("2024-01-01 10:55:00")),
+      ("D", t("2024-01-01 11:00:00"), t("2024-01-01 11:05:00"))
+    ).toDF("user_id", "session_start", "session_end")
+    val rows = Warehouse.peakConcurrency(sessions).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").toString,
+        r.getAs[Long]("n_starts"), r.getAs[Long]("peak_concurrency"))).toList
+    assert(rows == List(
+      ("2024-01-01 09:00:00.0", 3L, 3L), // A+B, then C starts AS B ends
+      ("2024-01-01 10:00:00.0", 0L, 2L), // carried plateau A+C, then C drains
+      ("2024-01-01 11:00:00.0", 1L, 2L)  // A carried + D
+    ), s"got $rows")
+  }
+
+  test("peak concurrency face: decomposed windows equal the global brute-force sweep") {
+    val face = Warehouse.qPeakConcurrency(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+        r.getAs[Long]("peak_concurrency"))).toMap
+    val sessions = Warehouse.qSessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime))
+    val pts = sessions.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (ts, d) => (ts, -d) }
+    val hourMs = 3600L * 1000L
+    var run = 0L
+    val peaks = scala.collection.mutable.Map[Long, Long]()
+    pts.foreach { case (ts, d) =>
+      val h = ts / hourMs * hourMs
+      // carried plateau: the hour opens at the pre-point running value
+      peaks.getOrElseUpdate(h, run)
+      run += d
+      if (run > peaks(h)) peaks(h) = run
+    }
+    assert(face.keySet == peaks.keySet)
+    face.foreach { case (h, p) =>
+      assert(p == peaks(h), s"hour $h: face $p vs sweep ${peaks(h)}")
+    }
+  }
+
   private def edgeDf(es: Seq[(Long, Long)]) = {
     import spark.implicits._
     es.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
