@@ -190,6 +190,9 @@ object SparkEntry {
     "q_changepoint" -> ((s, dir) => Warehouse.qChangepoint(s, dir)),
     "q_triangle_count" -> ((s, dir) => Warehouse.qTriangleCount(s, dir)),
     "q_peak_concurrency" -> ((s, dir) => Warehouse.qPeakConcurrency(s, dir)),
+    "q_percentile_approx" -> ((s, dir) => Warehouse.qPercentileApprox(s, dir)),
+    "q_rfm_segments" -> ((s, dir) => Warehouse.qRfmSegments(s, dir)),
+    "q_fd_profile" -> ((s, dir) => Etl.qFdProfile(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2952,5 +2955,81 @@ object SparkEntry {
         |SELECT h AS hour, n_starts,
         |  CAST(carry + greatest(intra_max, 0) AS BIGINT) AS peak_concurrency
         |FROM c ORDER BY hour""".stripMargin,
+    // C46: integer-cents monetary (both engines round the same float64
+    // bits then sum exactly) and exact quintile ranks with user_id
+    // tiebreaks — ranking never compares raw double sums.
+    "q_rfm_segments" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(CAST(ts AS DATE)) AS hd FROM p),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)), (SELECT hd FROM h))
+        |      AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM p GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+        |r AS (
+        |  SELECT u.*, n.n_users,
+        |    row_number() OVER (ORDER BY recency_days, user_id) AS rn_r,
+        |    row_number() OVER (ORDER BY frequency DESC, user_id) AS rn_f,
+        |    row_number() OVER (ORDER BY monetary_cents DESC, user_id) AS rn_m
+        |  FROM u, n)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(5 - (5 * (rn_r - 1)) // n_users AS BIGINT) AS r_score,
+        |  CAST(5 - (5 * (rn_f - 1)) // n_users AS BIGINT) AS f_score,
+        |  CAST(5 - (5 * (rn_m - 1)) // n_users AS BIGINT) AS m_score,
+        |  CAST(100 * (5 - (5 * (rn_r - 1)) // n_users)
+        |    + 10 * (5 - (5 * (rn_f - 1)) // n_users)
+        |    + (5 - (5 * (rn_m - 1)) // n_users) AS BIGINT) AS segment
+        |FROM r ORDER BY user_id""".stripMargin,
+    "q_fd_profile" ->
+      """WITH
+        |p1 AS (SELECT count(DISTINCT o_custkey) AS k FROM orders GROUP BY o_orderkey),
+        |p2 AS (SELECT count(DISTINCT o_orderstatus) AS k FROM orders GROUP BY o_custkey),
+        |p3 AS (SELECT count(DISTINCT l_linestatus) AS k FROM lineitem GROUP BY l_orderkey),
+        |p4 AS (SELECT count(DISTINCT l_suppkey) AS k FROM lineitem GROUP BY l_partkey),
+        |p5 AS (SELECT count(DISTINCT c_nationkey) AS k FROM customer GROUP BY c_custkey),
+        |p6 AS (SELECT count(DISTINCT n_regionkey) AS k FROM nation GROUP BY n_nationkey)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS rel, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    CAST(max(k) AS BIGINT) AS max_rhs_per_group,
+        |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS INTEGER) AS fd_holds FROM p1
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'o_orderstatus',
+        |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS INTEGER) FROM p2
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey', 'l_linestatus',
+        |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS INTEGER) FROM p3
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+        |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS INTEGER) FROM p4
+        |  UNION ALL
+        |  SELECT 'customer', 'c_custkey', 'c_nationkey',
+        |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS INTEGER) FROM p5
+        |  UNION ALL
+        |  SELECT 'nation', 'n_nationkey', 'n_regionkey',
+        |    CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT),
+        |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+        |      THEN 1 ELSE 0 END AS INTEGER) FROM p6)
+        |ORDER BY rel, lhs, rhs""".stripMargin,
   )
 }

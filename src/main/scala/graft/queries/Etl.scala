@@ -54,6 +54,41 @@ object Etl {
       .orderBy("table_name", "column_name")
   }
 
+  /** A19: FUNCTIONAL-DEPENDENCY profile — does column A determine
+    * column B? The warehouse-side constraint discovery behind key
+    * detection, denormalization safety, and "is this join key actually
+    * a key" (the reference trusts the catalog's declared keys,
+    * discover.py:60; at 100 TB you VERIFY them). For each candidate
+    * (lhs → rhs) over a declared pair set: one hash aggregation on the
+    * LHS key counting distinct RHS values per group (map-side partial,
+    * |groups| state), then a |groups|-sized reduction to (n_groups,
+    * n_violating, max_rhs_per_group); fd holds iff no group sees >1 rhs.
+    * One exchange per candidate pair, nothing quadratic, and the per-
+    * pair frames union into one report. */
+  def qFdProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def check(table: String, lhs: String, rhs: String): DataFrame =
+      Tables.table(spark, dir, table)
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("__k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"__k" > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max($"__k").as("max_rhs_per_group"))
+        .select(lit(table).as("rel"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          $"n_groups", $"n_violating",
+          $"max_rhs_per_group",
+          ($"n_violating" === 0L).cast("int").as("fd_holds"))
+    Seq(
+      check("orders", "o_orderkey", "o_custkey"),      // PK ⇒ holds
+      check("orders", "o_custkey", "o_orderstatus"),   // repeat buyers ⇒ no
+      check("lineitem", "l_orderkey", "l_linestatus"),   // multi-line orders ⇒ no
+      check("lineitem", "l_partkey", "l_suppkey"),     // parts multi-sourced ⇒ no
+      check("customer", "c_custkey", "c_nationkey"),   // PK ⇒ holds
+      check("nation", "n_nationkey", "n_regionkey")    // dim PK ⇒ holds
+    ).reduce(_.unionAll(_))
+      .orderBy($"rel", $"lhs", $"rhs")
+  }
+
   /** A2: column selection — selected ∩ available ∪ automatic. The pkey is
     * 'automatic' so it appears even though not selected. */
   def qSelectColumns(spark: SparkSession, dir: String): DataFrame =

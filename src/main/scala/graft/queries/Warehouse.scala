@@ -328,6 +328,74 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C12b: the SKETCH twin of C12 — `percentile_approx` (Spark's
+    * Greenwald–Khanna summary: single-pass, MERGEABLE partial state, no
+    * per-group sort), the form C12's exact per-group sort swaps to at
+    * 100 TB and the executed proof of C34's "swap percentile for
+    * approx_percentile at scale" note. accuracy=10000 bounds the rank
+    * error at n/10000 per group; the spec pins the observed rank error
+    * against the exact C12 answer. Rows-only ([R]): the GK summary is
+    * engine-specific, so there is nothing bit-exact for DuckDB to
+    * replay — the exactness contract lives in the paired spec. */
+  def qPercentileApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.table(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile_approx(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("percentile_approx(value, 0.9, 10000)"), 4).as("p90"),
+        round(expr("percentile_approx(value, 0.99, 10000)"), 4).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  /** C46: RFM SEGMENTATION — the classic CRM/lifecycle view: per user,
+    * Recency (days since last purchase vs the corpus horizon),
+    * Frequency (purchase count), Monetary (lifetime cents), each scored
+    * into EXACT integer quintiles (`5 − (5·(rn−1)) DIV n`, row_number
+    * with user_id tiebreak — the F19b exact-rank pattern, not
+    * engine-dependent quantiles), segment = 100·R + 10·F + M. Monetary
+    * sums in INTEGER CENTS (both engines round the same float64 bits,
+    * then sum exactly) so quintile boundaries cannot drift on a last-ulp
+    * double difference — the §6 lesson applied to ranking. Declared
+    * sort-bound like C18: the three global rank windows run over the
+    * AGGREGATED user frame (one row per purchaser); at 100 TB each swaps
+    * for H16b's sampled quantile-cutoff broadcast, shape unchanged. */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val purchases = Tables.table(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val horizon = purchases.agg(max(to_date($"ts")).as("h"))
+    val users = purchases.groupBy($"user_id")
+      .agg(max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum($"cents").as("monetary_cents"))
+      .crossJoin(broadcast(horizon))
+      .select($"user_id",
+        datediff($"h", $"last_day").cast("long").as("recency_days"),
+        $"frequency", $"monetary_cents")
+    val nUsers = users.agg(count(lit(1)).as("n_users"))
+    def quint(): Column = expr("5 - (5 * (__rn - 1)) DIV n_users")
+    val byR = Window.orderBy($"recency_days", $"user_id")
+    val byF = Window.orderBy($"frequency".desc, $"user_id")
+    val byM = Window.orderBy($"monetary_cents".desc, $"user_id")
+    users.crossJoin(broadcast(nUsers))
+      .withColumn("__rn", row_number().over(byR).cast("long"))
+      .withColumn("r_score", quint())
+      .withColumn("__rn", row_number().over(byF).cast("long"))
+      .withColumn("f_score", quint())
+      .withColumn("__rn", row_number().over(byM).cast("long"))
+      .withColumn("m_score", quint())
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+        $"r_score", $"f_score", $"m_score",
+        (lit(100L) * $"r_score" + lit(10L) * $"f_score" + $"m_score")
+          .as("segment"))
+      .orderBy($"user_id")
+  }
+
   /** C14: event debounce — drop repeats of the same (user, payload)
     * arriving within 5 minutes of the PREVIOUS OCCURRENCE (duplicate
     * deliveries, double-clicks, retry storms). One lag window per

@@ -348,6 +348,9 @@ object ScaleSmoke {
     time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("q_triangle_count") { queries.Warehouse.qTriangleCount(spark, dir) }
     time("q_peak_concurrency") { queries.Warehouse.qPeakConcurrency(spark, dir) }
+    time("q_percentile_approx") { queries.Warehouse.qPercentileApprox(spark, dir) }
+    time("q_rfm_segments") { queries.Warehouse.qRfmSegments(spark, dir) }
+    time("q_fd_profile") { queries.Etl.qFdProfile(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

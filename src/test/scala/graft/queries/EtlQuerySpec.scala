@@ -48,4 +48,33 @@ class EtlQuerySpec extends SparkSpec {
       ("part", "p_size", "type_changed"),
       ("events", "legacy_ip", "removed")), s"got $out")
   }
+
+  test("fd profile: PKs hold, bookkeeping consistent, one pair brute-force verified") {
+    val rows = Etl.qFdProfile(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val byKey = rows.map(r => (r.getAs[String]("rel"), r.getAs[String]("lhs"),
+      r.getAs[String]("rhs")) -> r).toMap
+    // declared primary keys must hold with exactly one rhs per group
+    Seq(("orders", "o_orderkey", "o_custkey"),
+      ("customer", "c_custkey", "c_nationkey"),
+      ("nation", "n_nationkey", "n_regionkey")).foreach { k =>
+      val r = byKey(k)
+      assert(r.getAs[Int]("fd_holds") == 1 && r.getAs[Long]("n_violating") == 0L
+        && r.getAs[Long]("max_rhs_per_group") == 1L, s"PK $k must hold")
+    }
+    rows.foreach { r =>
+      assert((r.getAs[Long]("n_violating") == 0L) == (r.getAs[Int]("fd_holds") == 1))
+      assert(r.getAs[Long]("max_rhs_per_group") >= 1L)
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"))
+    }
+    // brute-force one non-trivial pair from the raw rows
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+    val groups = li.distinct.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val r = byKey(("lineitem", "l_partkey", "l_suppkey"))
+    assert(r.getAs[Long]("n_groups") == groups.size.toLong)
+    assert(r.getAs[Long]("n_violating") == groups.values.count(_ > 1).toLong)
+    assert(r.getAs[Long]("max_rhs_per_group") == groups.values.max.toLong)
+  }
 }

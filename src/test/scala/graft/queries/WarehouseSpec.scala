@@ -615,6 +615,69 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.drop(firstUp).forall(_.getAs[Int]("alarm_up") == 1))
   }
 
+  test("percentile approx: returns observed values within the GK rank bound") {
+    // the GK contract: each reported quantile is an OBSERVED value whose
+    // empirical rank is within n/accuracy (+1 for the rank convention)
+    // of the target rank — NOT a relative-value bound (the exact face
+    // interpolates; in a long tail the neighbor gap can exceed any
+    // fixed percentage, which is what this spec originally tripped on)
+    val raw = graft.sources.Tables.table(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Double]("value")).sorted }
+    val approx = Warehouse.qPercentileApprox(spark, sfDir).collect()
+    assert(approx.size == raw.size && approx.nonEmpty)
+    approx.foreach { a =>
+      val vs = raw(a.getAs[String]("event_type"))
+      val n = vs.length
+      assert(a.getAs[Long]("n") == n.toLong)
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).foreach { case (c, p) =>
+        val av = a.getAs[Double](c)
+        // reported value is observed (face rounds to 4dp — match that)
+        def r4(v: Double) = BigDecimal(v)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
+        assert(vs.exists(v => math.abs(r4(v) - av) < 1e-9),
+          s"$c=$av is not an observed value")
+        val rank = vs.count(v => r4(v) <= av)
+        val bound = n.toDouble / 10000 + 1
+        assert(math.abs(rank - p * n) <= bound + 1,
+          s"${a.getAs[String]("event_type")} $c: rank $rank vs target ${p * n}")
+      }
+      assert(a.getAs[Double]("p50") <= a.getAs[Double]("p90")
+        && a.getAs[Double]("p90") <= a.getAs[Double]("p99"))
+    }
+  }
+
+  test("rfm: quintiles balanced, monetary is the brute-force cents sum, segment arithmetic") {
+    val rows = Warehouse.qRfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val hist = rows.groupBy(_.getAs[Long](c)).map { case (k, v) => k -> v.length }
+      assert(hist.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)), s"$c out of range")
+      // exact integer quintiles: bucket sizes differ by at most 1
+      if (n >= 5) assert(hist.values.max - hist.values.min <= 1,
+        s"$c unbalanced: $hist")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("segment") ==
+        100 * r.getAs[Long]("r_score") + 10 * r.getAs[Long]("f_score")
+          + r.getAs[Long]("m_score"))
+      assert(r.getAs[Long]("recency_days") >= 0L)
+      assert(r.getAs[Long]("frequency") >= 1L)
+    }
+    // monetary = brute-force per-user cents sum from the raw events
+    val brute = graft.sources.Tables.table(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, es) =>
+        u -> es.map(e => math.round(e.getAs[Double]("value") * 100)).sum }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("monetary_cents") == brute(r.getAs[Long]("user_id")))
+    }
+  }
+
   test("peak concurrency: plateau carry, handoff tie, and drain hour exact") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
