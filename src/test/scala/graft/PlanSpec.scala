@@ -507,4 +507,43 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1,
       "documents must be scanned exactly once")
   }
+
+  test("seasonal decompose: 7-row seasonal frame broadcasts, no sort-merge join") {
+    val plan = planOf(queries.Warehouse.qSeasonalDecompose(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), "dow seasonal join must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "nothing in the bounded-calendar path may sort-merge")
+  }
+
+  test("peak concurrency: boundary points window PARTITIONED by hour before the bounded carry") {
+    val plan = planOf(queries.Warehouse.qPeakConcurrency(spark, sfDir))
+    // the corpus-sized window must carry the hour partition key — only
+    // the bounded hourly frame may hit the single-partition carry window
+    assert("""\], \[h#\d+\], \[ts#""".r.findFirstIn(plan).isDefined,
+      "intra-hour window must be hash-partitioned by hour")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("triangle census: equi-joins only — no cartesian, no broadcast nested loop") {
+    val plan = planOf(queries.Warehouse.qTriangleCount(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      "wedge join must be a hash/sort equi-join, never a cross product")
+    // the one-row stat frames legitimately BNLJ-broadcast; the node-key
+    // joins must not
+    assert(!plan.contains("NestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      "only the two one-row stat crossJoins may nested-loop")
+  }
+
+  test("video near-dup: banding is a shuffled equi-join on (slot, hash), no nested loop") {
+    val plan = planOf(queries.LlmOps.qVideoNearDup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      "frame-hash banding must join on (slot, hash) keys only")
+  }
+
+  test("fd profile: one aggregation pair per candidate, no joins anywhere") {
+    val plan = planOf(queries.Etl.qFdProfile(spark, sfDir))
+    assert(!plan.contains("Join"), "FD checks are pure aggregations")
+    assert(!plan.contains("Window"))
+  }
 }
