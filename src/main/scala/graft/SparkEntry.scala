@@ -2815,8 +2815,10 @@ object SparkEntry {
         |FROM t JOIN j USING (event_type) ORDER BY event_type""".stripMargin,
     // C42: integer lanes; seasonal uses explicit FLOOR division (a − amod)
     // // n with amod = ((a % n) + n) % n ∈ [0, n) — Spark's pmod — because
-    // detrended sums go negative and DuckDB's `//` floors while Spark's
-    // DIV truncates. isodow−1 ≡ Spark weekday (0 = Monday).
+    // detrended sums go negative, and negative-operand `//`↔DIV rounding
+    // is version-fragile across engines (this DuckDB truncates like DIV
+    // today); the exactly-divisible numerator makes both modes agree.
+    // isodow−1 ≡ Spark weekday (0 = Monday).
     "q_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
@@ -2847,8 +2849,8 @@ object SparkEntry {
         |    AS resid_x7000
         |FROM wt JOIN seas USING (dow) ORDER BY wt.d""".stripMargin,
     // C45: S_d = max(0, S_{d−1} + x_d) replayed as prefix − min(0,
-    // running-min of prefix); μ and k divisions have positive operands so
-    // DIV (truncate) and // (floor) agree.
+    // running-min of prefix); μ and k divisions have positive operands,
+    // where every integer-division rounding mode agrees.
     "q_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y

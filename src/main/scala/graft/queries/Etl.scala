@@ -77,7 +77,9 @@ object Etl {
         .select(lit(table).as("rel"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
           $"n_groups", $"n_violating",
           $"max_rhs_per_group",
-          ($"n_violating" === 0L).cast("int").as("fd_holds"))
+          // CASE-shaped so an EMPTY relation (sum → NULL) yields 0 like
+          // the oracle's CASE, not a NULL boolean cast
+          when($"n_violating" === 0L, 1).otherwise(0).as("fd_holds"))
     Seq(
       check("orders", "o_orderkey", "o_custkey"),      // PK ⇒ holds
       check("orders", "o_custkey", "o_orderstatus"),   // repeat buyers ⇒ no

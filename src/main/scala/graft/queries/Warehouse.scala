@@ -1149,8 +1149,11 @@ object Warehouse {
     val tri = wedges
       .join(edges.select(col("a").as("v1"), col("b").as("v2")), Seq("v1", "v2"))
       .agg(count(lit(1)).as("n_triangles"))
+    // coalesce mirrors the oracle: an edgeless corpus must report 0
+    // wedges, not NULL (sum over an empty frame is NULL on both engines
+    // but only the oracle coalesced before this fix)
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+      coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L)).as("n_wedges"))
     val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
     tri.crossJoin(broadcast(nodeStats)).crossJoin(broadcast(edgeStats))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
@@ -1191,16 +1194,11 @@ object Warehouse {
     * iterations bit-for-bit — no float summation-order drift. */
   def qPageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.table(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val pairs = d.as("a")
-      .join(d.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter($"n_ab" >= 2)
-    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
-      .union(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    // ONE definition of the co-purchase graph (shared with C43's
+    // census): a support-threshold change edits one site, not three
+    val pairs = coPurchaseEdges(spark, dir)
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .union(pairs.select($"b".as("src"), $"a".as("dst")))
     graft.operators.PageRank.rankPpb(edges, iterations = 10)
       .select($"node".as("part"), $"rank_ppb")
       .orderBy($"part")
@@ -1284,10 +1282,14 @@ object Warehouse {
     * or an incident". ALL-INTEGER lanes so both engines replay the
     * arithmetic bit-for-bit: trend rides ×7 (the window SUM, no
     * division), detrended ×7, seasonal ×7000 via explicit FLOOR division
-    * (numerator minus its positive mod — Spark DIV truncates toward zero
-    * while DuckDB `//` floors, and day-of-week detrended sums GO
-    * NEGATIVE, so the naive DIV↔// pair would diverge on exactly half
-    * the rows). Edge days without a full 7-day window are excluded (no
+    * (numerator minus its positive mod): day-of-week detrended sums GO
+    * NEGATIVE, and negative-operand integer division is exactly where
+    * engine semantics have differed across versions (floor vs truncate
+    * — this harness's DuckDB happens to truncate like Spark DIV today,
+    * but the claim is version-fragile); the explicit form divides an
+    * exactly-divisible numerator, so BOTH rounding modes give the same
+    * bits and the lane is division-mode independent. Edge days without
+    * a full 7-day window are excluded (no
     * partial-window trend). Scale shape: one map-side count-by-day
     * aggregation is the only corpus-sized stage; the windows and the
     * 7-row seasonal join run on the bounded calendar frame

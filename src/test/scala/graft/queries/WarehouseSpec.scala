@@ -746,6 +746,15 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getAs[Long]("clustering_ppm") == 3000000L * 4L / wedges)
   }
 
+  test("triangle count: empty edge frame reports zeros, not NULLs") {
+    val r = Warehouse.triangleCount(edgeDf(Seq.empty)).collect().head
+    assert(r.getAs[Long]("n_nodes") == 0L && r.getAs[Long]("n_edges") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 0L, "empty graph must coalesce wedges to 0")
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.isNullAt(r.fieldIndex("clustering_ppm")),
+      "0/0 clustering is undefined — NULL via nullif on both engines")
+  }
+
   test("triangle count: star graph has zero triangles, matches brute force on LCG graph") {
     val hub = (1L to 20L).map(i => (0L, i))
     val star = Warehouse.triangleCount(edgeDf(hub)).collect().head
