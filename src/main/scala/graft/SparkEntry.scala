@@ -193,6 +193,8 @@ object SparkEntry {
     "q_percentile_approx" -> ((s, dir) => Warehouse.qPercentileApprox(s, dir)),
     "q_rfm_segments" -> ((s, dir) => Warehouse.qRfmSegments(s, dir)),
     "q_fd_profile" -> ((s, dir) => Etl.qFdProfile(s, dir)),
+    "q_anomaly_days" -> ((s, dir) => Warehouse.qAnomalyDays(s, dir)),
+    "q_graph_components" -> ((s, dir) => Warehouse.qGraphComponents(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2886,6 +2888,67 @@ object SparkEntry {
         |  CAST(pu - mrun_u > 2 * mu_x1000 AS INTEGER) AS alarm_up,
         |  CAST(pv - mrun_v > 2 * mu_x1000 AS INTEGER) AS alarm_down
         |FROM r ORDER BY d""".stripMargin,
+    // C42b: C42's decomposition chain + C34's median/MAD flag on the
+    // residual; med/mad are interpolated doubles computed from identical
+    // integer inputs on both engines (the C34 parity pattern).
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |t AS (
+        |  SELECT d, y, count(*) OVER w AS n7,
+        |    CAST(sum(y) OVER w AS BIGINT) AS trend_x7
+        |  FROM series
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |wt AS (
+        |  SELECT d, CAST(isodow(d) - 1 AS BIGINT) AS dow, y, trend_x7,
+        |    7 * y - trend_x7 AS detr_x7
+        |  FROM t WHERE n7 = 7),
+        |seas AS (
+        |  SELECT dow, CAST((1000 * sum(detr_x7)
+        |      - ((1000 * sum(detr_x7) % count(*)) + count(*)) % count(*))
+        |      // count(*) AS BIGINT) AS seas_x7000
+        |  FROM wt GROUP BY dow),
+        |dec AS (
+        |  SELECT wt.d, wt.y,
+        |    CAST(7000 * wt.y - 1000 * wt.trend_x7 - seas.seas_x7000 AS BIGINT)
+        |      AS resid_x7000
+        |  FROM wt JOIN seas USING (dow)),
+        |m AS (SELECT median(resid_x7000) AS med FROM dec),
+        |wm AS (SELECT dec.*, m.med FROM dec, m),
+        |s AS (SELECT median(abs(resid_x7000 - med)) AS mad FROM wm)
+        |SELECT wm.d, wm.y, wm.resid_x7000,
+        |  round(wm.med, 4) AS med, round(s.mad, 4) AS mad,
+        |  CAST(CASE WHEN abs(wm.resid_x7000 - wm.med) > 3.0 * 1.4826 * s.mad
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM wm, s ORDER BY wm.d""".stripMargin,
+    // C47: same strategy-independent count as C43 — the recursive reach
+    // CTE enumerates Σ|component|² pairs, fine at the sf0.01 gate scale.
+    "q_graph_components" ->
+      """WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
+        |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM p WHERE n_ab >= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM e
+        |          UNION ALL SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, rr.r FROM edges e2 JOIN reach rr ON e2.dst = rr.id),
+        |comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+        |sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+        |       FROM comp GROUP BY component_id)
+        |SELECT comp.id AS part, comp.component_id, sz.component_size
+        |FROM comp JOIN sz USING (component_id) ORDER BY part""".stripMargin,
     // C43: the oracle needs no orientation trick (DuckDB handles the
     // sf0.01 wedge mass) — the count is strategy-independent; HUGEINT
     // mirrors the Spark DECIMAL(38) clustering lane, nullif guards the

@@ -1320,6 +1320,53 @@ object Warehouse {
       .orderBy(col("d"))
   }
 
+  /** C42b: ANOMALY DAYS — C34's median/MAD robust flag applied to C42's
+    * seasonal-decomposition RESIDUAL (flagging the raw series would call
+    * every Saturday an anomaly; flagging the residual asks "is today
+    * unusual FOR a day like today"). All stats compute on the bounded
+    * calendar frame (one-row med/mad frames broadcast back), so the
+    * corpus-sized cost stays C42's single count-by-day aggregation. */
+  def qAnomalyDays(spark: SparkSession, dir: String): DataFrame =
+    anomalyDays(seasonalDecompose(dailyEventSeries(spark, dir)))
+
+  /** C42b core over a decomposed (d, y, resid_x7000, …) frame. */
+  def anomalyDays(dec: DataFrame): DataFrame = {
+    val med = dec.agg(expr("percentile(resid_x7000, 0.5)").as("med"))
+    val withMed = dec.crossJoin(broadcast(med))
+    val mad = withMed.agg(
+      expr("percentile(abs(resid_x7000 - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("d"), col("y"), col("resid_x7000"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        (abs(col("resid_x7000") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad")).cast("int").as("is_anomaly"))
+      .orderBy(col("d"))
+  }
+
+  /** C47: connected COMPONENTS of the co-purchase graph — the community
+    * partition underneath C40's centrality and C43's density census
+    * (which parts form one substitutable/complementary cluster). Reuses
+    * D6's threshold-switched union-find
+    * ([[graft.dedup.Dedup.connectedComponents]]): driver path-compressed
+    * union-find below the edge threshold, distributed min-label
+    * propagation with per-iteration lineage truncation above it —
+    * iteration count bounded by graph diameter, per-step cost one
+    * neighbor join + min-aggregate. Component id = min member id
+    * (deterministic, engine-independent); sizes join back broadcast-or-
+    * shuffle as Catalyst prefers on the |components| frame. */
+  def qGraphComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comp = graft.dedup.Dedup.connectedComponents(
+      coPurchaseEdges(spark, dir)
+        .select($"a".as("id_a"), $"b".as("id_b")))
+    val sizes = comp.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, "cluster_id")
+      .select($"id".as("part"), $"cluster_id".as("component_id"),
+        $"component_size")
+      .orderBy($"part")
+  }
+
   /** C45: CUSUM changepoint detection on the daily event volume — the
     * monitoring primitive for "did ingest rate shift": two one-sided
     * cumulative sums accumulate evidence of a sustained mean shift

@@ -351,6 +351,8 @@ object ScaleSmoke {
     time("q_percentile_approx") { queries.Warehouse.qPercentileApprox(spark, dir) }
     time("q_rfm_segments") { queries.Warehouse.qRfmSegments(spark, dir) }
     time("q_fd_profile") { queries.Etl.qFdProfile(spark, dir) }
+    time("q_anomaly_days") { queries.Warehouse.qAnomalyDays(spark, dir) }
+    time("q_graph_components") { queries.Warehouse.qGraphComponents(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

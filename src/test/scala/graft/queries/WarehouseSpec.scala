@@ -589,6 +589,52 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("anomaly days: a planted spike is flagged, the noisy tail mostly is not") {
+    // LCG noise keeps MAD > 0 — a noise-free periodic plant makes >half
+    // the residuals exactly the median, MAD collapses to 0, and EVERY
+    // deviation flags (the degenerate case C34 documents for clean data)
+    val s = Seq(3L, -2L, 5L, 0L, -4L, 1L, -3L)
+    val noise = Iterator.iterate(123456789L)(x =>
+      x * 6364136223846793005L + 1442695040888963407L)
+      .drop(1).take(70).map(x => math.floorMod(x, 21L) - 10L).toSeq
+    val ys = (0 until 70).map(i =>
+      100L + s(i % 7) + noise(i) + (if (i == 35) 500L else 0L))
+    val rows = Warehouse.anomalyDays(
+      Warehouse.seasonalDecompose(syntheticSeries(ys))).collect()
+      .sortBy(_.getAs[java.sql.Date]("d"))
+    // row index 35 - 3 dropped edge days = 32
+    val spike = rows(32)
+    val med = spike.getAs[Double]("med")
+    assert(math.abs(spike.getAs[Long]("resid_x7000") - med) ==
+      rows.map(r => math.abs(r.getAs[Long]("resid_x7000") - med)).max)
+    assert(spike.getAs[Int]("is_anomaly") == 1, "spike day must flag")
+    assert(spike.getAs[Double]("mad") > 0.0, "noise must keep MAD positive")
+    // the spike bleeds into its ±3-day trend windows and its weekday's
+    // seasonal mean, and uniform noise has fat MAD-relative tails
+    // (MAD of U[−a,a] is a/2, so 3·1.4826·MAD ≈ 2.2a — noise days DO
+    // exceed it at a nontrivial rate); the contract worth pinning is
+    // SELECTIVITY — the flag separates a minority, it does not
+    // degenerate to everything-or-nothing — plus the spike dominating
+    val flagged = rows.count(_.getAs[Int]("is_anomaly") == 1)
+    assert(flagged >= 1 && flagged <= rows.length / 3,
+      s"flag must be selective: $flagged of ${rows.length}")
+  }
+
+  test("graph components: min-member ids, consistent sizes, ids are members") {
+    val rows = Warehouse.qGraphComponents(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val parts = rows.map(_.getAs[Long]("part")).toSet
+    val byComp = rows.groupBy(_.getAs[Long]("component_id"))
+    byComp.foreach { case (cid, members) =>
+      assert(members.forall(_.getAs[Long]("part") >= cid),
+        "component id must be the minimum member")
+      assert(parts.contains(cid), "component id must itself be a node")
+      assert(members.forall(_.getAs[Long]("component_size") == members.length),
+        s"size mismatch in component $cid")
+    }
+    assert(byComp.values.map(_.length).sum == rows.length)
+  }
+
   test("cusum: flat series accumulates nothing and never alarms") {
     val rows = Warehouse.cusum(syntheticSeries(Seq.fill(20)(42L))).collect()
     assert(rows.length == 20)
