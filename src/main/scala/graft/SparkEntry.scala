@@ -195,6 +195,7 @@ object SparkEntry {
     "q_fd_profile" -> ((s, dir) => Etl.qFdProfile(s, dir)),
     "q_anomaly_days" -> ((s, dir) => Warehouse.qAnomalyDays(s, dir)),
     "q_graph_components" -> ((s, dir) => Warehouse.qGraphComponents(s, dir)),
+    "q_changepoint_by_type" -> ((s, dir) => Warehouse.qChangepointByType(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2929,6 +2930,50 @@ object SparkEntry {
         |  CAST(CASE WHEN abs(wm.resid_x7000 - wm.med) > 3.0 * 1.4826 * s.mad
         |       THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
         |FROM wm, s ORDER BY wm.d""".stripMargin,
+    // C45b: C45's window identity, keyed — every window PARTITION BY
+    // event_type; per-key spine and μ.
+    "q_changepoint_by_type" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(d) AS lo, max(d) AS hi
+        |  FROM daily GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(
+        |    CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM spans),
+        |series AS (
+        |  SELECT s.event_type, s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (event_type, d)),
+        |m AS (SELECT event_type,
+        |        CAST((1000 * sum(y)) // count(*) AS BIGINT) AS mu_x1000
+        |      FROM series GROUP BY event_type),
+        |u AS (
+        |  SELECT s.event_type, s.d, s.y, m.mu_x1000,
+        |    1000 * s.y - m.mu_x1000 - m.mu_x1000 // 4 AS uu,
+        |    m.mu_x1000 - 1000 * s.y - m.mu_x1000 // 4 AS vv
+        |  FROM series s JOIN m USING (event_type)),
+        |c AS (
+        |  SELECT event_type, d, y, mu_x1000,
+        |    CAST(sum(uu) OVER w AS BIGINT) AS pu,
+        |    CAST(sum(vv) OVER w AS BIGINT) AS pv
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |               ROWS UNBOUNDED PRECEDING)),
+        |r AS (
+        |  SELECT event_type, d, y, mu_x1000, pu, pv,
+        |    least(0, CAST(min(pu) OVER w2 AS BIGINT)) AS mrun_u,
+        |    least(0, CAST(min(pv) OVER w2 AS BIGINT)) AS mrun_v
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY d
+        |                ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, d, y,
+        |  pu - mrun_u AS s_pos_x1000, pv - mrun_v AS s_neg_x1000,
+        |  CAST(pu - mrun_u > 2 * mu_x1000 AS INTEGER) AS alarm_up,
+        |  CAST(pv - mrun_v > 2 * mu_x1000 AS INTEGER) AS alarm_down
+        |FROM r ORDER BY event_type, d""".stripMargin,
     // C47: same strategy-independent count as C43 — the recursive reach
     // CTE enumerates Σ|component|² pairs, fine at the sf0.01 gate scale.
     "q_graph_components" ->

@@ -1343,6 +1343,47 @@ object Warehouse {
       .orderBy(col("d"))
   }
 
+  /** C45b: per-type CUSUM — C45's detector run independently per event
+    * type (the deployment shape: one gauge per monitored series), and
+    * the better scale story: EVERY window here is partitioned by the
+    * series key, so there is no single-partition stage at all — the
+    * bounded-carry decomposition C44 needs for one global series is
+    * unnecessary when the series themselves are the parallelism. Per-key
+    * day spine (I3's per-key calendar idiom), per-key μ joined back
+    * broadcast-sized (|types| rows). */
+  def qChangepointByType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"d").as("__lo"), max($"d").as("__hi"))
+      .select($"event_type",
+        explode(sequence($"__lo", $"__hi", expr("INTERVAL 1 DAY"))).as("d"))
+    val series = spine.join(daily, Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", coalesce($"y", lit(0L)).as("y"))
+    val mu = series.groupBy($"event_type")
+      .agg(expr("(1000 * sum(y)) DIV count(1)").as("mu_x1000"))
+    val wc = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    series.join(broadcast(mu), "event_type")
+      .withColumn("__u", lit(1000L) * $"y" - $"mu_x1000"
+        - expr("mu_x1000 DIV 4"))
+      .withColumn("__v", $"mu_x1000" - lit(1000L) * $"y"
+        - expr("mu_x1000 DIV 4"))
+      .withColumn("__pu", sum($"__u").over(wc))
+      .withColumn("__pv", sum($"__v").over(wc))
+      .withColumn("s_pos_x1000",
+        $"__pu" - least(lit(0L), min($"__pu").over(wc)))
+      .withColumn("s_neg_x1000",
+        $"__pv" - least(lit(0L), min($"__pv").over(wc)))
+      .select($"event_type", $"d", $"y", $"s_pos_x1000", $"s_neg_x1000",
+        ($"s_pos_x1000" > lit(2L) * $"mu_x1000").cast("int").as("alarm_up"),
+        ($"s_neg_x1000" > lit(2L) * $"mu_x1000").cast("int").as("alarm_down"))
+      .orderBy($"event_type", $"d")
+  }
+
   /** C47: connected COMPONENTS of the co-purchase graph — the community
     * partition underneath C40's centrality and C43's density census
     * (which parts form one substitutable/complementary cluster). Reuses

@@ -541,6 +541,19 @@ class PlanSpec extends SparkSpec {
       "frame-hash banding must join on (slot, hash) keys only")
   }
 
+  test("cusum by type: every window partitioned by the series key — no global window") {
+    val plan = planOf(queries.Warehouse.qChangepointByType(spark, sfDir))
+    // all four window passes must carry the event_type partition key
+    // (single-partition windows are the C44-global shape this per-key
+    // face exists to avoid); the final presentation orderBy is the only
+    // permissible global sort
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("event_type")),
+      s"every windowspec must partition by event_type:\n${windowLines.mkString("\n")}")
+  }
+
   test("fd profile: one aggregation pair per candidate, no joins anywhere") {
     val plan = planOf(queries.Etl.qFdProfile(spark, sfDir))
     assert(!plan.contains("Join"), "FD checks are pure aggregations")

@@ -825,6 +825,29 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == es.length.toLong)
   }
 
+  test("cusum by type: each type's lane equals the single-series core run alone") {
+    import spark.implicits._
+    val byType = Warehouse.qChangepointByType(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, rows) =>
+      val solo = Warehouse.cusum(Warehouse.dailySeries(
+        graft.sources.Tables.table(spark, sfDir, "events")
+          .filter($"event_type" === t)
+          .select(to_date($"ts").as("d")))).collect()
+        .map(r => r.getAs[java.sql.Date]("d").toString ->
+          (r.getAs[Long]("s_pos_x1000"), r.getAs[Long]("s_neg_x1000"),
+            r.getAs[Int]("alarm_up"), r.getAs[Int]("alarm_down"))).toMap
+      assert(rows.length == solo.size, s"$t row count")
+      rows.foreach { r =>
+        val k = r.getAs[java.sql.Date]("d").toString
+        assert(solo(k) == ((r.getAs[Long]("s_pos_x1000"),
+          r.getAs[Long]("s_neg_x1000"), r.getAs[Int]("alarm_up"),
+          r.getAs[Int]("alarm_down"))), s"$t @ $k")
+      }
+    }
+  }
+
   test("cusum: window identity equals the max(0,·) recursion replayed") {
     // deterministic LCG series — no Math.random in specs
     val ys = Iterator.iterate(987654321L)(x => (x * 6364136223846793005L + 1442695040888963407L))
