@@ -86,7 +86,7 @@ object Dedup {
     *    stars from the capped candidate stages). `localCheckpoint` cuts
     *    lineage so plans stay constant-size. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      driverThreshold: Long = 1000000L): DataFrame = {
+      driverThreshold: Long = 1000000L, strict: Boolean = false): DataFrame = {
     // ids normalized to long so BOTH paths emit the same schema regardless
     // of which side of the threshold the input lands on
     val normalized = pairs.select(
@@ -100,7 +100,7 @@ object Dedup {
       val probeLimit = math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt
       if (cached.limit(probeLimit).count() <= driverThreshold)
         connectedComponentsLocal(cached)
-      else connectedComponentsDistributed(cached, maxIter)
+      else connectedComponentsDistributed(cached, maxIter, strict)
     } finally if (!callerCached) { cached.unpersist(); () }
   }
 
@@ -127,7 +127,8 @@ object Dedup {
     vertices.map(v => (v, find(v))).toSeq.toDF("id", "cluster_id")
   }
 
-  private def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int): DataFrame = {
+  private def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int,
+      strict: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -160,12 +161,20 @@ object Dedup {
         curSum = labelSum(labels)
         i += 1
       }
-      if (curSum != prevSum)
+      if (curSum != prevSum) {
+        // for DEDUP a split component is a safe degrade (fewer merges,
+        // never a wrong merge); for a components REPORT it is silently
+        // wrong output — strict callers fail loudly instead
+        if (strict) throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter steps " +
+            s"(${2 * maxIter} hops) and strict=true: raise maxIter " +
+            "(iterations needed ≈ graph diameter / 2)")
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"connectedComponents did not converge within $maxIter steps " +
             s"(${2 * maxIter} hops): returning partially-merged clusters " +
             "(conservative — components may be split, never wrongly " +
             "merged). Raise maxIter for deeper graphs.")
+      }
       labels.select(col("id"), col("label").as("cluster_id"))
     } finally edges.unpersist()
   }

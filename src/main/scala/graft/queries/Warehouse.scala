@@ -1265,14 +1265,20 @@ object Warehouse {
     dailySeries(Tables.table(spark, dir, "events")
       .select(to_date(col("ts")).as("d")))
 
-  /** Gap-complete (d, y) daily counts of an already-projected day frame. */
-  def dailySeries(days: DataFrame): DataFrame = {
-    val daily = days.groupBy(col("d")).agg(count(lit(1)).as("y"))
-    val spine = daily.agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
-      .select(explode(sequence(col("__lo"), col("__hi"),
-        expr("INTERVAL 1 DAY"))).as("d"))
-    spine.join(daily, Seq("d"), "left")
-      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+  /** Gap-complete (keys…, d, y) daily counts of an already-projected day
+    * frame. With `keys` empty this is the single global series; with
+    * keys it is one gap-complete series PER key group, each over its own
+    * [min, max] span (groupBy on an empty column list degenerates to the
+    * global aggregate, so both shapes share this one code path). */
+  def dailySeries(days: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val kc = keys.map(col)
+    val daily = days.groupBy(kc :+ col("d"): _*).agg(count(lit(1)).as("y"))
+    val spine = daily.groupBy(kc: _*)
+      .agg(min(col("d")).as("__lo"), max(col("d")).as("__hi"))
+      .select(kc :+ explode(sequence(col("__lo"), col("__hi"),
+        expr("INTERVAL 1 DAY"))).as("d"): _*)
+    spine.join(daily, keys :+ "d", "left")
+      .select(kc ++ Seq(col("d"), coalesce(col("y"), lit(0L)).as("y")): _*)
   }
 
   /** C42: seasonal-trend decomposition of the daily event volume —
@@ -1353,35 +1359,12 @@ object Warehouse {
     * broadcast-sized (|types| rows). */
   def qChangepointByType(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.table(spark, dir, "events")
-      .groupBy($"event_type", to_date($"ts").as("d"))
-      .agg(count(lit(1)).as("y"))
-    val spine = daily.groupBy($"event_type")
-      .agg(min($"d").as("__lo"), max($"d").as("__hi"))
-      .select($"event_type",
-        explode(sequence($"__lo", $"__hi", expr("INTERVAL 1 DAY"))).as("d"))
-    val series = spine.join(daily, Seq("event_type", "d"), "left")
-      .select($"event_type", $"d", coalesce($"y", lit(0L)).as("y"))
-    val mu = series.groupBy($"event_type")
-      .agg(expr("(1000 * sum(y)) DIV count(1)").as("mu_x1000"))
-    val wc = Window.partitionBy($"event_type").orderBy($"d")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    series.join(broadcast(mu), "event_type")
-      .withColumn("__u", lit(1000L) * $"y" - $"mu_x1000"
-        - expr("mu_x1000 DIV 4"))
-      .withColumn("__v", $"mu_x1000" - lit(1000L) * $"y"
-        - expr("mu_x1000 DIV 4"))
-      .withColumn("__pu", sum($"__u").over(wc))
-      .withColumn("__pv", sum($"__v").over(wc))
-      .withColumn("s_pos_x1000",
-        $"__pu" - least(lit(0L), min($"__pu").over(wc)))
-      .withColumn("s_neg_x1000",
-        $"__pv" - least(lit(0L), min($"__pv").over(wc)))
-      .select($"event_type", $"d", $"y", $"s_pos_x1000", $"s_neg_x1000",
-        ($"s_pos_x1000" > lit(2L) * $"mu_x1000").cast("int").as("alarm_up"),
-        ($"s_neg_x1000" > lit(2L) * $"mu_x1000").cast("int").as("alarm_down"))
-      .orderBy($"event_type", $"d")
+    // the keyed core: the per-type ≡ solo-core equivalence the spec pins
+    // holds by construction — one detector definition, not two
+    cusum(dailySeries(
+      Tables.table(spark, dir, "events")
+        .select($"event_type", to_date($"ts").as("d")),
+      Seq("event_type")), Seq("event_type"))
   }
 
   /** C47: connected COMPONENTS of the co-purchase graph — the community
@@ -1397,9 +1380,15 @@ object Warehouse {
     * shuffle as Catalyst prefers on the |components| frame. */
   def qGraphComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // strict + deep: dedup callers tolerate a non-converged (split)
+    // result as a conservative degrade, but a components REPORT must
+    // not silently ship wrong ids — fail loudly instead, with headroom
+    // for long co-purchase chains (64 steps = 128 hops ≥ any plausible
+    // retail-graph diameter; near-dup clusters never need this)
     val comp = graft.dedup.Dedup.connectedComponents(
       coPurchaseEdges(spark, dir)
-        .select($"a".as("id_a"), $"b".as("id_b")))
+        .select($"a".as("id_a"), $"b".as("id_b")),
+      maxIter = 64, strict = true)
     val sizes = comp.groupBy($"cluster_id")
       .agg(count(lit(1)).as("component_size"))
     comp.join(sizes, "cluster_id")
@@ -1423,13 +1412,21 @@ object Warehouse {
   def qChangepoint(spark: SparkSession, dir: String): DataFrame =
     cusum(dailyEventSeries(spark, dir))
 
-  /** C45 core over any gap-complete (d, y) daily series. */
-  def cusum(series: DataFrame): DataFrame = {
-    val mu = series.agg(
-      expr("(1000 * sum(y)) DIV count(1)").as("mu_x1000"))
-    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+  /** C45/C45b core over a gap-complete (keys…, d, y) series frame — one
+    * detector per key group (empty `keys` = the single global series:
+    * the partitionless window and the one-row crossJoin are the same
+    * degenerate cases the spine helper uses). */
+  def cusum(series: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val kc = keys.map(col)
+    val mu = series.groupBy(kc: _*)
+      .agg(expr("(1000 * sum(y)) DIV count(1)").as("mu_x1000"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(kc: _*).orderBy(col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    series.crossJoin(broadcast(mu))
+    val withMu =
+      if (keys.isEmpty) series.crossJoin(broadcast(mu))
+      else series.join(broadcast(mu), keys)
+    withMu
       .withColumn("__u", lit(1000L) * col("y") - col("mu_x1000")
         - expr("mu_x1000 DIV 4"))
       .withColumn("__v", col("mu_x1000") - lit(1000L) * col("y")
@@ -1440,12 +1437,13 @@ object Warehouse {
         col("__pu") - least(lit(0L), min(col("__pu")).over(wc)))
       .withColumn("s_neg_x1000",
         col("__pv") - least(lit(0L), min(col("__pv")).over(wc)))
-      .select(col("d"), col("y"), col("s_pos_x1000"), col("s_neg_x1000"),
+      .select(kc ++ Seq(col("d"), col("y"), col("s_pos_x1000"),
+        col("s_neg_x1000"),
         (col("s_pos_x1000") > lit(2L) * col("mu_x1000")).cast("int")
           .as("alarm_up"),
         (col("s_neg_x1000") > lit(2L) * col("mu_x1000")).cast("int")
-          .as("alarm_down"))
-      .orderBy(col("d"))
+          .as("alarm_down")): _*)
+      .orderBy(kc :+ col("d"): _*)
   }
 
   /** C30: pre-flight join-size estimation — orders ⋈ lineitem sized from

@@ -261,6 +261,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0L)
   }
 
+  test("connected components: strict mode fails loudly when iteration-capped, lax mode degrades split") {
+    import spark.implicits._
+    // a 12-node path has diameter 11 > the 2 hops one capped step allows
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // lax (dedup) mode: split components, never wrongly merged
+    val lax = Dedup.connectedComponents(chain, maxIter = 1,
+      driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lax.values.toSet.size > 1, "capped run must remain split")
+    assert(lax.forall { case (id, c) => c <= id }, "labels only merge downward")
+    // strict (report) mode: the same cap must throw, not ship wrong ids
+    val err = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1,
+        driverThreshold = 0L, strict = true).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // with enough steps strict succeeds and matches the driver path
+    val ok = Dedup.connectedComponents(chain, maxIter = 10,
+      driverThreshold = 0L, strict = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(ok(_) == 1L))
+  }
+
   test("keepCanonical drops exactly the non-canonical cluster members") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
