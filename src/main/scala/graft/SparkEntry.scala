@@ -196,6 +196,7 @@ object SparkEntry {
     "q_anomaly_days" -> ((s, dir) => Warehouse.qAnomalyDays(s, dir)),
     "q_graph_components" -> ((s, dir) => Warehouse.qGraphComponents(s, dir)),
     "q_changepoint_by_type" -> ((s, dir) => Warehouse.qChangepointByType(s, dir)),
+    "q_late_arrivals" -> ((s, dir) => Warehouse.qLateArrivals(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2930,6 +2931,36 @@ object SparkEntry {
         |  CAST(CASE WHEN abs(wm.resid_x7000 - wm.med) > 3.0 * 1.4826 * s.mad
         |       THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
         |FROM wm, s ORDER BY wm.d""".stripMargin,
+    // I6: arrival order = event_id within each user; running-max event
+    // time over the strictly-preceding frame, microsecond lanes, ppm DIV.
+    "q_late_arrivals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+        |  FROM e),
+        |l AS (
+        |  SELECT ts,
+        |    CASE WHEN seen IS NOT NULL AND us < seen THEN seen - us
+        |         ELSE 0 END AS late_us
+        |  FROM w),
+        |h AS (
+        |  SELECT date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_late,
+        |    CAST(max(late_us) AS BIGINT) AS max_late_us,
+        |    CAST(sum(late_us) AS BIGINT) AS sum_late
+        |  FROM l GROUP BY 1)
+        |SELECT hour, n, n_late,
+        |  CAST((n_late * 1000000) // n AS BIGINT) AS late_ppm,
+        |  max_late_us,
+        |  CAST(sum_late // nullif(n_late, 0) AS BIGINT) AS mean_late_us
+        |FROM h ORDER BY hour""".stripMargin,
     // C45b: C45's window identity, keyed — every window PARTITION BY
     // event_type; per-key spine and μ.
     "q_changepoint_by_type" ->

@@ -1326,6 +1326,40 @@ object Warehouse {
       .orderBy(col("d"))
   }
 
+  /** I6: LATE-ARRIVAL audit — how out-of-order is the event stream,
+    * the measurement every watermark choice (C6/G1's windows, G4's join
+    * horizon, dedupStream's TTL) should be sized FROM instead of
+    * guessed: within each user's arrival order (event_id is the arrival
+    * sequence), an event is LATE when its event time precedes the
+    * running max already seen; lateness = that regression, in
+    * microseconds. One user-keyed window pass (the sessionize shuffle
+    * shape), then an hourly rollup: late rate (ppm) + mean/max lateness
+    * — "a 30-minute watermark admits all but the max>30min tail". All
+    * integer lanes (microsecond arithmetic, ppm DIV). */
+  def qLateArrivals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byArrival = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        unix_micros($"ts").as("__us"))
+      .withColumn("__seen", max($"__us").over(byArrival))
+      .withColumn("__late_us",
+        when($"__seen".isNotNull && $"__us" < $"__seen", $"__seen" - $"__us")
+          .otherwise(lit(0L)))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"__late_us" > 0L, 1L).otherwise(0L)).as("n_late"),
+        max($"__late_us").as("max_late_us"),
+        sum($"__late_us").as("__sum_late"))
+      .select($"hour", $"n", $"n_late",
+        expr("(n_late * 1000000) DIV n").as("late_ppm"),
+        $"max_late_us",
+        expr("__sum_late DIV nullif(n_late, 0)").as("mean_late_us"))
+      .orderBy($"hour")
+  }
+
   /** C42b: ANOMALY DAYS — C34's median/MAD robust flag applied to C42's
     * seasonal-decomposition RESIDUAL (flagging the raw series would call
     * every Saturday an anomaly; flagging the residual asks "is today

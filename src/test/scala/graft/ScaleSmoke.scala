@@ -347,6 +347,7 @@ object ScaleSmoke {
     time("q_seasonal_decompose") { queries.Warehouse.qSeasonalDecompose(spark, dir) }
     time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("q_changepoint_by_type") { queries.Warehouse.qChangepointByType(spark, dir) }
+    time("q_late_arrivals") { queries.Warehouse.qLateArrivals(spark, dir) }
     time("q_triangle_count") { queries.Warehouse.qTriangleCount(spark, dir) }
     time("q_peak_concurrency") { queries.Warehouse.qPeakConcurrency(spark, dir) }
     time("q_percentile_approx") { queries.Warehouse.qPercentileApprox(spark, dir) }

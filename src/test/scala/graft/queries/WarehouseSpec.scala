@@ -589,6 +589,39 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("late arrivals: regressions measured against the per-user running max, in-order streams clean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L) // minute marks
+    val rows = Seq(
+      // u1 arrival order (event_id): 0', 30', then 15' (LATE by 15 min
+      // vs the running max 30'), then 40' (on time)
+      (1L, ts(0), 1L), (2L, ts(30), 1L), (3L, ts(15), 1L), (4L, ts(40), 1L),
+      // u2 strictly in order — contributes no lateness
+      (10L, ts(5), 2L), (11L, ts(20), 2L), (12L, ts(35), 2L),
+      // u3: first event can never be late even at an early timestamp
+      (20L, ts(2), 3L))
+      .map { case (id, t, u) => (id, t, u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qLateArrivals(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == 8L)
+    val late = out.filter(_.getAs[Long]("n_late") > 0L)
+    assert(late.length == 1, s"exactly one hour carries the late event: ${out.toList}")
+    val h = late.head
+    assert(h.getAs[Long]("n_late") == 1L)
+    assert(h.getAs[Long]("max_late_us") == 15L * 60L * 1000000L)
+    assert(h.getAs[Long]("mean_late_us") == 15L * 60L * 1000000L)
+    // the late event buckets by ITS OWN event time (15' → hour 0)
+    assert(h.getAs[java.sql.Timestamp]("hour").getTime == 1700000000000L - 1700000000000L % 3600000L)
+    out.filter(_.getAs[Long]("n_late") == 0L).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("mean_late_us")),
+        "clean hours have no mean lateness (nullif), not zero")
+      assert(r.getAs[Long]("late_ppm") == 0L)
+    }
+  }
+
   test("anomaly days: a planted spike is flagged, the noisy tail mostly is not") {
     // LCG noise keeps MAD > 0 — a noise-free periodic plant makes >half
     // the residuals exactly the median, MAD collapses to 0, and EVERY
