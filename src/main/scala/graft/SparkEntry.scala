@@ -197,6 +197,7 @@ object SparkEntry {
     "q_graph_components" -> ((s, dir) => Warehouse.qGraphComponents(s, dir)),
     "q_changepoint_by_type" -> ((s, dir) => Warehouse.qChangepointByType(s, dir)),
     "q_late_arrivals" -> ((s, dir) => Warehouse.qLateArrivals(s, dir)),
+    "q_event_gaps" -> ((s, dir) => Warehouse.qEventGaps(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2961,6 +2962,30 @@ object SparkEntry {
         |  max_late_us,
         |  CAST(sum_late // nullif(n_late, 0) AS BIGINT) AS mean_late_us
         |FROM h ORDER BY hour""".stripMargin,
+    // I7: F20's floor-log2 buckets over per-user consecutive gaps;
+    // gap=0 double-fires get the dedicated -1 bucket.
+    "q_event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap_us
+        |  FROM e),
+        |gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+        |h AS (
+        |  SELECT CASE WHEN gap_us = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(length(bin(gap_us)) - 1 AS BIGINT) END AS gap_bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |    CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |  FROM gg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h)
+        |SELECT gap_bucket, n, min_gap_us, max_gap_us,
+        |  CAST((CAST(sum(n) OVER (ORDER BY gap_bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+        |    // t.n_total AS BIGINT) AS cum_ppm
+        |FROM h, t ORDER BY gap_bucket""".stripMargin,
     // C45b: C45's window identity, keyed — every window PARTITION BY
     // event_type; per-key spine and μ.
     "q_changepoint_by_type" ->

@@ -1360,6 +1360,42 @@ object Warehouse {
       .orderBy($"hour")
   }
 
+  /** I7: inter-event GAP distribution — the log2 histogram of the time
+    * between a user's consecutive events, the measurement C5's 30-minute
+    * session gap and C14's 5-minute debounce window should be READ OFF
+    * rather than guessed (I6 sizes the watermark; this sizes the
+    * behavioral windows): bucket k holds gaps in [2^k, 2^k+1) µs via the
+    * F20 engine-portable floor-log2 (binary-string length − 1), with
+    * same-instant double-fires (gap = 0) in their own −1 bucket — those
+    * are exactly the retry storms debounce exists for. One user-keyed
+    * window pass (the sessionize shuffle shape) → a ≤42-bucket frame;
+    * the cumulative ppm runs on that bounded frame. */
+  def qEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", unix_micros($"ts").as("__us"))
+      .withColumn("__prev", lag($"__us", 1).over(byUser))
+      .filter($"__prev".isNotNull)
+      .select(($"__us" - $"__prev").as("gap_us"))
+    val hist = gaps
+      .withColumn("gap_bucket",
+        when($"gap_us" === 0L, lit(-1L))
+          .otherwise((length(conv($"gap_us", 10, 2)) - 1).cast("long")))
+      .groupBy($"gap_bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"gap_us").as("min_gap_us"), max($"gap_us").as("max_gap_us"))
+    val total = hist.agg(sum($"n").as("n_total"))
+    val wCum = Window.orderBy($"gap_bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(total))
+      .withColumn("__cum", sum($"n").over(wCum))
+      .select($"gap_bucket", $"n", $"min_gap_us", $"max_gap_us",
+        expr("(__cum * 1000000) DIV n_total").as("cum_ppm"))
+      .orderBy($"gap_bucket")
+  }
+
   /** C42b: ANOMALY DAYS — C34's median/MAD robust flag applied to C42's
     * seasonal-decomposition RESIDUAL (flagging the raw series would call
     * every Saturday an anomaly; flagging the residual asks "is today

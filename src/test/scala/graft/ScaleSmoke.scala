@@ -348,6 +348,7 @@ object ScaleSmoke {
     time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("q_changepoint_by_type") { queries.Warehouse.qChangepointByType(spark, dir) }
     time("q_late_arrivals") { queries.Warehouse.qLateArrivals(spark, dir) }
+    time("q_event_gaps") { queries.Warehouse.qEventGaps(spark, dir) }
     time("q_triangle_count") { queries.Warehouse.qTriangleCount(spark, dir) }
     time("q_peak_concurrency") { queries.Warehouse.qPeakConcurrency(spark, dir) }
     time("q_percentile_approx") { queries.Warehouse.qPercentileApprox(spark, dir) }

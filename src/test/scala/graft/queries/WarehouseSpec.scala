@@ -622,6 +622,38 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("event gaps: known gaps land in their log2 buckets, double-fires in -1, cum_ppm closes at 1e6") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(us: Long) = { val t = new Timestamp(us / 1000); t.setNanos((us % 1000000).toInt * 1000); t }
+    val base = 1700000000000000L
+    val rows = Seq(
+      // u1: gap of exactly 1s (bucket 19: 2^19 ≤ 1e6 < 2^20), then a
+      // same-instant double-fire (bucket -1), then a 30-min gap
+      // (1.8e9 µs → bucket 30)
+      (1L, at(base), 1L), (2L, at(base + 1000000L), 1L),
+      (3L, at(base + 1000000L), 1L), (4L, at(base + 1000000L + 1800000000L), 1L),
+      // u2: one 2µs gap (bucket 1) — and NO cross-user gap with u1
+      (10L, at(base), 2L), (11L, at(base + 2L), 2L))
+      .map { case (id, t, u) => (id, t, u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qEventGaps(spark, dir).collect()
+      .map(r => r.getAs[Long]("gap_bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("min_gap_us"),
+          r.getAs[Long]("max_gap_us"), r.getAs[Long]("cum_ppm"))).toMap
+    assert(out.keySet == Set(-1L, 1L, 19L, 30L), s"got ${out.keySet}")
+    assert(out(-1L)._1 == 1L && out(-1L)._2 == 0L && out(-1L)._3 == 0L)
+    assert(out(1L) == ((1L, 2L, 2L, 500000L)))
+    assert(out(19L)._2 == 1000000L)
+    assert(out(30L)._3 == 1800000000L)
+    assert(out(30L)._4 == 1000000L, "cumulative ppm must close at 1e6")
+    // cumulative monotone in bucket order
+    val cums = out.toSeq.sortBy(_._1).map(_._2._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
   test("anomaly days: a planted spike is flagged, the noisy tail mostly is not") {
     // LCG noise keeps MAD > 0 — a noise-free periodic plant makes >half
     // the residuals exactly the median, MAD collapses to 0, and EVERY
