@@ -198,6 +198,7 @@ object SparkEntry {
     "q_changepoint_by_type" -> ((s, dir) => Warehouse.qChangepointByType(s, dir)),
     "q_late_arrivals" -> ((s, dir) => Warehouse.qLateArrivals(s, dir)),
     "q_event_gaps" -> ((s, dir) => Warehouse.qEventGaps(s, dir)),
+    "q_funnel_windowed" -> ((s, dir) => Warehouse.qFunnelWindowed(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -320,6 +321,25 @@ object SparkEntry {
         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
         |      FROM ev e JOIN c ON e.user_id = c.user_id
         |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    // C13b: C13 with each step deadline-bounded to 24h of the previous.
+    "q_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL '24 hours'
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL '24 hours'
         |      GROUP BY e.user_id)
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id

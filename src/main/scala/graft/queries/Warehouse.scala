@@ -444,6 +444,34 @@ object Warehouse {
       .orderBy($"user_id")
   }
 
+  /** C13b: WINDOWED funnel — C13 with a conversion deadline: each step
+    * counts only within 24h of the previous one (the product-analytics
+    * default; an unwindowed funnel credits a purchase months after the
+    * click and overstates conversion). Same broadcast-free semi-join
+    * chain as C13, each stage adding an upper bound — the deadline is a
+    * pushed filter, not a new join, so the plan shape is C13's. */
+  def qFunnelWindowed(spark: SparkSession, dir: String,
+      windowHours: Long = 24L): DataFrame = {
+    import spark.implicits._
+    val w = expr(s"INTERVAL $windowHours HOURS")
+    val ev = Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_type")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id")
+      .filter($"ts" >= $"t_view" && $"ts" <= $"t_view" + w)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id")
+      .filter($"ts" >= $"t_click" && $"ts" <= $"t_click" + w)
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+      .orderBy($"user_id")
+  }
+
   /** C15: pivot — events long→wide, one count column per event type. The
     * value list is EXPLICIT: at 100 TB `pivot(col)` without values runs a
     * distinct-collect discovery pass over the whole table first (and a

@@ -130,6 +130,7 @@ object ScaleSmoke {
     time("q_percentile") { queries.Warehouse.qPercentile(spark, dir) }
     time("q_bloom_sync") { queries.Etl.qBloomSync(spark, dir) }
     time("q_funnel") { queries.Warehouse.qFunnel(spark, dir) }
+    time("q_funnel_windowed") { queries.Warehouse.qFunnelWindowed(spark, dir) }
     time("q_quality_gate") { queries.LlmOps.qQualityGate(spark, dir) }
     time("q_pack_sequences") { queries.LlmOps.qPackSequences(spark, dir) }
     time("q_vocab") { queries.LlmOps.qVocab(spark, dir) }

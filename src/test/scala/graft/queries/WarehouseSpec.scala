@@ -91,6 +91,36 @@ class WarehouseSpec extends SparkSpec {
     assert(out(3L) == ((true, true, false)))
   }
 
+  test("windowed funnel: a step past its 24h deadline stalls where the plain funnel converts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(1700000000000L + h * 3600000L)
+    val rows = Seq(
+      // user 1: click 2h after view, purchase 3h after click — converts
+      (1L, ts(0), 1L, "view"), (2L, ts(2), 1L, "click"), (3L, ts(5), 1L, "purchase"),
+      // user 2: click 25h after view — PAST the deadline; the plain
+      // funnel credits it, the windowed funnel stalls at view
+      (10L, ts(0), 2L, "view"), (11L, ts(25), 2L, "click"),
+      // user 3: click in time (23h), purchase 30h after click — stalls
+      // at click in the windowed funnel only
+      (20L, ts(0), 3L, "view"), (21L, ts(23), 3L, "click"), (22L, ts(53), 3L, "purchase"),
+      // user 4: boundary — click exactly 24h after view still counts
+      (30L, ts(0), 4L, "view"), (31L, ts(24), 4L, "click"))
+      .map { case (id, t, u, e) => (id, t, u, e, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("wfunnel").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.get(1) != null, r.get(2) != null, r.get(3) != null))
+      .toMap
+    val windowed = shape(Warehouse.qFunnelWindowed(spark, dir))
+    val plain = shape(Warehouse.qFunnel(spark, dir))
+    assert(windowed(1L) == ((true, true, true)))
+    assert(windowed(2L) == ((true, false, false)) && plain(2L) == ((true, true, false)))
+    assert(windowed(3L) == ((true, true, false)) && plain(3L) == ((true, true, true)))
+    assert(windowed(4L) == ((true, true, false)), "inclusive 24h boundary")
+  }
+
   test("debounce suppresses sub-window chains, keeps exact-boundary and other keys") {
     import spark.implicits._
     import java.sql.Timestamp
