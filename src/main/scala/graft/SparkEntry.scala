@@ -199,6 +199,7 @@ object SparkEntry {
     "q_late_arrivals" -> ((s, dir) => Warehouse.qLateArrivals(s, dir)),
     "q_event_gaps" -> ((s, dir) => Warehouse.qEventGaps(s, dir)),
     "q_funnel_windowed" -> ((s, dir) => Warehouse.qFunnelWindowed(s, dir)),
+    "q_power_analysis" -> ((s, dir) => Warehouse.qPowerAnalysis(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -326,6 +327,22 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C25b: same power-sum scalar arithmetic, rounded 6dp/1dp.
+    "q_power_analysis" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(value) AS s, sum(value * value) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(s / n, 6) AS mean,
+        |  round(sqrt(s2 / n - (s / n) * (s / n)), 6) AS sd,
+        |  round(2.8016 * sqrt(s2 / n - (s / n) * (s / n))
+        |    * sqrt(4.0 / n), 6) AS mde_abs,
+        |  round(2.8016 * sqrt(s2 / n - (s / n) * (s / n))
+        |    * sqrt(4.0 / n) / (s / n) * 10000.0, 1) AS mde_bps,
+        |  round(2.0 * pow(2.8016 * sqrt(s2 / n - (s / n) * (s / n))
+        |    / (0.01 * s / n), 2), 1) AS n_per_arm_1pct
+        |FROM a ORDER BY event_type""".stripMargin,
     // C13b: C13 with each step deadline-bounded to 24h of the previous.
     "q_funnel_windowed" ->
       """WITH ev AS (SELECT user_id, ts, event_type FROM events),

@@ -722,6 +722,39 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C25b: experiment POWER ANALYSIS — the design-side complement of
+    * C25's read-side z-test: from each metric's observed (n, mean, sd)
+    * via one power-sum aggregate, the minimum detectable effect of a
+    * 50/50 split at α=0.05 / 80% power, absolute
+    * (mde = (z_{α/2}+z_β)·sd·√(2/(n/2)) with z = 1.96 + 0.8416) and
+    * relative to the mean (ppm-style ×1e4 = basis points), plus the
+    * per-arm n required to detect a 1% lift — "can this corpus even
+    * answer the question" before anyone ships the experiment. Pure
+    * scalar arithmetic on the |types|-row aggregate; doubles rounded
+    * 6dp on both engines (the C23/C24 power-sum parity pattern). */
+  def qPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"value"
+    Tables.table(spark, dir, "events")
+      .filter(x.isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(x).as("s"), sum(x * x).as("s2"))
+      .select($"event_type", $"n",
+        round($"s" / $"n", 6).as("mean"),
+        round(sqrt($"s2" / $"n" - pow($"s" / $"n", 2)), 6).as("sd"),
+        // mde at 80% power, 50/50 split: 2.8016·sd·sqrt(4/n)
+        round(lit(2.8016) * sqrt($"s2" / $"n" - pow($"s" / $"n", 2))
+          * sqrt(lit(4.0) / $"n"), 6).as("mde_abs"),
+        round(lit(2.8016) * sqrt($"s2" / $"n" - pow($"s" / $"n", 2))
+          * sqrt(lit(4.0) / $"n") / ($"s" / $"n") * lit(10000.0), 1)
+          .as("mde_bps"),
+        // per-arm n to detect a 1% relative lift: 2·(2.8016·sd/(.01·mean))²
+        round(lit(2.0) * pow(lit(2.8016)
+          * sqrt($"s2" / $"n" - pow($"s" / $"n", 2))
+          / (lit(0.01) * $"s" / $"n"), 2), 1).as("n_per_arm_1pct"))
+      .orderBy($"event_type")
+  }
+
   /** C26: per-group z-score standardization — the feature-normalization
     * primitive: group stats from ONE power-sum aggregate (a
     * groups-sized dimension), broadcast back onto the fact scan, the

@@ -91,6 +91,29 @@ class WarehouseSpec extends SparkSpec {
     assert(out(3L) == ((true, true, false)))
   }
 
+  test("power analysis: internally consistent — detecting its own MDE needs ~n/2 per arm") {
+    val rows = Warehouse.qPowerAnalysis(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val sd = r.getAs[Double]("sd")
+      val mdeAbs = r.getAs[Double]("mde_abs")
+      val mean = r.getAs[Double]("mean")
+      assert(sd > 0 && mdeAbs > 0)
+      // mde_abs recomputes from the row's own (n, sd)
+      assert(math.abs(mdeAbs - 2.8016 * sd * math.sqrt(4.0 / n)) < 1e-4)
+      // self-consistency: the per-arm n that detects mde_abs is ~n/2
+      val nArm = 2.0 * math.pow(2.8016 * sd / mdeAbs, 2)
+      assert(math.abs(nArm - n / 2) / (n / 2) < 0.01,
+        s"${r.getAs[String]("event_type")}: $nArm vs ${n / 2}")
+      // bps form is the absolute form relative to the mean
+      assert(math.abs(r.getAs[Double]("mde_bps") - mdeAbs / mean * 10000.0) < 0.2)
+      // a 1% lift needs more samples than this corpus iff mde_bps > 100
+      val needs = r.getAs[Double]("n_per_arm_1pct")
+      assert((needs > n / 2) == (r.getAs[Double]("mde_bps") > 100.0))
+    }
+  }
+
   test("windowed funnel: a step past its 24h deadline stalls where the plain funnel converts") {
     import spark.implicits._
     import java.sql.Timestamp
