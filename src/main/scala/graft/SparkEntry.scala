@@ -200,6 +200,7 @@ object SparkEntry {
     "q_event_gaps" -> ((s, dir) => Warehouse.qEventGaps(s, dir)),
     "q_funnel_windowed" -> ((s, dir) => Warehouse.qFunnelWindowed(s, dir)),
     "q_power_analysis" -> ((s, dir) => Warehouse.qPowerAnalysis(s, dir)),
+    "q_embedding_norms" -> ((s, dir) => LlmOps.qEmbeddingNorms(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -327,6 +328,19 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // E12: same fold/bucket arithmetic; DOUBLE accumulation over the
+    // float lanes on both engines, integer bucket keys.
+    "q_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nr
+        |  FROM embeddings)
+        |SELECT CAST(floor(nr * 10.0) AS BIGINT) AS norm_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN nr = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(min(nr), 4) AS min_norm, round(max(nr), 4) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY norm_bucket""".stripMargin,
     // C25b: same power-sum scalar arithmetic, rounded 6dp/1dp.
     "q_power_analysis" ->
       """WITH a AS (

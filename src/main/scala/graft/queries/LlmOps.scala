@@ -174,6 +174,28 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** E12: embedding NORM audit — the data-quality guard in front of the
+    * whole ANN stack (E1–E11 assume well-formed vectors; an unnormalized
+    * batch silently skews every cosine, a zero vector NaNs it): L2-norm
+    * distribution bucketed at 0.1 granularity (floor(norm×10), integer
+    * keys — no float GROUP BY), plus zero-vector and non-finite counts
+    * per bucket frame. One map-side `aggregate` over the vector column
+    * (no UDF, no explode — dims never shuffle), then a bounded-bucket
+    * aggregation. */
+  def qEmbeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), norm.as("__norm"))
+      .withColumn("norm_bucket", floor(col("__norm") * lit(10.0)).cast("long"))
+      .groupBy(col("norm_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min(col("__norm")), 4).as("min_norm"),
+        round(max(col("__norm")), 4).as("max_norm"))
+      .orderBy(col("norm_bucket"))
+  }
+
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
     * embedding distribution; real corpora use 0.95+). */
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =

@@ -117,6 +117,7 @@ object ScaleSmoke {
     time("q_decontaminate") { queries.LlmOps.qDecontaminate(spark, dir) }
     time("q_split_assign") { queries.LlmOps.qSplitAssign(spark, dir) }
     time("q_quantize") { queries.LlmOps.qQuantize(spark, dir) }
+    time("q_embedding_norms") { queries.LlmOps.qEmbeddingNorms(spark, dir) }
     time("q_repetition") { queries.LlmOps.qRepetition(spark, dir) }
     time("q_distinct_sketch") { queries.LlmOps.qDistinctSketch(spark, dir) }
     time("q_sketch_jaccard") { queries.LlmOps.qSketchJaccard(spark, dir) }

@@ -129,4 +129,34 @@ class RetrievalSpec extends SparkSpec {
     assert(mean >= 50.0, s"mean recall@10 suspiciously low: $mean")
     exact.unpersist(); out.unpersist()
   }
+
+  test("embedding norms: buckets reconcile with a brute-force recompute, totals close") {
+    val out = LlmOps.qEmbeddingNorms(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("norm_bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_zero"),
+          r.getAs[Double]("min_norm"), r.getAs[Double]("max_norm"))).toMap
+    val vecs = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding"))
+    assert(out.values.map(_._1).sum == vecs.length.toLong)
+    val brute = vecs.map { v =>
+      // same left-to-right float→double fold as the Column expression
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      math.sqrt(acc)
+    }
+    val bruteBuckets = brute.groupBy(n => math.floor(n * 10.0).toLong)
+    assert(out.keySet == bruteBuckets.keySet)
+    out.foreach { case (b, (n, nZero, mn, mx)) =>
+      val g = bruteBuckets(b)
+      assert(n == g.length.toLong)
+      assert(nZero == g.count(_ == 0.0).toLong)
+      def r4(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      assert(mn == r4(g.min) && mx == r4(g.max), s"bucket $b bounds")
+    }
+    // every bucket's [min, max] stays inside the bucket's range
+    out.foreach { case (b, (_, _, mn, mx)) =>
+      assert(mn >= b / 10.0 - 1e-4 && mx < (b + 1) / 10.0 + 1e-4)
+    }
+  }
 }
