@@ -201,6 +201,7 @@ object SparkEntry {
     "q_funnel_windowed" -> ((s, dir) => Warehouse.qFunnelWindowed(s, dir)),
     "q_power_analysis" -> ((s, dir) => Warehouse.qPowerAnalysis(s, dir)),
     "q_embedding_norms" -> ((s, dir) => LlmOps.qEmbeddingNorms(s, dir)),
+    "q_source_overlap" -> ((s, dir) => LlmOps.qSourceOverlap(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -328,6 +329,18 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // D20: the oracle states the pair semantics as a plain self-join —
+    // strategy-independent; the Spark side uses the bounded collect_set
+    // explosion to avoid the shuffle self-join.
+    "q_source_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT a.h, a.source AS src_a, b.source AS src_b
+        |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     // E12: same fold/bucket arithmetic; DOUBLE accumulation over the
     // float lanes on both engines, integer bucket keys.
     "q_embedding_norms" ->

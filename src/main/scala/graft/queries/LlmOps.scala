@@ -174,6 +174,31 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** D20: SOURCE-OVERLAP map — which sources carry byte-identical
+    * documents (the syndication/mirror structure D1 collapses silently
+    * and curation needs to SEE: "source B is 40% copies of source A"
+    * changes B's quota, not just its dedup rate): per content hash the
+    * distinct source set, exploded into source pairs (a<b), counted.
+    * Scale shape: one hash-keyed aggregate (bounded ≤\|sources\| set
+    * per hash via collect_set on an already-distinct frame), pair
+    * explosion bounded by \|sources\|² per hash, output ≤\|sources\|²
+    * rows total; text never crosses the exchange (md5 lanes only). */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("h")).distinct()
+    val sets = bySrc.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    sets.select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> transform(slice(srcs, i + 2, size(srcs)), b -> struct(a AS src_a, b AS src_b))))"))
+        .as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** E12: embedding NORM audit — the data-quality guard in front of the
     * whole ANN stack (E1–E11 assume well-formed vectors; an unnormalized
     * batch silently skews every cosine, a zero vector NaNs it): L2-norm

@@ -333,4 +333,26 @@ class DedupSpec extends SparkSpec {
         s"decile $decile mean est $est drifted out of band")
     }
   }
+
+  test("source overlap: planted syndication counted per pair, within-source copies invisible") {
+    import spark.implicits._
+    val docs = Seq(
+      // "alpha" syndicated by B and C; "beta" only in A and B; "gamma"
+      // duplicated WITHIN A (must not pair); "delta" unique
+      (1L, "alpha", "en", "srcA", 5L), (2L, "alpha", "en", "srcB", 5L),
+      (3L, "alpha", "en", "srcC", 5L),
+      (4L, "beta", "en", "srcA", 4L), (5L, "beta", "en", "srcB", 4L),
+      (6L, "gamma", "en", "srcA", 5L), (7L, "gamma", "en", "srcA", 5L),
+      (8L, "delta", "en", "srcC", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("overlap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared")).toMap
+    assert(out == Map(
+      ("srcA", "srcB") -> 2L, // alpha + beta
+      ("srcA", "srcC") -> 1L, // alpha
+      ("srcB", "srcC") -> 1L  // alpha
+    ), s"got $out")
+  }
 }
