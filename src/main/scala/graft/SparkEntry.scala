@@ -202,6 +202,7 @@ object SparkEntry {
     "q_power_analysis" -> ((s, dir) => Warehouse.qPowerAnalysis(s, dir)),
     "q_embedding_norms" -> ((s, dir) => LlmOps.qEmbeddingNorms(s, dir)),
     "q_source_overlap" -> ((s, dir) => LlmOps.qSourceOverlap(s, dir)),
+    "q_dedup_rate_by_source" -> ((s, dir) => LlmOps.qDedupRateBySource(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -329,6 +330,20 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // D21: same canonical-min + per-source rollup.
+    "q_dedup_rate_by_source" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT h, min(doc_id) AS canonical_id FROM d GROUP BY h)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dups,
+        |  CAST(count(DISTINCT d.h) AS BIGINT) AS n_distinct,
+        |  CAST((sum(CASE WHEN d.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS dup_ppm
+        |FROM d JOIN c USING (h)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // D20: the oracle states the pair semantics as a plain self-join —
     // strategy-independent; the Spark side uses the bounded collect_set
     // explosion to avoid the shuffle self-join.

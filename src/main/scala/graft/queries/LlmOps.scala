@@ -174,6 +174,29 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** D21: per-source DUPLICATION rate — D1's corpus-wide dedup broken
+    * down by origin ("which source is the spam"): a doc is a duplicate
+    * when it is not its content hash's canonical (min doc_id, D1's
+    * rule); per source: doc count, duplicate count/ppm, and distinct
+    * content count. Two hash-keyed exchanges (canonical per hash, join
+    * back on the md5 lane) + one source-keyed aggregate; text never
+    * shuffles. D20 maps WHO shares content; this prices WHAT each
+    * source would lose to dedup. */
+  def qDedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val canon = docs.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
+    docs.join(canon, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .as("n_dups"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("dup_ppm", expr("(n_dups * 1000000) DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** D20: SOURCE-OVERLAP map — which sources carry byte-identical
     * documents (the syndication/mirror structure D1 collapses silently
     * and curation needs to SEE: "source B is 40% copies of source A"

@@ -69,6 +69,7 @@ object ScaleSmoke {
     time("q_sessionize") { queries.Warehouse.qSessionize(spark, dir) }
     time("q_dedup_exact") { queries.LlmOps.qDedupExact(spark, dir) }
     time("q_source_overlap") { queries.LlmOps.qSourceOverlap(spark, dir) }
+    time("q_dedup_rate_by_source") { queries.LlmOps.qDedupRateBySource(spark, dir) }
     time("q_span_dedup") { queries.LlmOps.qSpanDedup(spark, dir) }
     time("q_span_dedup_apply") { queries.LlmOps.qSpanDedupApply(spark, dir) }
     time("q_dedup_minhash") { queries.LlmOps.qDedupMinhash(spark, dir) }

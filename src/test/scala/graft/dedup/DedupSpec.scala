@@ -334,6 +334,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup rate by source: planted copies priced to the right origin") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA: 2 originals; srcB: one original + two copies of alpha
+      // (doc_ids later than srcA's 1, so B pays for the copies);
+      // srcC: one copy of beta
+      (1L, "alpha", "en", "srcA", 5L), (2L, "beta", "en", "srcA", 4L),
+      (3L, "own", "en", "srcB", 3L), (4L, "alpha", "en", "srcB", 5L),
+      (5L, "alpha", "en", "srcB", 5L),
+      (6L, "beta", "en", "srcC", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("duprate").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qDedupRateBySource(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_ppm"))).toMap
+    assert(out("srcA") == ((2L, 0L, 2L, 0L)))
+    assert(out("srcB") == ((3L, 2L, 2L, 666666L)))
+    assert(out("srcC") == ((1L, 1L, 1L, 1000000L)))
+  }
+
   test("source overlap: planted syndication counted per pair, within-source copies invisible") {
     import spark.implicits._
     val docs = Seq(
