@@ -249,6 +249,47 @@ object Events {
         GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class DailyCount(event_type: String, d: java.sql.Date, y: Long)
+  final case class CusumPoint(event_type: String, d: java.sql.Date, y: Long,
+      s_pos_x1000: Long, s_neg_x1000: Long, alarm_up: Boolean, alarm_down: Boolean)
+
+  /** G13: streaming per-type CUSUM — the continuous face of the batch
+    * C45b detector, run over an (already day-aggregated) count stream:
+    * per event type, ONE (s⁺, s⁻) pair of state advances through the
+    * max(0, s + x) recursion day by day and emits an alarmed point per
+    * day. μ arrives as a PARAMETER per type — the deployment reality for
+    * control charts: parameters are fit OFFLINE on a reference window
+    * (the batch C45b face, or any stable period) and the stream only
+    * evaluates, because a streaming job cannot see the full series its
+    * own mean would need. Slack k = μ/4 and threshold h = 2μ follow
+    * C45. In-batch day order is restored by a micro-batch-bounded sort
+    * (the G12 contract); cross-batch order is the upstream window
+    * aggregation's watermark contract. State is TWO longs per monitored
+    * type — bounded by the metric catalog, not the data. */
+  def cusumStream(daily: Dataset[DailyCount],
+      muX1000: Map[String, Long]): Dataset[CusumPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def update(eventType: String, rows: Iterator[DailyCount],
+        state: GroupState[(Long, Long)]): Iterator[CusumPoint] = {
+      val mu = muX1000.getOrElse(eventType, 0L)
+      val k = mu / 4
+      val h = 2L * mu
+      var (sp, sn) = state.getOption.getOrElse((0L, 0L))
+      val out = Seq.newBuilder[CusumPoint]
+      rows.toSeq.sortBy(_.d.getTime).foreach { r =>
+        sp = math.max(0L, sp + (1000L * r.y - mu - k))
+        sn = math.max(0L, sn + (mu - 1000L * r.y - k))
+        out += CusumPoint(eventType, r.d, r.y, sp, sn, sp > h, sn > h)
+      }
+      state.update((sp, sn))
+      out.result().iterator
+    }
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming exact dedup — the continuous face of graft.dedup.Dedup
     * (D1): drops events whose id was already seen within the watermark
     * horizon. State is bounded by the watermark (expired keys age out),

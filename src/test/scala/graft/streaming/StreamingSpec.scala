@@ -628,4 +628,45 @@ class StreamingSpec extends SparkSpec {
         "no purchase crossed the batch boundary — split not exercising state")
     } finally query.stop()
   }
+
+  test("streaming cusum matches the batch detector with the same offline-fit mu, state crossing batches") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: the C45b face (computes mu from the full series —
+    // the offline parameter fit the stream receives as a Map)
+    val batch = graft.queries.Warehouse.qChangepointByType(spark, sfDir).collect()
+    val daily = batch.map(r => Events.DailyCount(
+      r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d"),
+      r.getAs[Long]("y"))).sortBy(d => (d.d.getTime, d.event_type))
+    // replicate the batch mu fit: (1000*sum) DIV count per type
+    val mu = daily.groupBy(_.event_type).map { case (t, rs) =>
+      t -> 1000L * rs.map(_.y).sum / rs.length }
+    val input = MemoryStream[Events.DailyCount]
+    val query = Events.cusumStream(input.toDS(), mu)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("cusum_stream").as[Events.CusumPoint]
+        .collect()
+        .map(p => (p.event_type, p.d.toString) ->
+          (p.s_pos_x1000, p.s_neg_x1000, p.alarm_up, p.alarm_down)).toMap
+      val expect = batch.map { r =>
+        (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString) ->
+          (r.getAs[Long]("s_pos_x1000"), r.getAs[Long]("s_neg_x1000"),
+            r.getAs[Int]("alarm_up") == 1, r.getAs[Int]("alarm_down") == 1)
+      }.toMap
+      assert(streamed.size == expect.size, "one point per (type, day)")
+      assert(streamed == expect, "stream must reproduce the batch CUSUM lanes")
+      // each type's series straddles the split: the carried (s+, s-)
+      // state is what makes the post-split points match
+      val typesInBoth = b1.map(_.event_type).toSet intersect b2.map(_.event_type).toSet
+      assert(typesInBoth.nonEmpty, "split must cross every type's series")
+    } finally query.stop()
+  }
 }
