@@ -203,6 +203,7 @@ object SparkEntry {
     "q_embedding_norms" -> ((s, dir) => LlmOps.qEmbeddingNorms(s, dir)),
     "q_source_overlap" -> ((s, dir) => LlmOps.qSourceOverlap(s, dir)),
     "q_dedup_rate_by_source" -> ((s, dir) => LlmOps.qDedupRateBySource(s, dir)),
+    "q_shuffle_quality" -> ((s, dir) => Mix.qShuffleQuality(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -330,6 +331,35 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // H14b: H14's hash/shard/pos chain + one lag + histogram lanes.
+    "q_shuffle_quality" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_transform(range(1, length('shuf42:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('shuf42:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h
+        |  FROM documents),
+        |sq AS (SELECT doc_id, source, (h * h) % 2147483647 AS h FROM h),
+        |s AS (SELECT doc_id, source, h, CAST(h % 64 AS INTEGER) AS shard FROM sq),
+        |r AS (SELECT source, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        |      FROM s),
+        |pr AS (SELECT source,
+        |         lag(source) OVER (PARTITION BY shard ORDER BY pos) AS prev
+        |       FROM r),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(CASE WHEN source = prev THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_same
+        |      FROM pr WHERE prev IS NOT NULL),
+        |e AS (SELECT sum(CAST(ns AS HUGEINT) * ns) AS sq,
+        |        CAST(sum(ns) AS BIGINT) AS nt
+        |      FROM (SELECT count(*) AS ns FROM documents GROUP BY source))
+        |SELECT o.n_pairs, o.n_same,
+        |  CAST((o.n_same * 1000000) // o.n_pairs AS BIGINT) AS same_ppm,
+        |  CAST((e.sq * 1000000) // (CAST(e.nt AS HUGEINT) * e.nt) AS BIGINT)
+        |    AS expected_ppm
+        |FROM o, e""".stripMargin,
     // D21: same canonical-min + per-source rollup.
     "q_dedup_rate_by_source" ->
       """WITH d AS (
@@ -2015,7 +2045,8 @@ object SparkEntry {
         |                     i -> CAST(ascii(substr('shuf42:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
         |      (h, c) -> (h * 131 + c) % 2147483647) AS h
         |  FROM documents),
-        |s AS (SELECT doc_id, h, CAST(h % 64 AS INTEGER) AS shard FROM h),
+        |sq AS (SELECT doc_id, (h * h) % 2147483647 AS h FROM h),
+        |s AS (SELECT doc_id, h, CAST(h % 64 AS INTEGER) AS shard FROM sq),
         |r AS (SELECT doc_id, shard,
         |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
         |      FROM s)

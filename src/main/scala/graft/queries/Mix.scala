@@ -44,13 +44,50 @@ object Mix {
     * training shards at arrival time; only the within-shard POSITION
     * needs the batch sort. */
   def assignShard(df: DataFrame, idCol: String): DataFrame =
-    df.withColumn("h", polyhash(concat(lit("shuf42:"), col(idCol).cast("string"))))
+    // SQUARE-MIX the polyhash: the raw hash is AFFINE in the id's last
+    // decimal digits (consecutive ids → consecutive keys), so the
+    // "shuffled" order was nearly id-sequential — caught by H14b's
+    // adjacency audit (same_ppm = 0, impossible under real mixing);
+    // (h² mod M) breaks the affinity (the G3i lesson, third instance)
+    df.withColumn("__hr", polyhash(concat(lit("shuf42:"), col(idCol).cast("string"))))
+      .withColumn("h", expr("__hr * __hr % 2147483647"))
+      .drop("__hr")
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
 
   def qGlobalShuffle(spark: SparkSession, dir: String): DataFrame =
     globalShuffle(Tables.table(spark, dir, "documents").select("doc_id"))
       .select(col("doc_id"), col("shard"), col("pos"), col("global_pos"))
       .orderBy("doc_id")
+
+  /** H14b: shuffle-QUALITY audit — does the training order actually
+    * mix? Within-shard consecutive pairs (exactly the unit a round-robin
+    * loader consumes back-to-back) should collide on source at the
+    * well-mixed rate Σp_s² — a same_ppm meaningfully above expected_ppm
+    * means source-clustered batches (correlated gradients) survived the
+    * shuffle. Observed rate from one lag over the SAME per-shard window
+    * H14 already sorts; expected rate from the source histogram on
+    * DECIMAL(38)/HUGEINT lanes (n_s² wraps Long past ~3e9 docs/source).
+    * The audit every epoch-order pipeline should run before training
+    * sees the data. */
+  def qShuffleQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val byShard = Window.partitionBy("shard").orderBy("pos")
+    val pairs = globalShuffle(docs)
+      .withColumn("prev_source", lag(col("source"), 1).over(byShard))
+      .filter(col("prev_source").isNotNull)
+    val obs = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("source") === col("prev_source"), 1L).otherwise(0L))
+        .as("n_same"))
+    val exp = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      .agg(sum(expr("CAST(ns AS DECIMAL(38,0)) * ns")).as("__sq"),
+        sum(col("ns")).as("__n"))
+    obs.crossJoin(broadcast(exp))
+      .select(col("n_pairs"), col("n_same"),
+        expr("(n_same * 1000000) DIV n_pairs").as("same_ppm"),
+        expr("CAST((__sq * 1000000) DIV (CAST(__n AS DECIMAL(38,0)) * __n)" +
+          " AS BIGINT)").as("expected_ppm"))
+  }
 
   /** The H14 core over any doc frame (payload columns ride along):
     * shard/pos/global_pos appended, no presentation sort. */

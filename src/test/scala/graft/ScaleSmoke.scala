@@ -268,6 +268,7 @@ object ScaleSmoke {
     // per-source) window work, expect ~linear; epoch plan is two tiny
     // aggregates, expect flat
     time("q_global_shuffle") { queries.Mix.qGlobalShuffle(spark, dir) }
+    time("q_shuffle_quality") { queries.Mix.qShuffleQuality(spark, dir) }
     time("q_epoch_plan") { queries.Mix.qEpochPlan(spark, dir) }
     time("q_domain_mix") { queries.Mix.qDomainMix(spark, dir) }
     // round-7: retrieval with a BOUNDED query batch (queryMod scales

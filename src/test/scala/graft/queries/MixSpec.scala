@@ -189,4 +189,24 @@ class MixSpec extends SparkSpec {
     val exactIds = exact.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(fullIds == exactIds)
   }
+
+  test("shuffle quality: observed adjacency within the binomial band of the mixed ideal") {
+    val r = Mix.qShuffleQuality(spark, sfDir).collect().head
+    val nPairs = r.getAs[Long]("n_pairs")
+    val samePpm = r.getAs[Long]("same_ppm")
+    val expPpm = r.getAs[Long]("expected_ppm")
+    // pair accounting: every doc contributes one pair except each
+    // nonempty shard's first row
+    val shuffled = Mix.qGlobalShuffle(spark, sfDir)
+    val nDocs = shuffled.count()
+    val nShards = shuffled.select("shard").distinct().count()
+    assert(nPairs == nDocs - nShards)
+    // a hash shuffle is as good as random: observed collision rate sits
+    // within 4 binomial sd of Σp² (a clustered order would be ~1e6)
+    val p = expPpm / 1e6
+    val sd4 = 4.0 * math.sqrt(p * (1 - p) / nPairs) * 1e6
+    assert(math.abs(samePpm - expPpm) <= sd4 + 1,
+      s"same $samePpm vs expected $expPpm ± $sd4")
+    assert(samePpm < 500000L, "a source-clustered order would approach 1e6")
+  }
 }
