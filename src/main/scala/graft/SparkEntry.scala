@@ -204,6 +204,7 @@ object SparkEntry {
     "q_source_overlap" -> ((s, dir) => LlmOps.qSourceOverlap(s, dir)),
     "q_dedup_rate_by_source" -> ((s, dir) => LlmOps.qDedupRateBySource(s, dir)),
     "q_shuffle_quality" -> ((s, dir) => Mix.qShuffleQuality(s, dir)),
+    "q_did" -> ((s, dir) => Warehouse.qDid(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -331,6 +332,49 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C56: same four-cell power sums; DuckDB date_add via + INTERVAL.
+    "q_did" ->
+      """WITH b AS (
+        |  SELECT CAST(min(ts) AS DATE)
+        |      + CAST(CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |          CAST(max(ts) AS DATE)) // 2 AS INTEGER) AS BIGINT)
+        |      * INTERVAL 1 DAY AS mid
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+        |    CASE WHEN CAST(ts AS DATE) >= (SELECT mid FROM b)
+        |         THEN 1 ELSE 0 END AS post,
+        |    CAST(count(*) AS BIGINT) AS n, sum(value) AS s,
+        |    sum(value * value) AS s2
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t0,
+        |    max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t1,
+        |    max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c0,
+        |    max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c1,
+        |    max(CASE WHEN treat = 1 AND post = 0 THEN s END) AS s_t0,
+        |    max(CASE WHEN treat = 1 AND post = 1 THEN s END) AS s_t1,
+        |    max(CASE WHEN treat = 0 AND post = 0 THEN s END) AS s_c0,
+        |    max(CASE WHEN treat = 0 AND post = 1 THEN s END) AS s_c1,
+        |    max(CASE WHEN treat = 1 AND post = 0 THEN s2 END) AS q_t0,
+        |    max(CASE WHEN treat = 1 AND post = 1 THEN s2 END) AS q_t1,
+        |    max(CASE WHEN treat = 0 AND post = 0 THEN s2 END) AS q_c0,
+        |    max(CASE WHEN treat = 0 AND post = 1 THEN s2 END) AS q_c1
+        |  FROM c GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(n_t0 + n_t1 + n_c0 + n_c1 AS BIGINT) AS n,
+        |  round((s_t1 / n_t1 - s_t0 / n_t0) - (s_c1 / n_c1 - s_c0 / n_c0), 6)
+        |    AS did,
+        |  round(sqrt(
+        |    (q_t1 / n_t1 - (s_t1 / n_t1) * (s_t1 / n_t1)) / n_t1
+        |      + (q_t0 / n_t0 - (s_t0 / n_t0) * (s_t0 / n_t0)) / n_t0
+        |      + (q_c1 / n_c1 - (s_c1 / n_c1) * (s_c1 / n_c1)) / n_c1
+        |      + (q_c0 / n_c0 - (s_c0 / n_c0) * (s_c0 / n_c0)) / n_c0), 6)
+        |    AS se
+        |FROM w ORDER BY event_type""".stripMargin,
     // H14b: H14's hash/shard/pos chain + one lag + histogram lanes.
     "q_shuffle_quality" ->
       """WITH h AS (

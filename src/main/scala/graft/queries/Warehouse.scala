@@ -755,6 +755,50 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C56: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout
+    * when treatment wasn't randomized: (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre) cancels both the group baseline and the
+    * common time trend that a naive post-only comparison confounds.
+    * Treatment = the C25 user split; the period boundary is the series
+    * MIDPOINT date (deterministic from min/max, broadcast one-row). One
+    * four-cell power-sum aggregate per metric; se from the four cell
+    * variances (independent-samples approximation); doubles rounded 6dp
+    * on both engines. */
+  def qDid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events").filter($"value".isNotNull)
+    val bounds = ev.agg(
+      to_date(min($"ts")).as("__lo"), to_date(max($"ts")).as("__hi"))
+      .select(expr("date_add(__lo, CAST(datediff(__hi, __lo) DIV 2 AS INT))").as("__mid"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("treat", ($"user_id" % 2 === 0).cast("int"))
+      .withColumn("post", (to_date($"ts") >= $"__mid").cast("int"))
+      .groupBy($"event_type", $"treat", $"post")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"),
+        sum($"value" * $"value").as("s2"))
+    def cell(t: Int, p: Int, c: String) =
+      first(when($"treat" === t && $"post" === p, col(c)), ignoreNulls = true)
+    cells.groupBy($"event_type")
+      .agg(
+        cell(1, 0, "n").as("n_t0"), cell(1, 1, "n").as("n_t1"),
+        cell(0, 0, "n").as("n_c0"), cell(0, 1, "n").as("n_c1"),
+        cell(1, 0, "s").as("s_t0"), cell(1, 1, "s").as("s_t1"),
+        cell(0, 0, "s").as("s_c0"), cell(0, 1, "s").as("s_c1"),
+        cell(1, 0, "s2").as("q_t0"), cell(1, 1, "s2").as("q_t1"),
+        cell(0, 0, "s2").as("q_c0"), cell(0, 1, "s2").as("q_c1"))
+      .select($"event_type",
+        ($"n_t0" + $"n_t1" + $"n_c0" + $"n_c1").as("n"),
+        round(($"s_t1" / $"n_t1" - $"s_t0" / $"n_t0")
+          - ($"s_c1" / $"n_c1" - $"s_c0" / $"n_c0"), 6).as("did"),
+        round(sqrt(
+          ($"q_t1" / $"n_t1" - pow($"s_t1" / $"n_t1", 2)) / $"n_t1"
+            + ($"q_t0" / $"n_t0" - pow($"s_t0" / $"n_t0", 2)) / $"n_t0"
+            + ($"q_c1" / $"n_c1" - pow($"s_c1" / $"n_c1", 2)) / $"n_c1"
+            + ($"q_c0" / $"n_c0" - pow($"s_c0" / $"n_c0", 2)) / $"n_c0"),
+          6).as("se"))
+      .orderBy($"event_type")
+  }
+
   /** C26: per-group z-score standardization — the feature-normalization
     * primitive: group stats from ONE power-sum aggregate (a
     * groups-sized dimension), broadcast back onto the fact scan, the

@@ -91,6 +91,35 @@ class WarehouseSpec extends SparkSpec {
     assert(out(3L) == ((true, true, false)))
   }
 
+  test("did: four-cell arithmetic matches brute force; the null design stays near zero") {
+    val rows = Warehouse.qDid(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute-force replication of the cells
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select("event_type", "user_id", "ts", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value")))
+    val days = ev.map(_._3.getTime / 86400000L)
+    val mid = days.min + (days.max - days.min) / 2
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cells = ev.filter(_._1 == t).groupBy { case (_, u, ts, _) =>
+        (u % 2 == 0, ts.getTime / 86400000L >= mid) }
+      def mean(k: (Boolean, Boolean)) = {
+        val vs = cells(k).map(_._4); vs.sum / vs.length }
+      val did = (mean((true, true)) - mean((true, false))) -
+        (mean((false, true)) - mean((false, false)))
+      assert(math.abs(r.getAs[Double]("did") - did) < 1e-5,
+        s"$t: ${r.getAs[Double]("did")} vs $did")
+      assert(r.getAs[Long]("n") == ev.count(_._1 == t).toLong)
+      // treatment is a synthetic id split — the true effect is zero, so
+      // the estimate should sit within a few se of it
+      assert(math.abs(r.getAs[Double]("did")) <= 5.0 * r.getAs[Double]("se"),
+        s"$t: null design rejected — ${r.getAs[Double]("did")} vs se ${r.getAs[Double]("se")}")
+    }
+  }
+
   test("power analysis: internally consistent — detecting its own MDE needs ~n/2 per arm") {
     val rows = Warehouse.qPowerAnalysis(spark, sfDir).collect()
     assert(rows.nonEmpty)
