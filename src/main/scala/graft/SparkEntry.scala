@@ -205,6 +205,7 @@ object SparkEntry {
     "q_dedup_rate_by_source" -> ((s, dir) => LlmOps.qDedupRateBySource(s, dir)),
     "q_shuffle_quality" -> ((s, dir) => Mix.qShuffleQuality(s, dir)),
     "q_did" -> ((s, dir) => Warehouse.qDid(s, dir)),
+    "q_skyline" -> ((s, dir) => Warehouse.qSkyline(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -332,6 +333,17 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C57: the oracle states dominance DIRECTLY (NOT EXISTS a strictly
+    // better point) — strategy-independent of the sweep.
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
     // C56: same four-cell power sums; DuckDB date_add via + INTERVAL.
     "q_did" ->
       """WITH b AS (

@@ -755,6 +755,38 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C57: 2-D SKYLINE (Pareto frontier) — parts no other part beats on
+    * BOTH price (lower better) and size (higher better): the
+    * multi-criteria shortlist behind "cheapest for its capacity"
+    * recommendations, a dominance operator none of the rank/top-k faces
+    * express. Sweep formulation: per-price max size (one hash
+    * aggregate), then ONE ordered pass over the distinct-price frame —
+    * a point survives iff it carries its price's max size AND strictly
+    * beats the running size-max of all cheaper prices; equal (price,
+    * size) twins both survive (no strict dominance either way). The
+    * ordered window runs on the |distinct prices| frame (already
+    * aggregated); at 100 TB a grid prefilter (coarse price×size cells,
+    * keep cells not dominated by a whole cell) bounds the sweep input
+    * the same way C18's cutoffs bound its sort. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.table(spark, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val perPrice = parts.groupBy($"p_retailprice")
+      .agg(max($"p_size").as("__pmax"))
+    val byPrice = Window.orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("__prevmax", max($"__pmax").over(byPrice))
+      .filter($"__prevmax".isNull || $"__pmax" > $"__prevmax")
+      .select($"p_retailprice".as("__fprice"), $"__pmax")
+    parts.join(frontier,
+        $"p_retailprice" === $"__fprice" && $"p_size" === $"__pmax")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
   /** C56: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout
     * when treatment wasn't randomized: (treat_post − treat_pre) −
     * (ctrl_post − ctrl_pre) cancels both the group baseline and the

@@ -165,6 +165,7 @@ object ScaleSmoke {
     time("q_abtest") { queries.Warehouse.qAbtest(spark, dir) }
     time("q_power_analysis") { queries.Warehouse.qPowerAnalysis(spark, dir) }
     time("q_did") { queries.Warehouse.qDid(spark, dir) }
+    time("q_skyline") { queries.Warehouse.qSkyline(spark, dir) }
     time("q_containment") { queries.LlmOps.qContainment(spark, dir) }
     time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
     time("q_zscore") { queries.Warehouse.qZscore(spark, dir) }

@@ -91,6 +91,25 @@ class WarehouseSpec extends SparkSpec {
     assert(out(3L) == ((true, true, false)))
   }
 
+  test("skyline: planted frontier exact — twins kept, same-price ties resolved, interior dropped") {
+    import spark.implicits._
+    val parts = Seq(
+      (1L, 10.0, 5),  // frontier (cheapest)
+      (2L, 20.0, 8),  // frontier (bigger than anything cheaper)
+      (3L, 20.0, 4),  // dominated by 2 (same price, smaller)
+      (4L, 30.0, 8),  // dominated by 2 (same size, pricier)
+      (5L, 40.0, 9),  // frontier
+      (6L, 40.0, 9),  // equal twin of 5 — BOTH kept (no strict dominance)
+      (7L, 50.0, 3),  // interior
+      (8L, 5.0, 2))   // frontier (cheapest of all)
+      .map { case (k, p, sz) => (k, s"part$k", "b", "t", sz, p) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("skyline").toString
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Warehouse.qSkyline(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L, 6L, 8L), s"got $got")
+  }
+
   test("did: four-cell arithmetic matches brute force; the null design stays near zero") {
     val rows = Warehouse.qDid(spark, sfDir).collect()
     assert(rows.nonEmpty)
