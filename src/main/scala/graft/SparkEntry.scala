@@ -206,6 +206,8 @@ object SparkEntry {
     "q_shuffle_quality" -> ((s, dir) => Mix.qShuffleQuality(s, dir)),
     "q_did" -> ((s, dir) => Warehouse.qDid(s, dir)),
     "q_skyline" -> ((s, dir) => Warehouse.qSkyline(s, dir)),
+    "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
+    "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -333,6 +335,49 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C58: same funnel counts + closed Wilson form at z=1.96.
+    "q_conversion_ci" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id),
+        |n AS (SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        |        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+        |        CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase),
+        |st AS (
+        |  SELECT 'view_to_click' AS step, n_view AS n, n_click AS k FROM n
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', n_click, n_purchase FROM n)
+        |SELECT step, n, k,
+        |  round(k * 1.0 / n, 6) AS rate,
+        |  round(((k * 1.0 / n) + 3.8416 / (2.0 * n)) / (1.0 + 3.8416 / n)
+        |    - (1.96 * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n
+        |        + 3.8416 / (4.0 * n * n))) / (1.0 + 3.8416 / n), 6) AS ci_lo,
+        |  round(((k * 1.0 / n) + 3.8416 / (2.0 * n)) / (1.0 + 3.8416 / n)
+        |    + (1.96 * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n
+        |        + 3.8416 / (4.0 * n * n))) / (1.0 + 3.8416 / n), 6) AS ci_hi
+        |FROM st ORDER BY step""".stripMargin,
+    // C59: same cents-rank Gini; identical (cents, user_id) tie order.
+    "q_gini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT cents,
+        |        CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i
+        |      FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(2.0 * sum(i * cents) / (count(*) * sum(cents))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
     // C57: the oracle states dominance DIRECTLY (NOT EXISTS a strictly
     // better point) — strategy-independent of the sweep.
     "q_skyline" ->

@@ -755,6 +755,68 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** C58: funnel conversion rates with WILSON score intervals — the
+    * proportion CI that stays inside [0,1] and behaves at small n/
+    * extreme p where the naive Wald interval collapses (C41 jackknifes
+    * MEANS; conversion is a proportion and earns the proportion
+    * interval). Steps from C13's funnel frame; center and half-width
+    * from the closed Wilson form at z=1.96, rounded 6dp both engines —
+    * pure scalar math on a 2-row frame. */
+  def qConversionCi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = qFunnel(spark, dir)
+    val counts = f.agg(
+      count(lit(1)).as("n_view"),
+      sum(when($"t_click".isNotNull, 1L).otherwise(0L)).as("n_click"),
+      sum(when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+    val steps = counts.select(
+        explode(array(
+          struct(lit("view_to_click").as("step"),
+            $"n_view".as("n"), $"n_click".as("k")),
+          struct(lit("click_to_purchase").as("step"),
+            $"n_click".as("n"), $"n_purchase".as("k")))).as("s"))
+      .select($"s.step", $"s.n", $"s.k")
+    val z2 = lit(1.96 * 1.96)
+    val p = $"k" / $"n"
+    val denom = lit(1.0) + z2 / $"n"
+    val center = (p + z2 / (lit(2.0) * $"n")) / denom
+    val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / $"n"
+      + z2 / (lit(4.0) * $"n" * $"n"))) / denom
+    steps.select($"step", $"n", $"k",
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+      .orderBy($"step")
+  }
+
+  /** C59: GINI coefficient of per-user purchase value — the
+    * concentration readout behind "whale" analysis (how unequal is
+    * revenue across users; 0 = uniform, →1 = one user is the business).
+    * Exact sorted-rank form G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over
+    * integer-CENTS lanes (the C46 ranking rule: never order raw double
+    * sums), rank by (cents, user_id) for a deterministic tie order —
+    * ties make the i·xᵢ sum order-dependent by ±(equal-value
+    * permutations) but the SAME tiebreak on both engines makes it
+    * bit-stable. The rank window runs over the aggregated per-user
+    * frame (declared sort-bound like C18/C46). */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.table(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val byValue = Window.orderBy($"cents", $"user_id")
+    users.withColumn("i", row_number().over(byValue).cast("long"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"cents").as("total_cents"),
+        sum($"i" * $"cents").as("__ix"))
+      .select($"n_users", $"total_cents",
+        round(lit(2.0) * $"__ix" / ($"n_users" * $"total_cents").cast("double")
+          - ($"n_users" + lit(1L)).cast("double") / $"n_users", 6)
+          .as("gini"))
+  }
+
   /** C57: 2-D SKYLINE (Pareto frontier) — parts no other part beats on
     * BOTH price (lower better) and size (higher better): the
     * multi-criteria shortlist behind "cheapest for its capacity"

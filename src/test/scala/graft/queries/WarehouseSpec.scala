@@ -91,6 +91,47 @@ class WarehouseSpec extends SparkSpec {
     assert(out(3L) == ((true, true, false)))
   }
 
+  test("conversion ci: Wilson form recomputes from each row's own counts, brackets the rate") {
+    val rows = Warehouse.qConversionCi(spark, sfDir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val k = r.getAs[Long]("k").toDouble
+      val p = k / n
+      val z2 = 1.96 * 1.96
+      val denom = 1.0 + z2 / n
+      val center = (p + z2 / (2 * n)) / denom
+      val half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+      assert(math.abs(r.getAs[Double]("ci_lo") - (center - half)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("ci_hi") - (center + half)) < 1e-5)
+      assert(r.getAs[Double]("ci_lo") >= 0.0 && r.getAs[Double]("ci_hi") <= 1.0,
+        "Wilson stays inside [0,1]")
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("rate")
+        && r.getAs[Double]("rate") <= r.getAs[Double]("ci_hi"))
+    }
+  }
+
+  test("gini: uniform spend scores zero, a single whale scores (n-1)/n") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def mk(vals: Seq[Double]) = {
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, new Timestamp(1700000000000L + i * 1000L), i.toLong,
+          "purchase", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("gini").toString
+      rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Warehouse.qGini(spark, dir).collect().head
+    }
+    val even = mk(Seq.fill(10)(25.0))
+    assert(even.getAs[Double]("gini") == 0.0, s"uniform: $even")
+    val whale = mk(0.01 +: Seq.fill(9)(0.0)) // zero spenders don't register
+    // 9 users at 0 cents + 1 whale: G = (n-1)/n with n=10... but zero
+    // purchases still create user rows with cents=0 — expected 0.9
+    assert(math.abs(whale.getAs[Double]("gini") - 0.9) < 1e-6, s"whale: $whale")
+    assert(whale.getAs[Long]("n_users") == 10L)
+  }
+
   test("skyline: planted frontier exact — twins kept, same-price ties resolved, interior dropped") {
     import spark.implicits._
     val parts = Seq(
