@@ -208,6 +208,7 @@ object SparkEntry {
     "q_skyline" -> ((s, dir) => Warehouse.qSkyline(s, dir)),
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
+    "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -335,6 +336,34 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C60: same CASE-ladder digit lane and ppm/chi2 arithmetic.
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(CASE
+        |    WHEN value >= 100000 THEN floor(value / 100000)
+        |    WHEN value >= 10000 THEN floor(value / 10000)
+        |    WHEN value >= 1000 THEN floor(value / 1000)
+        |    WHEN value >= 100 THEN floor(value / 100)
+        |    WHEN value >= 10 THEN floor(value / 10)
+        |    WHEN value >= 1 THEN floor(value)
+        |    WHEN value >= 0.1 THEN floor(value * 10)
+        |    WHEN value >= 0.01 THEN floor(value * 100)
+        |    WHEN value >= 0.001 THEN floor(value * 1000)
+        |    ELSE NULL END AS BIGINT) AS first_digit
+        |  FROM events WHERE value IS NOT NULL AND value > 0.0),
+        |g AS (SELECT first_digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |      WHERE first_digit BETWEEN 1 AND 9 GROUP BY first_digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+        |SELECT g.first_digit, g.n,
+        |  CAST((g.n * 1000000) // t.n_total AS BIGINT) AS observed_ppm,
+        |  CAST(floor(log10(1.0 + 1.0 / g.first_digit) * 1000000.0) AS BIGINT)
+        |    AS expected_ppm,
+        |  CAST(round(pow(g.n - floor(log10(1.0 + 1.0 / g.first_digit)
+        |        * 1000000.0) / 1000000.0 * t.n_total, 2)
+        |      / (floor(log10(1.0 + 1.0 / g.first_digit) * 1000000.0)
+        |        / 1000000.0 * t.n_total) * 1000.0, 0) AS BIGINT)
+        |    AS chi2_x1000
+        |FROM g, t ORDER BY g.first_digit""".stripMargin,
     // C58: same funnel counts + closed Wilson form at z=1.96.
     "q_conversion_ci" ->
       """WITH ev AS (SELECT user_id, ts, event_type FROM events),

@@ -789,6 +789,52 @@ object Warehouse {
       .orderBy($"step")
   }
 
+  /** C60: BENFORD first-digit audit — the classic fabricated-numbers
+    * screen (organic multiplicative quantities put digit d first with
+    * probability log10(1+1/d); invoice fraud and hand-typed values
+    * don't): first significant digit of each positive value via string
+    * arithmetic (no float log in the digit lane), observed ppm vs the
+    * Benford expectation, plus each digit's χ² contribution ×1000 —
+    * Σ over the 9-row frame is the test statistic (χ²₈ critical 15.5
+    * at α=.05). One map-side digit projection + a 9-bucket aggregate. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // first significant digit by a bounded CASE ladder of float
+    // multiply/divide + floor — identical IEEE ops in both engines (a
+    // log10-based mantissa extraction can straddle a power-of-ten ulp,
+    // and string formatting differs per dialect)
+    val digit = expr(
+      """CAST(CASE
+        |  WHEN value >= 100000 THEN floor(value / 100000)
+        |  WHEN value >= 10000 THEN floor(value / 10000)
+        |  WHEN value >= 1000 THEN floor(value / 1000)
+        |  WHEN value >= 100 THEN floor(value / 100)
+        |  WHEN value >= 10 THEN floor(value / 10)
+        |  WHEN value >= 1 THEN floor(value)
+        |  WHEN value >= 0.1 THEN floor(value * 10)
+        |  WHEN value >= 0.01 THEN floor(value * 100)
+        |  WHEN value >= 0.001 THEN floor(value * 1000)
+        |  ELSE NULL END AS BIGINT)""".stripMargin)
+    val d = Tables.table(spark, dir, "events")
+      .filter($"value".isNotNull && $"value" > 0.0)
+      .select(digit.as("first_digit"))
+      .filter($"first_digit" >= 1L && $"first_digit" <= 9L)
+      .groupBy($"first_digit").agg(count(lit(1)).as("n"))
+    val total = d.agg(sum($"n").as("n_total"))
+    d.crossJoin(broadcast(total))
+      .withColumn("observed_ppm", expr("(n * 1000000) DIV n_total"))
+      .withColumn("expected_ppm",
+        floor(log10(lit(1.0) + lit(1.0) / $"first_digit") * lit(1000000.0))
+          .cast("long"))
+      .withColumn("chi2_x1000", round(
+        pow($"n" - $"expected_ppm" / lit(1000000.0) * $"n_total", 2)
+          / ($"expected_ppm" / lit(1000000.0) * $"n_total") * lit(1000.0), 0)
+        .cast("long"))
+      .select($"first_digit", $"n", $"observed_ppm", $"expected_ppm",
+        $"chi2_x1000")
+      .orderBy($"first_digit")
+  }
+
   /** C59: GINI coefficient of per-user purchase value — the
     * concentration readout behind "whale" analysis (how unequal is
     * revenue across users; 0 = uniform, →1 = one user is the business).

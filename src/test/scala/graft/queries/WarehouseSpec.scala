@@ -132,6 +132,39 @@ class WarehouseSpec extends SparkSpec {
     assert(whale.getAs[Long]("n_users") == 10L)
   }
 
+  test("benford: digit lane and chi2 self-consistent; flat digits flag, log-uniform passes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def mk(vals: Seq[Double]) = {
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, new Timestamp(1700000000000L + i * 1000L), i.toLong, "view", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("benford").toString
+      rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Warehouse.qBenford(spark, dir).collect()
+    }
+    // internal consistency on the real corpus
+    val real = Warehouse.qBenford(spark, sfDir).collect()
+    assert(real.map(_.getAs[Long]("first_digit")).toSet.subsetOf((1L to 9L).toSet))
+    val totPpm = real.map(_.getAs[Long]("observed_ppm")).sum
+    assert(totPpm > 999990L && totPpm <= 1000000L, s"ppm total $totPpm")
+    real.foreach { r =>
+      val d = r.getAs[Long]("first_digit").toDouble
+      assert(r.getAs[Long]("expected_ppm") ==
+        math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+    }
+    // fabricated flat digits: every digit equally often — the chi2 mass
+    // concentrates where Benford diverges most (digit 1 under, 9 over)
+    val flat = mk((1 to 9).flatMap(d => Seq.fill(100)(d.toDouble + 0.5)))
+    val chiFlat = flat.map(_.getAs[Long]("chi2_x1000")).sum / 1000.0
+    assert(chiFlat > 15.5, s"flat digits must reject Benford: $chiFlat")
+    // organic log-uniform magnitudes conform (deterministic grid over
+    // 3 decades — each decade a Benford-ideal digit layout)
+    val organic = mk((0 until 3000).map(i => math.pow(10.0, i / 1000.0)))
+    val chiOrg = organic.map(_.getAs[Long]("chi2_x1000")).sum / 1000.0
+    assert(chiOrg < 15.5, s"log-uniform grid must conform: $chiOrg")
+  }
+
   test("skyline: planted frontier exact — twins kept, same-price ties resolved, interior dropped") {
     import spark.implicits._
     val parts = Seq(
