@@ -209,6 +209,7 @@ object SparkEntry {
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
+    "q_lorenz_deciles" -> ((s, dir) => Warehouse.qLorenzDeciles(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -336,6 +337,28 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C61: same cents/rank/decile/ppm lanes as C46/C59.
+    "q_lorenz_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+        |r AS (SELECT cents,
+        |        (10 * (row_number() OVER (ORDER BY cents, user_id) - 1))
+        |          // n.n_users + 1 AS decile
+        |      FROM u, n),
+        |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users_decile,
+        |        CAST(sum(cents) AS BIGINT) AS cents_decile
+        |      FROM r GROUP BY decile),
+        |t AS (SELECT CAST(sum(cents_decile) AS BIGINT) AS t FROM d)
+        |SELECT d.decile, d.n_users_decile, d.cents_decile,
+        |  CAST((CAST(d.cents_decile AS HUGEINT) * 1000000) // t.t AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((CAST(sum(d.cents_decile) OVER (ORDER BY d.decile
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000) // t.t
+        |    AS BIGINT) AS cum_share_ppm
+        |FROM d, t ORDER BY d.decile""".stripMargin,
     // C60: same CASE-ladder digit lane and ppm/chi2 arithmetic.
     "q_benford" ->
       """WITH d AS (

@@ -789,6 +789,41 @@ object Warehouse {
       .orderBy($"step")
   }
 
+  /** C61: LORENZ deciles — the curve behind C59's Gini number: users
+    * rank by purchase cents ascending (C46's exact integer decile rule
+    * with user_id tiebreaks), each decile reports its user count and
+    * revenue share plus the cumulative share — "the top 10% of users
+    * carry X% of revenue" read directly. Shares in ppm on
+    * DECIMAL(38)/HUGEINT lanes; the rank window runs over the
+    * aggregated per-user frame (declared sort-bound like C46/C59). */
+  def qLorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.table(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+    val n = users.agg(count(lit(1)).as("n_users"))
+    val byValue = Window.orderBy($"cents", $"user_id")
+    val ranked = users.crossJoin(broadcast(n))
+      .withColumn("__rn", row_number().over(byValue).cast("long"))
+      .withColumn("decile",
+        expr("(10 * (__rn - 1)) DIV n_users + 1"))
+    val dec = ranked.groupBy($"decile")
+      .agg(count(lit(1)).as("n_users_decile"), sum($"cents").as("cents_decile"))
+    val total = dec.agg(sum($"cents_decile").as("t"))
+    dec.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(cents_decile AS DECIMAL(38,0)) * 1000000) DIV t AS BIGINT)"))
+      .withColumn("cum_share_ppm", expr(
+        "CAST((CAST(sum(cents_decile) OVER (ORDER BY decile" +
+          " ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) * 1000000)" +
+          " DIV t AS BIGINT)"))
+      .select($"decile", $"n_users_decile", $"cents_decile",
+        $"share_ppm", $"cum_share_ppm")
+      .orderBy($"decile")
+  }
+
   /** C60: BENFORD first-digit audit — the classic fabricated-numbers
     * screen (organic multiplicative quantities put digit d first with
     * probability log10(1+1/d); invoice fraud and hand-typed values

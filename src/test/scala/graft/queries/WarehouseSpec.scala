@@ -132,6 +132,30 @@ class WarehouseSpec extends SparkSpec {
     assert(whale.getAs[Long]("n_users") == 10L)
   }
 
+  test("lorenz deciles: shares close, curve convex, trapezoid AUC cross-checks the Gini") {
+    val rows = Warehouse.qLorenzDeciles(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    assert(rows.last.getAs[Long]("cum_share_ppm") == 1000000L)
+    // per-user MEAN spend ascends with the decile (decile TOTALS can
+    // zigzag when n isn't divisible by 10 and sizes differ by one)
+    val means = rows.map(r =>
+      r.getAs[Long]("cents_decile").toDouble / r.getAs[Long]("n_users_decile"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"per-user decile means must be non-decreasing: ${means.toList}")
+    // trapezoid AUC with USER-WEIGHTED widths cross-checks C59's Gini
+    // (decile granularity → a small discretization bias band)
+    val nTotal = rows.map(_.getAs[Long]("n_users_decile")).sum.toDouble
+    val cums = 0.0 +: rows.map(_.getAs[Long]("cum_share_ppm") / 1e6)
+    val widths = rows.map(_.getAs[Long]("n_users_decile") / nTotal)
+    val auc = cums.zip(cums.tail).zip(widths)
+      .map { case ((a, b), w) => (a + b) / 2 * w }.sum
+    val giniFromCurve = 1.0 - 2.0 * auc
+    val gini = Warehouse.qGini(spark, sfDir).collect().head.getAs[Double]("gini")
+    assert(math.abs(giniFromCurve - gini) < 0.02,
+      s"curve $giniFromCurve vs exact $gini")
+  }
+
   test("benford: digit lane and chi2 self-consistent; flat digits flag, log-uniform passes") {
     import spark.implicits._
     import java.sql.Timestamp
