@@ -210,6 +210,7 @@ object SparkEntry {
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
     "q_lorenz_deciles" -> ((s, dir) => Warehouse.qLorenzDeciles(s, dir)),
+    "q_acf" -> ((s, dir) => Warehouse.qAcf(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -337,6 +338,28 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // C62: same spine/lag-join/power-sum Pearson, rounded 6dp.
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |lags AS (SELECT unnest(range(1, 15)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.y AS x, b.y AS y
+        |  FROM series a, lags l
+        |  JOIN series b ON b.d = a.d + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY)
+        |SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |  round((sum(x * y) - sum(x) * sum(y) * 1.0 / count(*)) /
+        |    sqrt((sum(x * x) - sum(x) * sum(x) * 1.0 / count(*))
+        |      * (sum(y * y) - sum(y) * sum(y) * 1.0 / count(*))), 6) AS acf
+        |FROM p GROUP BY lag ORDER BY lag""".stripMargin,
     // C61: same cents/rank/decile/ppm lanes as C46/C59.
     "q_lorenz_deciles" ->
       """WITH u AS (

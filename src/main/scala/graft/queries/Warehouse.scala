@@ -789,6 +789,39 @@ object Warehouse {
       .orderBy($"step")
   }
 
+  /** C62: AUTOCORRELATION function of the daily volume — lag-k Pearson
+    * correlation for k = 1..14, the diagnostic that DISCOVERS the
+    * weekly period C42's decomposition assumes (acf peaks at lag 7/14)
+    * and whether C45's residuals still carry structure. Lag pairs via a
+    * self-join of the bounded calendar frame on d = d′+k (no window
+    * gymnastics, ≤14·span pairs); per-lag Pearson from one power-sum
+    * aggregate, rounded 6dp both engines. Corpus-sized work stays the
+    * one count-by-day aggregation (the C42/C45 shape). */
+  def qAcf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame =
+    acfOf(dailyEventSeries(spark, dir), maxLag)
+
+  /** C62 core over any gap-complete (d, y) series. */
+  def acfOf(series: DataFrame, maxLag: Int = 14): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val lags = spark.range(1, maxLag + 1).select($"id".cast("int").as("lag"))
+    val pairs = series.as("a")
+      .crossJoin(broadcast(lags))
+      .join(series.as("b"),
+        expr("b.d = date_add(a.d, lag)"))
+      .select($"lag", $"a.y".as("x"), $"b.y".as("y"))
+    pairs.groupBy($"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"lag", $"n",
+        round(($"sxy" - $"sx" * $"sy" / $"n") /
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n")
+            * ($"syy" - $"sy" * $"sy" / $"n")), 6).as("acf"))
+      .orderBy($"lag")
+  }
+
   /** C61: LORENZ deciles — the curve behind C59's Gini number: users
     * rank by purchase cents ascending (C46's exact integer decile rule
     * with user_id tiebreaks), each decile reports its user count and

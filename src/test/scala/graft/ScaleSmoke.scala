@@ -170,6 +170,7 @@ object ScaleSmoke {
     time("q_gini") { queries.Warehouse.qGini(spark, dir) }
     time("q_benford") { queries.Warehouse.qBenford(spark, dir) }
     time("q_lorenz_deciles") { queries.Warehouse.qLorenzDeciles(spark, dir) }
+    time("q_acf") { queries.Warehouse.qAcf(spark, dir) }
     time("q_containment") { queries.LlmOps.qContainment(spark, dir) }
     time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
     time("q_zscore") { queries.Warehouse.qZscore(spark, dir) }

@@ -132,6 +132,22 @@ class WarehouseSpec extends SparkSpec {
     assert(whale.getAs[Long]("n_users") == 10L)
   }
 
+  test("acf: a pure weekly series scores 1.0 at lags 7 and 14, bounded everywhere") {
+    val s = Seq(30L, 10L, 50L, 20L, 5L, 40L, 15L)
+    val rows = Warehouse.acfOf(
+      syntheticSeries((0 until 70).map(i => s(i % 7)))).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(rows.keySet == (1 to 14).toSet)
+    assert(rows(7) == 1.0, s"exact periodicity: ${rows(7)}")
+    assert(rows(14) == 1.0)
+    assert(rows.values.forall(a => a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9))
+    assert(rows(1) < 1.0, "non-trivial off-period lag must not be perfect")
+    // the real corpus' ACF is bounded and complete
+    val real = Warehouse.qAcf(spark, sfDir).collect()
+    assert(real.length == 14)
+    real.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9))
+  }
+
   test("lorenz deciles: shares close, curve convex, trapezoid AUC cross-checks the Gini") {
     val rows = Warehouse.qLorenzDeciles(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("decile"))
