@@ -211,6 +211,7 @@ object SparkEntry {
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
     "q_lorenz_deciles" -> ((s, dir) => Warehouse.qLorenzDeciles(s, dir)),
     "q_acf" -> ((s, dir) => Warehouse.qAcf(s, dir)),
+    "q_mix_uniformity" -> ((s, dir) => Mix.qMixUniformity(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -2036,14 +2037,18 @@ object SparkEntry {
         |j AS (SELECT lm.doc_id, d.source, lm.avg_logp FROM lm
         |      JOIN documents d ON lm.doc_id = d.doc_id),
         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM j GROUP BY source),
-        |hh AS (SELECT j.doc_id, j.source, j.avg_logp, n.n_s,
+        |hrw AS (SELECT j.doc_id, j.source, j.avg_logp, n.n_s,
         |        list_reduce(
         |          list_transform(range(1, length('pplsmp:' || CAST(j.doc_id AS VARCHAR)) + 1),
         |            i -> CAST(ascii(substr('pplsmp:' || CAST(j.doc_id AS VARCHAR), i, 1)) AS BIGINT)),
         |          (h, c) -> (h * 131 + c) % 2147483647) AS h2
         |       FROM j JOIN n ON j.source = n.source),
+        |h1 AS (SELECT doc_id, source, avg_logp, n_s,
+        |         (h2 * h2) % 2147483647 AS h2 FROM hrw),
+        |hh AS (SELECT doc_id, source, avg_logp, n_s,
+        |         (h2 * h2) % 2147483647 AS h2 FROM h1),
         |smp AS (SELECT source, list_sort(list(avg_logp)) AS smp FROM hh
-        |        WHERE h2 % 4 = 0 OR n_s <= 32 GROUP BY source),
+        |        WHERE h2 * 4 < 2147483647 OR n_s <= 32 GROUP BY source),
         |cu AS (SELECT source,
         |        smp[CAST(greatest(1, least(len(smp), (2 * (len(smp) + 1)) // 3)) AS INT)] AS c_head,
         |        smp[CAST(greatest(1, least(len(smp), (1 * (len(smp) + 1)) // 3)) AS INT)] AS c_mid
@@ -2259,13 +2264,15 @@ object SparkEntry {
         |      FROM w CROSS JOIN tot),
         |nm AS (SELECT min(n_cap) AS n_max FROM q),
         |k AS (SELECT source, (w_s * n_max) // w_sum AS k_s FROM q CROSS JOIN nm),
-        |hh AS (
+        |hr AS (
         |  SELECT doc_id, source,
         |    list_reduce(
         |      list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1),
         |                     i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
         |      (h, c) -> (h * 131 + c) % 2147483647) AS h
         |  FROM documents),
+        |h1 AS (SELECT doc_id, source, (h * h) % 2147483647 AS h FROM hr),
+        |hh AS (SELECT doc_id, source, (h * h) % 2147483647 AS h FROM h1),
         |r AS (SELECT doc_id, hh.source, k.k_s,
         |        CAST(row_number() OVER (PARTITION BY hh.source ORDER BY h, doc_id) AS INTEGER) AS mix_rank
         |      FROM hh JOIN k ON hh.source = k.source)
@@ -2287,7 +2294,7 @@ object SparkEntry {
         |      FROM w CROSS JOIN tot),
         |nm AS (SELECT min(n_cap) AS n_max FROM q),
         |k AS (SELECT source, n_s, (w_s * n_max) // w_sum AS k_s FROM q CROSS JOIN nm),
-        |hh AS (
+        |hr AS (
         |  SELECT doc_id, source,
         |    list_reduce(
         |      list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1),
@@ -2298,8 +2305,12 @@ object SparkEntry {
         |                     i -> CAST(ascii(substr('mixsmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
         |      (h, c) -> (h * 131 + c) % 2147483647) AS h2
         |  FROM documents),
+        |h1 AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
+        |         (h2 * h2) % 2147483647 AS h2 FROM hr),
+        |hh AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
+        |         (h2 * h2) % 2147483647 AS h2 FROM h1),
         |s AS (SELECT source, list_sort(list(h)) AS smp FROM hh
-        |      WHERE h2 % 16 = 0 GROUP BY source),
+        |      WHERE h2 * 16 < 2147483647 GROUP BY source),
         |t AS (SELECT k.source,
         |        CASE WHEN s.smp IS NULL OR len(s.smp) < 8
         |          THEN (k.k_s * 2147483646) // k.n_s
@@ -2308,6 +2319,74 @@ object SparkEntry {
         |      FROM k LEFT JOIN s ON k.source = s.source)
         |SELECT hh.doc_id, hh.source FROM hh JOIN t ON hh.source = t.source
         |WHERE hh.h <= t.h_thr ORDER BY doc_id""".stripMargin,
+    // H16c selection-lane uniformity audit: all three draw lanes
+    // re-derived (square-mixed polyhash), keep flag via the same
+    // per-source rank, id-ordered lag for adjacency pairs, HUGEINT
+    // expectation lanes
+    "q_mix_uniformity" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_s,
+        |        CAST(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+        |             THEN 3 ELSE 1 END AS BIGINT) AS w_s
+        |      FROM n),
+        |tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_sum FROM w),
+        |q AS (SELECT source, n_s, w_s, w_sum, (n_s * w_sum) // w_s AS n_cap
+        |      FROM w CROSS JOIN tot),
+        |nm AS (SELECT min(n_cap) AS n_max FROM q),
+        |k AS (SELECT source, n_s, (w_s * n_max) // w_sum AS k_s FROM q CROSS JOIN nm),
+        |hr AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h,
+        |    list_reduce(
+        |      list_transform(range(1, length('mixsmp:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('mixsmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2,
+        |    list_reduce(
+        |      list_transform(range(1, length('pplsmp:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('pplsmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2p
+        |  FROM documents),
+        |h1 AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
+        |         (h2 * h2) % 2147483647 AS h2,
+        |         (h2p * h2p) % 2147483647 AS h2p FROM hr),
+        |hh AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
+        |         (h2 * h2) % 2147483647 AS h2,
+        |         (h2p * h2p) % 2147483647 AS h2p FROM h1),
+        |f AS (SELECT hh.doc_id, hh.source, k.n_s, k.k_s,
+        |        CASE WHEN row_number() OVER (PARTITION BY hh.source ORDER BY h, doc_id)
+        |          <= k.k_s THEN 1 ELSE 0 END AS keep,
+        |        CASE WHEN h2 * 16 < 2147483647 THEN 1 ELSE 0 END AS smp,
+        |        CASE WHEN h2p * 4 < 2147483647 THEN 1 ELSE 0 END AS psmp
+        |      FROM hh JOIN k ON hh.source = k.source),
+        |p AS (SELECT source, n_s, k_s, keep, smp, psmp,
+        |        lag(keep) OVER (PARTITION BY source ORDER BY doc_id) AS keep_p,
+        |        lag(smp) OVER (PARTITION BY source ORDER BY doc_id) AS smp_p,
+        |        lag(psmp) OVER (PARTITION BY source ORDER BY doc_id) AS psmp_p
+        |      FROM f),
+        |ps AS (SELECT source, n_s, k_s, CAST(count(*) AS BIGINT) AS pairs_s,
+        |         CAST(sum(keep * keep_p) AS BIGINT) AS bk,
+        |         CAST(sum(smp * smp_p) AS BIGINT) AS bs,
+        |         CAST(sum(psmp * psmp_p) AS BIGINT) AS bp
+        |       FROM p WHERE keep_p IS NOT NULL GROUP BY source, n_s, k_s),
+        |t AS (SELECT CAST(sum(pairs_s) AS BIGINT) AS n_pairs,
+        |        CAST(sum(bk) AS BIGINT) AS both_keep,
+        |        CAST(sum(bs) AS BIGINT) AS both_smp,
+        |        CAST(sum(bp) AS BIGINT) AS both_psmp,
+        |        sum((CAST(pairs_s AS HUGEINT) * k_s * k_s * 1000000)
+        |            // (CAST(n_s AS HUGEINT) * n_s)) AS exp_keep_num
+        |      FROM ps)
+        |SELECT 'mix_keep' AS lane, n_pairs, both_keep AS n_both,
+        |  CAST((CAST(both_keep AS HUGEINT) * 1000000) // n_pairs AS BIGINT) AS observed_ppm,
+        |  CAST(exp_keep_num // n_pairs AS BIGINT) AS expected_ppm FROM t
+        |UNION ALL SELECT 'mix_sample', n_pairs, both_smp,
+        |  CAST((CAST(both_smp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 3906 FROM t
+        |UNION ALL SELECT 'ppl_sample', n_pairs, both_psmp,
+        |  CAST((CAST(both_psmp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 62500 FROM t
+        |ORDER BY lane""".stripMargin,
     // hybrid RRF: integer ppb scores; dense rank parity rests on the
     // same bit-identical DOUBLE cosine the q_ann_topk oracle proves
     "q_rank_fusion" ->

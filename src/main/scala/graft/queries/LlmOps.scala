@@ -13,6 +13,15 @@ import graft.text.TextAnalysis
   */
 object LlmOps {
 
+  /** F19c's SAMPLE draw lane, shared with the H16c uniformity audit
+    * (graft.queries.Mix.qMixUniformity) so the audit always sees the
+    * production lane, never a copy that can drift. Square-mixed: the raw
+    * polyhash draw was PERIODIC in doc_id (audit read 18 ppm adjacency
+    * vs 62,500 expected at 100× — a stride-locked, not uniform, sample). */
+  private[graft] def pplSampleHash(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.queries.Mix.drawMix(
+      graft.functions.polyhash(concat(lit("pplsmp:"), idCol.cast("string"))))
+
   /** D1: exact dedup on events.props (real duplicate groups — ~100
     * distinct payloads over the whole table). */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -1771,9 +1780,10 @@ object LlmOps {
     val counts = scored.groupBy("source").agg(count(lit(1)).as("n_s"))
     val sample = scored
       .join(broadcast(counts), "source")
-      .withColumn("h2",
-        graft.functions.polyhash(concat(lit("pplsmp:"), col("doc_id").cast("string"))))
-      .filter(pmod(col("h2"), lit(sampleMod)) === 0 ||
+      .withColumn("h2", pplSampleHash(col("doc_id")))
+      // threshold draw on the mixed hash's high bits (see Mix
+      // .domainMixThresholds — the mod draw carries ±4σ adjacency bias)
+      .filter(col("h2") * lit(sampleMod) < lit(2147483647L) ||
         col("n_s") <= lit(sampleMod * minSample))
       .groupBy("source").agg(sort_array(collect_list(col("avg_logp"))).as("smp"))
     val cuts = sample.select(col("source"),

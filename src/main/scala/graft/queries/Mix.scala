@@ -23,6 +23,43 @@ import graft.sources.Tables
   */
 object Mix {
 
+  import org.apache.spark.sql.Column
+
+  /** SQUARE-MIX a polyhash lane: the raw polyhash of a decimal id string
+    * is AFFINE in the trailing digits (consecutive ids → consecutive or
+    * stride-locked hashes), so any draw built on it is id-striped —
+    * clustered keeps, periodic samples. (h² mod M) is nonlinear in the
+    * digits and still integer-replayable in the DuckDB oracles. Fifth
+    * instance of the trap (H14 shuffle key, G3h audio, G3i video pixels,
+    * now the H16/H16b/F19c draws) — measured by [[qMixUniformity]]
+    * pre-fix at 100×: keep-pair adjacency 666,196 ppm vs 555,511
+    * expected (z≈+157), sample lanes 4 and 18 ppm vs 3,906 / 62,500
+    * (periodic anti-clustering, z≈−44/−182). */
+  private[graft] def squareMix(h: Column): Column =
+    (h * h) % lit(2147483647L)
+
+  /** Draw-lane mixer: TWO squarings. One squaring breaks the affinity
+    * (enough for H14's shuffle ORDER, validated by H14b at z=+0.85) but
+    * leaves pair-level correlation between adjacent ids' draws — the
+    * difference (h+δ)²−h² = 2δh+δ² is still affine in h, so over a
+    * structured id block both its low bits (mod-m draws: +4σ) and its
+    * range distribution (threshold draws: −4.5/−6.6σ at 100×) carry
+    * bias the H16c audit reads. The second squaring makes the pair
+    * difference quadratic in the already-mixed value: all audit lanes
+    * land inside ±1σ at 100×. Still integer-replayable in DuckDB. */
+  private[graft] def drawMix(h: Column): Column = squareMix(squareMix(h))
+
+  /** The H16/H16b SELECTION hash lane: every id-keyed draw in this file
+    * derives from it. Kept in ONE place so the affinity fix cannot drift
+    * per-lane again (the H14/G3i lesson shipped four times). */
+  private[graft] def selHash(idCol: Column): Column =
+    drawMix(polyhash(concat(lit("mix:"), idCol.cast("string"))))
+
+  /** The H16b SAMPLE draw lane (secondary hash, decorrelated from
+    * [[selHash]] by prefix). */
+  private[graft] def smpHash(idCol: Column): Column =
+    drawMix(polyhash(concat(lit("mixsmp:"), idCol.cast("string"))))
+
   /** Number of shards in [[qGlobalShuffle]] — at 100 TB this is
     * `ceil(corpus / targetShardSize)` (thousands), so one shard is one
     * write task and the per-shard sort stays executor-sized. */
@@ -175,7 +212,7 @@ object Mix {
   def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
     val kPerSource = domainQuotas(spark, dir)
       .select(col("source"), col("k_s"))
-    val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
+    val h = selHash(col("doc_id"))
     val bySource = Window.partitionBy("source").orderBy("h", "doc_id")
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), h.as("h"))
@@ -184,6 +221,79 @@ object Mix {
       .filter(col("mix_rank") <= col("k_s"))
       .select(col("doc_id"), col("source"), col("mix_rank"))
       .orderBy("doc_id")
+  }
+
+  /** H16c: SELECTION-LANE uniformity audit — the H14b adjacency probe
+    * pointed at the KEEP/SAMPLE draws instead of the shuffle order. A
+    * quota-exact rebalance can still be a biased draw: if the selection
+    * hash is affine in the id digits, the kept set is an id-stripe of
+    * each source (typically a time- or crawl-stripe) while every quota
+    * check passes — parity with an oracle that replays the same
+    * arithmetic proves determinism, not uniformity.
+    *
+    * The probe: walk each source in doc_id order and count consecutive
+    * pairs where BOTH docs are selected. Under a uniform draw at rate p
+    * that happens at rate p² (plus binomial noise); an id-clustered keep
+    * set reads ≈ p (runs of neighbors kept together), a periodic sample
+    * reads ≈ 0 (perfect anti-clustering — equally non-uniform, the G3i
+    * masquerade). One row per audited lane:
+    *   - `mix_keep`    — H16/H16b's keep draw at rate k_s/n_s
+    *   - `mix_sample`  — H16b's 1/16 threshold-sample draw
+    *   - `ppl_sample`  — F19c's 1/4 score-sample draw
+    * with observed and expected both-kept ppm. Expected for `mix_keep`
+    * is Σ_s pairs_s·(k_s/n_s)² on DECIMAL(38) lanes (k_s² wraps Long
+    * past ~3e9 docs/source); the fixed-rate lanes expect 1e6/256 and
+    * 1e6/16. Deterministic integer math end-to-end → full oracle.
+    *
+    * Scale shape: two per-source windows (rank for the keep flag — the
+    * same window H16 itself runs — then an id-ordered lag) over the
+    * SAME source partitioning (one exchange, two in-partition sorts),
+    * then one ~|sources|-row aggregate. */
+  def qMixUniformity(spark: SparkSession, dir: String): DataFrame = {
+    val quotas = domainQuotas(spark, dir)
+    val byRank = Window.partitionBy("source").orderBy("h", "doc_id")
+    val byId = Window.partitionBy("source").orderBy("doc_id")
+    val flagged = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        selHash(col("doc_id")).as("h"),
+        smpHash(col("doc_id")).as("h2"),
+        graft.queries.LlmOps.pplSampleHash(col("doc_id")).as("h2p"))
+      .join(broadcast(quotas), "source")
+      .withColumn("keep",
+        when(row_number().over(byRank) <= col("k_s"), 1L).otherwise(0L))
+      .withColumn("smp", when(col("h2") * lit(16L) < lit(2147483647L), 1L).otherwise(0L))
+      .withColumn("psmp", when(col("h2p") * lit(4L) < lit(2147483647L), 1L).otherwise(0L))
+    val pairs = flagged
+      .withColumn("keep_p", lag(col("keep"), 1).over(byId))
+      .withColumn("smp_p", lag(col("smp"), 1).over(byId))
+      .withColumn("psmp_p", lag(col("psmp"), 1).over(byId))
+      .filter(col("keep_p").isNotNull)
+    val perSource = pairs.groupBy(col("source"), col("n_s"), col("k_s"))
+      .agg(count(lit(1)).as("pairs_s"),
+        sum(col("keep") * col("keep_p")).as("bk"),
+        sum(col("smp") * col("smp_p")).as("bs"),
+        sum(col("psmp") * col("psmp_p")).as("bp"))
+    val tot = perSource.agg(
+      sum(col("pairs_s")).as("n_pairs"),
+      sum(col("bk")).as("both_keep"),
+      sum(col("bs")).as("both_smp"),
+      sum(col("bp")).as("both_psmp"),
+      // per-source floor then sum: each term is pairs_s·k_s²·1e6 DIV n_s²
+      sum(expr("(CAST(pairs_s AS DECIMAL(38,0)) * k_s * k_s * 1000000)" +
+        " DIV (CAST(n_s AS DECIMAL(38,0)) * n_s)")).as("exp_keep_num"))
+    tot.selectExpr(
+      "stack(3," +
+        " 'mix_keep',   both_keep, CAST(exp_keep_num DIV n_pairs AS BIGINT)," +
+        " 'mix_sample', both_smp,  CAST(1000000 DIV 256 AS BIGINT)," +
+        " 'ppl_sample', both_psmp, CAST(1000000 DIV 16 AS BIGINT)" +
+        ") AS (lane, n_both, expected_ppm)",
+      "n_pairs")
+      .select(col("lane"), col("n_pairs"), col("n_both"),
+        // DECIMAL(38) ppm lane: n_both·1e6 wraps Long past ~9e12 pairs
+        expr("CAST((CAST(n_both AS DECIMAL(38,0)) * 1000000) DIV n_pairs" +
+          " AS BIGINT)").as("observed_ppm"),
+        col("expected_ppm"))
+      .orderBy("lane")
   }
 
   /** The shared quota head of H16: per-source (n_s, k_s) under the
@@ -244,7 +354,7 @@ object Mix {
     * no Sort/Window on this shape) and with caller-set sampling knobs. */
   private[graft] def domainMixApprox(spark: SparkSession, dir: String,
       sampleMod: Long, minSample: Int = 8): DataFrame = {
-    val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
+    val h = selHash(col("doc_id"))
     Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), h.as("h"))
       .join(broadcast(domainMixThresholds(spark, dir, sampleMod, minSample)), "source")
@@ -259,11 +369,16 @@ object Mix {
     * map-side filter against them. */
   private[graft] def domainMixThresholds(spark: SparkSession, dir: String,
       sampleMod: Long, minSample: Int = 8): DataFrame = {
-    val h = polyhash(concat(lit("mix:"), col("doc_id").cast("string")))
-    val h2 = polyhash(concat(lit("mixsmp:"), col("doc_id").cast("string")))
+    val h = selHash(col("doc_id"))
+    val h2 = smpHash(col("doc_id"))
     val sample = Tables.table(spark, dir, "documents")
       .select(col("source"), h.as("h"), h2.as("h2"))
-      .filter(pmod(col("h2"), lit(sampleMod)) === 0)
+      // THRESHOLD draw (h2·m < M), not h2 % m == 0: the mod draw reads
+      // the LOW bits of the mixed hash, where adjacent ids' quadratics
+      // differ by 524h+const whose low-bit residues take few values —
+      // measured +4σ pair-adjacency excess at 100×; the high-bit
+      // threshold draw sits at −0.9σ (H16c audit)
+      .filter(col("h2") * lit(sampleMod) < lit(2147483647L))
       .groupBy("source").agg(sort_array(collect_list(col("h"))).as("smp"))
     domainQuotas(spark, dir)
       .join(sample, Seq("source"), "left")
@@ -285,7 +400,7 @@ object Mix {
   def domainMixGate(thresholds: Map[String, Long],
       idCol: org.apache.spark.sql.Column,
       sourceCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val h = polyhash(concat(lit("mix:"), idCol.cast("string")))
+    val h = selHash(idCol)
     val thr = thresholds.foldLeft(lit(Long.MinValue)) { case (acc, (s, t)) =>
       when(sourceCol === s, lit(t)).otherwise(acc)
     }

@@ -86,8 +86,7 @@ class MixSpec extends SparkSpec {
     // survivors are the lowest (hash, id) per source — spot-check one source
     val src = counts.keys.head
     val hashed = docs.filter(col("source") === src)
-      .select(col("doc_id"),
-        graft.functions.polyhash(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"), Mix.selHash(col("doc_id")).as("h"))
       .orderBy("h", "doc_id").limit(k(src).toInt)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val kept = out.filter(col("source") === src)
@@ -156,7 +155,7 @@ class MixSpec extends SparkSpec {
     // monotone h-prefix: within each source the kept set is exactly the
     // docs below a hash threshold — max kept hash < min dropped hash
     val hashed = docs.select(col("doc_id"), col("source"),
-      graft.functions.polyhash(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      Mix.selHash(col("doc_id")).as("h"))
     val kept = hashed.join(out.select("doc_id"), "doc_id")
       .groupBy("source").agg(max("h").as("max_kept"))
     val dropped = hashed.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -208,5 +207,32 @@ class MixSpec extends SparkSpec {
     assert(math.abs(samePpm - expPpm) <= sd4 + 1,
       s"same $samePpm vs expected $expPpm ± $sd4")
     assert(samePpm < 500000L, "a source-clustered order would approach 1e6")
+  }
+
+  test("H16c uniformity audit: every draw lane inside the binomial band " +
+    "on a sequential-id corpus") {
+    // sequential ids are the WORST CASE for a polyhash draw (the affine
+    // structure is maximal): pre-fix the raw 'mix:' lane read 666k ppm
+    // keep-adjacency vs 555k expected here (clustered, z≈+157) and the
+    // sample lanes read ~0 (periodic anti-clustering, z≈−44/−182); the
+    // double-square-mixed threshold draws must sit inside 4σ both ways
+    val dir = java.nio.file.Files.createTempDirectory("mixuni").toString
+    import spark.implicits._
+    (0L until 40000L).map(i => (i, "src" + (i % 4))).toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Mix.qMixUniformity(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("lane")).toSeq ==
+      Seq("mix_keep", "mix_sample", "ppl_sample"))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      assert(n == 40000L - 4L, "one pair per doc except each source's first")
+      val obs = r.getAs[Long]("observed_ppm")
+      val exp = r.getAs[Long]("expected_ppm")
+      val p = exp / 1e6
+      val sd4 = 4.0 * math.sqrt(p * (1 - p) / n) * 1e6
+      assert(math.abs(obs - exp) <= sd4 + 1,
+        s"${r.getString(0)}: obs $obs vs exp $exp ± $sd4 — an affine draw" +
+          " lane reads ~p·1e6 (clustered) or ~0 (periodic) here")
+    }
   }
 }
