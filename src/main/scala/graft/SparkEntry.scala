@@ -212,6 +212,9 @@ object SparkEntry {
     "q_lorenz_deciles" -> ((s, dir) => Warehouse.qLorenzDeciles(s, dir)),
     "q_acf" -> ((s, dir) => Warehouse.qAcf(s, dir)),
     "q_mix_uniformity" -> ((s, dir) => Mix.qMixUniformity(s, dir)),
+    "q_gini_approx" -> ((s, dir) => Warehouse.qGiniApprox(s, dir)),
+    "q_lorenz_deciles_approx" -> ((s, dir) => Warehouse.qLorenzDecilesApprox(s, dir)),
+    "q_rfm_segments_approx" -> ((s, dir) => Warehouse.qRfmSegmentsApprox(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -451,7 +454,8 @@ object SparkEntry {
         |      FROM u)
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  round(2.0 * sum(i * cents) / (count(*) * sum(cents))
+        |  round(2.0 * CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE)
+        |      / CAST(CAST(count(*) AS HUGEINT) * sum(cents) AS DOUBLE)
         |    - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r""".stripMargin,
     // C57: the oracle states dominance DIRECTLY (NOT EXISTS a strictly
@@ -3516,6 +3520,111 @@ object SparkEntry {
         |    + 10 * (5 - (5 * (rn_f - 1)) // n_users)
         |    + (5 - (5 * (rn_m - 1)) // n_users) AS BIGINT) AS segment
         |FROM r ORDER BY user_id""".stripMargin,
+    // C59b: sampled-Gini twin — the usmp: draw (double-squared polyhash,
+    // high-bit threshold), row_number stands in for the Spark-side
+    // index fold (Σi·x is tie-permutation-invariant), HUGEINT lanes
+    "q_gini_approx" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+        |uh AS (SELECT user_id, list_reduce(
+        |    list_transform(range(1, length('usmp:' || CAST(user_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('usmp:' || CAST(user_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS hr FROM u),
+        |u1 AS (SELECT user_id, (hr * hr) % 2147483647 AS d FROM uh),
+        |ud AS (SELECT user_id, (d * d) % 2147483647 AS d FROM u1),
+        |s AS (SELECT u.cents FROM u JOIN ud ON u.user_id = ud.user_id
+        |      CROSS JOIN n WHERE ud.d * 4 < 2147483647 OR n.n_users <= 32),
+        |r AS (SELECT cents,
+        |        CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS i FROM s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |        sum(CAST(i AS HUGEINT) * cents) AS six,
+        |        CAST(sum(cents) AS HUGEINT) AS t
+        |      FROM r HAVING count(*) > 0)
+        |SELECT n.n_users, a.m AS n_sample,
+        |  round(2.0 * CAST(a.six AS DOUBLE)
+        |      / CAST(CAST(a.m AS HUGEINT) * a.t AS DOUBLE)
+        |    - (a.m + 1.0) / a.m, 6) AS gini
+        |FROM a CROSS JOIN n""".stripMargin,
+    // C61b: sampled decile cutoffs, map-side bucket count, self-join
+    // cumulative — replayed with list_sort/list_transform/list_filter
+    "q_lorenz_deciles_approx" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+        |uh AS (SELECT user_id, list_reduce(
+        |    list_transform(range(1, length('usmp:' || CAST(user_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('usmp:' || CAST(user_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS hr FROM u),
+        |u1 AS (SELECT user_id, (hr * hr) % 2147483647 AS d FROM uh),
+        |ud AS (SELECT user_id, (d * d) % 2147483647 AS d FROM u1),
+        |s AS (SELECT u.cents FROM u JOIN ud ON u.user_id = ud.user_id
+        |      CROSS JOIN n WHERE ud.d * 4 < 2147483647 OR n.n_users <= 32),
+        |sm AS (SELECT list_sort(list(cents)) AS smp FROM s),
+        |c AS (SELECT CASE WHEN len(smp) = 0 THEN []
+        |        ELSE list_transform(range(1, 10), j -> smp[CAST(greatest(1,
+        |          least(len(smp), (j * (len(smp) + 1)) // 10)) AS INT)]) END AS cuts
+        |      FROM sm),
+        |d AS (SELECT CAST(1 + len(list_filter(c.cuts, x -> u.cents > x)) AS BIGINT)
+        |        AS decile, u.cents
+        |      FROM u CROSS JOIN c),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users_decile,
+        |        CAST(sum(cents) AS BIGINT) AS cents_decile
+        |      FROM d GROUP BY decile),
+        |t AS (SELECT CAST(sum(cents_decile) AS BIGINT) AS t FROM g)
+        |SELECT g.decile, g.n_users_decile, g.cents_decile,
+        |  CAST((CAST(g.cents_decile AS HUGEINT) * 1000000) // t.t AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((CAST((SELECT sum(g2.cents_decile) FROM g g2
+        |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
+        |    AS BIGINT) AS cum_share_ppm
+        |FROM g, t ORDER BY g.decile""".stripMargin,
+    // C46b: sampled quintile cutoffs per RFM dimension, map-side scores
+    "q_rfm_segments_approx" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(CAST(ts AS DATE)) AS hd FROM p),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)), (SELECT hd FROM h))
+        |      AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM p GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+        |uh AS (SELECT user_id, list_reduce(
+        |    list_transform(range(1, length('usmp:' || CAST(user_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('usmp:' || CAST(user_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS hr FROM u),
+        |u1 AS (SELECT user_id, (hr * hr) % 2147483647 AS d FROM uh),
+        |ud AS (SELECT user_id, (d * d) % 2147483647 AS d FROM u1),
+        |s AS (SELECT u.* FROM u JOIN ud ON u.user_id = ud.user_id
+        |      CROSS JOIN n WHERE ud.d * 4 < 2147483647 OR n.n_users <= 32),
+        |sm AS (SELECT list_sort(list(recency_days)) AS rs,
+        |         list_sort(list(frequency)) AS fs,
+        |         list_sort(list(monetary_cents)) AS ms FROM s),
+        |c AS (SELECT
+        |  CASE WHEN len(rs) = 0 THEN [] ELSE list_transform(range(1, 5),
+        |    j -> rs[CAST(greatest(1, least(len(rs), (j * (len(rs) + 1)) // 5)) AS INT)]) END AS r_cuts,
+        |  CASE WHEN len(fs) = 0 THEN [] ELSE list_transform(range(1, 5),
+        |    j -> fs[CAST(greatest(1, least(len(fs), (j * (len(fs) + 1)) // 5)) AS INT)]) END AS f_cuts,
+        |  CASE WHEN len(ms) = 0 THEN [] ELSE list_transform(range(1, 5),
+        |    j -> ms[CAST(greatest(1, least(len(ms), (j * (len(ms) + 1)) // 5)) AS INT)]) END AS m_cuts
+        |  FROM sm)
+        |SELECT u.user_id, u.recency_days, u.frequency, u.monetary_cents,
+        |  CAST(5 - len(list_filter(c.r_cuts, x -> u.recency_days > x)) AS BIGINT) AS r_score,
+        |  CAST(1 + len(list_filter(c.f_cuts, x -> u.frequency > x)) AS BIGINT) AS f_score,
+        |  CAST(1 + len(list_filter(c.m_cuts, x -> u.monetary_cents > x)) AS BIGINT) AS m_score,
+        |  CAST(100 * (5 - len(list_filter(c.r_cuts, x -> u.recency_days > x)))
+        |    + 10 * (1 + len(list_filter(c.f_cuts, x -> u.frequency > x)))
+        |    + (1 + len(list_filter(c.m_cuts, x -> u.monetary_cents > x))) AS BIGINT)
+        |    AS segment
+        |FROM u CROSS JOIN c ORDER BY u.user_id""".stripMargin,
     "q_fd_profile" ->
       """WITH
         |p1 AS (SELECT count(DISTINCT o_custkey) AS k FROM orders GROUP BY o_orderkey),

@@ -921,14 +921,191 @@ object Warehouse {
       .groupBy($"user_id")
       .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
     val byValue = Window.orderBy($"cents", $"user_id")
+    // DECIMAL(38) lanes for Σi·cents and n·Σcents: at ~1e9 purchasers
+    // Σi·cents ≈ 5e21 ≫ 2^63 — Spark would wrap silently while the
+    // HUGEINT oracle keeps going (the C32/C37/H14b wrap class)
     users.withColumn("i", row_number().over(byValue).cast("long"))
       .agg(count(lit(1)).as("n_users"),
         sum($"cents").as("total_cents"),
-        sum($"i" * $"cents").as("__ix"))
+        sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("__ix"))
       .select($"n_users", $"total_cents",
-        round(lit(2.0) * $"__ix" / ($"n_users" * $"total_cents").cast("double")
+        round(lit(2.0) * $"__ix".cast("double")
+          / expr("CAST(CAST(n_users AS DECIMAL(38,0)) * total_cents AS DOUBLE)")
           - ($"n_users" + lit(1L)).cast("double") / $"n_users", 6)
           .as("gini"))
+  }
+
+  /** Deterministic user-sampling draw for the C46b/C59b/C61b sampled
+    * twins: double-square-mixed polyhash (the H16c-audited form — a raw
+    * polyhash draw is affine in the id digits and its single-squared
+    * form still carries pair-level bias), consumed as a HIGH-BIT
+    * threshold (`draw·mod < M`). */
+  private def userDraw(u: Column): Column =
+    graft.queries.Mix.drawMix(
+      graft.functions.polyhash(concat(lit("usmp:"), u.cast("string"))))
+
+  /** The per-purchaser integer-cents frame C59/C61 and their twins rank:
+    * one hash aggregate over purchase events. */
+  private def purchaserCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+
+  /** C59b: C59's 100 TB twin — Gini WITHOUT the single-partition rank
+    * window: the exact sorted-rank formula evaluated on a DETERMINISTIC
+    * HASH-SAMPLE of purchasers (H16b's estimator family; the sample is
+    * executor-sized by construction — at deployment `sampleMod` scales
+    * with the corpus so m stays ~1e4–1e5, and a corpus at or below
+    * `sampleMod·minSample` users is taken WHOLE, so the small regime
+    * degenerates to C59 exactly). The sample collapses to ONE sorted
+    * array in a single aggregate (no Window anywhere — PlanSpec pins
+    * it) and Σi·xᵢ folds over it with a DECIMAL(38) accumulator
+    * (i·x ≈ 5e21 at 1e9 users would wrap a Long lane); Σi·x is
+    * tie-permutation-invariant, so sorting by cents alone is exact.
+    * Every step integer/deterministic → full oracle. */
+  def qGiniApprox(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
+    import spark.implicits._
+    val users = purchaserCents(spark, dir)
+    val n = users.agg(count(lit(1)).as("n_users"))
+    users.crossJoin(broadcast(n))
+      .filter(userDraw($"user_id") * lit(sampleMod) < lit(2147483647L) ||
+        $"n_users" <= lit(sampleMod * minSample))
+      .groupBy($"n_users")
+      .agg(sort_array(collect_list($"cents")).as("smp"))
+      .select($"n_users",
+        size($"smp").cast("long").as("n_sample"),
+        expr("""aggregate(smp,
+              |  named_struct('i', CAST(0 AS DECIMAL(38,0)),
+              |               'six', CAST(0 AS DECIMAL(38,0)),
+              |               't', CAST(0 AS DECIMAL(38,0))),
+              |  (acc, x) -> named_struct(
+              |    'i', CAST(acc.i + 1 AS DECIMAL(38,0)),
+              |    'six', CAST(acc.six + (acc.i + 1) * x AS DECIMAL(38,0)),
+              |    't', CAST(acc.t + x AS DECIMAL(38,0))))""".stripMargin).as("__a"))
+      .select($"n_users", $"n_sample",
+        round(lit(2.0) * $"__a.six".cast("double")
+            / expr("CAST(CAST(n_sample AS DECIMAL(38,0)) * __a.t AS DOUBLE)")
+          - ($"n_sample" + lit(1L)).cast("double") / $"n_sample", 6)
+          .as("gini"))
+  }
+
+  /** C61b: C61's 100 TB twin — Lorenz deciles from SAMPLED CUTOFFS
+    * (the H16b estimator on the decile boundaries, exactly the C12→C12b
+    * pattern this family skipped): nine order-statistic cutoffs
+    * `smp[(j·(m+1)) DIV 10]` from one sorted per-corpus cents sample
+    * (taken WHOLE at or below `sampleMod·minSample` users), decile
+    * assignment as the map-side `1 + |{j : cents > c_j}|` against the
+    * broadcast one-row cutoff array, and the 10-row cumulative share
+    * via a bounded self-join — NO window anywhere, not even the tiny
+    * presentation one (PlanSpec pins zero WindowExec). Equal cents land
+    * in one decile (the exact face splits boundary ties by user_id —
+    * the documented ±ε alongside the binomial decile-size error).
+    * Shares ride DECIMAL(38)/HUGEINT ppm lanes. */
+  def qLorenzDecilesApprox(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame =
+    lorenzDecilesApprox(spark, dir, sampleMod, minSample).orderBy(col("decile"))
+
+  /** [[qLorenzDecilesApprox]] without the 10-row presentation sort
+    * (PlanSpec pins no Window/Sort on this shape). */
+  private[graft] def lorenzDecilesApprox(spark: SparkSession, dir: String,
+      sampleMod: Long, minSample: Int): DataFrame = {
+    import spark.implicits._
+    val users = purchaserCents(spark, dir)
+    val n = users.agg(count(lit(1)).as("n_users"))
+    val cuts = users.crossJoin(broadcast(n))
+      .filter(userDraw($"user_id") * lit(sampleMod) < lit(2147483647L) ||
+        $"n_users" <= lit(sampleMod * minSample))
+      .agg(sort_array(collect_list($"cents")).as("smp"))
+      .select(expr("""CASE WHEN size(smp) = 0 THEN array()
+            |ELSE transform(sequence(1, 9), j -> element_at(smp,
+            |  CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
+            |    (CAST(j AS BIGINT) * (size(smp) + 1L)) DIV 10)) AS INT)))
+            |END""".stripMargin).as("cuts"))
+    val dec = users.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        expr("CAST(1 + size(filter(cuts, c -> cents > c)) AS BIGINT)"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users_decile"), sum($"cents").as("cents_decile"))
+    val total = dec.agg(sum($"cents_decile").as("t"))
+    val cum = dec.select($"decile".as("__d"), $"cents_decile".as("__c"))
+    dec.crossJoin(broadcast(total))
+      .join(broadcast(cum), col("__d") <= col("decile"))
+      .groupBy($"decile", $"n_users_decile", $"cents_decile", $"t")
+      .agg(sum($"__c").as("__cum"))
+      .select($"decile", $"n_users_decile", $"cents_decile",
+        expr("CAST((CAST(cents_decile AS DECIMAL(38,0)) * 1000000) DIV t" +
+          " AS BIGINT)").as("share_ppm"),
+        expr("CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000) DIV t" +
+          " AS BIGINT)").as("cum_share_ppm"))
+  }
+
+  /** C46b: C46's 100 TB twin — RFM quintile scores from SAMPLED CUTOFFS
+    * instead of three global rank windows: one deterministic purchaser
+    * sample (taken WHOLE at or below `sampleMod·minSample` users)
+    * yields three sorted dimension arrays in a single aggregate; four
+    * order-statistic cutoffs per dimension broadcast as one row; each
+    * user's scores are map-side cutoff counts — recency ascending
+    * (`5 − |{j : recency > c_j}|`: most recent quintile scores 5),
+    * frequency/monetary descending (`1 + |{j : v > c_j}|`: heaviest
+    * quintile scores 5). Boundary ties collapse into one score where
+    * the exact face splits them by rank (the documented ±ε). NO window
+    * anywhere; the corpus never sorts. */
+  def qRfmSegmentsApprox(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame =
+    rfmSegmentsApprox(spark, dir, sampleMod, minSample).orderBy(col("user_id"))
+
+  /** [[qRfmSegmentsApprox]] without the presentation sort (PlanSpec pins
+    * no Window/Sort on this shape — the corpus is never globally
+    * ordered; the public face's orderBy is display-only, same as C46). */
+  private[graft] def rfmSegmentsApprox(spark: SparkSession, dir: String,
+      sampleMod: Long, minSample: Int): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables.table(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val horizon = purchases.agg(max(to_date($"ts")).as("h"))
+    val users = purchases.groupBy($"user_id")
+      .agg(max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum($"cents").as("monetary_cents"))
+      .crossJoin(broadcast(horizon))
+      .select($"user_id",
+        datediff($"h", $"last_day").cast("long").as("recency_days"),
+        $"frequency", $"monetary_cents")
+      // feeds the sample aggregate AND the scoring scan — materialize
+      // once (the F19c checkpoint rule; at 100 TB this is the shared
+      // per-user frame both passes read)
+      .transform(graft.engine.Materialized.checkpoint)
+    val n = users.agg(count(lit(1)).as("n_users"))
+    def quintCuts(src: String): String =
+      s"""CASE WHEN size($src) = 0 THEN array()
+         |ELSE transform(sequence(1, 4), j -> element_at($src,
+         |  CAST(greatest(1L, least(CAST(size($src) AS BIGINT),
+         |    (CAST(j AS BIGINT) * (size($src) + 1L)) DIV 5)) AS INT)))
+         |END""".stripMargin
+    val cuts = users.crossJoin(broadcast(n))
+      .filter(userDraw($"user_id") * lit(sampleMod) < lit(2147483647L) ||
+        $"n_users" <= lit(sampleMod * minSample))
+      .agg(sort_array(collect_list($"recency_days")).as("rs"),
+        sort_array(collect_list($"frequency")).as("fs"),
+        sort_array(collect_list($"monetary_cents")).as("ms"))
+      .select(expr(quintCuts("rs")).as("r_cuts"),
+        expr(quintCuts("fs")).as("f_cuts"),
+        expr(quintCuts("ms")).as("m_cuts"))
+    users.crossJoin(broadcast(cuts))
+      .withColumn("r_score",
+        expr("CAST(5 - size(filter(r_cuts, c -> recency_days > c)) AS BIGINT)"))
+      .withColumn("f_score",
+        expr("CAST(1 + size(filter(f_cuts, c -> frequency > c)) AS BIGINT)"))
+      .withColumn("m_score",
+        expr("CAST(1 + size(filter(m_cuts, c -> monetary_cents > c)) AS BIGINT)"))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+        $"r_score", $"f_score", $"m_score",
+        (lit(100L) * $"r_score" + lit(10L) * $"f_score" + $"m_score")
+          .as("segment"))
   }
 
   /** C57: 2-D SKYLINE (Pareto frontier) — parts no other part beats on

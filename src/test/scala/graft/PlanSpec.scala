@@ -381,6 +381,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "per-source thresholds must broadcast")
   }
 
+  test("global-rank approx twins plan no window and no sort — cutoffs broadcast") {
+    // the C46b/C59b/C61b contract: the exact faces' single-partition
+    // Window.orderBy over the per-user frame (the bench log's "No
+    // Partition Defined for Window" warnings) is replaced by sampled
+    // cutoffs — the per-user frame must never sort or window anywhere
+    Seq(
+      "gini" -> queries.Warehouse.qGiniApprox(spark, sfDir),
+      "lorenz" -> queries.Warehouse.lorenzDecilesApprox(spark, sfDir, 4L, 8),
+      "rfm" -> queries.Warehouse.rfmSegmentsApprox(spark, sfDir, 4L, 8)
+    ).foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), s"$name approx must not window")
+      assert(!plan.contains("Sort"), s"$name approx must not sort anywhere")
+    }
+  }
+
   test("approx ppl buckets plan no window — cutoffs broadcast onto the scored scan") {
     // F19c's contract: the per-source tercile Window of the exact face
     // is gone; boundaries ride a broadcast ~|sources|-row frame

@@ -172,6 +172,84 @@ class WarehouseSpec extends SparkSpec {
       s"curve $giniFromCurve vs exact $gini")
   }
 
+  test("sampled gini twin: full sample is BIT-EQUAL to exact, default sample tracks it") {
+    // Σi·x is tie-permutation-invariant, so the full-sample twin must
+    // reproduce C59 exactly — not approximately
+    val exact = Warehouse.qGini(spark, sfDir).collect().head
+    val full = Warehouse.qGiniApprox(spark, sfDir, sampleMod = 1L).collect().head
+    assert(full.getAs[Long]("n_sample") == exact.getAs[Long]("n_users"))
+    assert(full.getAs[Double]("gini") == exact.getAs[Double]("gini"),
+      s"full-sample twin must degenerate to the exact Gini: $full vs $exact")
+    // the spec corpus is below the default minSample fallback (the twin
+    // correctly takes all 15 purchasers whole) — force a real 1/2 draw
+    // to exercise the sampled regime
+    val s = Warehouse.qGiniApprox(spark, sfDir, sampleMod = 2L, minSample = 1)
+      .collect().head
+    assert(s.getAs[Long]("n_sample") < s.getAs[Long]("n_users"))
+    assert(math.abs(s.getAs[Double]("gini") - exact.getAs[Double]("gini")) < 0.15,
+      s"sampled estimate tracks exact: $s vs $exact")
+  }
+
+  test("sampled lorenz twin: value-range deciles, exact shares within, balanced sizes") {
+    val rows = Warehouse.qLorenzDecilesApprox(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.forall(r => r.getAs[Long]("decile") >= 1
+      && r.getAs[Long]("decile") <= 10))
+    assert(rows.last.getAs[Long]("cum_share_ppm") == 1000000L,
+      "cumulative share must exhaust the corpus")
+    // buckets are VALUE ranges, so per-user decile means strictly order
+    val means = rows.map(r =>
+      r.getAs[Long]("cents_decile").toDouble / r.getAs[Long]("n_users_decile"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b + 1e-9 })
+    // sizes: every user lands in exactly one decile, and each decile
+    // holds ~n/10 within the sampled-cutoff error band (4σ of the
+    // order-statistic error at sample size m, plus tie slack)
+    val n = rows.map(_.getAs[Long]("n_users_decile")).sum
+    val exactN = Warehouse.qGini(spark, sfDir).collect().head.getAs[Long]("n_users")
+    assert(n == exactN, "every purchaser must land in exactly one decile")
+    val m = Warehouse.qGiniApprox(spark, sfDir).collect().head.getAs[Long]("n_sample")
+    val tol = 4.0 * math.sqrt(0.1 * 0.9 / m) * n + 3
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_users_decile") - n / 10.0) <= tol,
+        s"decile ${r.getAs[Long]("decile")} size ${r.getAs[Long]("n_users_decile")}" +
+          s" vs ${n / 10.0} ± $tol") }
+  }
+
+  test("sampled rfm twin: full-sample scores land inside each tie group's exact range") {
+    val exact = Warehouse.qRfmSegments(spark, sfDir).collect()
+    val full = Warehouse.qRfmSegmentsApprox(spark, sfDir, sampleMod = 1L)
+      .collect()
+    assert(full.length == exact.length)
+    // the approx face collapses a value-tie group to ONE score where the
+    // exact face splits it by rank — the collapsed score must be a score
+    // the exact face actually assigns to that value (per dimension)
+    for ((dim, score) <- Seq("recency_days" -> "r_score",
+        "frequency" -> "f_score", "monetary_cents" -> "m_score")) {
+      val ranges = exact.groupBy(_.getAs[Long](dim))
+        .map { case (v, rs) =>
+          v -> (rs.map(_.getAs[Long](score)).min, rs.map(_.getAs[Long](score)).max) }
+      full.foreach { r =>
+        val (lo, hi) = ranges(r.getAs[Long](dim))
+        val s = r.getAs[Long](score)
+        assert(s >= lo && s <= hi,
+          s"$score=$s for $dim=${r.getAs[Long](dim)} outside exact range [$lo,$hi]")
+      }
+    }
+    // default sample: scores stay in range, monotone per dimension,
+    // segment arithmetic holds
+    val s = Warehouse.qRfmSegmentsApprox(spark, sfDir).collect()
+    s.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        assert(r.getAs[Long](c) >= 1L && r.getAs[Long](c) <= 5L) }
+      assert(r.getAs[Long]("segment") == 100 * r.getAs[Long]("r_score")
+        + 10 * r.getAs[Long]("f_score") + r.getAs[Long]("m_score"))
+    }
+    val byF = s.sortBy(_.getAs[Long]("frequency"))
+    byF.zip(byF.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("f_score") <= b.getAs[Long]("f_score"),
+        "f_score must be monotone in frequency") }
+  }
+
   test("benford: digit lane and chi2 self-consistent; flat digits flag, log-uniform passes") {
     import spark.implicits._
     import java.sql.Timestamp
