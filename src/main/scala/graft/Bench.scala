@@ -37,6 +37,9 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "sparse_posting_build" -> (try timed {
         graft.queries.Retrieval.postingIndex(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "copurchase_edges_build" -> (try timed {
+        graft.queries.Warehouse.coPurchaseEdges(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
     // Four passes per query: pass 1 pays whole-stage-codegen compile +
     // JIT (cold); passes 2-4 are the amortized steady state a
