@@ -390,6 +390,13 @@ object SparkEntry {
     "q_benford" ->
       """WITH d AS (
         |  SELECT CAST(CASE
+        |    WHEN value >= 1000000000000 THEN NULL
+        |    WHEN value >= 100000000000 THEN floor(value / 100000000000)
+        |    WHEN value >= 10000000000 THEN floor(value / 10000000000)
+        |    WHEN value >= 1000000000 THEN floor(value / 1000000000)
+        |    WHEN value >= 100000000 THEN floor(value / 100000000)
+        |    WHEN value >= 10000000 THEN floor(value / 10000000)
+        |    WHEN value >= 1000000 THEN floor(value / 1000000)
         |    WHEN value >= 100000 THEN floor(value / 100000)
         |    WHEN value >= 10000 THEN floor(value / 10000)
         |    WHEN value >= 1000 THEN floor(value / 1000)
@@ -399,11 +406,16 @@ object SparkEntry {
         |    WHEN value >= 0.1 THEN floor(value * 10)
         |    WHEN value >= 0.01 THEN floor(value * 100)
         |    WHEN value >= 0.001 THEN floor(value * 1000)
+        |    WHEN value >= 0.0001 THEN floor(value * 10000)
+        |    WHEN value >= 0.00001 THEN floor(value * 100000)
+        |    WHEN value >= 0.000001 THEN floor(value * 1000000)
         |    ELSE NULL END AS BIGINT) AS first_digit
         |  FROM events WHERE value IS NOT NULL AND value > 0.0),
         |g AS (SELECT first_digit, CAST(count(*) AS BIGINT) AS n FROM d
         |      WHERE first_digit BETWEEN 1 AND 9 GROUP BY first_digit),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |x AS (SELECT CAST(sum(CASE WHEN first_digit IS NULL THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS n_excluded FROM d)
         |SELECT g.first_digit, g.n,
         |  CAST((g.n * 1000000) // t.n_total AS BIGINT) AS observed_ppm,
         |  CAST(floor(log10(1.0 + 1.0 / g.first_digit) * 1000000.0) AS BIGINT)
@@ -412,8 +424,9 @@ object SparkEntry {
         |        * 1000000.0) / 1000000.0 * t.n_total, 2)
         |      / (floor(log10(1.0 + 1.0 / g.first_digit) * 1000000.0)
         |        / 1000000.0 * t.n_total) * 1000.0, 0) AS BIGINT)
-        |    AS chi2_x1000
-        |FROM g, t ORDER BY g.first_digit""".stripMargin,
+        |    AS chi2_x1000,
+        |  x.n_excluded
+        |FROM g, t, x ORDER BY g.first_digit""".stripMargin,
     // C58: same funnel counts + closed Wilson form at z=1.96.
     "q_conversion_ci" ->
       """WITH ev AS (SELECT user_id, ts, event_type FROM events),
@@ -551,8 +564,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_dups,
         |  CAST(count(DISTINCT d.h) AS BIGINT) AS n_distinct,
-        |  CAST((sum(CASE WHEN d.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
-        |    * 1000000) // count(*) AS BIGINT) AS dup_ppm
+        |  CAST((CAST(sum(CASE WHEN d.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+        |    AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS dup_ppm
         |FROM d JOIN c USING (h)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // D20: the oracle states the pair semantics as a plain self-join —
@@ -3327,7 +3340,7 @@ object SparkEntry {
         |    CAST(sum(late_us) AS BIGINT) AS sum_late
         |  FROM l GROUP BY 1)
         |SELECT hour, n, n_late,
-        |  CAST((n_late * 1000000) // n AS BIGINT) AS late_ppm,
+        |  CAST((CAST(n_late AS HUGEINT) * 1000000) // n AS BIGINT) AS late_ppm,
         |  max_late_us,
         |  CAST(sum_late // nullif(n_late, 0) AS BIGINT) AS mean_late_us
         |FROM h ORDER BY hour""".stripMargin,
@@ -3352,7 +3365,7 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM h)
         |SELECT gap_bucket, n, min_gap_us, max_gap_us,
         |  CAST((CAST(sum(n) OVER (ORDER BY gap_bucket
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1000000)
+        |    ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000)
         |    // t.n_total AS BIGINT) AS cum_ppm
         |FROM h, t ORDER BY gap_bucket""".stripMargin,
     // C45b: C45's window identity, keyed — every window PARTITION BY

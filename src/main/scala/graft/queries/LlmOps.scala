@@ -202,7 +202,9 @@ object LlmOps {
         sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
           .as("n_dups"),
         countDistinct(col("h")).as("n_distinct"))
-      .withColumn("dup_ppm", expr("(n_dups * 1000000) DIV n_docs"))
+      // DECIMAL(38) ppm lane: n_dups*1e6 wraps Long past ~9e12 docs/source
+      .withColumn("dup_ppm", expr(
+        "CAST((CAST(n_dups AS DECIMAL(38,0)) * 1000000) DIV n_docs AS BIGINT)"))
       .orderBy(col("source"))
   }
 

@@ -871,8 +871,19 @@ object Warehouse {
     // multiply/divide + floor — identical IEEE ops in both engines (a
     // log10-based mantissa extraction can straddle a power-of-ten ulp,
     // and string formatting differs per dialect)
+    // ladder spans [1e-6, 1e12): every in-range value maps to 1..9;
+    // outside it the CASE yields NULL and the row is COUNTED as
+    // excluded instead of silently dropped (the r10 ADVICE item — a
+    // wide-range corpus no longer biases the chi-square invisibly)
     val digit = expr(
       """CAST(CASE
+        |  WHEN value >= 1000000000000 THEN NULL
+        |  WHEN value >= 100000000000 THEN floor(value / 100000000000)
+        |  WHEN value >= 10000000000 THEN floor(value / 10000000000)
+        |  WHEN value >= 1000000000 THEN floor(value / 1000000000)
+        |  WHEN value >= 100000000 THEN floor(value / 100000000)
+        |  WHEN value >= 10000000 THEN floor(value / 10000000)
+        |  WHEN value >= 1000000 THEN floor(value / 1000000)
         |  WHEN value >= 100000 THEN floor(value / 100000)
         |  WHEN value >= 10000 THEN floor(value / 10000)
         |  WHEN value >= 1000 THEN floor(value / 1000)
@@ -882,14 +893,21 @@ object Warehouse {
         |  WHEN value >= 0.1 THEN floor(value * 10)
         |  WHEN value >= 0.01 THEN floor(value * 100)
         |  WHEN value >= 0.001 THEN floor(value * 1000)
+        |  WHEN value >= 0.0001 THEN floor(value * 10000)
+        |  WHEN value >= 0.00001 THEN floor(value * 100000)
+        |  WHEN value >= 0.000001 THEN floor(value * 1000000)
         |  ELSE NULL END AS BIGINT)""".stripMargin)
-    val d = Tables.table(spark, dir, "events")
+    val projected = Tables.table(spark, dir, "events")
       .filter($"value".isNotNull && $"value" > 0.0)
       .select(digit.as("first_digit"))
+    val d = projected
       .filter($"first_digit" >= 1L && $"first_digit" <= 9L)
       .groupBy($"first_digit").agg(count(lit(1)).as("n"))
     val total = d.agg(sum($"n").as("n_total"))
+    val excl = projected
+      .agg(sum(when($"first_digit".isNull, 1L).otherwise(0L)).as("n_excluded"))
     d.crossJoin(broadcast(total))
+      .crossJoin(broadcast(excl))
       .withColumn("observed_ppm", expr("(n * 1000000) DIV n_total"))
       .withColumn("expected_ppm",
         floor(log10(lit(1.0) + lit(1.0) / $"first_digit") * lit(1000000.0))
@@ -899,7 +917,7 @@ object Warehouse {
           / ($"expected_ppm" / lit(1000000.0) * $"n_total") * lit(1000.0), 0)
         .cast("long"))
       .select($"first_digit", $"n", $"observed_ppm", $"expected_ppm",
-        $"chi2_x1000")
+        $"chi2_x1000", $"n_excluded")
       .orderBy($"first_digit")
   }
 
@@ -1865,7 +1883,8 @@ object Warehouse {
         max($"__late_us").as("max_late_us"),
         sum($"__late_us").as("__sum_late"))
       .select($"hour", $"n", $"n_late",
-        expr("(n_late * 1000000) DIV n").as("late_ppm"),
+        expr("CAST((CAST(n_late AS DECIMAL(38,0)) * 1000000) DIV n" +
+          " AS BIGINT)").as("late_ppm"),
         $"max_late_us",
         expr("__sum_late DIV nullif(n_late, 0)").as("mean_late_us"))
       .orderBy($"hour")
@@ -1903,7 +1922,8 @@ object Warehouse {
     hist.crossJoin(broadcast(total))
       .withColumn("__cum", sum($"n").over(wCum))
       .select($"gap_bucket", $"n", $"min_gap_us", $"max_gap_us",
-        expr("(__cum * 1000000) DIV n_total").as("cum_ppm"))
+        expr("CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000) DIV n_total" +
+          " AS BIGINT)").as("cum_ppm"))
       .orderBy($"gap_bucket")
   }
 

@@ -267,6 +267,29 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("soft dedup selects exact long ids past 2^53 (no double collapse)") {
+    // 2^53, 2^53+1, 2^53+2 are indistinguishable once cast to double
+    // (a −id double score would collapse them); the bounded heap's id
+    // lane is an exact Long compare — the c smallest ids must come back
+    // precisely, verdict r9 item 7's boundary case
+    import spark.implicits._
+    val base = 1L << 53
+    val dir = java.nio.file.Files.createTempDirectory("soft53").toString
+    Seq(
+      (base + 3L, "srcA", "dup text"), (base + 1L, "srcA", "dup text"),
+      (base, "srcA", "dup text"), (base + 2L, "srcA", "dup text"),
+      (base + 4L, "srcB", "solo text"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.LlmOps.qDedupSoft(spark, dir, c = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rows(base) && rows(base + 1L),
+      "the two smallest ids of the duplicate cluster are kept")
+    assert(!rows(base + 2L) && !rows(base + 3L),
+      "ids adjacent at double precision must still be dropped exactly")
+    assert(rows(base + 4L), "singletons survive")
+  }
+
   test("approx ppl buckets: near-terciles, threshold-monotone, full sample ≈ exact") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.LlmOps.qPplBucketsApprox(spark, sfDir).collect()

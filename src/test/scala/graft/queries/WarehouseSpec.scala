@@ -281,6 +281,14 @@ class WarehouseSpec extends SparkSpec {
     val organic = mk((0 until 3000).map(i => math.pow(10.0, i / 1000.0)))
     val chiOrg = organic.map(_.getAs[Long]("chi2_x1000")).sum / 1000.0
     assert(chiOrg < 15.5, s"log-uniform grid must conform: $chiOrg")
+    // magnitude tails: in-range decades up to 1e11 REGISTER a digit;
+    // values past 1e12 or below 1e-6 are COUNTED as excluded, not
+    // silently dropped (the r10 ADVICE item)
+    val wide = mk(Seq(2e10, 3e11, 7.0, 5e12, 9e13, 1e-7))
+    assert(wide.map(_.getAs[Long]("n")).sum == 3L,
+      "2e10/3e11/7 are in the extended ladder range")
+    assert(wide.forall(_.getAs[Long]("n_excluded") == 3L),
+      s"5e12, 9e13, 1e-7 must be reported excluded: ${wide.toSeq}")
   }
 
   test("skyline: planted frontier exact — twins kept, same-price ties resolved, interior dropped") {
