@@ -658,6 +658,18 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // C12b REGIME-BOUNDED oracle (r9 verdict item 8): with every group
+    // at or below accuracy=10000, Spark's GK summary compresses nothing
+    // and returns the exact discrete-rank element — which is DuckDB's
+    // quantile_disc. This pins the below-accuracy regime [O]; above it
+    // the GK summary is engine-specific and the contract lives in the
+    // paired WarehouseSpec rank-error band (see SURVEY C12b row).
+    "q_percentile_approx" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_disc(value, 0.5), 4) AS p50,
+        |  round(quantile_disc(value, 0.9), 4) AS p90,
+        |  round(quantile_disc(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_bloom_sync" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
