@@ -215,6 +215,7 @@ object SparkEntry {
     "q_gini_approx" -> ((s, dir) => Warehouse.qGiniApprox(s, dir)),
     "q_lorenz_deciles_approx" -> ((s, dir) => Warehouse.qLorenzDecilesApprox(s, dir)),
     "q_rfm_segments_approx" -> ((s, dir) => Warehouse.qRfmSegmentsApprox(s, dir)),
+    "q_decile_migration" -> ((s, dir) => Warehouse.qDecileMigration(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3608,6 +3609,47 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // C63: midpoint split (C56's boundary form), per-period sampled
+    // decile cutoffs (C61b machinery), transition join
+    "q_decile_migration" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT CAST(min(ts) AS DATE)
+        |    + CAST(CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |        CAST(max(ts) AS DATE)) // 2 AS INTEGER) AS BIGINT)
+        |    * INTERVAL 1 DAY AS mid FROM p),
+        |u AS (SELECT user_id,
+        |        CASE WHEN CAST(ts AS DATE) >= (SELECT mid FROM b)
+        |          THEN 1 ELSE 0 END AS period,
+        |        CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM p GROUP BY 1, 2),
+        |n AS (SELECT period, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM u GROUP BY period),
+        |uh AS (SELECT DISTINCT user_id, list_reduce(
+        |    list_transform(range(1, length('usmp:' || CAST(user_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('usmp:' || CAST(user_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS hr FROM u),
+        |u1 AS (SELECT user_id, (hr * hr) % 2147483647 AS d FROM uh),
+        |ud AS (SELECT user_id, (d * d) % 2147483647 AS d FROM u1),
+        |s AS (SELECT u.period, u.cents FROM u
+        |      JOIN ud ON u.user_id = ud.user_id
+        |      JOIN n ON u.period = n.period
+        |      WHERE ud.d * 4 < 2147483647 OR n.n_users <= 32),
+        |sm AS (SELECT period, list_sort(list(cents)) AS smp FROM s GROUP BY period),
+        |c AS (SELECT period, CASE WHEN len(smp) = 0 THEN []
+        |        ELSE list_transform(range(1, 10), j -> smp[CAST(greatest(1,
+        |          least(len(smp), (j * (len(smp) + 1)) // 10)) AS INT)]) END AS cuts
+        |      FROM sm),
+        |d AS (SELECT u.user_id, u.period,
+        |        CAST(1 + len(list_filter(c.cuts, x -> u.cents > x)) AS BIGINT)
+        |          AS decile
+        |      FROM u JOIN c ON u.period = c.period)
+        |SELECT d0.decile AS decile_from, d1.decile AS decile_to,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d d0 JOIN d d1 ON d0.user_id = d1.user_id
+        |  AND d0.period = 0 AND d1.period = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // C46b: sampled quintile cutoffs per RFM dimension, map-side scores
     "q_rfm_segments_approx" ->
       """WITH p AS (

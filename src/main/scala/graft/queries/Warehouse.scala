@@ -1036,11 +1036,7 @@ object Warehouse {
       .filter(userDraw($"user_id") * lit(sampleMod) < lit(2147483647L) ||
         $"n_users" <= lit(sampleMod * minSample))
       .agg(sort_array(collect_list($"cents")).as("smp"))
-      .select(expr("""CASE WHEN size(smp) = 0 THEN array()
-            |ELSE transform(sequence(1, 9), j -> element_at(smp,
-            |  CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
-            |    (CAST(j AS BIGINT) * (size(smp) + 1L)) DIV 10)) AS INT)))
-            |END""".stripMargin).as("cuts"))
+      .select(expr(decileCutsSql("smp")).as("cuts"))
     val dec = users.crossJoin(broadcast(cuts))
       .withColumn("decile",
         expr("CAST(1 + size(filter(cuts, c -> cents > c)) AS BIGINT)"))
@@ -1057,6 +1053,60 @@ object Warehouse {
           " AS BIGINT)").as("share_ppm"),
         expr("CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000) DIV t" +
           " AS BIGINT)").as("cum_share_ppm"))
+  }
+
+  /** The sampled nine-cutoff decile CASE shared by C61b and C63. */
+  private def decileCutsSql(src: String): String =
+    s"""CASE WHEN size($src) = 0 THEN array()
+       |ELSE transform(sequence(1, 9), j -> element_at($src,
+       |  CAST(greatest(1L, least(CAST(size($src) AS BIGINT),
+       |    (CAST(j AS BIGINT) * (size($src) + 1L)) DIV 10)) AS INT)))
+       |END""".stripMargin
+
+  /** C63: DECILE MIGRATION — the period-over-period mobility matrix
+    * behind "are whales staying whales" retention analysis: split the
+    * purchase timeline at its midpoint date (C56's deterministic
+    * boundary), rank each user's per-period spend into value deciles,
+    * and count users per (decile_from, decile_to) transition. Built
+    * WINDOWLESS from the start with the C61b sampled-cutoff machinery
+    * (per-period cutoffs from a deterministic `usmp:` purchaser draw,
+    * decile = map-side cutoff count against the broadcast 2-row cutoff
+    * frame) — the global-rank trap this round's twins removed never
+    * enters; the only shuffles are the per-(user, period) aggregate
+    * and the user-keyed self-join of the two period frames. Ties share
+    * a decile (the C61b ±ε). Deterministic end-to-end → full oracle. */
+  def qDecileMigration(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
+    import spark.implicits._
+    val p = Tables.table(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+    val bounds = p.agg(
+      to_date(min($"ts")).as("__lo"), to_date(max($"ts")).as("__hi"))
+      .select(expr("date_add(__lo, CAST(datediff(__hi, __lo) DIV 2 AS INT))")
+        .as("__mid"))
+    val perPeriod = p.crossJoin(broadcast(bounds))
+      .withColumn("period", (to_date($"ts") >= $"__mid").cast("int"))
+      .groupBy($"user_id", $"period")
+      .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+      // feeds the per-period sample AND both sides of the transition
+      // join — materialize once (the F19c checkpoint rule)
+      .transform(graft.engine.Materialized.checkpoint)
+    val n = perPeriod.groupBy($"period").agg(count(lit(1)).as("n_users"))
+    val cuts = perPeriod.join(broadcast(n), "period")
+      .filter(userDraw($"user_id") * lit(sampleMod) < lit(2147483647L) ||
+        $"n_users" <= lit(sampleMod * minSample))
+      .groupBy($"period").agg(sort_array(collect_list($"cents")).as("smp"))
+      .select($"period", expr(decileCutsSql("smp")).as("cuts"))
+    val scored = perPeriod.join(broadcast(cuts), "period")
+      .withColumn("decile",
+        expr("CAST(1 + size(filter(cuts, c -> cents > c)) AS BIGINT)"))
+    scored.filter($"period" === 0)
+      .select($"user_id", $"decile".as("decile_from"))
+      .join(scored.filter($"period" === 1)
+        .select($"user_id", $"decile".as("decile_to")), "user_id")
+      .groupBy($"decile_from", $"decile_to")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"decile_from", $"decile_to")
   }
 
   /** C46b: C46's 100 TB twin — RFM quintile scores from SAMPLED CUTOFFS

@@ -215,6 +215,40 @@ class WarehouseSpec extends SparkSpec {
           s" vs ${n / 10.0} ± $tol") }
   }
 
+  test("decile migration: stable spenders stay diagonal, the planted whale moves 1→10") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day = 86400000L
+    // 100 users, identical spend in both halves of the timeline —
+    // except user 0, who 10000×es in the second half
+    val rows = (0 until 100).flatMap { u =>
+      val cents = (u + 1) * 1.00
+      Seq(
+        (u.toLong * 2, new Timestamp(1700000000000L), u.toLong, "purchase", cents),
+        (u.toLong * 2 + 1, new Timestamp(1700000000000L + 10 * day), u.toLong,
+          "purchase", if (u == 0) 10000.0 else cents))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("decmig").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qDecileMigration(spark, dir).collect()
+      .map(r => (r.getAs[Long]("decile_from"), r.getAs[Long]("decile_to"),
+        r.getAs[Long]("n_users")))
+    assert(out.map(_._3).sum == 100L, "every both-period user transitions once")
+    assert(out.forall { case (f, t, _) => f >= 1 && f <= 10 && t >= 1 && t <= 10 })
+    // the whale: lowest decile → top decile
+    assert(out.exists { case (f, t, n) => f == 1L && t == 10L && n >= 1L },
+      s"planted whale must surface: ${out.toSeq}")
+    // everyone else holds steady: identical values + identical per-user
+    // draw ⇒ identical cutoffs up to the whale's sample contribution —
+    // allow ±1 decile of cutoff shift, nothing further
+    val farMovers = out.filter { case (f, t, n) =>
+      math.abs(f - t) > 1 && !(f == 1L && t == 10L) && n > 0 }
+    assert(farMovers.isEmpty, s"stable spenders must stay near-diagonal: ${farMovers.toSeq}")
+    // real-corpus sanity: row total equals the both-period user count
+    val real = Warehouse.qDecileMigration(spark, sfDir).collect()
+    assert(real.map(_.getAs[Long]("n_users")).sum > 0)
+  }
+
   test("sampled rfm twin: full-sample scores land inside each tie group's exact range") {
     val exact = Warehouse.qRfmSegments(spark, sfDir).collect()
     val full = Warehouse.qRfmSegmentsApprox(spark, sfDir, sampleMod = 1L)
