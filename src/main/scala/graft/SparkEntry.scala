@@ -216,6 +216,7 @@ object SparkEntry {
     "q_lorenz_deciles_approx" -> ((s, dir) => Warehouse.qLorenzDecilesApprox(s, dir)),
     "q_rfm_segments_approx" -> ((s, dir) => Warehouse.qRfmSegmentsApprox(s, dir)),
     "q_decile_migration" -> ((s, dir) => Warehouse.qDecileMigration(s, dir)),
+    "q_ewma_daily" -> ((s, dir) => Warehouse.qEwmaDaily(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3609,6 +3610,32 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // C64: the same gap-complete spine as C45, then the integer EWMA
+    // recurrence replayed as a recursive CTE (Spark folds it over the
+    // day array — identical floor halving both ways)
+    "q_ewma_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |i AS (SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |      FROM series),
+        |r AS (
+        |  SELECT d, y, i, CAST(1000 * y AS BIGINT) AS s FROM i WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.d, t.y, t.i, (1000 * t.y + r.s) // 2
+        |  FROM i t JOIN r ON t.i = r.i + 1)
+        |SELECT r.d, r.y, r.s AS ewma_x1000,
+        |  CAST(CASE WHEN r.i = 1 THEN 0 ELSE 1000 * r.y - p.s END AS BIGINT)
+        |    AS dev_x1000
+        |FROM r LEFT JOIN r p ON p.i = r.i - 1
+        |ORDER BY r.d""".stripMargin,
     // C63: midpoint split (C56's boundary form), per-period sampled
     // decile cutoffs (C61b machinery), transition join
     "q_decile_migration" ->

@@ -1860,6 +1860,47 @@ object Warehouse {
       .select(kc ++ Seq(col("d"), coalesce(col("y"), lit(0L)).as("y")): _*)
   }
 
+  /** C64: EWMA smoothing of the daily event volume — exponential
+    * smoothing with α = 1/2 in EXACT integer fixed-point:
+    * `s_d = (1000·y_d + s_{d−1}) DIV 2`, seeded `s_1 = 1000·y_1` — the
+    * drift-tolerant baseline a fixed mean (C45's μ) can't give a
+    * trending series, and the precursor of every "today vs smoothed
+    * yesterday" alert. `dev_x1000 = 1000·y_d − s_{d−1}` is that alert
+    * lane (deviation from the smoothed PAST, not from today's own
+    * update). Halving in floor-integer keeps both engines bit-exact
+    * where a float α-blend would drift ulps over long series.
+    *
+    * Scale shape: the corpus-sized work is the one daily aggregation
+    * (C42's bounded-calendar contract); the fold runs over the day
+    * array in a single task, windowless — DuckDB replays it as a
+    * recursive CTE. */
+  def qEwmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(dailyEventSeries(spark, dir))
+
+  /** C64 core over any (d, y) series frame. */
+  def ewmaOf(series: DataFrame): DataFrame = {
+    series
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('s', CAST(-1 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<d: DATE, y: BIGINT, ewma_x1000: BIGINT, dev_x1000: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    's', CASE WHEN acc.s < 0 THEN 1000 * x.y
+          |         ELSE (1000 * x.y + acc.s) DIV 2 END,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'd', x.d, 'y', x.y,
+          |      'ewma_x1000', CASE WHEN acc.s < 0 THEN 1000 * x.y
+          |        ELSE (1000 * x.y + acc.s) DIV 2 END,
+          |      'dev_x1000', CASE WHEN acc.s < 0 THEN CAST(0 AS BIGINT)
+          |        ELSE 1000 * x.y - acc.s END)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.y").as("y"),
+        col("r.ewma_x1000").as("ewma_x1000"), col("r.dev_x1000").as("dev_x1000"))
+      .orderBy("d")
+  }
+
   /** C42: seasonal-trend decomposition of the daily event volume —
     * classical moving-average decomposition (trend = centered 7-day MA,
     * seasonal = day-of-week mean of the detrended series, residual =

@@ -892,6 +892,28 @@ class WarehouseSpec extends SparkSpec {
       .toDF("d", "y")
   }
 
+  test("ewma: constant series is its own smooth, a step halves the gap daily") {
+    // constant: s == 1000·y from day one, deviation 0 after the seed
+    val flat = Warehouse.ewmaOf(syntheticSeries(Seq.fill(10)(40L))).collect()
+    assert(flat.forall(_.getAs[Long]("ewma_x1000") == 40000L))
+    assert(flat.tail.forall(_.getAs[Long]("dev_x1000") == 0L))
+    // step 0→100 at day 5: the gap to 100000 halves (floor) each day,
+    // and dev spikes exactly at the step then decays
+    val step = Warehouse.ewmaOf(
+      syntheticSeries(Seq.fill(5)(0L) ++ Seq.fill(6)(100L))).collect()
+      .sortBy(_.getAs[java.sql.Date]("d").getTime)
+    val s = step.map(_.getAs[Long]("ewma_x1000"))
+    assert(s.take(5).forall(_ == 0L))
+    assert(s(5) == 50000L && s(6) == 75000L && s(7) == 87500L)
+    val dev = step.map(_.getAs[Long]("dev_x1000"))
+    assert(dev(5) == 100000L, "the step day deviates by the full jump")
+    assert(dev(6) == 50000L && dev(7) == 25000L, "deviation decays with s")
+    // real corpus: one row per spine day, deterministic rerun
+    val real = Warehouse.qEwmaDaily(spark, sfDir).collect()
+    assert(real.length > 0)
+    assert(real.map(_.getAs[java.sql.Date]("d")).distinct.length == real.length)
+  }
+
   test("seasonal decompose: pure weekly plant recovered bit-exactly") {
     val s = Seq(3L, -2L, 5L, 0L, -4L, 1L, -3L) // Σ = 0, indexed by weekday
     val series = syntheticSeries((0 until 35).map(i => 100L + s(i % 7)))
