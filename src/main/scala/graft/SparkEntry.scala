@@ -217,6 +217,7 @@ object SparkEntry {
     "q_rfm_segments_approx" -> ((s, dir) => Warehouse.qRfmSegmentsApprox(s, dir)),
     "q_decile_migration" -> ((s, dir) => Warehouse.qDecileMigration(s, dir)),
     "q_ewma_daily" -> ((s, dir) => Warehouse.qEwmaDaily(s, dir)),
+    "q_cdc_compact" -> ((s, dir) => Temporal.qCdcCompact(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3610,6 +3611,38 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // I8: first/last op per key via rank windows (the oracle may
+    // window; the Spark side is one min_by/max_by aggregate)
+    "q_cdc_compact" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, props
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, op, value, props,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rl,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM log),
+        |fi AS (SELECT user_id, op AS first_op FROM f WHERE rf = 1),
+        |la AS (SELECT user_id, op AS last_op, ts, value, props, n_ops
+        |       FROM f WHERE rl = 1),
+        |j AS (
+        |  SELECT la.user_id,
+        |    CASE WHEN fi.first_op = 'I' AND la.last_op = 'D' THEN 'NONE'
+        |         WHEN fi.first_op = 'I' THEN 'I'
+        |         WHEN la.last_op = 'D' THEN 'D' ELSE 'U' END AS net_op,
+        |    CAST(la.n_ops AS BIGINT) AS n_ops, la.ts AS last_ts,
+        |    la.value, la.props
+        |  FROM la JOIN fi USING (user_id))
+        |SELECT user_id, net_op, n_ops, last_ts,
+        |  CASE WHEN net_op = 'D' THEN NULL ELSE round(value, 2) END AS value,
+        |  CASE WHEN net_op = 'D' THEN NULL ELSE props END AS props
+        |FROM j WHERE net_op <> 'NONE' ORDER BY user_id""".stripMargin,
     // C64: the same gap-complete spine as C45, then the integer EWMA
     // recurrence replayed as a recursive CTE (Spark folds it over the
     // day array — identical floor halving both ways)

@@ -168,4 +168,44 @@ object Temporal {
         last($"sum_value", ignoreNulls = true).over(w).as("locf_value"))
       .orderBy($"event_type", $"h")
   }
+
+  /** I8: NET-EFFECT change-log compaction — collapse a batch of CDC ops
+    * per key to the single op a downstream apply needs (the compacted-
+    * topic / Debezium batch-reduce contract, the missing half of I1
+    * which applies a log but never shrinks one): I1's op convention
+    * extended with the creation op (signup = I, error = D, else U).
+    * Net rule from each key's FIRST and LAST batch op:
+    * I…D → NONE (born and deleted inside the batch — emit nothing),
+    * I…≠D → I carrying the last payload, ≠I…D → D (payload nulled),
+    * otherwise → U with the last payload. `n_ops` reports the collapse
+    * factor. ONE min_by/max_by hash aggregate on the key — no window,
+    * no sort, map-side combinable: exactly the shape a log compactor
+    * needs at 100 TB (state per key is two structs, not the op list). */
+  def qCdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.table(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "signup", lit("I"))
+          .when($"event_type" === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        $"value", $"props")
+    log.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ops"),
+        min_by($"op", struct($"ts", $"event_id")).as("__first_op"),
+        max_by(struct($"op", $"ts", $"value", $"props"),
+          struct($"ts", $"event_id")).as("__last"))
+      .withColumn("net_op",
+        when($"__first_op" === "I" && $"__last.op" === "D", "NONE")
+          .when($"__first_op" === "I", "I")
+          .when($"__last.op" === "D", "D")
+          .otherwise("U"))
+      .filter($"net_op" =!= "NONE")
+      .select($"user_id", $"net_op", $"n_ops",
+        $"__last.ts".as("last_ts"),
+        when($"net_op" === "D", lit(null))
+          .otherwise(round($"__last.value", 2)).as("value"),
+        when($"net_op" === "D", lit(null))
+          .otherwise($"__last.props").as("props"))
+      .orderBy($"user_id")
+  }
 }

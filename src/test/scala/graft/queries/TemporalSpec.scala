@@ -24,6 +24,41 @@ class TemporalSpec extends SparkSpec {
     assert(snapshot.size == latest.count(_._2 != "error"))
   }
 
+  test("cdc compact: the four net rules, collapse counts, tombstone payload nulled") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, t: Long, typ: String, v: Double) =
+      (id, new Timestamp(1700000000000L + t * 1000L), u, typ, v, s"p$id")
+    val log = Seq(
+      ev(1, 1, 0, "signup", 1.0), ev(2, 1, 1, "view", 2.0),   // I…U → I, last payload
+      ev(3, 2, 0, "signup", 1.0), ev(4, 2, 1, "error", 9.0),  // I…D → NONE
+      ev(5, 3, 0, "view", 3.0), ev(6, 3, 1, "click", 4.0),    // U…U → U
+      ev(7, 4, 0, "view", 5.0), ev(8, 4, 1, "error", 9.0),    // U…D → D, payload null
+      ev(9, 5, 0, "signup", 6.0),                             // lone I → I
+      ev(10, 6, 0, "error", 9.0))                             // lone D → D
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("cdccompact").toString
+    log.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.qCdcCompact(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("net_op"), r.getAs[Long]("n_ops"),
+          Option(r.getAs[java.lang.Double]("value")),
+          Option(r.getAs[String]("props")))).toMap
+    assert(!out.contains(2L), "born-and-deleted inside the batch emits nothing")
+    assert(out(1L) == (("I", 2L, Some(2.0), Some("p2"))),
+      s"net insert carries the LAST payload: ${out(1L)}")
+    assert(out(3L) == (("U", 2L, Some(4.0), Some("p6"))))
+    assert(out(4L) == (("D", 2L, None, None)), "tombstone payload is nulled")
+    assert(out(5L) == (("I", 1L, Some(6.0), Some("p9"))))
+    assert(out(6L) == (("D", 1L, None, None)))
+    // real corpus: compaction never exceeds the distinct-key count and
+    // every emitted row collapses at least one op
+    val real = Temporal.qCdcCompact(spark, sfDir).collect()
+    assert(real.forall(_.getAs[Long]("n_ops") >= 1L))
+    assert(real.length <= graft.sources.Tables.table(spark, sfDir, "events")
+      .select("user_id").distinct().count())
+  }
+
   test("scd2: per-user episodes are contiguous, start at first event, one current row") {
     import spark.implicits._
     val hist = Temporal.qScd2(spark, sfDir)
