@@ -218,6 +218,7 @@ object SparkEntry {
     "q_decile_migration" -> ((s, dir) => Warehouse.qDecileMigration(s, dir)),
     "q_ewma_daily" -> ((s, dir) => Warehouse.qEwmaDaily(s, dir)),
     "q_cdc_compact" -> ((s, dir) => Temporal.qCdcCompact(s, dir)),
+    "q_zipf_fit" -> ((s, dir) => LlmOps.qZipfFit(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3611,6 +3612,29 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // F30: identical OLS formulas over the same top-K ranked vocab;
+    // tie ranks share y so the fit is tie-order-independent
+    "q_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |g AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY term
+        |      ORDER BY n DESC, term LIMIT 500),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term)
+        |        AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy FROM r)
+        |SELECT n_terms,
+        |  round((n_terms * sxy - sx * sy)
+        |    / nullif(n_terms * sxx - sx * sx, 0.0), 6) AS slope,
+        |  round((sy - (n_terms * sxy - sx * sy)
+        |    / nullif(n_terms * sxx - sx * sx, 0.0) * sx) / n_terms, 6)
+        |    AS intercept,
+        |  round(pow(n_terms * sxy - sx * sy, 2)
+        |    / nullif((n_terms * sxx - sx * sx)
+        |      * (n_terms * syy - sy * sy), 0.0), 6) AS r2
+        |FROM a""".stripMargin,
     // I8: first/last op per key via rank windows (the oracle may
     // window; the Spark side is one min_by/max_by aggregate)
     "q_cdc_compact" ->

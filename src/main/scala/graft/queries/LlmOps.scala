@@ -977,6 +977,47 @@ object LlmOps {
       .orderBy("vocab_id")
   }
 
+  /** F30: ZIPF rank-frequency fit — the one-number corpus-health check
+    * behind "does this corpus look like natural language" (clean text
+    * sits near slope −1 on the log-log rank/frequency line; boilerplate
+    * floods, template spam, and synthetic-data collapse all bend it):
+    * OLS of ln(freq) on ln(rank) over the top-K vocabulary, with slope,
+    * intercept and r² reported. The corpus-sized work is F12's capped
+    * term count (map-side partials → TakeOrderedAndProject); the rank
+    * window and the regression sums run over K rows only. Equal counts
+    * share a y at adjacent ranks, so the (rank, y) multiset — and the
+    * fit — is tie-order-independent. Doubles rounded 6dp, the
+    * C24/C62 float-parity convention. */
+  def qZipfFit(spark: SparkSession, dir: String, k: Int = 500): DataFrame = {
+    val counts = Tables.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    counts
+      .withColumn("r", row_number().over(w).cast("double"))
+      .select(log(col("r")).as("x"), log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // nullif guards: a single-rank corpus has zero x-variance, an
+      // all-equal-count corpus zero y-variance — report NULL, not a
+      // division error (ANSI) or ±inf
+      .selectExpr("n_terms",
+        """round((n_terms * sxy - sx * sy)
+          |  / nullif(n_terms * sxx - sx * sx, 0.0d), 6) AS slope""".stripMargin,
+        """round((sy - (n_terms * sxy - sx * sy)
+          |  / nullif(n_terms * sxx - sx * sx, 0.0d) * sx) / n_terms, 6)
+          |  AS intercept""".stripMargin,
+        """round(pow(n_terms * sxy - sx * sy, 2)
+          |  / nullif((n_terms * sxx - sx * sx)
+          |    * (n_terms * syy - sy * sy), 0.0d), 6) AS r2""".stripMargin)
+  }
+
   /** H3: percentile-based quality gate — drop every document at or below
     * its language's 25th-percentile quality score (the distribution-aware
     * twin of a fixed-threshold filter: thresholds adapt per stratum). The

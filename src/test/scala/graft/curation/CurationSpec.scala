@@ -398,4 +398,29 @@ class CurationSpec extends SparkSpec {
     assert(leaking.values.forall(_.map(_._2).distinct.length > 1),
       "a leaking hash must involve more than one document")
   }
+
+  test("zipf fit: a planted 1/r corpus fits slope −1 with r² ≈ 1; ranks cap at k") {
+    import spark.implicits._
+    // term_i appears floor(1000/i) times, i = 1..50 — the ideal curve
+    val tokens = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"term$i"))
+    // spread over docs so the count aggregate actually reduces
+    val docs = tokens.grouped(200).zipWithIndex
+      .map { case (ts, i) => (i.toLong, "src0", ts.mkString(" ")) }.toSeq
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.LlmOps.qZipfFit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_terms") == 50L)
+    val slope = r.getAs[Double]("slope")
+    assert(slope > -1.05 && slope < -0.95, s"planted 1/r law must fit −1: $slope")
+    assert(r.getAs[Double]("r2") > 0.99, s"fit must be tight: $r")
+    // k caps the vocabulary: a 600-term corpus reports exactly k ranks
+    val wide = (1 to 600).map(i => s"w$i").grouped(100).zipWithIndex
+      .map { case (ts, i) => (i.toLong, "src0", ts.mkString(" ")) }.toSeq
+      .toDF("doc_id", "source", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("zipf2").toString
+    wide.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    assert(graft.queries.LlmOps.qZipfFit(spark, dir2).collect()
+      .head.getAs[Long]("n_terms") == 500L)
+  }
 }
