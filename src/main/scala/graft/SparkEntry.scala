@@ -219,6 +219,7 @@ object SparkEntry {
     "q_ewma_daily" -> ((s, dir) => Warehouse.qEwmaDaily(s, dir)),
     "q_cdc_compact" -> ((s, dir) => Temporal.qCdcCompact(s, dir)),
     "q_zipf_fit" -> ((s, dir) => LlmOps.qZipfFit(s, dir)),
+    "q_curriculum_order" -> ((s, dir) => Mix.qCurriculumOrder(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3612,6 +3613,53 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // H19: sampled quartile cutoffs + the H14 shard chain per stage +
+    // span-offset concatenation, all integer
+    "q_curriculum_order" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS ws_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+        |hr AS (SELECT doc_id, ws_tokens,
+        |    list_reduce(
+        |      list_transform(range(1, length('cursmp:' || CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('cursmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS hs,
+        |    list_reduce(
+        |      list_transform(range(1, length('cur:' || CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('cur:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS hc
+        |  FROM toks),
+        |m1 AS (SELECT doc_id, ws_tokens, (hs * hs) % 2147483647 AS hs,
+        |         (hc * hc) % 2147483647 AS hc FROM hr),
+        |m2 AS (SELECT doc_id, ws_tokens, (hs * hs) % 2147483647 AS hs,
+        |         (hc * hc) % 2147483647 AS hc FROM m1),
+        |s AS (SELECT ws_tokens FROM m2 CROSS JOIN n
+        |      WHERE hs * 4 < 2147483647 OR n_docs <= 32),
+        |sm AS (SELECT list_sort(list(ws_tokens)) AS smp FROM s),
+        |c AS (SELECT CASE WHEN len(smp) = 0 THEN []
+        |        ELSE list_transform(range(1, 4), j -> smp[CAST(greatest(1,
+        |          least(len(smp), (j * (len(smp) + 1)) // 4)) AS INT)]) END AS cuts
+        |      FROM sm),
+        |st AS (SELECT m2.doc_id, m2.ws_tokens,
+        |         CAST(1 + len(list_filter(c.cuts, x -> m2.ws_tokens > x)) AS BIGINT)
+        |           AS stage,
+        |         m2.hc AS h, CAST(m2.hc % 64 AS INTEGER) AS shard
+        |       FROM m2 CROSS JOIN c),
+        |p AS (SELECT doc_id, ws_tokens, stage, shard,
+        |        CAST(row_number() OVER (PARTITION BY stage, shard
+        |          ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM st),
+        |p2 AS (SELECT doc_id, ws_tokens, stage,
+        |         (pos - 1) * 64 + shard AS stage_pos FROM p),
+        |sp AS (SELECT stage, max(stage_pos) + 1 AS span FROM p2 GROUP BY stage),
+        |o AS (SELECT a.stage, CAST(coalesce(sum(b.span), 0) AS BIGINT) AS off
+        |      FROM sp a LEFT JOIN sp b ON b.stage < a.stage GROUP BY a.stage)
+        |SELECT p2.doc_id, p2.ws_tokens, p2.stage,
+        |  CAST(o.off + p2.stage_pos AS BIGINT) AS curriculum_pos
+        |FROM p2 JOIN o USING (stage) ORDER BY doc_id""".stripMargin,
     // F30: identical OLS formulas over the same top-K ranked vocab;
     // tie ranks share y so the fit is tie-order-independent
     "q_zipf_fit" ->

@@ -296,6 +296,64 @@ object Mix {
       .orderBy("lane")
   }
 
+  /** H19: CURRICULUM ORDER — the short-to-long training schedule
+    * (curriculum learning's classic difficulty proxy is length): docs
+    * bucket into 4 length STAGES, and within each stage stream in H14's
+    * mixed order — easy examples first, well-shuffled inside every
+    * difficulty band. Stage boundaries come from SAMPLED token-count
+    * cutoffs (the H16b estimator — no global sort of the corpus
+    * anywhere); within a stage the H14 shard machinery applies
+    * unchanged (shard = mixed hash mod 64, per-(stage, shard) rank,
+    * strided interleave), so every sort in the plan is one
+    * (stage, shard) task. `curriculum_pos` is globally monotone across
+    * stages via per-stage span offsets (4-row frame, bounded
+    * self-join): a loader reading curriculum_pos order replays stage 1
+    * fully mixed, then stage 2, … Deterministic end-to-end → full
+    * oracle. */
+  def qCurriculumOrder(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokenCounts(
+      Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
+      .select(col("doc_id"), col("ws_tokens"))
+      // feeds the cutoff sample AND the staged assignment (the F19c
+      // checkpoint rule)
+      .transform(graft.engine.Materialized.checkpoint)
+    val n = toks.agg(count(lit(1)).as("n_docs"))
+    val smpDraw = drawMix(polyhash(concat(lit("cursmp:"), col("doc_id").cast("string"))))
+    val cuts = toks.crossJoin(broadcast(n))
+      .filter(smpDraw * lit(sampleMod) < lit(2147483647L) ||
+        col("n_docs") <= lit(sampleMod * minSample))
+      .agg(sort_array(collect_list(col("ws_tokens"))).as("smp"))
+      .select(expr(
+        """CASE WHEN size(smp) = 0 THEN array()
+          |ELSE transform(sequence(1, 3), j -> element_at(smp,
+          |  CAST(greatest(1L, least(CAST(size(smp) AS BIGINT),
+          |    (CAST(j AS BIGINT) * (size(smp) + 1L)) DIV 4)) AS INT)))
+          |END""".stripMargin).as("cuts"))
+    val staged = toks.crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        expr("CAST(1 + size(filter(cuts, c -> ws_tokens > c)) AS BIGINT)"))
+      .withColumn("__hr",
+        polyhash(concat(lit("cur:"), col("doc_id").cast("string"))))
+      .withColumn("h", drawMix(col("__hr")))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+    val byShard = Window.partitionBy("stage", "shard").orderBy("h", "doc_id")
+    val positioned = staged
+      .withColumn("pos", row_number().over(byShard))
+      .withColumn("stage_pos",
+        ((col("pos") - 1) * ShuffleShards + col("shard")).cast("long"))
+    val spans = positioned.groupBy(col("stage"))
+      .agg((max(col("stage_pos")) + 1L).as("span"))
+    val offsets = spans.as("a")
+      .join(spans.as("b"), col("b.stage") < col("a.stage"), "left")
+      .groupBy(col("a.stage").as("stage"))
+      .agg(coalesce(sum(col("b.span")), lit(0L)).as("offset"))
+    positioned.join(broadcast(offsets), "stage")
+      .select(col("doc_id"), col("ws_tokens"), col("stage"),
+        (col("offset") + col("stage_pos")).as("curriculum_pos"))
+      .orderBy("doc_id")
+  }
+
   /** The shared quota head of H16: per-source (n_s, k_s) under the
     * even-source-weighted-3 target distribution — two tiny aggregates and
     * two broadcast products, all integer. */

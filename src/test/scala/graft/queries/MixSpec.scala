@@ -209,6 +209,40 @@ class MixSpec extends SparkSpec {
     assert(samePpm < 500000L, "a source-clustered order would approach 1e6")
   }
 
+  test("curriculum order: stage monotone in length, stages concatenate, near-quartile sizes") {
+    val out = Mix.qCurriculumOrder(spark, sfDir).cache()
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("ws_tokens"), r.getAs[Long]("stage"),
+      r.getAs[Long]("curriculum_pos")))
+    val n = rows.length
+    assert(n > 0 && rows.map(_._4).distinct.length == n,
+      "curriculum positions are unique (a loader can sort by them)")
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 4))
+    // stage is the cutoff count — EXACTLY monotone in token length
+    val byLen = rows.sortBy(r => (r._2, r._1))
+    byLen.zip(byLen.tail).foreach { case (a, b) =>
+      assert(a._3 <= b._3, s"stage must be monotone in length: $a vs $b") }
+    // stages concatenate: every position in stage k precedes stage k+1
+    val maxByStage = rows.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
+    val minByStage = rows.groupBy(_._3).view.mapValues(_.map(_._4).min).toMap
+    maxByStage.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(maxByStage(a) < minByStage(b),
+        s"stage $a must fully precede stage $b")
+      case _ =>
+    }
+    // sampled quartiles: each stage within the order-stat band (sample
+    // size ≈ n/4 under the default 1/4 draw)
+    val tol = 4.0 * math.sqrt(0.25 * 0.75 / math.max(1, n / 4)) * n + 3
+    (1L to 4L).foreach { s =>
+      val sz = rows.count(_._3 == s)
+      assert(math.abs(sz - n / 4.0) <= tol, s"stage $s size $sz vs ${n / 4.0} ± $tol")
+    }
+    // deterministic rerun
+    val again = Mix.qCurriculumOrder(spark, sfDir)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+  }
+
   test("H16c uniformity audit: every draw lane inside the binomial band " +
     "on a sequential-id corpus") {
     // sequential ids are the WORST CASE for a polyhash draw (the affine
