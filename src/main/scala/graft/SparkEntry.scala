@@ -220,6 +220,7 @@ object SparkEntry {
     "q_cdc_compact" -> ((s, dir) => Temporal.qCdcCompact(s, dir)),
     "q_zipf_fit" -> ((s, dir) => LlmOps.qZipfFit(s, dir)),
     "q_curriculum_order" -> ((s, dir) => Mix.qCurriculumOrder(s, dir)),
+    "q_pii_report" -> ((s, dir) => Etl.qPiiReport(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3613,6 +3614,70 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // A20: per-table aggregated hit counts unpivoted by UNION ALL;
+    // regex classes are the F10 Java/RE2-parity set
+    "q_pii_report" ->
+      """WITH __region AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(r_name, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_r_name, CAST(coalesce(sum(CASE WHEN regexp_matches(r_name, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_r_name, CAST(coalesce(sum(CASE WHEN regexp_matches(r_name, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_r_name FROM region),
+        |__nation AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(n_name, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_n_name, CAST(coalesce(sum(CASE WHEN regexp_matches(n_name, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_n_name, CAST(coalesce(sum(CASE WHEN regexp_matches(n_name, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_n_name FROM nation),
+        |__customer AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(c_name, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_c_name, CAST(coalesce(sum(CASE WHEN regexp_matches(c_name, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_c_name, CAST(coalesce(sum(CASE WHEN regexp_matches(c_name, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_c_name, CAST(coalesce(sum(CASE WHEN regexp_matches(c_mktsegment, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_c_mktsegment, CAST(coalesce(sum(CASE WHEN regexp_matches(c_mktsegment, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_c_mktsegment, CAST(coalesce(sum(CASE WHEN regexp_matches(c_mktsegment, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_c_mktsegment FROM customer),
+        |__supplier AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(s_name, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_s_name, CAST(coalesce(sum(CASE WHEN regexp_matches(s_name, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_s_name, CAST(coalesce(sum(CASE WHEN regexp_matches(s_name, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_s_name FROM supplier),
+        |__part AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(p_name, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_p_name, CAST(coalesce(sum(CASE WHEN regexp_matches(p_name, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_p_name, CAST(coalesce(sum(CASE WHEN regexp_matches(p_name, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_p_name, CAST(coalesce(sum(CASE WHEN regexp_matches(p_brand, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_p_brand, CAST(coalesce(sum(CASE WHEN regexp_matches(p_brand, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_p_brand, CAST(coalesce(sum(CASE WHEN regexp_matches(p_brand, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_p_brand, CAST(coalesce(sum(CASE WHEN regexp_matches(p_type, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_p_type, CAST(coalesce(sum(CASE WHEN regexp_matches(p_type, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_p_type, CAST(coalesce(sum(CASE WHEN regexp_matches(p_type, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_p_type FROM part),
+        |__orders AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(o_orderstatus, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_o_orderstatus, CAST(coalesce(sum(CASE WHEN regexp_matches(o_orderstatus, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_o_orderstatus, CAST(coalesce(sum(CASE WHEN regexp_matches(o_orderstatus, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_o_orderstatus, CAST(coalesce(sum(CASE WHEN regexp_matches(o_orderpriority, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_o_orderpriority, CAST(coalesce(sum(CASE WHEN regexp_matches(o_orderpriority, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_o_orderpriority, CAST(coalesce(sum(CASE WHEN regexp_matches(o_orderpriority, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_o_orderpriority FROM orders),
+        |__lineitem AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(l_returnflag, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_l_returnflag, CAST(coalesce(sum(CASE WHEN regexp_matches(l_returnflag, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_l_returnflag, CAST(coalesce(sum(CASE WHEN regexp_matches(l_returnflag, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_l_returnflag, CAST(coalesce(sum(CASE WHEN regexp_matches(l_linestatus, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_l_linestatus, CAST(coalesce(sum(CASE WHEN regexp_matches(l_linestatus, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_l_linestatus, CAST(coalesce(sum(CASE WHEN regexp_matches(l_linestatus, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_l_linestatus FROM lineitem),
+        |__events AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(event_type, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_event_type, CAST(coalesce(sum(CASE WHEN regexp_matches(event_type, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_event_type, CAST(coalesce(sum(CASE WHEN regexp_matches(event_type, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_event_type, CAST(coalesce(sum(CASE WHEN regexp_matches(props, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_props, CAST(coalesce(sum(CASE WHEN regexp_matches(props, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_props, CAST(coalesce(sum(CASE WHEN regexp_matches(props, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_props FROM events),
+        |__documents AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(coalesce(sum(CASE WHEN regexp_matches(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_text, CAST(coalesce(sum(CASE WHEN regexp_matches(text, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_text, CAST(coalesce(sum(CASE WHEN regexp_matches(text, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_text, CAST(coalesce(sum(CASE WHEN regexp_matches(lang, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_lang, CAST(coalesce(sum(CASE WHEN regexp_matches(lang, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_lang, CAST(coalesce(sum(CASE WHEN regexp_matches(lang, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_lang, CAST(coalesce(sum(CASE WHEN regexp_matches(source, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_email_source, CAST(coalesce(sum(CASE WHEN regexp_matches(source, '\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_ipv4_source, CAST(coalesce(sum(CASE WHEN regexp_matches(source, '[0-9]{13,}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_longnum_source FROM documents)
+        |SELECT 'region' AS table_name, 'r_name' AS column_name, 'email' AS kind, n_rows, h_email_r_name AS n_hits FROM __region
+        |UNION ALL SELECT 'region' AS table_name, 'r_name' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_r_name AS n_hits FROM __region
+        |UNION ALL SELECT 'region' AS table_name, 'r_name' AS column_name, 'longnum' AS kind, n_rows, h_longnum_r_name AS n_hits FROM __region
+        |UNION ALL SELECT 'nation' AS table_name, 'n_name' AS column_name, 'email' AS kind, n_rows, h_email_n_name AS n_hits FROM __nation
+        |UNION ALL SELECT 'nation' AS table_name, 'n_name' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_n_name AS n_hits FROM __nation
+        |UNION ALL SELECT 'nation' AS table_name, 'n_name' AS column_name, 'longnum' AS kind, n_rows, h_longnum_n_name AS n_hits FROM __nation
+        |UNION ALL SELECT 'customer' AS table_name, 'c_name' AS column_name, 'email' AS kind, n_rows, h_email_c_name AS n_hits FROM __customer
+        |UNION ALL SELECT 'customer' AS table_name, 'c_name' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_c_name AS n_hits FROM __customer
+        |UNION ALL SELECT 'customer' AS table_name, 'c_name' AS column_name, 'longnum' AS kind, n_rows, h_longnum_c_name AS n_hits FROM __customer
+        |UNION ALL SELECT 'customer' AS table_name, 'c_mktsegment' AS column_name, 'email' AS kind, n_rows, h_email_c_mktsegment AS n_hits FROM __customer
+        |UNION ALL SELECT 'customer' AS table_name, 'c_mktsegment' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_c_mktsegment AS n_hits FROM __customer
+        |UNION ALL SELECT 'customer' AS table_name, 'c_mktsegment' AS column_name, 'longnum' AS kind, n_rows, h_longnum_c_mktsegment AS n_hits FROM __customer
+        |UNION ALL SELECT 'supplier' AS table_name, 's_name' AS column_name, 'email' AS kind, n_rows, h_email_s_name AS n_hits FROM __supplier
+        |UNION ALL SELECT 'supplier' AS table_name, 's_name' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_s_name AS n_hits FROM __supplier
+        |UNION ALL SELECT 'supplier' AS table_name, 's_name' AS column_name, 'longnum' AS kind, n_rows, h_longnum_s_name AS n_hits FROM __supplier
+        |UNION ALL SELECT 'part' AS table_name, 'p_name' AS column_name, 'email' AS kind, n_rows, h_email_p_name AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_name' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_p_name AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_name' AS column_name, 'longnum' AS kind, n_rows, h_longnum_p_name AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_brand' AS column_name, 'email' AS kind, n_rows, h_email_p_brand AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_brand' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_p_brand AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_brand' AS column_name, 'longnum' AS kind, n_rows, h_longnum_p_brand AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_type' AS column_name, 'email' AS kind, n_rows, h_email_p_type AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_type' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_p_type AS n_hits FROM __part
+        |UNION ALL SELECT 'part' AS table_name, 'p_type' AS column_name, 'longnum' AS kind, n_rows, h_longnum_p_type AS n_hits FROM __part
+        |UNION ALL SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name, 'email' AS kind, n_rows, h_email_o_orderstatus AS n_hits FROM __orders
+        |UNION ALL SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_o_orderstatus AS n_hits FROM __orders
+        |UNION ALL SELECT 'orders' AS table_name, 'o_orderstatus' AS column_name, 'longnum' AS kind, n_rows, h_longnum_o_orderstatus AS n_hits FROM __orders
+        |UNION ALL SELECT 'orders' AS table_name, 'o_orderpriority' AS column_name, 'email' AS kind, n_rows, h_email_o_orderpriority AS n_hits FROM __orders
+        |UNION ALL SELECT 'orders' AS table_name, 'o_orderpriority' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_o_orderpriority AS n_hits FROM __orders
+        |UNION ALL SELECT 'orders' AS table_name, 'o_orderpriority' AS column_name, 'longnum' AS kind, n_rows, h_longnum_o_orderpriority AS n_hits FROM __orders
+        |UNION ALL SELECT 'lineitem' AS table_name, 'l_returnflag' AS column_name, 'email' AS kind, n_rows, h_email_l_returnflag AS n_hits FROM __lineitem
+        |UNION ALL SELECT 'lineitem' AS table_name, 'l_returnflag' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_l_returnflag AS n_hits FROM __lineitem
+        |UNION ALL SELECT 'lineitem' AS table_name, 'l_returnflag' AS column_name, 'longnum' AS kind, n_rows, h_longnum_l_returnflag AS n_hits FROM __lineitem
+        |UNION ALL SELECT 'lineitem' AS table_name, 'l_linestatus' AS column_name, 'email' AS kind, n_rows, h_email_l_linestatus AS n_hits FROM __lineitem
+        |UNION ALL SELECT 'lineitem' AS table_name, 'l_linestatus' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_l_linestatus AS n_hits FROM __lineitem
+        |UNION ALL SELECT 'lineitem' AS table_name, 'l_linestatus' AS column_name, 'longnum' AS kind, n_rows, h_longnum_l_linestatus AS n_hits FROM __lineitem
+        |UNION ALL SELECT 'events' AS table_name, 'event_type' AS column_name, 'email' AS kind, n_rows, h_email_event_type AS n_hits FROM __events
+        |UNION ALL SELECT 'events' AS table_name, 'event_type' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_event_type AS n_hits FROM __events
+        |UNION ALL SELECT 'events' AS table_name, 'event_type' AS column_name, 'longnum' AS kind, n_rows, h_longnum_event_type AS n_hits FROM __events
+        |UNION ALL SELECT 'events' AS table_name, 'props' AS column_name, 'email' AS kind, n_rows, h_email_props AS n_hits FROM __events
+        |UNION ALL SELECT 'events' AS table_name, 'props' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_props AS n_hits FROM __events
+        |UNION ALL SELECT 'events' AS table_name, 'props' AS column_name, 'longnum' AS kind, n_rows, h_longnum_props AS n_hits FROM __events
+        |UNION ALL SELECT 'documents' AS table_name, 'text' AS column_name, 'email' AS kind, n_rows, h_email_text AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'text' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_text AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'text' AS column_name, 'longnum' AS kind, n_rows, h_longnum_text AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'lang' AS column_name, 'email' AS kind, n_rows, h_email_lang AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'lang' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_lang AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'lang' AS column_name, 'longnum' AS kind, n_rows, h_longnum_lang AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'source' AS column_name, 'email' AS kind, n_rows, h_email_source AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'source' AS column_name, 'ipv4' AS kind, n_rows, h_ipv4_source AS n_hits FROM __documents
+        |UNION ALL SELECT 'documents' AS table_name, 'source' AS column_name, 'longnum' AS kind, n_rows, h_longnum_source AS n_hits FROM __documents
+        |ORDER BY table_name, column_name, kind""".stripMargin,
     // H19: sampled quartile cutoffs + the H14 shard chain per stage +
     // span-offset concatenation, all integer
     "q_curriculum_order" ->

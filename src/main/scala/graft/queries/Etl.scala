@@ -249,6 +249,46 @@ object Etl {
       .orderBy("column_name")
   }
 
+  /** A20: catalog-wide PII incidence audit — F10's redaction patterns
+    * lifted from one text column to EVERY string column of EVERY
+    * warehouse table (the data-governance sweep run before granting
+    * access: "which columns carry emails / IPs / long digit runs, and
+    * in how many rows"). The schema walk is driver-side metadata; per
+    * table ONE aggregate computes every (column × kind) hit count
+    * simultaneously (conditional sums, stack-unpivoted), and the
+    * per-table one-row frames union — at 100 TB the audit costs one
+    * scan of each table, never more, and no row ever shuffles. Zero
+    * counts are reported, not dropped: "no PII found in a scanned
+    * column" is the result access review needs. */
+  def qPiiReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Redact
+    val kinds = Seq("email" -> Redact.emailRe, "ipv4" -> Redact.ipv4Re,
+      "longnum" -> Redact.longNumRe)
+    val perTable = Tables.all.flatMap { t =>
+      val df = Tables.table(spark, dir, t)
+      val strCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+      if (strCols.isEmpty) None
+      else {
+        val aggs = strCols.toSeq.flatMap(c => kinds.map { case (k, re) =>
+          coalesce(sum(when(col(c).rlike(re), 1L).otherwise(0L)), lit(0L))
+            .as(s"__${k}_$c") })
+        val stackArgs = strCols.toSeq.flatMap(c => kinds.map { case (k, _) =>
+          s"'$c', '$k', __${k}_$c" }).mkString(", ")
+        Some(df
+          .agg(count(lit(1)).as("__n"), aggs: _*)
+          .selectExpr(s"'$t' AS table_name",
+            s"stack(${strCols.length * kinds.size}, $stackArgs)" +
+              " AS (column_name, kind, n_hits)",
+            "__n AS n_rows"))
+      }
+    }
+    perTable.reduce(_.unionAll(_))
+      .select(col("table_name"), col("column_name"), col("kind"),
+        col("n_rows"), col("n_hits"))
+      .orderBy("table_name", "column_name", "kind")
+  }
+
   /** A16: referential-integrity audit — orphan counts for every foreign
     * key in the star schema (the data-quality gate a sync pipeline runs
     * before declaring a snapshot consistent; complements B6's per-column

@@ -77,4 +77,31 @@ class EtlQuerySpec extends SparkSpec {
     assert(r.getAs[Long]("n_violating") == groups.values.count(_ > 1).toLong)
     assert(r.getAs[Long]("max_rhs_per_group") == groups.values.max.toLong)
   }
+
+  test("pii report: every string column audited three ways, counts match direct scans") {
+    import org.apache.spark.sql.functions._
+    val out = Etl.qPiiReport(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name"),
+        r.getAs[String]("kind")) -> (r.getAs[Long]("n_rows"), r.getAs[Long]("n_hits")))
+      .toMap
+    // coverage: every string column of every table appears exactly ×3
+    graft.sources.Tables.all.foreach { t =>
+      val df = graft.sources.Tables.table(spark, sfDir, t)
+      val strCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+      strCols.foreach { c =>
+        Seq("email", "ipv4", "longnum").foreach { k =>
+          assert(out.contains((t, c, k)), s"missing audit row ($t, $c, $k)") }
+        assert(out((t, c, "email"))._1 == df.count(), s"$t n_rows")
+      }
+    }
+    assert(out.size == out.keys.map(k => (k._1, k._2)).toSet.size * 3)
+    // spot parity against direct scans (the oracle covers all 51)
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    assert(out(("events", "props", "longnum"))._2 ==
+      ev.filter(col("props").rlike(graft.text.Redact.longNumRe)).count())
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    assert(out(("documents", "text", "email"))._2 ==
+      docs.filter(col("text").rlike(graft.text.Redact.emailRe)).count())
+  }
 }
