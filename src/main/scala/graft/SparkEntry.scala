@@ -221,6 +221,7 @@ object SparkEntry {
     "q_zipf_fit" -> ((s, dir) => LlmOps.qZipfFit(s, dir)),
     "q_curriculum_order" -> ((s, dir) => Mix.qCurriculumOrder(s, dir)),
     "q_pii_report" -> ((s, dir) => Etl.qPiiReport(s, dir)),
+    "q_survival" -> ((s, dir) => Warehouse.qSurvival(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3614,6 +3615,36 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // C65: per-user lifetimes, bounded triangular at-risk join, and the
+    // KM product chain replayed as a recursive CTE (identical multiply
+    // order → identical doubles before the 6dp round)
+    "q_survival" ->
+      """WITH RECURSIVE h AS (SELECT CAST(max(ts) AS DATE) AS hd FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+        |      AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', CAST(max(ts) AS DATE),
+        |      (SELECT hd FROM h)) >= 7 THEN 1 ELSE 0 END AS churned
+        |  FROM events GROUP BY user_id),
+        |pd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_ending,
+        |         CAST(sum(churned) AS BIGINT) AS n_churned
+        |       FROM u GROUP BY t),
+        |ar AS (SELECT a.t, CAST(sum(b.n_ending) AS BIGINT) AS n_at_risk
+        |       FROM pd a JOIN pd b ON b.t >= a.t GROUP BY a.t),
+        |d AS (SELECT pd.t, pd.n_churned, ar.n_at_risk,
+        |        CAST(row_number() OVER (ORDER BY pd.t) AS BIGINT) AS i
+        |      FROM pd JOIN ar ON pd.t = ar.t),
+        |km AS (
+        |  SELECT t, n_churned, n_at_risk, i,
+        |    1.0 * (1.0 - CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) AS s
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.t, d.n_churned, d.n_at_risk, d.i,
+        |    km.s * (1.0 - CAST(d.n_churned AS DOUBLE) / CAST(d.n_at_risk AS DOUBLE))
+        |  FROM d JOIN km ON d.i = km.i + 1)
+        |SELECT t AS t_days, n_at_risk, n_churned, round(s, 6) AS survival
+        |FROM km ORDER BY t_days""".stripMargin,
     // A20: per-table aggregated hit counts unpivoted by UNION ALL;
     // regex classes are the F10 Java/RE2-parity set
     "q_pii_report" ->

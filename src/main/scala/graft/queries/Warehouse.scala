@@ -1901,6 +1901,57 @@ object Warehouse {
       .orderBy("d")
   }
 
+  /** C65: KAPLAN–MEIER churn survival — the censoring-aware answer to
+    * "how long do users stay active" (a naive mean lifetime is biased
+    * low: users still active at the corpus edge haven't churned, they're
+    * CENSORED): per user, lifetime = days between first and last event;
+    * churn is OBSERVED iff the last event is ≥ 7 days before the corpus
+    * horizon (they stopped), otherwise the lifetime is censored. The KM
+    * estimator S(t) = Π_{i≤t} (1 − d_i/n_i) runs over the BOUNDED
+    * per-lifetime-day frame: one user aggregate (the only corpus-sized
+    * work), per-day churn/censor counts, at-risk via a bounded
+    * triangular self-join (n_t = Σ_{l≥t} users), and the product chain
+    * folds over the sorted day array (the C64 pattern — identical
+    * multiply order both engines, so the doubles agree bit-for-bit
+    * before the 6dp round; no exp/ln detour). */
+  def qSurvival(spark: SparkSession, dir: String, censorDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+    val horizon = ev.agg(to_date(max($"ts")).as("__h"))
+    val users = ev.groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("__first"), to_date(max($"ts")).as("__last"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff($"__last", $"__first").cast("long").as("t"),
+        (datediff($"__h", $"__last") >= censorDays).cast("long").as("churned"))
+    val perDay = users.groupBy($"t")
+      .agg(count(lit(1)).as("n_ending"), sum($"churned").as("n_churned"))
+    // at-risk at t = users whose lifetime ends at or after t (bounded
+    // triangular join over the ≤-calendar-sized day frame)
+    val atRisk = perDay.select($"t".as("__t2"), $"n_ending".as("__ne"))
+      .join(perDay.select($"t"), col("__t2") >= col("t"))
+      .groupBy($"t").agg(sum($"__ne").as("n_at_risk"))
+    val days = perDay.join(atRisk, "t")
+    days
+      .agg(sort_array(collect_list(struct($"t", $"n_churned", $"n_at_risk")))
+        .as("xs"))
+      .select(explode(expr(
+        """aggregate(xs,
+          |  named_struct('s', CAST(1.0 AS DOUBLE),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<t: BIGINT, n_at_risk: BIGINT, n_churned: BIGINT, survival: DOUBLE>>)),
+          |  (acc, x) -> named_struct(
+          |    's', acc.s * (1.0d - CAST(x.n_churned AS DOUBLE) / CAST(x.n_at_risk AS DOUBLE)),
+          |    'out', concat(acc.out, array(named_struct(
+          |      't', x.t, 'n_at_risk', x.n_at_risk, 'n_churned', x.n_churned,
+          |      'survival', round(acc.s * (1.0d - CAST(x.n_churned AS DOUBLE)
+          |        / CAST(x.n_at_risk AS DOUBLE)), 6))))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t_days"), col("r.n_at_risk").as("n_at_risk"),
+        col("r.n_churned").as("n_churned"), col("r.survival").as("survival"))
+      .orderBy("t_days")
+  }
+
   /** C42: seasonal-trend decomposition of the daily event volume —
     * classical moving-average decomposition (trend = centered 7-day MA,
     * seasonal = day-of-week mean of the detrended series, residual =

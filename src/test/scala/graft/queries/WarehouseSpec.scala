@@ -914,6 +914,39 @@ class WarehouseSpec extends SparkSpec {
     assert(real.map(_.getAs[java.sql.Date]("d")).distinct.length == real.length)
   }
 
+  test("survival: planted churn cohort reproduces the KM curve by hand") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day = 86400000L
+    def ev(id: Long, u: Long, d: Int) =
+      (id, new Timestamp(1700000000000L + d * day), u, "view", 1.0)
+    // horizon = day 30; u1,u2 churn at t=2, u3 at t=5; u4 (t=28) and
+    // u5 (t=30) are censored (within 7 days of the horizon)
+    val log = Seq(
+      ev(1, 1, 0), ev(2, 1, 2),
+      ev(3, 2, 0), ev(4, 2, 2),
+      ev(5, 3, 0), ev(6, 3, 5),
+      ev(7, 4, 0), ev(8, 4, 28),
+      ev(9, 5, 0), ev(10, 5, 30))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("surv").toString
+    log.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qSurvival(spark, dir).collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Double]("survival")))
+      .sortBy(_._1)
+    // hand KM: S(2)=1−2/5=0.6, S(5)=0.6·(1−1/3)=0.4, flat thereafter
+    assert(out.toSeq == Seq(
+      (2L, 5L, 2L, 0.6), (5L, 3L, 1L, 0.4),
+      (28L, 2L, 0L, 0.4), (30L, 1L, 0L, 0.4)), s"got ${out.toSeq}")
+    // monotone non-increasing always; the real corpus (fully censored
+    // at sf scale) stays at 1.0 — the censoring-aware answer, where a
+    // naive mean lifetime would report ~28 days of "churn"
+    val real = Warehouse.qSurvival(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("t_days")).map(_.getAs[Double]("survival"))
+    real.zip(real.tail).foreach { case (a, b) => assert(b <= a + 1e-12) }
+  }
+
   test("seasonal decompose: pure weekly plant recovered bit-exactly") {
     val s = Seq(3L, -2L, 5L, 0L, -4L, 1L, -3L) // Σ = 0, indexed by weekday
     val series = syntheticSeries((0 until 35).map(i => 100L + s(i % 7)))
