@@ -222,6 +222,7 @@ object SparkEntry {
     "q_curriculum_order" -> ((s, dir) => Mix.qCurriculumOrder(s, dir)),
     "q_pii_report" -> ((s, dir) => Etl.qPiiReport(s, dir)),
     "q_survival" -> ((s, dir) => Warehouse.qSurvival(s, dir)),
+    "q_review_sample" -> ((s, dir) => LlmOps.qReviewSample(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -651,6 +652,40 @@ object SparkEntry {
         |FROM q JOIN cut ON q.lang = cut.lang
         |WHERE q.quality_x1000 > cut.q25
         |ORDER BY q.doc_id""".stripMargin,
+    // H21: F2's quality lane + H3's cut, the rev: mixed draw, and the
+    // per-stratum rank-k replayed as a window (the Spark side is the
+    // bounded-heap aggregate)
+    "q_review_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS quality_x1000
+        |      FROM f),
+        |cut AS (SELECT lang, quantile_cont(quality_x1000, 0.25) AS q25
+        |        FROM q GROUP BY lang),
+        |hr AS (SELECT doc_id, list_reduce(
+        |    list_transform(range(1, length('rev:' || CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('rev:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS hraw FROM documents),
+        |h1 AS (SELECT doc_id, (hraw * hraw) % 2147483647 AS hm FROM hr),
+        |h2 AS (SELECT doc_id, (hm * hm) % 2147483647 AS hm FROM h1),
+        |fl AS (SELECT q.doc_id, q.lang, q.quality_x1000 > cut.q25 AS kept, h2.hm
+        |       FROM q JOIN cut ON q.lang = cut.lang
+        |       JOIN h2 ON q.doc_id = h2.doc_id),
+        |sz AS (SELECT lang, kept, CAST(count(*) AS BIGINT) AS stratum_size
+        |       FROM fl GROUP BY lang, kept),
+        |r AS (SELECT lang, kept, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY lang, kept
+        |          ORDER BY hm, doc_id) AS BIGINT) AS review_rank
+        |      FROM fl)
+        |SELECT r.lang, r.kept, sz.stratum_size, r.review_rank, r.doc_id
+        |FROM r JOIN sz ON r.lang = sz.lang AND r.kept = sz.kept
+        |WHERE r.review_rank <= 3
+        |ORDER BY r.lang, r.kept, r.review_rank""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

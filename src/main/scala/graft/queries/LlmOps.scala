@@ -1036,6 +1036,41 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** H21: STRATIFIED REVIEW SAMPLE — the labeling-ops face of the H3
+    * quality gate: a deterministic sample of k docs per
+    * (lang × gate decision) stratum for human audit ("show me 3 kept
+    * and 3 dropped docs per language" — auditing only survivors hides
+    * exactly the false-drop class a filter review exists to catch).
+    * The draw is the mixed-hash rank (`rev:` double-square-mixed
+    * polyhash, the H16c-audited form) selected by the BOUNDED-HEAP
+    * top-k aggregate, NOT a window: per-stratum state is k entries,
+    * map-side combinable, and the corpus never sorts. Hash values fit
+    * doubles exactly (< 2³¹ ≪ 2⁵³), so the heap's score lane is safe.
+    * Output carries the stratum size so a reviewer sees the sampling
+    * fraction. */
+  def qReviewSample(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+      Tables.table(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang"), col("quality_x1000"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(quality_x1000, 0.25)").as("q25"))
+    val h = graft.queries.Mix.drawMix(
+      graft.functions.polyhash(concat(lit("rev:"), col("doc_id").cast("string"))))
+    val flagged = scored.join(broadcast(cuts), "lang")
+      .withColumn("kept", (col("quality_x1000") > col("q25")).cast("boolean"))
+      .withColumn("__h", h)
+    flagged.groupBy(col("lang"), col("kept"))
+      .agg(count(lit(1)).as("stratum_size"),
+        graft.functions.topKByScore(-col("__h").cast("double"),
+          col("doc_id"), k).as("__top"))
+      .select(col("lang"), col("kept"), col("stratum_size"),
+        posexplode(col("__top")))
+      .select(col("lang"), col("kept"), col("stratum_size"),
+        (col("pos") + 1).cast("long").as("review_rank"),
+        col("col.neighbor_id").as("doc_id"))
+      .orderBy("lang", "kept", "review_rank")
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

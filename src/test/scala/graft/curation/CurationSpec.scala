@@ -399,6 +399,30 @@ class CurationSpec extends SparkSpec {
       "a leaking hash must involve more than one document")
   }
 
+  test("review sample: k per stratum, gate-consistent, heap-planned, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qReviewSample(spark, sfDir, k = 3)
+    val rows = out.collect().map(r => (r.getAs[String]("lang"),
+      r.getAs[Boolean]("kept"), r.getAs[Long]("stratum_size"),
+      r.getAs[Long]("review_rank"), r.getAs[Long]("doc_id")))
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((lang, kept), g) =>
+      val n = g.head._3
+      assert(g.length == math.min(3L, n), s"($lang, $kept): ${g.length} of $n")
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq, "dense ranks")
+    }
+    // gate consistency: kept-stratum docs are exactly H3 survivors
+    val gate = graft.queries.LlmOps.qQualityGate(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { case (_, kept, _, _, id) =>
+      assert(gate.contains(id) == kept, s"doc $id gate mismatch") }
+    // the sample is a bounded-heap aggregate, not a rank window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "review sampling must not window")
+    // deterministic rerun
+    val again = graft.queries.LlmOps.qReviewSample(spark, sfDir, k = 3)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
   test("zipf fit: a planted 1/r corpus fits slope −1 with r² ≈ 1; ranks cap at k") {
     import spark.implicits._
     // term_i appears floor(1000/i) times, i = 1..50 — the ideal curve
