@@ -369,6 +369,19 @@ object ScaleSmoke {
     time("q_fd_profile") { queries.Etl.qFdProfile(spark, dir) }
     time("q_anomaly_days") { queries.Warehouse.qAnomalyDays(spark, dir) }
     time("q_graph_components") { queries.Warehouse.qGraphComponents(spark, dir) }
+    // round-10 faces
+    time("q_mix_uniformity") { queries.Mix.qMixUniformity(spark, dir) }
+    time("q_gini_approx") { queries.Warehouse.qGiniApprox(spark, dir) }
+    time("q_lorenz_deciles_approx") { queries.Warehouse.qLorenzDecilesApprox(spark, dir) }
+    time("q_rfm_segments_approx") { queries.Warehouse.qRfmSegmentsApprox(spark, dir) }
+    time("q_decile_migration") { queries.Warehouse.qDecileMigration(spark, dir) }
+    time("q_ewma_daily") { queries.Warehouse.qEwmaDaily(spark, dir) }
+    time("q_survival") { queries.Warehouse.qSurvival(spark, dir) }
+    time("q_cdc_compact") { queries.Temporal.qCdcCompact(spark, dir) }
+    time("q_zipf_fit") { queries.LlmOps.qZipfFit(spark, dir) }
+    time("q_curriculum_order") { queries.Mix.qCurriculumOrder(spark, dir) }
+    time("q_pii_report") { queries.Etl.qPiiReport(spark, dir) }
+    time("q_review_sample") { queries.LlmOps.qReviewSample(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")
@@ -544,6 +557,17 @@ object ScaleSmoke {
       audit("q_rank_fusion_b100") {
         queries.Retrieval.rankFusion(spark, dir, queryMod = 50L * mult) }(noCartesian)
       audit("q_dedup_soft") { queries.LlmOps.qDedupSoft(spark, dir) }(noWindow)
+      // round-10: the global-rank twins' contract is windowless/sortless
+      // at EVERY scale (their cores drop the presentation orderBy)
+      audit("q_gini_approx") { queries.Warehouse.qGiniApprox(spark, dir) }(noWindow)
+      audit("q_lorenz_approx_core") {
+        queries.Warehouse.lorenzDecilesApprox(spark, dir, 4L, 8) }(noWindow,
+        "no Sort" -> ((p: String) => !p.contains("Sort")))
+      audit("q_rfm_approx_core") {
+        queries.Warehouse.rfmSegmentsApprox(spark, dir, 4L, 8) }(noWindow,
+        "no Sort" -> ((p: String) => !p.contains("Sort")))
+      audit("q_review_sample") { queries.LlmOps.qReviewSample(spark, dir) }(noWindow)
+      audit("q_cdc_compact") { queries.Temporal.qCdcCompact(spark, dir) }(noWindow)
       println(if (bad == 0) "plan_audit: ALL CONTRACTS HOLD at this scale"
               else s"plan_audit: $bad VIOLATIONS")
     }
