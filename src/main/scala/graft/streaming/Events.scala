@@ -290,6 +290,41 @@ object Events {
         GroupStateTimeout.NoTimeout())(update)
   }
 
+  final case class EwmaPoint(event_type: String, d: java.sql.Date, y: Long,
+      ewma_x1000: Long, dev_x1000: Long)
+
+  /** G15: streaming per-type EWMA — the continuous face of the batch
+    * C64 smoother, run over an (already day-aggregated) count stream:
+    * per event type ONE long of state (the scaled smooth) advances
+    * through the exact integer recursion `s ← (1000·y + s) DIV 2`
+    * (seeded at the first observed day, C64's rule) and emits
+    * (ewma, deviation-from-smoothed-PAST) per day — the drift-tolerant
+    * alert lane evaluated at arrival time. Unlike G13, no offline
+    * parameter is needed: the smoother IS its own baseline, which is
+    * exactly why EWMA is the streaming-native control chart. In-batch
+    * day order restored by the micro-batch-bounded sort (the G12
+    * contract); state is ONE long per monitored type. StreamingSpec
+    * proves stream ≡ the batch recursion on the same planted series. */
+  def ewmaStream(daily: Dataset[DailyCount]): Dataset[EwmaPoint] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    def update(eventType: String, rows: Iterator[DailyCount],
+        state: GroupState[Long]): Iterator[EwmaPoint] = {
+      var s = state.getOption.getOrElse(-1L)
+      val out = Seq.newBuilder[EwmaPoint]
+      rows.toSeq.sortBy(_.d.getTime).foreach { r =>
+        val dev = if (s < 0) 0L else 1000L * r.y - s
+        s = if (s < 0) 1000L * r.y else (1000L * r.y + s) / 2
+        out += EwmaPoint(eventType, r.d, r.y, s, dev)
+      }
+      state.update(s)
+      out.result().iterator
+    }
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming exact dedup — the continuous face of graft.dedup.Dedup
     * (D1): drops events whose id was already seen within the watermark
     * horizon. State is bounded by the watermark (expired keys age out),

@@ -669,4 +669,41 @@ class StreamingSpec extends SparkSpec {
       assert(typesInBoth.nonEmpty, "split must cross every type's series")
     } finally query.stop()
   }
+
+  test("streaming ewma reproduces the batch recursion with state crossing batches") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-type daily counts from the real corpus; the batch reference is
+    // C64's exact integer recursion replayed per type in plain Scala
+    val daily = graft.queries.Warehouse.qChangepointByType(spark, sfDir).collect()
+      .map(r => Events.DailyCount(r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("d"), r.getAs[Long]("y")))
+      .sortBy(d => (d.d.getTime, d.event_type))
+    val expect = daily.groupBy(_.event_type).toSeq.flatMap { case (t, rs) =>
+      var s = -1L
+      rs.sortBy(_.d.getTime).toSeq.map { r =>
+        val dev = if (s < 0) 0L else 1000L * r.y - s
+        s = if (s < 0) 1000L * r.y else (1000L * r.y + s) / 2
+        (t, r.d.toString) -> (s, dev)
+      }
+    }
+    val input = MemoryStream[Events.DailyCount]
+    val query = Events.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = daily.splitAt(daily.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ewma_stream").as[Events.EwmaPoint].collect()
+        .map(p => (p.event_type, p.d.toString) -> (p.ewma_x1000, p.dev_x1000))
+        .toMap
+      assert(streamed.size == expect.size)
+      assert(streamed == expect.toMap,
+        "stream must reproduce the exact integer EWMA recursion")
+    } finally query.stop()
+  }
 }
