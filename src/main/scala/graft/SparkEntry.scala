@@ -223,6 +223,11 @@ object SparkEntry {
     "q_pii_report" -> ((s, dir) => Etl.qPiiReport(s, dir)),
     "q_survival" -> ((s, dir) => Warehouse.qSurvival(s, dir)),
     "q_review_sample" -> ((s, dir) => LlmOps.qReviewSample(s, dir)),
+    "q_forecast_backtest" -> ((s, dir) => Warehouse.qForecastBacktest(s, dir)),
+    "q_group_diversity" -> ((s, dir) =>
+      graft.ann.Centroids.diversity(
+        sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -3650,6 +3655,42 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // C66: the C45 spine self-joined at +1/+7 day shifts
+    "q_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d))
+        |SELECT a.d, a.y, b.y AS naive_y, c.y AS snaive_y,
+        |  abs(a.y - b.y) AS ae_naive, abs(a.y - c.y) AS ae_snaive
+        |FROM series a
+        |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
+        |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
+        |ORDER BY a.d""".stripMargin,
+    // E16: the pairless diversity identity replayed via per-dimension
+    // unnest sums and list_dot_product self-dots
+    "q_group_diversity" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS xv, generate_subscripts(v, 1) AS i
+        |      FROM e),
+        |s AS (SELECT label, i, sum(xv) AS sv FROM x GROUP BY label, i),
+        |s2 AS (SELECT label, sum(sv * sv) AS ssq FROM s GROUP BY label),
+        |sd AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |         sum(list_dot_product(v, v)) AS selfdot
+        |       FROM e GROUP BY label)
+        |SELECT sd.label, sd.n_vectors,
+        |  round((s2.ssq - sd.selfdot)
+        |    / (CAST(sd.n_vectors AS DOUBLE) * (sd.n_vectors - 1)), 6)
+        |    AS mean_pair_dot,
+        |  round(sd.selfdot / sd.n_vectors, 6) AS mean_self_dot
+        |FROM sd JOIN s2 USING (label)
+        |WHERE sd.n_vectors > 1 ORDER BY sd.label""".stripMargin,
     // C65: per-user lifetimes, bounded triangular at-risk join, and the
     // KM product chain replayed as a recursive CTE (identical multiply
     // order → identical doubles before the 6dp round)

@@ -29,6 +29,29 @@ object Centroids {
       .select(col(groupCol),
         transform(col("__sum"), x => x / col("n")).as("centroid"), col("n"))
 
+  /** E16: intra-group embedding DIVERSITY without materializing a single
+    * pair — the sum identity `Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖²` turns the
+    * Θ(n²) mean-pairwise-dot (the batch-diversity metric curation uses
+    * to detect mode collapse: near-duplicate clusters read high, diverse
+    * groups read low) into ONE VectorSum aggregate — the same
+    * groups×dim shuffle as a centroid, at ANY group size. Output per
+    * group: n, mean pairwise dot, mean self dot (the ‖v‖² scale
+    * reference that makes the pairwise number interpretable). Groups of
+    * one vector are dropped (no pairs to speak of). */
+  def diversity(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val v = Ann.asDouble(col(vecCol))
+    df.select(col(groupCol), v.as("__v"))
+      .groupBy(col(groupCol))
+      .agg(vectorSum(col("__v")).as("__s"), count(lit(1)).as("n_vectors"),
+        sum(expr("aggregate(__v, 0.0d, (a, x) -> a + x * x)")).as("__selfdot"))
+      .filter(col("n_vectors") > 1)
+      .select(col(groupCol), col("n_vectors"),
+        round(expr("(aggregate(__s, 0.0d, (a, x) -> a + x * x) - __selfdot)" +
+          " / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1))"), 6)
+          .as("mean_pair_dot"),
+        round(col("__selfdot") / col("n_vectors"), 6).as("mean_self_dot"))
+  }
+
   /** Drift between two cohorts' centroids per group: ONE aggregate pass
     * with conditional VectorSums (null inputs skip, so `when(cohort, v)`
     * routes each row to exactly one sum — no second scan, no cohort

@@ -1952,6 +1952,32 @@ object Warehouse {
       .orderBy("t_days")
   }
 
+  /** C66: naive-forecast BACKTEST — the honesty check before any
+    * forecasting model ships: how well do "tomorrow = today" (naive)
+    * and "tomorrow = same weekday last week" (seasonal-naive) predict
+    * the daily volume? Any proposed model must beat BOTH baselines'
+    * absolute errors or it's fitting noise (and on strongly weekly
+    * traffic the gap between the two IS the C42/C62 seasonality signal
+    * read as forecast skill). Two self-joins of the bounded
+    * gap-complete day frame shifted by 1 and 7 days — corpus-sized
+    * work is the one daily aggregation (C42's contract); per-day
+    * absolute errors stay integer. */
+  def qForecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktestOf(dailyEventSeries(spark, dir))
+
+  /** C66 core over any (d, y) series frame. */
+  def forecastBacktestOf(series: DataFrame): DataFrame = {
+    val n1 = series.select(expr("date_add(d, 1)").as("d"),
+      col("y").as("naive_y"))
+    val n7 = series.select(expr("date_add(d, 7)").as("d"),
+      col("y").as("snaive_y"))
+    series.join(n1, "d").join(n7, "d")
+      .select(col("d"), col("y"), col("naive_y"), col("snaive_y"),
+        abs(col("y") - col("naive_y")).as("ae_naive"),
+        abs(col("y") - col("snaive_y")).as("ae_snaive"))
+      .orderBy("d")
+  }
+
   /** C42: seasonal-trend decomposition of the daily event volume —
     * classical moving-average decomposition (trend = centered 7-day MA,
     * seasonal = day-of-week mean of the detrended series, residual =

@@ -86,4 +86,24 @@ class CentroidSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("inconsistent dimensions")))
   }
+
+  test("diversity: the pairless identity equals the brute-force pairwise mean") {
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(0.0f, 1.0f)), ("a", Array(1.0f, 1.0f)),
+      ("b", Array(2.0f, 0.0f)), ("b", Array(2.0f, 0.0f)),
+      ("c", Array(9.0f, 9.0f))) // singleton: no pairs, dropped
+      .toDF("label", "embedding")
+    val out = Centroids.diversity(df, "label", "embedding").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // a: ordered pairs 2*(0 + 1 + 1) / 6 = 0.666667; self (1+1+2)/3
+    assert(out("a")._1 == 3L)
+    assert(math.abs(out("a")._2 - 0.666667) < 1e-6, s"${out("a")}")
+    assert(math.abs(out("a")._3 - 1.333333) < 1e-6)
+    // b: identical vectors read mean pair dot == mean self dot (=4) --
+    // the mode-collapse signature the metric exists to catch
+    assert(out("b")._2 == 4.0 && out("b")._3 == 4.0)
+    assert(!out.contains("c"), "singleton groups have no pairs")
+  }
+
 }

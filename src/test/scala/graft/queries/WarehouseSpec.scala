@@ -914,6 +914,26 @@ class WarehouseSpec extends SparkSpec {
     assert(real.map(_.getAs[java.sql.Date]("d")).distinct.length == real.length)
   }
 
+  test("forecast backtest: pure weekly series gives snaive zero error, naive nonzero") {
+    val s = Seq(30L, 10L, 50L, 20L, 5L, 40L, 15L)
+    val rows = Warehouse.forecastBacktestOf(
+      syntheticSeries((0 until 28).map(i => s(i % 7)))).collect()
+      .sortBy(_.getAs[java.sql.Date]("d").getTime)
+    // first 7 days lack a same-weekday predecessor — 21 backtest days
+    assert(rows.length == 21)
+    assert(rows.forall(_.getAs[Long]("ae_snaive") == 0L),
+      "seasonal-naive must be exact on a pure weekly plant")
+    assert(rows.forall(r => r.getAs[Long]("ae_naive") ==
+      math.abs(r.getAs[Long]("y") - r.getAs[Long]("naive_y"))))
+    assert(rows.exists(_.getAs[Long]("ae_naive") > 0L),
+      "day-over-day naive must miss on a varying series")
+    // real corpus runs and every error is consistent
+    val real = Warehouse.qForecastBacktest(spark, sfDir).collect()
+    real.foreach { r =>
+      assert(r.getAs[Long]("ae_snaive") ==
+        math.abs(r.getAs[Long]("y") - r.getAs[Long]("snaive_y"))) }
+  }
+
   test("survival: planted churn cohort reproduces the KM curve by hand") {
     import spark.implicits._
     import java.sql.Timestamp
