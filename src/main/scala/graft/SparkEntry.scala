@@ -224,6 +224,9 @@ object SparkEntry {
     "q_survival" -> ((s, dir) => Warehouse.qSurvival(s, dir)),
     "q_review_sample" -> ((s, dir) => LlmOps.qReviewSample(s, dir)),
     "q_forecast_backtest" -> ((s, dir) => Warehouse.qForecastBacktest(s, dir)),
+    "q_fulfillment_lag" -> ((s, dir) => Warehouse.qFulfillmentLag(s, dir)),
+    "q_discount_lift" -> ((s, dir) => Warehouse.qDiscountLift(s, dir)),
+    "q_template_clusters" -> ((s, dir) => LlmOps.qTemplateClusters(s, dir)),
     "q_group_diversity" -> ((s, dir) =>
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
@@ -3655,6 +3658,56 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // C67: quantile_cont ≡ Spark exact percentile (the C12 parity)
+    "q_fulfillment_lag" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(quantile_cont(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) AS BIGINT), 0.5), 4) AS p50_days,
+        |  round(quantile_cont(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) AS BIGINT), 0.9), 4) AS p90_days,
+        |  CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_days
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    // C68: integer avg-qty lanes and HUGEINT lift ppm
+    "q_discount_lift" ->
+      """WITH d AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT discount_pct, n_lines,
+        |        CAST((CAST(sq AS HUGEINT) * 100) // n_lines AS BIGINT)
+        |          AS avg_qty_x100
+        |      FROM d),
+        |b AS (SELECT avg_qty_x100 AS base FROM a WHERE discount_pct = 0)
+        |SELECT a.discount_pct, a.n_lines, a.avg_qty_x100,
+        |  CAST(((CAST(a.avg_qty_x100 AS HUGEINT) - b.base) * 1000000) // b.base
+        |    AS BIGINT) AS lift_ppm
+        |FROM a, b ORDER BY a.discount_pct""".stripMargin,
+    // D24: same digit/whitespace normalization chain; \s and \d parity
+    // between Java regex and DuckDB RE2 holds for these classes
+    "q_template_clusters" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'invoice #' || CAST(doc_id AS VARCHAR) || ' total '
+        |        || CAST(doc_id % 97 AS VARCHAR) || ' usd thanks'
+        |    WHEN doc_id % 5 = 1 THEN
+        |      'build ' || CAST(doc_id AS VARCHAR) || ' failed after '
+        |        || CAST(doc_id % 13 AS VARCHAR) || ' retries'
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+        |      '\s+', ' ', 'g')) AS template_hash
+        |  FROM base)
+        |SELECT template_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw,
+        |  CAST(min(doc_id) AS BIGINT) AS sample_doc_id
+        |FROM t GROUP BY template_hash
+        |HAVING count(*) >= 2 ORDER BY template_hash""".stripMargin,
     // C66: the C45 spine self-joined at +1/+7 day shifts
     "q_forecast_backtest" ->
       """WITH daily AS (

@@ -1071,6 +1071,41 @@ object LlmOps {
       .orderBy("lang", "kept", "review_rank")
   }
 
+  /** D24: TEMPLATE CLUSTERS — boilerplate that exact dedup (D1) cannot
+    * see because the SLOTS differ: normalize every digit run to `0` and
+    * collapse whitespace, then hash — docs sharing a template land on
+    * one hash with DIFFERENT raw texts ("Order #1234 shipped" /
+    * "Order #99 shipped"). `n_distinct_raw` separates real templating
+    * (> 1 raw forms) from plain exact duplication (D1's domain);
+    * `sample_doc_id` gives review an entry point. One hash aggregate,
+    * the D1 scale shape. */
+  def qTemplateClusters(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic planted templates (the ruleEnriched/qLossMask
+    // pattern): the provided corpus has zero repeated structures, so
+    // without slot-varying plants the operator would return an empty
+    // frame and the oracle would prove nothing — 2/5 of docs become
+    // machine-generated lines whose DIGIT SLOTS vary by doc_id
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("invoice #"), col("doc_id"),
+            lit(" total "), pmod(col("doc_id"), lit(97)), lit(" usd thanks")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("build "), col("doc_id"),
+              lit(" failed after "), pmod(col("doc_id"), lit(13)), lit(" retries")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), col("text"),
+        md5(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "0"),
+          "\\s+", " ")).as("template_hash"))
+    docs.groupBy(col("template_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_raw"),
+        min(col("doc_id")).as("sample_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("template_hash"))
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -1978,6 +1978,57 @@ object Warehouse {
       .orderBy("d")
   }
 
+  /** C67: FULFILLMENT LAG — order→ship latency percentiles per order
+    * priority (the operations SLA readout: "are URGENT orders actually
+    * shipping faster"): one fact join lineitem→orders on the order key
+    * (broadcast at gate scale; the co-partitioned shuffle join at
+    * 100 TB — both sides keyed on l_orderkey/o_orderkey), integer day
+    * lags, exact per-priority percentiles over the 5-group frame (the
+    * C12 regime: approx_percentile is the drop-in past executor-sized
+    * groups). */
+  def qFulfillmentLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lags = Tables.table(spark, dir, "lineitem")
+      .select($"l_orderkey", to_date($"l_shipdate").as("__ship"))
+      .join(Tables.table(spark, dir, "orders")
+        .select($"o_orderkey", to_date($"o_orderdate").as("__ord"),
+          $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"__ship", $"__ord").cast("long").as("lag_days"))
+    lags.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(expr("percentile(lag_days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(lag_days, 0.9)"), 4).as("p90_days"),
+        max($"lag_days").as("max_days"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** C68: DISCOUNT LIFT — does a deeper discount actually move more
+    * units? Per discount level (cents), the average quantity on an
+    * integer ×100 lane and its lift vs the zero-discount baseline in
+    * ppm (DECIMAL(38) — Σqty·1e6 wraps Long at warehouse scale). One
+    * hash aggregate over the fact scan + a broadcast one-row baseline;
+    * the causal caveat belongs to C56 (this face is the descriptive
+    * readout its DiD would test). */
+  def qDiscountLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDisc = Tables.table(spark, dir, "lineitem")
+      .select(expr("CAST(round(l_discount * 100, 0) AS BIGINT)").as("discount_pct"),
+        expr("CAST(round(l_quantity, 0) AS BIGINT)").as("__q"))
+      .groupBy($"discount_pct")
+      .agg(count(lit(1)).as("n_lines"), sum($"__q").as("__sq"))
+      .withColumn("avg_qty_x100",
+        expr("CAST((CAST(__sq AS DECIMAL(38,0)) * 100) DIV n_lines AS BIGINT)"))
+    val base = byDisc.filter($"discount_pct" === 0L)
+      .select($"avg_qty_x100".as("__base"))
+    byDisc.crossJoin(broadcast(base))
+      .select($"discount_pct", $"n_lines", $"avg_qty_x100",
+        expr("CAST(((CAST(avg_qty_x100 AS DECIMAL(38,0)) - __base) * 1000000)" +
+          " DIV __base AS BIGINT)").as("lift_ppm"))
+      .orderBy($"discount_pct")
+  }
+
   /** C42: seasonal-trend decomposition of the daily event volume —
     * classical moving-average decomposition (trend = centered 7-day MA,
     * seasonal = day-of-week mean of the detrended series, residual =

@@ -399,6 +399,19 @@ class CurationSpec extends SparkSpec {
       "a leaking hash must involve more than one document")
   }
 
+  test("template clusters: planted slot-varying docs collapse to one template each") {
+    val out = graft.queries.LlmOps.qTemplateClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct_raw"),
+        r.getAs[Long]("sample_doc_id")))
+    // 2/5 of 500 docs → two clusters of 100, every raw form distinct —
+    // the template signature exact dedup (D1) is blind to
+    assert(out.length == 2, s"got ${out.toSeq}")
+    out.foreach { case (n, raw, _) =>
+      assert(n == 100L && raw == 100L,
+        "each planted template collapses 100 distinct raw docs") }
+    assert(out.map(_._3).toSet == Set(0L, 1L), "sample ids are the cluster minima")
+  }
+
   test("review sample: k per stratum, gate-consistent, heap-planned, deterministic") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.LlmOps.qReviewSample(spark, sfDir, k = 3)

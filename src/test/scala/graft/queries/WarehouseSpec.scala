@@ -934,6 +934,26 @@ class WarehouseSpec extends SparkSpec {
         math.abs(r.getAs[Long]("y") - r.getAs[Long]("snaive_y"))) }
   }
 
+  test("fulfillment lag and discount lift: ordered quantiles, exact baseline arithmetic") {
+    val lag = Warehouse.qFulfillmentLag(spark, sfDir).collect()
+    assert(lag.nonEmpty)
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem").count()
+    assert(lag.map(_.getAs[Long]("n_lines")).sum == li,
+      "every line item contributes to exactly one priority")
+    lag.foreach { r =>
+      assert(r.getAs[Double]("p50_days") <= r.getAs[Double]("p90_days"))
+      assert(r.getAs[Double]("p90_days") <= r.getAs[Long]("max_days").toDouble)
+    }
+    val lift = Warehouse.qDiscountLift(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("discount_pct") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("avg_qty_x100"),
+          r.getAs[Long]("lift_ppm"))).toMap
+    assert(lift.contains(0L) && lift(0L)._3 == 0L, "baseline lifts itself by 0")
+    val base = lift(0L)._2
+    lift.foreach { case (_, (_, avg, ppm)) =>
+      assert(ppm == (BigInt(avg) - base) * 1000000 / base, "lift arithmetic") }
+  }
+
   test("survival: planted churn cohort reproduces the KM curve by hand") {
     import spark.implicits._
     import java.sql.Timestamp
