@@ -227,6 +227,9 @@ object SparkEntry {
     "q_fulfillment_lag" -> ((s, dir) => Warehouse.qFulfillmentLag(s, dir)),
     "q_discount_lift" -> ((s, dir) => Warehouse.qDiscountLift(s, dir)),
     "q_template_clusters" -> ((s, dir) => LlmOps.qTemplateClusters(s, dir)),
+    "q_lang_confusion" -> ((s, dir) => LlmOps.qLangConfusion(s, dir)),
+    "q_minhash_tuning" -> ((s, dir) => LlmOps.qMinhashTuning(s, dir)),
+    "q_stickiness" -> ((s, dir) => Warehouse.qStickiness(s, dir)),
     "q_group_diversity" -> ((s, dir) =>
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
@@ -3658,6 +3661,62 @@ object SparkEntry {
         |              WHERE g2.decile <= g.decile) AS HUGEINT) * 1000000) // t.t
         |    AS BIGINT) AS cum_share_ppm
         |FROM g, t ORDER BY g.decile""".stripMargin,
+    // F31: the q_lang_id marker CTE + row-normalized confusion cells
+    "q_lang_confusion" ->
+      """WITH p AS (SELECT lang, ' ' || text || ' ' AS padded FROM documents),
+        |hits AS (
+        |  SELECT lang AS declared_lang,
+        |    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS BIGINT) AS en_hits,
+        |    CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5 AS BIGINT) AS de_hits,
+        |    CAST((length(padded) - length(replace(padded, ' le ', ''))) / 4 AS BIGINT) AS fr_hits,
+        |    CAST((length(padded) - length(replace(padded, ' el ', ''))) / 4 AS BIGINT) AS es_hits
+        |  FROM p),
+        |pred AS (
+        |  SELECT declared_lang,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        |         WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        |         WHEN fr_hits >= es_hits THEN 'fr'
+        |         ELSE 'es' END AS predicted_lang
+        |  FROM hits),
+        |c AS (SELECT declared_lang, predicted_lang,
+        |        CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM pred GROUP BY 1, 2),
+        |t AS (SELECT declared_lang, CAST(sum(n_docs) AS BIGINT) AS nd
+        |      FROM c GROUP BY declared_lang)
+        |SELECT c.declared_lang, c.predicted_lang, c.n_docs,
+        |  CAST((CAST(c.n_docs AS HUGEINT) * 1000000) // t.nd AS BIGINT)
+        |    AS share_ppm
+        |FROM c JOIN t USING (declared_lang)
+        |ORDER BY c.declared_lang, c.predicted_lang""".stripMargin,
+    // D25: closed-form S-curve grid — no table scan on either engine
+    "q_minhash_tuning" ->
+      """WITH combos(bands, rows_per_band) AS (
+        |  VALUES (64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64)),
+        |g AS (SELECT CAST(bands AS BIGINT) AS bands,
+        |        CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        |        CAST(s AS BIGINT) AS s_x10
+        |      FROM combos CROSS JOIN (SELECT unnest(range(1, 10)) AS s))
+        |SELECT bands, rows_per_band, s_x10,
+        |  round(1.0 - pow(1.0 - pow(s_x10 / 10.0, rows_per_band), bands), 6)
+        |    AS collide_prob,
+        |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_threshold
+        |FROM g ORDER BY rows_per_band, s_x10""".stripMargin,
+    // C69: the C33 grid at window 28 joined with the daily distinct leg
+    "q_stickiness" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM grid),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM grid GROUP BY day),
+        |c AS (SELECT DISTINCT d.day AS day, g.user_id
+        |      FROM days d JOIN grid g ON g.day BETWEEN d.day - 27 AND d.day),
+        |mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau_28d
+        |        FROM c GROUP BY day)
+        |SELECT dau.day, dau.dau, mau.mau_28d,
+        |  CAST((CAST(dau.dau AS HUGEINT) * 1000000) // mau.mau_28d AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau JOIN mau USING (day) ORDER BY dau.day""".stripMargin,
     // C67: quantile_cont ≡ Spark exact percentile (the C12 parity)
     "q_fulfillment_lag" ->
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,

@@ -1106,6 +1106,52 @@ object LlmOps {
       .orderBy(col("template_hash"))
   }
 
+  /** F31: LANGUAGE-ID CONFUSION — F1's classifier audited against the
+    * corpus' declared lang labels: per (declared, predicted) cell the
+    * doc count and its per-declared-language share in ppm (row-
+    * normalized recall: the diagonal cell is that language's recall,
+    * off-diagonals say WHERE the mass leaks — the readout that decides
+    * whether an F1-based routing gate is safe to ship). One marker
+    * projection + one tiny aggregate; DECIMAL ppm lanes. */
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = graft.text.TextAnalysis.langId(
+      Tables.table(spark, dir, "documents"), "text")
+      .select(col("lang").as("declared_lang"), col("predicted_lang"))
+    val cells = pred.groupBy(col("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("declared_lang"))
+      .agg(sum(col("n_docs")).as("__nd"))
+    cells.join(broadcast(totals), "declared_lang")
+      .select(col("declared_lang"), col("predicted_lang"), col("n_docs"),
+        expr("CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000000) DIV __nd" +
+          " AS BIGINT)").as("share_ppm"))
+      .orderBy("declared_lang", "predicted_lang")
+  }
+
+  /** D25: MINHASH BAND-TUNING ADVISOR — the analytic S-curve table
+    * behind D2's (b=16, r=4) choice, materialized as a query: for every
+    * (bands, rows-per-band) split of the 64-hash signature budget and
+    * jaccard level s, the candidate-collision probability
+    * `1 − (1 − s^r)^b`, plus the split's ~50% threshold `(1/b)^(1/r)`.
+    * Pick the row family whose threshold brackets your target τ — D15's
+    * EMPIRICAL calibration then validates the choice on the real
+    * corpus; this face is the closed-form companion that needs no scan
+    * at all (the one face whose cost is O(1) at any corpus size). */
+  def qMinhashTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64))
+      .toDF("bands", "rows_per_band")
+      .withColumn("s_x10", explode(sequence(lit(1L), lit(9L))))
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"), col("s_x10"),
+        round(lit(1.0) - pow(lit(1.0)
+          - pow(col("s_x10") / lit(10.0), col("rows_per_band")), col("bands")), 6)
+          .as("collide_prob"),
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6)
+          .as("s_threshold"))
+      .orderBy("rows_per_band", "s_x10")
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -1373,6 +1373,29 @@ object Warehouse {
       .orderBy($"window_day")
   }
 
+  /** C69: STICKINESS — DAU/MAU₍₂₈₎ per day in ppm, the canonical
+    * engagement ratio ("what share of the monthly audience shows up
+    * today"): daily distinct users joined with the 28-day trailing
+    * distinct frame (C33's grid machinery, window widened), ratio on a
+    * DECIMAL lane. Scale story = C33's: the exact window×grid
+    * re-distinct carries each (day, user) cell 28×; at billions of
+    * users the C33b KMV-sketch twin is the drop-in for the MAU leg. */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Tables.table(spark, dir, "events")
+      .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .distinct()
+    val dau = grid.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val mau = qActiveUsersTrailing(spark, dir, window = 28)
+      .select(col("window_day").as("day"),
+        col("active_users_7d").as("mau_28d"))
+    dau.join(mau, "day")
+      .select($"day", $"dau", $"mau_28d",
+        expr("CAST((CAST(dau AS DECIMAL(38,0)) * 1000000) DIV mau_28d" +
+          " AS BIGINT)").as("stickiness_ppm"))
+      .orderBy($"day")
+  }
+
   /** C33b: the 100 TB twin — per-day KMV sketches merged per window.
     * The exact face's `window × grid` re-distinct carries every (day,
     * user) cell seven times; at billions of users that exchange IS the

@@ -399,6 +399,35 @@ class CurationSpec extends SparkSpec {
       "a leaking hash must involve more than one document")
   }
 
+  test("lang confusion: cells partition the corpus, shares row-normalize") {
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val out = graft.queries.LlmOps.qLangConfusion(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.groupBy(_.getAs[String]("declared_lang")).foreach { case (l, cells) =>
+      val tot = cells.map(_.getAs[Long]("share_ppm")).sum
+      assert(tot > 1000000L - cells.length && tot <= 1000000L,
+        s"$l shares must row-normalize: $tot")
+    }
+  }
+
+  test("minhash tuning: S-curves monotone in s, D2's b16r4 threshold is 0.5") {
+    val out = graft.queries.LlmOps.qMinhashTuning(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("s_x10"), r.getAs[Double]("collide_prob"),
+        r.getAs[Double]("s_threshold")))
+    assert(out.length == 7 * 9)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val ps = rows.sortBy(_._3).map(_._4)
+      ps.zip(ps.tail).foreach { case (a, b) => assert(a <= b + 1e-12) }
+    }
+    // the shipped D2 config: (1/16)^(1/4) = 0.5 exactly
+    val d2 = out.find(r => r._1 == 16L && r._2 == 4L).get
+    assert(d2._5 == 0.5, s"b16r4 threshold: ${d2._5}")
+    // at s = threshold the collision prob sits near 1−(1−1/b)^b ≈ .63
+    val atThr = out.find(r => r._1 == 16L && r._2 == 4L && r._3 == 5L).get._4
+    assert(atThr > 0.6 && atThr < 0.7, s"prob at threshold: $atThr")
+  }
+
   test("template clusters: planted slot-varying docs collapse to one template each") {
     val out = graft.queries.LlmOps.qTemplateClusters(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct_raw"),

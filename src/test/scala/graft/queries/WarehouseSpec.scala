@@ -954,6 +954,22 @@ class WarehouseSpec extends SparkSpec {
       assert(ppm == (BigInt(avg) - base) * 1000000 / base, "lift arithmetic") }
   }
 
+  test("stickiness: DAU never exceeds trailing MAU, ratio consistent") {
+    import org.apache.spark.sql.functions._
+    val out = Warehouse.qStickiness(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val dauDirect = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("count")).toMap
+    out.foreach { r =>
+      val (dau, mau) = (r.getAs[Long]("dau"), r.getAs[Long]("mau_28d"))
+      assert(dau == dauDirect(r.getAs[java.sql.Date]("day")))
+      assert(dau <= mau, "a day's actives are a subset of its trailing month's")
+      assert(r.getAs[Long]("stickiness_ppm") == BigInt(dau) * 1000000 / mau)
+    }
+  }
+
   test("survival: planted churn cohort reproduces the KM curve by hand") {
     import spark.implicits._
     import java.sql.Timestamp
