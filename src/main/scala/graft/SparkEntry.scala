@@ -230,6 +230,7 @@ object SparkEntry {
     "q_lang_confusion" -> ((s, dir) => LlmOps.qLangConfusion(s, dir)),
     "q_minhash_tuning" -> ((s, dir) => LlmOps.qMinhashTuning(s, dir)),
     "q_stickiness" -> ((s, dir) => Warehouse.qStickiness(s, dir)),
+    "q_stickiness_approx" -> ((s, dir) => Warehouse.qStickinessApprox(s, dir)),
     "q_group_diversity" -> ((s, dir) =>
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")

@@ -1396,6 +1396,30 @@ object Warehouse {
       .orderBy($"day")
   }
 
+  /** C69b: C69's 100 TB twin EXECUTED (not narrated — the C46b lesson):
+    * the exact MAU leg re-shuffles every (day, user) cell 28× (measured
+    * 14.7s at 100×, the slowest of the round's faces); here the MAU leg
+    * is C33b's mergeable KMV sketch (user ids cross the network once,
+    * into ≤k-long sketches) and only the cheap single-distinct DAU leg
+    * stays exact. [R]: the sketch estimate is engine-specific; the
+    * paired spec bounds it against the exact face. */
+  def qStickinessApprox(spark: SparkSession, dir: String,
+      k: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val dau = Tables.table(spark, dir, "events")
+      .select(to_date(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("dau"))
+    val mau = qActiveUsersTrailingApprox(spark, dir, window = 28, k = k)
+      .select(col("window_day").as("day"),
+        col("active_users_7d_est").as("mau_28d_est"))
+    dau.join(mau, "day")
+      .select($"day", $"dau", $"mau_28d_est",
+        expr("CAST((CAST(dau AS DECIMAL(38,0)) * 1000000) DIV mau_28d_est" +
+          " AS BIGINT)").as("stickiness_ppm_est"))
+      .orderBy($"day")
+  }
+
   /** C33b: the 100 TB twin — per-day KMV sketches merged per window.
     * The exact face's `window × grid` re-distinct carries every (day,
     * user) cell seven times; at billions of users that exchange IS the

@@ -382,6 +382,16 @@ object ScaleSmoke {
     time("q_curriculum_order") { queries.Mix.qCurriculumOrder(spark, dir) }
     time("q_pii_report") { queries.Etl.qPiiReport(spark, dir) }
     time("q_review_sample") { queries.LlmOps.qReviewSample(spark, dir) }
+    time("q_forecast_backtest") { queries.Warehouse.qForecastBacktest(spark, dir) }
+    time("q_group_diversity") {
+      graft.ann.Centroids.diversity(
+        graft.sources.Tables.table(spark, dir, "embeddings"), "label", "embedding") }
+    time("q_fulfillment_lag") { queries.Warehouse.qFulfillmentLag(spark, dir) }
+    time("q_discount_lift") { queries.Warehouse.qDiscountLift(spark, dir) }
+    time("q_template_clusters") { queries.LlmOps.qTemplateClusters(spark, dir) }
+    time("q_lang_confusion") { queries.LlmOps.qLangConfusion(spark, dir) }
+    time("q_stickiness") { queries.Warehouse.qStickiness(spark, dir) }
+    time("q_stickiness_approx") { queries.Warehouse.qStickinessApprox(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -968,6 +968,15 @@ class WarehouseSpec extends SparkSpec {
       assert(dau <= mau, "a day's actives are a subset of its trailing month's")
       assert(r.getAs[Long]("stickiness_ppm") == BigInt(dau) * 1000000 / mau)
     }
+    // the KMV twin: below-k windows estimate EXACTLY (every id kept),
+    // so at spec scale the approx face must reproduce the exact ppm
+    val approx = Warehouse.qStickinessApprox(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("day") ->
+        r.getAs[Long]("stickiness_ppm_est")).toMap
+    out.foreach { r =>
+      assert(approx(r.getAs[java.sql.Date]("day")) ==
+        r.getAs[Long]("stickiness_ppm"),
+        "below-k KMV regime must degenerate to the exact ratio") }
   }
 
   test("survival: planted churn cohort reproduces the KM curve by hand") {
