@@ -231,6 +231,10 @@ object SparkEntry {
     "q_minhash_tuning" -> ((s, dir) => LlmOps.qMinhashTuning(s, dir)),
     "q_stickiness" -> ((s, dir) => Warehouse.qStickiness(s, dir)),
     "q_stickiness_approx" -> ((s, dir) => Warehouse.qStickinessApprox(s, dir)),
+    "q_embedding_dims" -> ((s, dir) =>
+      graft.ann.Centroids.dimProfile(
+        sources.Tables.table(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")),
     "q_group_diversity" -> ((s, dir) =>
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
@@ -3786,6 +3790,15 @@ object SparkEntry {
         |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
         |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
         |ORDER BY a.d""".stripMargin,
+    // E17: per-dimension unnest moments
+    "q_embedding_dims" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT unnest(v) AS xv, generate_subscripts(v, 1) AS i FROM e)
+        |SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  round(sum(xv) / count(*), 6) AS mean,
+        |  round(sum(xv * xv) / count(*) - pow(sum(xv) / count(*), 2), 6)
+        |    AS variance
+        |FROM x GROUP BY i ORDER BY dim""".stripMargin,
     // E16: the pairless diversity identity replayed via per-dimension
     // unnest sums and list_dot_product self-dots
     "q_group_diversity" ->

@@ -52,6 +52,28 @@ object Centroids {
         round(col("__selfdot") / col("n_vectors"), 6).as("mean_self_dot"))
   }
 
+  /** E17: per-DIMENSION moment profile of an embedding column — the
+    * dead/dominant-dimension health check (a dimension with ~zero
+    * variance is wasted capacity and a symptom of a collapsed or
+    * truncated encoder; one with outsized variance dominates every
+    * distance): two VectorSum aggregates (values and squares) in ONE
+    * pass — dim-length buffers cross the shuffle, never N×dim rows —
+    * then a dims-sized explode. Complements E12 (per-vector norms) on
+    * the other axis of the matrix. */
+  def dimProfile(df: DataFrame, vecCol: String): DataFrame = {
+    val v = Ann.asDouble(col(vecCol))
+    df.select(v.as("__v"))
+      .agg(count(lit(1)).as("n_vectors"),
+        vectorSum(col("__v")).as("__s"),
+        vectorSum(expr("transform(__v, x -> x * x)")).as("__s2"))
+      .select(col("n_vectors"),
+        posexplode(arrays_zip(col("__s"), col("__s2"))))
+      .select((col("pos") + 1).cast("long").as("dim"), col("n_vectors"),
+        round(col("col.__s") / col("n_vectors"), 6).as("mean"),
+        round(col("col.__s2") / col("n_vectors")
+          - pow(col("col.__s") / col("n_vectors"), 2), 6).as("variance"))
+  }
+
   /** Drift between two cohorts' centroids per group: ONE aggregate pass
     * with conditional VectorSums (null inputs skip, so `when(cohort, v)`
     * routes each row to exactly one sum — no second scan, no cohort

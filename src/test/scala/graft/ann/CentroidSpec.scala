@@ -106,4 +106,20 @@ class CentroidSpec extends SparkSpec {
     assert(!out.contains("c"), "singleton groups have no pairs")
   }
 
+
+  test("dim profile: planted dead and live dimensions read their exact moments") {
+    val df = Seq(
+      Array(1.0f, 5.0f, 0.0f),
+      Array(3.0f, 5.0f, 0.0f),
+      Array(5.0f, 5.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    val out = Centroids.dimProfile(df, "embedding").collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean"),
+          r.getAs[Double]("variance"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 3.0, 2.666667)), s"${out(1L)}") // var = 8/3 rounded 6dp
+    assert(out(2L)._2 == 5.0 && out(2L)._3 == 0.0,
+      "a constant dimension reads zero variance — the dead-dim flag")
+    assert(out(3L)._2 == 0.0 && out(3L)._3 == 0.0)
+  }
 }
