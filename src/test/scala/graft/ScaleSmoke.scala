@@ -392,6 +392,10 @@ object ScaleSmoke {
     time("q_lang_confusion") { queries.LlmOps.qLangConfusion(spark, dir) }
     time("q_stickiness") { queries.Warehouse.qStickiness(spark, dir) }
     time("q_stickiness_approx") { queries.Warehouse.qStickinessApprox(spark, dir) }
+    time("q_embedding_dims") {
+      graft.ann.Centroids.dimProfile(
+        graft.sources.Tables.table(spark, dir, "embeddings"), "embedding") }
+    time("q_minhash_tuning") { queries.LlmOps.qMinhashTuning(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")
