@@ -3768,7 +3768,7 @@ object SparkEntry {
         |      '\s+', ' ', 'g')) AS template_hash
         |  FROM base)
         |SELECT template_hash, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_raw,
         |  CAST(min(doc_id) AS BIGINT) AS sample_doc_id
         |FROM t GROUP BY template_hash
         |HAVING count(*) >= 2 ORDER BY template_hash""".stripMargin,

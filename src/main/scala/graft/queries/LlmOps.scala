@@ -1100,7 +1100,11 @@ object LlmOps {
           "\\s+", " ")).as("template_hash"))
     docs.groupBy(col("template_hash"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_distinct_raw"),
+        // distinct over the 16-byte content hash, NOT the raw text — a
+        // viral template's aggregation state must hold digests, not
+        // document bodies (the D14 viral-span hazard applied to
+        // distinct-counting)
+        countDistinct(md5(col("text"))).as("n_distinct_raw"),
         min(col("doc_id")).as("sample_doc_id"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("template_hash"))

@@ -2067,6 +2067,10 @@ object Warehouse {
       .agg(count(lit(1)).as("n_lines"), sum($"__q").as("__sq"))
       .withColumn("avg_qty_x100",
         expr("CAST((CAST(__sq AS DECIMAL(38,0)) * 100) DIV n_lines AS BIGINT)"))
+      // the 11-row frame feeds the baseline branch AND the output —
+      // materialize once or the fact scan runs twice (verified: the
+      // un-checkpointed plan carried two parquet scans)
+      .transform(graft.engine.Materialized.checkpoint)
     val base = byDisc.filter($"discount_pct" === 0L)
       .select($"avg_qty_x100".as("__base"))
     byDisc.crossJoin(broadcast(base))
