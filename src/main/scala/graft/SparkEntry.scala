@@ -231,6 +231,8 @@ object SparkEntry {
     "q_minhash_tuning" -> ((s, dir) => LlmOps.qMinhashTuning(s, dir)),
     "q_stickiness" -> ((s, dir) => Warehouse.qStickiness(s, dir)),
     "q_stickiness_approx" -> ((s, dir) => Warehouse.qStickinessApprox(s, dir)),
+    "q_key_skew" -> ((s, dir) => Warehouse.qKeySkew(s, dir)),
+    "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
     "q_embedding_dims" -> ((s, dir) =>
       graft.ann.Centroids.dimProfile(
         sources.Tables.table(s, dir, "embeddings"), "embedding")
@@ -3790,6 +3792,35 @@ object SparkEntry {
         |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
         |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
         |ORDER BY a.d""".stripMargin,
+    // C70: per-key counts → floor-log2 buckets (bin(x) length parity
+    // with conv(x,10,2), the F20 convention)
+    "q_key_skew" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS rows_per_key
+        |           FROM events GROUP BY user_id),
+        |b AS (SELECT CAST(length(bin(rows_per_key)) - 1 AS BIGINT) AS bucket,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(rows_per_key) AS BIGINT) AS n_rows,
+        |        CAST(max(rows_per_key) AS BIGINT) AS max_rows_per_key
+        |      FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM b)
+        |SELECT b.bucket, b.n_keys, b.n_rows, b.max_rows_per_key,
+        |  CAST((CAST(b.n_rows AS HUGEINT) * 1000000) // t.t AS BIGINT)
+        |    AS rows_share_ppm
+        |FROM b, t ORDER BY b.bucket""".stripMargin,
+    // H22: the fix: mixed draw + rank-k replayed as a window
+    "q_sample_fixed" ->
+      """WITH hr AS (SELECT doc_id, list_reduce(
+        |    list_transform(range(1, length('fix:' || CAST(doc_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('fix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS h FROM documents),
+        |h1 AS (SELECT doc_id, (h * h) % 2147483647 AS h FROM hr),
+        |h2 AS (SELECT doc_id, (h * h) % 2147483647 AS h FROM h1),
+        |r AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT)
+        |          AS sample_rank
+        |      FROM h2)
+        |SELECT sample_rank, doc_id FROM r
+        |WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin,
     // E17: per-dimension unnest moments
     "q_embedding_dims" ->
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

@@ -354,6 +354,29 @@ object Mix {
       .orderBy("doc_id")
   }
 
+  /** H22: FIXED-SIZE UNIFORM SAMPLE — "exactly k docs, uniformly,
+    * deterministically": the reservoir-sample contract without any
+    * sequential reservoir, as the k smallest double-square-mixed
+    * content hashes (`fix:` lane, the H16c-audited form) selected by
+    * the BOUNDED-HEAP top-k aggregate — map-side partials carry ≤k
+    * entries each, no window, no sort of the corpus; rerunning on a
+    * grown corpus keeps a stable ~hash-prefix (docs only leave when a
+    * smaller hash arrives — the monotone property H16b documents).
+    * Complements H5 (weighted ppm draw — size binomial, not exact) and
+    * H2 (exact n per GROUP via rank): this is the exact-n GLOBAL draw.
+    * Hash < 2³¹ fits the heap's double score lane exactly. */
+  def qSampleFixed(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val h = drawMix(polyhash(concat(lit("fix:"), col("doc_id").cast("string"))))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), h.as("__h"))
+      .agg(graft.functions.topKByScore(-col("__h").cast("double"),
+        col("doc_id"), k).as("__top"))
+      .select(posexplode(col("__top")))
+      .select((col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.neighbor_id").as("doc_id"))
+      .orderBy("sample_rank")
+  }
+
   /** The shared quota head of H16: per-source (n_s, k_s) under the
     * even-source-weighted-3 target distribution — two tiny aggregates and
     * two broadcast products, all integer. */

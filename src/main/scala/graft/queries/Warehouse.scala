@@ -1373,6 +1373,32 @@ object Warehouse {
       .orderBy($"window_day")
   }
 
+  /** C70: JOIN-KEY SKEW DIAGNOSIS — the measurement that justifies (or
+    * vetoes) C17's salting before anyone pays for it: the per-key row
+    * count distribution of a prospective join key, folded to floor-log2
+    * buckets (F20's histogram shape — bounded rows at any scale), plus
+    * each bucket's share of total ROWS. A top bucket carrying most rows
+    * across few keys IS the straggler task, and the salt factor C17's
+    * rewrite needs reads straight off `max_rows_per_key / target`. Two
+    * hash aggregates (key counts → bucket histogram), no window. */
+  def qKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perKey = Tables.table(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("rows_per_key"))
+    val buckets = perKey
+      .withColumn("bucket",
+        (length(conv($"rows_per_key", 10, 2)) - 1).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_keys"), sum($"rows_per_key").as("n_rows"),
+        max($"rows_per_key").as("max_rows_per_key"))
+    val total = buckets.agg(sum($"n_rows").as("__t"))
+    buckets.crossJoin(broadcast(total))
+      .select($"bucket", $"n_keys", $"n_rows", $"max_rows_per_key",
+        expr("CAST((CAST(n_rows AS DECIMAL(38,0)) * 1000000) DIV __t" +
+          " AS BIGINT)").as("rows_share_ppm"))
+      .orderBy($"bucket")
+  }
+
   /** C69: STICKINESS — DAU/MAU₍₂₈₎ per day in ppm, the canonical
     * engagement ratio ("what share of the monthly audience shows up
     * today"): daily distinct users joined with the 28-day trailing

@@ -396,6 +396,8 @@ object ScaleSmoke {
       graft.ann.Centroids.dimProfile(
         graft.sources.Tables.table(spark, dir, "embeddings"), "embedding") }
     time("q_minhash_tuning") { queries.LlmOps.qMinhashTuning(spark, dir) }
+    time("q_key_skew") { queries.Warehouse.qKeySkew(spark, dir) }
+    time("q_sample_fixed") { queries.Mix.qSampleFixed(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

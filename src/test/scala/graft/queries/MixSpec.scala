@@ -243,6 +243,25 @@ class MixSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fixed sample: exactly k, the brute-force k smallest mixed hashes, deterministic") {
+    val out = Mix.qSampleFixed(spark, sfDir, k = 37).collect()
+      .map(r => (r.getAs[Long]("sample_rank"), r.getAs[Long]("doc_id")))
+    assert(out.length == 37, "exact-n contract")
+    assert(out.map(_._1).toSeq == (1L to 37L), "dense ranks")
+    assert(out.map(_._2).distinct.length == 37)
+    // brute force: k smallest (mixed hash, id)
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+    val expect = docs.select(col("doc_id"),
+      Mix.drawMix(graft.functions.polyhash(
+        concat(lit("fix:"), col("doc_id").cast("string")))).as("h"))
+      .orderBy("h", "doc_id").limit(37)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet == expect, "heap selection ≡ hash order")
+    // determinism
+    assert(Mix.qSampleFixed(spark, sfDir, k = 37).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == out.map(_._2).toSeq)
+  }
+
   test("H16c uniformity audit: every draw lane inside the binomial band " +
     "on a sequential-id corpus") {
     // sequential ids are the WORST CASE for a polyhash draw (the affine

@@ -954,6 +954,34 @@ class WarehouseSpec extends SparkSpec {
       assert(ppm == (BigInt(avg) - base) * 1000000 / base, "lift arithmetic") }
   }
 
+  test("key skew: buckets partition keys and rows; a planted hot key surfaces alone") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val out = Warehouse.qKeySkew(spark, sfDir).collect()
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    assert(out.map(_.getAs[Long]("n_rows")).sum == ev.count())
+    assert(out.map(_.getAs[Long]("n_keys")).sum ==
+      ev.select("user_id").distinct().count())
+    val shares = out.map(_.getAs[Long]("rows_share_ppm")).sum
+    assert(shares > 1000000L - out.length && shares <= 1000000L)
+    // planted: 1000 rows on one key + 10 singletons → the hot key owns
+    // bucket 9 (512..1023) alone with ~99% of the row mass
+    val rows = ((1 to 1000).map(i => (i.toLong, 99L)) ++
+      (1 to 10).map(i => (10000L + i, i.toLong)))
+      .map { case (id, u) =>
+        (id, new Timestamp(1700000000000L + id), u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("skew").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Warehouse.qKeySkew(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("max_rows_per_key"),
+          r.getAs[Long]("rows_share_ppm"))).toMap
+    assert(planted(9L) == ((1L, 1000L, 990099L)),
+      s"hot key must own its bucket: ${planted.toSeq.sortBy(_._1)}")
+    assert(planted(0L)._1 == 10L, "singletons share bucket 0")
+  }
+
   test("stickiness: DAU never exceeds trailing MAU, ratio consistent") {
     import org.apache.spark.sql.functions._
     val out = Warehouse.qStickiness(spark, sfDir).collect()
