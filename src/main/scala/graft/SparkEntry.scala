@@ -232,6 +232,7 @@ object SparkEntry {
     "q_stickiness" -> ((s, dir) => Warehouse.qStickiness(s, dir)),
     "q_stickiness_approx" -> ((s, dir) => Warehouse.qStickinessApprox(s, dir)),
     "q_key_skew" -> ((s, dir) => Warehouse.qKeySkew(s, dir)),
+    "q_oov_rate" -> ((s, dir) => LlmOps.qOovRate(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
     "q_embedding_dims" -> ((s, dir) =>
       graft.ann.Centroids.dimProfile(
@@ -3792,6 +3793,22 @@ object SparkEntry {
         |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
         |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
         |ORDER BY a.d""".stripMargin,
+    // F34: even/odd split, distinct train vocab, left-join OOV counts
+    "q_oov_rate" ->
+      """WITH v AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |h AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |j AS (
+        |  SELECT h.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM h LEFT JOIN v ON h.term = v.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((CAST(sum(oov) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |    AS oov_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // C70: per-key counts → floor-log2 buckets (bin(x) length parity
     // with conv(x,10,2), the F20 convention)
     "q_key_skew" ->

@@ -1156,6 +1156,34 @@ object LlmOps {
       .orderBy("rows_per_band", "s_x10")
   }
 
+  /** F34: OOV RATE — held-out token coverage of the train vocabulary
+    * (the generalization sanity check next to D7's contamination check:
+    * D7 asks "did test LEAK into train", this asks "does train even
+    * COVER test's surface forms" — a high OOV split inflates perplexity
+    * for vocabulary reasons, not modeling ones). Even docs stand in for
+    * train, odd for held-out (D8's split convention). One term-keyed
+    * left join of the exploded held-out tokens against the distinct
+    * train vocab; per held-out doc the token/OOV counts and ppm. At
+    * 100 TB the vocab side becomes a broadcast Bloom filter (A13's
+    * prefilter) — the join shape is already the degradable one. */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+    val vocab = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct().withColumn("__in", lit(1))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(vocab, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("CAST((CAST(n_oov AS DECIMAL(38,0)) * 1000000) DIV n_tokens" +
+          " AS BIGINT)").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -365,12 +365,20 @@ object Mix {
     * Complements H5 (weighted ppm draw — size binomial, not exact) and
     * H2 (exact n per GROUP via rank): this is the exact-n GLOBAL draw.
     * Hash < 2³¹ fits the heap's double score lane exactly. */
+  /** H22's draw lane, shared with the G16 streaming twin. */
+  private[graft] def fixDraw(idCol: Column): Column =
+    drawMix(polyhash(concat(lit("fix:"), idCol.cast("string"))))
+
+  /** H22's selection as one aggregate Column over a hashed id — works
+    * unchanged on a STREAMING frame (Complete-mode aggregate: the heap
+    * state lives in the state store, map-side partials stay ≤ k), which
+    * is G16's face. */
+  private[graft] def sampleFixedAgg(idCol: Column, k: Int): Column =
+    graft.functions.topKByScore(-fixDraw(idCol).cast("double"), idCol, k)
+
   def qSampleFixed(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    val h = drawMix(polyhash(concat(lit("fix:"), col("doc_id").cast("string"))))
     Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), h.as("__h"))
-      .agg(graft.functions.topKByScore(-col("__h").cast("double"),
-        col("doc_id"), k).as("__top"))
+      .agg(sampleFixedAgg(col("doc_id"), k).as("__top"))
       .select(posexplode(col("__top")))
       .select((col("pos") + 1).cast("long").as("sample_rank"),
         col("col.neighbor_id").as("doc_id"))

@@ -428,6 +428,25 @@ class CurationSpec extends SparkSpec {
     assert(atThr > 0.6 && atThr < 0.7, s"prob at threshold: $atThr")
   }
 
+  test("oov rate: planted vocab split counts exactly; covered docs read zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "src0", "alpha beta gamma"),       // train
+      (2L, "src0", "delta echo"),             // train
+      (1L, "src0", "alpha beta delta"),       // held-out: fully covered
+      (3L, "src0", "alpha zulu yankee zulu")) // held-out: 3/4 OOV
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("oov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qOovRate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)), s"covered doc: ${out(1L)}")
+    assert(out(3L) == ((4L, 3L, 750000L)), s"3/4 OOV doc: ${out(3L)}")
+    assert(!out.contains(0L) && !out.contains(2L), "train docs are not scored")
+  }
+
   test("template clusters: planted slot-varying docs collapse to one template each") {
     val out = graft.queries.LlmOps.qTemplateClusters(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct_raw"),

@@ -670,6 +670,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming fixed sample: the heap aggregate converges to the batch sample") {
+    // G16: H22's bounded-heap aggregate runs UNCHANGED as a Complete-
+    // mode streaming aggregate — the k-smallest-hash set is arrival-
+    // order-independent, so after any batch split the stream's current
+    // sample equals the batch face over the data seen so far
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val input = MemoryStream[Long]
+    val query = input.toDS().toDF("doc_id")
+      .agg(graft.queries.Mix.sampleFixedAgg(
+        org.apache.spark.sql.functions.col("doc_id"), 37).as("sample"))
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = ids.splitAt(ids.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("sample_stream").collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)).toSet
+      val batch = graft.queries.Mix.qSampleFixed(spark, sfDir, k = 37)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(streamed == batch,
+        "streamed sample must equal the batch draw over the same corpus")
+    } finally query.stop()
+  }
+
   test("streaming ewma reproduces the batch recursion with state crossing batches") {
     val sparkSession = spark
     import sparkSession.implicits._
