@@ -233,6 +233,7 @@ object SparkEntry {
     "q_stickiness_approx" -> ((s, dir) => Warehouse.qStickinessApprox(s, dir)),
     "q_key_skew" -> ((s, dir) => Warehouse.qKeySkew(s, dir)),
     "q_oov_rate" -> ((s, dir) => LlmOps.qOovRate(s, dir)),
+    "q_psi" -> ((s, dir) => Warehouse.qPsi(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
     "q_embedding_dims" -> ((s, dir) =>
       graft.ann.Centroids.dimProfile(
@@ -3793,6 +3794,57 @@ object SparkEntry {
         |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
         |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
         |ORDER BY a.d""".stripMargin,
+    // C71: midpoint split, psi: mixed draw for reference-period decile
+    // cutoffs, epsilon-floored shares, Σ(s1−s0)·ln(s1/s0)
+    "q_psi" ->
+      """WITH ev AS (SELECT event_type, event_id, value, ts FROM events
+        |            WHERE value IS NOT NULL),
+        |b AS (SELECT CAST(min(ts) AS DATE)
+        |    + CAST(CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |        CAST(max(ts) AS DATE)) // 2 AS INTEGER) AS BIGINT)
+        |    * INTERVAL 1 DAY AS mid FROM ev),
+        |base AS (SELECT event_type,
+        |           CASE WHEN CAST(ts AS DATE) >= (SELECT mid FROM b)
+        |             THEN 1 ELSE 0 END AS period, value, event_id
+        |         FROM ev),
+        |n0 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM base WHERE period = 0 GROUP BY event_type),
+        |hr AS (SELECT event_id, list_reduce(
+        |    list_transform(range(1, length('psi:' || CAST(event_id AS VARCHAR)) + 1),
+        |      i -> CAST(ascii(substr('psi:' || CAST(event_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS h
+        |  FROM base WHERE period = 0),
+        |h1 AS (SELECT event_id, (h * h) % 2147483647 AS h FROM hr),
+        |h2 AS (SELECT event_id, (h * h) % 2147483647 AS h FROM h1),
+        |s AS (SELECT base.event_type, base.value
+        |      FROM base JOIN h2 ON base.event_id = h2.event_id
+        |      JOIN n0 ON base.event_type = n0.event_type
+        |      WHERE base.period = 0
+        |        AND (h2.h * 4 < 2147483647 OR n0.n_t <= 32)),
+        |sm AS (SELECT event_type, list_sort(list(value)) AS smp
+        |       FROM s GROUP BY event_type),
+        |c AS (SELECT event_type, CASE WHEN len(smp) = 0 THEN []
+        |        ELSE list_transform(range(1, 10), j -> smp[CAST(greatest(1,
+        |          least(len(smp), (j * (len(smp) + 1)) // 10)) AS INT)]) END AS cuts
+        |      FROM sm),
+        |bin AS (SELECT base.event_type,
+        |          CAST(1 + len(list_filter(c.cuts, x -> base.value > x)) AS BIGINT)
+        |            AS bin,
+        |          CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |          CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |        FROM base JOIN c ON base.event_type = c.event_type
+        |        GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS t0,
+        |        CAST(sum(c1) AS BIGINT) AS t1
+        |      FROM bin GROUP BY event_type)
+        |SELECT bin.event_type, t.t0 AS n_ref, t.t1 AS n_cur,
+        |  round(sum((greatest(CAST(c1 AS DOUBLE) / t.t1, 0.000001)
+        |      - greatest(CAST(c0 AS DOUBLE) / t.t0, 0.000001))
+        |    * ln(greatest(CAST(c1 AS DOUBLE) / t.t1, 0.000001)
+        |      / greatest(CAST(c0 AS DOUBLE) / t.t0, 0.000001))), 6) AS psi
+        |FROM bin JOIN t USING (event_type)
+        |GROUP BY bin.event_type, t.t0, t.t1
+        |ORDER BY bin.event_type""".stripMargin,
     // F34: even/odd split, distinct train vocab, left-join OOV counts
     "q_oov_rate" ->
       """WITH v AS (

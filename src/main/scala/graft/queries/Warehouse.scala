@@ -1399,6 +1399,60 @@ object Warehouse {
       .orderBy($"bucket")
   }
 
+  /** C71: PSI DRIFT — the Population Stability Index, the standard
+    * ML-monitoring answer to "did this feature's distribution move
+    * between two periods" (PSI < 0.1 stable, > 0.25 action; E6 covers
+    * embedding drift, this covers numeric features): per event type,
+    * value deciles BINNED BY THE REFERENCE PERIOD's sampled cutoffs
+    * (the C61b estimator — no window, no sort; bins defined by the
+    * baseline is the PSI convention), per-period bin shares with an
+    * ε=1e-6 floor (a bin emptying out entirely is exactly the signal
+    * PSI must not log(0) away), PSI = Σ (s₁−s₀)·ln(s₁/s₀). Midpoint
+    * boundary = C56/C63's. Corpus-sized work: one checkpointed scan +
+    * one bin aggregate; everything after is ≤ types×bins rows. */
+  def qPsi(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events").filter($"value".isNotNull)
+    val bounds = ev.agg(
+      to_date(min($"ts")).as("__lo"), to_date(max($"ts")).as("__hi"))
+      .select(expr("date_add(__lo, CAST(datediff(__hi, __lo) DIV 2 AS INT))")
+        .as("__mid"))
+    val base = ev.crossJoin(broadcast(bounds))
+      .withColumn("period", (to_date($"ts") >= $"__mid").cast("int"))
+      .select($"event_type", $"period", $"value", $"event_id")
+      // feeds the cutoff sample AND the binning scan (the F19c rule)
+      .transform(graft.engine.Materialized.checkpoint)
+    val n0 = base.filter($"period" === 0)
+      .groupBy($"event_type").agg(count(lit(1)).as("__n_t"))
+    val draw = graft.queries.Mix.drawMix(graft.functions.polyhash(
+      concat(lit("psi:"), $"event_id".cast("string"))))
+    val cuts = base.filter($"period" === 0)
+      .join(broadcast(n0), "event_type")
+      .filter(draw * lit(sampleMod) < lit(2147483647L) ||
+        $"__n_t" <= lit(sampleMod * minSample))
+      .groupBy($"event_type").agg(sort_array(collect_list($"value")).as("smp"))
+      .select($"event_type", expr(decileCutsSql("smp")).as("cuts"))
+    val binned = base.join(broadcast(cuts), "event_type")
+      .withColumn("bin",
+        expr("CAST(1 + size(filter(cuts, c -> value > c)) AS BIGINT)"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum(when($"period" === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when($"period" === 1, 1L).otherwise(0L)).as("__c1"))
+    val tot = binned.groupBy($"event_type")
+      .agg(sum($"__c0").as("__t0"), sum($"__c1").as("__t1"))
+    binned.join(broadcast(tot), "event_type")
+      .withColumn("__s0",
+        expr("greatest(CAST(__c0 AS DOUBLE) / __t0, 0.000001d)"))
+      .withColumn("__s1",
+        expr("greatest(CAST(__c1 AS DOUBLE) / __t1, 0.000001d)"))
+      .groupBy($"event_type")
+      .agg(first($"__t0").as("n_ref"), first($"__t1").as("n_cur"),
+        round(sum(($"__s1" - $"__s0") * log($"__s1" / $"__s0")), 6)
+          .as("psi"))
+      .orderBy($"event_type")
+  }
+
   /** C69: STICKINESS — DAU/MAU₍₂₈₎ per day in ppm, the canonical
     * engagement ratio ("what share of the monthly audience shows up
     * today"): daily distinct users joined with the 28-day trailing

@@ -398,6 +398,8 @@ object ScaleSmoke {
     time("q_minhash_tuning") { queries.LlmOps.qMinhashTuning(spark, dir) }
     time("q_key_skew") { queries.Warehouse.qKeySkew(spark, dir) }
     time("q_sample_fixed") { queries.Mix.qSampleFixed(spark, dir) }
+    time("q_psi") { queries.Warehouse.qPsi(spark, dir) }
+    time("q_oov_rate") { queries.LlmOps.qOovRate(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -954,6 +954,43 @@ class WarehouseSpec extends SparkSpec {
       assert(ppm == (BigInt(avg) - base) * 1000000 / base, "lift arithmetic") }
   }
 
+  test("psi: a stable plant reads near zero, a shifted plant alarms") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val day = 86400000L
+    // "stable": same value grid both periods; "shift": period-2 values
+    // jump +1000 (every row beyond the reference's top decile cutoff)
+    val rows = (0 until 400).map { i =>
+      val period2 = i >= 200
+      val t = new Timestamp(1700000000000L + (if (period2) 10 else 0) * day
+        + (i % 200) * 1000L)
+      val v = (i % 100) + 1.0
+      (i.toLong * 2, t, i.toLong, "stable", v)
+    } ++ (0 until 400).map { i =>
+      val period2 = i >= 200
+      val t = new Timestamp(1700000000000L + (if (period2) 10 else 0) * day
+        + (i % 200) * 1000L)
+      val v = (i % 100) + 1.0 + (if (period2) 1000.0 else 0.0)
+      (100000L + i * 2, t, 1000L + i, "shift", v)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("psi").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qPsi(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("psi"))).toMap
+    assert(out("stable")._3 < 0.1,
+      s"identical distributions must read stable: ${out("stable")}")
+    assert(out("shift")._3 > 1.0,
+      s"a wholesale shift must alarm hard: ${out("shift")}")
+    assert(out("stable")._1 == 200L && out("stable")._2 == 200L)
+    // real corpus: every type scored, PSI bounded sane
+    val real = Warehouse.qPsi(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getAs[Double]("psi") >= 0.0 - 1e-9))
+  }
+
   test("key skew: buckets partition keys and rows; a planted hot key surfaces alone") {
     import spark.implicits._
     import java.sql.Timestamp
