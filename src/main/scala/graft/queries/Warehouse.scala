@@ -1411,7 +1411,8 @@ object Warehouse {
     * boundary = C56/C63's. Corpus-sized work: one checkpointed scan +
     * one bin aggregate; everything after is ≤ types×bins rows. */
   def qPsi(spark: SparkSession, dir: String,
-      sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
+      sampleMod: Long = 4L, minSample: Int = 8,
+      materialize: Boolean = true): DataFrame = {
     import spark.implicits._
     val ev = Tables.table(spark, dir, "events").filter($"value".isNotNull)
     val bounds = ev.agg(
@@ -1421,8 +1422,10 @@ object Warehouse {
     val base = ev.crossJoin(broadcast(bounds))
       .withColumn("period", (to_date($"ts") >= $"__mid").cast("int"))
       .select($"event_type", $"period", $"value", $"event_id")
-      // feeds the cutoff sample AND the binning scan (the F19c rule)
-      .transform(graft.engine.Materialized.checkpoint)
+      // feeds the cutoff sample AND the binning scan (the F19c rule;
+      // PsiProbe measured the paired decision at 100x)
+      .transform(df =>
+        if (materialize) graft.engine.Materialized.checkpoint(df) else df)
     val n0 = base.filter($"period" === 0)
       .groupBy($"event_type").agg(count(lit(1)).as("__n_t"))
     val draw = graft.queries.Mix.drawMix(graft.functions.polyhash(
