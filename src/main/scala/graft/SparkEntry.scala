@@ -2439,34 +2439,44 @@ object SparkEntry {
         |    list_reduce(
         |      list_transform(range(1, length('pplsmp:' || CAST(doc_id AS VARCHAR)) + 1),
         |                     i -> CAST(ascii(substr('pplsmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2p
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2p,
+        |    list_reduce(
+        |      list_transform(range(1, length('cursmp:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('cursmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2c
         |  FROM documents),
         |h1 AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
         |         (h2 * h2) % 2147483647 AS h2,
-        |         (h2p * h2p) % 2147483647 AS h2p FROM hr),
+        |         (h2p * h2p) % 2147483647 AS h2p,
+        |         (h2c * h2c) % 2147483647 AS h2c FROM hr),
         |hh AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
         |         (h2 * h2) % 2147483647 AS h2,
-        |         (h2p * h2p) % 2147483647 AS h2p FROM h1),
+        |         (h2p * h2p) % 2147483647 AS h2p,
+        |         (h2c * h2c) % 2147483647 AS h2c FROM h1),
         |f AS (SELECT hh.doc_id, hh.source, k.n_s, k.k_s,
         |        CASE WHEN row_number() OVER (PARTITION BY hh.source ORDER BY h, doc_id)
         |          <= k.k_s THEN 1 ELSE 0 END AS keep,
         |        CASE WHEN h2 * 16 < 2147483647 THEN 1 ELSE 0 END AS smp,
-        |        CASE WHEN h2p * 4 < 2147483647 THEN 1 ELSE 0 END AS psmp
+        |        CASE WHEN h2p * 4 < 2147483647 THEN 1 ELSE 0 END AS psmp,
+        |        CASE WHEN h2c * 4 < 2147483647 THEN 1 ELSE 0 END AS csmp
         |      FROM hh JOIN k ON hh.source = k.source),
-        |p AS (SELECT source, n_s, k_s, keep, smp, psmp,
+        |p AS (SELECT source, n_s, k_s, keep, smp, psmp, csmp,
         |        lag(keep) OVER (PARTITION BY source ORDER BY doc_id) AS keep_p,
         |        lag(smp) OVER (PARTITION BY source ORDER BY doc_id) AS smp_p,
-        |        lag(psmp) OVER (PARTITION BY source ORDER BY doc_id) AS psmp_p
+        |        lag(psmp) OVER (PARTITION BY source ORDER BY doc_id) AS psmp_p,
+        |        lag(csmp) OVER (PARTITION BY source ORDER BY doc_id) AS csmp_p
         |      FROM f),
         |ps AS (SELECT source, n_s, k_s, CAST(count(*) AS BIGINT) AS pairs_s,
         |         CAST(sum(keep * keep_p) AS BIGINT) AS bk,
         |         CAST(sum(smp * smp_p) AS BIGINT) AS bs,
-        |         CAST(sum(psmp * psmp_p) AS BIGINT) AS bp
+        |         CAST(sum(psmp * psmp_p) AS BIGINT) AS bp,
+        |         CAST(sum(csmp * csmp_p) AS BIGINT) AS bc
         |       FROM p WHERE keep_p IS NOT NULL GROUP BY source, n_s, k_s),
         |t AS (SELECT CAST(sum(pairs_s) AS BIGINT) AS n_pairs,
         |        CAST(sum(bk) AS BIGINT) AS both_keep,
         |        CAST(sum(bs) AS BIGINT) AS both_smp,
         |        CAST(sum(bp) AS BIGINT) AS both_psmp,
+        |        CAST(sum(bc) AS BIGINT) AS both_csmp,
         |        sum((CAST(pairs_s AS HUGEINT) * k_s * k_s * 1000000)
         |            // (CAST(n_s AS HUGEINT) * n_s)) AS exp_keep_num
         |      FROM ps)
@@ -2477,6 +2487,8 @@ object SparkEntry {
         |  CAST((CAST(both_smp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 3906 FROM t
         |UNION ALL SELECT 'ppl_sample', n_pairs, both_psmp,
         |  CAST((CAST(both_psmp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 62500 FROM t
+        |UNION ALL SELECT 'cur_sample', n_pairs, both_csmp,
+        |  CAST((CAST(both_csmp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 62500 FROM t
         |ORDER BY lane""".stripMargin,
     // hybrid RRF: integer ppb scores; dense rank parity rests on the
     // same bit-identical DOUBLE cosine the q_ann_topk oracle proves

@@ -257,32 +257,39 @@ object Mix {
       .select(col("doc_id"), col("source"),
         selHash(col("doc_id")).as("h"),
         smpHash(col("doc_id")).as("h2"),
-        graft.queries.LlmOps.pplSampleHash(col("doc_id")).as("h2p"))
+        graft.queries.LlmOps.pplSampleHash(col("doc_id")).as("h2p"),
+        drawMix(polyhash(concat(lit("cursmp:"), col("doc_id").cast("string"))))
+          .as("h2c"))
       .join(broadcast(quotas), "source")
       .withColumn("keep",
         when(row_number().over(byRank) <= col("k_s"), 1L).otherwise(0L))
       .withColumn("smp", when(col("h2") * lit(16L) < lit(2147483647L), 1L).otherwise(0L))
       .withColumn("psmp", when(col("h2p") * lit(4L) < lit(2147483647L), 1L).otherwise(0L))
+      .withColumn("csmp", when(col("h2c") * lit(4L) < lit(2147483647L), 1L).otherwise(0L))
     val pairs = flagged
       .withColumn("keep_p", lag(col("keep"), 1).over(byId))
       .withColumn("smp_p", lag(col("smp"), 1).over(byId))
       .withColumn("psmp_p", lag(col("psmp"), 1).over(byId))
+      .withColumn("csmp_p", lag(col("csmp"), 1).over(byId))
       .filter(col("keep_p").isNotNull)
     val perSource = pairs.groupBy(col("source"), col("n_s"), col("k_s"))
       .agg(count(lit(1)).as("pairs_s"),
         sum(col("keep") * col("keep_p")).as("bk"),
         sum(col("smp") * col("smp_p")).as("bs"),
-        sum(col("psmp") * col("psmp_p")).as("bp"))
+        sum(col("psmp") * col("psmp_p")).as("bp"),
+        sum(col("csmp") * col("csmp_p")).as("bc"))
     val tot = perSource.agg(
       sum(col("pairs_s")).as("n_pairs"),
       sum(col("bk")).as("both_keep"),
       sum(col("bs")).as("both_smp"),
       sum(col("bp")).as("both_psmp"),
+      sum(col("bc")).as("both_csmp"),
       // per-source floor then sum: each term is pairs_s·k_s²·1e6 DIV n_s²
       sum(expr("(CAST(pairs_s AS DECIMAL(38,0)) * k_s * k_s * 1000000)" +
         " DIV (CAST(n_s AS DECIMAL(38,0)) * n_s)")).as("exp_keep_num"))
     tot.selectExpr(
-      "stack(3," +
+      "stack(4," +
+        " 'cur_sample', both_csmp, CAST(1000000 DIV 16 AS BIGINT)," +
         " 'mix_keep',   both_keep, CAST(exp_keep_num DIV n_pairs AS BIGINT)," +
         " 'mix_sample', both_smp,  CAST(1000000 DIV 256 AS BIGINT)," +
         " 'ppl_sample', both_psmp, CAST(1000000 DIV 16 AS BIGINT)" +

@@ -209,6 +209,31 @@ class MixSpec extends SparkSpec {
     assert(samePpm < 500000L, "a source-clustered order would approach 1e6")
   }
 
+  test("every round-10 draw lane passes the pair-adjacency audit on sequential ids") {
+    // the polyhash-affinity trap shipped five times because each NEW
+    // id-keyed lane skipped the audit — this spec closes the loophole at
+    // the function level: every prefix lane introduced this round must
+    // draw adjacent ids independently (1/4 threshold draw, worst-case
+    // sequential ids, 4σ binomial band on the both-drawn pair rate)
+    import spark.implicits._
+    val n = 40000
+    val ids = (0L until n.toLong).toDF("id")
+    Seq("usmp:", "psi:", "rev:", "fix:", "cursmp:").foreach { prefix =>
+      val flags = ids.select(col("id"),
+        (Mix.drawMix(graft.functions.polyhash(
+          concat(lit(prefix), col("id").cast("string")))) * lit(4L)
+          < lit(2147483647L)).cast("long").as("f"))
+        .orderBy("id").collect().map(_.getLong(1))
+      val both = flags.zip(flags.tail).count { case (a, b) => a == 1L && b == 1L }
+      val p = 1.0 / 16
+      val exp = (n - 1) * p
+      val sd4 = 4.0 * math.sqrt((n - 1) * p * (1 - p))
+      assert(math.abs(both - exp) <= sd4,
+        s"lane $prefix: both-drawn pairs $both vs $exp ± $sd4 — an affine" +
+          " or single-mixed lane reads far outside this band")
+    }
+  }
+
   test("curriculum order: stage monotone in length, stages concatenate, near-quartile sizes") {
     val out = Mix.qCurriculumOrder(spark, sfDir).cache()
     val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
@@ -275,7 +300,7 @@ class MixSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = Mix.qMixUniformity(spark, dir).collect()
     assert(rows.map(_.getAs[String]("lane")).toSeq ==
-      Seq("mix_keep", "mix_sample", "ppl_sample"))
+      Seq("cur_sample", "mix_keep", "mix_sample", "ppl_sample"))
     rows.foreach { r =>
       val n = r.getAs[Long]("n_pairs")
       assert(n == 40000L - 4L, "one pair per doc except each source's first")
