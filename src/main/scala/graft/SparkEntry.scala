@@ -234,6 +234,8 @@ object SparkEntry {
     "q_key_skew" -> ((s, dir) => Warehouse.qKeySkew(s, dir)),
     "q_oov_rate" -> ((s, dir) => LlmOps.qOovRate(s, dir)),
     "q_psi" -> ((s, dir) => Warehouse.qPsi(s, dir)),
+    "q_readability" -> ((s, dir) => LlmOps.qReadability(s, dir)),
+    "q_domain_entropy" -> ((s, dir) => LlmOps.qDomainEntropy(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
     "q_embedding_dims" -> ((s, dir) =>
       graft.ann.Centroids.dimProfile(
@@ -3806,6 +3808,37 @@ object SparkEntry {
         |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
         |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
         |ORDER BY a.d""".stripMargin,
+    // F35: identical regex/whitespace counts; DuckDB regexp parity for
+    // the [.!?]+ and [aeiou]+ classes matches Java (F10 precedent)
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |        AS DOUBLE)
+        |      / greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    - 84.6 * CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE)
+        |      / (length(text) - length(replace(text, ' ', '')) + 1), 2)
+        |    AS flesch
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // H25: entropy over the source histogram; exp of the 6dp-rounded
+    // entropy keeps parity independent of sum order
+    "q_domain_entropy" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |        round(-sum((CAST(n AS DOUBLE) / t.t)
+        |          * ln(CAST(n AS DOUBLE) / t.t)), 6) AS entropy_nats
+        |      FROM c, t GROUP BY ())
+        |SELECT n_sources, entropy_nats,
+        |  round(exp(entropy_nats), 6) AS effective_domains
+        |FROM e""".stripMargin,
     // C71: midpoint split, psi: mixed draw for reference-period decile
     // cutoffs, epsilon-floored shares, Σ(s1−s0)·ln(s1/s0)
     "q_psi" ->

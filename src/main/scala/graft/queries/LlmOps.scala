@@ -1184,6 +1184,53 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** F35: READABILITY — the Flesch reading-ease family as a corpus
+    * signal (curation uses it to stratify by audience level; collapsed
+    * generation reads abnormally uniform): words via whitespace
+    * arithmetic, sentences via terminal-punctuation runs (min 1 — the
+    * provided corpus is unpunctuated prose and must not divide by
+    * zero), syllables via the vowel-group proxy (regexp_count of
+    * [aeiou]+ runs — the classic cheap stand-in), all map-side integer
+    * counts; the score itself is the standard 206.835 − 1.015·w/s −
+    * 84.6·syl/w rounded 2dp. */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+          + 1).cast("long").as("n_words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+          - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 2))
+      .orderBy("doc_id")
+  }
+
+  /** H25: DOMAIN ENTROPY — how diverse is the corpus across sources,
+    * as one number a mixing policy can gate on: Shannon entropy of the
+    * source distribution plus its exponential (the "effective domain
+    * count" — 20 equal sources read 20.0; one dominant source reads
+    * ≈1): one ~|sources|-row aggregate over the count histogram. The
+    * diversity readout H16's rebalancer assumes and nothing reported. */
+  def qDomainEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.table(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select((col("n").cast("double") / col("__t")).as("__p"))
+      .agg(count(lit(1)).as("n_sources"),
+        round(-sum(col("__p") * log(col("__p"))), 6).as("entropy_nats"))
+      // exp of the already-rounded entropy: both engines exponentiate
+      // the same 6dp double, so parity is independent of sum order
+      .withColumn("effective_domains", round(exp(col("entropy_nats")), 6))
+      .select(col("n_sources"), col("entropy_nats"), col("effective_domains"))
+  }
+
   /** F1: heuristic language ID. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(Tables.table(spark, dir, "documents"), "text")

@@ -400,6 +400,8 @@ object ScaleSmoke {
     time("q_sample_fixed") { queries.Mix.qSampleFixed(spark, dir) }
     time("q_psi") { queries.Warehouse.qPsi(spark, dir) }
     time("q_oov_rate") { queries.LlmOps.qOovRate(spark, dir) }
+    time("q_readability") { queries.LlmOps.qReadability(spark, dir) }
+    time("q_domain_entropy") { queries.LlmOps.qDomainEntropy(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

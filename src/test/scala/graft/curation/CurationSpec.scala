@@ -428,6 +428,30 @@ class CurationSpec extends SparkSpec {
     assert(atThr > 0.6 && atThr < 0.7, s"prob at threshold: $atThr")
   }
 
+  test("readability and domain entropy: hand-checked plants, uniform corpus maxes entropy") {
+    import spark.implicits._
+    // "go. we sit up." → 4 words, 2 sentences, 4 vowel groups:
+    // 206.835 − 1.015·2 − 84.6·1 = 120.205
+    val dir = java.nio.file.Files.createTempDirectory("read").toString
+    Seq((0L, "src0", "go. we sit up."), (1L, "src1", "aa bb"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.LlmOps.qReadability(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("n_sentences"),
+          x.getAs[Long]("n_syllables"), x.getAs[Double]("flesch"))).toMap
+    assert(r(0L) == ((4L, 2L, 4L, 120.21)), s"${r(0L)}")
+    assert(r(1L)._2 == 1L, "no terminal punctuation still counts one sentence")
+    // entropy: the 20-source uniform corpus reads ln(20) nats and ~20
+    // effective domains; the 2-source plant reads ln(2)
+    val e = graft.queries.LlmOps.qDomainEntropy(spark, sfDir).collect().head
+    assert(e.getAs[Long]("n_sources") == 20L)
+    assert(math.abs(e.getAs[Double]("entropy_nats") - math.log(20)) < 1e-3)
+    assert(math.abs(e.getAs[Double]("effective_domains") - 20.0) < 0.05)
+    val e2 = graft.queries.LlmOps.qDomainEntropy(spark, dir).collect().head
+    assert(math.abs(e2.getAs[Double]("entropy_nats") - math.log(2)) < 1e-6)
+  }
+
   test("oov rate: planted vocab split counts exactly; covered docs read zero") {
     import spark.implicits._
     val docs = Seq(
