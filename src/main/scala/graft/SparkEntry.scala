@@ -237,6 +237,10 @@ object SparkEntry {
     "q_readability" -> ((s, dir) => LlmOps.qReadability(s, dir)),
     "q_domain_entropy" -> ((s, dir) => LlmOps.qDomainEntropy(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
+    "q_centroid_margin" -> ((s, dir) =>
+      graft.ann.Centroids.centroidMargins(
+        sources.Tables.table(s, dir, "embeddings"), "label", "embedding",
+        "vec_id").orderBy("label")),
     "q_embedding_dims" -> ((s, dir) =>
       graft.ann.Centroids.dimProfile(
         sources.Tables.table(s, dir, "embeddings"), "embedding")
@@ -3935,6 +3939,27 @@ object SparkEntry {
         |      FROM h2)
         |SELECT sample_rank, doc_id FROM r
         |WHERE sample_rank <= 100 ORDER BY sample_rank""".stripMargin,
+    // E18: centroids via per-dimension avg, |labels| cosines per
+    // vector, conditional own/other max — the q_ann_topk cosine parity
+    "q_centroid_margin" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        |      FROM v),
+        |m AS (SELECT label, i, avg(x) AS s FROM e GROUP BY label, i),
+        |c AS (SELECT label AS clabel, list(s ORDER BY i) AS centroid
+        |      FROM m GROUP BY label),
+        |sc AS (SELECT v.vec_id, v.label,
+        |         max(CASE WHEN v.label = c.clabel
+        |           THEN list_cosine_similarity(v.v, c.centroid) END) AS own,
+        |         max(CASE WHEN v.label <> c.clabel
+        |           THEN list_cosine_similarity(v.v, c.centroid) END) AS other
+        |       FROM v CROSS JOIN c GROUP BY v.vec_id, v.label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  round(avg(own - other), 6) AS mean_margin,
+        |  CAST(sum(CASE WHEN own - other < -0.000000001 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_confused
+        |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     // E17: per-dimension unnest moments
     "q_embedding_dims" ->
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),

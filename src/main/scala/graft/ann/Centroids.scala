@@ -74,6 +74,36 @@ object Centroids {
           - pow(col("col.__s") / col("n_vectors"), 2), 6).as("variance"))
   }
 
+  /** E18: CENTROID MARGIN — which classes are CONFUSABLE: per vector,
+    * the cosine to its own label's centroid minus the best cosine to
+    * any OTHER label's centroid (negative margin = the vector sits
+    * closer to a foreign class than its own — the multi-class
+    * generalization of E5's single-centroid mislabel score), reported
+    * per label as mean margin and confused count. Plan: one centroid
+    * aggregate (groups×dim), centroids BROADCAST back onto the vector
+    * scan with a labels-bounded expansion (|labels| cosines per vector,
+    * map-side codegen), one conditional aggregate per vector, one tiny
+    * per-label rollup — no pair join, no window. The confused count
+    * uses a −1e-9 threshold so a last-ulp centroid difference between
+    * engines cannot flip a boundary vector. */
+  def centroidMargins(df: DataFrame, groupCol: String, vecCol: String,
+      idCol: String): DataFrame = {
+    val cents = centroids(df, groupCol, vecCol)
+      .select(col(groupCol).as("__clabel"), col("centroid"))
+    val scored = df
+      .select(col(idCol), col(groupCol), Ann.asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosineSim(col("__v"), col("centroid")))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(max(when(col(groupCol) === col("__clabel"), col("__cos"))).as("__own"),
+        max(when(col(groupCol) =!= col("__clabel"), col("__cos"))).as("__other"))
+      .withColumn("__margin", col("__own") - col("__other"))
+    scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__margin")), 6).as("mean_margin"),
+        sum(when(col("__margin") < -1e-9, 1L).otherwise(0L)).as("n_confused"))
+  }
+
   /** Drift between two cohorts' centroids per group: ONE aggregate pass
     * with conditional VectorSums (null inputs skip, so `when(cohort, v)`
     * routes each row to exactly one sum — no second scan, no cohort

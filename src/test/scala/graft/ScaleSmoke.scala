@@ -402,6 +402,10 @@ object ScaleSmoke {
     time("q_oov_rate") { queries.LlmOps.qOovRate(spark, dir) }
     time("q_readability") { queries.LlmOps.qReadability(spark, dir) }
     time("q_domain_entropy") { queries.LlmOps.qDomainEntropy(spark, dir) }
+    time("q_centroid_margin") {
+      graft.ann.Centroids.centroidMargins(
+        graft.sources.Tables.table(spark, dir, "embeddings"), "label",
+        "embedding", "vec_id") }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

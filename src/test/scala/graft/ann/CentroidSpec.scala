@@ -122,4 +122,23 @@ class CentroidSpec extends SparkSpec {
       "a constant dimension reads zero variance — the dead-dim flag")
     assert(out(3L)._2 == 0.0 && out(3L)._3 == 0.0)
   }
+
+  test("centroid margins: separable plants read positive, the mislabeled vector flags") {
+    val df = Seq(
+      (1L, "a", Array(1.0f, 0.05f)), (2L, "a", Array(0.9f, 0.0f)),
+      (3L, "a", Array(1.0f, -0.05f)),
+      (4L, "b", Array(0.0f, 1.0f)), (5L, "b", Array(0.05f, 0.9f)),
+      (6L, "b", Array(-0.05f, 1.0f)),
+      (7L, "a", Array(0.0f, 1.0f))) // labeled a, sits in b's cluster
+      .toDF("vec_id", "label", "embedding")
+    val out = Centroids.centroidMargins(df, "label", "embedding", "vec_id")
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_vectors"),
+        r.getAs[Double]("mean_margin"), r.getAs[Long]("n_confused"))).toMap
+    assert(out("b")._3 == 0L, s"clean cluster must not confuse: ${out("b")}")
+    assert(out("b")._2 > 0.1, "separable cluster reads a healthy margin")
+    assert(out("a")._3 == 1L,
+      s"exactly the mislabeled vector is confused: ${out("a")}")
+    assert(out("a")._1 == 4L)
+  }
 }
