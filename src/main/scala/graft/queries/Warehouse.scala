@@ -1073,8 +1073,12 @@ object Warehouse {
     * decile = map-side cutoff count against the broadcast 2-row cutoff
     * frame) — the global-rank trap this round's twins removed never
     * enters; the only shuffles are the per-(user, period) aggregate
-    * and the user-keyed self-join of the two period frames. Ties share
-    * a decile (the C61b ±ε). Deterministic end-to-end → full oracle. */
+    * and the user-keyed self-join of the two period frames. The SAME
+    * user draw feeds both periods' samples deliberately: cutoff noise
+    * then CORRELATES across periods, so a stable spender can't migrate
+    * on sampling jitter alone (independent draws would add spurious
+    * off-diagonal mass). Ties share a decile (the C61b ±ε).
+    * Deterministic end-to-end → full oracle. */
   def qDecileMigration(spark: SparkSession, dir: String,
       sampleMod: Long = 4L, minSample: Int = 8): DataFrame = {
     import spark.implicits._
