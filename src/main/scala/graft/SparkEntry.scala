@@ -235,6 +235,7 @@ object SparkEntry {
     "q_oov_rate" -> ((s, dir) => LlmOps.qOovRate(s, dir)),
     "q_psi" -> ((s, dir) => Warehouse.qPsi(s, dir)),
     "q_readability" -> ((s, dir) => LlmOps.qReadability(s, dir)),
+    "q_push_plan" -> ((s, dir) => Etl.qPushPlan(s, dir)),
     "q_domain_entropy" -> ((s, dir) => LlmOps.qDomainEntropy(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
     "q_centroid_margin" -> ((s, dir) =>
@@ -3812,6 +3813,14 @@ object SparkEntry {
         |JOIN series b ON a.d = b.d + INTERVAL 1 DAY
         |JOIN series c ON a.d = c.d + INTERVAL 7 DAY
         |ORDER BY a.d""".stripMargin,
+    // B9: ceil-div batch/second plan, all integer
+    "q_push_plan" ->
+      """SELECT event_type AS kind, CAST(count(*) AS BIGINT) AS n_records,
+        |  (count(*) + 499) // 500 AS n_batches,
+        |  ((count(*) + 499) // 500 + 9) // 10 AS est_seconds,
+        |  CAST(sum(strlen(props)) AS BIGINT)
+        |    // ((count(*) + 499) // 500) AS avg_batch_bytes
+        |FROM events GROUP BY event_type ORDER BY kind""".stripMargin,
     // F35: identical regex/whitespace counts; DuckDB regexp parity for
     // the [.!?]+ and [aeiou]+ classes matches Java (F10 precedent)
     "q_readability" ->

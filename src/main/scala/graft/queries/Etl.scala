@@ -215,6 +215,30 @@ object Etl {
     Transform.batchStats(Transform.assignBatches(payloads, "accountId", maxRecords = 500))
   }
 
+  /** B9: PUSH PLAN — the pre-flight schedule estimate for an API sync
+    * (what ops asks before hitting run: how many requests, how long at
+    * the rate limit, how heavy per request): per event kind, records →
+    * ceil-div batches at the sink's 500-record cap, wall-second
+    * estimate at the token bucket's 10 req/s, mean payload bytes per
+    * batch from the props column. One aggregate of pure integer
+    * arithmetic — B4/B5's constants read as a PLAN instead of
+    * executed; the number a capacity review wants before the sink ever
+    * opens a connection. */
+  def qPushPlan(spark: SparkSession, dir: String,
+      batchSize: Long = 500L, reqPerSec: Long = 10L): DataFrame = {
+    Tables.table(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("props")).cast("long")).as("__bytes"))
+      .select(col("event_type").as("kind"), col("n_records"),
+        expr(s"(n_records + ${batchSize - 1}) DIV $batchSize").as("n_batches"),
+        expr(s"((n_records + ${batchSize - 1}) DIV $batchSize" +
+          s" + ${reqPerSec - 1}) DIV $reqPerSec").as("est_seconds"),
+        expr(s"__bytes DIV ((n_records + ${batchSize - 1}) DIV $batchSize)")
+          .as("avg_batch_bytes"))
+      .orderBy("kind")
+  }
+
   /** B6: schema/constraint validation — violation counts GENERATED from
     * each stream's declared record schema (StreamDef.recordSchema, Draft4
     * semantics via graft.target.Validation; the reference validates every

@@ -104,4 +104,17 @@ class EtlQuerySpec extends SparkSpec {
     assert(out(("documents", "text", "email"))._2 ==
       docs.filter(col("text").rlike(graft.text.Redact.emailRe)).count())
   }
+
+  test("push plan: ceil-div batch and schedule arithmetic, consistent with the corpus") {
+    val out = Etl.qPushPlan(spark, sfDir).collect()
+    val ev = graft.sources.Tables.table(spark, sfDir, "events")
+    assert(out.map(_.getAs[Long]("n_records")).sum == ev.count())
+    out.foreach { r =>
+      val (n, b, sec) = (r.getAs[Long]("n_records"), r.getAs[Long]("n_batches"),
+        r.getAs[Long]("est_seconds"))
+      assert(b == (n + 499) / 500, "ceil-div batches")
+      assert(sec == (b + 9) / 10, "ceil-div seconds at 10 req/s")
+      assert(r.getAs[Long]("avg_batch_bytes") > 0L)
+    }
+  }
 }
