@@ -250,6 +250,12 @@ object SparkEntry {
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label")),
+    "q_order_priority" -> ((s, dir) => Warehouse.qOrderPriority(s, dir)),
+    "q_top_customers" -> ((s, dir) => Warehouse.qTopCustomers(s, dir)),
+    "q_min_cost_supplier" -> ((s, dir) => Warehouse.qMinCostSupplier(s, dir)),
+    "q_custorder_dist" -> ((s, dir) => Warehouse.qCustOrderDist(s, dir)),
+    "q_linear_trend" -> ((s, dir) => Warehouse.qLinearTrend(s, dir)),
+    "q_holt" -> ((s, dir) => Warehouse.qHolt(s, dir)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
@@ -4347,5 +4353,112 @@ object SparkEntry {
         |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
         |      THEN 1 ELSE 0 END AS INTEGER) FROM p6)
         |ORDER BY rel, lhs, rhs""".stripMargin,
+    // C73: the EXISTS form of the left-semi + cross-side predicate
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // C74: integer-cents returned revenue, top 20 with custkey tiebreak
+    "q_top_customers" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |pc AS (
+        |  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |    CAST(count(*) AS BIGINT) AS n_return_items
+        |  FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, revenue_cents, n_return_items
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    // C75: min + join-back + min-suppkey-tie ≡ Spark's min(struct) argmin
+    "q_min_cost_supplier" ->
+      """WITH offer AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS best_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, min(best_cents) AS mc FROM offer GROUP BY 1),
+        |w AS (SELECT o.l_partkey AS p_partkey,
+        |        CAST(min(o.l_suppkey) AS BIGINT) AS sk, m.mc AS unit_cents
+        |      FROM offer o JOIN m ON o.l_partkey = m.l_partkey
+        |        AND o.best_cents = m.mc
+        |      GROUP BY o.l_partkey, m.mc)
+        |SELECT w.p_partkey, w.sk AS s_suppkey, s.s_name, w.unit_cents
+        |FROM w JOIN supplier s ON s.s_suppkey = w.sk
+        |ORDER BY p_partkey""".stripMargin,
+    // C77: zero-order customers arrive via the LEFT JOIN + coalesce
+    "q_custorder_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(n, 0) AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY n_orders DESC""".stripMargin,
+    // C83: HUGEINT power sums; floor-div spelled (a − pmod(a,b)) // b so
+    // negative slopes floor identically (after the pmod subtraction the
+    // dividend is exactly divisible — trunc == floor in every engine)
+    "q_linear_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |xy AS (
+        |  SELECT CAST(date_diff('day', (SELECT min(d) FROM series), d)
+        |    AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y FROM series),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy),
+        |t AS (SELECT n, 1000000 * (n * sxy - sx * sy) AS num,
+        |        n * sxx - sx * sx AS den,
+        |        1000 * (sy * sxx - sx * sxy) AS inum FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST((num - (((num % den) + den) % den)) // den AS BIGINT)
+        |    AS slope_ppm,
+        |  CAST((inum - (((inum % den) + den) % den)) // den AS BIGINT)
+        |    AS intercept_x1000
+        |FROM t""".stripMargin,
+    // C72: two-state recursive CTE; every halving spelled
+    // (x − pmod(x,2)) // 2 — the trend lane goes negative
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |i AS (SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |      FROM series),
+        |r AS (
+        |  SELECT d, y, i, CAST(1000 * y AS BIGINT) AS l,
+        |    CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS dev
+        |  FROM i WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.d, t.y, t.i,
+        |    ((1000 * t.y + r.l + r.b)
+        |      - ((((1000 * t.y + r.l + r.b) % 2) + 2) % 2)) // 2,
+        |    ((r.b + ((1000 * t.y + r.l + r.b)
+        |        - ((((1000 * t.y + r.l + r.b) % 2) + 2) % 2)) // 2 - r.l)
+        |      - (((((r.b + ((1000 * t.y + r.l + r.b)
+        |        - ((((1000 * t.y + r.l + r.b) % 2) + 2) % 2)) // 2 - r.l))
+        |        % 2) + 2) % 2)) // 2,
+        |    1000 * t.y - (r.l + r.b)
+        |  FROM i t JOIN r ON t.i = r.i + 1)
+        |SELECT d, y, l AS level_x1000, b AS trend_x1000, dev AS dev_x1000
+        |FROM r ORDER BY d""".stripMargin,
   )
 }

@@ -2404,6 +2404,183 @@ object Warehouse {
       .orderBy(kc :+ col("d"): _*)
   }
 
+  /** C73: late-shipment census per order priority — the TPC-H Q4 shape
+    * (EXISTS-correlated subquery) re-expressed as a LEFT SEMI join with a
+    * cross-side predicate: an order counts iff ANY of its line items
+    * shipped more than `lateDays` after the order date. The semi join
+    * short-circuits per order (no fan-out, no post-join dedup), lineitem
+    * projects to two columns before the exchange, and the final rollup is
+    * a 5-group aggregate — the shape survives 100 TB because the only
+    * corpus-sized exchange carries (orderkey, shipdate) pairs.
+    * Ref: sync.py:107's SELECT/WHERE surface (the warehouse side). */
+  def qOrderPriority(spark: SparkSession, dir: String, lateDays: Int = 30): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr(s"INTERVAL $lateDays DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** C74: returned-revenue top customers — the TPC-H Q10 shape (which
+    * customers returned the most value, the churn-risk/fraud review
+    * list). Revenue stays in integer cents (floor(x·100 + 0.5): the one
+    * round-half-up spelling both engines compute identically on the same
+    * double product), lineitem pre-filters on the R flag at the scan
+    * (PushedFilters), the per-customer rollup reduces BEFORE the
+    * customer/nation joins, nation broadcasts, and the top-k plans as
+    * TakeOrderedAndProject — k rows per partition then k at the driver,
+    * never a global sort. */
+  def qTopCustomers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+    val o = Tables.table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val perCust = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_return_items"))
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    perCust.join(c, perCust("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("revenue_cents"), col("n_return_items"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** C75: min-cost supplier per part — the TPC-H Q2 shape (correlated
+    * MIN subquery) as a windowless two-level aggregate: per (part,
+    * supplier) the best observed unit price in integer cents, then per
+    * part `min(struct(cents, suppkey))` — lexicographic struct-min is
+    * the argmin WITH a deterministic suppkey tiebreak in one
+    * HashAggregate, no Window, no join-back (the oracle states the
+    * equivalent min + join-back + min-tie form). Supplier attributes
+    * attach after the rollup, when the frame is |parts|-sized. */
+  def qMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+          .cast("long").as("unit_cents"))
+    val offer = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cents")).as("best_cents"))
+    val winner = offer.groupBy(col("l_partkey"))
+      .agg(min(struct(col("best_cents"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("w.l_suppkey").as("s_suppkey"), col("w.best_cents").as("unit_cents"))
+    winner
+      .join(Tables.table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        "s_suppkey")
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("unit_cents"))
+      .orderBy("p_partkey")
+  }
+
+  /** C77: customer order-count distribution — the TPC-H Q13 shape
+    * (including the ZERO-order customers a plain orders GROUP BY never
+    * sees): orders pre-aggregate to (custkey, n) BEFORE the customer
+    * left join (the exchange carries one row per ordering customer, not
+    * one per order), the no-order tail arrives via coalesce(n, 0), and
+    * the second aggregate is histogram-sized. The distribution is the
+    * capacity/segmentation readout behind "how concentrated is order
+    * volume per account". */
+  def qCustOrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+    Tables.table(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders").desc)
+  }
+
+  /** C83: least-squares linear trend of the daily event volume — the
+    * closed-form OLS slope/intercept on integer lanes (the significance
+    * companion of C45's changepoint and C66's backtest: "is the series
+    * growing, and by how much per day"). x is the day offset from the
+    * series start (broadcast scalar, no row_number), and the five power
+    * sums (n, Σx, Σy, Σxy, Σx²) accumulate as DECIMAL(38,0) so the
+    * ×1e6/×1e3 output lanes stay exact far past Long range (a 1e9-row/day
+    * corpus overflows BIGINT·1e6 — the C59 HUGEINT lesson). Floor
+    * division is spelled (a − pmod(a, b))/b on both engines: after the
+    * pmod subtraction the dividend is exactly divisible, so trunc-vs-floor
+    * engine differences on negative slopes cannot bite. One daily
+    * aggregate (C42's bounded-calendar contract) then one scalar row. */
+  def qLinearTrend(spark: SparkSession, dir: String): DataFrame =
+    linearTrendOf(dailyEventSeries(spark, dir))
+
+  /** C83 core over any gap-complete (d, y) series. */
+  def linearTrendOf(series: DataFrame): DataFrame = {
+    val lo = series.agg(min(col("d")).as("__lo"))
+    val xy = series.crossJoin(broadcast(lo))
+      .select(datediff(col("d"), col("__lo")).cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+    val sums = xy.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val num = expr("CAST(1000000 AS DECIMAL(38,0)) * (n * sxy - sx * sy)")
+    val den = expr("n * sxx - sx * sx")
+    val inum = expr("CAST(1000 AS DECIMAL(38,0)) * (sy * sxx - sx * sxy)")
+    sums.select(
+      col("n").cast("long").as("n_days"),
+      ((num - pmod(num, den)) / den).cast("long").as("slope_ppm"),
+      ((inum - pmod(inum, den)) / den).cast("long").as("intercept_x1000"))
+  }
+
+  /** C72: Holt double-exponential smoothing (level + trend) of the daily
+    * volume — what C64's EWMA cannot give a TRENDING series (flat
+    * smoothing lags a ramp forever; Holt's trend state closes that gap,
+    * and its one-step forecast l+b is the standard drift-aware alert
+    * baseline). α = β = 1/2 in integer ×1000 lanes, each halving spelled
+    * (x − pmod(x,2)) DIV 2 so the negative-trend path floors identically
+    * on both engines (trend and deviation lanes DO go negative — the C64
+    * always-positive shortcut does not transfer). Corpus-sized work is
+    * the one daily aggregation; the two-state fold runs over the bounded
+    * day array exactly like C64/C65, replayed by a recursive CTE. */
+  def qHolt(spark: SparkSession, dir: String): DataFrame =
+    holtOf(dailyEventSeries(spark, dir))
+
+  /** C72 core over any (d, y) series frame. State: l (level ×1000),
+    * b (trend ×1000); update l' = (1000y + l + b) div 2,
+    * b' = (b + l' − l) div 2, both exact-floor. */
+  def holtOf(series: DataFrame): DataFrame = {
+    val l2 = "(1000 * x.y + acc.l + acc.b) - pmod(1000 * x.y + acc.l + acc.b, 2)"
+    val lNew = s"CASE WHEN acc.l < 0 THEN 1000 * x.y ELSE ($l2) DIV 2 END"
+    val b2 = s"(acc.b + ($lNew) - acc.l) - pmod(acc.b + ($lNew) - acc.l, 2)"
+    val bNew = s"CASE WHEN acc.l < 0 THEN CAST(0 AS BIGINT) ELSE ($b2) DIV 2 END"
+    series
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      .select(explode(expr(
+        s"""aggregate(xs,
+           |  named_struct('l', CAST(-1 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    'out', CAST(array() AS
+           |      ARRAY<STRUCT<d: DATE, y: BIGINT, level_x1000: BIGINT,
+           |                   trend_x1000: BIGINT, dev_x1000: BIGINT>>)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', $bNew,
+           |    'out', concat(acc.out, array(named_struct(
+           |      'd', x.d, 'y', x.y,
+           |      'level_x1000', $lNew,
+           |      'trend_x1000', $bNew,
+           |      'dev_x1000', CASE WHEN acc.l < 0 THEN CAST(0 AS BIGINT)
+           |        ELSE 1000 * x.y - (acc.l + acc.b) END)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.y").as("y"),
+        col("r.level_x1000").as("level_x1000"),
+        col("r.trend_x1000").as("trend_x1000"),
+        col("r.dev_x1000").as("dev_x1000"))
+      .orderBy("d")
+  }
+
   /** C30: pre-flight join-size estimation — orders ⋈ lineitem sized from
     * two map-side KMV key sketches, never running the join (see
     * [[graft.engine.JoinEstimate]]). Deterministic (xxhash64), rows-only

@@ -406,6 +406,12 @@ object ScaleSmoke {
       graft.ann.Centroids.centroidMargins(
         graft.sources.Tables.table(spark, dir, "embeddings"), "label",
         "embedding", "vec_id") }
+    time("q_order_priority") { queries.Warehouse.qOrderPriority(spark, dir) }
+    time("q_top_customers") { queries.Warehouse.qTopCustomers(spark, dir) }
+    time("q_min_cost_supplier") { queries.Warehouse.qMinCostSupplier(spark, dir) }
+    time("q_custorder_dist") { queries.Warehouse.qCustOrderDist(spark, dir) }
+    time("q_linear_trend") { queries.Warehouse.qLinearTrend(spark, dir) }
+    time("q_holt") { queries.Warehouse.qHolt(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(
         graft.sources.Tables.table(spark, dir, "documents")

@@ -1449,4 +1449,127 @@ class WarehouseSpec extends SparkSpec {
       assert(r.getAs[Long]("s_neg_x1000") == sn, s"neg at $r")
     }
   }
+
+  test("order priority (C73): semi-join census equals the recomputed EXISTS set") {
+    val rows = Warehouse.qOrderPriority(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val o = graft.sources.Tables.table(spark, sfDir, "orders")
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+    // reference: distinct late orderkeys via the fan-out + dedup route
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late_orders") ==
+        late(r.getAs[String]("o_orderpriority")))
+    }
+  }
+
+  test("top customers (C74): descending cents, each row's revenue recomputes") {
+    val rows = Warehouse.qTopCustomers(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("revenue_cents"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length == rows.length)
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val o = graft.sources.Tables.table(spark, sfDir, "orders")
+    val expect = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+        + 0.5).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("revenue_cents") == expect(r.getAs[Long]("c_custkey"))))
+  }
+
+  test("min-cost supplier (C75): struct-min argmin == min + min-suppkey tiebreak") {
+    val rows = Warehouse.qMinCostSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length == rows.length,
+      "exactly one winner per part")
+    val offers = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5)
+          .cast("long").as("c"))
+      .groupBy("l_partkey", "l_suppkey").agg(min(col("c")).as("c"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        val best = rs.map(_.getLong(2)).min
+        p -> (best, rs.filter(_.getLong(2) == best).map(_.getLong(1)).min)
+      }
+    rows.foreach { r =>
+      val (cents, supp) = offers(r.getAs[Long]("p_partkey"))
+      assert(r.getAs[Long]("unit_cents") == cents)
+      assert(r.getAs[Long]("s_suppkey") == supp, "ties break to min suppkey")
+    }
+  }
+
+  test("customer order distribution (C77): masses add up, zero bucket counted") {
+    val rows = Warehouse.qCustOrderDist(spark, sfDir).collect()
+    val nCust = graft.sources.Tables.table(spark, sfDir, "customer").count()
+    val nOrd = graft.sources.Tables.table(spark, sfDir, "orders").count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    assert(rows.map(r =>
+      r.getAs[Long]("n_orders") * r.getAs[Long]("n_customers")).sum == nOrd)
+    val ordering = graft.sources.Tables.table(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    val zero = rows.find(_.getAs[Long]("n_orders") == 0L)
+      .map(_.getAs[Long]("n_customers")).getOrElse(0L)
+    assert(zero == nCust - ordering, "zero-order customers survive the left join")
+  }
+
+  test("linear trend (C83): exact on planted lines, incl. the negative-slope floor path") {
+    val up = Warehouse.linearTrendOf(
+      syntheticSeries((0 until 30).map(i => 7L + 5L * i))).collect().head
+    assert(up.getAs[Long]("n_days") == 30L)
+    assert(up.getAs[Long]("slope_ppm") == 5000000L)
+    assert(up.getAs[Long]("intercept_x1000") == 7000L)
+    val down = Warehouse.linearTrendOf(
+      syntheticSeries((0 until 30).map(i => 100L - 3L * i))).collect().head
+    assert(down.getAs[Long]("slope_ppm") == -3000000L)
+    assert(down.getAs[Long]("intercept_x1000") == 100000L)
+    // non-exact fit floors (not truncates): y = [0,0,1] has slope 1/2
+    // → floor(0.5e6·…) lanes; replay the closed form by hand
+    val frac = Warehouse.linearTrendOf(syntheticSeries(Seq(0L, 0L, 1L))).collect().head
+    // n=3, sx=3, sy=1, sxy=2, sxx=5 → num=1e6·(6−3)=3e6, den=15−9=6 → 500000
+    assert(frac.getAs[Long]("slope_ppm") == 500000L)
+    // inum=1000·(1·5−3·2)=−1000, den=6 → floor(−166.67) = −167
+    assert(frac.getAs[Long]("intercept_x1000") == -167L)
+    val real = Warehouse.qLinearTrend(spark, sfDir).collect()
+    assert(real.length == 1 && real.head.getAs[Long]("n_days") > 0)
+  }
+
+  test("holt (C72): scala replay of the two-state fold matches every lane") {
+    def replay(ys: Seq[Long]): Seq[(Long, Long, Long)] = {
+      var l = -1L; var b = 0L
+      ys.map { y =>
+        if (l < 0) { l = 1000 * y; b = 0; (l, b, 0L) }
+        else {
+          val dev = 1000 * y - (l + b)
+          val l2 = math.floorDiv(1000 * y + l + b, 2)
+          val b2 = math.floorDiv(b + l2 - l, 2)
+          l = l2; b = b2; (l, b, dev)
+        }
+      }
+    }
+    // a falling ramp drives the trend state NEGATIVE — the floor-div path
+    val ys = Seq(100L, 90L, 80L, 70L, 60L, 55L, 55L, 55L, 90L, 20L)
+    val rows = Warehouse.holtOf(syntheticSeries(ys)).collect()
+      .sortBy(_.getAs[java.sql.Date]("d").getTime)
+    val exp = replay(ys)
+    rows.zip(exp).foreach { case (r, (l, b, dev)) =>
+      assert(r.getAs[Long]("level_x1000") == l, s"level at $r")
+      assert(r.getAs[Long]("trend_x1000") == b, s"trend at $r")
+      assert(r.getAs[Long]("dev_x1000") == dev, s"dev at $r")
+    }
+    assert(exp.exists(_._2 < 0), "the plant must exercise a negative trend")
+    // constant series: level locks to 1000·y, trend 0, dev 0 after seed
+    val flat = Warehouse.holtOf(syntheticSeries(Seq.fill(8)(42L))).collect()
+    assert(flat.forall(_.getAs[Long]("level_x1000") == 42000L))
+    assert(flat.forall(_.getAs[Long]("trend_x1000") == 0L))
+  }
 }
