@@ -250,6 +250,9 @@ object SparkEntry {
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label")),
+    "q_key_candidates" -> ((s, dir) => Etl.qKeyCandidates(s, dir)),
+    "q_dedup_normalized" -> ((s, dir) => LlmOps.qDedupNormalized(s, dir)),
+    "q_ngram_coverage" -> ((s, dir) => LlmOps.qNgramCoverage(s, dir)),
     "q_order_priority" -> ((s, dir) => Warehouse.qOrderPriority(s, dir)),
     "q_top_customers" -> ((s, dir) => Warehouse.qTopCustomers(s, dir)),
     "q_min_cost_supplier" -> ((s, dir) => Warehouse.qMinCostSupplier(s, dir)),
@@ -4353,6 +4356,65 @@ object SparkEntry {
         |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
         |      THEN 1 ELSE 0 END AS INTEGER) FROM p6)
         |ORDER BY rel, lhs, rhs""".stripMargin,
+    // A21: per-column stats via scalar subqueries; the verdict column
+    // derives in the outer SELECT
+    "q_key_candidates" -> {
+      def one(c: String): String =
+        s"""SELECT '$c' AS column_name,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           |  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM orders) AS n_nulls,
+           |  (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM orders) AS n_distinct,
+           |  coalesce((SELECT CAST(max(c2) AS BIGINT) FROM (
+           |    SELECT count(*) AS c2 FROM orders WHERE $c IS NOT NULL
+           |    GROUP BY $c) t), CAST(0 AS BIGINT)) AS top_freq""".stripMargin
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      s"""WITH u AS (
+         |${cols.map(one).mkString("\n  UNION ALL\n")})
+         |SELECT column_name, n_rows, n_nulls, n_distinct, top_freq,
+         |  CAST(CASE WHEN n_nulls = 0 AND n_distinct = n_rows
+         |    THEN 1 ELSE 0 END AS INTEGER) AS is_key
+         |FROM u ORDER BY column_name""".stripMargin
+    },
+    // D26: raw vs normalized hash distincts from one scan
+    "q_dedup_normalized" ->
+      """WITH b AS (
+        |  SELECT source, md5(text) AS hr,
+        |    md5(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      '  +', ' ', 'g'))) AS hn
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT hr) AS BIGINT) AS ndr,
+        |        CAST(count(DISTINCT hn) AS BIGINT) AS ndn
+        |      FROM b GROUP BY source)
+        |SELECT source, n_docs, n_docs - ndr AS dup_raw,
+        |  n_docs - ndn AS dup_norm,
+        |  CAST((CAST(ndr - ndn AS HUGEINT) * 1000000) // n_docs AS BIGINT)
+        |    AS norm_only_ppm
+        |FROM r ORDER BY source""".stripMargin,
+    // F37: the F34 even/odd split at bigram granularity, distinct both
+    // legs before the probe join
+    "q_ngram_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM toks WHERE doc_id % 2 = 0),
+        |te AS (
+        |  SELECT DISTINCT lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM toks WHERE doc_id % 2 = 1),
+        |j AS (
+        |  SELECT te.lang, CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM te LEFT JOIN tr ON te.g = tr.g)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_test_bigrams,
+        |  CAST(sum(hit) AS BIGINT) AS n_covered,
+        |  CAST((CAST(sum(hit) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |    AS coverage_ppm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // C73: the EXISTS form of the left-semi + cross-side predicate
     "q_order_priority" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders

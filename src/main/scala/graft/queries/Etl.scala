@@ -273,6 +273,41 @@ object Etl {
       .orderBy("column_name")
   }
 
+  /** A21: REPLICATION-KEY candidate audit — the measurement behind the
+    * tap's key choices (tap-redshift must pick a primary key for
+    * FULL_TABLE dedup and a replication key for INCREMENTAL bookmarks;
+    * discovery reports what the warehouse DECLARES — this face measures
+    * what the data actually SUPPORTS): per column of the orders stream,
+    * exact distinct/null/top-frequency counts and an is_key verdict
+    * (zero nulls ∧ distinct == rows). One stack-unpivot then ONE
+    * (column, value) shuffle serves all three statistics simultaneously
+    * — vs qProfile's per-column count-distinct expand, this shape adds
+    * top_freq for free because the per-value counts are materialized
+    * anyway. Values compare as strings (cast is injective per column, so
+    * distinct/top counts are format-independent). At 100 TB the stacked
+    * exchange is |cols|× the table — the approx path swaps in the C33b
+    * per-column KMV sketches; this face is the exact gate-scale form.
+    * Ref: tap-redshift/src/discover.py (key_properties), sync.py:209
+    * (replication_key bookmark). */
+  def qKeyCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.table(spark, dir, "orders")
+    val cols = df.columns.toSeq
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val stacked = df.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column_name, v)")
+    stacked.groupBy(col("column_name"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("column_name"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("__c"))), lit(0L)).as("n_nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        coalesce(max(when(col("v").isNotNull, col("__c"))), lit(0L)).as("top_freq"))
+      .withColumn("is_key",
+        (col("n_nulls") === 0L && col("n_distinct") === col("n_rows")).cast("int"))
+      .orderBy("column_name")
+  }
+
   /** A20: catalog-wide PII incidence audit — F10's redaction patterns
     * lifted from one text column to EVERY string column of EVERY
     * warehouse table (the data-governance sweep run before granting

@@ -208,6 +208,69 @@ object LlmOps {
       .orderBy(col("source"))
   }
 
+  /** D26: NORMALIZATION-AWARE dedup rate — how much duplication hides
+    * behind trivial formatting variants (case, punctuation, whitespace)
+    * that byte-exact D1 cannot see: per source, the exact dup count on
+    * the RAW text hash vs the dup count on the F14-normalized hash, and
+    * the normalization-only ppm gap. The gap is the decision input for
+    * "do we dedup before or after normalization" (a web corpus where
+    * norm_only_ppm is large is syndicating with cosmetic edits — D2's
+    * near-dup machinery is overkill when F14 + D1 already closes it).
+    * Scale shape: both hash lanes project map-side from ONE text scan
+    * (16-byte md5 columns, text never shuffles), each distinct count is
+    * a two-level (source, hash) aggregate — no Expand doubling the
+    * corpus exchange for the two distincts — and the two |sources|-row
+    * legs join broadcast-sized. Ref: F14 normalize + D1 dedup composed;
+    * CCNet's normalize-then-dedup ordering (Wenzek et al. 2020 §2). */
+  def qDedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " "))
+    val base = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("hr"), md5(norm).as("hn"))
+    def leg(h: String, nd: String, withN: Boolean) = {
+      val g = base.groupBy(col("source"), col(h)).agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+      if (withN) g.agg(sum(col("__c")).as("n_docs"), count(lit(1)).as(nd))
+      else g.agg(count(lit(1)).as(nd))
+    }
+    leg("hr", "__ndr", withN = true).join(leg("hn", "__ndn", withN = false), "source")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("__ndr")).as("dup_raw"),
+        (col("n_docs") - col("__ndn")).as("dup_norm"))
+      // DECIMAL(38) ppm lane — the D21 overflow contract
+      .withColumn("norm_only_ppm", expr(
+        "CAST((CAST(dup_norm - dup_raw AS DECIMAL(38,0)) * 1000000) DIV n_docs AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  /** F37: n-gram COVERAGE — what fraction of held-out distinct bigrams
+    * the training half has seen (the LM-context companion of F34's
+    * token-level OOV: a corpus can cover 99% of test TOKENS yet miss
+    * most test CONTEXTS, and it's the bigram table F19's LM actually
+    * conditions on — uncovered bigrams are exactly where its Laplace
+    * smoothing kicks in). Same even/odd doc-id split as F34; per lang:
+    * distinct held-out bigrams, how many exist in the train bigram
+    * vocabulary, coverage ppm. Scale shape: both legs dedup BEFORE the
+    * join (the exchange carries distinct grams, not token mass), the
+    * probe is one hash join on the gram string, output is |langs| rows. */
+  def qNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").filter(col("text").isNotNull)
+    def grams(half: Int, extra: Seq[org.apache.spark.sql.Column]) =
+      docs.filter(pmod(col("doc_id"), lit(2)) === half)
+        .select(extra :+ explode(
+          graft.dedup.Dedup.ngramsFromTokens(split(col("text"), " "), 2)).as("g"): _*)
+        .distinct()
+    val train = grams(0, Nil).withColumn("__hit", lit(1L))
+    grams(1, Seq(col("lang"))).join(train, Seq("g"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test_bigrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_covered"))
+      .withColumn("coverage_ppm", expr(
+        "CAST((CAST(n_covered AS DECIMAL(38,0)) * 1000000) DIV n_test_bigrams AS BIGINT)"))
+      .orderBy(col("lang"))
+  }
+
   /** D20: SOURCE-OVERLAP map — which sources carry byte-identical
     * documents (the syndication/mirror structure D1 collapses silently
     * and curation needs to SEE: "source B is 40% copies of source A"

@@ -406,6 +406,9 @@ object ScaleSmoke {
       graft.ann.Centroids.centroidMargins(
         graft.sources.Tables.table(spark, dir, "embeddings"), "label",
         "embedding", "vec_id") }
+    time("q_key_candidates") { queries.Etl.qKeyCandidates(spark, dir) }
+    time("q_dedup_normalized") { queries.LlmOps.qDedupNormalized(spark, dir) }
+    time("q_ngram_coverage") { queries.LlmOps.qNgramCoverage(spark, dir) }
     time("q_order_priority") { queries.Warehouse.qOrderPriority(spark, dir) }
     time("q_top_customers") { queries.Warehouse.qTopCustomers(spark, dir) }
     time("q_min_cost_supplier") { queries.Warehouse.qMinCostSupplier(spark, dir) }

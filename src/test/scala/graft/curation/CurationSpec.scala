@@ -532,4 +532,31 @@ class CurationSpec extends SparkSpec {
     assert(graft.queries.LlmOps.qZipfFit(spark, dir2).collect()
       .head.getAs[Long]("n_terms") == 500L)
   }
+
+  test("ngram coverage (F37): planted bigram overlap per lang, short docs emit none") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", "en"),          // train: bigrams {a b, b c}
+      (2L, "d e", "de"),            // train: {d e}
+      (1L, "a b x", "en"),          // test en: {a b, b x} -> 1 of 2 covered
+      (3L, "d e", "de"),            // test de: {d e} -> covered
+      (5L, "z", "fr"))              // test fr: no bigrams -> lang absent
+      .map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("ngcov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qNgramCoverage(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_test_bigrams"), r.getAs[Long]("n_covered"),
+          r.getAs[Long]("coverage_ppm"))).toMap
+    assert(out("en") == ((2L, 1L, 500000L)), s"en: ${out("en")}")
+    assert(out("de") == ((1L, 1L, 1000000L)), s"de: ${out("de")}")
+    assert(!out.contains("fr"), "a test doc with no bigrams scores no lang row")
+    // real corpus: ppm bounded and consistent with its own counters
+    graft.queries.LlmOps.qNgramCoverage(spark, sfDir).collect().foreach { r =>
+      val (n, c, p) = (r.getAs[Long]("n_test_bigrams"), r.getAs[Long]("n_covered"),
+        r.getAs[Long]("coverage_ppm"))
+      assert(c >= 0L && c <= n && p == c * 1000000L / n)
+    }
+  }
 }

@@ -377,4 +377,31 @@ class DedupSpec extends SparkSpec {
       ("srcB", "srcC") -> 1L  // alpha
     ), s"got $out")
   }
+
+  test("normalized dedup (D26): cosmetic variants surface only in the norm lane") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!", "srcA"),  // raw-distinct from 2, norm-equal
+      (2L, "hello world", "srcA"),
+      (3L, "Hello, World!", "srcA"),  // byte-exact copy of 1
+      (4L, "first unrelated doc", "srcB"),
+      (5L, "second unrelated doc", "srcB"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("normdedup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.LlmOps.qDedupNormalized(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_raw"),
+          r.getAs[Long]("dup_norm"), r.getAs[Long]("norm_only_ppm"))).toMap
+    assert(out("srcA") == ((3L, 1L, 2L, 333333L)), s"srcA: ${out("srcA")}")
+    assert(out("srcB") == ((2L, 0L, 0L, 0L)), s"srcB: ${out("srcB")}")
+    // real corpus: the norm lane can only ever ADD duplication
+    graft.queries.LlmOps.qDedupNormalized(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("dup_norm") >= r.getAs[Long]("dup_raw"))
+      assert(r.getAs[Long]("norm_only_ppm") ==
+        (r.getAs[Long]("dup_norm") - r.getAs[Long]("dup_raw")) * 1000000L
+          / r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -117,4 +117,27 @@ class EtlQuerySpec extends SparkSpec {
       assert(r.getAs[Long]("avg_batch_bytes") > 0L)
     }
   }
+
+  test("key candidates (A21): every column's stats recompute, verdict consistent") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.table(spark, sfDir, "orders")
+    val out = graft.queries.Etl.qKeyCandidates(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("column_name")).toSet == orders.columns.toSet)
+    val n = orders.count()
+    out.foreach { r =>
+      val c = r.getAs[String]("column_name")
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == orders.filter(col(c).isNull).count())
+      assert(r.getAs[Long]("n_distinct") ==
+        orders.filter(col(c).isNotNull).select(c).distinct().count())
+      assert(r.getAs[Long]("top_freq") ==
+        orders.filter(col(c).isNotNull).groupBy(col(c)).count()
+          .agg(max("count")).first().getLong(0))
+      assert((r.getAs[Int]("is_key") == 1) ==
+        (r.getAs[Long]("n_nulls") == 0L && r.getAs[Long]("n_distinct") == n))
+    }
+    // the order key must actually be flagged as a key candidate
+    assert(out.find(_.getAs[String]("column_name") == "o_orderkey")
+      .get.getAs[Int]("is_key") == 1)
+  }
 }
