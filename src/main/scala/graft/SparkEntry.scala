@@ -250,6 +250,8 @@ object SparkEntry {
       graft.ann.Centroids.diversity(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label")),
+    "q_ann_int8" -> ((s, dir) => LlmOps.qAnnInt8(s, dir)),
+    "q_ann_int8_recall" -> ((s, dir) => LlmOps.qAnnInt8Recall(s, dir)),
     "q_key_candidates" -> ((s, dir) => Etl.qKeyCandidates(s, dir)),
     "q_dedup_normalized" -> ((s, dir) => LlmOps.qDedupNormalized(s, dir)),
     "q_ngram_coverage" -> ((s, dir) => LlmOps.qNgramCoverage(s, dir)),
@@ -4356,6 +4358,76 @@ object SparkEntry {
         |    CAST(CASE WHEN sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
         |      THEN 1 ELSE 0 END AS INTEGER) FROM p6)
         |ORDER BY rel, lhs, rhs""".stripMargin,
+    // E19: unit-norm fold parity (IEEE 0+y = y ⇒ left-fold ≡ list_reduce
+    // over squares); integer dot via list_dot_product on double-exact
+    // int lanes; rank replays the heap's (score DESC, id ASC) order
+    "q_ann_int8" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / nrm + 0.5)
+        |      AS BIGINT)) END AS q
+        |  FROM n),
+        |s AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(
+        |      list_transform(p.q, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score_i
+        |  FROM q8 p JOIN q8 c ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score_i,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_i DESC, neighbor_id) AS BIGINT) AS "rank"
+        |  FROM s)
+        |SELECT query_id, neighbor_id, "rank", score_i FROM r
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // E20: both legs replay in SQL — the recall itself is oracle-checked
+    "q_ann_int8_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / nrm + 0.5)
+        |      AS BIGINT)) END AS q
+        |  FROM n),
+        |i8 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY CAST(list_dot_product(
+        |          list_transform(p.q, x -> CAST(x AS DOUBLE)),
+        |          list_transform(c.q, x -> CAST(x AS DOUBLE))) AS BIGINT) DESC,
+        |        c.vec_id) AS r
+        |    FROM q8 p JOIN q8 c ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id) t
+        |  WHERE r <= 10),
+        |ex AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |          e.embedding::DOUBLE[]) DESC, e.vec_id) AS r
+        |    FROM embeddings q JOIN embeddings e
+        |      ON q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id) t
+        |  WHERE r <= 10),
+        |j AS (
+        |  SELECT ex.query_id,
+        |    CASE WHEN i8.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM ex LEFT JOIN i8 ON ex.query_id = i8.query_id
+        |    AND ex.neighbor_id = i8.neighbor_id)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(hit) AS BIGINT) AS n_overlap,
+        |  CAST((CAST(sum(hit) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |    AS recall_ppm
+        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin,
     // A21: per-column stats via scalar subqueries; the verdict column
     // derives in the outer SELECT
     "q_key_candidates" -> {

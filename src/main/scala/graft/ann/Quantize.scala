@@ -39,4 +39,24 @@ object Quantize {
   def dequantize(qCsv: Column, scaleX1e6: Column): Column =
     transform(split(qCsv, ","),
       s => s.cast("double") * lit(1e6) / scaleX1e6.cast("double"))
+
+  /** Unit-normalize then quantize at the FIXED scale 127 (E19's search
+    * lanes): q_i = floor(127·x_i/‖x‖ + 0.5) as array<bigint>. Unlike the
+    * per-vector adaptive scale above (best for STORAGE reconstruction),
+    * the fixed post-normalization scale makes the integer dot product
+    * Σ q_a·q_b a rank proxy for cosine — the shared scale cancels in
+    * ranking, so scores compare ACROSS corpus vectors. The norm fold is
+    * a left fold from 0.0 (bit-identical to the oracle's list_reduce
+    * over squares: IEEE 0+y = y), computed once per row in its own
+    * projection, not once per lane inside the transform lambda. */
+  def unitInt8(df: DataFrame, idCol: String, embCol: String,
+      out: String): DataFrame =
+    df.select(col(idCol), Ann.asDouble(col(embCol)).as("__v"))
+      .withColumn("__nrm",
+        sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+      .select(col(idCol),
+        when(col("__nrm") === 0.0, transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            x => floor(x * lit(127.0) / col("__nrm") + lit(0.5)).cast("long")))
+          .as(out))
 }

@@ -44,6 +44,12 @@ package object functions {
     ColumnBridge.column(expressions.CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Fused integer dot product over two array<bigint> columns — the int8
+    * exact-scan scoring kernel (see expressions.DotProductLong). */
+  def dotProductLong(a: Column, b: Column): Column =
+    ColumnBridge.column(expressions.DotProductLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** One-pass k-lane MinHash signature of an array<bigint> of shingle
     * hashes (see expressions.MinHashSignature). */
   def minhashSignature(hashes: Column, numHashes: Int): Column =

@@ -482,6 +482,55 @@ object LlmOps {
       "vec_id", "emb", k = 10)
       .orderBy("query_id", "rank")
 
+  /** E19: INT8-quantized brute-force top-k — the memory-bound exact-scan
+    * deployment shape (FAISS's SQ8 flat index): corpus vectors carry 64
+    * bytes of int8 lanes instead of 512 bytes of doubles — an 8× scan-side
+    * I/O cut that, unlike PQ (E8), needs no training and keeps per-lane
+    * resolution. Vectors unit-normalize THEN quantize at the fixed scale
+    * 127 (Quantize.unitInt8), so the integer dot product Σ q_a·q_b ranks
+    * like cosine (the shared scale cancels); scoring is pure integer
+    * arithmetic (SIMD-friendly on real hardware, exactly replayable by the
+    * oracle — no float ranking fragility), and the per-query top-k is the
+    * E1 bounded-heap aggregate (score DESC, id ASC), never a window.
+    * E20 prices the quantization loss against the float-exact E1. */
+  def qAnnInt8(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val corpus = graft.ann.Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
+    val probes = graft.ann.Quantize.unitInt8(
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
+      .withColumnRenamed("vec_id", "query_id")
+    val scored = corpus.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(
+        col("score_i").cast("double"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("nbr.sim").cast("long").as("score_i"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** E20: the int8 index-quality audit — per-query overlap@10 of E19's
+    * integer ranking vs E1's float-exact cosine top-10 (the E11 recall
+    * matrix extended to the quantized scan; unlike E11's [R] IVF/LSH
+    * legs, BOTH sides here replay in SQL, so the recall itself is
+    * oracle-checked end to end). Left join from the exact side so a
+    * zero-overlap query still reports its row. */
+  def qAnnInt8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val i8 = qAnnInt8(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    exact.join(i8, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr(
+        "CAST((CAST(n_overlap AS DECIMAL(38,0)) * 1000000) DIV n_exact AS BIGINT)"))
+      .orderBy("query_id")
+  }
+
   /** E2: LSH-bucketed approximate top-10 (multi-probe) over the memoized
     * bucket index. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =

@@ -406,6 +406,8 @@ object ScaleSmoke {
       graft.ann.Centroids.centroidMargins(
         graft.sources.Tables.table(spark, dir, "embeddings"), "label",
         "embedding", "vec_id") }
+    time("q_ann_int8") { queries.LlmOps.qAnnInt8(spark, dir) }
+    time("q_ann_int8_recall") { queries.LlmOps.qAnnInt8Recall(spark, dir) }
     time("q_key_candidates") { queries.Etl.qKeyCandidates(spark, dir) }
     time("q_dedup_normalized") { queries.LlmOps.qDedupNormalized(spark, dir) }
     time("q_ngram_coverage") { queries.LlmOps.qNgramCoverage(spark, dir) }

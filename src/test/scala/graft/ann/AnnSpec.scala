@@ -311,4 +311,38 @@ class AnnSpec extends SparkSpec {
     assert(postCounts.values.exists(_ < k),
       "corpus labels too uniform to demonstrate the pre/post separation")
   }
+
+  test("int8 search (E19): integer scores recompute, recall vs exact is high (E20)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.LlmOps.qAnnInt8(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val perQ = out.groupBy(_.getAs[Long]("query_id"))
+    perQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score_i"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "heap order is score-descending")
+    }
+    // recompute one pair's integer dot from the quantized lanes directly
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val q8 = graft.ann.Quantize.unitInt8(emb, "vec_id", "embedding", "q")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("q")).toMap
+    val probe = out.head
+    val dot = q8(probe.getAs[Long]("query_id"))
+      .zip(q8(probe.getAs[Long]("neighbor_id"))).map { case (a, b) => a * b }.sum
+    assert(probe.getAs[Long]("score_i") == dot, "integer dot recomputes")
+    // every quantized lane is a valid int8 value
+    q8.values.flatten.foreach(v => assert(v >= -127L && v <= 127L))
+    // E20: 64-dim int8 keeps overlap@10 high; floor deliberately loose —
+    // the oracle checks exact values, this pins the QUALITY contract
+    val rec = graft.queries.LlmOps.qAnnInt8Recall(spark, sfDir).collect()
+    assert(rec.forall(_.getAs[Long]("n_exact") == 10L))
+    val mean = rec.map(_.getAs[Long]("recall_ppm")).sum / rec.length
+    assert(mean >= 800000L, s"mean int8 recall@10 ppm = $mean")
+    rec.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_overlap") * 1000000L / r.getAs[Long]("n_exact"))
+    }
+  }
 }
