@@ -336,6 +336,46 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** A document arriving on the ingestion stream (G17). */
+  final case class IngestDoc(doc_id: Long, text: String, source: String)
+
+  /** A document the G17 gate admitted: the canonical first arrival of
+    * its content hash. */
+  final case class KeptDoc(doc_id: Long, content_hash: String, source: String)
+
+  /** G17: streaming EXACT-DEDUP GATE — the continuous face of D8's
+    * incremental ingestion dedup (drop any arriving doc whose content was
+    * already admitted, at any point in the stream's history). Keyed by
+    * content hash; state is ONE boolean per distinct admitted content —
+    * ~50 B/distinct doc, the same asymptotics as D8's accumulated hash
+    * corpus, carried by the state store instead of a parquet side table
+    * (at 100 TB: RocksDB state store, `useRocksDbState`). Within a batch
+    * the smallest doc_id wins (D1's keep-min rule, so replaying a batch
+    * is deterministic); across batches first arrival wins — exactly the
+    * semantics of running D8 once per micro-batch against everything
+    * admitted before it. Unlike `dedupStream` above (event-id dedup
+    * bounded to the watermark horizon, for at-least-once transport), this
+    * state is deliberately unbounded: content dedup that "forgets" old
+    * documents readmits every recrawl. Ref: dedup/Dedup.scala (D1/D8),
+    * reference sync.py's primary-key dedup on FULL_TABLE resync. */
+  def contentDedupStream(docs: Dataset[IngestDoc]): Dataset[KeptDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def update(hash: String, rows: Iterator[IngestDoc],
+        state: GroupState[Boolean]): Iterator[KeptDoc] =
+      if (state.exists) Iterator.empty
+      else {
+        state.update(true)
+        val first = rows.minBy(_.doc_id)
+        Iterator.single(KeptDoc(first.doc_id, hash, first.source))
+      }
+    docs.groupByKey(d => md5hex(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Stream-stream interval join: enrich the event stream with a second
     * stream (e.g. late-arriving entity metadata) on a key, accepting
     * matches within `intervalMinutes` of event time. Both sides are

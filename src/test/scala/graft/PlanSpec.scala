@@ -575,4 +575,58 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "FD checks are pure aggregations")
     assert(!plan.contains("Window"))
   }
+
+  // ---- registry-wide plan-contract sweep -------------------------------
+  // The per-face pins above check the shapes we KNOW are load-bearing;
+  // this sweep closes the other direction: NO registered query may grow a
+  // single-partition Window (the "Moving all data to a single partition"
+  // stall at scale) or a CartesianProduct without landing on the declared
+  // whitelist below. The walker descends into AQE-wrapped and subquery
+  // plans (AdaptiveSparkPlanExec hides its tree from children traversal —
+  // the first sweep version found ZERO windows for exactly that reason).
+  test("registry sweep: partitionless windows only where declared, zero cartesians") {
+    // why each face is ALLOWED its global window:
+    //   sort-bound exact baselines, each with an EXECUTED sampled-cutoff
+    //   twin registered (the C46b/C59b/C61b round-10 faces):
+    val exactBaselines = Set("q_gini", "q_lorenz_deciles", "q_rfm_segments")
+    //   windows over BOUNDED frames — calendar days, vocabulary terms,
+    //   histogram buckets, distinct price levels: the frame size is
+    //   data-DOMAIN-sized, independent of corpus row count, so a single
+    //   partition is the right plan at any SF:
+    val boundedFrames = Set(
+      "q_anomaly_days", "q_changepoint", "q_seasonal_decompose",
+      "q_peak_concurrency", "q_event_gaps", "q_cooccur_pmi",
+      "q_tokenize", "q_vocab", "q_zipf_fit", "q_skyline")
+    val allowed = exactBaselines ++ boundedFrames
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
+    val cartesians = scala.collection.mutable.ListBuffer.empty[String]
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val nodes = PlanSweep.allNodes(df.queryExecution.executedPlan)
+        val nw = nodes.count {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        }
+        if (nw > 0) offenders(name) = nw
+        if (nodes.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+          cartesians += name
+      } catch { case e: Throwable => failures += s"$name: ${e.getMessage}" }
+    }
+    assert(failures.isEmpty, s"queries failed to build: $failures")
+    val undeclared = offenders.keySet.diff(allowed)
+    assert(undeclared.isEmpty,
+      s"UNDECLARED single-partition windows in: $undeclared — register an " +
+        "approx twin (the C12b/C46b pattern) or move the window to a " +
+        "bounded frame, then declare it here with its reason")
+    val stale = allowed.diff(offenders.keySet)
+    assert(stale.isEmpty,
+      s"whitelist entries no longer carrying a global window: $stale — prune")
+    assert(cartesians.isEmpty, s"CartesianProduct in: $cartesians")
+  }
 }

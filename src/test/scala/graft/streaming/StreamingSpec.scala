@@ -737,4 +737,42 @@ class StreamingSpec extends SparkSpec {
         "stream must reproduce the exact integer EWMA recursion")
     } finally query.stop()
   }
+
+  test("streaming content-dedup gate (G17) mirrors D8's incremental semantics") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.IngestDoc]
+    val query = Events.contentDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("content_gate")
+      .outputMode("append").start()
+    def kept(): Set[Long] =
+      spark.table("content_gate").as[Events.KeptDoc].collect().map(_.doc_id).toSet
+    try {
+      // batch 1 = D8's accumulated corpus, with an in-batch dup (keep-min)
+      input.addData(
+        Events.IngestDoc(2L, "delta epsilon zeta", "s0"),
+        Events.IngestDoc(0L, "alpha beta gamma", "s0"),
+        Events.IngestDoc(6L, "alpha beta gamma", "s0"),  // in-batch dup of 0
+        Events.IngestDoc(4L, "eta theta iota", "s0"))
+      query.processAllAvailable()
+      assert(kept() == Set(0L, 2L, 4L), "in-batch dup resolves to min doc_id")
+      // batch 2 = D8's new batch: 1 and 5 duplicate admitted content,
+      // 3 and 7 are novel — the DedupSpec incremental plant, replayed
+      input.addData(
+        Events.IngestDoc(1L, "alpha beta gamma", "s1"),
+        Events.IngestDoc(3L, "fresh new content", "s1"),
+        Events.IngestDoc(5L, "eta theta iota", "s1"),
+        Events.IngestDoc(7L, "another novel doc", "s1"))
+      query.processAllAvailable()
+      assert(kept() == Set(0L, 2L, 4L, 3L, 7L),
+        "cross-batch dups drop; novel content admits — D8's exact kept set")
+      // the admitted hash equals the batch engine's md5 lane
+      val h = spark.table("content_gate").as[Events.KeptDoc].collect()
+        .find(_.doc_id == 0L).get.content_hash
+      val batchH = Seq(("alpha beta gamma")).toDF("text")
+        .select(org.apache.spark.sql.functions.md5($"text")).first().getString(0)
+      assert(h == batchH, "state key is the same md5 hex as batch D1/D8")
+    } finally query.stop()
+  }
 }
