@@ -251,6 +251,8 @@ object SparkEntry {
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label")),
     "q_ann_int8" -> ((s, dir) => LlmOps.qAnnInt8(s, dir)),
+    "q_ann_cascade" -> ((s, dir) => LlmOps.qAnnCascade(s, dir)),
+    "q_dedup_best" -> ((s, dir) => LlmOps.qDedupBest(s, dir)),
     "q_ann_int8_recall" -> ((s, dir) => LlmOps.qAnnInt8Recall(s, dir)),
     "q_key_candidates" -> ((s, dir) => Etl.qKeyCandidates(s, dir)),
     "q_dedup_normalized" -> ((s, dir) => LlmOps.qDedupNormalized(s, dir)),
@@ -4386,6 +4388,87 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, neighbor_id, "rank", score_i FROM r
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // E21: stage-1 int8 rank ≤ 100, float cosine re-rank of those only
+    "q_ann_cascade" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / nrm + 0.5)
+        |      AS BIGINT)) END AS q
+        |  FROM n),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY CAST(list_dot_product(
+        |          list_transform(p.q, x -> CAST(x AS DOUBLE)),
+        |          list_transform(c.q, x -> CAST(x AS DOUBLE))) AS BIGINT) DESC,
+        |        c.vec_id) AS r
+        |    FROM q8 p JOIN q8 c ON p.vec_id % 50 = 0 AND c.vec_id <> p.vec_id) t
+        |  WHERE r <= 100)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+        |        e.embedding::DOUBLE[]) DESC, cand.neighbor_id) AS BIGINT) AS "rank"
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |    JOIN embeddings e ON e.vec_id = cand.neighbor_id) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // D28: D4 pairs ≥ τ → D6 recursive components → F2 quality argmax
+    // (max + min-id-on-ties join-back ≡ Spark's min(struct(−q, id)))
+    "q_dedup_best" ->
+      """WITH RECURSIVE mut AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 20 = 0 THEN
+        |      concat_ws(CAST(doc_id // 100 AS VARCHAR) || ' ',
+        |          'alpha', 'bravo', 'charlie', 'delta', 'echo',
+        |          'foxtrot', 'golf', 'hotel', 'india', 'juliet')
+        |        || CAST(doc_id // 100 AS VARCHAR)
+        |        || repeat(' the', CAST((doc_id // 20) % 4 + 1 AS INT))
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(string_split(text, ' '))), i ->
+        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
+        |  FROM mut WHERE doc_id % 5 = 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0
+        |    ELSE (1000 * len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))))
+        |      // len(list_distinct(list_concat(a.grams, b.grams))) END) >= 700),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM mut),
+        |q AS (SELECT doc_id,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS qv
+        |      FROM f),
+        |j AS (SELECT comp.cluster_id, comp.id, q.qv
+        |      FROM comp JOIN q ON comp.id = q.doc_id),
+        |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |        max(qv) AS mq FROM j GROUP BY cluster_id)
+        |SELECT m.cluster_id, m.n_docs, CAST(min(j.id) AS BIGINT) AS survivor_id,
+        |  m.mq AS survivor_quality_x1000
+        |FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.qv = m.mq
+        |GROUP BY m.cluster_id, m.n_docs, m.mq
+        |ORDER BY m.cluster_id""".stripMargin,
     // E20: both legs replay in SQL — the recall itself is oracle-checked
     "q_ann_int8_recall" ->
       """WITH n AS (

@@ -105,7 +105,29 @@ object Buckets {
     * doesn't need to. */
   def gridSelfJoin(
       banded: DataFrame, keyCols: Seq[String], idCol: String,
-      chunkSize: Int): DataFrame = {
+      chunkSize: Int): DataFrame =
+    gridSelfJoinPayload(banded, keyCols, idCol, Nil, chunkSize)
+
+  /** [[gridSelfJoin]] carrying payload columns (e.g. gram arrays) on the
+    * pair output as `<name>_a`/`<name>_b` — for operators that FILTER or
+    * score every in-block pair (exact Jaccard ≥ τ).
+    *
+    * The scale contract this exists for: a payload consumed per PAIR must
+    * never ride a per-pair exchange. Joining ids first and the payload
+    * back per pair sorts Σ B²/2 rows × payload width — at the 100× smoke
+    * that is 1.25B pairs × ~430 B gram arrays ≈ 500 GB of sort spill (it
+    * filled the disk). Here the payload rides the grid join's LEGS: a doc
+    * appears once per cell it meets (~nChunks/2 rows each side, i.e.
+    * pairs/chunkSize rows total — 3 orders of magnitude fewer), the
+    * cell-keyed exchange carries ~130 MB, and each cell's B²-pair stream
+    * is scored/filtered INSIDE the join's output pipeline (one codegen
+    * stage, no pair-wide shuffle ever exists). The caller's filter on
+    * `<name>_a`/`<name>_b` composes there before any downstream exchange.
+    * Payloads follow their id through the least/greatest normalization
+    * (a cross-chunk cell can present either order). */
+  def gridSelfJoinPayload(
+      banded: DataFrame, keyCols: Seq[String], idCol: String,
+      payloadCols: Seq[String], chunkSize: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
     val keys = keyCols.map(col)
     val stats = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
@@ -116,19 +138,23 @@ object Buckets {
     val l = annotated
       .withColumn("__cell_j", explode(sequence(col("__chunk"), col("__nchunks") - 1)))
       .select(keys ++ Seq(col("__chunk").as("__cell_i"), col("__cell_j"),
-        col(idCol).as("__id_l")): _*)
+        col(idCol).as("__id_l")) ++ payloadCols.map(c => col(c).as(s"__l_$c")): _*)
     val r = annotated
       .withColumn("__cell_i", explode(sequence(lit(0), col("__chunk"))))
       .select(keyCols.map(c => col(c).as(s"__r_$c")) ++
         Seq(col("__cell_i").as("__r_cell_i"), col("__chunk").as("__r_cell_j"),
-          col(idCol).as("__id_r")): _*)
+          col(idCol).as("__id_r")) ++ payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+    val swap = col("__id_l") < col("__id_r")
     l.join(r,
         keyCols.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
           col("__cell_i") === col("__r_cell_i") &&
           col("__cell_j") === col("__r_cell_j") &&
           (col("__cell_i") =!= col("__cell_j") || col("__id_l") < col("__id_r")) &&
           col("__id_l") =!= col("__id_r"))
-      .select(least(col("__id_l"), col("__id_r")).as("id_a"),
-        greatest(col("__id_l"), col("__id_r")).as("id_b"))
+      .select(Seq(least(col("__id_l"), col("__id_r")).as("id_a"),
+        greatest(col("__id_l"), col("__id_r")).as("id_b")) ++
+        payloadCols.flatMap(c => Seq(
+          when(swap, col(s"__l_$c")).otherwise(col(s"__r_$c")).as(s"${c}_a"),
+          when(swap, col(s"__r_$c")).otherwise(col(s"__l_$c")).as(s"${c}_b"))): _*)
   }
 }

@@ -104,17 +104,15 @@ object LlmOps {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
         Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
-    // grams verify via per-doc join-backs: carrying the wide bigram arrays
-    // per-PAIR through the candidate distinct is the exchange-bloat pattern
-    // measured 3x slower on SimHash at 50x (see Buckets.cappedSelfJoin doc)
-    val pairs = graft.dedup.Buckets.gridSelfJoin(
-      docs.select(col("source"), col("doc_id")),
-      Seq("source"), "doc_id", chunkSize = 4096)
-    pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+    // grams ride the grid join's legs (once per CELL — pairs/chunkSize
+    // rows), never a per-pair exchange: the earlier id-first + join-back
+    // shape re-sorted every pair with its arrays the moment a consumer
+    // actually evaluated the Jaccard column (500 GB of spill at the 100×
+    // smoke; the count-only smoke had hidden it by pruning the arrays)
+    graft.dedup.Buckets.gridSelfJoinPayload(
+        docs, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
       .select(col("id_a"), col("id_b"),
-        graft.functions.longSetJaccardSorted(col("g_a"), col("g_b")).as("jaccard_x1000"))
+        graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b")).as("jaccard_x1000"))
       .orderBy("id_a", "id_b")
   }
 
@@ -269,6 +267,68 @@ object LlmOps {
       .withColumn("coverage_ppm", expr(
         "CAST((CAST(n_covered AS DECIMAL(38,0)) * 1000000) DIV n_test_bigrams AS BIGINT)"))
       .orderBy(col("lang"))
+  }
+
+  /** D28's corpus with deterministic planted near-dup groups (the
+    * ruleEnriched/qTemplateClusters pattern — the provided corpus'
+    * sampled blocks peak at Jaccard 0.096, so without plants the
+    * survivorship face would be trivially empty and prove nothing):
+    * every doc_id % 20 == 0 doc (all share src0 — the grid join blocks
+    * on source) becomes a per-(doc_id DIV 100) group rendition: shared
+    * base words (J ≥ 0.9 within a group, ~0 across), plus 1–4 trailing
+    * " the" repeats so F2's word count — and with it the quality score —
+    * RISES away from the min id: keep-min and keep-best provably
+    * disagree. Replayed verbatim in the oracle SQL. */
+  private def survivorshipCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(20)) === 0,
+          concat(
+            expr("""concat_ws(CAST(doc_id DIV 100 AS STRING) || ' ',
+              'alpha', 'bravo', 'charlie', 'delta', 'echo',
+              'foxtrot', 'golf', 'hotel', 'india', 'juliet')"""),
+            expr("CAST(doc_id DIV 100 AS STRING)"),
+            expr("repeat(' the', CAST(pmod(doc_id DIV 20, 4) + 1 AS INT))")))
+          .otherwise(col("text")))
+
+  /** D28: QUALITY SURVIVORSHIP — near-dup clusters keep the BEST copy,
+    * not the first: D6b's keep-min-id rule is the right default for
+    * byte-identical content, but near-dup clusters contain genuinely
+    * DIFFERENT renditions (clean vs boilerplate-wrapped, full vs
+    * truncated), and min-id keeps whichever crawled first. Survivorship
+    * = argmax F2 quality score per cluster, doc_id-asc on ties — the
+    * MDM "survivorship rule" applied to corpus curation. Composes three
+    * proven faces end to end: D4's exact same-block Jaccard pairs
+    * (≥ τ=0.7), D6's connected components, F2's integer quality lane;
+    * the per-cluster argmax is one `min(struct(−q, id))` HashAggregate
+    * (the C75 windowless pattern). Everything replays in SQL — the
+    * composed pipeline, not just its stages, is oracle-checked. */
+  def qDedupBest(spark: SparkSession, dir: String, tauX1000: Long = 700L): DataFrame = {
+    val docs = survivorshipCorpus(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("source"),
+        Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
+    // grams ride the grid join's LEGS (once per cell, ~pairs/chunkSize
+    // rows), and the τ filter runs inside the join's output pipeline —
+    // the id-first + join-back shape sorted pairs × arrays and filled
+    // the disk at 100× (see gridSelfJoinPayload's scale contract)
+    val pairs = graft.dedup.Buckets.gridSelfJoinPayload(
+        docs, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
+      .filter(graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b")) >= tauX1000)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+    val quality = graft.text.TextAnalysis.qualityScore(
+        survivorshipCorpus(spark, dir), "text")
+      .select(col("doc_id").as("id"), col("quality_x1000"))
+    comp.join(quality, "id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("quality_x1000")).as("nq"), col("id").as("sid"))).as("w"))
+      .select(col("cluster_id"), col("n_docs"), col("w.sid").as("survivor_id"),
+        (-col("w.nq")).as("survivor_quality_x1000"))
+      .orderBy("cluster_id")
   }
 
   /** D20: SOURCE-OVERLAP map — which sources carry byte-identical
@@ -529,6 +589,37 @@ object LlmOps {
       .withColumn("recall_ppm", expr(
         "CAST((CAST(n_overlap AS DECIMAL(38,0)) * 1000000) DIV n_exact AS BIGINT)"))
       .orderBy("query_id")
+  }
+
+  /** E21: two-stage CASCADE retrieval — the standard deployment pairing
+    * of E19 and E1: a cheap int8 integer scan selects `kCand` candidates
+    * per query, then float cosine rescores ONLY those to the final
+    * top-k. At 100 TB the economics are stage-1's: the corpus-sized scan
+    * reads 8× fewer bytes and does integer math; stage 2 touches
+    * kCand·|queries| vectors — corpus-size-independent. Recall loss
+    * requires a true top-k neighbor to fall outside the int8 top-kCand
+    * (k=10 into kCand=100 — AnnSpec pins the near-exact agreement), and
+    * unlike IVF/PQ cascades BOTH stages replay in SQL: the cascade is
+    * oracle-checked end to end. */
+  def qAnnCascade(spark: SparkSession, dir: String, kCand: Int = 100,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val stage1 = qAnnInt8(spark, dir, kCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+    val rescored = stage1
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        Ann.asDouble(col("embedding")).as("nvec")), "neighbor_id")
+      .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.cosineSim(col("qvec"), col("nvec")).as("sim"))
+    rescored.groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
   }
 
   /** E2: LSH-bucketed approximate top-10 (multi-probe) over the memoized

@@ -98,7 +98,12 @@ object ScaleSmoke {
     time("q_token_count") { queries.LlmOps.qTokenCount(spark, dir) }
     time("q_anti_join") { queries.Warehouse.qAntiJoin(spark, dir) }
     time("q_batch_assign") { queries.Etl.qBatchAssign(spark, dir) }
-    time("q_ngram_jaccard") { queries.LlmOps.qNgramJaccard(spark, dir) }
+    // aggregate the jaccard column so the smoke times the actual per-pair
+    // set intersections — a bare count() column-prunes the jaccard (and
+    // with it the gram arrays), which hid a 500 GB pair×array sort in the
+    // pre-payload-leg shape for three rounds (19.6s "fast" vs 130s real)
+    time("q_ngram_jaccard") { queries.LlmOps.qNgramJaccard(spark, dir)
+      .agg(sum(col("jaccard_x1000")).as("s"), count(lit(1)).as("n")) }
     // clusters over the amplified corpus' cosine pairs — enough pairs to
     // force the DISTRIBUTED min-label path (driver threshold 0), proving
     // the fixpoint converges beyond union-find scale
@@ -408,6 +413,8 @@ object ScaleSmoke {
         "embedding", "vec_id") }
     time("q_ann_int8") { queries.LlmOps.qAnnInt8(spark, dir) }
     time("q_ann_int8_recall") { queries.LlmOps.qAnnInt8Recall(spark, dir) }
+    time("q_ann_cascade") { queries.LlmOps.qAnnCascade(spark, dir) }
+    time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
     time("q_key_candidates") { queries.Etl.qKeyCandidates(spark, dir) }
     time("q_dedup_normalized") { queries.LlmOps.qDedupNormalized(spark, dir) }
     time("q_ngram_coverage") { queries.LlmOps.qNgramCoverage(spark, dir) }

