@@ -263,7 +263,67 @@ object SparkEntry {
     "q_custorder_dist" -> ((s, dir) => Warehouse.qCustOrderDist(s, dir)),
     "q_linear_trend" -> ((s, dir) => Warehouse.qLinearTrend(s, dir)),
     "q_holt" -> ((s, dir) => Warehouse.qHolt(s, dir)),
+    "q_dedup_best_lsh" -> ((s, dir) => LlmOps.qDedupBestLsh(s, dir)),
+    "q_volume_shipping" -> ((s, dir) => Warehouse.qVolumeShipping(s, dir)),
+    "q_market_share" -> ((s, dir) => Warehouse.qMarketShare(s, dir)),
+    "q_product_profit" -> ((s, dir) => Warehouse.qProductProfit(s, dir)),
+    "q_revenue_concentration" -> ((s, dir) => Warehouse.qRevenueConcentration(s, dir)),
+    "q_top_supplier" -> ((s, dir) => Warehouse.qTopSupplier(s, dir)),
+    "q_small_qty_revenue" -> ((s, dir) => Warehouse.qSmallQtyRevenue(s, dir)),
+    "q_laggard_suppliers" -> ((s, dir) => Warehouse.qLaggardSuppliers(s, dir)),
+    "q_idle_customers" -> ((s, dir) => Warehouse.qIdleCustomers(s, dir)),
   )
+
+  /** D28 + D28b shared oracle: mutation + pairs + recursive reach +
+    * argmax join-back replay (the composed survivorship pipeline). */
+  private val dedupBestSql: String =
+      """WITH RECURSIVE mut AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 20 = 0 THEN
+        |      concat_ws(CAST(doc_id // 100 AS VARCHAR) || ' ',
+        |          'alpha', 'bravo', 'charlie', 'delta', 'echo',
+        |          'foxtrot', 'golf', 'hotel', 'india', 'juliet')
+        |        || CAST(doc_id // 100 AS VARCHAR)
+        |        || repeat(' the', CAST((doc_id // 20) % 4 + 1 AS INT))
+        |    ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(string_split(text, ' '))), i ->
+        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
+        |  FROM mut WHERE doc_id % 5 = 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0
+        |    ELSE (1000 * len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))))
+        |      // len(list_distinct(list_concat(a.grams, b.grams))) END) >= 700),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM mut),
+        |q AS (SELECT doc_id,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS qv
+        |      FROM f),
+        |j AS (SELECT comp.cluster_id, comp.id, q.qv
+        |      FROM comp JOIN q ON comp.id = q.doc_id),
+        |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |        max(qv) AS mq FROM j GROUP BY cluster_id)
+        |SELECT m.cluster_id, m.n_docs, CAST(min(j.id) AS BIGINT) AS survivor_id,
+        |  m.mq AS survivor_quality_x1000
+        |FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.qv = m.mq
+        |GROUP BY m.cluster_id, m.n_docs, m.mq
+        |ORDER BY m.cluster_id""".stripMargin
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
   def oracleSql: Map[String, String] = Map(
@@ -4421,54 +4481,12 @@ object SparkEntry {
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
     // D28: D4 pairs ≥ τ → D6 recursive components → F2 quality argmax
     // (max + min-id-on-ties join-back ≡ Spark's min(struct(−q, id)))
-    "q_dedup_best" ->
-      """WITH RECURSIVE mut AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 20 = 0 THEN
-        |      concat_ws(CAST(doc_id // 100 AS VARCHAR) || ' ',
-        |          'alpha', 'bravo', 'charlie', 'delta', 'echo',
-        |          'foxtrot', 'golf', 'hotel', 'india', 'juliet')
-        |        || CAST(doc_id // 100 AS VARCHAR)
-        |        || repeat(' the', CAST((doc_id // 20) % 4 + 1 AS INT))
-        |    ELSE text END AS text
-        |  FROM documents WHERE text IS NOT NULL),
-        |d AS (
-        |  SELECT doc_id, source,
-        |    list_transform(range(1, len(string_split(text, ' '))), i ->
-        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
-        |  FROM mut WHERE doc_id % 5 = 0),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE (CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0 THEN 0
-        |    ELSE (1000 * len(list_intersect(list_distinct(a.grams), list_distinct(b.grams))))
-        |      // len(list_distinct(list_concat(a.grams, b.grams))) END) >= 700),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
-        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-        |f AS (
-        |  SELECT doc_id,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
-        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
-        |  FROM mut),
-        |q AS (SELECT doc_id,
-        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS qv
-        |      FROM f),
-        |j AS (SELECT comp.cluster_id, comp.id, q.qv
-        |      FROM comp JOIN q ON comp.id = q.doc_id),
-        |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
-        |        max(qv) AS mq FROM j GROUP BY cluster_id)
-        |SELECT m.cluster_id, m.n_docs, CAST(min(j.id) AS BIGINT) AS survivor_id,
-        |  m.mq AS survivor_quality_x1000
-        |FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.qv = m.mq
-        |GROUP BY m.cluster_id, m.n_docs, m.mq
-        |ORDER BY m.cluster_id""".stripMargin,
+    "q_dedup_best" -> dedupBestSql,
+    // D28b: the LSH-candidate twin is gated against D28's OWN semantics —
+    // at sf0.01 the banded candidate set provably covers every τ-pair
+    // (plants J≥0.9 escape all 16 bands with p≈4e-8; organic same-source
+    // pairs peak far below τ), the C12b regime-bounded-oracle precedent
+    "q_dedup_best_lsh" -> dedupBestSql,
     // E20: both legs replay in SQL — the recall itself is oracle-checked
     "q_ann_int8_recall" ->
       """WITH n AS (
@@ -4677,5 +4695,144 @@ object SparkEntry {
         |  FROM i t JOIN r ON t.i = r.i + 1)
         |SELECT d, y, l AS level_x1000, b AS trend_x1000, dev AS dev_x1000
         |FROM r ORDER BY d""".stripMargin,
+    // C78: Q7 shape — directed nation trade lanes per ship year
+    "q_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // C79: Q8 shape — supplier-nation share of each customer-region-year
+    "q_market_share" ->
+      """WITH rev AS (
+        |  SELECT cn.n_regionkey AS cust_regionkey,
+        |    CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |    sn.n_name AS supp_nation,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT cust_regionkey, ship_year, CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM rev GROUP BY 1, 2)
+        |SELECT rev.cust_regionkey, rev.ship_year, rev.supp_nation,
+        |  rev.cents AS revenue_cents,
+        |  CAST((CAST(rev.cents AS HUGEINT) * 1000000) // tot.total_cents
+        |    AS BIGINT) AS share_ppm
+        |FROM rev JOIN tot USING (cust_regionkey, ship_year)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // C80: Q9 shape — profit per supplier nation/year with the declared
+    // 60%-of-retail unit-cost proxy (no partsupp in this schema)
+    "q_product_profit" ->
+      """SELECT sn.n_name AS supp_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)
+        |    - CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // C81: Q11 shape — parts above a ppm threshold of global revenue
+    "q_revenue_concentration" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents FROM pp)
+        |SELECT p_partkey, revenue_cents,
+        |  CAST((CAST(revenue_cents AS HUGEINT) * 1000000) // total_cents
+        |    AS BIGINT) AS share_ppm
+        |FROM pp, tot
+        |WHERE (CAST(revenue_cents AS HUGEINT) * 1000000) // total_cents
+        |  >= 500
+        |ORDER BY share_ppm DESC, p_partkey""".stripMargin,
+    // C82: Q15 shape — max-revenue supplier per quarter (min-suppkey tie)
+    "q_top_supplier" ->
+      """WITH ps AS (
+        |  SELECT CAST(year(l_shipdate) * 10 + quarter(l_shipdate) AS BIGINT)
+        |      AS year_q,
+        |    l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT year_q, max(revenue_cents) AS best FROM ps GROUP BY 1),
+        |w AS (
+        |  SELECT ps.year_q, CAST(min(ps.l_suppkey) AS BIGINT) AS s_suppkey,
+        |    mx.best AS revenue_cents
+        |  FROM ps JOIN mx ON ps.year_q = mx.year_q
+        |    AND ps.revenue_cents = mx.best
+        |  GROUP BY ps.year_q, mx.best)
+        |SELECT w.year_q, w.s_suppkey, s.s_name, w.revenue_cents
+        |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        |ORDER BY w.year_q""".stripMargin,
+    // C84: Q17 shape — sub-half-average-quantity revenue per brand, with
+    // the correlated AVG as exact integer math (2·qty·n < Σqty)
+    "q_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |pp AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(sum(li.cents) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_small_items
+        |FROM li JOIN pp USING (l_partkey)
+        |JOIN part ON li.l_partkey = p_partkey
+        |WHERE li.qty * pp.n * 2 < pp.sum_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C85: Q21 shape — late supplier on a finalized order where every
+    // OTHER supplier shipped on time (EXISTS / NOT EXISTS pair)
+    "q_laggard_suppliers" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name,
+        |  count(*) AS n_waiting_orders
+        |FROM f c JOIN supplier ON c.l_suppkey = s_suppkey
+        |WHERE c.late = 1
+        |  AND EXISTS (SELECT 1 FROM f o WHERE o.l_orderkey = c.l_orderkey
+        |    AND o.l_suppkey <> c.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM f o WHERE o.l_orderkey = c.l_orderkey
+        |    AND o.l_suppkey <> c.l_suppkey AND o.late = 1)
+        |GROUP BY 1, 2
+        |ORDER BY n_waiting_orders DESC, s_suppkey""".stripMargin,
+    // C86: Q22 shape — above-average positive balance, zero orders,
+    // rolled up per market segment (integer bal·n > Σbal compare)
+    "q_idle_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |avp AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_bal, count(*) AS n_bal
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+        |FROM c, avp
+        |WHERE bal_cents * n_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-08-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -318,6 +318,14 @@ object LlmOps {
         docs, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
       .filter(graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b")) >= tauX1000)
       .select(col("id_a"), col("id_b"))
+    survivorshipFromPairs(spark, dir, pairs)
+  }
+
+  /** D28's tail, pair-source-agnostic: components over the near-dup pairs,
+    * F2 quality joined per member, per-cluster argmax via one windowless
+    * `min(struct(−q, id))` HashAggregate (the C75 pattern). */
+  private def survivorshipFromPairs(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val comp = Dedup.connectedComponents(pairs)
     val quality = graft.text.TextAnalysis.qualityScore(
         survivorshipCorpus(spark, dir), "text")
@@ -329,6 +337,38 @@ object LlmOps {
       .select(col("cluster_id"), col("n_docs"), col("w.sid").as("survivor_id"),
         (-col("w.nq")).as("survivor_quality_x1000"))
       .orderBy("cluster_id")
+  }
+
+  /** D28b: the survivorship face on MINHASH-LSH candidate pairs — the
+    * registered 100 TB plan for D28. D28's pair stage is the exact grid
+    * self-join: every same-source pair pays a Jaccard evaluation, Σ B²/2
+    * work that is the right CONTRACT for an oracle-exact face but the
+    * wrong COST at corpus scale (the 100× smoke's clone-saturated blocks
+    * evaluate 1.25B pairs). Here candidates come from D2's banded MinHash
+    * (b=16, r=4: a J=0.9 pair escapes all 16 bands with p≈4e-8), the
+    * banded candidates pay the SAME exact hashed-bigram Jaccard ≥ τ
+    * verify, cross-source candidates are dropped to match D28's
+    * same-source block contract, and the D28 tail (components → F2
+    * argmax) is shared code. Recall loss needs a true τ-pair missed by
+    * every band — at sf0.01 that regime is empty (plants sit at J≥0.9,
+    * organic same-source pairs peak far below τ), so the face is
+    * oracle-checked against D28's OWN SQL in exactly the regime the
+    * driver gates on (the C12b regime-bounded-oracle precedent). */
+  def qDedupBestLsh(spark: SparkSession, dir: String, tauX1000: Long = 700L): DataFrame = {
+    val corpus = survivorshipCorpus(spark, dir).filter(col("doc_id") % 5 === 0)
+    val candidates = MinHashLsh.nearDupPairs(
+      corpus, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = tauX1000)
+      .select(col("id_a"), col("id_b"))
+    // D28 blocks on source: drop the (rare) cross-source band collisions
+    // with two 8-byte-key joins — never a text or gram-array exchange
+    val src = corpus.select(col("doc_id"), col("source"))
+    val pairs = candidates
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__src_b")), "id_b")
+      .filter(col("__src_a") === col("__src_b"))
+      .select(col("id_a"), col("id_b"))
+    survivorshipFromPairs(spark, dir, pairs)
   }
 
   /** D20: SOURCE-OVERLAP map — which sources carry byte-identical

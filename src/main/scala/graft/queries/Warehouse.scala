@@ -2598,4 +2598,235 @@ object Warehouse {
     graft.engine.JoinEstimate.estimateEquiJoinSkewAware(
       ev, "user_id", ev, "user_id", k = 8192, kHH = 256)
   }
+
+  /** Shared C78/C79 enrichment: lineitem revenue (integer cents) tagged
+    * with supplier nation, customer nation/region, and ship year. The
+    * join ORDER is the scale story: the tiny supplier→nation chain
+    * broadcasts onto the fact scan first; the fact then pre-aggregates
+    * per (custkey, supp_nation, year) BEFORE meeting the (big) customer
+    * dim, so the only corpus-sized exchange carries the pre-reduced
+    * frame, never one row per line item. */
+  private def shipRevenueByNations(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val s = Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+    val o = Tables.table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pre = li
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("supp_nation"), col("ship_year"))
+      .agg(sum(col("cents")).as("cents"))
+    val c = Tables.table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    pre.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey"),
+        col("n_name").as("cust_nation"), col("n_regionkey").as("cust_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("supp_nation"), col("cust_nation"), col("cust_regionkey"),
+        col("ship_year"), col("cents"))
+  }
+
+  /** C78: cross-nation shipping volume — the TPC-H Q7 shape generalized
+    * from one fixed nation pair to ALL directed (supplier nation →
+    * customer nation) trade lanes per ship year. Revenue in integer
+    * cents; output bounded at |nations|²·|years|. See
+    * [[shipRevenueByNations]] for why the plan pre-reduces before the
+    * customer join. Ref: sync.py:107 (the warehouse SELECT surface). */
+  def qVolumeShipping(spark: SparkSession, dir: String): DataFrame =
+    shipRevenueByNations(spark, dir)
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+
+  /** C79: supplier-nation market share inside each customer REGION per
+    * year — the TPC-H Q8 shape generalized from one target nation to the
+    * full share matrix: share_ppm of a region-year's revenue supplied by
+    * each supplier nation. Windowless: the pair-level and region-year
+    * totals are two aggregates of the SAME pre-reduced frame joined at
+    * |regions·years| size; DECIMAL(38) guards cents·1e6. */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = shipRevenueByNations(spark, dir)
+      .groupBy(col("cust_regionkey"), col("ship_year"), col("supp_nation"))
+      .agg(sum(col("cents")).as("cents"))
+    val tot = rev.groupBy(col("cust_regionkey"), col("ship_year"))
+      .agg(sum(col("cents")).as("total_cents"))
+    rev.join(tot, Seq("cust_regionkey", "ship_year"))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) DIV total_cents AS BIGINT)"))
+      .select(col("cust_regionkey"), col("ship_year"), col("supp_nation"),
+        col("cents").as("revenue_cents"), col("share_ppm"))
+      .orderBy("cust_regionkey", "ship_year", "supp_nation")
+  }
+
+  /** C80: product-line profit per supplier nation and year — the TPC-H
+    * Q9 shape with the one schema adaptation this corpus needs: there is
+    * no partsupp, so unit supply cost is the declared 60%-of-retail
+    * proxy, fixed in integer cents on BOTH engines (`floor(p_retailprice
+    * * 60 + 0.5)`), and profit = revenue_cents − cost_cents·qty. Parts
+    * pre-filter on the name token at the scan; the filtered part dim
+    * broadcasts; supplier→nation broadcasts; one corpus-sized exchange
+    * for the (nation, year) rollup. */
+  def qProductProfit(spark: SparkSession, dir: String, nameToken: String = "widget"): DataFrame = {
+    val p = Tables.table(spark, dir, "part")
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 60 + 0.5).cast("long").as("cost_cents"))
+    val s = Tables.table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("rev_cents"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("supp_nation"), col("ship_year"))
+      .agg(sum(col("rev_cents") - col("cost_cents") * col("qty")).as("profit_cents"))
+      .orderBy("supp_nation", "ship_year")
+  }
+
+  /** C81: revenue concentration — the TPC-H Q11 HAVING-against-a-global-
+    * scalar shape (sans partsupp: revenue value, not stock value): parts
+    * whose lifetime revenue exceeds `thresholdPpm` of GLOBAL revenue.
+    * Per-part rollup first (one fact-sized exchange), the global total
+    * is a one-row broadcast cross join — the scalar never forces a
+    * single-partition window — and the ppm compare runs map-side in
+    * DECIMAL(38). */
+  def qRevenueConcentration(spark: SparkSession, dir: String, thresholdPpm: Long = 500L): DataFrame = {
+    val perPart = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("revenue_cents"))
+    val total = perPart.agg(sum(col("revenue_cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 1000000) DIV total_cents AS BIGINT)"))
+      .filter(col("share_ppm") >= thresholdPpm)
+      .select(col("l_partkey").as("p_partkey"), col("revenue_cents"), col("share_ppm"))
+      .orderBy(col("share_ppm").desc, col("p_partkey"))
+  }
+
+  /** C82: top supplier per quarter — the TPC-H Q15 shape (max-revenue
+    * supplier via a revenue view) generalized to every quarter, with the
+    * correlated MAX expressed as the C75 windowless argmin:
+    * `min(struct(−revenue, suppkey))` per quarter is the max-revenue
+    * supplier with a deterministic suppkey tiebreak in one
+    * |quarters|-group HashAggregate — no Window, no join-back. */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.table(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        (year(col("l_shipdate")) * 10 + quarter(col("l_shipdate")))
+          .cast("long").as("year_q"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .groupBy(col("year_q"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    perSupp.groupBy(col("year_q"))
+      .agg(min(struct((-col("revenue_cents")).as("neg"), col("l_suppkey").as("sk"))).as("w"))
+      .select(col("year_q"), col("w.sk").as("s_suppkey"),
+        (-col("w.neg")).as("revenue_cents"))
+      .join(broadcast(Tables.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+      .select(col("year_q"), col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy("year_q")
+  }
+
+  /** C84: small-quantity-order revenue per brand — the TPC-H Q17 shape
+    * (lineitems below a fraction of their part's average quantity: the
+    * "would consolidating small orders matter" read). The correlated AVG
+    * is the aggregate-join-reuse shape: per-part (Σqty, n) aggregates
+    * once, joins back to the fact on partkey, and the sub-half-average
+    * predicate is EXACT integer math — `2·n·qty < Σqty` — never a
+    * float average on either engine. Brand attaches after the filter. */
+  def qSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qty") * col("n") * 2 < col("sum_qty"))
+      .join(broadcast(Tables.table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_small_items"))
+      .orderBy("p_brand")
+  }
+
+  /** C85: sole-laggard suppliers — the TPC-H Q21 shape (EXISTS another
+    * supplier on the order / NOT EXISTS another LATE supplier) on this
+    * schema's late-shipment predicate (C73's shipdate − orderdate >
+    * 30d, orders already finalized = status 'F'). The correlated pair is
+    * two self-joins of the SAME per-(order, supplier) aggregate — a
+    * left-semi for "someone else shipped too" and a left-anti for
+    * "nobody else was late" — all three frames keyed on orderkey, so the
+    * exchange is planned once and reused; nothing order-wide ever
+    * fans out. */
+  def qLaggardSuppliers(spark: SparkSession, dir: String, lateDays: Int = 30): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val f = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAY")).cast("int")).as("late"))
+    val cand = f.filter(col("late") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = f.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+      col("late").as("lt"))
+    cand
+      .join(others, col("l_orderkey") === col("ok") &&
+        col("l_suppkey") =!= col("sk"), "left_semi")
+      .join(others.filter(col("lt") === 1),
+        col("l_orderkey") === col("ok") && col("l_suppkey") =!= col("sk"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .join(broadcast(Tables.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+      .orderBy(col("n_waiting_orders").desc, col("s_suppkey"))
+  }
+
+  /** C86: dormant high-balance customers per segment — the TPC-H Q22
+    * shape (above-average positive balance, zero orders) with the
+    * market segment standing in for the phone country code this schema
+    * doesn't have. The global positive-balance average is a one-row
+    * broadcast (integer-cents compare against `bal·n > Σbal`, exact on
+    * both engines); dormancy — no orders on or after `sinceDate` (every
+    * customer in this corpus HAS historical orders, so Q22's literal
+    * never-ordered set is empty; recency is the real churn question) —
+    * is a left-anti join against the date-pruned orders scan; output is
+    * |segments| rows. */
+  def qIdleCustomers(spark: SparkSession, dir: String,
+      sinceDate: String = "2000-08-01"): DataFrame = {
+    val c = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+    val avgPos = c.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_bal"), count(lit(1)).as("n_bal"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("n_bal") > col("sum_bal"))
+      .join(Tables.table(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -415,6 +415,15 @@ object ScaleSmoke {
     time("q_ann_int8_recall") { queries.LlmOps.qAnnInt8Recall(spark, dir) }
     time("q_ann_cascade") { queries.LlmOps.qAnnCascade(spark, dir) }
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
+    time("q_dedup_best_lsh") { queries.LlmOps.qDedupBestLsh(spark, dir) }
+    time("q_volume_shipping") { queries.Warehouse.qVolumeShipping(spark, dir) }
+    time("q_market_share") { queries.Warehouse.qMarketShare(spark, dir) }
+    time("q_product_profit") { queries.Warehouse.qProductProfit(spark, dir) }
+    time("q_revenue_concentration") { queries.Warehouse.qRevenueConcentration(spark, dir) }
+    time("q_top_supplier") { queries.Warehouse.qTopSupplier(spark, dir) }
+    time("q_small_qty_revenue") { queries.Warehouse.qSmallQtyRevenue(spark, dir) }
+    time("q_laggard_suppliers") { queries.Warehouse.qLaggardSuppliers(spark, dir) }
+    time("q_idle_customers") { queries.Warehouse.qIdleCustomers(spark, dir) }
     time("q_key_candidates") { queries.Etl.qKeyCandidates(spark, dir) }
     time("q_dedup_normalized") { queries.LlmOps.qDedupNormalized(spark, dir) }
     time("q_ngram_coverage") { queries.LlmOps.qNgramCoverage(spark, dir) }

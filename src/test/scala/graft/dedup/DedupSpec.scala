@@ -430,4 +430,18 @@ class DedupSpec extends SparkSpec {
       assert(sid >= cid && sid < cid + 100, s"survivor $sid outside cluster $cid")
     }
   }
+
+  test("survivorship via LSH (D28b): banded candidates reproduce the exact face") {
+    // at this corpus the LSH recall regime is exact: plants sit at J>=0.9
+    // (16 bands of 4 rows miss such a pair with p~4e-8) and organic
+    // same-source pairs peak far below tau — so the twin must EQUAL the
+    // grid-exact face row for row, survivors and qualities included
+    val exact = graft.queries.LlmOps.qDedupBest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val lsh = graft.queries.LlmOps.qDedupBestLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(lsh.nonEmpty)
+    assert(lsh.toSeq == exact.toSeq,
+      s"LSH survivorship diverged: lsh=${lsh.toSeq} exact=${exact.toSeq}")
+  }
 }

@@ -1572,4 +1572,183 @@ class WarehouseSpec extends SparkSpec {
     assert(flat.forall(_.getAs[Long]("level_x1000") == 42000L))
     assert(flat.forall(_.getAs[Long]("trend_x1000") == 0L))
   }
+
+  test("volume shipping (C78): lanes match the flat-join recompute, no self-lanes") {
+    val rows = Warehouse.qVolumeShipping(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation")))
+    val t = graft.sources.Tables
+    val li = t.table(spark, sfDir, "lineitem")
+    val o = t.table(spark, sfDir, "orders")
+    val c = t.table(spark, sfDir, "customer")
+    val sN = t.table(spark, sfDir, "supplier")
+      .join(t.table(spark, sfDir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("sn"))
+    val cN = t.table(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cn"))
+    val flat = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(cN, col("c_nationkey") === col("ck"))
+      .join(sN, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("sn") =!= col("cn"))
+      .groupBy(col("sn"), col("cn"), year(col("l_shipdate")).cast("long").as("y"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+        + 0.5).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(rows.length == flat.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),
+        r.getAs[Long]("ship_year"))
+      assert(r.getAs[Long]("revenue_cents") == flat(k), s"lane $k")
+    }
+  }
+
+  test("market share (C79): shares are the floored ppm of the region-year total") {
+    val rows = Warehouse.qMarketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(r =>
+      (r.getAs[Number]("cust_regionkey").longValue(), r.getAs[Long]("ship_year")))
+    byGroup.foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Long]("revenue_cents")).sum
+      rs.foreach { r =>
+        val expect = (BigInt(r.getAs[Long]("revenue_cents")) * 1000000 / total).toLong
+        assert(r.getAs[Long]("share_ppm") == expect)
+      }
+      // floored shares can only round DOWN: the group never exceeds 1e6
+      assert(rs.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+    }
+  }
+
+  test("product profit (C80): the 60%-of-retail proxy recomputes per nation-year") {
+    val rows = Warehouse.qProductProfit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val t = graft.sources.Tables
+    val flat = t.table(spark, sfDir, "lineitem")
+      .join(t.table(spark, sfDir, "part").filter(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.table(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t.table(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("y"))
+      .agg(sum(
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long")
+        - floor(col("p_retailprice") * 60 + 0.5).cast("long")
+          * floor(col("l_quantity")).cast("long")).as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.length == flat.size)
+    rows.foreach(r => assert(r.getAs[Long]("profit_cents") ==
+      flat((r.getAs[String]("supp_nation"), r.getAs[Long]("ship_year")))))
+  }
+
+  test("revenue concentration (C81): exactly the parts at/above the ppm threshold") {
+    val rows = Warehouse.qRevenueConcentration(spark, sfDir).collect()
+    val perPart = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+        + 0.5).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = perPart.values.map(BigInt(_)).sum
+    val expect = perPart.collect {
+      case (pk, c) if BigInt(c) * 1000000 / total >= 500 =>
+        pk -> (c, (BigInt(c) * 1000000 / total).toLong)
+    }
+    assert(rows.length == expect.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, ppm) = expect(r.getAs[Long]("p_partkey"))
+      assert(r.getAs[Long]("revenue_cents") == c)
+      assert(r.getAs[Long]("share_ppm") == ppm)
+    }
+    val ppms = rows.map(_.getAs[Long]("share_ppm"))
+    assert(ppms.zip(ppms.tail).forall { case (a, b) => a >= b }, "sorted desc")
+  }
+
+  test("top supplier (C82): per-quarter max revenue, ties to min suppkey") {
+    val rows = Warehouse.qTopSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("year_q")).distinct.length == rows.length)
+    val per = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .groupBy((year(col("l_shipdate")) * 10 + quarter(col("l_shipdate")))
+        .cast("long").as("q"), col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+        + 0.5).cast("long")).as("c"))
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val rs = per(r.getAs[Long]("year_q"))
+      val best = rs.map(_.getLong(2)).max
+      assert(r.getAs[Long]("revenue_cents") == best)
+      assert(r.getAs[Long]("s_suppkey") ==
+        rs.filter(_.getLong(2) == best).map(r2 => r2.getLong(1)).min)
+    }
+  }
+
+  test("small-quantity revenue (C84): integer sub-half-average predicate recomputes") {
+    val rows = Warehouse.qSmallQtyRevenue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stats = li.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.map(_._2).sum, xs.length.toLong) }
+    val brand = graft.sources.Tables.table(spark, sfDir, "part")
+      .collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val expect = li.filter { case (p, q, _) =>
+      val (sq, n) = stats(p); q * n * 2 < sq }
+      .groupBy(x => brand(x._1))
+      .map { case (b, xs) => b -> (xs.map(_._3).sum, xs.length.toLong) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (c, n) = expect(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("revenue_cents") == c)
+      assert(r.getAs[Long]("n_small_items") == n)
+    }
+  }
+
+  test("laggard suppliers (C85): sole-late-supplier census recomputes") {
+    val rows = Warehouse.qLaggardSuppliers(spark, sfDir).collect()
+    val t = graft.sources.Tables
+    val f = t.table(spark, sfDir, "lineitem")
+      .join(t.table(spark, sfDir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .cast("int")).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byOrder = f.groupBy(_._1)
+    val expect = f.filter { case (ok, sk, late) =>
+      late == 1 &&
+        byOrder(ok).exists(x => x._2 != sk) &&
+        !byOrder(ok).exists(x => x._2 != sk && x._3 == 1)
+    }.groupBy(_._2).map { case (sk, xs) => sk -> xs.length.toLong }
+    assert(rows.length == expect.size)
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_waiting_orders") == expect(r.getAs[Long]("s_suppkey"))))
+    val ns = rows.map(_.getAs[Long]("n_waiting_orders"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "sorted desc")
+  }
+
+  test("idle customers (C86): above-average balance, dormant since cutoff") {
+    val rows = Warehouse.qIdleCustomers(spark, sfDir).collect()
+    val cust = graft.sources.Tables.table(spark, sfDir, "customer")
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
+        math.floor(r.getAs[Double]("c_acctbal") * 100 + 0.5).toLong))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (sumBal, nBal) = (pos.sum, pos.length.toLong)
+    val active = graft.sources.Tables.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expect = cust.filter { case (ck, _, bal) =>
+      bal * nBal > sumBal && !active(ck) }
+      .groupBy(_._2).map { case (seg, xs) =>
+        seg -> (xs.length.toLong, xs.map(_._3).sum) }
+    assert(rows.nonEmpty && rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, tot) = expect(r.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Long]("n_customers") == n)
+      assert(r.getAs[Long]("total_bal_cents") == tot)
+    }
+  }
 }
