@@ -272,6 +272,10 @@ object SparkEntry {
     "q_small_qty_revenue" -> ((s, dir) => Warehouse.qSmallQtyRevenue(s, dir)),
     "q_laggard_suppliers" -> ((s, dir) => Warehouse.qLaggardSuppliers(s, dir)),
     "q_idle_customers" -> ((s, dir) => Warehouse.qIdleCustomers(s, dir)),
+    "q_pca" -> ((s, dir) => ann.Pca.varianceSpectrum(
+      sources.Tables.table(s, dir, "embeddings"), "embedding", 16)),
+    "q_pca_project" -> ((s, dir) => ann.Pca.project(
+      sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 2)),
   )
 
   /** D28 + D28b shared oracle: mutation + pairs + recursive reach +

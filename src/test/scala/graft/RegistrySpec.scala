@@ -23,7 +23,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_ann_recall", "q_sketch_calibration",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility",
-      "q_active_users_trailing_approx", "q_stickiness_approx"),
+      "q_active_users_trailing_approx", "q_stickiness_approx",
+      // E22/E22b: eigen-decomposition has no DuckDB analog; the spectrum
+      // and projection lanes are driver-replayed in PcaSpec instead
+      "q_pca", "q_pca_project"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

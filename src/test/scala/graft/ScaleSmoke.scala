@@ -416,6 +416,10 @@ object ScaleSmoke {
     time("q_ann_cascade") { queries.LlmOps.qAnnCascade(spark, dir) }
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
     time("q_dedup_best_lsh") { queries.LlmOps.qDedupBestLsh(spark, dir) }
+    time("q_pca") { ann.Pca.varianceSpectrum(
+      graft.sources.Tables.table(spark, dir, "embeddings"), "embedding", 16) }
+    time("q_pca_project") { ann.Pca.project(
+      graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", 2) }
     time("q_volume_shipping") { queries.Warehouse.qVolumeShipping(spark, dir) }
     time("q_market_share") { queries.Warehouse.qMarketShare(spark, dir) }
     time("q_product_profit") { queries.Warehouse.qProductProfit(spark, dir) }
