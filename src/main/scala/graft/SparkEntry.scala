@@ -272,6 +272,10 @@ object SparkEntry {
     "q_small_qty_revenue" -> ((s, dir) => Warehouse.qSmallQtyRevenue(s, dir)),
     "q_laggard_suppliers" -> ((s, dir) => Warehouse.qLaggardSuppliers(s, dir)),
     "q_idle_customers" -> ((s, dir) => Warehouse.qIdleCustomers(s, dir)),
+    "q_promo_revenue" -> ((s, dir) => Warehouse.qPromoRevenue(s, dir)),
+    "q_supplier_diversity" -> ((s, dir) => Warehouse.qSupplierDiversity(s, dir)),
+    "q_disjunctive_revenue" -> ((s, dir) => Warehouse.qDisjunctiveRevenue(s, dir)),
+    "q_majority_supplier" -> ((s, dir) => Warehouse.qMajoritySupplier(s, dir)),
     "q_pca" -> ((s, dir) => ann.Pca.varianceSpectrum(
       sources.Tables.table(s, dir, "embeddings"), "embedding", 16)),
     "q_pca_project" -> ((s, dir) => ann.Pca.project(
@@ -4838,5 +4842,81 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-08-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C87: Q14 shape — promo-type share of monthly revenue in exact ppm
+    "q_promo_revenue" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |    AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |      CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |        AS BIGINT) ELSE 0 END) AS HUGEINT) * 1000000)
+        |    // sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C88: Q16 shape — distinct suppliers per part attribute, excluding
+    // one brand and the derived high-late-rate supplier set
+    "q_supplier_diversity" ->
+      """WITH bad AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1
+        |  HAVING sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |      THEN 1 ELSE 0 END) * 1000000 > count(*) * 520000)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // C89: Q19 shape — OR of three brand/size/quantity conjunctions,
+    // mutually exclusive by brand, one conditional-tag pass
+    "q_disjunctive_revenue" ->
+      """WITH f AS (
+        |  SELECT CASE
+        |      WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |        AND floor(l_quantity) BETWEEN 1 AND 11 THEN 1
+        |      WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |        AND floor(l_quantity) BETWEEN 10 AND 20 THEN 2
+        |      ELSE 3 END AS branch,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |      AND floor(l_quantity) BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |      AND floor(l_quantity) BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 50
+        |      AND floor(l_quantity) BETWEEN 20 AND 30))
+        |SELECT CAST(branch AS BIGINT) AS branch, count(*) AS n_items,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C90: Q20 shape — suppliers shipping a dominant share (>= 12%) of a
+    // token-family part's total quantity (exact integer ppm compare)
+    "q_majority_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+        |  FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name AS nation,
+        |  count(*) AS n_dominated_parts,
+        |  CAST(sum(ps.qty) AS BIGINT) AS qty_shipped
+        |FROM ps
+        |JOIN tot ON ps.l_partkey = tot.l_partkey
+        |JOIN supplier ON ps.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE ps.qty * 1000000 >= tot.total_qty * 120000
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin,
   )
 }

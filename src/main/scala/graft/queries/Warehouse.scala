@@ -2829,4 +2829,138 @@ object Warehouse {
       .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("total_bal_cents"))
       .orderBy("c_mktsegment")
   }
+
+  /** C87: promo revenue share per ship month — the TPC-H Q14 shape
+    * (conditional-aggregation share: what fraction of a period's revenue
+    * came from promotional part types). ONE pass over the fact: the part
+    * dim broadcasts its 1-bit promo flag onto the scan, both the
+    * conditional and total cents reduce in the same HashAggregate keyed
+    * on |months| groups, and the ppm divide is exact DECIMAL(38) — no
+    * second scan, no join-back, no window. At a scale where part stops
+    * being broadcastable the flag join shuffles on partkey but the
+    * per-month rollup stays the only fact-sized exchange.
+    * Ref: sync.py:107 (the warehouse SELECT surface). */
+  def qPromoRevenue(spark: SparkSession, dir: String,
+      promoType: String = "PROMO"): DataFrame = {
+    val p = Tables.table(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_type") === promoType).cast("long").as("is_promo"))
+    Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ship_month"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(sum(when(col("is_promo") === 1, col("cents")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("promo_ppm", expr(
+        "CAST((CAST(promo_cents AS DECIMAL(38,0)) * 1000000) DIV total_cents AS BIGINT)"))
+      .orderBy("ship_month")
+  }
+
+  /** C88: supplier diversity per part attribute — the TPC-H Q16 shape
+    * (how many distinct suppliers can ship each (brand, type, size)
+    * combination, excluding one brand and a derived bad-supplier set).
+    * Q16's complaint NOT IN is re-derived from this schema's own data:
+    * suppliers whose late-shipment rate (C73's shipdate − orderdate >
+    * `lateDays`, exact integer ppm) exceeds `maxLatePpm` are excluded
+    * via left-anti. The distinct count shuffles once on the attribute
+    * key with suppkey distinct-folded map-side; output is bounded by
+    * |brand×type×size| ≤ |part| regardless of fact size. */
+  def qSupplierDiversity(spark: SparkSession, dir: String,
+      excludeBrand: String = "Brand#1", maxSize: Int = 25,
+      lateDays: Int = 30, maxLatePpm: Long = 520000L): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val badSupp = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAY")).cast("long"))
+          .as("n_late"),
+        count(lit(1)).as("n"))
+      .filter(col("n_late") * 1000000L > col("n") * maxLatePpm)
+      .select(col("l_suppkey").as("bad_suppkey"))
+    val p = Tables.table(spark, dir, "part")
+      .filter(col("p_brand") =!= excludeBrand && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** C89: disjunctive-predicate revenue — the TPC-H Q19 shape (an OR of
+    * three (brand, size-range, quantity-range) conjunctions). The whole
+    * disjunction evaluates on the broadcast-joined frame in one pass;
+    * the part-side conjuncts (brand, size) also reach the part SCAN as
+    * an Or pushdown so the dim read is pruned before the join. Branches
+    * are mutually exclusive by brand, so each qualifying line tags
+    * exactly one branch and the output is 3 rows of (n_items, cents). */
+  def qDisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.table(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("cents"))
+    def branch(brand: String, sizeHi: Int, qtyLo: Long, qtyHi: Long): Column =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("qty").between(qtyLo, qtyHi)
+    val b1 = branch("Brand#12", 15, 1L, 11L)
+    val b2 = branch("Brand#23", 25, 10L, 20L)
+    val b3 = branch("Brand#5", 50, 20L, 30L)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .select(when(b1, 1L).when(b2, 2L).otherwise(3L).as("branch"), col("cents"))
+      .groupBy(col("branch"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("branch")
+  }
+
+  /** C90: dominant suppliers of a part family — the TPC-H Q20 shape
+    * (the supplier semi-join chain: who is positioned to own supply of
+    * the `nameToken` parts) re-derived without partsupp: a supplier
+    * "dominates" a part when its shipped share of that part's total
+    * quantity reaches `thresholdPpm` (exact integer `qty·1e6 ≥
+    * ppm·total`; this corpus spreads each part over ~100 suppliers, so
+    * the uniform expectation is ~1% and 12% marks a real concentration).
+    * The chain is: token-filtered part dim broadcasts onto the fact, one
+    * fact-sized exchange to (part, supplier) grains, the per-part total
+    * reuses THAT aggregate (aggregate-join-reuse, C84's shape), and the
+    * supplier/nation dims attach after the filter at |suppliers| size. */
+  def qMajoritySupplier(spark: SparkSession, dir: String,
+      nameToken: String = "gear", thresholdPpm: Long = 120000L): DataFrame = {
+    val p = Tables.table(spark, dir, "part")
+      .filter(col("p_name").contains(nameToken)).select(col("p_partkey"))
+    val ps = Tables.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_quantity")).cast("long").as("qty"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("qty"))
+    val tot = ps.groupBy(col("l_partkey")).agg(sum(col("qty")).as("total_qty"))
+    ps.join(tot, Seq("l_partkey"))
+      .filter(col("qty") * 1000000L >= col("total_qty") * thresholdPpm)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"), sum(col("qty")).as("qty_shipped"))
+      .join(broadcast(Tables.table(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.table(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("nation"),
+        col("n_dominated_parts"), col("qty_shipped"))
+      .orderBy(col("n_dominated_parts").desc, col("s_suppkey"))
+  }
 }

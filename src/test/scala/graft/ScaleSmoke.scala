@@ -420,6 +420,10 @@ object ScaleSmoke {
       graft.sources.Tables.table(spark, dir, "embeddings"), "embedding", 16) }
     time("q_pca_project") { ann.Pca.project(
       graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", 2) }
+    time("q_promo_revenue") { queries.Warehouse.qPromoRevenue(spark, dir) }
+    time("q_supplier_diversity") { queries.Warehouse.qSupplierDiversity(spark, dir) }
+    time("q_disjunctive_revenue") { queries.Warehouse.qDisjunctiveRevenue(spark, dir) }
+    time("q_majority_supplier") { queries.Warehouse.qMajoritySupplier(spark, dir) }
     time("q_volume_shipping") { queries.Warehouse.qVolumeShipping(spark, dir) }
     time("q_market_share") { queries.Warehouse.qMarketShare(spark, dir) }
     time("q_product_profit") { queries.Warehouse.qProductProfit(spark, dir) }

@@ -1751,4 +1751,114 @@ class WarehouseSpec extends SparkSpec {
       assert(r.getAs[Long]("total_bal_cents") == tot)
     }
   }
+
+  test("promo revenue (C87): conditional share recomputes, ppm bounded") {
+    val rows = Warehouse.qPromoRevenue(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val promo = graft.sources.Tables.table(spark, sfDir, "part")
+      .collect().map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_type") == "PROMO")).toMap
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("m"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = li.groupBy(_._2).map { case (m, xs) =>
+      m -> (xs.filter(x => promo(x._1)).map(_._3).sum, xs.map(_._3).sum) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (pc, tc) = expect(r.getAs[Long]("ship_month"))
+      assert(r.getAs[Long]("promo_cents") == pc)
+      assert(r.getAs[Long]("total_cents") == tc)
+      val ppm = r.getAs[Long]("promo_ppm")
+      assert(ppm == (BigInt(pc) * 1000000 / tc).toLong)
+      assert(ppm >= 0 && ppm <= 1000000)
+    }
+  }
+
+  test("supplier diversity (C88): distinct count excludes brand and bad suppliers") {
+    val rows = Warehouse.qSupplierDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val t = graft.sources.Tables
+    val f = t.table(spark, sfDir, "lineitem")
+      .join(t.table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+          .cast("long").as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bad = f.groupBy(_._1).collect {
+      case (sk, xs) if xs.map(_._2).sum * 1000000L > xs.length * 520000L => sk
+    }.toSet
+    assert(bad.nonEmpty, "threshold should exclude someone at this sf")
+    val part = t.table(spark, sfDir, "part").collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"), r.getAs[Int]("p_size")))
+      .toMap
+    val li = t.table(spark, sfDir, "lineitem").select("l_partkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = li.flatMap { case (pk, sk) =>
+      val (b, ty, sz) = part(pk)
+      if (b != "Brand#1" && sz <= 25 && !bad(sk)) Some(((b, ty, sz), sk)) else None
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct.length.toLong }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("p_brand"), r.getAs[String]("p_type"), r.getAs[Int]("p_size"))
+      assert(r.getAs[Long]("supplier_cnt") == expect(k))
+    }
+    val cnts = rows.map(_.getAs[Long]("supplier_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "sorted desc")
+  }
+
+  test("disjunctive revenue (C89): branch tags are the exclusive conjunctions") {
+    val rows = Warehouse.qDisjunctiveRevenue(spark, sfDir).collect()
+    assert(rows.length == 3 && rows.map(_.getAs[Long]("branch")).toSeq == Seq(1L, 2L, 3L))
+    val part = graft.sources.Tables.table(spark, sfDir, "part").collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[Int]("p_size"))).toMap
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def tag(pk: Long, q: Long): Option[Long] = {
+      val (b, sz) = part(pk)
+      if (b == "Brand#12" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) Some(1L)
+      else if (b == "Brand#23" && sz >= 1 && sz <= 25 && q >= 10 && q <= 20) Some(2L)
+      else if (b == "Brand#5" && sz >= 1 && sz <= 50 && q >= 20 && q <= 30) Some(3L)
+      else None
+    }
+    val expect = li.flatMap { case (pk, q, c) => tag(pk, q).map(_ -> c) }
+      .groupBy(_._1).map { case (br, xs) => br -> (xs.length.toLong, xs.map(_._2).sum) }
+    rows.foreach { r =>
+      val (n, c) = expect(r.getAs[Long]("branch"))
+      assert(r.getAs[Long]("n_items") == n)
+      assert(r.getAs[Long]("revenue_cents") == c)
+    }
+  }
+
+  test("majority supplier (C90): integer ppm dominance recomputes") {
+    val rows = Warehouse.qMajoritySupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val gear = graft.sources.Tables.table(spark, sfDir, "part")
+      .filter(col("p_name").contains("gear"))
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val li = graft.sources.Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(x => gear(x._1))
+    val ps = li.groupBy(x => (x._1, x._2)).map { case (k, xs) => k -> xs.map(_._3).sum }
+    val tot = ps.groupBy(_._1._1).map { case (pk, xs) => pk -> xs.map(_._2).sum }
+    val dom = ps.filter { case ((pk, _), q) => q * 1000000L >= tot(pk) * 120000L }
+    val expect = dom.groupBy(_._1._2).map { case (sk, xs) =>
+      sk -> (xs.size.toLong, xs.map(_._2).sum) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, q) = expect(r.getAs[Long]("s_suppkey"))
+      assert(r.getAs[Long]("n_dominated_parts") == n)
+      assert(r.getAs[Long]("qty_shipped") == q)
+    }
+  }
 }
