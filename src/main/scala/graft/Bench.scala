@@ -33,6 +33,8 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "pq_fit" -> (try timed { graft.queries.LlmOps.pqIndex(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
+      "pca_fit" -> (try timed { graft.queries.LlmOps.pcaIndex(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
       "bpe_train" -> (try timed { graft.queries.LlmOps.bpeMerges(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
       "sparse_posting_build" -> (try timed {

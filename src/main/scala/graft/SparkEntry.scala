@@ -276,6 +276,7 @@ object SparkEntry {
     "q_supplier_diversity" -> ((s, dir) => Warehouse.qSupplierDiversity(s, dir)),
     "q_disjunctive_revenue" -> ((s, dir) => Warehouse.qDisjunctiveRevenue(s, dir)),
     "q_majority_supplier" -> ((s, dir) => Warehouse.qMajoritySupplier(s, dir)),
+    "q_ann_pca" -> ((s, dir) => LlmOps.qAnnPca(s, dir)),
     "q_pca" -> ((s, dir) => ann.Pca.varianceSpectrum(
       sources.Tables.table(s, dir, "embeddings"), "embedding", 16)),
     "q_pca_project" -> ((s, dir) => ann.Pca.project(

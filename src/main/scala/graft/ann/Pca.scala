@@ -152,6 +152,19 @@ object Pca {
     }.toDF("component", "var_ppm", "cum_var_ppm")
   }
 
+  /** Map-side projection of a double-array vector column onto the
+    * model's top-k components, with the centering folded into
+    * per-component offsets (`dot(x−μ, w) = dot(x, w) − dot(μ, w)`), so
+    * the hot path is k dot products and k subtractions and the mean
+    * never re-enters the row loop. Components ride the expression tree
+    * as array literals — no join, no shuffle. */
+  def projectExpr(vec: Column, m: Model, k: Int): Column =
+    array(m.components.take(k).map { w =>
+      val off = w.zip(m.mean).map { case (a, b) => a * b }.sum
+      aggregate(zip_with(vec, array(w.map(lit(_)): _*), (x, ww) => x * ww),
+        lit(0.0), (acc, x) => acc + x) - lit(off)
+    }: _*)
+
   /** E22b: project every vector onto the top-k components — a map-side
     * broadcast-scalar projection (the components ride the closure as a
     * d×k constant; no join, no shuffle), coordinates ×1000 floored to

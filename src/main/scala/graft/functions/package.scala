@@ -50,6 +50,13 @@ package object functions {
     ColumnBridge.column(expressions.DotProductLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Fused double dot product over two array<double> columns — the
+    * PCA-projected coarse-scan kernel (see expressions.DotProductDouble;
+    * left-fold order identical to the zip_with/aggregate form). */
+  def dotProductDouble(a: Column, b: Column): Column =
+    ColumnBridge.column(expressions.DotProductDouble(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** One-pass k-lane MinHash signature of an array<bigint> of shingle
     * hashes (see expressions.MinHashSignature). */
   def minhashSignature(hashes: Column, numHashes: Int): Column =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ann.{Ann, Ivf, Pq}
+import graft.ann.{Ann, Ivf, Pca, Pq}
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.multimodal.Binary
 import graft.sources.Tables
@@ -652,6 +652,106 @@ object LlmOps {
       .join(emb.select(col("vec_id").as("neighbor_id"),
         Ann.asDouble(col("embedding")).as("nvec")), "neighbor_id")
       .join(broadcast(probes), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.cosineSim(col("qvec"), col("nvec")).as("sim"))
+    rescored.groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Memoized PCA model + projected corpus (E23). Fit runs over the
+    * UNIT-NORMALIZED embeddings: cosine ranking on the raw vectors is L2
+    * ranking on the normalized ones, and centering + an orthonormal
+    * basis preserve L2, so truncating to the top-16 variance axes
+    * UNDER-estimates every pairwise distance — the classic
+    * dimensionality-reduction prefilter (4× fewer lanes than the raw 64
+    * on the scan side). The projected corpus persists 16 doubles/vector;
+    * the d×d fit is one VectorSum pass + a driver Jacobi (Pca.fit). */
+  def pcaIndex(spark: SparkSession, dir: String): (Pca.Model, DataFrame) =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "pca16"), {
+      val unit = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), Ann.asDouble(col("embedding")).as("__v"))
+        .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
+        .filter(col("__n") > 0.0)
+        .select(col("vec_id"), transform(col("__v"), x => x / col("__n")).as("nvec"))
+      val m = Pca.fit(unit, "nvec")
+      val projected = unit.select(col("vec_id"),
+          Pca.projectExpr(col("nvec"), m, 16).as("pvec"))
+        // ‖x‖² rides the index so the scan ranks by 2·q·x − ‖x‖² (the
+        // per-query-constant ‖q‖² drops out of the L2 order) with ONE
+        // fused dot per pair instead of a subtract-square-fold
+        .withColumn("pnorm2",
+          graft.functions.dotProductDouble(col("pvec"), col("pvec")))
+        .persist()
+      projected.count()
+      (m, projected)
+    }).asInstanceOf[(Pca.Model, DataFrame)]
+
+  /** E23: PCA-prefilter cascade top-k — the dimensionality-reduction leg
+    * of the retrieval family (E19/E21 cut lane WIDTH by quantizing; E23
+    * cuts lane COUNT by projection). Stage 1 scans the 16-dim projected
+    * corpus (4× less I/O than the 64 raw lanes) ranking by projected L2
+    * against the broadcast projected queries into a kCand bounded heap;
+    * stage 2 rescores ONLY the candidates with exact full-width cosine
+    * (kCand·|queries| vectors — corpus-size-independent). A sampled
+    * per-query admission cutoff (see inline) keeps the corpus-sized pair
+    * stream OUT of the heap aggregate — the scan is the cost, as it
+    * should be. Projection is contractive on the normalized geometry, so
+    * stage-1 distances only under-estimate; recall loss needs a true
+    * neighbor whose lost 48-dim tail out-weighs the kept 16 — PcaSpec
+    * pins recall@10 ≥ 0.9 vs E1.
+    * Rows-only: the eigenbasis has no SQL replay (same class as E3/E8). */
+  def qAnnPca(spark: SparkSession, dir: String, kCand: Int = 200,
+      k: Int = 10, sampleMod: Long = 64L): DataFrame = {
+    val (m, projected) = pcaIndex(spark, dir)
+    val q = annQueries(spark, dir)
+      .withColumn("__n", sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("__n") > 0.0)
+      .select(col("query_id"), col("qvec"),
+        Pca.projectExpr(transform(col("qvec"), x => x / col("__n")), m, 16)
+          .as("qpvec"))
+    val qp = q.select(col("query_id"), col("qpvec"))
+    def coarse(corpus: DataFrame): DataFrame = corpus
+      .join(broadcast(qp), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        // −L2² + ‖q‖² — same ranking, one codegen'd dot on the hot path
+        (graft.functions.dotProductDouble(col("pvec"), col("qpvec")) * 2.0
+          - col("pnorm2")).as("sim"))
+    // Per-query admission cutoff from a 1/sampleMod corpus sample (the
+    // H16b sampled-order-stat estimator pointed at SCORES): the kSmp-th
+    // best sampled score sits near the kCand-th best corpus score (2×
+    // over-collection margin), so the full scan admits ~2·kCand rows per
+    // query into the bounded heap instead of pushing ALL |corpus| scored
+    // pairs through the aggregate's per-row group path — measured 123s →
+    // the scan cost at the 100× corpus, where the heap's per-row
+    // overhead (not the fused dot) dominated. The sample draw is the
+    // double-square-mixed high-bit threshold (the H16c-audited form —
+    // vec_id is exactly the structured-id lane the affinity trap bites).
+    val kSmp = math.max(1, math.ceil(2.0 * kCand / sampleMod).toInt)
+    val thr = coarse(projected.filter(
+        Mix.drawMix(graft.functions.polyhash(
+          concat(lit("pcasmp:"), col("vec_id").cast("string"))))
+          * lit(sampleMod) < lit(2147483647L)))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kSmp).as("top"))
+      .select(col("query_id"),
+        element_at(col("top"), size(col("top"))).getField("sim").as("thr"))
+    val cand = coarse(projected)
+      .join(broadcast(thr), Seq("query_id"), "left")
+      // a query absent from the sample leg (tiny corpus) admits everything
+      .filter(col("sim") >= coalesce(col("thr"), lit(Double.NegativeInfinity)))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kCand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nbr"))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"))
+    val rescored = cand
+      .join(Tables.table(spark, dir, "embeddings")
+          .select(col("vec_id").as("neighbor_id"),
+            Ann.asDouble(col("embedding")).as("nvec")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qvec"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.cosineSim(col("qvec"), col("nvec")).as("sim"))
     rescored.groupBy(col("query_id"))

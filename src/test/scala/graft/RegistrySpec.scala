@@ -24,9 +24,10 @@ class RegistrySpec extends AnyFunSuite {
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility",
       "q_active_users_trailing_approx", "q_stickiness_approx",
-      // E22/E22b: eigen-decomposition has no DuckDB analog; the spectrum
-      // and projection lanes are driver-replayed in PcaSpec instead
-      "q_pca", "q_pca_project"),
+      // E22/E22b/E23: eigen-decomposition has no DuckDB analog; the
+      // spectrum and projection lanes are driver-replayed in PcaSpec,
+      // and the E23 cascade carries AnnSpec's recall floor vs exact E1
+      "q_pca", "q_pca_project", "q_ann_pca"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

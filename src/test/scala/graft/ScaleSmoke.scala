@@ -416,6 +416,7 @@ object ScaleSmoke {
     time("q_ann_cascade") { queries.LlmOps.qAnnCascade(spark, dir) }
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
     time("q_dedup_best_lsh") { queries.LlmOps.qDedupBestLsh(spark, dir) }
+    time("q_ann_pca") { queries.LlmOps.qAnnPca(spark, dir) }
     time("q_pca") { ann.Pca.varianceSpectrum(
       graft.sources.Tables.table(spark, dir, "embeddings"), "embedding", 16) }
     time("q_pca_project") { ann.Pca.project(

@@ -62,6 +62,27 @@ class PcaSpec extends SparkSpec {
     assert(cums.last <= 1000000L)
   }
 
+  test("pca cascade (E23): recall@10 >= 0.9 vs exact, dense ranks, deterministic") {
+    val out = graft.queries.LlmOps.qAnnPca(spark, sfDir).collect()
+    val exact = graft.queries.LlmOps.qAnnTopK(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approx = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(approx.keySet == exact.keySet, "every query answered")
+    // ranks dense 1..10 per query, no self-neighbors
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    val recall = exact.map { case (q, ex) =>
+      (ex & approx(q)).size.toDouble / ex.size }.sum / exact.size
+    assert(recall >= 0.9, s"PCA-cascade recall@10 $recall < 0.9")
+    // contractive stage 1 + exact rescore is deterministic end to end
+    val rerun = graft.queries.LlmOps.qAnnPca(spark, sfDir).collect()
+    assert(rerun.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("pca projection (E22b): coordinates recompute on the driver") {
     val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
     val out = Pca.project(emb, "vec_id", "embedding", 2).collect()

@@ -209,7 +209,7 @@ class MixSpec extends SparkSpec {
     assert(samePpm < 500000L, "a source-clustered order would approach 1e6")
   }
 
-  test("every round-10 draw lane passes the pair-adjacency audit on sequential ids") {
+  test("every id-keyed draw lane (r10+) passes the pair-adjacency audit on sequential ids") {
     // the polyhash-affinity trap shipped five times because each NEW
     // id-keyed lane skipped the audit — this spec closes the loophole at
     // the function level: every prefix lane introduced this round must
@@ -218,7 +218,8 @@ class MixSpec extends SparkSpec {
     import spark.implicits._
     val n = 40000
     val ids = (0L until n.toLong).toDF("id")
-    Seq("usmp:", "psi:", "rev:", "fix:", "cursmp:").foreach { prefix =>
+    // pcasmp: is E23's corpus-sample cutoff lane (round 11)
+    Seq("usmp:", "psi:", "rev:", "fix:", "cursmp:", "pcasmp:").foreach { prefix =>
       val flags = ids.select(col("id"),
         (Mix.drawMix(graft.functions.polyhash(
           concat(lit(prefix), col("id").cast("string")))) * lit(4L)
