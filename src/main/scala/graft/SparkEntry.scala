@@ -273,6 +273,7 @@ object SparkEntry {
     "q_laggard_suppliers" -> ((s, dir) => Warehouse.qLaggardSuppliers(s, dir)),
     "q_idle_customers" -> ((s, dir) => Warehouse.qIdleCustomers(s, dir)),
     "q_promo_revenue" -> ((s, dir) => Warehouse.qPromoRevenue(s, dir)),
+    "q_xcorr" -> ((s, dir) => Warehouse.qXcorr(s, dir)),
     "q_supplier_diversity" -> ((s, dir) => Warehouse.qSupplierDiversity(s, dir)),
     "q_disjunctive_revenue" -> ((s, dir) => Warehouse.qDisjunctiveRevenue(s, dir)),
     "q_majority_supplier" -> ((s, dir) => Warehouse.qMajoritySupplier(s, dir)),
@@ -481,6 +482,32 @@ object SparkEntry {
         |    sqrt((sum(x * x) - sum(x) * sum(x) * 1.0 / count(*))
         |      * (sum(y * y) - sum(y) * sum(y) * 1.0 / count(*))), 6) AS acf
         |FROM p GROUP BY lag ORDER BY lag""".stripMargin,
+    // C91: lead-lag cross-correlation between event-type daily series
+    "q_xcorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM daily GROUP BY event_type),
+        |series AS (
+        |  SELECT s.event_type, s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (event_type, d)),
+        |lags AS (SELECT unnest(range(0, 8)) AS lag),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+        |    a.y AS x, b.y AS y
+        |  FROM series a, lags l
+        |  JOIN series b ON b.d = a.d + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY
+        |  WHERE a.event_type <> b.event_type)
+        |SELECT type_a, type_b, lag, CAST(count(*) AS BIGINT) AS n,
+        |  round((sum(x * y) - sum(x) * sum(y) * 1.0 / count(*)) /
+        |    sqrt((sum(x * x) - sum(x) * sum(x) * 1.0 / count(*))
+        |      * (sum(y * y) - sum(y) * sum(y) * 1.0 / count(*))), 6) AS xcorr
+        |FROM p GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // C61: same cents/rank/decile/ppm lanes as C46/C59.
     "q_lorenz_deciles" ->
       """WITH u AS (

@@ -822,6 +822,44 @@ object Warehouse {
       .orderBy($"lag")
   }
 
+  /** C91: lead–lag CROSS-correlation between event-type daily series —
+    * C62's autocorrelation generalized to ordered type pairs:
+    * xcorr(a, b, lag) = Pearson r between a's daily count on day d and
+    * b's on day d+lag ("do errors lead churn? do views lead
+    * purchases?"), lag 0 included as the contemporaneous baseline. The
+    * per-type gap-complete daily frame is CALENDAR-bounded
+    * (|types|·|days| rows regardless of fact scale — the one fact-sized
+    * exchange is the daily rollup), so the pair×lag join is
+    * dimension-sized; correlation from sums in one aggregate per
+    * (pair, lag), rounded to 6dp on both engines (C62's parity rule). */
+  def qXcorr(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame =
+    xcorrOf(dailySeries(Tables.table(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d")),
+      Seq("event_type")), maxLag)
+
+  /** C91 core over any per-key gap-complete (event_type, d, y) frame. */
+  def xcorrOf(series: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val a = series.select(col("event_type").as("type_a"), col("d"),
+      col("y").as("x"))
+    val b = series.select(col("event_type").as("type_b"), col("d").as("db"),
+      col("y").as("yb"))
+    val lags = spark.range(0, maxLag + 1).select($"id".cast("int").as("lag"))
+    a.crossJoin(broadcast(lags))
+      .join(b, expr("db = date_add(d, lag)") && col("type_a") =!= col("type_b"))
+      .groupBy($"type_a", $"type_b", $"lag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"yb").as("sy"),
+        sum($"x" * $"yb").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"yb" * $"yb").as("syy"))
+      .select($"type_a", $"type_b", $"lag", $"n",
+        round(($"sxy" - $"sx" * $"sy" / $"n") /
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n")
+            * ($"syy" - $"sy" * $"sy" / $"n")), 6).as("xcorr"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
   /** C61: LORENZ deciles — the curve behind C59's Gini number: users
     * rank by purchase cents ascending (C46's exact integer decile rule
     * with user_id tiebreaks), each decile reports its user count and

@@ -421,6 +421,7 @@ object ScaleSmoke {
       graft.sources.Tables.table(spark, dir, "embeddings"), "embedding", 16) }
     time("q_pca_project") { ann.Pca.project(
       graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", 2) }
+    time("q_xcorr") { queries.Warehouse.qXcorr(spark, dir) }
     time("q_promo_revenue") { queries.Warehouse.qPromoRevenue(spark, dir) }
     time("q_supplier_diversity") { queries.Warehouse.qSupplierDiversity(spark, dir) }
     time("q_disjunctive_revenue") { queries.Warehouse.qDisjunctiveRevenue(spark, dir) }

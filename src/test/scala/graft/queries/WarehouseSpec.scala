@@ -1838,6 +1838,33 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("xcorr (C91): a planted 2-day lead reads 1.0 at lag 2, and the real face is sane") {
+    import spark.implicits._
+    // series B is exactly A shifted 2 days later: corr(A_d, B_{d+2}) = 1
+    val base = (0 until 30).map(i => (i, 3L + (i * 7) % 11))
+    val planted = (
+      base.map { case (i, v) =>
+        ("A", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v) } ++
+      base.map { case (i, v) =>
+        ("B", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i + 2)), v) }
+    ).toDF("event_type", "d", "y")
+    val rows = Warehouse.xcorrOf(planted, maxLag = 4).collect()
+    val ab = rows.filter(r => r.getAs[String]("type_a") == "A" &&
+      r.getAs[String]("type_b") == "B")
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("xcorr")).toMap
+    assert(ab(2) == 1.0, s"lag-2 xcorr should be exactly 1.0, got ${ab(2)}")
+    assert(ab.filter(_._1 != 2).values.forall(_ < 0.9),
+      "off-lag correlations stay below the planted peak")
+    // the registered face: full pair×lag grid, xcorr bounded
+    val out = Warehouse.qXcorr(spark, sfDir).collect()
+    val types = out.map(_.getAs[String]("type_a")).distinct.length
+    assert(out.length == types * (types - 1) * 8)
+    out.foreach { r =>
+      val x = r.getAs[Double]("xcorr")
+      assert(r.isNullAt(r.fieldIndex("xcorr")) || (x >= -1.0 && x <= 1.0))
+    }
+  }
+
   test("majority supplier (C90): integer ppm dominance recomputes") {
     val rows = Warehouse.qMajoritySupplier(spark, sfDir).collect()
     assert(rows.nonEmpty)
