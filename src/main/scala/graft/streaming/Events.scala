@@ -376,6 +376,22 @@ object Events {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** G18: streaming heavy hitters — F16's Misra-Gries aggregate
+    * (functions.freqItems) runs UNCHANGED as a Complete-mode streaming
+    * aggregate over the exploded term stream: the sketch is a mergeable
+    * TypedImperativeAggregate, and BELOW capacity (vocab < k) it holds
+    * exact counts, so the live top-k equals the batch F16 face over the
+    * data seen so far regardless of arrival order or micro-batch splits
+    * (the G16 arrival-order-independence contract); above capacity the
+    * Misra-Gries `count > n/(k+1)` presence guarantee still holds at
+    * every prefix. State is the k-entry map — corpus size never enters
+    * the store. */
+  def heavyHittersStream(docs: DataFrame, textCol: String,
+      k: Int = 4096): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .agg(graft.functions.freqItems(col("term"), k).as("m"))
+
   /** Stream-stream interval join: enrich the event stream with a second
     * stream (e.g. late-arriving entity metadata) on a key, accepting
     * matches within `intervalMinutes` of event time. Both sides are

@@ -701,6 +701,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: complete-mode Misra-Gries equals the batch top-20") {
+    // G18: vocab at this sf sits below the k=4096 capacity, so the
+    // sketch is EXACT counts and arrival-order-independent — the live
+    // top-k must equal F16 over the same corpus after any batch split
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = graft.sources.Tables.table(spark, sfDir, "documents")
+      .where(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val input = MemoryStream[String]
+    val query = Events.heavyHittersStream(input.toDS().toDF("text"), "text")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = texts.splitAt(texts.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val m = spark.table("hh_stream").collect().head
+        .getAs[Map[String, Long]]("m")
+      val streamedTop = m.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      val batch = graft.queries.LlmOps.qHeavyHitters(spark, sfDir).collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("est_count"))).toSeq
+      assert(streamedTop == batch,
+        "streamed top-20 must equal the batch F16 face")
+    } finally query.stop()
+  }
+
   test("streaming ewma reproduces the batch recursion with state crossing batches") {
     val sparkSession = spark
     import sparkSession.implicits._
