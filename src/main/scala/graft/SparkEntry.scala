@@ -96,6 +96,7 @@ object SparkEntry {
     "q_audio_meta" -> ((s, dir) => LlmOps.qAudioMeta(s, dir)),
     "q_image_phash" -> ((s, dir) => LlmOps.qImagePhash(s, dir)),
     "q_image_neardup" -> ((s, dir) => LlmOps.qImageNearDup(s, dir)),
+    "q_image_dedup_apply" -> ((s, dir) => LlmOps.qImageDedupApply(s, dir)),
     "q_cdc_apply" -> ((s, dir) => Temporal.qCdcApply(s, dir)),
     "q_scd2" -> ((s, dir) => Temporal.qScd2(s, dir)),
     "q_fill_gaps" -> ((s, dir) => Temporal.qFillGaps(s, dir)),
@@ -283,6 +284,40 @@ object SparkEntry {
     "q_pca_project" -> ((s, dir) => ann.Pca.project(
       sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 2)),
   )
+
+  /** G3e/G3k shared CTE chain (hh → hs → hf): doc_id → the planted
+    * 64-bit image dHash exactly as the image synthesizer builds it
+    * (multiplicative mix, signed reinterpret, per-member bit flips). */
+  private val imageHashCte: String =
+      """hh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 < 3 THEN
+        |      ((2 * (doc_id // 16) + 1)::HUGEINT * 14029467366897019727)
+        |        % 18446744073709551616
+        |    ELSE
+        |      ((doc_id + 1)::HUGEINT * 11400714819323198485)
+        |        % 18446744073709551616
+        |    END AS hu
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hu >= 9223372036854775808
+        |         THEN (hu - 18446744073709551616)::BIGINT ELSE hu::BIGINT
+        |    END AS h0,
+        |    doc_id % 16 AS m, doc_id // 16 AS g
+        |  FROM hh),
+        |hf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m = 1 THEN xor(h0,
+        |           CASE WHEN g % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << (g % 64) END)
+        |         WHEN m = 2 THEN xor(xor(h0,
+        |           CASE WHEN (g+7) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+7) % 64) END),
+        |           CASE WHEN (g+23) % 64 = 63 THEN -9223372036854775808
+        |                ELSE 1::BIGINT << ((g+23) % 64) END)
+        |         ELSE h0 END AS h
+        |  FROM hs)""".stripMargin
 
   /** D28 + D28b shared oracle: mutation + pairs + recursive reach +
     * argmax join-back replay (the composed survivorship pipeline). */
@@ -1426,40 +1461,31 @@ object SparkEntry {
     // bit_count(xor(...)) over the same signed-BIGINT hashes is the
     // 64-bit hamming distance
     "q_image_neardup" ->
-      s"""WITH hh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 16 < 3 THEN
-        |      ((2 * (doc_id // 16) + 1)::HUGEINT * 14029467366897019727)
-        |        % 18446744073709551616
-        |    ELSE
-        |      ((doc_id + 1)::HUGEINT * 11400714819323198485)
-        |        % 18446744073709551616
-        |    END AS hu
-        |  FROM documents),
-        |hs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN hu >= 9223372036854775808
-        |         THEN (hu - 18446744073709551616)::BIGINT ELSE hu::BIGINT
-        |    END AS h0,
-        |    doc_id % 16 AS m, doc_id // 16 AS g
-        |  FROM hh),
-        |hf AS (
-        |  SELECT doc_id,
-        |    CASE WHEN m = 1 THEN xor(h0,
-        |           CASE WHEN g % 64 = 63 THEN -9223372036854775808
-        |                ELSE 1::BIGINT << (g % 64) END)
-        |         WHEN m = 2 THEN xor(xor(h0,
-        |           CASE WHEN (g+7) % 64 = 63 THEN -9223372036854775808
-        |                ELSE 1::BIGINT << ((g+7) % 64) END),
-        |           CASE WHEN (g+23) % 64 = 63 THEN -9223372036854775808
-        |                ELSE 1::BIGINT << ((g+23) % 64) END)
-        |         ELSE h0 END AS h
-        |  FROM hs)
+      s"""WITH $imageHashCte
         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |  CAST(bit_count(xor(a.h, c.h)) AS INTEGER) AS hamming
         |FROM hf a JOIN hf c ON a.doc_id < c.doc_id
         |WHERE bit_count(xor(a.h, c.h)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // G3k: the same planted-hash pair set -> recursive components ->
+    // keep min-id canonical per cluster, untouched rows pass through
+    "q_image_dedup_apply" ->
+      s"""WITH RECURSIVE $imageHashCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM hf a JOIN hf c ON a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.h, c.h)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     // constant-amplitude PCM ⇒ RMS = amplitude exactly; duration divides
     // by 8 (a power of two) so the double is exact on both engines
     "q_audio_meta" ->

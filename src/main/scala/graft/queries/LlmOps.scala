@@ -1765,6 +1765,28 @@ object LlmOps {
       maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** G3k: image near-dup APPLY — the end-to-end multimodal dedup drop:
+    * G3e's banded dHash pairs (pigeonhole-complete for hamming ≤ 3, so
+    * the pair set IS the all-pairs answer) → connected components
+    * (min-id canonical, the threshold-switched union-find) → keep
+    * canonical + untouched rows via left-anti — D6b's candidates →
+    * verify → cluster → drop loop closed over the IMAGE lane. The
+    * planted corpus makes every stage SQL-replayable, so unlike the
+    * text/embedding applies this one is oracle-checked END TO END
+    * (pairs CTE + recursive reach + anti-join). Pair set is linear in
+    * corpus size (3 pairs per 16-id group); components run on the
+    * driver below the documented threshold, distributed above it. */
+  def qImageDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.multimodal.ImageDedup.nearDupPairs(
+        plantedImages(spark, dir), maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.engine.Materialized.checkpoint)
+    Dedup.keepCanonical(
+      Tables.table(spark, dir, "documents").select(col("doc_id")),
+      "doc_id", pairs)
+      .orderBy("doc_id")
+  }
+
   /** G3f: ViT patch-grid stats over the planted corpus — real PNG
     * decode → 3×4-pixel tiles (a 3×2 patch grid per 9×8 image) →
     * integer luminance sum/min/max per tile. The staircase corpus

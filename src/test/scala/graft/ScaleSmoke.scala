@@ -422,6 +422,7 @@ object ScaleSmoke {
     time("q_pca_project") { ann.Pca.project(
       graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", 2) }
     time("q_xcorr") { queries.Warehouse.qXcorr(spark, dir) }
+    time("q_image_dedup_apply") { queries.LlmOps.qImageDedupApply(spark, dir) }
     time("q_promo_revenue") { queries.Warehouse.qPromoRevenue(spark, dir) }
     time("q_supplier_diversity") { queries.Warehouse.qSupplierDiversity(spark, dir) }
     time("q_disjunctive_revenue") { queries.Warehouse.qDisjunctiveRevenue(spark, dir) }

@@ -115,4 +115,33 @@ class ImageDedupSpec extends SparkSpec {
     assert(nd.nonEmpty)
     assert(nd.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
+
+  test("image dedup apply (G3k): kept set = all ids minus union-find losers") {
+    val kept = LlmOps.qImageDedupApply(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val all = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // driver union-find over the face's own (oracle-checked) pair set
+    val pairs = LlmOps.qImageNearDup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val losers = members.filter(m => find(m) != m).toSet
+    assert(losers.nonEmpty, "planted corpus must produce clusters")
+    assert(kept == all -- losers,
+      "apply keeps exactly the canonical member per cluster + untouched rows")
+    // planted structure: each 16-id group clusters members m ∈ {0,1,2}
+    assert(losers.forall(i => i % 16 == 1 || i % 16 == 2))
+  }
 }
