@@ -47,6 +47,7 @@ object SparkEntry {
     "q_batch_assign" -> ((s, dir) => Etl.qBatchAssign(s, dir)),
     "q_schema_validate" -> ((s, dir) => Etl.qSchemaValidate(s, dir)),
     "q_bloom_sync" -> ((s, dir) => Etl.qBloomSync(s, dir)),
+    "q_bloom_fpr" -> ((s, dir) => Etl.qBloomFpr(s, dir)),
     "q_dedup_exact" -> ((s, dir) => LlmOps.qDedupExact(s, dir)),
     "q_span_dedup" -> ((s, dir) => LlmOps.qSpanDedup(s, dir)),
     "q_join_estimate" -> ((s, dir) => Warehouse.qJoinEstimate(s, dir)),

@@ -131,6 +131,52 @@ object Etl {
       .orderBy($"o_orderkey")
   }
 
+  /** A22: Bloom-prefilter QUALITY audit — the two numbers behind A13's
+    * semi-join economics, measured on its own traffic: (a) the hard
+    * contract, zero FALSE NEGATIVES (an active row the filter drops is
+    * silent data loss — the row must be 0, not probabilistically small),
+    * and (b) the observed false-positive rate over the truly-inactive
+    * probe stream vs the configured fpp (false positives are the wasted
+    * rows the later exact semi-join re-drops — the knob that decides
+    * whether the prefilter pays for itself at a given selectivity). One
+    * pass over the fact with the filter broadcast and a broadcast-joined
+    * activity flag; output is ONE row. The filter is sized to the ACTUAL
+    * active count (expectedItems ≤ 0 → count it) — an audit against a
+    * grossly oversized filter reads 0 observed fpp and proves nothing;
+    * sized-to-set, the observed rate must land at the configured fpp,
+    * which is what gives the band teeth. Rows-only: the spark-sketch bit
+    * layout has no SQL replay — BloomSpec pins the zero-FN contract and
+    * the fpp band. Ref: tap sync.py's key-prefilter economics (A13). */
+  def qBloomFpr(spark: SparkSession, dir: String,
+      expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
+    import spark.implicits._
+    val active = Tables.table(spark, dir, "customer")
+      .filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    val sized = if (expectedItems > 0) expectedItems
+      else math.max(1L, active.count())
+    val bytes = graft.engine.BloomSemiJoin.buildBloom(
+      active, "c_custkey", sized, fpp)
+    val flagged = Tables.table(spark, dir, "orders")
+      .select($"o_custkey",
+        graft.functions.bloomMightContain($"o_custkey", bytes)
+          .cast("long").as("pass"))
+      .join(broadcast(active.select($"c_custkey",
+        lit(1L).as("is_active"))), $"o_custkey" === $"c_custkey", "left")
+      .select($"pass", coalesce($"is_active", lit(0L)).as("is_active"))
+    flagged.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when($"is_active" === 0L, 1L).otherwise(0L)).as("n_negative_probes"),
+        sum(when($"is_active" === 0L && $"pass" === 1L, 1L).otherwise(0L))
+          .as("n_false_positives"),
+        sum(when($"is_active" === 1L && $"pass" === 0L, 1L).otherwise(0L))
+          .as("n_false_negatives"))
+      .select(col("*"),
+        expr("CAST(CASE WHEN n_negative_probes = 0 THEN 0 ELSE" +
+          " (CAST(n_false_positives AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_negative_probes END AS BIGINT)").as("observed_fpp_ppm"),
+        lit((fpp * 1e6).round).as("configured_fpp_ppm"))
+  }
+
   /** A5: UUID derivation + validity filter (the fetch_uuids len==36 path).
     * Keys divisible by 7 get a truncated (invalid) id — the filter must
     * drop exactly those. */

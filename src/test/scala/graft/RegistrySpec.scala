@@ -27,7 +27,10 @@ class RegistrySpec extends AnyFunSuite {
       // E22/E22b/E23: eigen-decomposition has no DuckDB analog; the
       // spectrum and projection lanes are driver-replayed in PcaSpec,
       // and the E23 cascade carries AnnSpec's recall floor vs exact E1
-      "q_pca", "q_pca_project", "q_ann_pca"),
+      "q_pca", "q_pca_project", "q_ann_pca",
+      // A22: the spark-sketch Bloom bit layout has no SQL replay; the
+      // zero-false-negative contract and fpp band live in BloomSpec
+      "q_bloom_fpr"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

@@ -93,4 +93,25 @@ class BloomSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((1 to 100).map(_.toLong).toSet.subsetOf(pre))
   }
+
+  test("bloom fpr audit (A22): zero false negatives, observed fpp within 2x configured") {
+    val row = graft.queries.Etl.qBloomFpr(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_false_negatives") == 0L,
+      "a Bloom filter NEVER drops an inserted key — this is the hard contract")
+    assert(row.getAs[Long]("n_probes") > 0)
+    val neg = row.getAs[Long]("n_negative_probes")
+    assert(neg > 0, "the audit needs truly-inactive probe traffic")
+    val observed = row.getAs[Long]("observed_fpp_ppm")
+    val configured = row.getAs[Long]("configured_fpp_ppm")
+    // sized-to-set, the observed rate must land AT the configured fpp:
+    // nonzero (an oversized filter reading 0 proves nothing) and within
+    // 2x (binomial noise at this probe count; a broken hash reads far out)
+    assert(row.getAs[Long]("n_false_positives") > 0,
+      "sized-to-set audit must observe a nonzero false-positive rate")
+    assert(observed <= 2 * configured,
+      s"observed fpp $observed ppm vs configured $configured ppm")
+    // arithmetic lane: ppm recomputes from the counts
+    val fp = row.getAs[Long]("n_false_positives")
+    assert(observed == (BigInt(fp) * 1000000 / neg).toLong)
+  }
 }
