@@ -276,6 +276,7 @@ object SparkEntry {
     "q_idle_customers" -> ((s, dir) => Warehouse.qIdleCustomers(s, dir)),
     "q_promo_revenue" -> ((s, dir) => Warehouse.qPromoRevenue(s, dir)),
     "q_xcorr" -> ((s, dir) => Warehouse.qXcorr(s, dir)),
+    "q_graph_distances" -> ((s, dir) => Warehouse.qGraphDistances(s, dir)),
     "q_supplier_diversity" -> ((s, dir) => Warehouse.qSupplierDiversity(s, dir)),
     "q_disjunctive_revenue" -> ((s, dir) => Warehouse.qDisjunctiveRevenue(s, dir)),
     "q_majority_supplier" -> ((s, dir) => Warehouse.qMajoritySupplier(s, dir)),
@@ -518,6 +519,25 @@ object SparkEntry {
         |    sqrt((sum(x * x) - sum(x) * sum(x) * 1.0 / count(*))
         |      * (sum(y * y) - sum(y) * sum(y) * 1.0 / count(*))), 6) AS acf
         |FROM p GROUP BY lag ORDER BY lag""".stripMargin,
+    // C93: bounded BFS hop distances over the co-purchase graph; the
+    // recursive walk dedups (id, hops) STATES (UNION, not UNION ALL) so
+    // the oracle explores O(|V|*maxHops) states, not all paths
+    "q_graph_distances" ->
+      """WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |walk(id, hops) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#12'
+        |  UNION
+        |  SELECT e.dst, w.hops + 1
+        |  FROM walk w JOIN edges e ON w.id = e.src WHERE w.hops < 3)
+        |SELECT id AS p_partkey, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY id ORDER BY p_partkey""".stripMargin,
     // C91: lead-lag cross-correlation between event-type daily series
     "q_xcorr" ->
       """WITH daily AS (

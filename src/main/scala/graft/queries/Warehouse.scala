@@ -1857,6 +1857,48 @@ object Warehouse {
       .select($"a", $"b")
   }
 
+  /** C93: bounded multi-hop graph DISTANCES — BFS hop count from a seed
+    * set over the (memoized) co-purchase graph: "how far is every part
+    * from the Brand#12 neighborhood" — the related-products radius /
+    * blast-radius read, and the traversal operator the graph family
+    * (C40 fixpoint rank, C43 motifs, C47 components) didn't yet have.
+    * Execution is LEVEL-SYNCHRONOUS frontier expansion, maxHops
+    * iterations of hash equi-joins: each hop joins ONLY the frontier
+    * (not the reached set) against the edge list, anti-joins the
+    * visited set, and materializes the new |parts|-bounded frontier
+    * (lineage truncation per hop — the C40 discipline; without it hop
+    * k's anti-join replans the whole prefix). Never a |V|×|V| anything;
+    * at 100 TB each hop is one co-partitioned join on node keys. */
+  def qGraphDistances(spark: SparkSession, dir: String,
+      seedBrand: String = "Brand#12", maxHops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val seeds = Tables.table(spark, dir, "part")
+      .filter($"p_brand" === seedBrand).select($"p_partkey".as("id"))
+    bfsDistances(coPurchaseEdges(spark, dir), seeds, maxHops)
+      .select($"id".as("p_partkey"), $"hops").orderBy("p_partkey")
+  }
+
+  /** C93 core: min hop count from `seeds(id)` over undirected
+    * `edges(a, b)`, bounded at `maxHops`; returns (id, hops) for every
+    * reached node including the seeds at 0. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val undirected = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+    val s0 = seeds.select($"id").transform(graft.engine.Materialized.checkpoint)
+    var reached = s0.withColumn("hops", lit(0L))
+    var frontier = s0
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(undirected, $"id" === $"src")
+        .select($"dst".as("id")).distinct()
+        .join(reached.select($"id".as("__rid")), $"id" === $"__rid", "left_anti")
+        .transform(graft.engine.Materialized.checkpoint)
+      reached = reached.union(next.withColumn("hops", lit(h.toLong)))
+      frontier = next
+    }
+    reached
+  }
+
   /** C43: TRIANGLE census + global clustering coefficient of the
     * co-purchase graph — the motif count behind community density and
     * recommendation quality ("parts whose neighbors also co-occur").

@@ -424,6 +424,7 @@ object ScaleSmoke {
     time("q_xcorr") { queries.Warehouse.qXcorr(spark, dir) }
     time("q_image_dedup_apply") { queries.LlmOps.qImageDedupApply(spark, dir) }
     time("q_bloom_fpr") { queries.Etl.qBloomFpr(spark, dir) }
+    time("q_graph_distances") { queries.Warehouse.qGraphDistances(spark, dir) }
     time("q_promo_revenue") { queries.Warehouse.qPromoRevenue(spark, dir) }
     time("q_supplier_diversity") { queries.Warehouse.qSupplierDiversity(spark, dir) }
     time("q_disjunctive_revenue") { queries.Warehouse.qDisjunctiveRevenue(spark, dir) }

@@ -1838,6 +1838,28 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("graph distances (C93): planted path + star read exact hop counts, bound respected") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus star center 10 -> {11,12,13}; seeds {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a", "b")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val out = Warehouse.bfsDistances(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("hops")).toMap
+    val expect = Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L, 12L -> 1L, 13L -> 1L)
+    assert(out == expect, s"got $out — node 5 (4 hops) must be absent, min-hop wins")
+    // the registered face: every hop level within [0, 3], seeds at 0
+    val rows = Warehouse.qGraphDistances(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byHop = rows.groupBy(_.getAs[Long]("hops")).view.mapValues(_.length).toMap
+    assert(byHop.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val seedCount = graft.sources.Tables.table(spark, sfDir, "part")
+      .filter(col("p_brand") === "Brand#12").count()
+    assert(byHop(0L).toLong == seedCount, "hop 0 is exactly the seed set")
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length == rows.length)
+  }
+
   test("xcorr (C91): a planted 2-day lead reads 1.0 at lag 2, and the real face is sane") {
     import spark.implicits._
     // series B is exactly A shifted 2 days later: corr(A_d, B_{d+2}) = 1
