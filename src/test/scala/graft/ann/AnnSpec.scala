@@ -358,4 +358,30 @@ class AnnSpec extends SparkSpec {
       assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
     }
   }
+
+  test("IVF incremental maintenance (E3b): appending a delta needs only its own assign pass") {
+    // the index lifecycle's append step: new rows assign against the
+    // EXISTING centroids (map-side, no k-means refit, no base rescan) —
+    // and because assignment is a pure per-row function of the centroid
+    // constants, base-assigned ∪ delta-assigned IS the full re-assign
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val idx = Ivf.buildIndex(base, "vec_id", "embedding", nCells = 8)
+    val centers = idx.centroids.collect()
+      .map(r => (r.getAs[Long]("cell_id"), r.getSeq[Double](1).toArray)).toSeq
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("vec_id", "cell_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incremental = cells(idx.assigned) ++
+      cells(Ivf.assign(delta, "vec_id", "embedding", centers))
+    val full = cells(Ivf.assign(emb, "vec_id", "embedding", centers))
+    assert(incremental == full,
+      "incrementally maintained assignment must equal the full re-assign")
+    assert(incremental.size == emb.count(),
+      "every vector (base + delta) is assigned")
+    // the appended rows landed in existing cells — no refit happened
+    assert(incremental.values.toSet.subsetOf(centers.map(_._1).toSet))
+  }
 }
