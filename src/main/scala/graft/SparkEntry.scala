@@ -277,6 +277,7 @@ object SparkEntry {
     "q_promo_revenue" -> ((s, dir) => Warehouse.qPromoRevenue(s, dir)),
     "q_xcorr" -> ((s, dir) => Warehouse.qXcorr(s, dir)),
     "q_graph_distances" -> ((s, dir) => Warehouse.qGraphDistances(s, dir)),
+    "q_epoch_independence" -> ((s, dir) => Mix.qEpochIndependence(s, dir)),
     "q_supplier_diversity" -> ((s, dir) => Warehouse.qSupplierDiversity(s, dir)),
     "q_disjunctive_revenue" -> ((s, dir) => Warehouse.qDisjunctiveRevenue(s, dir)),
     "q_majority_supplier" -> ((s, dir) => Warehouse.qMajoritySupplier(s, dir)),
@@ -286,6 +287,40 @@ object SparkEntry {
     "q_pca_project" -> ((s, dir) => ann.Pca.project(
       sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 2)),
   )
+
+  /** H27 per-epoch order CTE: H14's hash→shard→rank→stride chain under
+    * an `epoch<e>:` salt, emitting (doc_id, gp). */
+  private def epochOrderCte(e: Int): String =
+    s"""e$e AS (
+      |  SELECT doc_id,
+      |    CAST((row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)
+      |      * 64 + shard AS BIGINT) AS gp
+      |  FROM (
+      |    SELECT doc_id, h, CAST(h % 64 AS INTEGER) AS shard
+      |    FROM (
+      |      SELECT doc_id, (h0 * h0) % 2147483647 AS h
+      |      FROM (
+      |        SELECT doc_id,
+      |          list_reduce(
+      |            list_transform(range(1, length('epoch$e:' || CAST(doc_id AS VARCHAR)) + 1),
+      |                           i -> CAST(ascii(substr('epoch$e:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+      |            (h, c) -> (h * 131 + c) % 2147483647) AS h0
+      |        FROM documents))))""".stripMargin
+
+  /** H27 pair block: Pearson of two epochs' positions, the same
+    * decimal-exact sums → double tail as the Spark side. */
+  private def epochPairSql(a: Int, b: Int): String =
+    s"""SELECT CAST($a AS BIGINT) AS epoch_a, CAST($b AS BIGINT) AS epoch_b,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round((CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / count(*)) /
+      |    sqrt((CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+      |        - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) / count(*))
+      |      * (CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE)
+      |        - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / count(*))), 6)
+      |    AS order_corr
+      |FROM (SELECT a.gp AS x, b.gp AS y
+      |      FROM e$a a JOIN e$b b USING (doc_id))""".stripMargin
 
   /** G3e/G3k shared CTE chain (hh → hs → hf): doc_id → the planted
     * 64-bit image dHash exactly as the image synthesizer builds it
@@ -519,6 +554,18 @@ object SparkEntry {
         |    sqrt((sum(x * x) - sum(x) * sum(x) * 1.0 / count(*))
         |      * (sum(y * y) - sum(y) * sum(y) * 1.0 / count(*))), 6) AS acf
         |FROM p GROUP BY lag ORDER BY lag""".stripMargin,
+    // H27: cross-epoch order independence (Spearman of H14 orders
+    // under per-epoch salts; decimal-exact sums, shared IEEE tail)
+    "q_epoch_independence" ->
+      (s"""WITH ${epochOrderCte(0)},
+        |${epochOrderCte(1)},
+        |${epochOrderCte(2)}
+        |${epochPairSql(0, 1)}
+        |UNION ALL
+        |${epochPairSql(0, 2)}
+        |UNION ALL
+        |${epochPairSql(1, 2)}
+        |ORDER BY epoch_a, epoch_b""".stripMargin),
     // C93: bounded BFS hop distances over the co-purchase graph; the
     // recursive walk dedups (id, hops) STATES (UNION, not UNION ALL) so
     // the oracle explores O(|V|*maxHops) states, not all paths

@@ -80,13 +80,18 @@ object Mix {
     * (no state, no ordering): an ingest pipeline can route docs to
     * training shards at arrival time; only the within-shard POSITION
     * needs the batch sort. */
-  def assignShard(df: DataFrame, idCol: String): DataFrame =
+  def assignShard(df: DataFrame, idCol: String,
+      salt: String = "shuf42:"): DataFrame =
     // SQUARE-MIX the polyhash: the raw hash is AFFINE in the id's last
     // decimal digits (consecutive ids → consecutive keys), so the
     // "shuffled" order was nearly id-sequential — caught by H14b's
     // adjacency audit (same_ppm = 0, impossible under real mixing);
-    // (h² mod M) breaks the affinity (the G3i lesson, third instance)
-    df.withColumn("__hr", polyhash(concat(lit("shuf42:"), col(idCol).cast("string"))))
+    // (h² mod M) breaks the affinity (the G3i lesson, third instance).
+    // `salt` varies the permutation (H27's per-epoch orders); the
+    // single squaring stays sufficient ACROSS salts too — measured
+    // cross-salt rank corr +0.0006 at 20k sequential ids (band 0.014),
+    // while the RAW lane reads −0.50 (the H27 audit's broken control)
+    df.withColumn("__hr", polyhash(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("h", expr("__hr * __hr % 2147483647"))
       .drop("__hr")
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
@@ -126,11 +131,58 @@ object Mix {
           " AS BIGINT)").as("expected_ppm"))
   }
 
+  /** H27: EPOCH-ORDER INDEPENDENCE audit — repeated-epoch training (the
+    * H15 schedule) wants a DIFFERENT, decorrelated order each pass:
+    * correlated epoch orders replay the same gradient neighborhoods and
+    * quietly halve the value of repetition. Each epoch's order is H14's
+    * shuffle under an `epoch<e>:` salt; the audit reports the Pearson
+    * correlation of every epoch pair's global positions per doc —
+    * positions ARE ranks, so this is the Spearman correlation of the
+    * two orders; a healthy pair sits within ~±4/√N of zero. Teeth
+    * (MixSpec): the RAW un-mixed lane — the shipped affinity-trap class
+    * — reads |r| ≈ 0.5 on sequential ids because every salt's hash
+    * shares the id-digit tail; the mixed lanes read inside the band.
+    * Work: epochs × (one corpus hash projection + per-shard Window),
+    * pair stats from one power-sum aggregate each — no global sort. */
+  def qEpochIndependence(spark: SparkSession, dir: String,
+      epochs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents").select("doc_id")
+    val orders = (0 until epochs).map { e =>
+      globalShuffle(docs, salt = s"epoch$e:")
+        .select(col("doc_id"), col("global_pos"))
+    }
+    val stats = for {
+      a <- 0 until epochs
+      b <- a + 1 until epochs
+    } yield {
+      val oa = orders(a).select(col("doc_id"), col("global_pos").as("x"))
+      val ob = orders(b).select(col("doc_id").as("__db"), col("global_pos").as("y"))
+      oa.join(ob, col("doc_id") === col("__db"))
+        // power sums on DECIMAL(38): Σ(pos²) wraps Long past ~3e6 docs
+        // (pos ~ 6e7 at 1e9 docs); exact decimal sums cast to double at
+        // the END so both engines run the identical IEEE tail
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(x) AS DOUBLE)").as("sx"),
+          expr("CAST(sum(y) AS DOUBLE)").as("sy"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)").as("sxy"),
+          expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)").as("sxx"),
+          expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE)").as("syy"))
+        .select(lit(a.toLong).as("epoch_a"), lit(b.toLong).as("epoch_b"),
+          col("n"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") /
+            sqrt(($"sxx" - $"sx" * $"sx" / $"n")
+              * ($"syy" - $"sy" * $"sy" / $"n")), 6).as("order_corr"))
+    }
+    stats.reduce(_ unionByName _).orderBy("epoch_a", "epoch_b")
+  }
+
   /** The H14 core over any doc frame (payload columns ride along):
     * shard/pos/global_pos appended, no presentation sort. */
-  private[graft] def globalShuffle(df: DataFrame): DataFrame = {
+  private[graft] def globalShuffle(df: DataFrame,
+      salt: String = "shuf42:"): DataFrame = {
     val byShard = Window.partitionBy("shard").orderBy("h", "doc_id")
-    assignShard(df, "doc_id")
+    assignShard(df, "doc_id", salt)
       .withColumn("pos", row_number().over(byShard))
       .withColumn("global_pos",
         ((col("pos") - 1) * ShuffleShards + col("shard")).cast("long"))

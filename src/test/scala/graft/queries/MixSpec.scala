@@ -235,6 +235,51 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("epoch independence (H27): mixed epoch orders decorrelated, raw lanes are NOT") {
+    import spark.implicits._
+    val n = 20000
+    val ids = (0L until n.toLong).toDF("doc_id")
+    def pearson(xs: Array[Long], ys: Array[Long]): Double = {
+      val nn = xs.length.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum
+      val sxx = xs.map(a => a.toDouble * a).sum
+      val syy = ys.map(a => a.toDouble * a).sum
+      (sxy - sx * sy / nn) /
+        math.sqrt((sxx - sx * sx / nn) * (syy - sy * sy / nn))
+    }
+    def order(salt: String, mixed: Boolean): Array[Long] = {
+      val h0 = graft.functions.polyhash(
+        concat(lit(salt), col("doc_id").cast("string")))
+      val h = if (mixed) expr(s"(__h0 * __h0) % 2147483647") else col("__h0")
+      ids.withColumn("__h0", h0).withColumn("__h", h)
+        .orderBy("doc_id").collect()
+        .map(_.getAs[Long]("__h"))
+    }
+    val band = 4.0 / math.sqrt(n.toDouble)
+    // the REGISTERED machinery: single-square-mixed per-epoch salts
+    val m0 = order("epoch0:", mixed = true)
+    val m1 = order("epoch1:", mixed = true)
+    assert(math.abs(pearson(m0, m1)) <= band,
+      s"mixed epoch hash lanes must decorrelate: ${pearson(m0, m1)}")
+    // the broken control (the shipped affinity-trap class): RAW lanes
+    // share the id-digit polyhash tail, so epoch orders correlate hard
+    val r0 = order("epoch0:", mixed = false)
+    val r1 = order("epoch1:", mixed = false)
+    assert(math.abs(pearson(r0, r1)) > 0.3,
+      s"the raw-lane control must read far outside the band: ${pearson(r0, r1)}")
+    // the registered face: full pair grid, self-consistent shape, and
+    // every pair inside the n=|docs| binomial band
+    val rows = Mix.qEpochIndependence(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n").toDouble
+      assert(math.abs(r.getAs[Double]("order_corr")) <= 4.0 / math.sqrt(nDocs),
+        s"epoch pair ${r.getAs[Long]("epoch_a")}-${r.getAs[Long]("epoch_b")}" +
+          s" corr ${r.getAs[Double]("order_corr")} outside the band")
+    }
+  }
+
   test("curriculum order: stage monotone in length, stages concatenate, near-quartile sizes") {
     val out = Mix.qCurriculumOrder(spark, sfDir).cache()
     val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
