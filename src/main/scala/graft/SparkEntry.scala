@@ -81,6 +81,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => LlmOps.qAnnLsh(s, dir)),
     "q_ann_ivf" -> ((s, dir) => LlmOps.qAnnIvf(s, dir)),
     "q_pq_topk" -> ((s, dir) => LlmOps.qPqTopK(s, dir)),
+    "q_pq_cascade" -> ((s, dir) => LlmOps.qPqCascade(s, dir)),
     "q_pq_ivf" -> ((s, dir) => LlmOps.qPqIvf(s, dir)),
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
     "q_pack_sequences" -> ((s, dir) => LlmOps.qPackSequences(s, dir)),

@@ -810,6 +810,61 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E25: PQ→exact CASCADE — the third member of the cascade family
+    * (E21 int8→exact cuts lane WIDTH, E23 PCA→exact cuts lane COUNT,
+    * E25 cuts to 8 CODES/vector, the memory-bound extreme: the stage-1
+    * corpus is 64× smaller than float64 lanes). ADC over the memoized
+    * codebooks selects kCand candidates/query; exact full-width cosine
+    * rescores only those (corpus-size-independent). This is the FAISS
+    * IndexPQ + refine deployment shape. Rows-only (k-means codebooks,
+    * E8's class); PqCascadeSpec-style recall floor lives in PqSpec. */
+  def qPqCascade(spark: SparkSession, dir: String, kCand: Int = 200,
+      k: Int = 10, sampleMod: Long = 64L): DataFrame = {
+    val (cb, encoded) = pqIndex(spark, dir)
+    // E23's sampled admission cutoff applied to the ADC scan: the heap
+    // aggregate's per-row group path — not the m-lookup ADC — dominates
+    // an unfiltered corpus-sized pair stream (98s vs the ~2s scan at the
+    // 100× corpus); the kSmp-th best sampled score per query admits
+    // ~2·kCand rows into the heap, and the `pqsmp:` draw is the
+    // double-square-mixed high-bit threshold (the audited form)
+    val q = annQueries(spark, dir).select(col("query_id"),
+      graft.functions.pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub)
+        .as("__table"))
+    def coarse(corpus: DataFrame): DataFrame = corpus
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-graft.functions.pqAdc(col("__table"), col("codes"), cb.k)).as("sim"))
+    val kSmp = math.max(1, math.ceil(2.0 * kCand / sampleMod).toInt)
+    val thr = coarse(encoded.filter(
+        Mix.drawMix(graft.functions.polyhash(
+          concat(lit("pqsmp:"), col("vec_id").cast("string"))))
+          * lit(sampleMod) < lit(2147483647L)))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kSmp).as("top"))
+      .select(col("query_id"),
+        element_at(col("top"), size(col("top"))).getField("sim").as("thr"))
+    val stage1 = coarse(encoded)
+      .join(broadcast(thr), Seq("query_id"), "left")
+      .filter(col("sim") >= coalesce(col("thr"), lit(Double.NegativeInfinity)))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kCand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nbr"))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"))
+    val rescored = stage1
+      .join(Tables.table(spark, dir, "embeddings")
+          .select(col("vec_id").as("neighbor_id"),
+            Ann.asDouble(col("embedding")).as("nvec")), "neighbor_id")
+      .join(broadcast(annQueries(spark, dir)), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.cosineSim(col("qvec"), col("nvec")).as("sim"))
+    rescored.groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Memoized IVF-cell × PQ-code corpus (E8b) — the two proven indexes
     * joined once: (vec_id, cell_id, codes). Build side of every IVF-PQ
     * scan; persisting it is what makes cell_id the shuffle key and keeps

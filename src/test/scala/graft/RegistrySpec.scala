@@ -30,7 +30,9 @@ class RegistrySpec extends AnyFunSuite {
       "q_pca", "q_pca_project", "q_ann_pca",
       // A22: the spark-sketch Bloom bit layout has no SQL replay; the
       // zero-false-negative contract and fpp band live in BloomSpec
-      "q_bloom_fpr"),
+      "q_bloom_fpr",
+      // E25: k-means codebooks (E8's class); recall floor in PqSpec
+      "q_pq_cascade"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

@@ -218,8 +218,9 @@ class MixSpec extends SparkSpec {
     import spark.implicits._
     val n = 40000
     val ids = (0L until n.toLong).toDF("id")
-    // pcasmp: is E23's corpus-sample cutoff lane (round 11)
-    Seq("usmp:", "psi:", "rev:", "fix:", "cursmp:", "pcasmp:").foreach { prefix =>
+    // pcasmp:/pqsmp: are E23/E25's corpus-sample cutoff lanes (round 11)
+    Seq("usmp:", "psi:", "rev:", "fix:", "cursmp:", "pcasmp:", "pqsmp:")
+      .foreach { prefix =>
       val flags = ids.select(col("id"),
         (Mix.drawMix(graft.functions.polyhash(
           concat(lit(prefix), col("id").cast("string")))) * lit(4L)
