@@ -200,6 +200,7 @@ object SparkEntry {
     "q_graph_components" -> ((s, dir) => Warehouse.qGraphComponents(s, dir)),
     "q_changepoint_by_type" -> ((s, dir) => Warehouse.qChangepointByType(s, dir)),
     "q_late_arrivals" -> ((s, dir) => Warehouse.qLateArrivals(s, dir)),
+    "q_replay_diff" -> ((s, dir) => Warehouse.qReplayDiff(s, dir)),
     "q_event_gaps" -> ((s, dir) => Warehouse.qEventGaps(s, dir)),
     "q_funnel_windowed" -> ((s, dir) => Warehouse.qFunnelWindowed(s, dir)),
     "q_power_analysis" -> ((s, dir) => Warehouse.qPowerAnalysis(s, dir)),
@@ -3641,6 +3642,32 @@ object SparkEntry {
         |  max_late_us,
         |  CAST(sum_late // nullif(n_late, 0) AS BIGINT) AS mean_late_us
         |FROM h ORDER BY hour""".stripMargin,
+    // I9: which (day, type) published counts the backfill corrected;
+    // stragglers planted (id % 37 -> ts - 2 days), replayed here
+    "q_replay_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 2 DAY
+        |         ELSE ts END AS ts,
+        |    CAST(epoch_us(CASE WHEN event_id % 37 = 0
+        |      THEN ts - INTERVAL 2 DAY ELSE ts END) AS BIGINT) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, ts, us,
+        |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+        |  FROM e),
+        |g AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_corrected,
+        |    CAST(sum(CASE WHEN seen IS NOT NULL AND us < seen THEN 0
+        |      ELSE 1 END) AS BIGINT) AS n_published
+        |  FROM w GROUP BY 1, 2)
+        |SELECT d, event_type, n_published, n_corrected,
+        |  CAST((CAST(n_corrected - n_published AS HUGEINT) * 1000000)
+        |    // n_corrected AS BIGINT) AS correction_ppm
+        |FROM g WHERE n_corrected <> n_published
+        |ORDER BY d, event_type""".stripMargin,
     // I7: F20's floor-log2 buckets over per-user consecutive gaps;
     // gap=0 double-fires get the dedicated -1 bucket.
     "q_event_gaps" ->

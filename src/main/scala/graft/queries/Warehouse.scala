@@ -2327,6 +2327,44 @@ object Warehouse {
       .orderBy($"hour")
   }
 
+  /** I9: late-data REPLAY DIFF — which published daily numbers did the
+    * backfill change, and by how much: per (day, event_type), the count
+    * a drop-late streaming aggregate would have published (on-time rows
+    * only, lateness = I6's arrived-behind-the-user's-max-seen-ts
+    * definition) vs the corrected batch count, emitting ONLY the
+    * (day, type) cells the backfill moved with the correction in exact
+    * ppm. This is the audit that sizes I6's "how late is late" into
+    * business terms — dashboard cells restated, not microseconds. One
+    * user-keyed window pass (the I6 shuffle) → calendar-bounded
+    * aggregate; output ≤ \|days×types\|. */
+  def qReplayDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byArrival = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the synthetic corpus arrives perfectly ordered (I6 reads n_late=0
+    // everywhere), so deterministic stragglers are PLANTED — every
+    // event_id % 37 == 0 carries a 2-day-old timestamp — and replayed
+    // identically in the oracle (the ruleEnriched planted-mutation rule)
+    Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        when($"event_id" % 37 === 0, $"ts" - expr("INTERVAL 2 DAY"))
+          .otherwise($"ts").as("ts"))
+      .select($"user_id", $"event_id", $"event_type", $"ts",
+        unix_micros($"ts").as("__us"))
+      .withColumn("__seen", max($"__us").over(byArrival))
+      .withColumn("__late",
+        ($"__seen".isNotNull && $"__us" < $"__seen").cast("long"))
+      .groupBy(to_date($"ts").as("d"), $"event_type")
+      .agg(count(lit(1)).as("n_corrected"),
+        sum(lit(1L) - $"__late").as("n_published"))
+      .filter($"n_corrected" =!= $"n_published")
+      .select($"d", $"event_type", $"n_published", $"n_corrected",
+        expr("CAST((CAST(n_corrected - n_published AS DECIMAL(38,0))" +
+          " * 1000000) DIV n_corrected AS BIGINT)").as("correction_ppm"))
+      .orderBy($"d", $"event_type")
+  }
+
   /** I7: inter-event GAP distribution — the log2 histogram of the time
     * between a user's consecutive events, the measurement C5's 30-minute
     * session gap and C14's 5-minute debounce window should be READ OFF

@@ -250,4 +250,44 @@ class TemporalSpec extends SparkSpec {
       assert(got == started, s"$cpS: coverage mismatch")
     }
   }
+
+  test("replay diff (I9): planted stragglers restate exactly the recomputed cells") {
+    import org.apache.spark.sql.functions._
+    val rows = Warehouse.qReplayDiff(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the planted stragglers must restate some cells")
+    // driver replay of the planted mutation + I6 lateness definition
+    val evs = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map { r =>
+        val id = r.getAs[Long]("event_id")
+        val raw = r.getAs[java.sql.Timestamp]("ts")
+        val ts = if (id % 37 == 0)
+          new java.sql.Timestamp(raw.getTime - 2L * 24 * 3600 * 1000) else raw
+        (r.getAs[Long]("user_id"), id, r.getAs[String]("event_type"), ts)
+      }
+    val late = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var seen = Long.MinValue
+      es.sortBy(_._2).toSeq.flatMap { case (_, id, _, ts) =>
+        val us = ts.getTime
+        val l = seen != Long.MinValue && us < seen
+        seen = math.max(seen, us)
+        if (l) Some(id) else None
+      }
+    }.toSet
+    assert(late.nonEmpty && late.forall(_ % 37 == 0))
+    val cells = evs.groupBy(e => (e._4.toLocalDateTime.toLocalDate.toString, e._3))
+      .map { case (k, es) =>
+        k -> (es.count(e => !late(e._2)).toLong, es.length.toLong) }
+    val expect = cells.filter { case (_, (p, c)) => p != c }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getDate(0).toString, r.getAs[String]("event_type"))
+      val (p, c) = expect(k)
+      assert(r.getAs[Long]("n_published") == p && r.getAs[Long]("n_corrected") == c)
+      assert(p < c, "published can only undercount")
+      assert(r.getAs[Long]("correction_ppm") ==
+        (BigInt(c - p) * 1000000 / c).toLong)
+    }
+  }
 }
