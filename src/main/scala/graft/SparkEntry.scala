@@ -267,6 +267,7 @@ object SparkEntry {
     "q_custorder_dist" -> ((s, dir) => Warehouse.qCustOrderDist(s, dir)),
     "q_linear_trend" -> ((s, dir) => Warehouse.qLinearTrend(s, dir)),
     "q_holt" -> ((s, dir) => Warehouse.qHolt(s, dir)),
+    "q_holt_winters" -> ((s, dir) => Warehouse.qHoltWinters(s, dir)),
     "q_dedup_best_lsh" -> ((s, dir) => LlmOps.qDedupBestLsh(s, dir)),
     "q_volume_shipping" -> ((s, dir) => Warehouse.qVolumeShipping(s, dir)),
     "q_market_share" -> ((s, dir) => Warehouse.qMarketShare(s, dir)),
@@ -4852,6 +4853,48 @@ object SparkEntry {
         |    1000 * t.y - (r.l + r.b)
         |  FROM i t JOIN r ON t.i = r.i + 1)
         |SELECT d, y, l AS level_x1000, b AS trend_x1000, dev AS dev_x1000
+        |FROM r ORDER BY d""".stripMargin,
+    // C95: Holt-Winters additive weekly seasonality; the recursive term
+    // names lnew in a derived table, seasonal list updated by 1-based
+    // indexed list_transform (Spark's transform lambda is 0-based)
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |i AS (SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |      FROM series),
+        |r AS (
+        |  SELECT d, y, i, CAST(1000 * y AS BIGINT) AS l,
+        |    CAST(0 AS BIGINT) AS b,
+        |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS s,
+        |    CAST(0 AS BIGINT) AS sx, CAST(0 AS BIGINT) AS dev
+        |  FROM i WHERE i = 1
+        |  UNION ALL
+        |  SELECT d, y, i, lnew AS l,
+        |    ((b + lnew - l) - ((((b + lnew - l) % 2) + 2) % 2)) // 2 AS b,
+        |    list_transform(s, (v, j) -> CASE WHEN j = w + 1 THEN
+        |      ((v + (1000 * y - lnew))
+        |        - ((((v + (1000 * y - lnew)) % 2) + 2) % 2)) // 2
+        |      ELSE v END) AS s,
+        |    ((s[w + 1] + (1000 * y - lnew))
+        |      - ((((s[w + 1] + (1000 * y - lnew)) % 2) + 2) % 2)) // 2 AS sx,
+        |    1000 * y - (l + b + s[w + 1]) AS dev
+        |  FROM (
+        |    SELECT t.d, t.y, t.i, r.l, r.b, r.s,
+        |      CAST(isodow(t.d) - 1 AS BIGINT) AS w,
+        |      ((1000 * t.y - r.s[CAST(isodow(t.d) AS INT)] + r.l + r.b)
+        |        - ((((1000 * t.y - r.s[CAST(isodow(t.d) AS INT)] + r.l + r.b)
+        |          % 2) + 2) % 2)) // 2 AS lnew
+        |    FROM i t JOIN r ON t.i = r.i + 1) z)
+        |SELECT d, y, l AS level_x1000, b AS trend_x1000,
+        |  sx AS seasonal_x1000, dev AS dev_x1000
         |FROM r ORDER BY d""".stripMargin,
     // C78: Q7 shape — directed nation trade lanes per ship year
     "q_volume_shipping" ->

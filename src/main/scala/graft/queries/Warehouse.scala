@@ -2699,6 +2699,66 @@ object Warehouse {
       .orderBy("d")
   }
 
+  /** C95: HOLT–WINTERS additive seasonal smoothing of the daily volume —
+    * the third rung of the forecasting ladder (C64 EWMA: level; C72
+    * Holt: level+trend; C95: level+trend+weekly seasonality, the shape
+    * retail/ops series actually have). All three smoothing constants
+    * are 1/2 on exact integer ×1000 lanes (the C72 discipline — no
+    * float drift, engine-replayable): per day with weekday w,
+    * `l' = (1000y − s_w + l + b) div 2`, `b' = (b + l' − l) div 2`,
+    * `s_w' = (s_w + (1000y − l')) div 2`, dev = one-step forecast error
+    * `1000y − (l + b + s_w)`. Day 1 initializes l = 1000y, b = 0, s ≡ 0
+    * — the seasonals LEARN (γ=1/2 halves seasonal error per week), which
+    * the spec's pure-weekly plant verifies. Sequential by construction:
+    * one ordered fold over the calendar-bounded daily frame (the
+    * corpus-sized work is the count-by-day aggregate), same as C72. */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOf(dailyEventSeries(spark, dir))
+
+  /** C95 core over any gap-complete (d, y) series; period fixed at 7
+    * (weekday lanes — Spark `weekday` ≡ DuckDB `isodow − 1`). */
+  def holtWintersOf(series: DataFrame): DataFrame = {
+    def f2(e: String) = s"((($e) - pmod(($e), 2)) DIV 2)"
+    val widx = "weekday(x.d)"
+    val si = s"element_at(acc.s, $widx + 1)"
+    val lNew = s"CASE WHEN acc.l < 0 THEN 1000 * x.y" +
+      s" ELSE ${f2(s"1000 * x.y - $si + acc.l + acc.b")} END"
+    val bNew = s"CASE WHEN acc.l < 0 THEN CAST(0 AS BIGINT)" +
+      s" ELSE ${f2(s"acc.b + ($lNew) - acc.l")} END"
+    val sNew = s"CASE WHEN acc.l < 0 THEN acc.s" +
+      s" ELSE transform(acc.s, (v, j) -> IF(j = $widx," +
+      s" ${f2(s"v + (1000 * x.y - ($lNew))")}, v)) END"
+    val dev = s"CASE WHEN acc.l < 0 THEN CAST(0 AS BIGINT)" +
+      s" ELSE 1000 * x.y - (acc.l + acc.b + $si) END"
+    series
+      .agg(sort_array(collect_list(struct(col("d"), col("y")))).as("xs"))
+      .select(explode(expr(
+        s"""aggregate(xs,
+           |  named_struct('l', CAST(-1 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    's', array_repeat(CAST(0 AS BIGINT), 7),
+           |    'out', CAST(array() AS
+           |      ARRAY<STRUCT<d: DATE, y: BIGINT, level_x1000: BIGINT,
+           |                   trend_x1000: BIGINT, seasonal_x1000: BIGINT,
+           |                   dev_x1000: BIGINT>>)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', $bNew,
+           |    's', $sNew,
+           |    'out', concat(acc.out, array(named_struct(
+           |      'd', x.d, 'y', x.y,
+           |      'level_x1000', $lNew,
+           |      'trend_x1000', $bNew,
+           |      'seasonal_x1000', element_at(($sNew), $widx + 1),
+           |      'dev_x1000', $dev)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.d").as("d"), col("r.y").as("y"),
+        col("r.level_x1000").as("level_x1000"),
+        col("r.trend_x1000").as("trend_x1000"),
+        col("r.seasonal_x1000").as("seasonal_x1000"),
+        col("r.dev_x1000").as("dev_x1000"))
+      .orderBy("d")
+  }
+
   /** C30: pre-flight join-size estimation — orders ⋈ lineitem sized from
     * two map-side KMV key sketches, never running the join (see
     * [[graft.engine.JoinEstimate]]). Deterministic (xxhash64), rows-only

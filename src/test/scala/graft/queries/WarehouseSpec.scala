@@ -1838,6 +1838,39 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("holt-winters (C95): pure weekly plant converges, constant series degenerates to Holt") {
+    import spark.implicits._
+    // pure period-7 signal around level 100: seasonals learn at gamma=1/2,
+    // so the one-step forecast error roughly halves per cycle
+    val pattern = Array(20L, -10L, 0L, 15L, -25L, 5L, -5L)
+    val start = java.time.LocalDate.of(2024, 1, 1) // a Monday: weekday 0
+    val planted = (0 until 70).map { i =>
+      (java.sql.Date.valueOf(start.plusDays(i)), 100L + pattern(i % 7))
+    }.toDF("d", "y")
+    val rows = Warehouse.holtWintersOf(planted).collect()
+    assert(rows.length == 70)
+    def cycleErr(c: Int): Long = rows.slice(c * 7, c * 7 + 7)
+      .map(r => math.abs(r.getAs[Long]("dev_x1000"))).sum
+    // the coupled level lane chases the seasonal signal, so per-cycle
+    // error decay is ~0.78, not the bare gamma=1/2 — 9 cycles give 4x
+    assert(cycleErr(9) * 4 < cycleErr(1),
+      s"seasonal learning must shrink the forecast error: ${cycleErr(1)} -> ${cycleErr(9)}")
+    // by week 10 the learned seasonal for Monday approaches its plant
+    val lastMon = rows(63)
+    assert(math.abs(lastMon.getAs[Long]("seasonal_x1000") - 20000L) < 6000L)
+    // degeneracy: a constant series keeps seasonals at ~0 and dev -> 0
+    val const = (0 until 28).map(i =>
+      (java.sql.Date.valueOf(start.plusDays(i)), 50L)).toDF("d", "y")
+    val cr = Warehouse.holtWintersOf(const).collect()
+    assert(cr.drop(14).forall(r =>
+      math.abs(r.getAs[Long]("dev_x1000")) <= 1000L &&
+        math.abs(r.getAs[Long]("seasonal_x1000")) <= 1000L))
+    // the registered face runs and is deterministic
+    val a = Warehouse.qHoltWinters(spark, sfDir).collect()
+    val b = Warehouse.qHoltWinters(spark, sfDir).collect()
+    assert(a.nonEmpty && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("graph distances (C93): planted path + star read exact hop counts, bound respected") {
     import spark.implicits._
     // path 1-2-3-4-5-6 plus star center 10 -> {11,12,13}; seeds {1, 10}
