@@ -325,15 +325,21 @@ object Retrieval {
   def qIndexRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = LlmOps.qAnnTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"))
-      // five report legs read the exact frame (1000 rows at sf0.1):
-      // materialize once, not five broadcast-side recomputes
+      // eight report legs read the exact frame (1000 rows at sf0.1):
+      // materialize once, not eight broadcast-side recomputes
       .transform(graft.engine.Materialized.checkpoint)
     val legs: Seq[(String, DataFrame)] = Seq(
       "exact" -> exact,
       "lsh" -> LlmOps.qAnnLsh(spark, dir),
       "ivf" -> LlmOps.qAnnIvf(spark, dir),
       "pq" -> LlmOps.qPqTopK(spark, dir),
-      "ivf_pq" -> LlmOps.qPqIvf(spark, dir))
+      "ivf_pq" -> LlmOps.qPqIvf(spark, dir),
+      // the round-11 exact-rescore cascades: int8 (E21), PCA-prefilter
+      // (E23), PQ+refine (E25) — the deployment shapes, in the same
+      // acceptance matrix as the raw indexes they build on
+      "int8_cascade" -> LlmOps.qAnnCascade(spark, dir),
+      "pca_cascade" -> LlmOps.qAnnPca(spark, dir),
+      "pq_cascade" -> LlmOps.qPqCascade(spark, dir))
     legs.map { case (name, approx) =>
       recallReport(exact, approx.select(col("query_id"), col("neighbor_id")))
         .agg(count(lit(1)).as("n_queries"),

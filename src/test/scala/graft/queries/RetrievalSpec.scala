@@ -62,7 +62,8 @@ class RetrievalSpec extends SparkSpec {
   test("index recall matrix: exact control at 100, all rows bounded, uniform query count") {
     val rows = Retrieval.qIndexRecall(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(rows.keySet == Set("exact", "lsh", "ivf", "pq", "ivf_pq"))
+    assert(rows.keySet == Set("exact", "lsh", "ivf", "pq", "ivf_pq",
+      "int8_cascade", "pca_cascade", "pq_cascade"))
     val (nq, meanE, minE) = rows("exact")
     assert(meanE == 100L && minE == 100L, "exact-vs-exact control must be perfect")
     rows.values.foreach { case (n, mean, mn) =>
@@ -73,6 +74,12 @@ class RetrievalSpec extends SparkSpec {
     val e11 = Retrieval.qAnnRecall(spark, sfDir).collect()
     val e11Mean = e11.map(_.getAs[Long]("recall_x100")).sum / e11.length
     assert(rows("ivf")._2 == e11Mean, "matrix row must equal the E11 aggregate")
+    // the cascade argument: each exact-rescore cascade at least matches
+    // the raw index its stage 1 builds on (rescoring never loses)
+    assert(rows("pq_cascade")._2 >= rows("pq")._2,
+      "PQ+refine must beat (or match) raw ADC ranking")
+    assert(rows("int8_cascade")._2 >= 90L && rows("pca_cascade")._2 >= 80L,
+      "the cascades must hold deployment-grade recall")
   }
 
   test("mmr: rank 1 is the most relevant; λ=1 degenerates to relevance order") {
