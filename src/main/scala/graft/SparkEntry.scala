@@ -202,6 +202,7 @@ object SparkEntry {
     "q_late_arrivals" -> ((s, dir) => Warehouse.qLateArrivals(s, dir)),
     "q_replay_diff" -> ((s, dir) => Warehouse.qReplayDiff(s, dir)),
     "q_event_gaps" -> ((s, dir) => Warehouse.qEventGaps(s, dir)),
+    "q_time_to_convert" -> ((s, dir) => Warehouse.qTimeToConvert(s, dir)),
     "q_funnel_windowed" -> ((s, dir) => Warehouse.qFunnelWindowed(s, dir)),
     "q_power_analysis" -> ((s, dir) => Warehouse.qPowerAnalysis(s, dir)),
     "q_embedding_norms" -> ((s, dir) => LlmOps.qEmbeddingNorms(s, dir)),
@@ -3643,6 +3644,33 @@ object SparkEntry {
         |  max_late_us,
         |  CAST(sum_late // nullif(n_late, 0) AS BIGINT) AS mean_late_us
         |FROM h ORDER BY hour""".stripMargin,
+    // C96: first-view -> first-subsequent-purchase latency histogram
+    "q_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events),
+        |tf AS (
+        |  SELECT user_id, CAST(min(us) AS BIGINT) AS t_from
+        |  FROM e WHERE event_type = 'view' GROUP BY 1),
+        |dl AS (
+        |  SELECT e.user_id,
+        |    CAST(min(e.us) - min(tf.t_from) AS BIGINT) AS delta_us
+        |  FROM e JOIN tf USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= tf.t_from
+        |  GROUP BY e.user_id),
+        |h AS (
+        |  SELECT CASE WHEN delta_us = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST(length(bin(delta_us)) - 1 AS BIGINT) END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(min(delta_us) AS BIGINT) AS min_delta_us,
+        |    CAST(max(delta_us) AS BIGINT) AS max_delta_us
+        |  FROM dl GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM tf)
+        |SELECT bucket, n_users, min_delta_us, max_delta_us,
+        |  CAST((CAST(sum(n_users) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000)
+        |    // v.n_viewers AS BIGINT) AS cum_converted_ppm
+        |FROM h, v ORDER BY bucket""".stripMargin,
     // I9: which (day, type) published counts the backfill corrected;
     // stragglers planted (id % 37 -> ts - 2 days), replayed here
     "q_replay_diff" ->

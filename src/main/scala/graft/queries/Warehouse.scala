@@ -2402,6 +2402,47 @@ object Warehouse {
       .orderBy($"gap_bucket")
   }
 
+  /** C96: TIME-TO-CONVERT distribution — how long after their FIRST
+    * `fromType` does each user take to their first subsequent `toType`
+    * (the adoption-latency read product teams size nudges with; the
+    * funnels C13/C38 count SEQUENCES, this measures the latency of the
+    * canonical pair). Exact semantics: t_from = user's first view;
+    * conversion = first purchase at/or after t_from; delta log2-bucketed
+    * (I7's engine-portable floor-log2, −1 bucket = same microsecond)
+    * with cum_ppm over the VIEWER denominator — non-converters hold the
+    * curve below 1e6, exactly the population a nudge targets. Shape:
+    * per-user firsts via one filtered aggregate, join-back (C84's
+    * aggregate-join-reuse), bounded ≤42-bucket histogram. */
+  def qTimeToConvert(spark: SparkSession, dir: String,
+      fromType: String = "view", toType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.table(spark, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("__us"))
+    val tf = ev.filter($"event_type" === fromType)
+      .groupBy($"user_id").agg(min($"__us").as("t_from"))
+    val deltas = ev.filter($"event_type" === toType)
+      .join(tf, "user_id")
+      .filter($"__us" >= $"t_from")
+      .groupBy($"user_id").agg((min($"__us") - first($"t_from")).as("delta_us"))
+    val hist = deltas
+      .withColumn("bucket",
+        when($"delta_us" === 0L, lit(-1L))
+          .otherwise((length(conv($"delta_us", 10, 2)) - 1).cast("long")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min($"delta_us").as("min_delta_us"), max($"delta_us").as("max_delta_us"))
+    val viewers = tf.agg(count(lit(1)).as("n_viewers"))
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(viewers))
+      .withColumn("__cum", sum($"n_users").over(wCum))
+      .select($"bucket", $"n_users", $"min_delta_us", $"max_delta_us",
+        expr("CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000) DIV n_viewers" +
+          " AS BIGINT)").as("cum_converted_ppm"))
+      .orderBy($"bucket")
+  }
+
   /** C42b: ANOMALY DAYS — C34's median/MAD robust flag applied to C42's
     * seasonal-decomposition RESIDUAL (flagging the raw series would call
     * every Saturday an anomaly; flagging the residual asks "is today

@@ -429,6 +429,7 @@ object ScaleSmoke {
     time("q_pq_cascade") { queries.LlmOps.qPqCascade(spark, dir) }
     time("q_replay_diff") { queries.Warehouse.qReplayDiff(spark, dir) }
     time("q_holt_winters") { queries.Warehouse.qHoltWinters(spark, dir) }
+    time("q_time_to_convert") { queries.Warehouse.qTimeToConvert(spark, dir) }
     time("q_promo_revenue") { queries.Warehouse.qPromoRevenue(spark, dir) }
     time("q_supplier_diversity") { queries.Warehouse.qSupplierDiversity(spark, dir) }
     time("q_disjunctive_revenue") { queries.Warehouse.qDisjunctiveRevenue(spark, dir) }

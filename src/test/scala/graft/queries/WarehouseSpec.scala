@@ -1838,6 +1838,42 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("time to convert (C96): histogram recomputes from per-user firsts, non-converters cap the curve") {
+    import org.apache.spark.sql.functions._
+    val rows = Warehouse.qTimeToConvert(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver replay: first view, first purchase at/after it
+    val evs = graft.sources.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tFrom = evs.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val deltas = evs.filter(_._2 == "purchase").groupBy(_._1).flatMap {
+      case (u, xs) => tFrom.get(u).flatMap { t0 =>
+        val after = xs.map(_._3).filter(_ >= t0)
+        if (after.isEmpty) None else Some(after.min - t0)
+      }
+    }.toSeq
+    def bucket(d: Long): Long =
+      if (d == 0) -1L else 63 - java.lang.Long.numberOfLeadingZeros(d)
+    val expect = deltas.groupBy(bucket).map { case (b, ds) =>
+      b -> (ds.length.toLong, ds.min, ds.max) }
+    assert(rows.length == expect.size)
+    var cum = 0L
+    rows.sortBy(_.getAs[Long]("bucket")).foreach { r =>
+      val (n, mn, mx) = expect(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_users") == n)
+      assert(r.getAs[Long]("min_delta_us") == mn && r.getAs[Long]("max_delta_us") == mx)
+      cum += n
+      assert(r.getAs[Long]("cum_converted_ppm") ==
+        (BigInt(cum) * 1000000 / tFrom.size).toLong)
+    }
+    // the curve can only reach 1e6 when every viewer converted
+    val last = rows.map(_.getAs[Long]("cum_converted_ppm")).max
+    assert(last <= 1000000L &&
+      (last == 1000000L) == (deltas.length == tFrom.size))
+  }
+
   test("holt-winters (C95): pure weekly plant converges, constant series degenerates to Holt") {
     import spark.implicits._
     // pure period-7 signal around level 100: seasonals learn at gamma=1/2,
