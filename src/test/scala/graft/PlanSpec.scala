@@ -596,7 +596,10 @@ class PlanSpec extends SparkSpec {
     val boundedFrames = Set(
       "q_anomaly_days", "q_changepoint", "q_seasonal_decompose",
       "q_peak_concurrency", "q_event_gaps", "q_cooccur_pmi",
-      "q_tokenize", "q_vocab", "q_zipf_fit", "q_skyline")
+      "q_tokenize", "q_vocab", "q_zipf_fit", "q_skyline",
+      // C96: the cumulative-ppm window runs over the ≤42-bucket log2
+      // HISTOGRAM frame (I7's class) — domain-sized at any SF
+      "q_time_to_convert")
     val allowed = exactBaselines ++ boundedFrames
     val offenders = scala.collection.mutable.Map.empty[String, Int]
     val cartesians = scala.collection.mutable.ListBuffer.empty[String]
