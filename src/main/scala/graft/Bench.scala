@@ -50,12 +50,33 @@ object Bench {
     // an unchanged plan) masquerade as regressions. The headline
     // `queries`/total are warm medians; per-pass numbers and the
     // min/max spread go to the full-artifact file.
+    //
+    // The timed ACTION is Consume.rows (drain the plan's own output
+    // iterator), NOT count(): count-after-agg prunes the aggregate
+    // expressions and read expression-heavy faces as ~1s scans (the
+    // round-11 measurement defect). SPARK_GRAFT_BENCH_ACTION=count
+    // keeps the old action for the one-time re-baseline comparison.
+    val useCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     val names = SparkEntry.queries.keys.toSeq.sorted
     def pass(): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        val df = fn(spark, sfDir)
+        if (useCount) df.count() else graft.engine.Consume.rows(df)
+      } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query boundary hygiene OUTSIDE the timing: free the
+      // lineage-truncated localCheckpoint blocks this query registered.
+      // A 266-face sweep otherwise accumulates every face's checkpoint
+      // storage in one JVM and later faces time the session's memory
+      // pressure, not their plan (round-11: q_embedding_neardup_lsh
+      // read 11.2s in-sweep vs 0.91s isolated). Memoized indexes
+      // (IndexCache) stay resident by design — that amortization is the
+      // declared deployment model and their storage is capacity-bounded.
+      try graft.engine.Materialized.release(spark)
+      catch { case _: Throwable => () }
+      name -> dt
     }
     val cold = pass()
     val warmPasses = Seq(pass(), pass(), pass())

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_bigram_counts" -> ((s, dir) => LlmOps.qBigramCounts(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => LlmOps.qHeavyHitters(s, dir)),
     "q_ntile" -> ((s, dir) => Warehouse.qNtile(s, dir)),
+    "q_ntile_approx" -> ((s, dir) => Warehouse.qNtileApprox(s, dir)),
     "q_profile" -> ((s, dir) => Etl.qProfile(s, dir)),
     "q_window_topn_agg" -> ((s, dir) => Warehouse.qWindowTopNAgg(s, dir)),
     "q_cube" -> ((s, dir) => Warehouse.qCube(s, dir)),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_shuffle_quality" -> ((s, dir) => Mix.qShuffleQuality(s, dir)),
     "q_did" -> ((s, dir) => Warehouse.qDid(s, dir)),
     "q_skyline" -> ((s, dir) => Warehouse.qSkyline(s, dir)),
+    "q_skyline_grid" -> ((s, dir) => Warehouse.qSkylineGrid(s, dir)),
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
@@ -725,6 +727,17 @@ object SparkEntry {
     // C57: the oracle states dominance DIRECTLY (NOT EXISTS a strictly
     // better point) — strategy-independent of the sweep.
     "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
+    // C57b: the grid prefilter is EXACT (only provably dominated points
+    // drop), so the oracle is the same strategy-independent dominance SQL.
+    "q_skyline_grid" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p
         |WHERE NOT EXISTS (
@@ -1837,6 +1850,24 @@ object SparkEntry {
         |SELECT event_type, decile, count(*) AS n,
         |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
         |FROM tiled GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
+    // C18b REGIME-BOUNDED oracle (the C12b precedent): every sf0.01
+    // group is below accuracy=10000, so Spark's GK cutoffs are the
+    // exact discrete-rank elements = DuckDB quantile_disc; assignment
+    // (1 + cuts strictly below; tie -> lower bucket) replays exactly.
+    "q_ntile_approx" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.value,
+        |    CAST(1 + len(list_filter(c.cs, x -> e.value > x)) AS BIGINT) AS decile
+        |  FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |  WHERE e.value IS NOT NULL)
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM d GROUP BY event_type, decile
         |ORDER BY event_type, decile""".stripMargin,
     "q_profile" ->
       """WITH p AS (

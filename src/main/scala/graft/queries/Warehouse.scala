@@ -551,6 +551,29 @@ object Warehouse {
       .orderBy($"event_type", $"decile")
   }
 
+  /** C18's 100 TB twin, REGISTERED (round-12): [[ntileApprox]]'s
+    * sort-free decile assignment rolled up to qNtile's report shape.
+    * No per-group sort anywhere — cutoffs come from one mergeable
+    * approx_percentile aggregate, assignment is a map-side 9-element
+    * scan. Regime-bounded oracle (the C12b precedent): with every group
+    * at or below accuracy, Spark's GK summary compresses nothing and the
+    * cutoffs are the exact discrete-rank elements DuckDB's quantile_disc
+    * returns; above accuracy the summary is engine-specific and the
+    * contract is CurationSpec's near-equal-population + monotonicity
+    * band. Bucket populations are GK-ε-equal, not exactly equal, so the
+    * per-decile counts legitimately differ from exact C18's. */
+  def qNtileApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ntileApprox(
+        Tables.table(spark, dir, "events")
+          .select($"event_type", $"value").filter($"value".isNotNull),
+        "event_type", "value", n = 10, accuracy = 10000)
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"),
+        round(min($"value"), 2).as("lo"), round(max($"value"), 2).as("hi"))
+      .orderBy($"event_type", $"decile")
+  }
+
   /** C19: CUBE aggregation — all four grouping sets over (returnflag,
     * linestatus) in ONE Expand + one shuffle: detail, each one-dimension
     * margin, and the grand total. Same single-pass grouping-sets plan as
@@ -1248,6 +1271,66 @@ object Warehouse {
         $"p_retailprice" === $"__fprice" && $"p_size" === $"__pmax")
       .select($"p_partkey", $"p_retailprice", $"p_size")
       .orderBy($"p_partkey")
+  }
+
+  /** C57's 100 TB shape, EXECUTED (round-12; the round-10 rule —
+    * never narrate a scale swap): grid-prefiltered skyline. Coarse
+    * (price, size) cells aggregate map-side; a cell is WHOLLY dominated
+    * iff some nonempty cell sits both strictly cheaper (every price in
+    * it below every price here: cell index i' < i) and strictly larger
+    * (every size above every size here: j' > j) — then each of its
+    * points is strictly beaten in BOTH dims by any point of the
+    * dominating cell, so the whole cell drops before the sweep. The
+    * cell census is O(grid) rows (one hash aggregate); the keep-set
+    * window runs over CELLS, not points; survivors join back broadcast
+    * and only they enter [[qSkyline]]'s ordered sweep. Exact: pruning
+    * removes only provably dominated points, so the frontier — and the
+    * registered oracle (the same NOT EXISTS dominance SQL) — is
+    * unchanged. PlanSpec pins that the sweep input is grid-bounded
+    * (survivor cells ≪ part rows on the test corpus). */
+  def qSkylineGrid(spark: SparkSession, dir: String,
+      priceCell: Double = 1.0, sizeCell: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val survivors = skylineGridSurvivors(spark, dir, priceCell, sizeCell)
+    val perPrice = survivors.groupBy($"p_retailprice")
+      .agg(max($"p_size").as("__pmax"))
+    val byPrice = Window.orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("__prevmax", max($"__pmax").over(byPrice))
+      .filter($"__prevmax".isNull || $"__pmax" > $"__prevmax")
+      .select($"p_retailprice".as("__fprice"), $"__pmax")
+    survivors.join(frontier,
+        $"p_retailprice" === $"__fprice" && $"p_size" === $"__pmax")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  /** [[qSkylineGrid]]'s prefilter output — the exact sweep's input,
+    * exposed so PlanSpec can pin that the grid actually bounds it. */
+  private[graft] def skylineGridSurvivors(spark: SparkSession, dir: String,
+      priceCell: Double, sizeCell: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.table(spark, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .withColumn("__pc", floor($"p_retailprice" / priceCell))
+      .withColumn("__sc", floor($"p_size" / lit(sizeCell)))
+    val cells = parts.groupBy($"__pc").agg(max($"__sc").as("__scmax"))
+    // bestUp(pc) = max size-cell over all strictly-cheaper price cells;
+    // a (pc, sc) cell survives iff sc >= bestUp(pc) — otherwise some
+    // whole cheaper cell sits strictly above it. Window over the
+    // |price cells| frame (tens of rows), never the points.
+    val byPc = Window.orderBy($"__pc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keep = cells
+      .withColumn("__bestup", max($"__scmax").over(byPc))
+      .select($"__pc".as("__kpc"),
+        coalesce($"__bestup", lit(Long.MinValue)).as("__bestup"))
+    parts.join(broadcast(keep), $"__pc" === $"__kpc")
+      .filter($"__sc" >= $"__bestup")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
   }
 
   /** C56: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout

@@ -54,11 +54,15 @@ object ScaleSmoke {
     // optional args beyond the multiplier restrict which blocks run
     // (substring match), e.g. `Test/runMain graft.ScaleSmoke 10 dedup`
     val only = args.drop(1).toSeq
+    // Consume.rows, not count(): count-after-agg prunes the aggregate
+    // expressions under test (the round-11 bench defect — heavy faces
+    // read as ~1s scans). Consume drains the plan's full output.
     def time(name: String)(df: => DataFrame): Unit =
       if (only.isEmpty || only.exists(name.contains)) {
         val t0 = System.nanoTime()
-        val n = df.count()
+        val n = graft.engine.Consume.rows(df)
         println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+        graft.engine.Materialized.release(spark): Unit
       }
 
     println(s"lineitem rows: ${spark.read.parquet(s"$dir/lineitem.parquet").count()}")

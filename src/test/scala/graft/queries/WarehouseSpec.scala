@@ -342,6 +342,49 @@ class WarehouseSpec extends SparkSpec {
     parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
     val got = Warehouse.qSkyline(spark, dir).collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 5L, 6L, 8L), s"got $got")
+    // C57b: the grid prefilter is exact — identical frontier, including
+    // the equal twins, on the planted corpus (cells sized so planted
+    // points share and split cells both ways)
+    val grid = Warehouse.qSkylineGrid(spark, dir, priceCell = 10.0, sizeCell = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(grid == got, s"grid $grid != exact $got")
+  }
+
+  test("skyline grid twin: frontier identical to the exact sweep; prefilter prunes interior mass") {
+    // corpus-level equivalence (the sf0.01 part table): grid cells at the
+    // registered defaults must reproduce the exact frontier bit-for-bit
+    val exact = Warehouse.qSkyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val grid = Warehouse.qSkylineGrid(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(grid == exact, s"grid frontier diverged: ${grid.diff(exact)} / ${exact.diff(grid)}")
+    // the sweep input must be grid-BOUNDED, not the whole part table —
+    // the executed 100 TB contract (r11 verdict: narrated-only is banned)
+    val total = graft.sources.Tables.table(spark, sfDir, "part").count()
+    val survivors = Warehouse.skylineGridSurvivors(spark, sfDir, 1.0, 1).count()
+    assert(survivors * 5 <= total,
+      s"grid prefilter kept $survivors of $total — not a bound")
+  }
+
+  test("ntile approx twin: mass conserved vs exact C18, deciles complete, bounds nested") {
+    val exact = Warehouse.qNtile(spark, sfDir).collect()
+    val approx = Warehouse.qNtileApprox(spark, sfDir).collect()
+    def total(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("n")).sum
+    assert(total(approx) == total(exact), "decile assignment must conserve rows")
+    val byType = approx.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("decile")).toSet == (1L to 10L).toSet,
+        s"$t: every decile populated on this corpus")
+      // buckets ordered: lo/hi ranges must be non-overlapping in order
+      val sorted = rs.sortBy(_.getAs[Long]("decile"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+            s"$t: decile ranges overlap")
+        case _ =>
+      }
+    }
   }
 
   test("did: four-cell arithmetic matches brute force; the null design stays near zero") {
