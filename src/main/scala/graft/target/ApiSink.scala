@@ -75,10 +75,26 @@ object ApiSink {
       * valid; real transports ([[JavaHttpPoster]]) override it. */
     def post(url: String, jsonBatch: Seq[String], headers: Map[String, String]): PostResult =
       post(url, jsonBatch)
+    /** Verb-aware entry point — the reference treats POST/PUT/DELETE
+      * uniformly as JSON-body requests (request.py:46-49: one
+      * `req_params['json']` branch for all three; client.py:26-39
+      * exposes each verb). The sink calls THIS, passing
+      * `SinkConfig.method`; the default forwards to the POST leg so
+      * verb-oblivious stubs stay valid, and real transports
+      * ([[JavaHttpPoster]]) override it with the actual verb. */
+    def send(method: String, url: String, jsonBatch: Seq[String],
+        headers: Map[String, String]): PostResult =
+      post(url, jsonBatch, headers)
   }
 
   final case class SinkConfig(
       endpoint: Endpoint,
+      /** HTTP verb — POST (bulk set), PUT (bulk replace/update), or
+        * DELETE (entity removal): the three JSON-body verbs the
+        * reference sends through one uniform path (request.py:46-49,
+        * client.py:26-39). Same batching/backoff/rate-limit/dead-letter
+        * machinery for all three. */
+      method: String = "POST",
       maxRecords: Int = 500,
       maxBytes: Long = 5000000L,
       maxAttempts: Int = 5,
@@ -92,7 +108,11 @@ object ApiSink {
       /** transport timeouts (request.py:14-20 PENDO_REQUEST_TIMEOUT,
         * default 300s) */
       connectTimeoutMillis: Int = 10000,
-      readTimeoutMillis: Int = 300000)
+      readTimeoutMillis: Int = 300000) {
+    require(Set("POST", "PUT", "DELETE").contains(method),
+      s"unsupported sink verb: $method (reference request.py:46 sends " +
+        "JSON bodies on POST/PUT/DELETE only)")
+  }
 
   /** Counters + typed-error strings only — deliberately nothing per-record
     * (per-record failure capture goes to the dead-letter table, see
@@ -176,7 +196,7 @@ object ApiSink {
     var attempt = 0
     while (true) {
       val res =
-        try poster.post(url, batch.map(_.payload), cfg.headers)
+        try poster.send(cfg.method, url, batch.map(_.payload), cfg.headers)
         catch { case _: Exception => PostResult(599, 0, batch.size, Seq.empty) }
       attempt += 1
       recordRateLimit(m, res)
@@ -320,6 +340,11 @@ object ApiSink {
       transientStatus: Int = 503,
       retryAfterMillis: Option[Long] = None,
       rateLimitRemaining: Option[Long] = None) extends HttpPoster {
+    override def send(method: String, url: String, jsonBatch: Seq[String],
+        headers: Map[String, String]): PostResult = {
+      RecordingPoster.verbs.add(method)
+      post(url, jsonBatch, headers)
+    }
     override def post(url: String, jsonBatch: Seq[String]): PostResult = {
       val n = RecordingPoster.calls.size()
       RecordingPoster.calls.add(url -> jsonBatch)
@@ -333,6 +358,8 @@ object ApiSink {
   }
   object RecordingPoster {
     val calls = new ConcurrentLinkedQueue[(String, Seq[String])]()
-    def reset(): Unit = calls.clear()
+    /** HTTP verb of each call, same arrival order as [[calls]]. */
+    val verbs = new ConcurrentLinkedQueue[String]()
+    def reset(): Unit = { calls.clear(); verbs.clear() }
   }
 }

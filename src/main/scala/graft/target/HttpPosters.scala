@@ -34,6 +34,15 @@ final case class JavaHttpPoster(
     post(url, jsonBatch, Map.empty)
 
   override def post(url: String, jsonBatch: Seq[String],
+      headers: Map[String, String]): ApiSink.PostResult =
+    send("POST", url, jsonBatch, headers)
+
+  /** PUT/DELETE share the POST path verbatim (request.py:46-49 branches
+    * once on membership in {POST, PUT, DELETE} and sends the same JSON
+    * body) — the JDK client's generic `.method` carries the body on all
+    * three, including DELETE (entity bulk-removal APIs take the id list
+    * in the body, exactly the reference's delete leg). */
+  override def send(method: String, url: String, jsonBatch: Seq[String],
       headers: Map[String, String]): ApiSink.PostResult = {
     val builder = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(readTimeoutMillis.toLong))
@@ -41,7 +50,8 @@ final case class JavaHttpPoster(
       .header("Accept", "application/json")
     (defaultHeaders ++ headers).foreach { case (k, v) => builder.header(k, v) }
     val req = builder
-      .POST(HttpRequest.BodyPublishers.ofString(jsonBatch.mkString("[", ",", "]")))
+      .method(method,
+        HttpRequest.BodyPublishers.ofString(jsonBatch.mkString("[", ",", "]")))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     val retryAfterMillis = resp.headers().firstValue("Retry-After")

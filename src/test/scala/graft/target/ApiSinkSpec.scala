@@ -30,6 +30,35 @@ class ApiSinkSpec extends SparkSpec {
     assert(calls.forall(_._1.endsWith("/api/v1/metadata/account/custom/value")))
   }
 
+  test("PUT leg: bulk update rides the same batching/limits, verb reaches the transport") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    val df = (1 to 25).map(i => s"""{"id":$i,"v":2}""").toDF("payload").coalesce(1)
+    val m = push(df, new RecordingPoster(), cfg(maxRecords = 10).copy(method = "PUT"))
+    assert(m.records.value == 25L && m.updated.value == 25L)
+    val verbs = RecordingPoster.verbs.asScala.toSeq
+    assert(verbs.nonEmpty && verbs.forall(_ == "PUT"), s"got $verbs")
+    assert(RecordingPoster.calls.asScala.forall(_._2.size <= 10))
+  }
+
+  test("DELETE leg: removal batches keep backoff + dead-letter capture on failure") {
+    RecordingPoster.reset()
+    import spark.implicits._
+    val df = (1 to 8).map(i => s"""{"id":$i}""").toDF("payload").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+    // id 3's delete is rejected server-side — it must land in the
+    // dead-letter table with the same pkey capture as the POST path
+    val m = push(df, new RecordingPoster(rejectId = _.contains(""""id":3""")),
+      cfg(maxRecords = 50).copy(method = "DELETE"), deadLetterDir = Some(dir))
+    assert(RecordingPoster.verbs.asScala.forall(_ == "DELETE"))
+    assert(m.updated.value == 7L && m.failed.value == 1L)
+    assert(m.failedRecords(spark).map(_.payload) == Seq("""{"id":3}"""))
+  }
+
+  test("an unknown verb is rejected at config construction (request.py's closed set)") {
+    assertThrows[IllegalArgumentException](cfg().copy(method = "PATCH"))
+  }
+
   test("transient 5xx retries with backoff then succeeds") {
     RecordingPoster.reset()
     import spark.implicits._
