@@ -1851,6 +1851,61 @@ object SparkEntry {
         |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
         |FROM tiled GROUP BY event_type, decile
         |ORDER BY event_type, decile""".stripMargin,
+    // H10 PINNED-ARTIFACT oracle (round 12, the r11 item-8 promotion):
+    // scoring is sigmoid(w·x+b) over INTEGER-valued features (every
+    // lane already oracle-proven under q_quality_score/q_repetition/
+    // q_split_assign), so with the coefficients pinned to the persisted
+    // train-once artifact (artifacts/.../quality_lr_r001_i100 — the
+    // deterministic L-BFGS fit at this corpus) the replay is exact:
+    // same left-assoc dot-product order, both engines' exp within 1 ulp
+    // (≫ the 6dp rounding grid). The FIT stays non-SQL ([T] coverage);
+    // this pins the score path end to end.
+    "q_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents WHERE text IS NOT NULL),
+        |rep AS (SELECT doc_id, len(t) AS rn, len(list_distinct(t)) AS nd FROM toks),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
+        |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |          SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |ph AS (SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |feat AS (
+        |  SELECT f.doc_id,
+        |    CAST(f.n_words AS DOUBLE) AS x1,
+        |    CAST((f.non_space * 100) // f.n_words AS DOUBLE) AS x2,
+        |    CAST(f.stop_hits AS DOUBLE) AS x3,
+        |    CAST(1000 * (r.rn - r.nd) // r.rn AS DOUBLE) AS x4,
+        |    CAST(CASE WHEN r.rn < 2 THEN 0
+        |         ELSE 1000 * COALESCE(t.top_cnt, 0) // (r.rn - 1) END AS DOUBLE) AS x5,
+        |    least(1000, f.n_words * 5) + least(500, f.stop_hits * 20) AS q,
+        |    ph.h AS h
+        |  FROM f JOIN rep r USING (doc_id) LEFT JOIN top t USING (doc_id)
+        |    JOIN ph USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN h % 5 < 4 THEN 'train' ELSE 'eval' END AS split,
+        |  CAST(CASE WHEN q >= 350 THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |  round(1.0 / (1.0 + exp(-(x1 * 0.08495989934974546
+        |    + x2 * -0.005093391899483308
+        |    + x3 * 0.550674474813873
+        |    + x4 * 0.010730775952170635
+        |    + x5 * -0.029122152246405623
+        |    + -8.997663458878463))), 6) AS quality_prob
+        |FROM feat ORDER BY doc_id""".stripMargin,
     // C18b REGIME-BOUNDED oracle (the C12b precedent): every sf0.01
     // group is below accuracy=10000, so Spark's GK cutoffs are the
     // exact discrete-rank elements = DuckDB quantile_disc; assignment
@@ -3203,6 +3258,20 @@ object SparkEntry {
         |      FROM days d JOIN grid g ON g.day BETWEEN d.day - 6 AND d.day)
         |SELECT window_day, CAST(count(*) AS BIGINT) AS active_users_7d
         |FROM c GROUP BY window_day ORDER BY window_day""".stripMargin,
+    // C33b REGIME-BOUNDED oracle (round 12, the r11-verdict item-8
+    // promotion): the sf0.01 corpus has 150 distinct users < k=1024, so
+    // the KMV sketch never saturates — it IS the distinct hash set and
+    // the estimate is the exact distinct count. Above saturation the
+    // sketch is engine-specific and WarehouseSpec's error band governs.
+    "q_active_users_trailing_approx" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM grid),
+        |c AS (SELECT DISTINCT d.day AS window_day, g.user_id
+        |      FROM days d JOIN grid g ON g.day BETWEEN d.day - 6 AND d.day)
+        |SELECT window_day, CAST(count(*) AS BIGINT) AS active_users_7d_est
+        |FROM c GROUP BY window_day ORDER BY window_day""".stripMargin,
     // C34: DuckDB median() IS quantile_cont(0.5) — the same linear
     // interpolation at h=(n-1)/2 as Spark's exact `percentile`; the
     // outlier predicate uses the UNROUNDED med/mad on both sides
@@ -4035,6 +4104,24 @@ object SparkEntry {
         |SELECT dau.day, dau.dau, mau.mau_28d,
         |  CAST((CAST(dau.dau AS HUGEINT) * 1000000) // mau.mau_28d AS BIGINT)
         |    AS stickiness_ppm
+        |FROM dau JOIN mau USING (day) ORDER BY dau.day""".stripMargin,
+    // C69b REGIME-BOUNDED oracle (round 12): 150 users < k=1024 means
+    // the sketch MAU leg is exact at the gate scale (C33b's regime), so
+    // the twin replays as the exact stickiness with its _est names.
+    "q_stickiness_approx" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM grid),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM grid GROUP BY day),
+        |c AS (SELECT DISTINCT d.day AS day, g.user_id
+        |      FROM days d JOIN grid g ON g.day BETWEEN d.day - 27 AND d.day),
+        |mau AS (SELECT day, CAST(count(*) AS BIGINT) AS mau_28d_est
+        |        FROM c GROUP BY day)
+        |SELECT dau.day, dau.dau, mau.mau_28d_est,
+        |  CAST((CAST(dau.dau AS HUGEINT) * 1000000) // mau.mau_28d_est AS BIGINT)
+        |    AS stickiness_ppm_est
         |FROM dau JOIN mau USING (day) ORDER BY dau.day""".stripMargin,
     // C67: quantile_cont ≡ Spark exact percentile (the C12 parity)
     "q_fulfillment_lag" ->

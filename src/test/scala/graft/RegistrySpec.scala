@@ -17,13 +17,12 @@ class RegistrySpec extends AnyFunSuite {
       "q_dedup_minhash", "q_dedup_minhash_fast", "q_dedup_simhash",
       "q_embedding_neardup_lsh",
       "q_ann_lsh", "q_ann_ivf", "q_dedup_cross", "q_dedup_apply_lsh",
-      "q_semdedup", "q_quality_classifier", "q_bpe_train", "q_bpe_encode",
+      "q_semdedup", "q_bpe_train", "q_bpe_encode",
       "q_hard_negatives_lsh", "q_corpus_report_incremental",
       "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
       "q_ann_recall", "q_sketch_calibration",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility",
-      "q_active_users_trailing_approx", "q_stickiness_approx",
       // E22/E22b/E23: eigen-decomposition has no DuckDB analog; the
       // spectrum and projection lanes are driver-replayed in PcaSpec,
       // and the E23 cascade carries AnnSpec's recall floor vs exact E1
