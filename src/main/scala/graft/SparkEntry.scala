@@ -213,6 +213,7 @@ object SparkEntry {
     "q_did" -> ((s, dir) => Warehouse.qDid(s, dir)),
     "q_skyline" -> ((s, dir) => Warehouse.qSkyline(s, dir)),
     "q_skyline_grid" -> ((s, dir) => Warehouse.qSkylineGrid(s, dir)),
+    "q_bootstrap_ci" -> ((s, dir) => Warehouse.qBootstrapCi(s, dir)),
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
@@ -735,6 +736,51 @@ object SparkEntry {
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p.p_partkey""".stripMargin,
+    // C97: the Poisson weights are ALL-INTEGER (mixed 31-bit draw vs
+    // integer CDF thresholds), value mass rides integer cents, replica
+    // means are single divisions of integers, and the CI is an order
+    // statistic — every step replays exactly.
+    "q_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, event_id, cents,
+        |        unnest(range(0, 100)) AS b FROM e),
+        |h AS (SELECT event_type, b, cents,
+        |    list_reduce(
+        |      list_transform(
+        |        range(1, length('boot:' || CAST(event_id AS VARCHAR) || ':'
+        |                        || CAST(b AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('boot:' || CAST(event_id AS VARCHAR)
+        |                        || ':' || CAST(b AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h0
+        |  FROM r),
+        |d AS (SELECT event_type, b, cents,
+        |    (((h0 * h0) % 2147483647) * ((h0 * h0) % 2147483647))
+        |      % 2147483647 AS hm
+        |  FROM h),
+        |w AS (SELECT event_type, b, cents,
+        |    CAST(len(list_filter([790015083, 1580030167, 1975037709,
+        |      2106706890, 2139624185, 2146207644, 2147304887, 2147461637],
+        |      t -> hm >= t)) AS BIGINT) AS w
+        |  FROM d),
+        |rep AS (SELECT event_type, b, sum(w * cents) AS s, sum(w) AS n
+        |        FROM w GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(s AS DOUBLE) / n AS m
+        |      FROM rep WHERE n > 0),
+        |ms AS (SELECT event_type, list_sort(list(m)) AS ms
+        |       FROM m GROUP BY event_type),
+        |idx AS (SELECT event_type, ms, CAST(len(ms) AS BIGINT) AS n_replicas,
+        |        len(ms) * 25 // 1000 + 1 AS lo_i,
+        |        len(ms) - len(ms) * 25 // 1000 AS hi_i FROM ms),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(cents) AS sc FROM e GROUP BY event_type)
+        |SELECT t.event_type, t.n, idx.n_replicas,
+        |  round(CAST(t.sc AS DOUBLE) / t.n / 100.0, 6) AS mean,
+        |  round(ms[CAST(lo_i AS INT)] / 100.0, 6) AS ci_lo,
+        |  round(ms[CAST(hi_i AS INT)] / 100.0, 6) AS ci_hi
+        |FROM t JOIN idx USING (event_type) ORDER BY t.event_type""".stripMargin,
     // C57b: the grid prefilter is EXACT (only provably dominated points
     // drop), so the oracle is the same strategy-independent dominance SQL.
     "q_skyline_grid" ->

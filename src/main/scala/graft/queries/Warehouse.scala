@@ -2117,6 +2117,76 @@ object Warehouse {
       .orderBy($"event_type")
   }
 
+  /** Poisson(1) CDF as integer thresholds against the mixed 31-bit draw
+    * (floor(cum_k · (2³¹−1)), k = 0..7): the replica weight is the
+    * count of thresholds at or below the draw — ALL-INTEGER, so both
+    * engines replay the identical weights with zero float parity risk
+    * (the C40 integer-lane rule applied to resampling). P(w > 8) < 1e-9
+    * truncates harmlessly. */
+  private val PoissonThresholds: Seq[Long] = Seq(
+    790015083L, 1580030167L, 1975037709L, 2106706890L,
+    2139624185L, 2146207644L, 2147304887L, 2147461637L)
+
+  /** C97's replica-weight lane, exposed for WarehouseSpec's adjacency
+    * audit (the H16c rule: every NEW draw lane is audited the round it
+    * ships — clustering/striping between consecutive ids' weights would
+    * correlate replica membership and silently shrink the CI). */
+  private[graft] def bootstrapWeight(idCol: Column, bCol: Column): Column = {
+    val draw = graft.queries.Mix.drawMix(graft.functions.polyhash(
+      concat(lit("boot:"), idCol.cast("string"), lit(":"),
+        bCol.cast("string"))))
+    PoissonThresholds.map(t => when(draw >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** C97: POISSON-BOOTSTRAP percentile CI for the per-type mean — the
+    * resampling gold standard C41's jackknife approximates: B = 100
+    * replicas where each row enters replica b with weight w ~ Poisson(1)
+    * (the distributed bootstrap — resampling n-of-n without ever
+    * materializing a resample: Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", 2012). The draw is the audited
+    * double-square-mixed polyhash lane ([[graft.queries.Mix.drawMix]];
+    * a raw polyhash is affine in the id digits — the H16c defect class)
+    * keyed on (event_id, b), consumed as integer threshold counts
+    * ([[PoissonThresholds]]). SHAPE: the B× fanout happens INSIDE the
+    * map task (explode) and collapses into the partial hash aggregate
+    * before the exchange — the shuffle carries |types|·B rows, never B
+    * corpus copies (the C41 scaladoc's objection answered: the explode
+    * is pre-combine). Value mass rides INTEGER CENTS so Σ w·cents is
+    * permutation-exact; replica means are single IEEE divisions of
+    * integers; the CI is an order statistic of the ≤B-long sorted
+    * replica-mean array (one tiny per-type array, the C61b idiom).
+    * The percentile CI needs no normality — the whole point vs C41/C25. */
+  def qBootstrapCi(spark: SparkSession, dir: String, b: Int = 100): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id",
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val replicas = ev
+      .withColumn("b", explode(sequence(lit(0L), lit((b - 1).toLong))))
+      .withColumn("__w", bootstrapWeight($"event_id", $"b"))
+      .groupBy($"event_type", $"b")
+      .agg(sum($"__w" * $"cents").as("__s"), sum($"__w").as("__n"))
+      .filter($"__n" > 0)
+      .select($"event_type", ($"__s".cast("double") / $"__n").as("__m"))
+    val ms = replicas.groupBy($"event_type")
+      .agg(sort_array(collect_list($"__m")).as("ms"))
+      .select($"event_type", $"ms", size($"ms").cast("long").as("nb"))
+      // 2.5% order-stat indices off the realized replica count (replicas
+      // can only vanish on an all-zero-weight draw, P ≈ e^-n per replica)
+      .withColumn("__lo_i", expr("nb * 25 DIV 1000 + 1"))
+      .withColumn("__hi_i", expr("nb - nb * 25 DIV 1000"))
+    val t = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("__sc"))
+    t.join(broadcast(ms), "event_type")
+      .select($"event_type", $"n", $"nb".as("n_replicas"),
+        round($"__sc".cast("double") / $"n" / lit(100.0), 6).as("mean"),
+        round(element_at($"ms", $"__lo_i".cast("int")) / lit(100.0), 6).as("ci_lo"),
+        round(element_at($"ms", $"__hi_i".cast("int")) / lit(100.0), 6).as("ci_hi"))
+      .orderBy($"event_type")
+  }
+
   /** C6: tumbling-window aggregation — the batch twin of the Structured
     * Streaming job in graft.streaming.Events (same plan shape; streaming
     * adds a watermark). */

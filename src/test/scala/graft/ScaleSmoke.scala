@@ -366,6 +366,9 @@ object ScaleSmoke {
     time("q_event_paths") { queries.Warehouse.qEventPaths(spark, dir) }
     time("q_pagerank") { queries.Warehouse.qPageRank(spark, dir) }
     time("q_jackknife_ci") { queries.Warehouse.qJackknifeCi(spark, dir) }
+    // C97: the B=100 explode is pre-combine (exchange carries types x B
+    // rows); at 100x the timed cost is the map-side hash-mix x B, linear
+    time("q_bootstrap_ci") { queries.Warehouse.qBootstrapCi(spark, dir) }
     time("q_seasonal_decompose") { queries.Warehouse.qSeasonalDecompose(spark, dir) }
     time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("q_changepoint_by_type") { queries.Warehouse.qChangepointByType(spark, dir) }

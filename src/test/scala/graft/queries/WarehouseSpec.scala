@@ -387,6 +387,51 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap ci: percentile interval brackets the mean and tracks the jackknife se") {
+    val boot = Warehouse.qBootstrapCi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val jack = Warehouse.qJackknifeCi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(boot.nonEmpty && boot.keySet == jack.keySet)
+    boot.foreach { case (t, r) =>
+      assert(r.getAs[Long]("n_replicas") == 100L, s"$t: replicas lost")
+      val (mean, lo, hi) = (r.getAs[Double]("mean"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= mean && mean <= hi, s"$t: CI [$lo, $hi] misses mean $mean")
+      // two independent CI constructions for the same estimator must
+      // agree on scale: percentile width within 2x of the normal width
+      val jackWidth = 2.0 * 1.96 * jack(t).getAs[Double]("se")
+      val bootWidth = hi - lo
+      assert(bootWidth < 2.0 * jackWidth && bootWidth > jackWidth / 2.0,
+        s"$t: bootstrap width $bootWidth vs jackknife $jackWidth")
+    }
+  }
+
+  test("bootstrap weight lane: Poisson(1) moments and no id-adjacency structure") {
+    import spark.implicits._
+    // 20k consecutive ids, one replica — the structured-id-block shape
+    // where raw/single-mixed polyhash lanes carried ±4σ adjacency bias
+    val n = 20000
+    val ws = spark.range(n.toLong)
+      .select(Warehouse.bootstrapWeight(col("id"), lit(7L)).as("w"))
+      .collect().map(_.getLong(0).toDouble)
+    val mean = ws.sum / n
+    val varw = ws.map(w => (w - mean) * (w - mean)).sum / n
+    assert(math.abs(mean - 1.0) < 0.03, s"weight mean $mean drifted from 1")
+    assert(math.abs(varw - 1.0) < 0.06, s"weight variance $varw drifted from 1")
+    val p0 = ws.count(_ == 0.0).toDouble / n
+    assert(math.abs(p0 - math.exp(-1.0)) < 0.02, s"P(w=0) $p0 vs 1/e")
+    // adjacency: consecutive ids' weights must be uncorrelated — the
+    // H16c audit shape (|r| ~ 1/sqrt(n) ≈ 0.007 under independence)
+    val pairs = ws.sliding(2).map { case Array(a, b) => (a, b) }.toArray
+    val (ma, mb) = (pairs.map(_._1).sum / pairs.length, pairs.map(_._2).sum / pairs.length)
+    val cov = pairs.map { case (a, b) => (a - ma) * (b - mb) }.sum / pairs.length
+    val sa = math.sqrt(pairs.map(p => (p._1 - ma) * (p._1 - ma)).sum / pairs.length)
+    val sb = math.sqrt(pairs.map(p => (p._2 - mb) * (p._2 - mb)).sum / pairs.length)
+    val r = cov / (sa * sb)
+    assert(math.abs(r) < 0.03, s"adjacent-id weight correlation $r — draw lane is striped")
+  }
+
   test("did: four-cell arithmetic matches brute force; the null design stays near zero") {
     val rows = Warehouse.qDid(spark, sfDir).collect()
     assert(rows.nonEmpty)
