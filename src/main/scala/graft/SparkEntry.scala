@@ -214,6 +214,7 @@ object SparkEntry {
     "q_skyline" -> ((s, dir) => Warehouse.qSkyline(s, dir)),
     "q_skyline_grid" -> ((s, dir) => Warehouse.qSkylineGrid(s, dir)),
     "q_bootstrap_ci" -> ((s, dir) => Warehouse.qBootstrapCi(s, dir)),
+    "q_margin_mining" -> ((s, dir) => LlmOps.qMarginMining(s, dir)),
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
@@ -4799,6 +4800,46 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, neighbor_id, "rank", score_i FROM r
         |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // E26: everything integer (int8 dots, top-k sums, exact-floor ppm
+    // margin), so the mining criterion replays bit-for-bit.
+    "q_margin_mining" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(floor(x * 127.0 / nrm + 0.5)
+        |      AS BIGINT)) END AS q
+        |  FROM n),
+        |s AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        |    CAST(list_dot_product(
+        |      list_transform(a.q, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS d
+        |  FROM q8 a JOIN q8 b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |f AS (SELECT src_id, tgt_id, d,
+        |    CAST(row_number() OVER (PARTITION BY src_id
+        |      ORDER BY d DESC, tgt_id) AS BIGINT) AS rank_st FROM s),
+        |g AS (SELECT src_id, tgt_id, d,
+        |    CAST(row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY d DESC, src_id) AS BIGINT) AS rank_ts FROM s),
+        |sa AS (SELECT src_id, CAST(sum(d) AS BIGINT) AS sa,
+        |         CAST(count(*) AS BIGINT) AS na
+        |       FROM f WHERE rank_st <= 10 GROUP BY src_id),
+        |sb AS (SELECT tgt_id, CAST(sum(d) AS BIGINT) AS sb,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |       FROM g WHERE rank_ts <= 10 GROUP BY tgt_id)
+        |SELECT f.src_id, f.tgt_id, f.d AS score_i,
+        |  CAST((2 * f.d * na * nb * 1000000)
+        |    // greatest(sa * nb + sb * na, 1) AS BIGINT) AS margin_ppm
+        |FROM f JOIN g ON f.src_id = g.src_id AND f.tgt_id = g.tgt_id
+        |JOIN sa ON sa.src_id = f.src_id
+        |JOIN sb ON sb.tgt_id = f.tgt_id
+        |WHERE f.rank_st = 1 AND g.rank_ts = 1
+        |ORDER BY f.src_id""".stripMargin,
     // E21: stage-1 int8 rank ≤ 100, float cosine re-rank of those only
     "q_ann_cascade" ->
       """WITH n AS (

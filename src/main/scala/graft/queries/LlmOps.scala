@@ -612,6 +612,66 @@ object LlmOps {
       .orderBy("query_id", "rank")
   }
 
+  /** E26: MARGIN-BASED MUTUAL-kNN MINING (round 12) — the bitext/parallel-
+    * corpus alignment operator (Artetxe & Schwenk 2019, the LASER mining
+    * criterion): split the corpus into two sides (even/odd vec_id — the
+    * two-language stand-in), take each side's top-k neighbors on the
+    * OTHER side, keep the RANK-1 MUTUAL pairs (each is the other's best
+    * match), and score each with the ratio margin — the pair's
+    * similarity over the mean of both sides' top-k neighborhoods, the
+    * statistic that separates true translations from hubs that are
+    * merely close to everything. Runs entirely on E19's int8 lanes (the
+    * production shape: mining runs over compressed vectors) so every
+    * number is INTEGER — dots, top-k sums, and the exact-floor ppm
+    * margin `2·d·na·nb·10⁶ fdiv (sa·nb + sb·na)` — and the oracle
+    * replays bit-for-bit (no float-ranking fragility). Per-side top-k
+    * is the E1 bounded-heap aggregate (map-side ≤k per group, never a
+    * window); the exact all-pairs scan is the declared oracle baseline —
+    * at 100 TB stage 1 swaps for the registered cascade legs (E21 int8
+    * admission cutoff / E23 PCA prefilter), shape unchanged. */
+  def qMarginMining(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val srcQ = graft.ann.Quantize.unitInt8(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", "qs")
+      .withColumnRenamed("vec_id", "src_id")
+    val tgtQ = graft.ann.Quantize.unitInt8(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "qt")
+      .withColumnRenamed("vec_id", "tgt_id")
+    val scored = srcQ.join(broadcast(tgtQ))
+      .select(col("src_id"), col("tgt_id"),
+        graft.functions.dotProductLong(col("qs"), col("qt")).as("d"))
+    def topSide(df: DataFrame, key: String, other: String,
+        rankName: String): DataFrame =
+      df.groupBy(col(key))
+        .agg(graft.functions.topKByScore(
+          col("d").cast("double"), col(other), k).as("top"))
+        .select(col(key), posexplode(col("top")).as(Seq("pos", "nbr")))
+        .select(col(key), col("nbr.neighbor_id").as(other),
+          (col("pos") + 1).cast("long").as(rankName),
+          col("nbr.sim").cast("long").as("d"))
+    val fwd = topSide(scored, "src_id", "tgt_id", "rank_st")
+    val bwd = topSide(
+      scored.select(col("tgt_id"), col("src_id").as("__o"), col("d"))
+        .withColumnRenamed("__o", "src_id"),
+      "tgt_id", "src_id", "rank_ts")
+    val sumS = fwd.groupBy(col("src_id"))
+      .agg(sum(col("d")).as("sa"), count(lit(1)).as("na"))
+    val sumT = bwd.groupBy(col("tgt_id"))
+      .agg(sum(col("d")).as("sb"), count(lit(1)).as("nb"))
+    fwd.filter(col("rank_st") === 1L)
+      .join(bwd.filter(col("rank_ts") === 1L).select(col("src_id"), col("tgt_id")),
+        Seq("src_id", "tgt_id"))
+      .join(sumS, "src_id").join(sumT, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("d").as("score_i"),
+        // exact-floor division (matches the oracle's `//` even when the
+        // numerator goes negative on an all-negative neighborhood)
+        expr("""(2 * d * na * nb * 1000000
+               | - pmod(2 * d * na * nb * 1000000, greatest(sa * nb + sb * na, 1)))
+               | DIV greatest(sa * nb + sb * na, 1)""".stripMargin)
+          .as("margin_ppm"))
+      .orderBy("src_id")
+  }
+
   /** E20: the int8 index-quality audit — per-query overlap@10 of E19's
     * integer ranking vs E1's float-exact cosine top-10 (the E11 recall
     * matrix extended to the quantized scan; unlike E11's [R] IVF/LSH

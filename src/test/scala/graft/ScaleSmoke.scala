@@ -421,6 +421,9 @@ object ScaleSmoke {
     time("q_ann_int8") { queries.LlmOps.qAnnInt8(spark, dir) }
     time("q_ann_int8_recall") { queries.LlmOps.qAnnInt8Recall(spark, dir) }
     time("q_ann_cascade") { queries.LlmOps.qAnnCascade(spark, dir) }
+    // E26: exact two-sided scan is the declared baseline (E21/E23 are the
+    // registered cascade swaps); timed so its growth stays on record
+    time("q_margin_mining") { queries.LlmOps.qMarginMining(spark, dir) }
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
     time("q_dedup_best_lsh") { queries.LlmOps.qDedupBestLsh(spark, dir) }
     time("q_ann_pca") { queries.LlmOps.qAnnPca(spark, dir) }

@@ -312,6 +312,40 @@ class AnnSpec extends SparkSpec {
       "corpus labels too uniform to demonstrate the pre/post separation")
   }
 
+  test("margin mining (E26): planted one-hot alignment recovered with the exact hub-free margin") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pair i: src vec_id=2i and tgt vec_id=2i+1 share basis vector e_i —
+    // the unique alignment; every cross dot is 0, so each pair must be
+    // rank-1 mutual and its ratio margin exactly d/(d/k) = k (1e7 ppm)
+    val dims = 64
+    val nPairs = 20
+    val rows = (0 until nPairs).flatMap { i =>
+      val v = Array.tabulate(dims)(j => if (j == i) 1.0f else 0.0f)
+      Seq((2L * i, v), (2L * i + 1, v))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("margin").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.LlmOps.qMarginMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_i"),
+        r.getAs[Long]("margin_ppm")))
+    assert(out.length == nPairs, s"got ${out.length} mutual pairs")
+    out.foreach { case (s, t, d, m) =>
+      assert(t == s + 1, s"misaligned pair ($s, $t)")
+      assert(d == 127L * 127L, s"unit one-hot quantizes to 127: $d")
+      assert(m == 10000000L, s"hub-free margin must be exactly k x 1e6: $m")
+    }
+    // corpus face: mutual pairs are symmetric-unique (each side appears
+    // at most once at rank 1) and margins positive where dots are
+    val corpus = graft.queries.LlmOps.qMarginMining(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_.getLong(0)).distinct.length == corpus.length)
+    assert(corpus.map(_.getLong(1)).distinct.length == corpus.length)
+    corpus.filter(_.getAs[Long]("score_i") > 0).foreach(r =>
+      assert(r.getAs[Long]("margin_ppm") > 0L))
+  }
+
   test("int8 search (E19): integer scores recompute, recall vs exact is high (E20)") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.LlmOps.qAnnInt8(spark, sfDir).collect()
