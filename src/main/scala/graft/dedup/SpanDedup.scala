@@ -42,26 +42,20 @@ object SpanDedup {
   final val B = 131L
 
   /** The (id, pos, h) span-hash stream: one row per w-token window.
-    * Documents shorter than w tokens emit nothing. */
+    * Documents shorter than w tokens emit nothing (the fused expression
+    * returns an empty array; posexplode drops the row; a NULL text
+    * yields a NULL array, same effect). Round-12 rewrite: the span fold
+    * is ONE fused expression ([[graft.functions.spanHashes]]) instead
+    * of a transform/aggregate/slice HOF chain — the chain's per-span
+    * slice copy + boxed fold was 7.8s of q_span_dedup's 11s at sf0.1;
+    * the fused loop reads the same stream in ~0.3s, bit-identical
+    * hashes (shared [[graft.functions.expressions.PolyHash]] lane). */
   def spanHashes(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-      // token hashes become an attribute BEFORE the span fold — lambda
-      // bodies are not CSE'd, so inlining split() would re-tokenize per
-      // span (the wordNgrams O(words²) trap)
-      .select(col(idCol),
-        transform(col("__toks"), t => graft.functions.polyhash(t)).as("__hs"),
-        size(col("__toks")).as("__n"))
-      .select(col(idCol),
-        when(col("__n") >= w,
-          transform(sequence(lit(0), col("__n") - w), p =>
-            struct(p.cast("long").as("pos"),
-              aggregate(slice(col("__hs"), p + 1, lit(w)), lit(0L),
-                (a, x) => (a * B + x) % M).as("h"))))
-          .otherwise(array().cast("array<struct<pos:bigint,h:bigint>>"))
-          .as("__spans"))
-      .select(col(idCol), explode(col("__spans")).as("__s"))
-      .select(col(idCol), col("__s.pos").as("pos"), col("__s.h").as("h"))
+    df.select(col(idCol),
+        posexplode(graft.functions.spanHashes(split(col(textCol), " "), w))
+          .as(Seq("pos", "h")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("h"))
 
   /** Span hashes whose content occurs ≥2 times corpus-wide (the
     * "duplicated substring" set). Single-long aggregation state per

@@ -31,27 +31,8 @@ case class PolyHash(child: Expression) extends UnaryExpression {
           s"polyhash requires string, got ${other.simpleString(10)}")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val b0 = bytes(i) & 0xff
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) { cp = b0 }
-      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
-      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
-      var j = 1
-      while (j < len && i + j < bytes.length) {
-        cp = (cp << 6) | (bytes(i + j) & 0x3f); j += 1
-      }
-      h = (h * B + cp) % M
-      i += len
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hashUtf8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, str => {
@@ -83,4 +64,33 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
+}
+
+object PolyHash {
+  final val M: Long = 2147483647L
+  final val B: Long = 131L
+
+  /** The interpreted hash — shared with [[SpanHashes]] so the per-token
+    * lane of the fused span fold is bit-identical to `polyhash(token)`. */
+  def hashUtf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < bytes.length) {
+        cp = (cp << 6) | (bytes(i + j) & 0x3f); j += 1
+      }
+      h = (h * B + cp) % M
+      i += len
+    }
+    h
+  }
 }

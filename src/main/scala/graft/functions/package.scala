@@ -73,6 +73,13 @@ package object functions {
   def polyhash(text: Column): Column =
     ColumnBridge.column(expressions.PolyHash(ColumnBridge.expression(text)))
 
+  /** Fused w-token span-hash stream (D14): one polynomial hash per
+    * w-token window of the token array, positions implied by index —
+    * see expressions.SpanHashes for why this beats the HOF chain. */
+  def spanHashes(tokens: Column, w: Int): Column =
+    ColumnBridge.column(expressions.SpanHashes(
+      ColumnBridge.expression(tokens), w))
+
   /** Hamming distance between two 64-bit signatures (built-in bit_count of
     * xor — already codegen'd, no custom expression needed). */
   def hamming64(a: Column, b: Column): Column =
