@@ -215,6 +215,7 @@ object SparkEntry {
     "q_skyline_grid" -> ((s, dir) => Warehouse.qSkylineGrid(s, dir)),
     "q_bootstrap_ci" -> ((s, dir) => Warehouse.qBootstrapCi(s, dir)),
     "q_margin_mining" -> ((s, dir) => LlmOps.qMarginMining(s, dir)),
+    "q_kcore" -> ((s, dir) => Warehouse.qKcore(s, dir)),
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
@@ -3936,6 +3937,30 @@ object SparkEntry {
     // sf0.01 wedge mass) — the count is strategy-independent; HUGEINT
     // mirrors the Spark DECIMAL(38) clustering lane, nullif guards the
     // edgeless corpus on both sides.
+    // C98: the fixed-round peel replays round for round — each round is
+    // a degree census + two IN-filters, generated for the same `rounds`
+    // constant as the Spark face (the C40 fixed-iteration parity rule).
+    "q_kcore" -> {
+      val rounds = 8
+      val peels = (0 until rounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e$i
+           |          UNION ALL SELECT b AS n FROM e$i)
+           |        GROUP BY n HAVING count(*) >= 3),
+           |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+           |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
+         |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+         |        AND a.l_partkey < b.l_partkey
+         |      GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT a, b FROM p WHERE n_ab >= 2),
+         |$peels
+         |SELECT n AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM (SELECT a AS n FROM e$rounds UNION ALL SELECT b AS n FROM e$rounds)
+         |GROUP BY n ORDER BY n""".stripMargin
+    },
     "q_triangle_count" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab

@@ -1982,6 +1982,44 @@ object Warehouse {
     reached
   }
 
+  /** C98: K-CORE TRIMMING of the co-purchase graph (round 12) — the
+    * density filter the graph family lacked: iteratively peel nodes of
+    * degree < k until the remaining subgraph is k-degenerate (the
+    * community-core / spam-fringe separation CommonCrawl-style curation
+    * applies to host graphs before trusting link signals; C40 weights
+    * nodes, C47 partitions them, this PRUNES them). Defined as a FIXED
+    * `rounds`-round peel — the C40 fixed-iteration discipline — so both
+    * engines run the identical computation and the oracle replays it
+    * round for round; WarehouseSpec proves the corpus reaches its
+    * fixpoint within the budget (an extra round is a no-op), so the
+    * fixed-round face IS the k-core here. Execution: per round, one
+    * degree aggregate over the (edges×2) node stream and two
+    * semi-joins against the |nodes|-bounded keep set, frontier
+    * checkpointed per round (the C93 lineage-truncation rule). At
+    * 100 TB each round is a co-partitioned join on node keys; rounds
+    * is a small constant (peeling converges in O(degeneracy) waves,
+    * not O(V)). */
+  def qKcore(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 8): DataFrame = {
+    import spark.implicits._
+    var edges = coPurchaseEdges(spark, dir).select($"a", $"b")
+    for (_ <- 1 to rounds) {
+      val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= k).select($"n")
+        .transform(graft.engine.Materialized.checkpoint)
+      edges = edges
+        .join(keep.withColumnRenamed("n", "a"), "a")
+        .join(keep.withColumnRenamed("n", "b"), "b")
+        .select($"a", $"b")
+        .transform(graft.engine.Materialized.checkpoint)
+    }
+    edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("core_degree"))
+      .select($"n".as("p_partkey"), $"core_degree")
+      .orderBy($"p_partkey")
+  }
+
   /** C43: TRIANGLE census + global clustering coefficient of the
     * co-purchase graph — the motif count behind community density and
     * recommendation quality ("parts whose neighbors also co-occur").

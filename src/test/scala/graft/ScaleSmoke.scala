@@ -366,6 +366,8 @@ object ScaleSmoke {
     time("q_event_paths") { queries.Warehouse.qEventPaths(spark, dir) }
     time("q_pagerank") { queries.Warehouse.qPageRank(spark, dir) }
     time("q_jackknife_ci") { queries.Warehouse.qJackknifeCi(spark, dir) }
+    // C98: 8 peel rounds over the memoized co-purchase edges
+    time("q_kcore") { queries.Warehouse.qKcore(spark, dir) }
     // C97: the B=100 explode is pre-combine (exchange carries types x B
     // rows); at 100x the timed cost is the map-side hash-mix x B, linear
     time("q_bootstrap_ci") { queries.Warehouse.qBootstrapCi(spark, dir) }

@@ -387,6 +387,33 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("kcore: planted clique survives the peel, tail is shed; corpus reaches fixpoint in budget") {
+    import spark.implicits._
+    // K4 clique on parts 1..4 plus a pendant path 4-5-6: the 3-core is
+    // exactly the clique (each member degree 3); the path peels away in
+    // two waves. Each edge rides two shared orders (support >= 2).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val rows = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("kcore").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", lit(1L)).withColumn("l_quantity", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Warehouse.qKcore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("core_degree")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+    // corpus: every survivor carries core degree >= k, and one extra
+    // round is a no-op — the fixed-round face IS the fixpoint here
+    val c8 = Warehouse.qKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("core_degree")))
+    assert(c8.nonEmpty && c8.forall(_._2 >= 3L))
+    val c9 = Warehouse.qKcore(spark, sfDir, rounds = 9).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("core_degree")))
+    assert(c9.toSet == c8.toSet, "round 9 must be a no-op (fixpoint reached)")
+  }
+
   test("bootstrap ci: percentile interval brackets the mean and tracks the jackknife se") {
     val boot = Warehouse.qBootstrapCi(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
