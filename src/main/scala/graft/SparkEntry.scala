@@ -216,6 +216,7 @@ object SparkEntry {
     "q_bootstrap_ci" -> ((s, dir) => Warehouse.qBootstrapCi(s, dir)),
     "q_margin_mining" -> ((s, dir) => LlmOps.qMarginMining(s, dir)),
     "q_kcore" -> ((s, dir) => Warehouse.qKcore(s, dir)),
+    "q_attribution_position" -> ((s, dir) => Warehouse.qAttributionPosition(s, dir)),
     "q_conversion_ci" -> ((s, dir) => Warehouse.qConversionCi(s, dir)),
     "q_gini" -> ((s, dir) => Warehouse.qGini(s, dir)),
     "q_benford" -> ((s, dir) => Warehouse.qBenford(s, dir)),
@@ -3937,6 +3938,30 @@ object SparkEntry {
     // sf0.01 wedge mass) — the count is strategy-independent; HUGEINT
     // mirrors the Spark DECIMAL(38) clustering lane, nullif guards the
     // edgeless corpus on both sides.
+    // C36b: the oracle states the touch set DIRECTLY as the range join
+    // (strategy-independent of the window-collect the engine runs);
+    // weights are exact integer ppm with the remainder on rank 2.
+    "q_attribution_position" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'click'),
+        |t AS (SELECT p.purchase_id, c.click_id, c.us AS cus
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.us < p.us AND p.us - c.us <= 604800000000),
+        |r AS (SELECT purchase_id, click_id,
+        |        CAST(row_number() OVER (PARTITION BY purchase_id
+        |          ORDER BY cus, click_id) AS BIGINT) AS touch_rank,
+        |        CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+        |      FROM t)
+        |SELECT purchase_id, click_id, touch_rank, n_touches,
+        |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+        |       WHEN n_touches = 2 THEN 500000
+        |       WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400000
+        |       ELSE 200000 // (n_touches - 2)
+        |         + CASE WHEN touch_rank = 2 THEN 200000 % (n_touches - 2)
+        |                ELSE 0 END END AS BIGINT) AS weight_ppm
+        |FROM r ORDER BY purchase_id, touch_rank""".stripMargin,
     // C98: the fixed-round peel replays round for round — each round is
     // a degree census + two IN-filters, generated for the same `rounds`
     // constant as the Spark face (the C40 fixed-iteration parity rule).

@@ -1857,6 +1857,55 @@ object Warehouse {
       .orderBy($"purchase_id")
   }
 
+  /** C36b: POSITION-BASED (U-shaped) MULTI-TOUCH attribution (round 12)
+    * — the credit-assignment model between C36's last-touch and linear:
+    * every click in the 7-day lookback shares the purchase's credit,
+    * 40% to the first touch, 40% to the last, the middle 20% split
+    * across interior touches (n=1 → 100%, n=2 → 50/50). Weights are
+    * EXACT integer ppm — interior shares are `200000 DIV (n−2)` with
+    * the remainder assigned to the earliest interior touch, so credit
+    * sums to exactly 1,000,000 per purchase and replays bit-for-bit.
+    * SHAPE: the touch SET per purchase comes from C36's single ordered
+    * user_id window (collect_list of click structs over preceding
+    * rows — frame order makes the array time-ascending), then a
+    * map-side lookback filter + posexplode; the naive purchases⋈clicks
+    * range self-join — quadratic per user in click density — never
+    * happens (the oracle states it as that join precisely because the
+    * engine must NOT compute it that way). Per-user arrays are bounded
+    * by the user's own activity, the C39 collect bound. */
+  def qAttributionPosition(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    import spark.implicits._
+    val lookbackUs = lookbackDays.toLong * 86400L * 1000000L
+    val prior = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carried = Tables.table(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("__clicks",
+        collect_list(when($"event_type" === "click",
+          struct($"us".as("cus"), $"event_id".as("click_id")))).over(prior))
+    carried.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"us".as("__pus"),
+        filter($"__clicks", c =>
+          c("cus") < $"__pus" && $"__pus" - c("cus") <= lit(lookbackUs))
+          .as("__touches"))
+      .withColumn("n_touches", size($"__touches").cast("long"))
+      .filter($"n_touches" > 0)
+      .select($"purchase_id", $"n_touches",
+        posexplode($"__touches").as(Seq("__pos", "__t")))
+      .select($"purchase_id", col("__t.click_id").as("click_id"),
+        ($"__pos" + 1).cast("long").as("touch_rank"), $"n_touches")
+      .withColumn("weight_ppm",
+        when($"n_touches" === 1, 1000000L)
+          .when($"n_touches" === 2, 500000L)
+          .when($"touch_rank" === 1 || $"touch_rank" === $"n_touches", 400000L)
+          .otherwise(expr("200000 DIV (n_touches - 2)") +
+            when($"touch_rank" === 2,
+              expr("200000 % (n_touches - 2)")).otherwise(0L)))
+      .orderBy($"purchase_id", $"touch_rank")
+  }
+
   /** C37: market-basket co-occurrence with lift — part pairs sharing an
     * order, scored by n_ab·N/(n_a·n_b) in integer ppm. The pair
     * expansion is the per-order self-join on l_orderkey: co-partitioned

@@ -387,6 +387,44 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("position attribution: U-shaped ppm weights exact, credit conserves per purchase") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // planted timelines: users with 1, 2, 3, and 5 clicks inside the
+    // lookback, plus one stale click outside it (user 5)
+    def ts(min: Long) = new Timestamp(1704067200000L + min * 60000L)
+    val rows = Seq(
+      (1L, 1L, "click", ts(0)), (2L, 1L, "purchase", ts(10)),
+      (3L, 2L, "click", ts(0)), (4L, 2L, "click", ts(5)), (5L, 2L, "purchase", ts(10)),
+      (6L, 3L, "click", ts(0)), (7L, 3L, "click", ts(2)), (8L, 3L, "click", ts(4)),
+      (9L, 3L, "purchase", ts(10)),
+      (10L, 4L, "click", ts(0)), (11L, 4L, "click", ts(1)), (12L, 4L, "click", ts(2)),
+      (13L, 4L, "click", ts(3)), (14L, 4L, "click", ts(4)), (15L, 4L, "purchase", ts(10)),
+      (16L, 5L, "click", ts(-8L * 24 * 60)), (17L, 5L, "purchase", ts(10)))
+      .map { case (e, u, t, s) => (e, u, t, s, 1.0) }
+    val dir = java.nio.file.Files.createTempDirectory("attrpos").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Warehouse.qAttributionPosition(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rs) =>
+        p -> rs.sortBy(_.getAs[Long]("touch_rank")).map(_.getAs[Long]("weight_ppm")).toSeq
+      }
+    assert(out(2L) == Seq(1000000L), "single touch takes all credit")
+    assert(out(5L) == Seq(500000L, 500000L))
+    // n=3: one interior touch takes the whole 20%
+    assert(out(9L) == Seq(400000L, 200000L, 400000L))
+    // n=5: 200000 DIV 3 = 66666, remainder 2 on the earliest interior
+    assert(out(15L) == Seq(400000L, 66668L, 66666L, 66666L, 400000L))
+    assert(!out.contains(17L), "a purchase with only stale clicks emits nothing")
+    out.values.foreach(ws => assert(ws.sum == 1000000L, "credit must conserve"))
+    // corpus: conservation holds for every purchase
+    val corpus = Warehouse.qAttributionPosition(spark, sfDir).collect()
+    corpus.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("weight_ppm")).sum == 1000000L)
+    }
+  }
+
   test("kcore: planted clique survives the peel, tail is shed; corpus reaches fixpoint in budget") {
     import spark.implicits._
     // K4 clique on parts 1..4 plus a pendant path 4-5-6: the 3-core is
