@@ -68,6 +68,7 @@ object SparkEntry {
     "q_embedding_neardup_lsh" -> ((s, dir) => LlmOps.qEmbeddingNearDupLsh(s, dir)),
     "q_semdedup" -> ((s, dir) => LlmOps.qSemDedup(s, dir)),
     "q_quality_classifier" -> ((s, dir) => LlmOps.qQualityClassifier(s, dir)),
+    "q_calibration" -> ((s, dir) => LlmOps.qCalibration(s, dir)),
     "q_corpus_report" -> ((s, dir) => LlmOps.qCorpusReport(s, dir)),
     "q_corpus_report_incremental" -> ((s, dir) => LlmOps.qCorpusReportIncremental(s, dir)),
     "q_hard_negatives" -> ((s, dir) => LlmOps.qHardNegatives(s, dir)),
@@ -416,6 +417,55 @@ object SparkEntry {
         |FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.qv = m.mq
         |GROUP BY m.cluster_id, m.n_docs, m.mq
         |ORDER BY m.cluster_id""".stripMargin
+
+  /** H10's pinned-artifact score replay — shared by the H10b
+    * calibration oracle so the scoring definition cannot drift. */
+  private val qualityClassifierSql: String =
+    """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents WHERE text IS NOT NULL),
+        |rep AS (SELECT doc_id, len(t) AS rn, len(list_distinct(t)) AS nd FROM toks),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
+        |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |          SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |ph AS (SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)
+        |    END AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |feat AS (
+        |  SELECT f.doc_id,
+        |    CAST(f.n_words AS DOUBLE) AS x1,
+        |    CAST((f.non_space * 100) // f.n_words AS DOUBLE) AS x2,
+        |    CAST(f.stop_hits AS DOUBLE) AS x3,
+        |    CAST(1000 * (r.rn - r.nd) // r.rn AS DOUBLE) AS x4,
+        |    CAST(CASE WHEN r.rn < 2 THEN 0
+        |         ELSE 1000 * COALESCE(t.top_cnt, 0) // (r.rn - 1) END AS DOUBLE) AS x5,
+        |    least(1000, f.n_words * 5) + least(500, f.stop_hits * 20) AS q,
+        |    ph.h AS h
+        |  FROM f JOIN rep r USING (doc_id) LEFT JOIN top t USING (doc_id)
+        |    JOIN ph USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN h % 5 < 4 THEN 'train' ELSE 'eval' END AS split,
+        |  CAST(CASE WHEN q >= 350 THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |  round(1.0 / (1.0 + exp(-(x1 * 0.08495989934974546
+        |    + x2 * -0.005093391899483308
+        |    + x3 * 0.550674474813873
+        |    + x4 * 0.010730775952170635
+        |    + x5 * -0.029122152246405623
+        |    + -8.997663458878463))), 6) AS quality_prob
+        |FROM feat ORDER BY doc_id""".stripMargin
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
   def oracleSql: Map[String, String] = Map(
@@ -1909,52 +1959,19 @@ object SparkEntry {
     // same left-assoc dot-product order, both engines' exp within 1 ulp
     // (≫ the 6dp rounding grid). The FIT stays non-SQL ([T] coverage);
     // this pins the score path end to end.
-    "q_quality_classifier" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
-        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
-        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
-        |  FROM documents WHERE text IS NOT NULL),
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |         FROM documents WHERE text IS NOT NULL),
-        |rep AS (SELECT doc_id, len(t) AS rn, len(list_distinct(t)) AS nd FROM toks),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |        i -> t[i] || ' ' || t[i+1])) AS gram FROM toks),
-        |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
-        |          SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
-        |        GROUP BY doc_id),
-        |ph AS (SELECT doc_id,
-        |    CASE WHEN length(text) = 0 THEN 0 ELSE
-        |      list_reduce(
-        |        list_transform(range(1, length(text) + 1),
-        |                       i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-        |        (h, c) -> (h * 131 + c) % 2147483647)
-        |    END AS h
-        |  FROM documents WHERE text IS NOT NULL),
-        |feat AS (
-        |  SELECT f.doc_id,
-        |    CAST(f.n_words AS DOUBLE) AS x1,
-        |    CAST((f.non_space * 100) // f.n_words AS DOUBLE) AS x2,
-        |    CAST(f.stop_hits AS DOUBLE) AS x3,
-        |    CAST(1000 * (r.rn - r.nd) // r.rn AS DOUBLE) AS x4,
-        |    CAST(CASE WHEN r.rn < 2 THEN 0
-        |         ELSE 1000 * COALESCE(t.top_cnt, 0) // (r.rn - 1) END AS DOUBLE) AS x5,
-        |    least(1000, f.n_words * 5) + least(500, f.stop_hits * 20) AS q,
-        |    ph.h AS h
-        |  FROM f JOIN rep r USING (doc_id) LEFT JOIN top t USING (doc_id)
-        |    JOIN ph USING (doc_id))
-        |SELECT doc_id,
-        |  CASE WHEN h % 5 < 4 THEN 'train' ELSE 'eval' END AS split,
-        |  CAST(CASE WHEN q >= 350 THEN 1 ELSE 0 END AS BIGINT) AS label,
-        |  round(1.0 / (1.0 + exp(-(x1 * 0.08495989934974546
-        |    + x2 * -0.005093391899483308
-        |    + x3 * 0.550674474813873
-        |    + x4 * 0.010730775952170635
-        |    + x5 * -0.029122152246405623
-        |    + -8.997663458878463))), 6) AS quality_prob
-        |FROM feat ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" -> qualityClassifierSql,
+    // H10b: the calibration table is integer arithmetic over the SAME
+    // pinned score replay (ppm lanes, DIV bins) - one shared definition.
+    "q_calibration" ->
+      ("WITH base AS (" + qualityClassifierSql + ")\n" +
+        """SELECT least(9, ppm // 100000) AS bin,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(ppm) // count(*) AS BIGINT) AS mean_conf_ppm,
+          |  CAST((1000000 * sum(label)) // count(*) AS BIGINT) AS frac_pos_ppm
+          |FROM (SELECT label,
+          |        CAST(round(quality_prob * 1000000) AS BIGINT) AS ppm
+          |      FROM base)
+          |GROUP BY 1 ORDER BY bin""".stripMargin),
     // C18b REGIME-BOUNDED oracle (the C12b precedent): every sf0.01
     // group is below accuracy=10000, so Spark's GK cutoffs are the
     // exact discrete-rank elements = DuckDB quantile_disc; assignment

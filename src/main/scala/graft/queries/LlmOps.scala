@@ -2189,6 +2189,32 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** H10b: model CALIBRATION table (round 12) — the reliability diagram
+    * every deployed scorer ships with: bucket H10's predicted
+    * probability into deciles and compare mean confidence against the
+    * observed positive rate per bucket (a well-calibrated scorer's two
+    * ppm columns track each other; the gap pattern is the over/under-
+    * confidence read). All INTEGER arithmetic over the pinned score
+    * replay: the 6dp-rounded probability becomes an exact ppm lane,
+    * bins are `ppm DIV 100000` (clamped so prob=1.0 joins bin 9), and
+    * both report columns are integer DIV ratios — bit-replayable on
+    * the shared H10 oracle definition. One aggregate over the scored
+    * frame; output is 10 rows at any scale. */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    qQualityClassifier(spark, dir)
+      .select(col("label"),
+        expr("CAST(round(quality_prob * 1000000, 0) AS BIGINT)").as("ppm"))
+      .select(col("label"), col("ppm"),
+        least(lit(9L), expr("ppm DIV 100000")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ppm")).as("__sp"),
+        sum(col("label")).as("__pos"))
+      .select(col("bin"), col("n"),
+        expr("__sp DIV n").as("mean_conf_ppm"),
+        expr("(1000000 * __pos) DIV n").as("frac_pos_ppm"))
+      .orderBy(col("bin"))
+  }
+
   /** H11: corpus data-card report — the one-glance summary published
     * with a training dataset (docs, token mass, language spread, exact-
     * dup mass, quality-gate pass rate, length extremes). ONE scan: a

@@ -87,4 +87,27 @@ class QualityModelSpec extends SparkSpec {
       rows.filter(_.getAs[Long]("label") == 0L).map(_.getAs[Double]("quality_prob")))
     assert(p1.sum / p1.length > p0.sum / p0.length + 0.2)
   }
+
+  test("calibration table: mass conserved, confidence inside its bin, rates in range") {
+    val cal = LlmOps.qCalibration(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(cal.map(_.getAs[Long]("n")).sum == nDocs, "every scored doc lands in a bin")
+    cal.foreach { r =>
+      val (bin, conf, frac) = (r.getAs[Long]("bin"),
+        r.getAs[Long]("mean_conf_ppm"), r.getAs[Long]("frac_pos_ppm"))
+      assert(bin >= 0L && bin <= 9L)
+      assert(conf >= bin * 100000L, s"bin $bin mean conf $conf below bin floor")
+      assert(bin == 9L || conf < (bin + 1) * 100000L,
+        s"bin $bin mean conf $conf above bin ceiling")
+      assert(frac >= 0L && frac <= 1000000L)
+    }
+    // the diagram must slope upward overall: top-half bins see a higher
+    // positive rate than bottom-half bins (the scorer separates)
+    val (hi, lo) = cal.partition(_.getAs[Long]("bin") >= 5L)
+    def rate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("frac_pos_ppm") * r.getAs[Long]("n")).sum.toDouble /
+        math.max(1L, rs.map(_.getAs[Long]("n")).sum)
+    assert(rate(hi) > rate(lo) + 100000.0, "calibration curve must slope upward")
+  }
 }
