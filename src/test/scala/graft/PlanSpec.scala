@@ -597,6 +597,10 @@ class PlanSpec extends SparkSpec {
       "q_anomaly_days", "q_changepoint", "q_seasonal_decompose",
       "q_peak_concurrency", "q_event_gaps", "q_cooccur_pmi",
       "q_tokenize", "q_vocab", "q_zipf_fit", "q_skyline",
+      // C57b: BOTH its windows are domain-sized — the keep-set window
+      // runs over the price-CELL census and the sweep over the distinct
+      // prices of the grid SURVIVORS (PlanSpec's grid-bounded pin)
+      "q_skyline_grid",
       // C96: the cumulative-ppm window runs over the ≤42-bucket log2
       // HISTOGRAM frame (I7's class) — domain-sized at any SF
       "q_time_to_convert")
