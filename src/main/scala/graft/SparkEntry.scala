@@ -87,6 +87,7 @@ object SparkEntry {
     "q_doc_chunk" -> ((s, dir) => LlmOps.qDocChunk(s, dir)),
     "q_pack_sequences" -> ((s, dir) => LlmOps.qPackSequences(s, dir)),
     "q_quality_gate" -> ((s, dir) => LlmOps.qQualityGate(s, dir)),
+    "q_gate_sweep" -> ((s, dir) => LlmOps.qGateSweep(s, dir)),
     "q_vocab" -> ((s, dir) => LlmOps.qVocab(s, dir)),
     "q_boilerplate" -> ((s, dir) => LlmOps.qBoilerplate(s, dir)),
     "q_pii_redact" -> ((s, dir) => LlmOps.qPiiRedact(s, dir)),
@@ -991,6 +992,29 @@ object SparkEntry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // H28: all-integer sweep over the proven F2 quality lane.
+    "q_gate_sweep" ->
+      """WITH f AS (
+        |  SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |      + CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (SELECT n_words,
+        |        least(1000, n_words * 5) + least(500, stop_hits * 20) AS qv
+        |      FROM f),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |        CAST(sum(n_words) AS BIGINT) AS nt FROM q),
+        |s AS (SELECT CAST(th * 100 AS BIGINT) AS threshold,
+        |        CAST(sum(CASE WHEN qv >= th * 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS docs_kept,
+        |        CAST(sum(CASE WHEN qv >= th * 100 THEN n_words ELSE 0 END) AS BIGINT)
+        |          AS tokens_kept
+        |      FROM q CROSS JOIN (SELECT unnest(range(0, 11)) AS th)
+        |      GROUP BY th)
+        |SELECT threshold, docs_kept, tokens_kept,
+        |  CAST((1000000 * docs_kept) // (SELECT nd FROM t) AS BIGINT) AS docs_kept_ppm,
+        |  CAST((1000000 * tokens_kept) // (SELECT nt FROM t) AS BIGINT) AS tokens_kept_ppm
+        |FROM s ORDER BY threshold""".stripMargin,
     "q_quality_gate" ->
       """WITH f AS (
         |  SELECT doc_id, lang,

@@ -1494,6 +1494,37 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** H28: GATE-THRESHOLD SWEEP (round 12) — the curation planner's
+    * sensitivity table: for every candidate quality threshold (0..1000
+    * step 100), how many documents and how much token mass would
+    * survive the H3 gate, as counts and ppm of the corpus. This is the
+    * table you read BEFORE choosing a threshold — a gate tuned on one
+    * number hides the cliff the sweep exposes. ONE scan: the per-doc
+    * (quality, tokens) projection map-side expands 11× (explode of the
+    * threshold array happens pre-combine, exchange carries 11 groups),
+    * and every output column is integer/ppm (DIV), so the oracle
+    * replays exactly. Output is O(thresholds) at any corpus size. */
+  def qGateSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+      Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
+      .select(col("quality_x1000"), col("n_words"))
+    val totals = scored.agg(count(lit(1)).as("__nd"), sum(col("n_words")).as("__nt"))
+    scored
+      .withColumn("threshold", explode(expr(
+        "transform(sequence(0, 10), i -> CAST(i * 100 AS BIGINT))")))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("quality_x1000") >= col("threshold"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum(when(col("quality_x1000") >= col("threshold"), col("n_words"))
+          .otherwise(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
+        expr("(1000000 * docs_kept) DIV __nd").as("docs_kept_ppm"),
+        expr("(1000000 * tokens_kept) DIV __nt").as("tokens_kept_ppm"))
+      .orderBy(col("threshold"))
+  }
+
   /** H21: STRATIFIED REVIEW SAMPLE — the labeling-ops face of the H3
     * quality gate: a deterministic sample of k docs per
     * (lang × gate decision) stratum for human audit ("show me 3 kept

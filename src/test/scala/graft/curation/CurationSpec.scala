@@ -223,6 +223,32 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == canonical)
   }
 
+  test("gate sweep: monotone in threshold, zero-threshold keeps everything, ppm exact") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.LlmOps.qGateSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("threshold"))
+    assert(rows.length == 11)
+    val nDocs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).count()
+    val t0 = rows.head
+    assert(t0.getAs[Long]("threshold") == 0L)
+    assert(t0.getAs[Long]("docs_kept") == nDocs, "threshold 0 gates nothing")
+    assert(t0.getAs[Long]("docs_kept_ppm") == 1000000L)
+    assert(t0.getAs[Long]("tokens_kept_ppm") == 1000000L)
+    // a stricter gate can only keep less, in docs AND token mass
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("docs_kept") <= a.getAs[Long]("docs_kept"))
+        assert(b.getAs[Long]("tokens_kept") <= a.getAs[Long]("tokens_kept"))
+      case _ =>
+    }
+    // ppm columns recompute from the count columns exactly
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_kept_ppm") ==
+        1000000L * r.getAs[Long]("docs_kept") / nDocs)
+    }
+  }
+
   test("approx ntile twin: buckets near-equal, assignment monotone in value") {
     import org.apache.spark.sql.functions._
     val tiled = graft.queries.Warehouse.ntileApprox(
