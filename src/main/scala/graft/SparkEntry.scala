@@ -113,6 +113,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => LlmOps.qHeavyHitters(s, dir)),
     "q_ntile" -> ((s, dir) => Warehouse.qNtile(s, dir)),
     "q_ntile_approx" -> ((s, dir) => Warehouse.qNtileApprox(s, dir)),
+    "q_winsorize_approx" -> ((s, dir) => Warehouse.qWinsorizeApprox(s, dir)),
     "q_profile" -> ((s, dir) => Etl.qProfile(s, dir)),
     "q_window_topn_agg" -> ((s, dir) => Warehouse.qWindowTopNAgg(s, dir)),
     "q_cube" -> ((s, dir) => Warehouse.qCube(s, dir)),
@@ -1996,6 +1997,19 @@ object SparkEntry {
           |        CAST(round(quality_prob * 1000000) AS BIGINT) AS ppm
           |      FROM base)
           |GROUP BY 1 ORDER BY bin""".stripMargin),
+    // H4b REGIME-BOUNDED oracle: below-accuracy GK ≡ quantile_disc
+    // (the C12b/C18b regime; groups ~2000 « accuracy=10000 at sf0.01).
+    "q_winsorize_approx" ->
+      """WITH cuts AS (
+        |  SELECT event_type, quantile_disc(value, 0.05) AS lo,
+        |    quantile_disc(value, 0.95) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(least(greatest(e.value, c.lo), c.hi), 2) AS value_clipped,
+        |  (e.value < c.lo OR e.value > c.hi) AS was_clipped
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |WHERE e.value IS NOT NULL
+        |ORDER BY e.event_id""".stripMargin,
     // C18b REGIME-BOUNDED oracle (the C12b precedent): every sf0.01
     // group is below accuracy=10000, so Spark's GK cutoffs are the
     // exact discrete-rank elements = DuckDB quantile_disc; assignment

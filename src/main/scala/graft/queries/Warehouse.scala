@@ -1414,6 +1414,27 @@ object Warehouse {
       .orderBy($"event_id")
   }
 
+  /** H4b: [[qWinsorize]]'s 100 TB twin REGISTERED (round 12 — the swap
+    * its row narrated, executed per the no-narrated-swaps rule): the
+    * exact per-group percentile cutoffs become one mergeable
+    * approx_percentile aggregate (GK summaries, bounded memory, no
+    * per-group sort); the clip stays the same broadcast-join map-side
+    * projection. Regime-bounded oracle (C12b/C18b): below accuracy the
+    * GK cutoffs are the exact discrete-rank elements = DuckDB's
+    * quantile_disc. */
+  def qWinsorizeApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.table(spark, dir, "events").filter($"value".isNotNull)
+    val cuts = ev.groupBy($"event_type")
+      .agg(expr("percentile_approx(value, 0.05, 10000)").as("lo"),
+        expr("percentile_approx(value, 0.95, 10000)").as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .select($"event_id", $"event_type",
+        round(least(greatest($"value", $"lo"), $"hi"), 2).as("value_clipped"),
+        ($"value" < $"lo" || $"value" > $"hi").as("was_clipped"))
+      .orderBy($"event_id")
+  }
+
   /** C18's 100 TB shape: approximate equal-frequency binning. Exact
     * ntile is a per-group SORT of every row (5.6s at 50× — the one
     * sort-bound operator in the smoke); this twin computes the 9 decile

@@ -387,6 +387,31 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("winsorize approx twin: agrees with the exact clip away from the cutoff gap") {
+    val exact = Warehouse.qWinsorize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("value_clipped")).toMap
+    val approx = Warehouse.qWinsorizeApprox(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("value_clipped"),
+        r.getAs[Boolean]("was_clipped")))
+    assert(approx.length == exact.size)
+    // the two cutoff definitions (interpolated vs discrete-rank) sit
+    // within one observation gap, so the clip DECISION flips only for
+    // rows inside that narrow band — interior rows must agree exactly
+    val exactFlag = Warehouse.qWinsorize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("was_clipped")).toMap
+    val interiorDisagree = approx.count { case (id, v, clipped) =>
+      !clipped && !exactFlag(id) && math.abs(exact(id) - v) > 1e-9
+    }
+    assert(interiorDisagree == 0,
+      s"$interiorDisagree interior (unclipped-both) rows changed value")
+    val flagAgree = approx.count { case (id, _, c) => c == exactFlag(id) }
+    assert(flagAgree.toDouble / approx.length > 0.98,
+      s"clip decisions diverge beyond the cutoff band: $flagAgree/${approx.length}")
+    // clip mass is the designed ~10% per group
+    val frac = approx.count(_._3).toDouble / approx.length
+    assert(frac > 0.05 && frac < 0.15, s"clipped fraction $frac off the 10% design")
+  }
+
   test("position attribution: U-shaped ppm weights exact, credit conserves per purchase") {
     import spark.implicits._
     import java.sql.Timestamp
