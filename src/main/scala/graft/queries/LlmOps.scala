@@ -1508,8 +1508,7 @@ object LlmOps {
     val scored = TextAnalysis.qualityScore(
       Tables.table(spark, dir, "documents").filter(col("text").isNotNull), "text")
       .select(col("quality_x1000"), col("n_words"))
-    val totals = scored.agg(count(lit(1)).as("__nd"), sum(col("n_words")).as("__nt"))
-    scored
+    val sweep = scored
       .withColumn("threshold", explode(expr(
         "transform(sequence(0, 10), i -> CAST(i * 100 AS BIGINT))")))
       .groupBy(col("threshold"))
@@ -1518,7 +1517,18 @@ object LlmOps {
           .as("docs_kept"),
         sum(when(col("quality_x1000") >= col("threshold"), col("n_words"))
           .otherwise(0L)).as("tokens_kept"))
-      .crossJoin(broadcast(totals))
+    // corpus totals ARE the threshold-0 row (quality is non-negative):
+    // reading them via a window over the 11-row SWEEP frame keeps this
+    // a ONE-scan operator — a second totals aggregate (or a self-join
+    // of the sweep, which Catalyst did NOT exchange-reuse here: measured
+    // scans=4) would re-read the corpus. The window is unpartitioned but
+    // its frame is the threshold DOMAIN (11 rows at any corpus size).
+    val whole = org.apache.spark.sql.expressions.Window.orderBy(col("threshold"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sweep
+      .withColumn("__nd", first(col("docs_kept")).over(whole))
+      .withColumn("__nt", first(col("tokens_kept")).over(whole))
       .select(col("threshold"), col("docs_kept"), col("tokens_kept"),
         expr("(1000000 * docs_kept) DIV __nd").as("docs_kept_ppm"),
         expr("(1000000 * tokens_kept) DIV __nt").as("tokens_kept_ppm"))

@@ -584,6 +584,14 @@ class PlanSpec extends SparkSpec {
   // whitelist below. The walker descends into AQE-wrapped and subquery
   // plans (AdaptiveSparkPlanExec hides its tree from children traversal —
   // the first sweep version found ZERO windows for exactly that reason).
+  test("gate sweep: ONE corpus scan — the totals ride the 11-row window, not a rescan") {
+    val df = graft.queries.LlmOps.qGateSweep(spark, sfDir)
+    val nodes = PlanSweep.allNodes(df.queryExecution.executedPlan)
+    val scans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"gate sweep must read documents once, found $scans scans")
+  }
+
   test("registry sweep: partitionless windows only where declared, zero cartesians") {
     // why each face is ALLOWED its global window:
     //   sort-bound exact baselines, each with an EXECUTED sampled-cutoff
@@ -603,7 +611,11 @@ class PlanSpec extends SparkSpec {
       "q_skyline_grid",
       // C96: the cumulative-ppm window runs over the ≤42-bucket log2
       // HISTOGRAM frame (I7's class) — domain-sized at any SF
-      "q_time_to_convert")
+      "q_time_to_convert",
+      // H28: the totals window runs over the 11-row THRESHOLD frame —
+      // it exists precisely to keep the face one-scan (a totals
+      // aggregate or sweep self-join re-read the corpus: measured)
+      "q_gate_sweep")
     val allowed = exactBaselines ++ boundedFrames
     val offenders = scala.collection.mutable.Map.empty[String, Int]
     val cartesians = scala.collection.mutable.ListBuffer.empty[String]
