@@ -371,6 +371,13 @@ object ScaleSmoke {
     // C97: the B=100 explode is pre-combine (exchange carries types x B
     // rows); at 100x the timed cost is the map-side hash-mix x B, linear
     time("q_bootstrap_ci") { queries.Warehouse.qBootstrapCi(spark, dir) }
+    // round-12 remainder: the registered twins and planner faces at 100x
+    time("q_skyline_grid") { queries.Warehouse.qSkylineGrid(spark, dir) }
+    time("q_ntile_approx") { queries.Warehouse.qNtileApprox(spark, dir) }
+    time("q_winsorize_approx") { queries.Warehouse.qWinsorizeApprox(spark, dir) }
+    time("q_attribution_position") { queries.Warehouse.qAttributionPosition(spark, dir) }
+    time("q_calibration") { queries.LlmOps.qCalibration(spark, dir) }
+    time("q_gate_sweep") { queries.LlmOps.qGateSweep(spark, dir) }
     time("q_seasonal_decompose") { queries.Warehouse.qSeasonalDecompose(spark, dir) }
     time("q_changepoint") { queries.Warehouse.qChangepoint(spark, dir) }
     time("q_changepoint_by_type") { queries.Warehouse.qChangepointByType(spark, dir) }
