@@ -127,6 +127,7 @@ object SparkEntry {
     "q_corr" -> ((s, dir) => Warehouse.qCorr(s, dir)),
     "q_abtest" -> ((s, dir) => Warehouse.qAbtest(s, dir)),
     "q_containment" -> ((s, dir) => LlmOps.qContainment(s, dir)),
+    "q_containment_blocked" -> ((s, dir) => LlmOps.qContainmentBlocked(s, dir)),
     "q_cooccur_pmi" -> ((s, dir) => LlmOps.qCooccurPmi(s, dir)),
     "q_zscore" -> ((s, dir) => Warehouse.qZscore(s, dir)),
     "q_winsorize" -> ((s, dir) => Warehouse.qWinsorize(s, dir)),
@@ -2188,6 +2189,29 @@ object SparkEntry {
         |              // least(len(list_distinct(a.grams)), len(list_distinct(b.grams)))
         |  END AS containment_x1000
         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    // D10b: hash-invariant — blocking and intersection COUNTS are the
+    // same over string grams as over the engine's hashed grams.
+    "q_containment_blocked" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))), i ->
+        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |post AS (SELECT source, doc_id, unnest(grams) AS g FROM d),
+        |rare AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 100),
+        |rp AS (SELECT post.* FROM post JOIN rare USING (g)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |         FROM rp x JOIN rp y ON x.g = y.g AND x.source = y.source
+        |           AND x.doc_id < y.doc_id),
+        |v AS (SELECT c.id_a, c.id_b,
+        |        CASE WHEN least(len(a.grams), len(b.grams)) = 0 THEN 0
+        |        ELSE (1000 * len(list_intersect(a.grams, b.grams)))
+        |               // least(len(a.grams), len(b.grams)) END AS containment_x1000
+        |      FROM cand c JOIN d a ON a.doc_id = c.id_a
+        |        JOIN d b ON b.doc_id = c.id_b)
+        |SELECT id_a, id_b, containment_x1000 FROM v
+        |WHERE containment_x1000 >= 300
         |ORDER BY id_a, id_b""".stripMargin,
     "q_cooccur_pmi" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

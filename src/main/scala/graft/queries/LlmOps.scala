@@ -2014,18 +2014,70 @@ object LlmOps {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
         Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
-    val pairs = graft.dedup.Buckets.gridSelfJoin(
-      docs.select(col("source"), col("doc_id")),
-      Seq("source"), "doc_id", chunkSize = 4096)
-    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("long")
-    val minSize = least(size(array_distinct(col("g_a"))), size(array_distinct(col("g_b"))))
-      .cast("long")
+    // grams ride the grid join's LEGS (gridSelfJoinPayload), never a
+    // per-pair exchange: joining ids first and the arrays back per pair
+    // sorted Σ B²/2 pair rows × array width — the exact spill class the
+    // Buckets scaladoc documents (the honest round-12 action measured
+    // it: the 100× sweep's pair×array sort filled the disk). Payload on
+    // the legs is pairs/chunkSize rows per side instead.
+    val pairs = graft.dedup.Buckets.gridSelfJoinPayload(
+      docs.select(col("source"), col("doc_id"), col("grams")),
+      Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
+    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("long")
+    val minSize = least(size(array_distinct(col("grams_a"))),
+      size(array_distinct(col("grams_b")))).cast("long")
     pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         when(minSize === 0, 0L).otherwise(floor(lit(1000) * inter / minSize).cast("long"))
           .as("containment_x1000"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D10b: BLOCKED containment (round 12) — the 100 TB twin the honest
+    * bench action forced into existence: the exact D10 baseline scores
+    * every in-source pair, and at the 100× sweep its pair stream is
+    * TB-class no matter how it is planned (10⁹ pairs × gram arrays —
+    * the count()-action had HIDDEN this for three rounds by pruning the
+    * arrays). The twin generates candidates by RARE-GRAM BLOCKING (the
+    * record-linkage standard): explode each doc's distinct grams, keep
+    * grams with corpus df ≤ maxDf (frequent grams are boilerplate — the
+    * ones that generate quadratic junk pairs), self-join the posting
+    * list per (source, gram), and exact-verify ONLY the candidates,
+    * reporting pairs with containment ≥ minX1000 (300 = the report class the synthetic corpus populates; production excerpts sit near 1000). Candidate mass is
+    * Σ_g df(g)² over rare grams — df-capped, never |docs|². Recall
+    * contract: a reported-class pair (containment ≥ 0.5 of the smaller
+    * doc) escapes only if EVERY shared gram is corpus-frequent;
+    * real excerpts/quotes share rare grams (the spec plants one).
+    * Verify joins gram arrays to the |candidates|-sized frame. */
+  def qContainmentBlocked(spark: SparkSession, dir: String,
+      maxDf: Long = 100L, minX1000: Long = 300L): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(Dedup.hashedNgrams(col("__toks"), 2)).as("grams"))
+    val posting = docs
+      .select(col("source"), col("doc_id"), explode(col("grams")).as("g"))
+    val rare = posting.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxDf)
+      .select(col("g"))
+    val rarePosting = posting.join(rare, "g")
+    val cands = rarePosting.as("x")
+      .join(rarePosting.as("y"),
+        col("x.g") === col("y.g") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("long")
+    val minSize = least(size(col("g_a")), size(col("g_b"))).cast("long")
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(minSize === 0, 0L)
+          .otherwise(floor(lit(1000) * inter / minSize).cast("long"))
+          .as("containment_x1000"))
+      .filter(col("containment_x1000") >= minX1000)
       .orderBy("id_a", "id_b")
   }
 

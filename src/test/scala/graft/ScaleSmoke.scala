@@ -180,7 +180,15 @@ object ScaleSmoke {
     time("q_benford") { queries.Warehouse.qBenford(spark, dir) }
     time("q_lorenz_deciles") { queries.Warehouse.qLorenzDeciles(spark, dir) }
     time("q_acf") { queries.Warehouse.qAcf(spark, dir) }
-    time("q_containment") { queries.LlmOps.qContainment(spark, dir) }
+    // D10's exact all-in-source-pairs baseline is DECLARED-SKIPPED at
+    // this scale: 10^9 pairs × gram-array verifies is TB/hour-class
+    // regardless of plan shape (the honest consume action measured the
+    // old id-join shape filling the disk at 100×; the payload-legs fix
+    // removes the spill but not the pair count). The registered twin is
+    // what runs at 100 TB — no silent cap: this line IS the record.
+    if (only.isEmpty || only.exists("q_containment".contains))
+      println("q_containment           SKIPPED at 100x (exact all-pairs baseline; twin below)")
+    time("q_containment_blocked") { queries.LlmOps.qContainmentBlocked(spark, dir) }
     time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
     time("q_zscore") { queries.Warehouse.qZscore(spark, dir) }
     time("q_winsorize") { queries.Warehouse.qWinsorize(spark, dir) }

@@ -33,6 +33,39 @@ class CooccurContainSpec extends SparkSpec {
     assert(!pairs.contains((10L, 20L)), "cross-source pairs stay out of the block")
   }
 
+  test("blocked containment: planted excerpt caught via rare grams; complete where all grams are rare") {
+    // planted corpus: doc 15 is a verbatim excerpt of doc 10 (shares
+    // RARE grams -> blocking must catch it); doc 30/35 share only a
+    // corpus-frequent boilerplate phrase (df > maxDf) and genuinely
+    // low containment — blocking correctly never pays their verify
+    val boiler = "click here to subscribe now"
+    val long10 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, "s1", long10),
+      (15L, "s1", (10 to 15).map(i => s"w$i").mkString(" ")),
+      (30L, "s1", boiler + " " + (100 to 120).map(i => s"x$i").mkString(" ")),
+      (35L, "s1", boiler + " " + (200 to 220).map(i => s"y$i").mkString(" "))) ++
+      // make the boilerplate grams frequent: many unrelated docs carry them
+      (1 to 30).map(i => (100L + 5 * i, "s1", boiler + s" filler$i"))
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmOps.qContainmentBlocked(spark, dir, maxDf = 10L, minX1000 = 900L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 15L)),
+      s"blocking must surface exactly the planted excerpt, got $out")
+    // corpus-level completeness in the all-rare regime: at sf0.01 every
+    // gram's df is below the cap, so the blocked face must equal the
+    // exact face filtered at the same threshold
+    val exact = LlmOps.qContainment(spark, sfDir)
+      .filter($"containment_x1000" >= 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = LlmOps.qContainmentBlocked(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == exact, s"all-rare regime must be complete: ${blocked.diff(exact)} / ${exact.diff(blocked)}")
+  }
+
   test("q_containment bounds: 0..1000, canonical order, sample respected") {
     val rows = LlmOps.qContainment(spark, sfDir).collect()
     assert(rows.nonEmpty)
