@@ -629,10 +629,17 @@ object LlmOps {
     * window); the exact all-pairs scan is the declared oracle baseline —
     * at 100 TB stage 1 swaps for the registered cascade legs (E21 int8
     * admission cutoff / E23 PCA prefilter), shape unchanged. */
-  def qMarginMining(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def qMarginMining(spark: SparkSession, dir: String, k: Int = 10,
+      srcEvery: Long = 1L): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
+    // srcEvery > 1 bounds the src side to every Nth source vector — the
+    // BATCHED mining shape the 100× smoke times (a full-corpus src side
+    // at 100× is a 2·10¹⁰-row pair stream through the aggregate's
+    // sort-based fallback: ~0.5 TB of spill, measured filling the disk;
+    // production mines in batches or through the registered cascades)
     val srcQ = graft.ann.Quantize.unitInt8(
-      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", "qs")
+      emb.filter(col("vec_id") % 2 === 0 &&
+        (col("vec_id") / 2) % srcEvery === 0), "vec_id", "embedding", "qs")
       .withColumnRenamed("vec_id", "src_id")
     val tgtQ = graft.ann.Quantize.unitInt8(
       emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "qt")
