@@ -438,15 +438,16 @@ object ScaleSmoke {
     time("q_ann_int8") { queries.LlmOps.qAnnInt8(spark, dir) }
     time("q_ann_int8_recall") { queries.LlmOps.qAnnInt8Recall(spark, dir) }
     time("q_ann_cascade") { queries.LlmOps.qAnnCascade(spark, dir) }
-    // E26's FULL-corpus src side is DECLARED-SKIPPED at this scale: the
+    // E26's registered default IS the batched shape since round 13
+    // (srcEvery=25, the deployment batch). The srcEvery=1 FULL-corpus
+    // OPT-IN baseline stays DECLARED-SKIPPED at this scale: its
     // two-direction pair stream is 2x10^10 rows through the aggregate's
-    // sort-based fallback (~0.5 TB spill - measured filling the disk).
-    // The BATCHED shape below (every 25th source, the deployment batch)
-    // is what runs; full-corpus mining goes through the E21/E23 cascades.
+    // sort-based fallback (~0.5 TB spill - measured filling the disk in
+    // round 12); full-corpus mining goes through the E21/E23 cascades.
     if (only.isEmpty || only.exists("q_margin_mining".contains))
-      println("q_margin_mining         SKIPPED at 100x (full-corpus src; batched twin below)")
-    time("margin_mining_b4k") {
-      queries.LlmOps.qMarginMining(spark, dir, srcEvery = 25L) }
+      println("margin_mining_full      SKIPPED at 100x (srcEvery=1 opt-in baseline; registered batched face below)")
+    time("q_margin_mining") {
+      queries.LlmOps.qMarginMining(spark, dir) }
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
     time("q_dedup_best_lsh") { queries.LlmOps.qDedupBestLsh(spark, dir) }
     time("q_ann_pca") { queries.LlmOps.qAnnPca(spark, dir) }
