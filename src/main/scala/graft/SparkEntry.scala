@@ -4932,8 +4932,11 @@ object SparkEntry {
     // E26: everything integer (int8 dots, top-k sums, exact-floor ppm
     // margin), so the mining criterion replays bit-for-bit. The src side
     // carries the registered BATCHED default (srcEvery=25, i.e. even ids
-    // with (id/2) % 25 = 0 ⟺ id % 50 = 0 — the scale-survivable shape);
-    // the full-corpus form is the srcEvery=1 opt-in baseline.
+    // with (id/2) % 25 = 0 ⟺ id % 50 = 0 — the scale-survivable shape).
+    // This oracle covers ONLY that registered default; callers using a
+    // non-default srcEvery (incl. the srcEvery=1 opt-in full-corpus
+    // baseline, whose exactness lives in AnnSpec's planted test) have no
+    // oracle here by design.
     "q_margin_mining" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -4951,8 +4954,7 @@ object SparkEntry {
         |    CAST(list_dot_product(
         |      list_transform(a.q, x -> CAST(x AS DOUBLE)),
         |      list_transform(b.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS d
-        |  FROM q8 a JOIN q8 b ON a.vec_id % 2 = 0 AND a.vec_id % 50 = 0
-        |    AND b.vec_id % 2 = 1),
+        |  FROM q8 a JOIN q8 b ON a.vec_id % 50 = 0 AND b.vec_id % 2 = 1),
         |f AS (SELECT src_id, tgt_id, d,
         |    CAST(row_number() OVER (PARTITION BY src_id
         |      ORDER BY d DESC, tgt_id) AS BIGINT) AS rank_st FROM s),

@@ -638,7 +638,13 @@ object LlmOps {
     * is the explicit srcEvery = 1 OPT-IN baseline — production covers the
     * corpus by iterating batches or through the cascades, never by one
     * all-pairs job (the round-12 verdict's "registered face must be the
-    * scale-survivable shape" item). */
+    * scale-survivable shape" item). NOTE: batch iteration yields PER-BATCH
+    * mutual pairs, not the srcEvery=1 result — rank_ts=1 mutuality and
+    * the sb/nb margin term are computed against only the batch's src
+    * side, so a batch can admit pairs that are not globally mutual and
+    * margins are batch-local (a superset with batch-local margins).
+    * Equivalence-to-exact claims belong to the E21/E23 cascades, which
+    * keep the full src side and prune per-pair work instead. */
   def qMarginMining(spark: SparkSession, dir: String, k: Int = 10,
       srcEvery: Long = 25L): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")

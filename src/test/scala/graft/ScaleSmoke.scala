@@ -444,7 +444,7 @@ object ScaleSmoke {
     // two-direction pair stream is 2x10^10 rows through the aggregate's
     // sort-based fallback (~0.5 TB spill - measured filling the disk in
     // round 12); full-corpus mining goes through the E21/E23 cascades.
-    if (only.isEmpty || only.exists("q_margin_mining".contains))
+    if (only.isEmpty || only.exists("margin_mining_full".contains))
       println("margin_mining_full      SKIPPED at 100x (srcEvery=1 opt-in baseline; registered batched face below)")
     time("q_margin_mining") {
       queries.LlmOps.qMarginMining(spark, dir) }

@@ -327,7 +327,11 @@ class AnnSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("margin").toString
     rows.toDF("vec_id", "embedding").write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
-    val out = graft.queries.LlmOps.qMarginMining(spark, dir).collect()
+    // srcEvery = 1 is the full-corpus exactness baseline this plant tests;
+    // the registered default is the batched (srcEvery = 25) face, asserted
+    // separately below
+    val out = graft.queries.LlmOps.qMarginMining(spark, dir, srcEvery = 1L)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_i"),
         r.getAs[Long]("margin_ppm")))
     assert(out.length == nPairs, s"got ${out.length} mutual pairs")
@@ -336,6 +340,12 @@ class AnnSpec extends SparkSpec {
       assert(d == 127L * 127L, s"unit one-hot quantizes to 127: $d")
       assert(m == 10000000L, s"hub-free margin must be exactly k x 1e6: $m")
     }
+    // the batched DEFAULT mines only src vec_ids with (id/2) % 25 == 0 —
+    // on this plant that is exactly vec_id 0, so exactly the (0, 1) pair
+    val batched = graft.queries.LlmOps.qMarginMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(batched.toSeq == Seq((0L, 1L)),
+      s"batched default must return exactly the (id/2)%25==0 subset: ${batched.toSeq}")
     // corpus face: mutual pairs are symmetric-unique (each side appears
     // at most once at rank 1) and margins positive where dots are
     val corpus = graft.queries.LlmOps.qMarginMining(spark, sfDir).collect()
