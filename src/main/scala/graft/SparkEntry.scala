@@ -470,6 +470,58 @@ object SparkEntry {
         |    + -8.997663458878463))), 6) AS quality_prob
         |FROM feat ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle CTE replaying [[graft.functions.expressions.LshBucket]]
+    * BIT-EXACTLY in DuckDB (the round-14 [R]→[O] promotions for the
+    * hyperplane-LSH family): the splitmix64 plane components run on
+    * HUGEINT with 64-bit wraparound emulated by a 32-bit-split mulmod
+    * (z·c mod 2⁶⁴ = (z_lo·c + ((z_hi·c mod 2³²) << 32)) mod 2⁶⁴ — the
+    * full product would overflow signed INT128), xor/shift on UBIGINT,
+    * and the final component converts UBIGINT→BIGINT→DOUBLE exactly as
+    * the JVM's Long→Double. Dot products fold SEQUENTIALLY via
+    * list_reduce in the same d=0..n-1 order as the expression's loop, so
+    * every sign bit — and therefore every bucket — is bit-identical.
+    * Yields CTEs: emb(vec_id, v double[]), bkt(vec_id, b) — multi-probe
+    * candidate sets then reduce to bit_count(xor(b_a, b_b)) <= probeBits
+    * (probing with all ≤p-bit flips admits exactly the ≤p-hamming
+    * buckets). */
+  private val lshBucketCte: String =
+    """WITH m0 AS (
+      |  SELECT p, d,
+      |    CAST((p*7919 + d + 11400714819323198485) % 18446744073709551616 AS HUGEINT) AS z
+      |  FROM range(8) t(p), range(64) u(d)),
+      |m1 AS (
+      |  SELECT p, d, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 30) AS HUGEINT) AS z FROM m0),
+      |m2 AS (
+      |  SELECT p, d,
+      |    ((z % 4294967296) * 13787848793156543929
+      |     + ((((z // 4294967296) * (13787848793156543929 % 4294967296)) % 4294967296) * 4294967296)
+      |    ) % 18446744073709551616 AS z FROM m1),
+      |m3 AS (
+      |  SELECT p, d, CAST(xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 27) AS HUGEINT) AS z FROM m2),
+      |m4 AS (
+      |  SELECT p, d,
+      |    ((z % 4294967296) * 10723151780598845931
+      |     + ((((z // 4294967296) * (10723151780598845931 % 4294967296)) % 4294967296) * 4294967296)
+      |    ) % 18446744073709551616 AS z FROM m3),
+      |m5 AS (
+      |  SELECT p, d, xor(CAST(z AS UBIGINT), CAST(z AS UBIGINT) >> 31) AS z FROM m4),
+      |mat AS (
+      |  SELECT p, d,
+      |    CAST(CAST(CASE WHEN z >= 9223372036854775808 THEN CAST(z AS HUGEINT) - 18446744073709551616
+      |              ELSE CAST(z AS HUGEINT) END AS BIGINT) AS DOUBLE)
+      |      / 9.223372036854775807e18 AS comp
+      |  FROM m5),
+      |pv AS (SELECT p, list(comp ORDER BY d) AS pv FROM mat GROUP BY p),
+      |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |dots AS (
+      |  SELECT e.vec_id, pv.p,
+      |    list_reduce(list_transform(range(1, len(e.v)+1), i -> e.v[i] * pv.pv[i]),
+      |      (a,b) -> a + b) AS dot
+      |  FROM emb e, pv),
+      |bkt AS (
+      |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS b
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1457,11 +1509,122 @@ object SparkEntry {
         |              // len(list_distinct(list_concat(a.grams, b.grams))) END AS jaccard_x1000
         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    // D2 [R]→[O] (round 14): the banded MinHash plan's OUTPUT equals the
+    // exact unigram-Jaccard pair set in the PINNED REGIME this face runs
+    // (τ=0.7 with 16 bands × 4 lanes ⇒ per-pair miss ≤ (1−J⁴)¹⁶ ≈ 1.2%
+    // at J=τ, and the sf0.01 slice's 482 pairs were verified EQUAL —
+    // banding lost none); the verify stage makes precision exact and
+    // scores are exact hashed-shingle Jaccard ≡ string-shingle Jaccard
+    // (xxhash64 collisions absent at this scale). The oracle states the
+    // exact set; a banding regression that drops ANY pair now fails the
+    // gate instead of hiding in a rows-only count.
+    "q_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (1000 * len(list_intersect(a.toks, b.toks)))
+        |      // len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard_x1000
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT * FROM j WHERE jaccard_x1000 >= 700
+        |ORDER BY id_a, id_b""".stripMargin,
+    // D11 [R]→[O] (round 14): same pinned-regime promotion as D2 for the
+    // cross-corpus join — τ=0.5 word-trigram Jaccard across odd (new) ×
+    // even (corpus) ids; the banded A⋈B candidates were verified to
+    // contain every exact pair at sf0.01 (12/12, scores equal).
+    "q_dedup_cross" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), i ->
+        |      string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+        |      string_split(text,' ')[i+2])) AS grams
+        |  FROM documents),
+        |j AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |    (1000 * len(list_intersect(a.grams, b.grams)))
+        |      // len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard_x1000
+        |  FROM d a JOIN d b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+        |SELECT * FROM j WHERE jaccard_x1000 >= 500
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "q_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // D5b: FULL replay of the LSH plan — lshBucketCte reproduces every
+    // bucket bit-exactly, and single-bit multi-probing (probeBits=1)
+    // admits exactly the hamming<=1 bucket pairs; τ-verify is the same
+    // cosine as the exact face. No over-cap bucket exists at sf0.01
+    // (500 vectors << maxBucketSize), so the star/bridge degrades are
+    // provably inactive here (they're spec-covered in AnnSpec).
+    "q_embedding_neardup_lsh" -> (lshBucketCte +
+      """
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+        |  AND bit_count(xor(a.b::UBIGINT, b.b::UBIGINT)) <= 1
+        |JOIN emb ea ON ea.vec_id = a.vec_id
+        |JOIN emb eb ON eb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ea.v, eb.v) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin),
+    // D6c: q_dedup_apply's recursive transitive closure over the REPLAYED
+    // LSH pair set (bit-exact buckets from lshBucketCte) — the keep set
+    // is now oracle-checked end to end, not just proven a superset.
+    "q_dedup_apply_lsh" -> (lshBucketCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+        |    AND bit_count(xor(a.b::UBIGINT, b.b::UBIGINT)) <= 1
+        |  JOIN emb ea ON ea.vec_id = a.vec_id
+        |  JOIN emb eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.35),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |  WHERE id <> cluster_id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin),
+    // E7b: hard negatives over the replayed buckets — probeBits=1
+    // candidates (hamming<=1), label disqualifier on the join, exact
+    // cosine top-3 with the row_number tiebreak of the exact E7 oracle.
+    "q_hard_negatives_lsh" -> (lshBucketCte +
+      """,
+        |q AS (SELECT e.vec_id AS query_id, e.v AS qvec, x.label AS qlabel, b.b AS qb
+        |      FROM emb e JOIN embeddings x ON x.vec_id = e.vec_id
+        |      JOIN bkt b ON b.vec_id = e.vec_id
+        |      WHERE e.vec_id % 50 = 0)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.v) DESC, e.vec_id) AS "rank"
+        |  FROM q JOIN emb e ON e.vec_id <> q.query_id
+        |  JOIN embeddings x ON x.vec_id = e.vec_id AND x.label <> q.qlabel
+        |  JOIN bkt nb ON nb.vec_id = e.vec_id
+        |  WHERE bit_count(xor(q.qb::UBIGINT, nb.b::UBIGINT)) <= 1) t
+        |WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // E2: LSH top-10 over the replayed buckets — probeBits=2 candidates
+    // (hamming<=2), exact cosine ranking inside the candidate set.
+    "q_ann_lsh" -> (lshBucketCte +
+      """,
+        |q AS (SELECT e.vec_id AS query_id, e.v AS qvec, b.b AS qb
+        |      FROM emb e JOIN bkt b ON b.vec_id = e.vec_id
+        |      WHERE e.vec_id % 50 = 0)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.v) DESC, e.vec_id) AS "rank"
+        |  FROM q JOIN emb e ON e.vec_id <> q.query_id
+        |  JOIN bkt nb ON nb.vec_id = e.vec_id
+        |  WHERE bit_count(xor(q.qb::UBIGINT, nb.b::UBIGINT)) <= 2) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin),
     // connected components as a recursive transitive closure: reach(id, r)
     // accumulates every vertex r reachable from id (UNION dedups → the
     // fixpoint terminates); the min reachable vertex is the cluster id —

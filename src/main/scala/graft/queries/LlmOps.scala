@@ -48,7 +48,11 @@ object LlmOps {
   /** D2: MinHash-LSH near-dup pairs. Unigram shingles — the synthetic docs
     * share a vocabulary, so near-dup structure exists at the unigram level;
     * the 3-gram configuration is exercised in MinHashSpec with planted
-    * near-duplicates. */
+    * near-duplicates. [O] since round 14 under the PINNED REGIME: at
+    * τ=0.7 with 16 bands × 4 lanes the banded+verified output was
+    * verified EQUAL to the exact unigram-Jaccard pair set at sf0.01
+    * (482/482 pairs, scores identical), so the oracle states the exact
+    * set — banding recall regressions now fail the gate. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.nearDupPairs(
       Tables.table(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
@@ -162,10 +166,11 @@ object LlmOps {
     * candidate pairs instead of the exact all-pairs oracle baseline —
     * the plan a deployment runs (11.6s vs 70s exact at 50×, measured in
     * ScaleSmoke as dedup_apply_lsh since round 4; now registered with
-    * its own CORRECTNESS row). Rows-only: LSH recall < 1, so the keep
-    * set is a SUPERSET of the exact apply's (fewer pairs ⇒ fewer drops
-    * — the conservative direction); DedupSpec proves that containment
-    * plus full agreement on clustered data. */
+    * its own CORRECTNESS row). [O] since round 14: the oracle replays
+    * the LSH pair set bit-exactly (bucket CTE + hamming≤1 + τ-verify)
+    * and runs the same recursive-closure keep-canonical over it; the
+    * LSH keep set remains a SUPERSET of the exact apply's (fewer pairs
+    * ⇒ fewer drops — the conservative direction, DedupSpec-proven). */
   def qDedupApplyLsh(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint, not persist: see qDedupClusters — the pair set is
     // tiny, and truncating the LSH DAG keeps cc's probe/collect and the
@@ -426,8 +431,9 @@ object LlmOps {
 
   /** D5 scale path: the same near-dup semantics via LSH buckets — the plan
     * you'd run at 100 TB (no all-pairs, no broadcast of the full corpus).
-    * Registered as a rows-only check; AnnSpec proves pairs ⊆ exact with
-    * high recall on clustered data. */
+    * [O] since round 14: full DuckDB replay (bit-exact bucket CTE +
+    * hamming≤1 candidates + the exact face's cosine verify); AnnSpec
+    * additionally proves pairs ⊆ exact with high recall on clusters. */
   def qEmbeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairsLsh(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
       tau = 0.35, dims = 64, planes = 8, probeBits = 1)
@@ -559,8 +565,9 @@ object LlmOps {
 
   /** E7 scale path: the same hard-negative semantics over LSH buckets —
     * the deployment plan when the query set outgrows a broadcast.
-    * Rows-only (LSH recall < 1); AnnSpec proves label-validity always
-    * and recall vs the exact E7 on clustered data. */
+    * [O] since round 14 (bit-exact bucket replay + hamming≤1 candidates
+    * + label disqualifier + exact-cosine top-3); AnnSpec additionally
+    * proves label-validity always and recall vs exact E7 on clusters. */
   def qHardNegativesLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -841,7 +848,9 @@ object LlmOps {
   }
 
   /** E2: LSH-bucketed approximate top-10 (multi-probe) over the memoized
-    * bucket index. */
+    * bucket index. [O] since round 14: the oracle replays LshBucket
+    * bit-exactly in DuckDB (SparkEntry.lshBucketCte) and reduces the
+    * probeBits=2 candidate set to hamming(bucket_a, bucket_b) ≤ 2. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
     Ann.lshTopKBucketed(
       annQueries(spark, dir).select(col("query_id"), col("qvec")),
@@ -2506,9 +2515,12 @@ object LlmOps {
     * even ids the accumulated corpus (the same split as D8's exact-hash
     * incremental dedup, which this upgrades to NEAR duplicates). Banded
     * A⋈B equi-join + exact Jaccard verify; see MinHashLsh.crossNearDups.
-    * Rows-only check: LSH recall < 1 in general, so no SQL oracle — the
-    * spec proves planted cross-corpus near-dups surface and pairs ⊆ the
-    * exact τ-filtered set. */
+    * [O] since round 14 under the PINNED REGIME: at τ=0.5 trigram Jaccard
+    * the banded candidates were verified to contain every exact cross
+    * pair at sf0.01 (12/12, scores equal — hashed-shingle ≡ string
+    * Jaccard), so the oracle states the exact τ-filtered set; a banding
+    * regression that loses a pair now FAILS the gate. The spec keeps the
+    * planted-pair and boundary (J=0.500) legs. */
   def qDedupCross(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     graft.dedup.MinHashLsh.crossNearDups(

@@ -14,11 +14,13 @@ class RegistrySpec extends AnyFunSuite {
   test("rows-only queries are the documented set, no silent oracle drops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
-      "q_dedup_minhash", "q_dedup_minhash_fast", "q_dedup_simhash",
-      "q_embedding_neardup_lsh",
-      "q_ann_lsh", "q_ann_ivf", "q_dedup_cross", "q_dedup_apply_lsh",
+      // round 14 promoted the hyperplane-LSH family (bit-exact DuckDB
+      // bucket replay) and the minhash D2/D11 faces (pinned-regime
+      // exact-pair oracles) out of this set
+      "q_dedup_minhash_fast", "q_dedup_simhash",
+      "q_ann_ivf",
       "q_semdedup", "q_bpe_train", "q_bpe_encode",
-      "q_hard_negatives_lsh", "q_corpus_report_incremental",
+      "q_corpus_report_incremental",
       "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
       "q_ann_recall", "q_sketch_calibration",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
