@@ -522,6 +522,18 @@ object SparkEntry {
       |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS b
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  /** Parquet glob for a PINNED artifact frame (LlmOps.pinnedFrame) at the
+    * driver's correctness scale — the round-14 oracle-pinning pattern:
+    * the face and the DuckDB oracle read the SAME persisted frame, so the
+    * oracle can replay hash-derived lanes (SimHash/MinHash signatures)
+    * that have no SQL formulation. Resolved through Artifacts.root at
+    * oracle-dump time (same process and cwd as the queries), with the
+    * data-dir hash globbed; sf0.01 is baked in because that is the
+    * driver's gate scale (every artifact oracle is gate-scale-specific
+    * by construction — the artifact is trained on the gated corpus). */
+  private def artifactGlob(name: String): String =
+    s"${graft.catalog.Artifacts.root}/*testdata_sf0.01_*/$name/*.parquet"
+
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1533,6 +1545,63 @@ object SparkEntry {
     // cross-corpus join — τ=0.5 word-trigram Jaccard across odd (new) ×
     // even (corpus) ids; the banded A⋈B candidates were verified to
     // contain every exact pair at sf0.01 (12/12, scores equal).
+    // D3 [R]→[O] (round 14): the 3-of-6 block pigeonhole is candidate-
+    // COMPLETE for hamming ≤ 3, so the face's output is exactly the
+    // ≤3-hamming pair set of the PINNED signature artifact — restated
+    // here as bit_count(xor) over the same parquet. Signature
+    // computation is spec-pinned (SimHashSpec).
+    "q_dedup_simhash" -> s"""
+        |WITH s AS (SELECT doc_id, simhash
+        |           FROM read_parquet('${artifactGlob("simhash_sigs_w1")}'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // D2-fast [R]→[O] (round 14): decisions are the pinned-regime exact
+    // pair set (as q_dedup_minhash); scores replay the fast path's
+    // published contract from the PINNED signatures — lane-agreement
+    // estimate when est clears τ+margin (700+230 at k=64, z=4), exact
+    // Jaccard inside the uncertainty band.
+    "q_dedup_minhash_fast" -> s"""
+        |WITH s AS (SELECT doc_id, sig
+        |           FROM read_parquet('${artifactGlob("minhash_sigs_w1_k64_m10")}')),
+        |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        (1000 * len(list_intersect(a.toks, b.toks)))
+        |          // len(list_distinct(list_concat(a.toks, b.toks))) AS exact
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |e AS (SELECT j.id_a, j.id_b, j.exact,
+        |        (len(list_filter(range(1,65), i -> sa.sig[i] = sb.sig[i])) * 1000) // 64 AS est
+        |      FROM j JOIN s sa ON sa.doc_id = j.id_a JOIN s sb ON sb.doc_id = j.id_b)
+        |SELECT id_a, id_b,
+        |  CAST(CASE WHEN est >= 930 THEN est ELSE exact END AS BIGINT) AS jaccard_x1000
+        |FROM e WHERE exact >= 700 ORDER BY id_a, id_b""".stripMargin,
+    // D15 [R]→[O] (round 14): the banded candidate PAIRS pin (band hashes
+    // have no SQL replay); the per-pair estimate (lane agreement over the
+    // pinned signatures), the exact Jaccard lane, and the decile rollup
+    // all replay live.
+    "q_sketch_calibration" -> s"""
+        |WITH s AS (SELECT doc_id, sig
+        |           FROM read_parquet('${artifactGlob("minhash_sigs_w1_k64_m10")}')),
+        |c AS (SELECT id_a, id_b
+        |      FROM read_parquet('${artifactGlob("minhash_cands_w1_k64_b16_m10")}')),
+        |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |pp AS (SELECT
+        |        (len(list_filter(range(1,65), i -> sa.sig[i] = sb.sig[i])) * 1000) // 64 AS est,
+        |        (1000 * len(list_intersect(da.toks, db.toks)))
+        |          // len(list_distinct(list_concat(da.toks, db.toks))) AS exact
+        |      FROM c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+        |        JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+        |SELECT CAST(least(exact // 100, 9) AS INTEGER) AS exact_decile,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(est) // count(*) AS BIGINT) AS mean_est_x1000,
+        |  CAST(sum(exact) // count(*) AS BIGINT) AS mean_exact_x1000,
+        |  CAST(sum(abs(est - exact)) // count(*) AS BIGINT) AS mean_abs_err_x1000,
+        |  CAST(max(abs(est - exact)) AS BIGINT) AS max_abs_err_x1000
+        |FROM pp GROUP BY 1 ORDER BY exact_decile""".stripMargin,
     "q_dedup_cross" ->
       """WITH d AS (
         |  SELECT doc_id,

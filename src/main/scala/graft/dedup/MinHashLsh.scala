@@ -87,7 +87,8 @@ object MinHashLsh {
       df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
       minJaccardX1000: Long = 500L, maxBucketSize: Int = 10000,
-      fastMarginX1000: Option[Long] = None): DataFrame = {
+      fastMarginX1000: Option[Long] = None,
+      sigSource: Option[DataFrame] = None): DataFrame = {
     // verify on HASHED shingles: Jaccard over xxhash64'd shingle sets is
     // the same similarity (sets are isomorphic, collisions negligible)
     // but long-array intersection is several times cheaper than string
@@ -101,6 +102,9 @@ object MinHashLsh {
     val shingled = df
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
+    // sigSource (a PINNED signature artifact, see LlmOps.pinnedFrame)
+    // replaces the inline signature pass: deterministic ⇒ identical
+    // values, and a pre-materialized parquet frame needs no checkpoint
     val sigs = shingled.select(col(idCol), col("shingles"),
       graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
     def exactVerify(pairs: DataFrame): DataFrame = pairs
@@ -115,13 +119,15 @@ object MinHashLsh {
       .filter(col("jaccard_x1000") >= minJaccardX1000)
     fastMarginX1000 match {
       case None =>
-        val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
+        val sigFrame = sigSource.getOrElse(sigs.select(col(idCol), col("sig")))
+        val banded = bands(sigFrame, "sig", idCol, rowsPerBand)
         exactVerify(candidatePairs(banded, idCol, maxBucketSize))
       case Some(margin) =>
         // one frame, three consumers (banding + two est join-backs):
         // signatures checkpoint so the k lane-minima over every shingle
         // aren't recomputed per branch (the D15 multi-branch shape)
-        val sigFrame = sigs.select(col(idCol), col("sig")).transform(graft.engine.Materialized.checkpoint)
+        val sigFrame = sigSource.getOrElse(
+          sigs.select(col(idCol), col("sig")).transform(graft.engine.Materialized.checkpoint))
         val banded = bands(sigFrame, "sig", idCol, rowsPerBand)
         val est = candidatePairs(banded, idCol, maxBucketSize)
           .join(sigFrame.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -167,27 +173,36 @@ object MinHashLsh {
     * took 323s exhaustively vs seconds sampled, for the same curve). */
   def calibration(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 10000, pairSamplePpm: Long = 1000000L): DataFrame = {
+      maxBucketSize: Int = 10000, pairSamplePpm: Long = 1000000L,
+      sigSource: Option[DataFrame] = None,
+      pairSource: Option[DataFrame] = None): DataFrame = {
     val shingled = df
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
-    val sigs = shingled.select(col(idCol), col("shingles"),
-      graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
-      // one frame, three consumers (banding + two pair join-backs):
-      // signatures are k lane-minima over every shingle — the
-      // expensive-derivation multi-branch shape (see Ann/ImageDedup)
-      .transform(graft.engine.Materialized.checkpoint)
-    val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
-    val allPairs = candidatePairs(banded, idCol, maxBucketSize)
+    // sigSource/pairSource: PINNED artifact frames (LlmOps.pinnedFrame) —
+    // deterministic ⇒ identical values to the inline passes, already
+    // materialized parquet ⇒ no checkpoint needed, and the DuckDB oracle
+    // reads the same parquet to replay the est/exact/decile lanes
+    val sigs = sigSource.getOrElse(
+      shingled.select(col(idCol),
+        graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
+        // one frame, three consumers (banding + two pair join-backs):
+        // signatures are k lane-minima over every shingle — the
+        // expensive-derivation multi-branch shape (see Ann/ImageDedup)
+        .transform(graft.engine.Materialized.checkpoint))
+    val allPairs = pairSource.getOrElse {
+      val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)
+      candidatePairs(banded, idCol, maxBucketSize)
+    }
     val pairs =
       if (pairSamplePpm >= 1000000L) allPairs
       else allPairs.filter(
         pmod(xxhash64(col("id_a"), col("id_b")), lit(1000000L)) < pairSamplePpm)
     val perPair = pairs
-      .join(sigs.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
-        col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
-        col("sig").as("sig_b")), "id_b")
+      .join(shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("__n_match", size(filter(zip_with(col("sig_a"), col("sig_b"),
         (a, b) => a === b), m => m)).cast("long"))
       .select(expr(s"(__n_match * 1000) DIV $numHashes").as("est_x1000"),

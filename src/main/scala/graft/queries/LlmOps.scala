@@ -65,30 +65,46 @@ object LlmOps {
     * pairs inside the τ ± samplingBound uncertainty band pay the exact
     * hashed-shingle Jaccard; confident pairs are accepted on the lane
     * estimate alone (see [[MinHashLsh.nearDupPairs]] fastMarginX1000).
-    * Rows-only ([R]): accepted scores are sketch estimates by design;
-    * DedupSpec pins decisions ⊆ exact ∪ the bounded band. */
+    * [O] since round 14: signatures come from the PINNED artifact
+    * ([[minhashSigArtifact]]), so the oracle replays the full contract —
+    * decisions are the D2 pinned-regime exact pair set, scores are the
+    * lane-agreement estimate when est ≥ τ+margin and exact Jaccard in
+    * the band. DedupSpec keeps decisions ⊆ exact ∪ bounded band. */
   def qDedupMinhashFast(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.nearDupPairs(
       Tables.table(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
       "text", "doc_id",
       shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L,
-      fastMarginX1000 = Some(MinHashLsh.samplingBoundX1000(700L, 64)))
+      fastMarginX1000 = Some(MinHashLsh.samplingBoundX1000(700L, 64)),
+      sigSource = Some(minhashSigArtifact(spark, dir)))
       .orderBy("id_a", "id_b")
 
   /** D15: MinHash calibration report — estimate-vs-exact Jaccard error
     * by similarity decile over the banded candidate pairs (see
     * [[MinHashLsh.calibration]]); same corpus slice and lane/band
-    * configuration as D2 so the curve describes the deployed sketch. */
+    * configuration as D2 so the curve describes the deployed sketch.
+    * [O] since round 14: signatures AND candidate pairs come from the
+    * PINNED artifacts ([[minhashSigArtifact]]/[[minhashCandArtifact]]),
+    * so the oracle replays the est/exact lanes and decile rollup live. */
   def qSketchCalibration(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.calibration(
       Tables.table(spark, dir, "documents").filter(col("doc_id") % 10 === 0),
       "text", "doc_id",
-      shingleSize = 1, numHashes = 64, rowsPerBand = 4)
+      shingleSize = 1, numHashes = 64, rowsPerBand = 4,
+      sigSource = Some(minhashSigArtifact(spark, dir)),
+      pairSource = Some(minhashCandArtifact(spark, dir)))
       .orderBy("exact_decile")
 
-  /** D3: SimHash near-dup pairs (hamming ≤ 3 via 4-chunk pigeonhole). */
+  /** D3: SimHash near-dup pairs (hamming ≤ 3 via 3-of-6 block pigeonhole).
+    * [O] since round 14 over the PINNED signature artifact
+    * ([[simhashSigArtifact]]): the 3-of-6 pigeonhole is candidate-COMPLETE
+    * for hamming ≤ 3, so the output is exactly the ≤3-hamming pair set of
+    * the pinned signatures — which the oracle restates as
+    * bit_count(xor) ≤ 3 over the same parquet. Signature computation
+    * stays spec-pinned (SimHashSpec's planted corpora). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    SimHash.nearDupPairs(Tables.table(spark, dir, "documents"), "text", "doc_id")
+    SimHash.nearDupPairsFromSigs(
+      simhashSigArtifact(spark, dir), "doc_id", "simhash")
       .orderBy("id_a", "id_b")
 
   /** D4: exact word-bigram Jaccard over all same-source pairs. The
@@ -491,6 +507,70 @@ object LlmOps {
         Tables.table(spark, dir, table).count() ^
           graft.catalog.Artifacts.fingerprint(spark, s"$dir/$table.parquet")))
       .asInstanceOf[java.lang.Long].longValue()
+
+  /** Load-or-create a PINNED parquet artifact frame — the round-14
+    * oracle-pinning pattern (H10's pinned-coefficient precedent extended
+    * to whole frames): `build` runs once per corpus state, the result
+    * persists under [[graft.catalog.Artifacts.path]] stamped with the
+    * source table's staleness count, and every later consumer — the
+    * registered face AND the DuckDB oracle, which reads the parquet
+    * path directly — sees the identical frame. Signatures/sketches are
+    * exactly the artifacts a production deployment persists anyway (the
+    * signature pass is a full corpus scan you never want to repeat per
+    * job), so the pin is the deployment shape, not a test crutch. */
+  private def pinnedFrame(spark: SparkSession, dir: String, table: String,
+      name: String)(build: => DataFrame): DataFrame =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
+      val n = srcCount(spark, dir, table)
+      val path = graft.catalog.Artifacts.path(dir, name)
+      val fresh = graft.catalog.Artifacts.exists(spark, path) && {
+        val stamp = spark.read.parquet(path).select("src_count").limit(1).collect()
+        stamp.nonEmpty && stamp.head.getLong(0) == n
+      }
+      if (!fresh)
+        build.withColumn("src_count", lit(n))
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      val frame = spark.read.parquet(path).drop("src_count").persist()
+      frame.count()
+      frame
+    }).asInstanceOf[DataFrame]
+
+  /** Pinned SimHash signatures of every document (D3's artifact): the
+    * oracle replays banding as bit_count(xor) ≤ 3 over this exact frame,
+    * so any drift between the live pairing machinery and the pinned
+    * signatures fails the gate. Signature computation itself is
+    * spec-pinned (SimHashSpec's planted corpora). */
+  private[graft] def simhashSigArtifact(spark: SparkSession, dir: String): DataFrame =
+    pinnedFrame(spark, dir, "documents", "simhash_sigs_w1") {
+      graft.dedup.SimHash.signatures(
+        Tables.table(spark, dir, "documents"), "text", "doc_id")
+    }
+
+  /** Pinned MinHash signatures (k=64, unigram shingles) of the D2 corpus
+    * slice — shared by the D2-fast face (lane-agreement estimates) and
+    * the D15 calibration report, and read directly by their oracles. */
+  private[graft] def minhashSigArtifact(spark: SparkSession, dir: String): DataFrame =
+    pinnedFrame(spark, dir, "documents", "minhash_sigs_w1_k64_m10") {
+      val slice = Tables.table(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), Dedup.hashedNgrams(col("__toks"), 1).as("shingles"))
+      slice.select(col("doc_id"),
+        graft.functions.minhashSignature(col("shingles"), 64).as("sig"))
+    }
+
+  /** Pinned banded candidate pairs (16 bands × 4 lanes over
+    * [[minhashSigArtifact]]) — D15's pair population. The band hashes
+    * (xxhash64 of signature slices) have no SQL replay, so the PAIRS pin;
+    * the per-pair estimate/exact lanes and the decile rollup replay live
+    * in the oracle. */
+  private[graft] def minhashCandArtifact(spark: SparkSession, dir: String): DataFrame =
+    pinnedFrame(spark, dir, "documents", "minhash_cands_w1_k64_b16_m10") {
+      MinHashLsh.candidatePairs(
+        MinHashLsh.bands(minhashSigArtifact(spark, dir), "sig", "doc_id",
+          rowsPerBand = 4),
+        "doc_id")
+    }
 
   def annIvfIndex(spark: SparkSession, dir: String): Ivf.IvfIndex =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "ivf"), {

@@ -17,12 +17,15 @@ class RegistrySpec extends AnyFunSuite {
       // round 14 promoted the hyperplane-LSH family (bit-exact DuckDB
       // bucket replay) and the minhash D2/D11 faces (pinned-regime
       // exact-pair oracles) out of this set
-      "q_dedup_minhash_fast", "q_dedup_simhash",
+      // round 14 also promoted q_dedup_simhash / q_dedup_minhash_fast /
+      // q_sketch_calibration via PINNED signature artifacts (the face and
+      // the oracle read the same persisted parquet; hash lanes replay as
+      // bit_count/lane-agreement over it)
       "q_ann_ivf",
       "q_semdedup", "q_bpe_train", "q_bpe_encode",
       "q_corpus_report_incremental",
       "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
-      "q_ann_recall", "q_sketch_calibration",
+      "q_ann_recall",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility",
       // E22/E22b/E23: eigen-decomposition has no DuckDB analog; the
