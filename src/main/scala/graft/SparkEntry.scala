@@ -2405,42 +2405,57 @@ object SparkEntry {
         |    sqrt((sa2/n_a - pow(sa/n_a, 2))/n_a
         |       + (sb2/n_b - pow(sb/n_b, 2))/n_b), 4) AS z
         |FROM s ORDER BY event_type""".stripMargin,
-    // same sampled blocks and string-gram set math as q_ngram_jaccard;
-    // the Spark side's hashed-gram algebra matches bar xxhash64 collisions
+    // D10 (round 14): the registered face is the BLOCKED report; its
+    // oracle is the EXACT grid form thresholded at the same report
+    // class, so the oracle passes only while rarest-m blocking recalls
+    // every exact report-class pair on the gated corpus (verified equal
+    // 4/4 at sf0.01). String-gram set math matches the engine's hashed
+    // grams bar xxhash64 collisions (same as q_ngram_jaccard).
     "q_containment" ->
       """WITH d AS (
         |  SELECT doc_id, source,
-        |    list_transform(range(1, len(string_split(text, ' '))), i ->
-        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS grams
-        |  FROM documents WHERE doc_id % 5 = 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CASE WHEN least(len(list_distinct(a.grams)), len(list_distinct(b.grams))) = 0
-        |       THEN 0
-        |       ELSE (1000 * len(list_intersect(list_distinct(a.grams),
-        |                                       list_distinct(b.grams))))
-        |              // least(len(list_distinct(a.grams)), len(list_distinct(b.grams)))
-        |  END AS containment_x1000
-        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' '))), i ->
+        |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |v AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN least(len(a.grams), len(b.grams)) = 0 THEN 0
+        |         ELSE (1000 * len(list_intersect(a.grams, b.grams)))
+        |                // least(len(a.grams), len(b.grams))
+        |    END AS containment_x1000
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, containment_x1000 FROM v
+        |WHERE containment_x1000 >= 300
         |ORDER BY id_a, id_b""".stripMargin,
-    // D10b: hash-invariant — blocking and intersection COUNTS are the
-    // same over string grams as over the engine's hashed grams.
+    // D10b (round 14): FULL replay of the rarest-m blocking plan — the
+    // hash-free ties-inclusive selection makes candidate generation
+    // itself SQL-expressible: in-block df counts, the pair-capable
+    // [2, maxDf] band, the per-doc m-th-order-statistic cutoff,
+    // semi-pairs against the full pair-capable posting, exact verify.
     "q_containment_blocked" ->
       """WITH d AS (
         |  SELECT doc_id, source,
         |    list_distinct(list_transform(range(1, len(string_split(text, ' '))), i ->
         |      string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS grams
         |  FROM documents WHERE doc_id % 5 = 0),
-        |post AS (SELECT source, doc_id, unnest(grams) AS g FROM d),
-        |rare AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 100),
-        |rp AS (SELECT post.* FROM post JOIN rare USING (g)),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |         FROM rp x JOIN rp y ON x.g = y.g AND x.source = y.source
-        |           AND x.doc_id < y.doc_id),
+        |p AS (SELECT source, doc_id, unnest(grams) AS g FROM d),
+        |f AS (SELECT source, g, count(*) AS df FROM p GROUP BY 1, 2
+        |      HAVING count(*) BETWEEN 2 AND 100),
+        |cap AS (SELECT p.source, p.doc_id, p.g, f.df
+        |        FROM p JOIN f ON p.source = f.source AND p.g = f.g),
+        |cut AS (SELECT doc_id, l[least(10, len(l))] AS cut
+        |        FROM (SELECT doc_id, list_sort(list(df)) AS l FROM cap GROUP BY doc_id)),
+        |r AS (SELECT cap.source, cap.doc_id, cap.g
+        |      FROM cap JOIN cut USING (doc_id) WHERE cap.df <= cut.cut),
+        |c AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS id_a,
+        |        greatest(x.doc_id, y.doc_id) AS id_b
+        |      FROM r x JOIN cap y ON x.g = y.g AND x.source = y.source
+        |        AND x.doc_id <> y.doc_id),
         |v AS (SELECT c.id_a, c.id_b,
         |        CASE WHEN least(len(a.grams), len(b.grams)) = 0 THEN 0
         |        ELSE (1000 * len(list_intersect(a.grams, b.grams)))
         |               // least(len(a.grams), len(b.grams)) END AS containment_x1000
-        |      FROM cand c JOIN d a ON a.doc_id = c.id_a
+        |      FROM c JOIN d a ON a.doc_id = c.id_a
         |        JOIN d b ON b.doc_id = c.id_b)
         |SELECT id_a, id_b, containment_x1000 FROM v
         |WHERE containment_x1000 >= 300

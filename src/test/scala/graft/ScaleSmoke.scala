@@ -180,14 +180,18 @@ object ScaleSmoke {
     time("q_benford") { queries.Warehouse.qBenford(spark, dir) }
     time("q_lorenz_deciles") { queries.Warehouse.qLorenzDeciles(spark, dir) }
     time("q_acf") { queries.Warehouse.qAcf(spark, dir) }
-    // D10's exact all-in-source-pairs baseline is DECLARED-SKIPPED at
-    // this scale: 10^9 pairs × gram-array verifies is TB/hour-class
+    // Round 14: BOTH registered D10 faces are the rarest-m blocked plan
+    // (q_containment = q_containment_blocked's shape with the exact-form
+    // oracle) — timed below. Only the exact all-in-source-pairs OPT-IN
+    // (qContainmentExact / exact=true) stays DECLARED-SKIPPED at this
+    // scale: 10^9 pairs × gram-array verifies is TB/hour-class
     // regardless of plan shape (the honest consume action measured the
     // old id-join shape filling the disk at 100×; the payload-legs fix
-    // removes the spill but not the pair count). The registered twin is
-    // what runs at 100 TB — no silent cap: this line IS the record.
-    if (only.isEmpty || only.exists("q_containment".contains))
-      println("q_containment           SKIPPED at 100x (exact all-pairs baseline; twin below)")
+    // removes the spill but not the pair count). No silent cap: this
+    // line IS the record.
+    if (only.isEmpty || only.exists("containment_exact".contains))
+      println("containment_exact       SKIPPED at 100x (exact all-pairs opt-in baseline; registered blocked faces timed)")
+    time("q_containment") { queries.LlmOps.qContainment(spark, dir) }
     time("q_containment_blocked") { queries.LlmOps.qContainmentBlocked(spark, dir) }
     time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
     time("q_zscore") { queries.Warehouse.qZscore(spark, dir) }

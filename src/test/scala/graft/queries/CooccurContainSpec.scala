@@ -55,19 +55,23 @@ class CooccurContainSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((10L, 15L)),
       s"blocking must surface exactly the planted excerpt, got $out")
-    // corpus-level completeness in the all-rare regime: at sf0.01 every
-    // gram's df is below the cap, so the blocked face must equal the
-    // exact face filtered at the same threshold
-    val exact = LlmOps.qContainment(spark, sfDir)
+    // corpus-level equivalence regime (the registered D10 face's oracle
+    // contract): rarest-m blocking must recall every exact report-class
+    // pair on the provided corpus — blocked ≡ exact filtered at τ
+    val exact = LlmOps.qContainmentExact(spark, sfDir)
       .filter($"containment_x1000" >= 300L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val blocked = LlmOps.qContainmentBlocked(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(blocked == exact, s"all-rare regime must be complete: ${blocked.diff(exact)} / ${exact.diff(blocked)}")
+    assert(blocked == exact, s"equivalence regime must hold: ${blocked.diff(exact)} / ${exact.diff(blocked)}")
+    // and the registered D10 face IS the blocked plan
+    val registered = LlmOps.qContainment(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(registered == blocked, "registered face must be the blocked twin")
   }
 
-  test("q_containment bounds: 0..1000, canonical order, sample respected") {
-    val rows = LlmOps.qContainment(spark, sfDir).collect()
+  test("q_containment exact opt-in: bounds 0..1000, canonical order, sample respected") {
+    val rows = LlmOps.qContainment(spark, sfDir, exact = true).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
@@ -78,7 +82,7 @@ class CooccurContainSpec extends SparkSpec {
   }
 
   test("containment dominates Jaccard on every sampled pair") {
-    val c = LlmOps.qContainment(spark, sfDir).collect()
+    val c = LlmOps.qContainmentExact(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val j = LlmOps.qNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
