@@ -296,10 +296,8 @@ object SparkEntry {
     "q_disjunctive_revenue" -> ((s, dir) => Warehouse.qDisjunctiveRevenue(s, dir)),
     "q_majority_supplier" -> ((s, dir) => Warehouse.qMajoritySupplier(s, dir)),
     "q_ann_pca" -> ((s, dir) => LlmOps.qAnnPca(s, dir)),
-    "q_pca" -> ((s, dir) => ann.Pca.varianceSpectrum(
-      sources.Tables.table(s, dir, "embeddings"), "embedding", 16)),
-    "q_pca_project" -> ((s, dir) => ann.Pca.project(
-      sources.Tables.table(s, dir, "embeddings"), "vec_id", "embedding", 2)),
+    "q_pca" -> ((s, dir) => LlmOps.qPca(s, dir)),
+    "q_pca_project" -> ((s, dir) => LlmOps.qPcaProject(s, dir)),
   )
 
   /** H27 per-epoch order CTE: H14's hash→shard→rank→stride chain under
@@ -1730,6 +1728,115 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // E22 [R]→[O] (round 14): spectrum from the PINNED PCA model — the
+    // eigen fit (driver Jacobi) pins; the ppm shares and the sequential
+    // cumulative sum replay (prefix list_reduce ≡ the driver's
+    // left-to-right fold).
+    "q_pca" -> s"""
+        |WITH m AS (SELECT idx, eigenvalue
+        |           FROM read_parquet('${artifactGlob("pca_raw_d64")}') WHERE idx >= 1),
+        |l AS (SELECT list(eigenvalue ORDER BY idx) AS evs FROM m),
+        |t AS (SELECT evs, list_reduce(list_prepend(0.0, evs), (a, b) -> a + b) AS tot FROM l)
+        |SELECT i AS component,
+        |  CAST(floor(evs[CAST(i AS INTEGER)] / tot * 1e6) AS BIGINT) AS var_ppm,
+        |  CAST(floor(list_reduce(list_prepend(0.0, evs[1:CAST(i AS INTEGER)]),
+        |    (a, b) -> a + b) / tot * 1e6) AS BIGINT) AS cum_var_ppm
+        |FROM t, range(1, 17) r(i) ORDER BY component""".stripMargin,
+    // E22b [R]→[O] (round 14): projection replay from the pinned mean +
+    // top-2 component rows, centered dots in the same fold order.
+    "q_pca_project" -> s"""
+        |WITH a AS (SELECT idx, vec FROM read_parquet('${artifactGlob("pca_raw_d64")}')),
+        |mu AS (SELECT vec AS mv FROM a WHERE idx = 0),
+        |w1 AS (SELECT vec AS wv1 FROM a WHERE idx = 1),
+        |w2 AS (SELECT vec AS wv2 FROM a WHERE idx = 2),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE embedding IS NOT NULL)
+        |SELECT vec_id,
+        |  CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+        |    i -> (v[i] - mv[i]) * wv1[i])), (acc, x) -> acc + x) * 1000) AS BIGINT) AS pc1_x1000,
+        |  CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1),
+        |    i -> (v[i] - mv[i]) * wv2[i])), (acc, x) -> acc + x) * 1000) AS BIGINT) AS pc2_x1000
+        |FROM e, mu, w1, w2 ORDER BY vec_id""".stripMargin,
+    // C30 [R]→[O] (round 14): the per-side stats are PINNED catalog
+    // artifacts (the ANALYZE shape); the oracle replays the estimator
+    // from the stored sketches — (k−1)/θ, the theta-intersection rule,
+    // the uniform-multiplicity model — in the same double arithmetic.
+    "q_join_estimate" -> s"""
+        |WITH a AS (SELECT n AS n_a, sk AS sk_a
+        |           FROM read_parquet('${artifactGlob("kmv_orders_okey_k8192")}')),
+        |b AS (SELECT n AS n_b, sk AS sk_b
+        |      FROM read_parquet('${artifactGlob("kmv_lineitem_okey_k8192")}')),
+        |s AS (SELECT n_a, n_b, sk_a, sk_b,
+        |        list_sort(list_distinct(list_concat(sk_a, sk_b))) AS u FROM a, b),
+        |t AS (SELECT *, u[1:8192] AS uk,
+        |        CASE WHEN len(sk_a) < 8192 THEN len(sk_a)::DOUBLE
+        |             ELSE 8191.0 / (sk_a[8192]::DOUBLE / 1.8446744073709552e19 + 0.5) END AS da,
+        |        CASE WHEN len(sk_b) < 8192 THEN len(sk_b)::DOUBLE
+        |             ELSE 8191.0 / (sk_b[8192]::DOUBLE / 1.8446744073709552e19 + 0.5) END AS db
+        |      FROM s),
+        |w AS (SELECT *,
+        |        CASE WHEN len(u) < 8192 THEN len(u)::DOUBLE
+        |             WHEN len(uk) < 8192 THEN len(uk)::DOUBLE
+        |             ELSE 8191.0 / (uk[8192]::DOUBLE / 1.8446744073709552e19 + 0.5) END AS du,
+        |        CASE WHEN len(uk) = 0 THEN 0.0
+        |             ELSE len(list_intersect(uk, list_intersect(sk_a, sk_b)))::DOUBLE / len(uk) END AS ifrac
+        |      FROM t)
+        |SELECT n_a, n_b,
+        |  CAST(round(da) AS BIGINT) AS est_distinct_a,
+        |  CAST(round(db) AS BIGINT) AS est_distinct_b,
+        |  CAST(round(ifrac * du) AS BIGINT) AS est_common_keys,
+        |  CAST(round(ifrac * du * (n_a::DOUBLE / da) * (n_b::DOUBLE / db)) AS BIGINT) AS est_join_rows
+        |FROM w""".stripMargin,
+    // C30b [R]→[O] (round 14): same pinned stats plus the Misra–Gries
+    // heavy-hitter map — the both-sides-over-noise-floor filter, exact
+    // hh products, and the residual uniform model all replay (integer
+    // counts < 2⁵³ make the double folds order-exact).
+    "q_join_estimate_skew" -> s"""
+        |WITH st AS (SELECT n, sk, hh
+        |            FROM read_parquet('${artifactGlob("kmvhh_events_user_k8192_h256")}')),
+        |s AS (SELECT a.n AS n_a, a.sk AS sk_a, a.hh AS hh_a,
+        |             b.n AS n_b, b.sk AS sk_b, b.hh AS hh_b,
+        |        list_sort(list_distinct(list_concat(a.sk, b.sk))) AS u
+        |      FROM st a, st b),
+        |t AS (SELECT *, u[1:8192] AS uk,
+        |        CASE WHEN len(sk_a) < 8192 THEN len(sk_a)::DOUBLE
+        |             ELSE 8191.0 / (sk_a[8192]::DOUBLE / 1.8446744073709552e19 + 0.5) END AS da,
+        |        CASE WHEN len(sk_b) < 8192 THEN len(sk_b)::DOUBLE
+        |             ELSE 8191.0 / (sk_b[8192]::DOUBLE / 1.8446744073709552e19 + 0.5) END AS db
+        |      FROM s),
+        |w AS (SELECT *,
+        |        CASE WHEN len(u) < 8192 THEN len(u)::DOUBLE
+        |             WHEN len(uk) < 8192 THEN len(uk)::DOUBLE
+        |             ELSE 8191.0 / (uk[8192]::DOUBLE / 1.8446744073709552e19 + 0.5) END AS du,
+        |        CASE WHEN len(uk) = 0 THEN 0.0
+        |             ELSE len(list_intersect(uk, list_intersect(sk_a, sk_b)))::DOUBLE / len(uk) END AS ifrac,
+        |        list_filter(map_entries(hh_a), e ->
+        |          e.value::DOUBLE >= n_a::DOUBLE / 257
+        |          AND coalesce(map_extract(hh_b, e.key)[1], 0)::DOUBLE >= n_b::DOUBLE / 257) AS bh
+        |      FROM t),
+        |x AS (SELECT *,
+        |        ifrac * du AS common,
+        |        list_reduce(list_prepend(0.0, list_transform(bh, e ->
+        |          e.value::DOUBLE * coalesce(map_extract(hh_b, e.key)[1], 0)::DOUBLE)),
+        |          (acc, v) -> acc + v) AS hh_rows,
+        |        len(bh)::DOUBLE AS hh_keys,
+        |        list_reduce(list_prepend(0::BIGINT, list_transform(bh, e -> e.value)),
+        |          (a2, v) -> a2 + v)::DOUBLE AS hh_mass_a,
+        |        list_reduce(list_prepend(0::BIGINT, list_transform(bh, e ->
+        |          coalesce(map_extract(hh_b, e.key)[1], 0))),
+        |          (a2, v) -> a2 + v)::DOUBLE AS hh_mass_b
+        |      FROM w)
+        |SELECT n_a, n_b,
+        |  CAST(round(da) AS BIGINT) AS est_distinct_a,
+        |  CAST(round(db) AS BIGINT) AS est_distinct_b,
+        |  CAST(round(common) AS BIGINT) AS est_common_keys,
+        |  CAST(hh_keys AS BIGINT) AS hh_common_keys,
+        |  CAST(round(hh_rows + CASE WHEN da - hh_keys > 0 AND db - hh_keys > 0
+        |    THEN greatest(common - hh_keys, 0.0)
+        |      * (greatest(n_a::DOUBLE - hh_mass_a, 0.0) / (da - hh_keys))
+        |      * (greatest(n_b::DOUBLE - hh_mass_b, 0.0) / (db - hh_keys))
+        |    ELSE 0.0 END) AS BIGINT) AS est_join_rows
+        |FROM x""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -135,14 +135,42 @@ object Pca {
     s
   }
 
+  /** Serialize a fitted model to a DataFrame for artifact pinning
+    * (LlmOps.pinnedFrame): idx 0 carries the mean (eigenvalue slot
+    * re-used for n), idx 1..d the components with their eigenvalues in
+    * descending order. [[modelFromRows]] inverts it. */
+  def modelToFrame(spark: org.apache.spark.sql.SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    ((0L, m.n.toDouble, m.mean.toSeq) +:
+      m.eigenvalues.zip(m.components).zipWithIndex.map { case ((ev, w), i) =>
+        (i.toLong + 1, ev, w.toSeq)
+      }.toSeq).toDF("idx", "eigenvalue", "vec")
+  }
+
+  /** Rebuild a [[Model]] from a pinned [[modelToFrame]] frame (d+1 rows —
+    * a driver-sized collect, KB class). */
+  def modelFromRows(df: DataFrame): Model = {
+    val rows = df.select("idx", "eigenvalue", "vec").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    val (_, n, mean) = rows.head
+    Model(n.round, mean, rows.tail.map(_._2), rows.tail.map(_._3))
+  }
+
   /** E22: the variance spectrum — per component its share of total
     * variance in floored ppm plus the running total (the "how many
     * dimensions does this embedding really use" readout; compare E17's
     * per-dimension stats, which cannot see correlated axes). */
-  def varianceSpectrum(df: DataFrame, vecCol: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
+  def varianceSpectrum(df: DataFrame, vecCol: String, k: Int): DataFrame =
+    spectrumFromModel(df.sparkSession, fit(df, vecCol), k)
+
+  /** [[varianceSpectrum]]'s readout from an already-fitted model — the
+    * pinned-artifact face path. Sequential driver arithmetic (tot = the
+    * desc-ordered eigenvalue sum, cum = running prefix) so the oracle's
+    * list_reduce prefix folds replay it exactly. */
+  def spectrumFromModel(spark: org.apache.spark.sql.SparkSession,
+      m: Model, k: Int): DataFrame = {
     import spark.implicits._
-    val m = fit(df, vecCol)
     val tot = m.totalVariance
     var cum = 0.0
     (0 until math.min(k, m.d)).map { i =>
@@ -169,8 +197,12 @@ object Pca {
     * broadcast-scalar projection (the components ride the closure as a
     * d×k constant; no join, no shuffle), coordinates ×1000 floored to
     * integer lanes for a deterministic readout. */
-  def project(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val m = fit(df, vecCol)
+  def project(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    projectWithModel(df, idCol, vecCol, k, fit(df, vecCol))
+
+  /** [[project]] against an already-fitted (e.g. pinned) model. */
+  def projectWithModel(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Model): DataFrame = {
     val comps = m.components.take(k)
     val meanArr = m.mean
     val meanCol = array(meanArr.map(lit(_)): _*)

@@ -51,11 +51,19 @@ object JoinEstimate {
     * The two single-row stat frames cross-join via broadcast; nothing
     * data-sized moves. */
   def estimateEquiJoin(a: DataFrame, aKey: String, b: DataFrame,
-      bKey: String, k: Int = 8192): DataFrame = {
-    val sa = sideStats(a, aKey, k)
-      .select(col("n").as("n_a"), col("sk").as("sk_a"))
-    val sb = sideStats(b, bKey, k)
-      .select(col("n").as("n_b"), col("sk").as("sk_b"))
+      bKey: String, k: Int = 8192): DataFrame =
+    estimateFromSideStats(
+      sideStats(a, aKey, k).select(col("n").as("n_a"), col("sk").as("sk_a")),
+      sideStats(b, bKey, k).select(col("n").as("n_b"), col("sk").as("sk_b")),
+      k)
+
+  /** [[estimateEquiJoin]] over PRE-COMPUTED per-side stat frames — the
+    * catalog-statistics deployment shape (ANALYZE runs once and persists;
+    * estimation is pure arithmetic over the stored one-row frames). The
+    * round-14 pinned-artifact faces feed this from
+    * [[graft.queries.LlmOps.pinnedFrame]] so the DuckDB oracle can
+    * replay the estimator from the same stored sketches. */
+  def estimateFromSideStats(sa: DataFrame, sb: DataFrame, k: Int): DataFrame = {
     val u = array_sort(array_union(col("sk_a"), col("sk_b")))
     val unionK = slice(u, 1, k)
     val dU = when(size(u) < k, size(u).cast("double"))
@@ -95,15 +103,26 @@ object JoinEstimate {
     * aggregate per side (k + kHH state), still nothing data-sized after
     * the scans. */
   def estimateEquiJoinSkewAware(a: DataFrame, aKey: String, b: DataFrame,
-      bKey: String, k: Int = 8192, kHH: Int = 256): DataFrame = {
-    val sa = a.agg(
-      count(col(aKey)).as("n_a"),
-      graft.functions.kmvSketch(col(aKey), k).as("sk_a"),
-      graft.functions.freqItems(col(aKey).cast("string"), kHH).as("hh_a"))
-    val sb = b.agg(
-      count(col(bKey)).as("n_b"),
-      graft.functions.kmvSketch(col(bKey), k).as("sk_b"),
-      graft.functions.freqItems(col(bKey).cast("string"), kHH).as("hh_b"))
+      bKey: String, k: Int = 8192, kHH: Int = 256): DataFrame =
+    estimateSkewFromSideStats(
+      skewSideStats(a, aKey, k, kHH)
+        .select(col("n").as("n_a"), col("sk").as("sk_a"), col("hh").as("hh_a")),
+      skewSideStats(b, bKey, k, kHH)
+        .select(col("n").as("n_b"), col("sk").as("sk_b"), col("hh").as("hh_b")),
+      k, kHH)
+
+  /** One-row per-side stats for the skew-aware estimator: rows + KMV
+    * sketch + Misra–Gries heavy-hitter map. */
+  def skewSideStats(df: DataFrame, keyCol: String, k: Int, kHH: Int): DataFrame =
+    df.agg(
+      count(col(keyCol)).as("n"),
+      graft.functions.kmvSketch(col(keyCol), k).as("sk"),
+      graft.functions.freqItems(col(keyCol).cast("string"), kHH).as("hh"))
+
+  /** [[estimateEquiJoinSkewAware]] over pre-computed stat frames (see
+    * [[estimateFromSideStats]]). */
+  def estimateSkewFromSideStats(sa: DataFrame, sb: DataFrame,
+      k: Int, kHH: Int): DataFrame = {
     val u = array_sort(array_union(col("sk_a"), col("sk_b")))
     val unionK = slice(u, 1, k)
     val dU = when(size(u) < k, size(u).cast("double"))

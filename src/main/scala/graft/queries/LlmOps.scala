@@ -518,7 +518,7 @@ object LlmOps {
     * exactly the artifacts a production deployment persists anyway (the
     * signature pass is a full corpus scan you never want to repeat per
     * job), so the pin is the deployment shape, not a test crutch. */
-  private def pinnedFrame(spark: SparkSession, dir: String, table: String,
+  private[graft] def pinnedFrame(spark: SparkSession, dir: String, table: String,
       name: String)(build: => DataFrame): DataFrame =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
       val n = srcCount(spark, dir, table)
@@ -571,6 +571,33 @@ object LlmOps {
           rowsPerBand = 4),
         "doc_id")
     }
+
+  /** Pinned raw-embedding PCA model (E22/E22b artifact) — fit once
+    * (one VectorSum pass + driver Jacobi), persisted as (idx,
+    * eigenvalue, vec) rows; the spectrum/projection faces and their
+    * DuckDB oracles all read this frame. The memo additionally caches
+    * the reconstructed driver-side Model per session. */
+  private[graft] def pcaModelArtifact(spark: SparkSession, dir: String): Pca.Model =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "pca_raw_model"), {
+      Pca.modelFromRows(pinnedFrame(spark, dir, "embeddings", "pca_raw_d64") {
+        Pca.modelToFrame(spark,
+          Pca.fit(Tables.table(spark, dir, "embeddings"), "embedding"))
+      })
+    }).asInstanceOf[Pca.Model]
+
+  /** E22: variance spectrum from the PINNED raw-embedding PCA model —
+    * [O] since round 14: the oracle replays floor(λᵢ/Σλ·1e6) and the
+    * sequential cumulative sum from the same parquet (prefix
+    * list_reduce folds match the driver's left-to-right arithmetic). */
+  def qPca(spark: SparkSession, dir: String): DataFrame =
+    Pca.spectrumFromModel(spark, pcaModelArtifact(spark, dir), 16)
+
+  /** E22b: top-2 projection of every embedding against the PINNED model
+    * — [O] since round 14: the oracle recomputes the centered dots from
+    * the pinned mean/component rows in the same fold order. */
+  def qPcaProject(spark: SparkSession, dir: String): DataFrame =
+    Pca.projectWithModel(Tables.table(spark, dir, "embeddings"),
+      "vec_id", "embedding", 2, pcaModelArtifact(spark, dir))
 
   def annIvfIndex(spark: SparkSession, dir: String): Ivf.IvfIndex =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "ivf"), {

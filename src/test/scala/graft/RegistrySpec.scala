@@ -21,17 +21,19 @@ class RegistrySpec extends AnyFunSuite {
       // q_sketch_calibration via PINNED signature artifacts (the face and
       // the oracle read the same persisted parquet; hash lanes replay as
       // bit_count/lane-agreement over it)
+      // round 14 further promoted q_pca/q_pca_project (pinned PCA model;
+      // spectrum + projection replay) and q_join_estimate(_skew)
+      // (pinned catalog statistics; estimator arithmetic replays)
       "q_ann_ivf",
       "q_semdedup", "q_bpe_train", "q_bpe_encode",
       "q_corpus_report_incremental",
-      "q_join_estimate", "q_join_estimate_skew", "q_pq_topk", "q_pq_ivf",
+      "q_pq_topk", "q_pq_ivf",
       "q_ann_recall",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility",
-      // E22/E22b/E23: eigen-decomposition has no DuckDB analog; the
-      // spectrum and projection lanes are driver-replayed in PcaSpec,
-      // and the E23 cascade carries AnnSpec's recall floor vs exact E1
-      "q_pca", "q_pca_project", "q_ann_pca",
+      // E23: the cascade's sampled admission cutoff (polyhash draw) has
+      // no SQL replay; AnnSpec carries the recall floor vs exact E1
+      "q_ann_pca",
       // A22: the spark-sketch Bloom bit layout has no SQL replay; the
       // zero-false-negative contract and fpp band live in BloomSpec
       "q_bloom_fpr",
