@@ -420,9 +420,15 @@ object SparkEntry {
         |ORDER BY m.cluster_id""".stripMargin
 
   /** H10's pinned-artifact score replay — shared by the H10b
-    * calibration oracle so the scoring definition cannot drift. */
-  private val qualityClassifierSql: String =
-    """WITH f AS (
+    * calibration oracle so the scoring definition cannot drift. The
+    * coefficients read DIRECTLY from the pinned quality_lr parquet
+    * (round-14 advice fix: the previous inlined double literals could
+    * silently diverge from a refit artifact; now a refit and its oracle
+    * move together by construction). */
+  private def qualityClassifierSql: String =
+    s"""WITH coef AS (SELECT weights AS w, intercept AS b
+        |          FROM read_parquet('${artifactGlob("quality_lr_r001_i100")}')),
+        |f AS (
         |  SELECT doc_id, text,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS non_space,
@@ -460,13 +466,13 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN h % 5 < 4 THEN 'train' ELSE 'eval' END AS split,
         |  CAST(CASE WHEN q >= 350 THEN 1 ELSE 0 END AS BIGINT) AS label,
-        |  round(1.0 / (1.0 + exp(-(x1 * 0.08495989934974546
-        |    + x2 * -0.005093391899483308
-        |    + x3 * 0.550674474813873
-        |    + x4 * 0.010730775952170635
-        |    + x5 * -0.029122152246405623
-        |    + -8.997663458878463))), 6) AS quality_prob
-        |FROM feat ORDER BY doc_id""".stripMargin
+        |  round(1.0 / (1.0 + exp(-(x1 * w[1]
+        |    + x2 * w[2]
+        |    + x3 * w[3]
+        |    + x4 * w[4]
+        |    + x5 * w[5]
+        |    + b))), 6) AS quality_prob
+        |FROM feat, coef ORDER BY doc_id""".stripMargin
 
   /** Shared oracle CTE replaying [[graft.functions.expressions.LshBucket]]
     * BIT-EXACTLY in DuckDB (the round-14 [R]→[O] promotions for the
@@ -3792,7 +3798,7 @@ object SparkEntry {
         |ORDER BY cohort_day, day_idx""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-        |           FROM events),
+        |           FROM events WHERE user_id IS NOT NULL),
         |w AS (SELECT *,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END
         |               IGNORE NULLS)

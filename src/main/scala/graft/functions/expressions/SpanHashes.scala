@@ -47,7 +47,12 @@ case class SpanHashes(child: Expression, w: Int)
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) = PolyHash.hashUtf8(arr.getUTF8String(i))
+      // containsNull inputs (e.g. arrays built by transform over nullable
+      // columns): a null token hashes to the fixed 0 lane instead of
+      // NPE-ing — deterministic, and distinct from every real token's
+      // polyhash with probability 1 − 2⁻⁶¹ per token
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 0L else PolyHash.hashUtf8(s)
       i += 1
     }
     val out = new Array[Long](n - w + 1)

@@ -1443,8 +1443,11 @@ object Warehouse {
     * a map-side binary search — no sort anywhere. Bucket populations are
     * approximately equal (GK ε-bounded) instead of exactly equal;
     * WarehouseSpec quantifies the deviation against the exact tiling.
-    * Spec-proven twin (approx_percentile differs across engines, so no
-    * DuckDB oracle — the C12 exact/approx pairing). */
+    * The REGISTERED face (qNtileApprox) carries a regime-bounded DuckDB
+    * oracle since round 12: groups at or below `accuracy` compress
+    * nothing, so the GK cutoffs equal DuckDB's discrete-rank quantiles;
+    * above accuracy the summary is engine-specific and the contract is
+    * the spec's near-equal-population band (the C12b precedent). */
   def ntileApprox(df: DataFrame, groupCol: String, valueCol: String,
       n: Int = 10, accuracy: Int = 10000): DataFrame = {
     val probs = (1 until n).map(i => i.toDouble / n)
@@ -1859,7 +1862,12 @@ object Warehouse {
     val prior = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"us", $"event_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // NULL users: a window PARTITION BY groups every NULL user into ONE
+    // partition (null-safe grouping), while the oracle's equi-join drops
+    // them — filter explicitly so both engines state the same contract
+    // (attribution is per-KNOWN-user by definition)
     val carried = Tables.table(spark, dir, "events")
+      .filter($"user_id".isNotNull)
       .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
       .withColumn("click_id",
         last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
@@ -1901,7 +1909,9 @@ object Warehouse {
     val prior = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"us", $"event_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // NULL users filtered for the same window-vs-join parity as C36
     val carried = Tables.table(spark, dir, "events")
+      .filter($"user_id".isNotNull)
       .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
       .withColumn("__clicks",
         collect_list(when($"event_type" === "click",

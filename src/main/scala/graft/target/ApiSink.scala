@@ -79,12 +79,18 @@ object ApiSink {
       * uniformly as JSON-body requests (request.py:46-49: one
       * `req_params['json']` branch for all three; client.py:26-39
       * exposes each verb). The sink calls THIS, passing
-      * `SinkConfig.method`; the default forwards to the POST leg so
-      * verb-oblivious stubs stay valid, and real transports
-      * ([[JavaHttpPoster]]) override it with the actual verb. */
+      * `SinkConfig.method`. The default forwards ONLY the POST verb to
+      * the post() leg (so POST-only stubs stay valid) and THROWS for
+      * any other verb: a custom poster implementing only post() must
+      * not silently POST on a PUT/DELETE job (the round-13 advice item
+      * — a delete job that quietly re-creates entities is data loss,
+      * not a fallback). Verb-capable transports ([[JavaHttpPoster]])
+      * override it. */
     def send(method: String, url: String, jsonBatch: Seq[String],
         headers: Map[String, String]): PostResult =
-      post(url, jsonBatch, headers)
+      if (method.equalsIgnoreCase("POST")) post(url, jsonBatch, headers)
+      else throw new UnsupportedOperationException(
+        s"HttpPoster default send() only handles POST; override send() to support $method")
   }
 
   final case class SinkConfig(

@@ -61,6 +61,17 @@ class SpanDedupSpec extends SparkSpec {
     check(1L -> "x x x x x x", 2L -> "unrelated words entirely here now")
   }
 
+  test("spanHashes tolerates null tokens (containsNull input) without NPE") {
+    import spark.implicits._
+    // arrays built by transform over nullable columns carry containsNull;
+    // a null token hashes to the fixed 0 lane (round-14 advice fix)
+    val out = Seq(Tuple1(Seq("a", null, "b", "c", "d")))
+      .toDF("toks")
+      .select(graft.functions.spanHashes(col("toks"), w).as("h"))
+      .collect()
+    assert(out.head.getSeq[Long](0).length == 2, "5 tokens, w=4 => 2 spans")
+  }
+
   test("documents shorter than w emit no spans and zero dups") {
     check(1L -> "a b c", 2L -> "a b c") // 3 tokens < w=4: exact dup text, no span
     val out = SpanDedup.docSpanStats(docs(1L -> "a b c", 2L -> "a b c"),

@@ -59,6 +59,20 @@ class ApiSinkSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](cfg().copy(method = "PATCH"))
   }
 
+  test("HttpPoster default send() throws for PUT/DELETE instead of silently POSTing") {
+    // a POST-only stub must never quietly POST on a delete job — that
+    // re-creates the entities the job was meant to remove
+    object PostOnly extends HttpPoster {
+      override def post(url: String, jsonBatch: Seq[String]): PostResult =
+        PostResult(200, jsonBatch.size, 0L, Nil)
+    }
+    assert(PostOnly.send("POST", "u", Seq("{}"), Map.empty).status == 200)
+    assertThrows[UnsupportedOperationException](
+      PostOnly.send("PUT", "u", Seq("{}"), Map.empty))
+    assertThrows[UnsupportedOperationException](
+      PostOnly.send("DELETE", "u", Seq("{}"), Map.empty))
+  }
+
   test("transient 5xx retries with backoff then succeeds") {
     RecordingPoster.reset()
     import spark.implicits._
