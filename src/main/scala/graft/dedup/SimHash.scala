@@ -65,15 +65,38 @@ object SimHash {
     * The corpus side of the join should be persisted/compacted; the
     * stream side shuffles only (id, sig, key) lanes. */
   def matchesAgainst(index: DataFrame, docs: DataFrame, textCol: String,
-      idCol: String, maxHamming: Int = 3): DataFrame = {
+      idCol: String, maxHamming: Int = 3): DataFrame =
+    matchesAgainstSigs(index,
+      signatures(docs, textCol, idCol), idCol, "simhash", maxHamming)
+
+  /** [[bandedIndex]] over an ALREADY-COMPUTED 64-bit signature column —
+    * the multimodal corpus index (round-14 G8 extension): image dHash
+    * (G3d) and audio envelope hashes (G3h) band identically, so a media
+    * corpus becomes stream-probeable through the same 20-table layout. */
+  def bandedIndexFromSigs(sigs: DataFrame, idCol: String,
+      sigCol: String): DataFrame =
+    sigs.select(col(idCol).as("corpus_id"), col(sigCol).as("corpus_sig"))
+      .select(col("corpus_id"), col("corpus_sig"),
+        posexplode(comboKeys(col("corpus_sig"))).as(Seq("table_idx", "table_key")))
+
+  /** [[matchesAgainst]] for pre-signed rows — the stream side carries
+    * (idCol, sigCol) computed map-side (SimHash64 for text; dHash /
+    * audioEnvelopeHash run in mapPartitions, which is streaming-legal),
+    * so ANY 64-bit locality-sensitive signature family gets the same
+    * stateless stream-static near-dup gate: banding explodes the
+    * incoming row to its 20 table keys, the equi-join probes the static
+    * index, the hamming bound verifies. Emits one row per (row, corpus
+    * doc, matching table) like [[matchesAgainst]]. */
+  def matchesAgainstSigs(index: DataFrame, sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "3-of-6 block pigeonhole is only complete for hamming <= 3")
-    val banded = signatures(docs, textCol, idCol)
-      .select(col(idCol), col("simhash"),
-        posexplode(comboKeys(col("simhash"))).as(Seq("table_idx", "table_key")))
+    val banded = sigs
+      .select(col(idCol), col(sigCol).as("__sig"),
+        posexplode(comboKeys(col(sigCol))).as(Seq("table_idx", "table_key")))
     banded.join(index, Seq("table_idx", "table_key"))
-      .filter(hamming64(col("simhash"), col("corpus_sig")) <= maxHamming)
+      .filter(hamming64(col("__sig"), col("corpus_sig")) <= maxHamming)
       .select(col(idCol), col("corpus_id"),
-        hamming64(col("simhash"), col("corpus_sig")).as("hamming"))
+        hamming64(col("__sig"), col("corpus_sig")).as("hamming"))
   }
 
   /** Near-dup pairs with hamming distance ≤ maxHamming (≤ 3 guaranteed

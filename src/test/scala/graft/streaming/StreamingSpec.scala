@@ -457,6 +457,87 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IMAGE near-dup flagging against a static dHash index (G3d x G8): stream == batch pairs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.ImageDedup
+    import graft.dedup.SimHash
+    // static corpus: planted group 1 members (16, 17 — pairwise hamming 1)
+    // plus a background scatter (5); index built ONCE from the decoded
+    // dHash signatures — the G8 shape with the G3d signature family
+    val corpus = ImageDedup.syntheticPlantedImageTable(
+      Seq(16L, 17L, 5L).toDF("doc_id"), "doc_id")
+    val index = SimHash.bandedIndexFromSigs(
+      ImageDedup.dHash(corpus).filter($"ok").select("doc_id", "phash"),
+      "doc_id", "phash")
+    // stream: the group's third member (18 — hamming 2 of 16, 3 of 17)
+    // and an unrelated background image (100) that must NOT flag
+    val arriving = ImageDedup.syntheticPlantedImageTable(
+      Seq(18L, 100L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val input = MemoryStream[(Long, Array[Byte])]
+    input.addData(arriving.toIndexedSeq: _*)
+    def flags(media: org.apache.spark.sql.DataFrame) =
+      SimHash.matchesAgainstSigs(index,
+        ImageDedup.dHash(media).filter($"ok").select("doc_id", "phash"),
+        "doc_id", "phash")
+    val query = flags(input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("img_flags")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("img_flags").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = flags(arriving.toSeq.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch, "stream flags must equal the batch flags")
+      assert(batch == Set((18L, 16L, 2), (18L, 17L, 3)),
+        s"planted member flags against its group only, got $batch")
+    } finally query.stop()
+  }
+
+  test("streaming AUDIO near-dup flagging against a static envelope-hash index (G3h x G8): stream == batch pairs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Binary
+    import graft.dedup.SimHash
+    // static corpus: two identical-profile siblings of group 0 (ids 0, 1 —
+    // hamming 0) and a member of a far group (background); the arriving
+    // perturbed sibling (id 7: one +12000 segment edit, <= 2 contour
+    // bits) must flag against BOTH siblings, the background must not
+    val corpus = Binary.syntheticSegmentedAudioTable(
+      Seq(0L, 1L, 800L).toDF("doc_id"), "doc_id")
+    val index = SimHash.bandedIndexFromSigs(
+      Binary.audioEnvelopeHash(corpus).filter($"ok").select("doc_id", "ehash"),
+      "doc_id", "ehash")
+    val arriving = Binary.syntheticSegmentedAudioTable(
+      Seq(7L, 900L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val input = MemoryStream[(Long, Array[Byte])]
+    input.addData(arriving.toIndexedSeq: _*)
+    def flags(media: org.apache.spark.sql.DataFrame) =
+      SimHash.matchesAgainstSigs(index,
+        Binary.audioEnvelopeHash(media).filter($"ok").select("doc_id", "ehash"),
+        "doc_id", "ehash")
+    val query = flags(input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("audio_flags")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("audio_flags").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = flags(arriving.toSeq.toDF("doc_id", "payload")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch, "stream flags must equal the batch flags")
+      assert(streamed.map(t => (t._1, t._2)) == Set((7L, 0L), (7L, 1L)),
+        s"perturbed sibling flags against both group members only, got $streamed")
+      assert(streamed.forall(t => t._3 >= 1 && t._3 <= 2),
+        "one segment edit moves at most its two boundary contour bits")
+    } finally query.stop()
+  }
+
   test("streaming decontamination gate drops holdout-overlapping docs at ingest") {
     val sparkSession = spark
     import sparkSession.implicits._
