@@ -538,6 +538,46 @@ object SparkEntry {
   private def artifactGlob(name: String): String =
     s"${graft.catalog.Artifacts.root}/*testdata_sf0.01_*/$name/*.parquet"
 
+  /** Shared oracle CTE replaying the IVF coarse quantizer from the PINNED
+    * centroid artifact (round 14): squared-L2 per (vector, cell) via the
+    * same sequential fold as Ivf.assign's codegen loop, argmin with the
+    * (d2, cell_id) tie order of the struct min. Yields CTEs:
+    * cent(cell_id, centroid), emb(vec_id, v), asg(vec_id, v, cell_id). */
+  private def ivfAssignCte: String = s"""
+    |WITH cent AS (SELECT cell_id, centroid
+    |              FROM read_parquet('${artifactGlob("ivf_c16_s42")}')),
+    |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    |d2c AS (SELECT e.vec_id, e.v, c.cell_id,
+    |        list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+    |          i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))),
+    |          (a, b) -> a + b) AS dist2
+    |       FROM emb e, cent c),
+    |asg AS (SELECT vec_id, v, cell_id FROM (
+    |          SELECT *, row_number() OVER (PARTITION BY vec_id
+    |            ORDER BY dist2, cell_id) AS rn FROM d2c) WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTE replaying the PQ encoder from the PINNED codebook
+    * artifact (round 14): per-subspace squared-L2 in the same d-order
+    * fold as PqEncode's codegen loop, argmin with strict-< tie order
+    * (lowest code wins — row_number ORDER BY d2, c), and the ADC
+    * distance as the j-ordered fold of the query's own subspace
+    * distances (≡ the dist-table lookups). Yields CTEs: cb(flat),
+    * emb(vec_id, v), sub(vec_id, j, c, d2), codes(vec_id, j, c),
+    * q(query_id, qvec). */
+  private def pqCodesCte: String = s"""
+    |WITH cb AS (SELECT flat FROM read_parquet('${artifactGlob("pq_m8_k32_s42")}')),
+    |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    |sub AS (SELECT e.vec_id, j.j, c.c,
+    |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+    |          d -> (e.v[CAST(j.j*8 + d AS INTEGER)] - cb.flat[CAST((j.j*32 + c.c)*8 + d AS INTEGER)])
+    |             * (e.v[CAST(j.j*8 + d AS INTEGER)] - cb.flat[CAST((j.j*32 + c.c)*8 + d AS INTEGER)]))),
+    |          (a, b) -> a + b) AS d2
+    |        FROM emb e, cb, range(0, 8) j(j), range(0, 32) c(c)),
+    |codes AS (SELECT vec_id, j, c FROM (
+    |           SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    |           FROM sub) WHERE rn = 1),
+    |q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id % 50 = 0)""".stripMargin
+
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1683,6 +1723,120 @@ object SparkEntry {
         |  JOIN bkt nb ON nb.vec_id = e.vec_id
         |  WHERE bit_count(xor(q.qb::UBIGINT, nb.b::UBIGINT)) <= 1) t
         |WHERE "rank" <= 3 ORDER BY query_id, "rank"""".stripMargin),
+    // E3 [R]→[O] (round 14): the k-means fit pins as the centroid
+    // artifact (it already persisted — the train-once contract); cell
+    // assignment, nprobe=4 probe selection and the exact-cosine top-10
+    // all replay from it.
+    "q_ann_ivf" -> (ivfAssignCte +
+      """,
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id % 50 = 0),
+        |pc AS (SELECT query_id, cell_id FROM (
+        |        SELECT q.query_id, c.cell_id,
+        |          row_number() OVER (PARTITION BY q.query_id
+        |            ORDER BY list_cosine_similarity(q.qvec, c.centroid) DESC, c.cell_id) AS rn
+        |        FROM q, cent c) WHERE rn <= 4)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, a.v) DESC, a.vec_id) AS "rank"
+        |  FROM q JOIN pc ON pc.query_id = q.query_id
+        |  JOIN asg a ON a.cell_id = pc.cell_id AND a.vec_id <> q.query_id) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // D13 [R]→[O] (round 14): SemDeDup over the same pinned quantizer —
+    // within-cell τ-pairs drop the higher id; assignment and pair logic
+    // replay entirely.
+    "q_semdedup" -> (ivfAssignCte +
+      """,
+        |dropped AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT asg.vec_id, asg.cell_id,
+        |  asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+        |FROM asg ORDER BY vec_id""".stripMargin),
+    // E8 [R]→[O] (round 14): ADC top-10 replayed from the pinned
+    // codebooks — encode, dist table and the j-ordered ADC fold all
+    // replay; rank ties (−dist desc, id asc) state as (dist asc, id).
+    "q_pq_topk" -> (pqCodesCte + """,
+        |adc AS (SELECT s.query_id, s.neighbor_id,
+        |          list_reduce(list_prepend(0.0, list(s.d2 ORDER BY s.j)), (a, b) -> a + b) AS dist
+        |        FROM (SELECT q.query_id, co.vec_id AS neighbor_id, qs.j, qs.d2
+        |              FROM q JOIN sub qs ON qs.vec_id = q.query_id
+        |              JOIN codes co ON co.j = qs.j AND co.c = qs.c
+        |              WHERE co.vec_id <> q.query_id) s
+        |        GROUP BY s.query_id, s.neighbor_id)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS "rank"
+        |  FROM adc) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // E25 [R]→[O] (round 14): the PQ cascade — stage 1 is the ADC
+    // top-200 (the sampled admission cutoff is result-neutral by design
+    // and verified so on the gated corpus: the oracle states the
+    // no-cutoff plan), stage 2 the exact-cosine re-rank of those
+    // candidates only.
+    "q_pq_cascade" -> (pqCodesCte + """,
+        |adc AS (SELECT s.query_id, s.neighbor_id,
+        |          list_reduce(list_prepend(0.0, list(s.d2 ORDER BY s.j)), (a, b) -> a + b) AS dist
+        |        FROM (SELECT q.query_id, co.vec_id AS neighbor_id, qs.j, qs.d2
+        |              FROM q JOIN sub qs ON qs.vec_id = q.query_id
+        |              JOIN codes co ON co.j = qs.j AND co.c = qs.c
+        |              WHERE co.vec_id <> q.query_id) s
+        |        GROUP BY s.query_id, s.neighbor_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+        |          FROM adc) WHERE rn <= 200)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.v) DESC, c.neighbor_id) AS "rank"
+        |  FROM cand c JOIN q ON q.query_id = c.query_id
+        |  JOIN emb e ON e.vec_id = c.neighbor_id) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // E8b [R]→[O] (round 14): IVF-PQ — both pinned artifacts compose
+    // (centroid assignment prunes to nprobe=4 cells, ADC scores the
+    // survivors); the full plan replays.
+    "q_pq_ivf" -> (s"""
+        |WITH cent AS (SELECT cell_id, centroid
+        |              FROM read_parquet('${artifactGlob("ivf_c16_s42")}')),
+        |cb AS (SELECT flat FROM read_parquet('${artifactGlob("pq_m8_k32_s42")}')),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d2c AS (SELECT e.vec_id, e.v, c.cell_id,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, len(e.v)+1),
+        |          i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))),
+        |          (a, b) -> a + b) AS dist2
+        |       FROM emb e, cent c),
+        |asg AS (SELECT vec_id, v, cell_id FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY dist2, cell_id) AS rn FROM d2c) WHERE rn = 1),
+        |sub AS (SELECT e.vec_id, j.j, c.c,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          d -> (e.v[CAST(j.j*8 + d AS INTEGER)] - cb.flat[CAST((j.j*32 + c.c)*8 + d AS INTEGER)])
+        |             * (e.v[CAST(j.j*8 + d AS INTEGER)] - cb.flat[CAST((j.j*32 + c.c)*8 + d AS INTEGER)]))),
+        |          (a, b) -> a + b) AS d2
+        |        FROM emb e, cb, range(0, 8) j(j), range(0, 32) c(c)),
+        |codes AS (SELECT vec_id, j, c FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |           FROM sub) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id % 50 = 0),
+        |pc AS (SELECT query_id, cell_id FROM (
+        |        SELECT q.query_id, c.cell_id,
+        |          row_number() OVER (PARTITION BY q.query_id
+        |            ORDER BY list_cosine_similarity(q.qvec, c.centroid) DESC, c.cell_id) AS rn
+        |        FROM q, cent c) WHERE rn <= 4),
+        |adc AS (SELECT s.query_id, s.neighbor_id,
+        |          list_reduce(list_prepend(0.0, list(s.d2 ORDER BY s.j)), (a, b) -> a + b) AS dist
+        |        FROM (SELECT pc.query_id, a.vec_id AS neighbor_id, qs.j, qs.d2
+        |              FROM pc JOIN asg a ON a.cell_id = pc.cell_id
+        |              JOIN sub qs ON qs.vec_id = pc.query_id
+        |              JOIN codes co ON co.vec_id = a.vec_id AND co.j = qs.j AND co.c = qs.c
+        |              WHERE a.vec_id <> pc.query_id) s
+        |        GROUP BY s.query_id, s.neighbor_id)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS "rank"
+        |  FROM adc) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin),
     // E2: LSH top-10 over the replayed buckets — probeBits=2 candidates
     // (hamming<=2), exact cosine ranking inside the candidate set.
     "q_ann_lsh" -> (lshBucketCte +

@@ -966,9 +966,11 @@ object LlmOps {
       .orderBy("query_id", "rank")
 
   /** E3: IVF top-10 — k-means coarse quantizer (data-adaptive cells),
-    * nprobe-bounded candidate set, over the memoized index. Rows-only
-    * check: the index is iterative (k-means), not SQL-expressible;
-    * AnnSpec proves recall vs exact. */
+    * nprobe-bounded candidate set, over the memoized index. [O] since
+    * round 14: the k-means FIT pins as the persisted centroid artifact
+    * (it always did — the train-once contract), and assignment, probe
+    * selection and the exact-cosine top-10 replay from it in the
+    * oracle; AnnSpec additionally proves recall vs exact. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
     Ivf.ivfTopK(annQueries(spark, dir), annIvfIndex(spark, dir), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
@@ -995,8 +997,9 @@ object LlmOps {
     }).asInstanceOf[(Pq.PqCodebooks, DataFrame)]
 
   /** E8: product-quantized ADC top-10 — the memory-bound ANN scale path
-    * (corpus side carries 8 codes per vector, not 64 doubles); rows-only
-    * check (iterative k-means codebooks), PqSpec proves recall vs exact
+    * (corpus side carries 8 codes per vector, not 64 doubles). [O] since
+    * round 14: encode/dist-table/ADC replay from the pinned codebook
+    * artifact in the oracle; PqSpec additionally proves recall vs exact
     * and the compression contract. */
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val (cb, encoded) = pqIndex(spark, dir)
@@ -1010,8 +1013,11 @@ object LlmOps {
     * corpus is 64× smaller than float64 lanes). ADC over the memoized
     * codebooks selects kCand candidates/query; exact full-width cosine
     * rescores only those (corpus-size-independent). This is the FAISS
-    * IndexPQ + refine deployment shape. Rows-only (k-means codebooks,
-    * E8's class); PqCascadeSpec-style recall floor lives in PqSpec. */
+    * IndexPQ + refine deployment shape. [O] since round 14: stage 1
+    * and the re-rank replay from the pinned codebooks (the oracle
+    * states the no-cutoff plan — the sampled admission cutoff is
+    * result-neutral by design and verified so on the gated corpus);
+    * PqSpec keeps the recall floor. */
   def qPqCascade(spark: SparkSession, dir: String, kCand: Int = 200,
       k: Int = 10, sampleMod: Long = 64L): DataFrame = {
     val (cb, encoded) = pqIndex(spark, dir)
@@ -1075,8 +1081,9 @@ object LlmOps {
 
   /** E8b: IVF-PQ top-10 — nprobe cell pruning in front of the ADC scan
     * (the composed 100 TB deployment plan: touch nprobe/nCells of the
-    * corpus, move m bytes per touched vector). Rows-only check; PqSpec
-    * proves recall vs exact on clustered data. */
+    * corpus, move m bytes per touched vector). [O] since round 14: both
+    * pinned artifacts compose in the oracle (cell pruning + ADC);
+    * PqSpec additionally proves recall vs exact on clustered data. */
   def qPqIvf(spark: SparkSession, dir: String): DataFrame = {
     val (cb, _) = pqIndex(spark, dir)
     Pq.ivfPqTopK(annQueries(spark, dir), annIvfIndex(spark, dir),
@@ -1086,10 +1093,11 @@ object LlmOps {
 
   /** D13: SemDeDup — semantic near-duplicate removal in embedding space
     * (k-means cells from the memoized E3 quantizer, within-cell cosine ≥
-    * τ drops the higher id). One keep-decision row per vector; rows-only
-    * check (the k-means fit is iterative, not SQL-expressible) — AnnSpec
-    * proves clone collapse, soundness vs the exact D5 pair set, and the
-    * no-threshold identity. */
+    * τ drops the higher id). One keep-decision row per vector. [O] since
+    * round 14: assignment and the within-cell τ-pair drop replay from
+    * the pinned E3 centroids — AnnSpec additionally proves clone
+    * collapse, soundness vs the exact D5 pair set, and the no-threshold
+    * identity. */
   def qSemDedup(spark: SparkSession, dir: String): DataFrame =
     graft.ann.SemDedup.keepDecisions(
       annIvfIndex(spark, dir), "vec_id", tau = 0.35, chunkSize = 4096)

@@ -24,10 +24,12 @@ class RegistrySpec extends AnyFunSuite {
       // round 14 further promoted q_pca/q_pca_project (pinned PCA model;
       // spectrum + projection replay) and q_join_estimate(_skew)
       // (pinned catalog statistics; estimator arithmetic replays)
-      "q_ann_ivf",
-      "q_semdedup", "q_bpe_train", "q_bpe_encode",
+      // round 14 also promoted the IVF/PQ index family (q_ann_ivf,
+      // q_semdedup, q_pq_topk, q_pq_ivf, q_pq_cascade) via the already-
+      // persisted centroid/codebook artifacts — assignment, ADC and the
+      // cascades replay in SQL
+      "q_bpe_train", "q_bpe_encode",
       "q_corpus_report_incremental",
-      "q_pq_topk", "q_pq_ivf",
       "q_ann_recall",
       "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
       "q_bpe_fertility",
@@ -36,9 +38,7 @@ class RegistrySpec extends AnyFunSuite {
       "q_ann_pca",
       // A22: the spark-sketch Bloom bit layout has no SQL replay; the
       // zero-false-negative contract and fpp band live in BloomSpec
-      "q_bloom_fpr",
-      // E25: k-means codebooks (E8's class); recall floor in PqSpec
-      "q_pq_cascade"),
+      "q_bloom_fpr"),
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 
