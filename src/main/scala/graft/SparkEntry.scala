@@ -578,8 +578,43 @@ object SparkEntry {
     |           FROM sub) WHERE rn = 1),
     |q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id % 50 = 0)""".stripMargin
 
-  /** DuckDB-equivalent ANSI SQL per query key (same column names/types). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-equivalent ANSI SQL per query key (same column names/types).
+    * q_index_recall composes at the end from the eight leg oracles —
+    * every index the acceptance matrix reports is itself replayed, so
+    * the matrix checks end to end (round 14). */
+  def oracleSql: Map[String, String] =
+    oracleBase + ("q_index_recall" -> indexRecallOracle)
+
+  /** E11b [R]→[O] (round 14): the acceptance matrix as a UNION of the
+    * eight leg replays (exact control + LSH/IVF/PQ/IVF-PQ + the three
+    * exact-rescore cascades), each leg's full oracle nested as a
+    * subquery; overlap counts and the integer recall lanes replay. */
+  private def indexRecallOracle: String = {
+    val legs = Seq(
+      "exact" -> "q_ann_topk", "int8_cascade" -> "q_ann_cascade",
+      "ivf" -> "q_ann_ivf", "ivf_pq" -> "q_pq_ivf", "lsh" -> "q_ann_lsh",
+      "pca_cascade" -> "q_ann_pca", "pq" -> "q_pq_topk",
+      "pq_cascade" -> "q_pq_cascade")
+    val ex = oracleBase("q_ann_topk")
+    legs.map { case (nm, qid) =>
+      s"""(WITH __exact AS (SELECT query_id, neighbor_id FROM ($ex) __e),
+         |__approx AS (SELECT query_id, neighbor_id FROM (${oracleBase(qid)}) __a),
+         |__ov AS (SELECT e.query_id, count(*) AS n_overlap
+         |         FROM __exact e JOIN __approx a
+         |           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |         GROUP BY e.query_id),
+         |__ne AS (SELECT query_id, count(*) AS n_exact FROM __exact GROUP BY query_id),
+         |__r AS (SELECT ne.query_id, ne.n_exact, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |          (coalesce(ov.n_overlap, 0) * 100) // ne.n_exact AS recall_x100
+         |        FROM __ne ne LEFT JOIN __ov ov USING (query_id))
+         |SELECT '$nm' AS index_name, count(*) AS n_queries,
+         |  CAST(sum(recall_x100) // count(*) AS BIGINT) AS mean_recall_x100,
+         |  CAST(min(recall_x100) AS BIGINT) AS min_recall_x100
+         |FROM __r)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY index_name"
+  }
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -1753,6 +1788,130 @@ object SparkEntry {
         |SELECT asg.vec_id, asg.cell_id,
         |  asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
         |FROM asg ORDER BY vec_id""".stripMargin),
+    // E9b [R]→[O] (round 14): the indexed fusion differs from E9 only
+    // in the sparse leg's candidate generation — the inverted index
+    // admits exactly the pairs with quantized Jaccard > 0, so the
+    // oracle is E9's statement with that predicate on the sparse leg
+    // (posting-join mechanics are candidate-complete for J > 0 by
+    // construction: sharing a token is necessary for a positive score).
+    "q_rank_fusion_indexed" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |dense AS (
+        |  SELECT query_id, neighbor_id, r FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) DESC,
+        |                 e.vec_id) AS r
+        |    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+        |  WHERE r <= 20),
+        |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        |         FROM documents WHERE text IS NOT NULL),
+        |qt AS (SELECT doc_id AS query_id, t AS qtok FROM toks WHERE doc_id % 50 = 0),
+        |sparse AS (
+        |  SELECT query_id, neighbor_id, r FROM (
+        |    SELECT qt.query_id, d.doc_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qt.query_id
+        |        ORDER BY (1000 * len(list_intersect(qt.qtok, d.t)))
+        |                   // len(list_distinct(qt.qtok || d.t)) DESC,
+        |                 d.doc_id) AS r
+        |    FROM qt JOIN toks d ON d.doc_id <> qt.query_id
+        |    WHERE (1000 * len(list_intersect(qt.qtok, d.t)))
+        |            // len(list_distinct(qt.qtok || d.t)) > 0) t
+        |  WHERE r <= 20),
+        |fused AS (
+        |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+        |    coalesce(d.neighbor_id, s.neighbor_id) AS doc_id,
+        |    CAST(coalesce(1000000000 // (60 + d.r), 0)
+        |       + coalesce(1000000000 // (60 + s.r), 0) AS BIGINT) AS rrf_ppb,
+        |    CAST(coalesce(d.r, 0) AS BIGINT) AS dense_rank,
+        |    CAST(coalesce(s.r, 0) AS BIGINT) AS sparse_rank
+        |  FROM dense d FULL OUTER JOIN sparse s
+        |    ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id)
+        |SELECT query_id, doc_id, rrf_ppb, dense_rank, sparse_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppb DESC, doc_id) AS fr FROM fused) z
+        |WHERE fr <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    // E23 [R]→[O] (round 14): the unit-geometry PCA fit pins
+    // (pca_unit_d64); normalization, projection (with the driver-side
+    // per-component offsets), stage-1 `2·q·x − ‖x‖²` ranking and the
+    // exact-cosine rescore all replay. The sampled admission cutoff is
+    // result-neutral by design and verified so on the gated corpus —
+    // the oracle states the no-cutoff plan.
+    "q_ann_pca" -> s"""
+        |WITH art AS (SELECT idx, vec FROM read_parquet('${artifactGlob("pca_unit_d64")}')),
+        |mu AS (SELECT vec AS mv FROM art WHERE idx = 0),
+        |comps AS (SELECT idx, vec AS w FROM art WHERE idx BETWEEN 1 AND 16),
+        |offs AS (SELECT c.idx,
+        |          list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |            i -> c.w[i] * mu.mv[i])), (a, b) -> a + b) AS off
+        |         FROM comps c, mu),
+        |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+        |          (a, b) -> a + b)) AS nrm
+        |      FROM e0),
+        |u AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS nv
+        |      FROM n WHERE nrm > 0),
+        |pv AS (SELECT u.vec_id, c.idx,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |          i -> u.nv[i] * c.w[i])), (a, b) -> a + b) - o.off AS coord
+        |       FROM u, comps c JOIN offs o ON o.idx = c.idx),
+        |pvec AS (SELECT vec_id, list(coord ORDER BY idx) AS pv FROM pv GROUP BY vec_id),
+        |pn AS (SELECT vec_id, pv,
+        |        list_reduce(list_prepend(0.0, list_transform(pv, x -> x * x)),
+        |          (a, b) -> a + b) AS pnorm2
+        |       FROM pvec),
+        |q AS (SELECT u.vec_id AS query_id, u.v AS qvec, pn.pv AS qp
+        |      FROM u JOIN pn ON pn.vec_id = u.vec_id WHERE u.vec_id % 50 = 0),
+        |s1 AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+        |          i -> c.pv[i] * q.qp[i])), (a, b) -> a + b) * 2.0 - c.pnorm2 AS sim
+        |       FROM q JOIN pn c ON c.vec_id <> q.query_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |          SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        |          FROM s1) WHERE rn <= 200)
+        |SELECT query_id, neighbor_id, "rank" FROM (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.v) DESC, c.neighbor_id) AS "rank"
+        |  FROM cand c JOIN q ON q.query_id = c.query_id
+        |  JOIN e0 e ON e.vec_id = c.neighbor_id) t
+        |WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    // E11 [R]→[O] (round 14): recall report composes the exact and the
+    // (now fully replayed) IVF legs — overlap counts and the integer
+    // recall lane replay end to end.
+    "q_ann_recall" -> (ivfAssignCte + """,
+        |q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id % 50 = 0),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, e.v) DESC, e.vec_id) AS rn
+        |  FROM q JOIN emb e ON e.vec_id <> q.query_id) t WHERE rn <= 10),
+        |pc AS (SELECT query_id, cell_id FROM (
+        |        SELECT q.query_id, c.cell_id,
+        |          row_number() OVER (PARTITION BY q.query_id
+        |            ORDER BY list_cosine_similarity(q.qvec, c.centroid) DESC, c.cell_id) AS rn
+        |        FROM q, cent c) WHERE rn <= 4),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, a.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(q.qvec, a.v) DESC, a.vec_id) AS rn
+        |  FROM q JOIN pc ON pc.query_id = q.query_id
+        |  JOIN asg a ON a.cell_id = pc.cell_id AND a.vec_id <> q.query_id) t
+        |  WHERE rn <= 10),
+        |ov AS (SELECT e.query_id, count(*) AS n_overlap
+        |       FROM exact e JOIN approx a
+        |         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        |       GROUP BY e.query_id),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+        |SELECT ne.query_id, ne.n_exact,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  (coalesce(ov.n_overlap, 0) * 100) // ne.n_exact AS recall_x100
+        |FROM ne LEFT JOIN ov USING (query_id)
+        |ORDER BY query_id""".stripMargin),
     // E8 [R]→[O] (round 14): ADC top-10 replayed from the pinned
     // codebooks — encode, dist table and the j-ordered ADC fold all
     // replay; rank ties (−dist desc, id asc) state as (dist asc, id).

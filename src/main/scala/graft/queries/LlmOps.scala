@@ -869,7 +869,12 @@ object LlmOps {
         .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0), (a, x) => a + x * x)))
         .filter(col("__n") > 0.0)
         .select(col("vec_id"), transform(col("__v"), x => x / col("__n")).as("nvec"))
-      val m = Pca.fit(unit, "nvec")
+      // round 14: the unit-geometry fit pins like the raw model
+      // (pca_raw_d64) so the E23 oracle can replay projection, stage-1
+      // ranking and the rescore from the same parquet
+      val m = Pca.modelFromRows(pinnedFrame(spark, dir, "embeddings", "pca_unit_d64") {
+        Pca.modelToFrame(spark, Pca.fit(unit, "nvec"))
+      })
       val projected = unit.select(col("vec_id"),
           Pca.projectExpr(col("nvec"), m, 16).as("pvec"))
         // ‖x‖² rides the index so the scan ranks by 2·q·x − ‖x‖² (the
@@ -895,7 +900,10 @@ object LlmOps {
     * stage-1 distances only under-estimate; recall loss needs a true
     * neighbor whose lost 48-dim tail out-weighs the kept 16 — PcaSpec
     * pins recall@10 ≥ 0.9 vs E1.
-    * Rows-only: the eigenbasis has no SQL replay (same class as E3/E8). */
+    * [O] since round 14: the unit-geometry fit pins (pca_unit_d64) and
+    * normalization/projection/stage-1/rescore replay; the oracle states
+    * the no-cutoff plan (the sampled cutoff is result-neutral by design,
+    * verified on the gated corpus). */
   def qAnnPca(spark: SparkSession, dir: String, kCand: Int = 200,
       k: Int = 10, sampleMod: Long = 64L): DataFrame = {
     val (m, projected) = pcaIndex(spark, dir)

@@ -184,8 +184,10 @@ object Retrieval {
     * 100 TB: no Q×N product anywhere. Differs from [[qRankFusion]] only
     * where the exact leg padded its sparse top-20 with score-0 docs
     * (which contribute rank-based RRF mass the index legitimately
-    * doesn't generate), so it is registered as a rows-only face;
-    * RetrievalSpec proves the underlying legs agree wherever J > 0. */
+    * doesn't generate). [O] since round 14: the oracle is E9's
+    * statement with the J > 0 predicate on the sparse leg (the posting
+    * join is candidate-complete for positive scores by construction);
+    * RetrievalSpec additionally proves the legs agree wherever J > 0. */
   def qRankFusionIndexed(spark: SparkSession, dir: String): DataFrame =
     rankFusion(spark, dir, queryMod = 50, indexedSparse = true)
 
@@ -289,7 +291,8 @@ object Retrieval {
     * operator is the per-query REPORT — which queries the index fails
     * tells you which cells are under-probed). Two rank-≤10 frames
     * joined on (query, neighbor): output is O(queries), never corpus-
-    * sized. */
+    * sized. [O] since round 14: both legs replay (exact + the pinned-
+    * centroid IVF), so the overlap counts and recall lanes replay. */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallReport(
       LlmOps.qAnnTopK(spark, dir).select(col("query_id"), col("neighbor_id")),
@@ -321,7 +324,9 @@ object Retrieval {
     * whichever row looks wrong). The `exact` control row pins the
     * harness itself at 100/100. Each leg is the registered face's own
     * frame, so this measures exactly what deployments run; output is
-    * O(indexes), all integer. */
+    * O(indexes), all integer. [O] since round 14: every leg replays in
+    * SQL, so the matrix oracle is the UNION of the eight leg oracles
+    * (SparkEntry.indexRecallOracle). */
   def qIndexRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = LlmOps.qAnnTopK(spark, dir)
       .select(col("query_id"), col("neighbor_id"))

@@ -28,14 +28,16 @@ class RegistrySpec extends AnyFunSuite {
       // q_semdedup, q_pq_topk, q_pq_ivf, q_pq_cascade) via the already-
       // persisted centroid/codebook artifacts — assignment, ADC and the
       // cascades replay in SQL
+      // plus q_ann_pca (pinned unit-geometry model; the sampled cutoff
+      // is result-neutral and the oracle states the no-cutoff plan) and
+      // q_ann_recall (exact + IVF legs compose)
       "q_bpe_train", "q_bpe_encode",
       "q_corpus_report_incremental",
-      "q_ann_recall",
-      "q_compression_ratio", "q_rank_fusion_indexed", "q_index_recall",
+      // q_index_recall composes from the eight replayed legs, and
+      // q_rank_fusion_indexed is E9's oracle with the J>0 sparse-leg
+      // predicate (round 14)
+      "q_compression_ratio",
       "q_bpe_fertility",
-      // E23: the cascade's sampled admission cutoff (polyhash draw) has
-      // no SQL replay; AnnSpec carries the recall floor vs exact E1
-      "q_ann_pca",
       // A22: the spark-sketch Bloom bit layout has no SQL replay; the
       // zero-false-negative contract and fpp band live in BloomSpec
       "q_bloom_fpr"),
