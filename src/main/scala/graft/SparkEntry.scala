@@ -614,6 +614,28 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n") + "\nORDER BY index_name"
   }
 
+  /** Oracle expression replaying [[graft.text.Bpe.applyMerges]] over a
+    * `word` column and a merges list `m.ms` (list of [left, right] in
+    * rank order): the outer fold walks the merges, the inner fold is the
+    * leftmost-greedy pass with the pend slot carried as the accumulator
+    * list's LAST element (chr(1) = no pend; DuckDB 1.0 cannot carry
+    * lists inside struct accumulators) and a chr(2) terminal token that
+    * flushes the pend so the result is a fixed `[1:-3]` slice. */
+  private val bpeApplySql: String =
+    """list_reduce(
+      |    list_prepend(list_append(list_filter(string_split(word, ''), c -> c <> ''), '</w>'), m.ms),
+      |    (acc, mm) ->
+      |      list_reduce(
+      |        list_prepend([chr(1)], list_transform(list_append(acc, chr(2)), t -> [t])),
+      |        (a, e) -> CASE
+      |          WHEN a[len(a)] <> chr(1) AND e[1] = mm[2] THEN
+      |            list_append(list_append(a[1:len(a)-1], mm[1] || mm[2]), chr(1))
+      |          WHEN e[1] = mm[1] THEN
+      |            list_append(CASE WHEN a[len(a)] <> chr(1) THEN a ELSE a[1:len(a)-1] END, e[1])
+      |          ELSE
+      |            list_append(list_append(CASE WHEN a[len(a)] <> chr(1) THEN a ELSE a[1:len(a)-1] END, e[1]), chr(1))
+      |        END)[1:-3])""".stripMargin
+
   private lazy val oracleBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1624,6 +1646,89 @@ object SparkEntry {
     // cross-corpus join — τ=0.5 word-trigram Jaccard across odd (new) ×
     // even (corpus) ids; the banded A⋈B candidates were verified to
     // contain every exact pair at sf0.01 (12/12, scores equal).
+    // H13 [R]→[O] (round 14): the regime-bounded KMV promotion (the
+    // C33b/C69b precedent) — distinct content (≤ corpus size) and langs
+    // both sit UNDER the k=1024 sketch capacity at the gate scale, where
+    // the KMV estimate IS the exact distinct count and the exact-merge
+    // property makes standing+increment ≡ one full-corpus state; every
+    // other field is plainly mergeable arithmetic.
+    "q_corpus_report_incremental" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CASE WHEN text IS NOT NULL
+        |         THEN CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) END AS toks,
+        |    CASE WHEN text IS NOT NULL THEN md5(text) END AS h
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n_docs, count(h) AS n_text_docs,
+        |    coalesce(sum(toks), 0) AS total_tokens,
+        |    coalesce(min(toks), 9223372036854775807) AS min_tokens,
+        |    coalesce(max(toks), -9223372036854775808) AS max_tokens,
+        |    count(DISTINCT h) AS distinct_content_est,
+        |    count(DISTINCT lang) AS distinct_lang_est
+        |  FROM per)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM s
+        |  UNION ALL SELECT 'n_text_docs', n_text_docs FROM s
+        |  UNION ALL SELECT 'total_tokens', total_tokens FROM s
+        |  UNION ALL SELECT 'min_tokens', min_tokens FROM s
+        |  UNION ALL SELECT 'max_tokens', max_tokens FROM s
+        |  UNION ALL SELECT 'distinct_content_est', distinct_content_est FROM s
+        |  UNION ALL SELECT 'distinct_lang_est', distinct_lang_est FROM s) t
+        |ORDER BY metric""".stripMargin,
+    // F22 [R]→[O] (round 14): the TRAINING LOOP replays — the pinned
+    // merges provide only the prefix sequence; each rank's winning pair
+    // (max corpus-weighted count, (left, right)-ascending ties) is
+    // recomputed from the corpus after applying merges 0..rank−1, so a
+    // trainer drift fails the gate. 40 encode passes over the ≤50k-type
+    // histogram — vocabulary-bounded, never corpus-sized.
+    "q_bpe_train" -> s"""
+        |WITH m AS (SELECT list(["left", "right"] ORDER BY rank) AS ms
+        |           FROM read_parquet('${artifactGlob("bpe_m40_t50000")}')),
+        |h AS (SELECT word, count(*) AS n FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |        WHERE text IS NOT NULL) t
+        |      WHERE word <> '' GROUP BY word
+        |      ORDER BY n DESC, word LIMIT 50000),
+        |mr AS (SELECT r0.r AS r, m.ms[1:CAST(r0.r AS INTEGER)] AS ms
+        |       FROM m, range(0, 40) r0(r)),
+        |enc AS (SELECT m.r, h.word, h.n, $bpeApplySql AS sym
+        |  FROM h, mr m),
+        |pairs0 AS (SELECT r, n,
+        |  unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'rr': sym[i+1]})) AS pr
+        |  FROM enc),
+        |pairs AS (SELECT r, pr.l AS l, pr.rr AS rr, CAST(sum(n) AS BIGINT) AS cnt
+        |          FROM pairs0 GROUP BY 1, 2, 3)
+        |SELECT r AS rank, l AS "left", rr AS "right", cnt AS count FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY r ORDER BY cnt DESC, l, rr) AS rn
+        |  FROM pairs) z
+        |WHERE rn = 1 ORDER BY rank""".stripMargin,
+    // F22b [R]→[O] (round 14): segmentation replays the pinned merge
+    // chain per vocabulary type (see bpeApplySql).
+    "q_bpe_encode" -> s"""
+        |WITH m AS (SELECT list(["left", "right"] ORDER BY rank) AS ms
+        |           FROM read_parquet('${artifactGlob("bpe_m40_t50000")}')),
+        |h AS (SELECT word, count(*) AS n FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |        WHERE text IS NOT NULL) t
+        |      WHERE word <> '' GROUP BY word
+        |      ORDER BY n DESC, word LIMIT 50000)
+        |SELECT word, n, array_to_string($bpeApplySql, ' ') AS subwords
+        |FROM h, m ORDER BY word""".stripMargin,
+    // F22c [R]→[O] (round 14): fertility composes the replayed merge
+    // chain with integer mass-weighted roll-ups.
+    "q_bpe_fertility" -> s"""
+        |WITH m AS (SELECT list(["left", "right"] ORDER BY rank) AS ms
+        |           FROM read_parquet('${artifactGlob("bpe_m40_t50000")}')),
+        |lw AS (SELECT lang, word, count(*) AS n FROM (
+        |        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+        |        WHERE text IS NOT NULL) t
+        |      WHERE length(word) > 0 GROUP BY lang, word),
+        |p AS (SELECT lang, n, len($bpeApplySql)::BIGINT AS pieces FROM lw, m),
+        |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+        |        CAST(sum(n * pieces) AS BIGINT) AS n_pieces
+        |      FROM p GROUP BY lang)
+        |SELECT lang, n_words, n_pieces, (n_pieces * 1000) // n_words AS fertility_x1000
+        |FROM r ORDER BY lang""".stripMargin,
     // D3 [R]→[O] (round 14): the 3-of-6 block pigeonhole is candidate-
     // COMPLETE for hamming ≤ 3, so the face's output is exactly the
     // ≤3-hamming pair set of the PINNED signature artifact — restated

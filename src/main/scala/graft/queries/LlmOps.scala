@@ -2610,9 +2610,12 @@ object LlmOps {
     * ingest increment each aggregate their own one-row mergeable state
     * (counts, sums, extrema, KMV sketches); the published card renders
     * from the MERGED state without rescanning the standing corpus.
-    * Rows-only (sketch state isn't SQL-expressible); IncrementalStats-
-    * Spec proves merge ≡ full recompute bit-for-bit and estimate
-    * accuracy. */
+    * [O] since round 14 under the REGIME-BOUNDED KMV promotion (the
+    * C33b/C69b precedent): at gate scale both distinct lanes sit under
+    * the k=1024 sketch capacity, where the estimate IS the exact
+    * distinct count and exact-merge makes standing+increment ≡ one
+    * full-corpus state. IncrementalStatsSpec keeps merge ≡ full
+    * recompute bit-for-bit and the over-capacity error bound. */
   def qCorpusReportIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val standing = graft.curation.CorpusState.state(
@@ -2644,9 +2647,12 @@ object LlmOps {
     }).asInstanceOf[Seq[graft.text.Bpe.Merge]]
 
   /** F22: the learned merge table (rank, left, right, count) — the
-    * tokenizer-training artifact itself. Rows-only check (the merge
-    * loop is iterative, not SQL-expressible); BpeSpec pins the classic
-    * reference corpus's merges and the tiebreak order. */
+    * tokenizer-training artifact itself. [O] since round 14: the oracle
+    * replays the TRAINING LOOP — the pinned merges supply only the
+    * prefix sequence, and each rank's winning pair (max corpus-weighted
+    * count, (left, right)-ascending ties) recomputes from the corpus
+    * after applying merges 0..rank−1 — so trainer drift fails the gate.
+    * BpeSpec keeps the classic reference corpus's merges and tiebreaks. */
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeMerges(spark, dir)
@@ -2658,7 +2664,9 @@ object LlmOps {
   /** F22b: BPE segmentation of the corpus vocabulary — the learned
     * merges fold into a chain of declarative array passes (rank order,
     * leftmost-greedy — the reference apply), so encoding is one
-    * map-side projection. Output: word, count, space-joined subwords. */
+    * map-side projection. Output: word, count, space-joined subwords.
+    * [O] since round 14: the merge-chain apply replays in the oracle
+    * as nested list folds (SparkEntry.bpeApplySql). */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(spark, dir)
     graft.text.Bpe.wordHistogram(
@@ -2676,9 +2684,9 @@ object LlmOps {
     * vocab size and training-mix share per language. Shape: per-(lang,
     * word-type) counts (vocabulary-bounded aggregate, F22's histogram
     * carve), ONE merge-chain apply per distinct type (never per running
-    * word), mass-weighted roll-up to |langs| rows — all integer. Rows-
-    * only: the BPE apply is the F22 iterative carve, not expressible in
-    * the oracle dialect. */
+    * word), mass-weighted roll-up to |langs| rows — all integer.
+    * [O] since round 14: the apply replays (SparkEntry.bpeApplySql) and
+    * the roll-up is integer arithmetic. */
   def qBpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(spark, dir)
     Tables.table(spark, dir, "documents")

@@ -13,31 +13,23 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only queries are the documented set, no silent oracle drops") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Round 14 promoted 26 ids out of this set: the hyperplane-LSH
+    // family (bit-exact splitmix64 bucket replay), the minhash D2/D11
+    // faces (pinned-regime exact-pair oracles), simhash/minhash-fast/
+    // sketch-calibration (pinned signature artifacts), PCA spectrum/
+    // projection + the KMV join estimators (pinned model/catalog
+    // statistics), the IVF/PQ index family incl. the cascades and the
+    // E11/E11b recall reports (pinned centroids/codebooks; q_index_recall
+    // composes the eight leg oracles), the indexed rank fusion (E9's
+    // oracle + the J>0 sparse predicate), the full BPE family (the
+    // oracle replays the training loop itself), and the incremental
+    // corpus report (regime-bounded KMV: distincts under sketch
+    // capacity ⇒ estimates exact). What remains is genuinely
+    // non-replayable in the oracle dialect:
     assert(rowsOnly == Set(
-      // round 14 promoted the hyperplane-LSH family (bit-exact DuckDB
-      // bucket replay) and the minhash D2/D11 faces (pinned-regime
-      // exact-pair oracles) out of this set
-      // round 14 also promoted q_dedup_simhash / q_dedup_minhash_fast /
-      // q_sketch_calibration via PINNED signature artifacts (the face and
-      // the oracle read the same persisted parquet; hash lanes replay as
-      // bit_count/lane-agreement over it)
-      // round 14 further promoted q_pca/q_pca_project (pinned PCA model;
-      // spectrum + projection replay) and q_join_estimate(_skew)
-      // (pinned catalog statistics; estimator arithmetic replays)
-      // round 14 also promoted the IVF/PQ index family (q_ann_ivf,
-      // q_semdedup, q_pq_topk, q_pq_ivf, q_pq_cascade) via the already-
-      // persisted centroid/codebook artifacts — assignment, ADC and the
-      // cascades replay in SQL
-      // plus q_ann_pca (pinned unit-geometry model; the sampled cutoff
-      // is result-neutral and the oracle states the no-cutoff plan) and
-      // q_ann_recall (exact + IVF legs compose)
-      "q_bpe_train", "q_bpe_encode",
-      "q_corpus_report_incremental",
-      // q_index_recall composes from the eight replayed legs, and
-      // q_rank_fusion_indexed is E9's oracle with the J>0 sparse-leg
-      // predicate (round 14)
+      // F25: zlib's bit stream has no SQL replay (the documented
+      // non-promotion precedent); CompressionSpec pins the ratio lanes
       "q_compression_ratio",
-      "q_bpe_fertility",
       // A22: the spark-sketch Bloom bit layout has no SQL replay; the
       // zero-false-negative contract and fpp band live in BloomSpec
       "q_bloom_fpr"),
