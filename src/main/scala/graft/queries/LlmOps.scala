@@ -517,7 +517,12 @@ object LlmOps {
     * path directly — sees the identical frame. Signatures/sketches are
     * exactly the artifacts a production deployment persists anyway (the
     * signature pass is a full corpus scan you never want to repeat per
-    * job), so the pin is the deployment shape, not a test crutch. */
+    * job), so the pin is the deployment shape, not a test crutch.
+    * Scale note: model/sketch artifacts are KB–MB class at any corpus
+    * size, but SIGNATURE artifacts grow linearly with the corpus — the
+    * coalesce(1) single-file write here is the gate-scale
+    * simplification; at cluster scale those persist as regular
+    * partitioned tables (drop the coalesce, same contract). */
   private[graft] def pinnedFrame(spark: SparkSession, dir: String, table: String,
       name: String)(build: => DataFrame): DataFrame =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {

@@ -455,10 +455,10 @@ object ScaleSmoke {
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }
     time("q_dedup_best_lsh") { queries.LlmOps.qDedupBestLsh(spark, dir) }
     time("q_ann_pca") { queries.LlmOps.qAnnPca(spark, dir) }
-    time("q_pca") { ann.Pca.varianceSpectrum(
-      graft.sources.Tables.table(spark, dir, "embeddings"), "embedding", 16) }
-    time("q_pca_project") { ann.Pca.project(
-      graft.sources.Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", 2) }
+    // registered faces since round 14: spectrum/projection from the
+    // PINNED raw model (one fit per corpus state, artifact-persisted)
+    time("q_pca") { queries.LlmOps.qPca(spark, dir) }
+    time("q_pca_project") { queries.LlmOps.qPcaProject(spark, dir) }
     time("q_xcorr") { queries.Warehouse.qXcorr(spark, dir) }
     time("q_image_dedup_apply") { queries.LlmOps.qImageDedupApply(spark, dir) }
     time("q_bloom_fpr") { queries.Etl.qBloomFpr(spark, dir) }
