@@ -253,6 +253,7 @@ object SparkEntry {
     "q_push_plan" -> ((s, dir) => Etl.qPushPlan(s, dir)),
     "q_domain_entropy" -> ((s, dir) => LlmOps.qDomainEntropy(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
+    "q_dsir_weights" -> ((s, dir) => Mix.qDsirWeights(s, dir)),
     "q_centroid_margin" -> ((s, dir) =>
       graft.ann.Centroids.centroidMargins(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding",
@@ -5267,6 +5268,37 @@ object SparkEntry {
         |    AS rows_share_ppm
         |FROM b, t ORDER BY b.bucket""".stripMargin,
     // H22: the fix: mixed draw + rank-k replayed as a window
+    // H31: the hashed-n-gram model replays around the PINNED λ table
+    // (JVM/DuckDB round sub-micro-nat ln tails differently, so the
+    // micro-nat λ pins like every model artifact): polyhash per bigram
+    // (the H10 codepoint-fold replay), bucket assignment, the bucket
+    // counts the pinned (ct, cr) must match, and the order-free
+    // per-doc INTEGER sums all replay live.
+    "q_dsir_weights" -> s"""
+        |WITH lam0 AS (SELECT bkt, ct, cr, lam_x1e6
+        |              FROM read_parquet('${artifactGlob("dsir_lam_en_b4096")}')),
+        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |      FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, lang,
+        |        unnest(list_transform(range(1, len(t)), i ->
+        |          t[i] || ' ' || t[i+1])) AS gram
+        |      FROM d),
+        |b AS (SELECT doc_id, lang,
+        |        list_reduce(list_transform(range(1, length(gram) + 1),
+        |          i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT)),
+        |          (h, c) -> (h * 131 + c) % 2147483647) % 4096 AS bkt
+        |      FROM g),
+        |r AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+        |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+        |lam AS (SELECT lam0.bkt, lam0.lam_x1e6 FROM lam0
+        |        JOIN r ON r.bkt = lam0.bkt AND r.cr = lam0.cr
+        |        LEFT JOIN tc ON tc.bkt = lam0.bkt
+        |        WHERE coalesce(tc.ct, 0) = lam0.ct)
+        |SELECT b.doc_id, b.lang, count(*) AS n_feats,
+        |  CAST(sum(lam.lam_x1e6) AS BIGINT) AS importance_x1e6
+        |FROM b JOIN lam USING (bkt)
+        |GROUP BY b.doc_id, b.lang
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_fixed" ->
       """WITH hr AS (SELECT doc_id, list_reduce(
         |    list_transform(range(1, length('fix:' || CAST(doc_id AS VARCHAR)) + 1),

@@ -554,4 +554,69 @@ object Mix {
     }
     h <= thr
   }
+
+  /** H31: DSIR-style importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection via Importance Resampling): per
+    * document, the hashed-n-gram importance log-ratio of a TARGET
+    * domain against the RAW corpus — the signal that up-weights raw
+    * documents that "look like" the target when composing a training
+    * mix for a domain (the `lang = 'en'` slice stands in for the
+    * target, as in H16's domain lanes). Features are word bigrams
+    * hashed into `buckets` polyhash buckets (the paper's hashed n-gram
+    * model — the bucket table is the WHOLE model, bounded state at any
+    * corpus size); per-bucket λ = ln(p̂_target(b)) − ln(p̂_raw(b)) with
+    * add-one smoothing, and a document's importance is Σ counts·λ over
+    * its gram stream.
+    *
+    * Scale shape: two bounded aggregates build the ≤`buckets`-row
+    * model (broadcast dims — at 100 TB this is the classifier you fit
+    * once per target), then one doc-keyed aggregate over (doc, bucket)
+    * partial counts; the only corpus-sized exchange carries
+    * doc×distinct-bucket rows. INTEGER lanes end-to-end where order
+    * could bite: λ rounds to ×1e6 micro-nats ONCE per bucket (both
+    * engines round the same double the same way), so the per-doc sum
+    * is an integer aggregate — immune to float summation order. The
+    * weights feed H5's weighted sampler / H16's mix planner; DSIR's
+    * Gumbel resampling step is deliberately NOT fused in (sampling
+    * composes; the weights are the operator). Docs with no bigram
+    * (< 2 tokens) carry no features and drop, as in the paper's
+    * n-gram model. */
+  def qDsirWeights(spark: SparkSession, dir: String, target: String = "en",
+      buckets: Int = 4096): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__toks"))
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2)).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.polyhash(col("gram")), lit(buckets.toLong)).as("bkt"))
+    val raw = grams.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("lang") === target)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val nr = grams.count()
+    val nt = grams.filter(col("lang") === target).count()
+    // λ in integer micro-nats, computed ONCE per bucket and PINNED as
+    // the hashed-n-gram model artifact (the DSIR model IS this table —
+    // fit once per target, reused per mix run): JVM and DuckDB round
+    // sub-micro-nat ln tails differently (measured ±1 on ~1 bucket per
+    // doc), so the oracle reads the pinned λ and replays everything
+    // around it — bucket assignment (polyhash), counts, and the
+    // order-free integer per-doc sums; MixSpec re-derives λ from the
+    // stored (ct, cr) counts on the driver.
+    val lam = LlmOps.pinnedFrame(spark, dir, "documents",
+        s"dsir_lam_${target}_b$buckets") {
+      raw.join(tgt, Seq("bkt"), "left")
+        .select(col("bkt"),
+          coalesce(col("ct"), lit(0L)).as("ct"), col("cr"),
+          lit(nt).as("n_target"), lit(nr).as("n_raw"),
+          (round(
+            log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (nt + buckets).toDouble)
+              - log((col("cr") + 1).cast("double") / (nr + buckets).toDouble), 6) * 1e6)
+            .cast("long").as("lam_x1e6"))
+    }.select(col("bkt"), col("lam_x1e6"))
+    grams.join(broadcast(lam), "bkt")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_x1e6")).as("importance_x1e6"))
+      .orderBy("doc_id")
+  }
 }

@@ -464,6 +464,7 @@ object ScaleSmoke {
     time("q_bloom_fpr") { queries.Etl.qBloomFpr(spark, dir) }
     time("q_graph_distances") { queries.Warehouse.qGraphDistances(spark, dir) }
     time("q_epoch_independence") { queries.Mix.qEpochIndependence(spark, dir) }
+    time("q_dsir_weights") { queries.Mix.qDsirWeights(spark, dir) }
     time("q_pq_cascade") { queries.LlmOps.qPqCascade(spark, dir) }
     time("q_replay_diff") { queries.Warehouse.qReplayDiff(spark, dir) }
     time("q_holt_winters") { queries.Warehouse.qHoltWinters(spark, dir) }

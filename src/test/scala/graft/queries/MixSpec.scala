@@ -7,6 +7,54 @@ import org.apache.spark.sql.functions._
   * epoch planning, exact-quota domain rebalancing. */
 class MixSpec extends SparkSpec {
 
+  test("DSIR weights (H31): lambda re-derives from the pinned counts; target-like docs up-weight") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted corpus: target (en) speaks alpha-bigrams, the off-domain
+    // raw mass speaks beta-bigrams; an unlabeled gamma doc mixing alpha
+    // must out-weight one mixing beta
+    val alpha = (1 to 30).map(i => s"a$i").mkString(" ")
+    val beta = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "en", alpha)) ++
+      (11 to 20).map(i => (i.toLong, "de", beta)) ++
+      Seq((21L, "xx", alpha), (22L, "xx", beta)))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Mix.qDsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("importance_x1e6"), r.getAs[Long]("n_feats"))).toMap
+    assert(out(21L)._1 > out(22L)._1,
+      s"alpha-speaking doc must out-weight beta-speaking: ${out(21L)} vs ${out(22L)}")
+    assert(out(21L)._2 == 29L && out(22L)._2 == 29L, "30 tokens => 29 bigrams")
+    // the pinned model's lambda column re-derives from its OWN stored
+    // counts (the non-circular half of the artifact contract): micro-nat
+    // HALF_UP rounding of ln((ct+1)/(nt+B)) - ln((cr+1)/(nr+B))
+    val lam = spark.read.parquet(
+      graft.catalog.Artifacts.path(dir, "dsir_lam_en_b4096")).collect()
+    assert(lam.nonEmpty)
+    lam.foreach { r =>
+      val (ct, cr, nt, nr) = (r.getAs[Long]("ct"), r.getAs[Long]("cr"),
+        r.getAs[Long]("n_target"), r.getAs[Long]("n_raw"))
+      val want = BigDecimal(
+        math.log((ct + 1).toDouble / (nt + 4096)) - math.log((cr + 1).toDouble / (nr + 4096)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1e6
+      assert(r.getAs[Long]("lam_x1e6") == want.toLong,
+        s"bucket ${r.getAs[Long]("bkt")}: stored lambda != re-derivation")
+    }
+    // importance recomputes as the integer sum of per-gram lambdas
+    val lamMap = lam.map(r => r.getAs[Long]("bkt") -> r.getAs[Long]("lam_x1e6")).toMap
+    def imp(text: String): Long = {
+      val toks = text.split(" ")
+      toks.sliding(2).map(_.mkString(" ")).map { g =>
+        val h = g.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 131 + c) % 2147483647L)
+        lamMap(math.floorMod(h, 4096L))
+      }.sum
+    }
+    assert(out(21L)._1 == imp(alpha) && out(22L)._1 == imp(beta),
+      "per-doc importance must equal the imperative integer fold")
+  }
+
   test("global shuffle is a bijection onto strided positions, deterministic") {
     val out = Mix.qGlobalShuffle(spark, sfDir).cache()
     val docs = graft.sources.Tables.table(spark, sfDir, "documents")
