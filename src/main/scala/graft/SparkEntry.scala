@@ -254,6 +254,8 @@ object SparkEntry {
     "q_domain_entropy" -> ((s, dir) => LlmOps.qDomainEntropy(s, dir)),
     "q_sample_fixed" -> ((s, dir) => Mix.qSampleFixed(s, dir)),
     "q_dsir_weights" -> ((s, dir) => Mix.qDsirWeights(s, dir)),
+    "q_dsir_resample" -> ((s, dir) => Mix.qDsirResample(s, dir)),
+    "q_dedup_simhash_apply" -> ((s, dir) => LlmOps.qDedupSimhashApply(s, dir)),
     "q_centroid_margin" -> ((s, dir) =>
       graft.ann.Centroids.centroidMargins(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding",
@@ -527,17 +529,30 @@ object SparkEntry {
       |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS b
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
-  /** Parquet glob for a PINNED artifact frame (LlmOps.pinnedFrame) at the
-    * driver's correctness scale — the round-14 oracle-pinning pattern:
-    * the face and the DuckDB oracle read the SAME persisted frame, so the
-    * oracle can replay hash-derived lanes (SimHash/MinHash signatures)
-    * that have no SQL formulation. Resolved through Artifacts.root at
-    * oracle-dump time (same process and cwd as the queries), with the
-    * data-dir hash globbed; sf0.01 is baked in because that is the
+  /** The data dir the oracle dump is being produced FOR — set by
+    * Verify.main before it serializes [[oracleSql]], so artifact reads
+    * resolve to the CONCRETE [[graft.catalog.Artifacts.path]] the
+    * queries just wrote (r15 ADVICE: the dir-hash glob matched every
+    * sanitized dir containing the scale token, so a gate run with a
+    * relative path and one with an absolute path left two artifact dirs
+    * that BOTH matched — read_parquet unioned them and single-row model
+    * CTEs silently became multi-row). */
+  @volatile private[graft] var oracleDataDir: Option[String] = None
+
+  /** Parquet path for a PINNED artifact frame (LlmOps.pinnedFrame) — the
+    * round-14 oracle-pinning pattern: the face and the DuckDB oracle
+    * read the SAME persisted frame, so the oracle can replay
+    * hash-derived lanes (SimHash/MinHash signatures) that have no SQL
+    * formulation. Resolved through the concrete Artifacts.path when
+    * [[oracleDataDir]] is set (the Verify dump — same process, same dir
+    * string, same hash as the write); the dir-hash glob remains only as
+    * the fallback for ad-hoc dumps, baked to sf0.01 because that is the
     * driver's gate scale (every artifact oracle is gate-scale-specific
     * by construction — the artifact is trained on the gated corpus). */
-  private def artifactGlob(name: String): String =
-    s"${graft.catalog.Artifacts.root}/*testdata_sf0.01_*/$name/*.parquet"
+  private def artifactGlob(name: String): String = oracleDataDir match {
+    case Some(d) => s"${graft.catalog.Artifacts.path(d, name)}/*.parquet"
+    case None => s"${graft.catalog.Artifacts.root}/*testdata_sf0.01_*/$name/*.parquet"
+  }
 
   /** Shared oracle CTE replaying the IVF coarse quantizer from the PINNED
     * centroid artifact (round 14): squared-L2 per (vector, cell) via the
@@ -578,6 +593,38 @@ object SparkEntry {
     |           SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
     |           FROM sub) WHERE rn = 1),
     |q AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id % 50 = 0)""".stripMargin
+
+  /** Shared oracle CTEs replaying the H31 DSIR importance weights from
+    * the PINNED λ model (round 14 pattern): per-bigram polyhash + bucket
+    * assignment, bucket counts that the pinned (ct, cr) must MATCH (the
+    * non-circular half), and the order-free integer per-doc sums.
+    * Yields CTEs: lam0 (the pinned model), b(doc_id, lang, bkt),
+    * lam(bkt, lam_x1e6) count-verified, imp(doc_id, lang, n_feats,
+    * importance_x1e6). */
+  private def dsirImpCte: String = s"""
+    |WITH lam0 AS (SELECT bkt, ct, cr, lam_x1e6
+    |              FROM read_parquet('${artifactGlob("dsir_lam2_en_b4096")}')),
+    |d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+    |      FROM documents WHERE text IS NOT NULL),
+    |g AS (SELECT doc_id, lang,
+    |        unnest(list_transform(range(1, len(t)), i ->
+    |          t[i] || ' ' || t[i+1])) AS gram
+    |      FROM d),
+    |b AS (SELECT doc_id, lang,
+    |        list_reduce(list_transform(range(1, length(gram) + 1),
+    |          i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT)),
+    |          (h, c) -> (h * 131 + c) % 2147483647) % 4096 AS bkt
+    |      FROM g),
+    |r AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+    |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+    |lam AS (SELECT lam0.bkt, lam0.lam_x1e6 FROM lam0
+    |        JOIN r ON r.bkt = lam0.bkt AND r.cr = lam0.cr
+    |        LEFT JOIN tc ON tc.bkt = lam0.bkt
+    |        WHERE coalesce(tc.ct, 0) = lam0.ct),
+    |imp AS (SELECT b.doc_id, b.lang, count(*) AS n_feats,
+    |          CAST(sum(lam.lam_x1e6) AS BIGINT) AS importance_x1e6
+    |        FROM b JOIN lam USING (bkt)
+    |        GROUP BY b.doc_id, b.lang)""".stripMargin
 
   /** DuckDB-equivalent ANSI SQL per query key (same column names/types).
     * q_index_recall composes at the end from the eight leg oracles —
@@ -1263,6 +1310,33 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
         |ORDER BY o_orderkey""".stripMargin,
+    // A22 [R]→[O] (round 15): the Bloom bit layout has no SQL replay, so
+    // the per-distinct-key VERDICT pins (the filter's whole observable
+    // behavior on this probe stream); activity, every count, FN = 0 and
+    // the ppm arithmetic all replay — a filter that dropped an active
+    // key now fails the gate as a hash mismatch, not just a spec.
+    "q_bloom_fpr" -> s"""
+        |WITH v AS (SELECT o_custkey, pass
+        |           FROM read_parquet('${artifactGlob("bloom_verdicts_acct5000_i0_f30000")}')),
+        |a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+        |p AS (SELECT o.o_custkey, v.pass,
+        |        CASE WHEN a.c_custkey IS NULL THEN 0 ELSE 1 END AS is_active
+        |      FROM orders o JOIN v ON v.o_custkey = o.o_custkey
+        |      LEFT JOIN a ON a.c_custkey = o.o_custkey),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |        CAST(sum(CASE WHEN is_active = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_negative_probes,
+        |        CAST(sum(CASE WHEN is_active = 0 AND pass = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_false_positives,
+        |        CAST(sum(CASE WHEN is_active = 1 AND pass = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_false_negatives
+        |      FROM p)
+        |SELECT n_probes, n_negative_probes, n_false_positives, n_false_negatives,
+        |  CAST(CASE WHEN n_negative_probes = 0 THEN 0
+        |       ELSE (CAST(n_false_positives AS HUGEINT) * 1000000)
+        |            // n_negative_probes END AS BIGINT) AS observed_fpp_ppm,
+        |  CAST(30000 AS BIGINT) AS configured_fpp_ppm
+        |FROM t""".stripMargin,
     "q_doc_chunk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |s AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start FROM toks)
@@ -1743,6 +1817,30 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // D3b: D3's pair set collapsed to the per-doc deployment verdict —
+    // recursive transitive closure over the replayed ≤3-hamming pairs of
+    // the SAME pinned signatures (the q_dedup_apply_lsh shape);
+    // singletons cluster to themselves, canonical = min member.
+    "q_dedup_simhash_apply" -> s"""
+        |WITH RECURSIVE s AS (SELECT doc_id, simhash
+        |           FROM read_parquet('${artifactGlob("simhash_sigs_w1")}')),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT s.doc_id,
+        |  coalesce(cl.cluster_id, s.doc_id) AS cluster_id,
+        |  (s.doc_id = coalesce(cl.cluster_id, s.doc_id)) AS kept
+        |FROM s LEFT JOIN cl ON cl.id = s.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // D2-fast [R]→[O] (round 14): decisions are the pinned-regime exact
     // pair set (as q_dedup_minhash); scores replay the fast path's
     // published contract from the PINNED signatures — lane-agreement
@@ -3650,40 +3748,50 @@ object SparkEntry {
         |    list_reduce(
         |      list_transform(range(1, length('cursmp:' || CAST(doc_id AS VARCHAR)) + 1),
         |                     i -> CAST(ascii(substr('cursmp:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
-        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2c
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2c,
+        |    list_reduce(
+        |      list_transform(range(1, length('dsir:' || CAST(doc_id AS VARCHAR)) + 1),
+        |                     i -> CAST(ascii(substr('dsir:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h2d
         |  FROM documents),
         |h1 AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
         |         (h2 * h2) % 2147483647 AS h2,
         |         (h2p * h2p) % 2147483647 AS h2p,
-        |         (h2c * h2c) % 2147483647 AS h2c FROM hr),
+        |         (h2c * h2c) % 2147483647 AS h2c,
+        |         (h2d * h2d) % 2147483647 AS h2d FROM hr),
         |hh AS (SELECT doc_id, source, (h * h) % 2147483647 AS h,
         |         (h2 * h2) % 2147483647 AS h2,
         |         (h2p * h2p) % 2147483647 AS h2p,
-        |         (h2c * h2c) % 2147483647 AS h2c FROM h1),
+        |         (h2c * h2c) % 2147483647 AS h2c,
+        |         (h2d * h2d) % 2147483647 AS h2d FROM h1),
         |f AS (SELECT hh.doc_id, hh.source, k.n_s, k.k_s,
         |        CASE WHEN row_number() OVER (PARTITION BY hh.source ORDER BY h, doc_id)
         |          <= k.k_s THEN 1 ELSE 0 END AS keep,
         |        CASE WHEN h2 * 16 < 2147483647 THEN 1 ELSE 0 END AS smp,
         |        CASE WHEN h2p * 4 < 2147483647 THEN 1 ELSE 0 END AS psmp,
-        |        CASE WHEN h2c * 4 < 2147483647 THEN 1 ELSE 0 END AS csmp
+        |        CASE WHEN h2c * 4 < 2147483647 THEN 1 ELSE 0 END AS csmp,
+        |        CASE WHEN h2d * 16 < 2147483647 THEN 1 ELSE 0 END AS dsmp
         |      FROM hh JOIN k ON hh.source = k.source),
-        |p AS (SELECT source, n_s, k_s, keep, smp, psmp, csmp,
+        |p AS (SELECT source, n_s, k_s, keep, smp, psmp, csmp, dsmp,
         |        lag(keep) OVER (PARTITION BY source ORDER BY doc_id) AS keep_p,
         |        lag(smp) OVER (PARTITION BY source ORDER BY doc_id) AS smp_p,
         |        lag(psmp) OVER (PARTITION BY source ORDER BY doc_id) AS psmp_p,
-        |        lag(csmp) OVER (PARTITION BY source ORDER BY doc_id) AS csmp_p
+        |        lag(csmp) OVER (PARTITION BY source ORDER BY doc_id) AS csmp_p,
+        |        lag(dsmp) OVER (PARTITION BY source ORDER BY doc_id) AS dsmp_p
         |      FROM f),
         |ps AS (SELECT source, n_s, k_s, CAST(count(*) AS BIGINT) AS pairs_s,
         |         CAST(sum(keep * keep_p) AS BIGINT) AS bk,
         |         CAST(sum(smp * smp_p) AS BIGINT) AS bs,
         |         CAST(sum(psmp * psmp_p) AS BIGINT) AS bp,
-        |         CAST(sum(csmp * csmp_p) AS BIGINT) AS bc
+        |         CAST(sum(csmp * csmp_p) AS BIGINT) AS bc,
+        |         CAST(sum(dsmp * dsmp_p) AS BIGINT) AS bd
         |       FROM p WHERE keep_p IS NOT NULL GROUP BY source, n_s, k_s),
         |t AS (SELECT CAST(sum(pairs_s) AS BIGINT) AS n_pairs,
         |        CAST(sum(bk) AS BIGINT) AS both_keep,
         |        CAST(sum(bs) AS BIGINT) AS both_smp,
         |        CAST(sum(bp) AS BIGINT) AS both_psmp,
         |        CAST(sum(bc) AS BIGINT) AS both_csmp,
+        |        CAST(sum(bd) AS BIGINT) AS both_dsmp,
         |        sum((CAST(pairs_s AS HUGEINT) * k_s * k_s * 1000000)
         |            // (CAST(n_s AS HUGEINT) * n_s)) AS exp_keep_num
         |      FROM ps)
@@ -3696,6 +3804,8 @@ object SparkEntry {
         |  CAST((CAST(both_psmp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 62500 FROM t
         |UNION ALL SELECT 'cur_sample', n_pairs, both_csmp,
         |  CAST((CAST(both_csmp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 62500 FROM t
+        |UNION ALL SELECT 'dsir_sample', n_pairs, both_dsmp,
+        |  CAST((CAST(both_dsmp AS HUGEINT) * 1000000) // n_pairs AS BIGINT), 3906 FROM t
         |ORDER BY lane""".stripMargin,
     // hybrid RRF: integer ppb scores; dense rank parity rests on the
     // same bit-identical DOUBLE cosine the q_ann_topk oracle proves
@@ -3905,6 +4015,21 @@ object SparkEntry {
         |SELECT doc_id, term_rank, term, tf, df, score_ppm
         |FROM r WHERE term_rank <= 3
         |ORDER BY doc_id, term_rank""".stripMargin,
+    // F25 [R]→[O] (round 15): DuckDB has no zlib, so the deflate pass
+    // (the "fit") pins per doc; the oracle replays the doc set, demands
+    // the pinned n_bytes EQUAL the recomputed UTF-8 octet length (the
+    // non-circular half), and replays the integer ratio arithmetic.
+    "q_compression_ratio" -> s"""
+        |WITH z AS (SELECT doc_id, n_bytes, n_compressed
+        |           FROM read_parquet('${artifactGlob("deflate6_lens")}')),
+        |d AS (SELECT doc_id, octet_length(encode(text)) AS nb
+        |      FROM documents WHERE text IS NOT NULL)
+        |SELECT z.doc_id, z.n_bytes, z.n_compressed,
+        |  CAST(CASE WHEN z.n_bytes = 0 THEN 0
+        |       ELSE z.n_compressed * 1000 // z.n_bytes END AS BIGINT)
+        |    AS ratio_x1000
+        |FROM z JOIN d ON d.doc_id = z.doc_id AND d.nb = z.n_bytes
+        |ORDER BY z.doc_id""".stripMargin,
     // F27/F28 share the deterministic branch-exercising mutation of
     // LlmOps.ruleEnriched; chr(10) mirrors the Scala "\n" literals
     "q_gopher_rules" ->
@@ -5273,32 +5398,40 @@ object SparkEntry {
     // micro-nat λ pins like every model artifact): polyhash per bigram
     // (the H10 codepoint-fold replay), bucket assignment, the bucket
     // counts the pinned (ct, cr) must match, and the order-free
-    // per-doc INTEGER sums all replay live.
-    "q_dsir_weights" -> s"""
-        |WITH lam0 AS (SELECT bkt, ct, cr, lam_x1e6
-        |              FROM read_parquet('${artifactGlob("dsir_lam_en_b4096")}')),
-        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-        |      FROM documents WHERE text IS NOT NULL),
-        |g AS (SELECT doc_id, lang,
-        |        unnest(list_transform(range(1, len(t)), i ->
-        |          t[i] || ' ' || t[i+1])) AS gram
-        |      FROM d),
-        |b AS (SELECT doc_id, lang,
-        |        list_reduce(list_transform(range(1, length(gram) + 1),
-        |          i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT)),
-        |          (h, c) -> (h * 131 + c) % 2147483647) % 4096 AS bkt
-        |      FROM g),
-        |r AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
-        |tc AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
-        |lam AS (SELECT lam0.bkt, lam0.lam_x1e6 FROM lam0
-        |        JOIN r ON r.bkt = lam0.bkt AND r.cr = lam0.cr
-        |        LEFT JOIN tc ON tc.bkt = lam0.bkt
-        |        WHERE coalesce(tc.ct, 0) = lam0.ct)
-        |SELECT b.doc_id, b.lang, count(*) AS n_feats,
-        |  CAST(sum(lam.lam_x1e6) AS BIGINT) AS importance_x1e6
-        |FROM b JOIN lam USING (bkt)
-        |GROUP BY b.doc_id, b.lang
-        |ORDER BY doc_id""".stripMargin,
+    // per-doc INTEGER sums all replay live (shared CTEs: dsirImpCte).
+    "q_dsir_weights" -> (dsirImpCte + """
+        |SELECT doc_id, lang, n_feats, importance_x1e6 FROM imp
+        |ORDER BY doc_id""".stripMargin),
+    // H32: Gumbel-top-k resampling replays around the PINNED per-doc
+    // key table: importance from the pinned λ model (the full H31
+    // replay), the u draw bit-exact (drawMix integer lanes), the key as
+    // integer addition, and the Gumbel micro-nat BRACKETED within ±1 of
+    // DuckDB's own −ln(−ln(u)) (ln tails differ across engines — the
+    // H31 lesson; ±1 tolerates the last ulp, any formula error blows
+    // past it and the dropped doc shifts every rank below it).
+    "q_dsir_resample" -> (dsirImpCte + s""",
+        |ky AS (SELECT doc_id, importance_x1e6, u_draw, gumbel_x1e6, key_x1e6
+        |       FROM read_parquet('${artifactGlob("dsir_key_en_b4096")}')),
+        |dh AS (SELECT doc_id, list_reduce(
+        |        list_transform(range(1, length('dsir:' || CAST(doc_id AS VARCHAR)) + 1),
+        |          i -> CAST(ascii(substr('dsir:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647) AS h FROM documents),
+        |dm1 AS (SELECT doc_id, (h * h) % 2147483647 AS h FROM dh),
+        |dm2 AS (SELECT doc_id, (h * h) % 2147483647 AS u FROM dm1),
+        |chk AS (SELECT ky.doc_id, ky.importance_x1e6, ky.key_x1e6
+        |        FROM ky
+        |        JOIN imp ON imp.doc_id = ky.doc_id
+        |          AND imp.importance_x1e6 = ky.importance_x1e6
+        |        JOIN dm2 ON dm2.doc_id = ky.doc_id AND dm2.u = ky.u_draw
+        |        WHERE ky.key_x1e6 = ky.importance_x1e6 + ky.gumbel_x1e6
+        |          AND abs(ky.gumbel_x1e6
+        |            - round(-ln(-ln((ky.u_draw + 1) / 2147483648.0)) * 1e6, 0)) <= 1),
+        |rk AS (SELECT doc_id, importance_x1e6, key_x1e6,
+        |         CAST(row_number() OVER (ORDER BY key_x1e6 DESC, doc_id) AS BIGINT)
+        |           AS sample_rank
+        |       FROM chk)
+        |SELECT sample_rank, doc_id, importance_x1e6, key_x1e6 FROM rk
+        |WHERE sample_rank <= 200 ORDER BY sample_rank""".stripMargin),
     "q_sample_fixed" ->
       """WITH hr AS (SELECT doc_id, list_reduce(
         |    list_transform(range(1, length('fix:' || CAST(doc_id AS VARCHAR)) + 1),

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // artifact oracles resolve to the concrete Artifacts.path for THIS
+    // dir string — the same path the queries' pinnedFrame writes below
+    SparkEntry.oracleDataDir = Some(sfDir)
     // optional extra args: restrict to the named queries (local iteration;
     // the driver always passes exactly two args so its run is unaffected)
     val only: Set[String] = args.drop(2).toSet

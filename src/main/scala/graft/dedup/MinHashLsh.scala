@@ -176,9 +176,16 @@ object MinHashLsh {
       maxBucketSize: Int = 10000, pairSamplePpm: Long = 1000000L,
       sigSource: Option[DataFrame] = None,
       pairSource: Option[DataFrame] = None): DataFrame = {
+    // shingled feeds the exact lane's TWO pair join-backs in every path
+    // (and the signature pass in the non-pinned one): checkpoint it, or
+    // the tokenize + gram-hash scan re-runs per consuming branch — the
+    // multi-branch recompute shape the checkpoint rule exists to prevent
+    // (r15 ADVICE: the pinned-sig path had lost this when shingles
+    // stopped riding the checkpointed signature frame)
     val shingled = df
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), Dedup.hashedNgrams(col("__toks"), shingleSize).as("shingles"))
+      .transform(graft.engine.Materialized.checkpoint)
     // sigSource/pairSource: PINNED artifact frames (LlmOps.pinnedFrame) —
     // deterministic ⇒ identical values to the inline passes, already
     // materialized parquet ⇒ no checkpoint needed, and the DuckDB oracle
@@ -186,9 +193,9 @@ object MinHashLsh {
     val sigs = sigSource.getOrElse(
       shingled.select(col(idCol),
         graft.functions.minhashSignature(col("shingles"), numHashes).as("sig"))
-        // one frame, three consumers (banding + two pair join-backs):
-        // signatures are k lane-minima over every shingle — the
-        // expensive-derivation multi-branch shape (see Ann/ImageDedup)
+        // still checkpointed on its own: three consumers (banding + two
+        // sig join-backs), and the k lane-minima are the expensive
+        // derivation even over materialized shingles
         .transform(graft.engine.Materialized.checkpoint))
     val allPairs = pairSource.getOrElse {
       val banded = bands(sigs.select(col(idCol), col("sig")), "sig", idCol, rowsPerBand)

@@ -144,22 +144,37 @@ object Etl {
     * active count (expectedItems ≤ 0 → count it) — an audit against a
     * grossly oversized filter reads 0 observed fpp and proves nothing;
     * sized-to-set, the observed rate must land at the configured fpp,
-    * which is what gives the band teeth. Rows-only: the spark-sketch bit
-    * layout has no SQL replay — BloomSpec pins the zero-FN contract and
-    * the fpp band. Ref: tap sync.py's key-prefilter economics (A13). */
+    * which is what gives the band teeth. [R]→[O] in round 15: the
+    * filter's per-key verdict (membership bit per DISTINCT probe key —
+    * the pass bit is key-functional) PINS as an artifact stamped
+    * against BOTH source tables (the spark-sketch bit layout is the one
+    * lane with no SQL replay), and the oracle replays everything around
+    * it: the probe stream, the activity recomputation (which makes
+    * FN = 0 an oracle-checked equality, not a spec assertion), every
+    * count, and the ppm arithmetic. BloomSpec still pins the zero-FN
+    * contract and the fpp band independently.
+    * Ref: tap sync.py's key-prefilter economics (A13). */
   def qBloomFpr(spark: SparkSession, dir: String,
       expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
     import spark.implicits._
+    val verdicts = LlmOps.pinnedFrameTables(spark, dir, Seq("orders", "customer"),
+        s"bloom_verdicts_acct5000_i${expectedItems}_f${(fpp * 1e6).round}") {
+      val active = Tables.table(spark, dir, "customer")
+        .filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      val sized = if (expectedItems > 0) expectedItems
+        else math.max(1L, active.count())
+      val bytes = graft.engine.BloomSemiJoin.buildBloom(
+        active, "c_custkey", sized, fpp)
+      Tables.table(spark, dir, "orders").select($"o_custkey").distinct()
+        .select($"o_custkey",
+          graft.functions.bloomMightContain($"o_custkey", bytes)
+            .cast("long").as("pass"))
+    }
     val active = Tables.table(spark, dir, "customer")
       .filter($"c_acctbal" > 5000.0).select($"c_custkey")
-    val sized = if (expectedItems > 0) expectedItems
-      else math.max(1L, active.count())
-    val bytes = graft.engine.BloomSemiJoin.buildBloom(
-      active, "c_custkey", sized, fpp)
     val flagged = Tables.table(spark, dir, "orders")
-      .select($"o_custkey",
-        graft.functions.bloomMightContain($"o_custkey", bytes)
-          .cast("long").as("pass"))
+      .select($"o_custkey")
+      .join(verdicts, "o_custkey")
       .join(broadcast(active.select($"c_custkey",
         lit(1L).as("is_active"))), $"o_custkey" === $"c_custkey", "left")
       .select($"pass", coalesce($"is_active", lit(0L)).as("is_active"))

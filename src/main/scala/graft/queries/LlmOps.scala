@@ -107,6 +107,36 @@ object LlmOps {
       simhashSigArtifact(spark, dir), "doc_id", "simhash")
       .orderBy("id_a", "id_b")
 
+  /** D3b: the DEPLOYMENT read of D3 — per-doc cluster id + keep/drop
+    * verdict instead of the pair matrix. D3's pair output is quadratic
+    * in clone-group size (the TRUE answer, but 29.1M rows on the 100×
+    * clone-amplified corpus — not what a dedup pipeline consumes); this
+    * face runs the same banded candidate machinery over the same pinned
+    * signatures, then collapses pairs through D6's connected components
+    * into one row per document: cluster_id = min member (singletons
+    * cluster to themselves), kept = (doc == cluster canonical). Output
+    * is corpus-LINEAR at any clone structure, so this is the face the
+    * 100× sweep times; the pair matrix demotes to the opt-in exact
+    * baseline. Oracle: recursive-CTE transitive closure over the
+    * bit_count(xor) ≤ 3 pair set of the pinned sigs (the
+    * q_dedup_apply_lsh shape). */
+  def qDedupSimhashApply(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigArtifact(spark, dir)
+    // checkpoint before cc's iterative/probing actions — see
+    // qDedupClusters for the persist-vs-checkpoint rationale
+    val pairs = SimHash.nearDupPairsFromSigs(sigs, "doc_id", "simhash")
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val clusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    sigs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** D4: exact word-bigram Jaccard over all same-source pairs. The
     * contract here is EVERY pair in the block (that is what the oracle SQL
     * states), so pair generation goes through the grid self-join: the
@@ -494,47 +524,77 @@ object LlmOps {
     Retrieval.clearPostingIndex()
   }
 
-  /** Staleness stamp every persisted artifact carries, memoized per
-    * (session, dir, table): row count folded with the file-level content
-    * fingerprint (Artifacts.fingerprint — lengths+mtimes, no data read),
-    * so a count-preserving corpus rewrite still invalidates the
-    * artifact. One cheap aggregate + one FS listing per session; a
-    * snapshot id at warehouse scale. */
-  private def srcCount(spark: SparkSession, dir: String, table: String): Long =
+  /** Per-(session, dir, table) memo of (row count, content fingerprint)
+    * — one cheap aggregate + one FS listing per session; a snapshot id
+    * at warehouse scale. */
+  private def srcStat(spark: SparkSession, dir: String, table: String): (Long, Long) =
     annIndexCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, s"count_$table"),
-      java.lang.Long.valueOf(
-        Tables.table(spark, dir, table).count() ^
-          graft.catalog.Artifacts.fingerprint(spark, s"$dir/$table.parquet")))
-      .asInstanceOf[java.lang.Long].longValue()
+      (System.identityHashCode(spark), dir, s"stat_$table"),
+      (Tables.table(spark, dir, table).count(),
+        graft.catalog.Artifacts.fingerprint(spark, s"$dir/$table.parquet")))
+      .asInstanceOf[(Long, Long)]
+
+  /** Staleness stamp every persisted artifact carries: row count folded
+    * with the file-level content fingerprint (Artifacts.fingerprint —
+    * lengths+mtimes, no data read), so a count-preserving corpus
+    * rewrite still invalidates the artifact. */
+  private def srcCount(spark: SparkSession, dir: String, table: String): Long = {
+    val (n, fp) = srcStat(spark, dir, table); n ^ fp
+  }
+
+  /** Above this many SOURCE rows an artifact writes as a regular
+    * partitioned parquet table instead of the gate-scale coalesce(1)
+    * single file — corpus-LINEAR artifacts (signature tables) must not
+    * funnel a 100 TB corpus through one write task. KB–MB model
+    * artifacts stay single-file (fewer FS round-trips per load). */
+  private val SingleFileArtifactMaxSrcRows = 1000000L
+
+  /** One artifact write, both shapes behind one stamp contract —
+    * factored out so ArtifactsSpec can prove the partitioned and the
+    * single-file path read back frame-identical. */
+  private[graft] def writeArtifact(df: DataFrame, path: String, stamp: Long,
+      singleFile: Boolean): Unit = {
+    val stamped = df.withColumn("src_count", lit(stamp))
+    (if (singleFile) stamped.coalesce(1) else stamped)
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Load-or-create a PINNED parquet artifact frame — the round-14
     * oracle-pinning pattern (H10's pinned-coefficient precedent extended
     * to whole frames): `build` runs once per corpus state, the result
     * persists under [[graft.catalog.Artifacts.path]] stamped with the
-    * source table's staleness count, and every later consumer — the
+    * source tables' staleness counts (XOR-folded — artifacts like the
+    * A22 Bloom verdicts derive from BOTH a probe and a build table, and
+    * either changing must invalidate), and every later consumer — the
     * registered face AND the DuckDB oracle, which reads the parquet
     * path directly — sees the identical frame. Signatures/sketches are
     * exactly the artifacts a production deployment persists anyway (the
     * signature pass is a full corpus scan you never want to repeat per
     * job), so the pin is the deployment shape, not a test crutch.
-    * Scale note: model/sketch artifacts are KB–MB class at any corpus
-    * size, but SIGNATURE artifacts grow linearly with the corpus — the
-    * coalesce(1) single-file write here is the gate-scale
-    * simplification; at cluster scale those persist as regular
-    * partitioned tables (drop the coalesce, same contract). */
+    * Corpus-LINEAR artifacts (signature tables) switch to a partitioned
+    * write above [[SingleFileArtifactMaxSrcRows]] source rows — same
+    * stamp contract, no single-task write funnel at scale.
+    * The freshness probe is failure-isolated: a pre-existing file at
+    * the artifact path that is unreadable, schema-incompatible (no
+    * src_count column — older code, foreign tooling), or empty counts
+    * as STALE and rebuilds, never fails the query. */
   private[graft] def pinnedFrame(spark: SparkSession, dir: String, table: String,
       name: String)(build: => DataFrame): DataFrame =
+    pinnedFrameTables(spark, dir, Seq(table), name)(build)
+
+  private[graft] def pinnedFrameTables(spark: SparkSession, dir: String,
+      tables: Seq[String], name: String)(build: => DataFrame): DataFrame =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
-      val n = srcCount(spark, dir, table)
+      val n = tables.map(t => srcCount(spark, dir, t)).reduce(_ ^ _)
       val path = graft.catalog.Artifacts.path(dir, name)
-      val fresh = graft.catalog.Artifacts.exists(spark, path) && {
+      val fresh = graft.catalog.Artifacts.exists(spark, path) && (try {
         val stamp = spark.read.parquet(path).select("src_count").limit(1).collect()
         stamp.nonEmpty && stamp.head.getLong(0) == n
-      }
+      } catch { case scala.util.control.NonFatal(_) => false })
       if (!fresh)
-        build.withColumn("src_count", lit(n))
-          .coalesce(1).write.mode("overwrite").parquet(path)
+        writeArtifact(build, path, n,
+          singleFile = tables.forall(t =>
+            srcStat(spark, dir, t)._1 <= SingleFileArtifactMaxSrcRows))
       val frame = spark.read.parquet(path).drop("src_count").persist()
       frame.count()
       frame
@@ -1304,36 +1364,46 @@ object LlmOps {
     * codec-pass sibling of F5's explicit repetition counters. One
     * batched map-side pass, Deflater REUSED per partition (reset per
     * doc — allocation, not compression, dominates naive per-row
-    * usage); deterministic for fixed input+level, so rows-only
-    * correctness is replayable. Output O(docs), bytes never shuffle. */
+    * usage); deterministic for fixed input+level. The zlib pass is the
+    * "fit": per-doc (n_bytes, n_compressed) PINS as an artifact (DuckDB
+    * has no zlib — the one lane with no SQL replay), and the oracle
+    * replays everything around it — the doc set, the raw UTF-8 byte
+    * length (its octet_length must MATCH the pinned n_bytes, the
+    * non-circular half), and the integer ratio arithmetic.
+    * [R]→[O] in round 15 via exactly the r14 q_dedup_simhash shape.
+    * Output O(docs), bytes never shuffle. */
   def qCompressionRatio(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.table(spark, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { rows =>
-        val deflater = new java.util.zip.Deflater(6)
-        // native zlib memory is NOT gc-tracked: release it the moment the
-        // partition iterator drains (task completion also covers the
-        // abnormal paths — a killed/failed task never reaches exhaustion)
-        org.apache.spark.TaskContext.get() match {
-          case null => ()
-          case tc => tc.addTaskCompletionListener[Unit](_ => deflater.end()); ()
+    val lens = pinnedFrame(spark, dir, "documents", "deflate6_lens") {
+      import spark.implicits._
+      Tables.table(spark, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { rows =>
+          val deflater = new java.util.zip.Deflater(6)
+          // native zlib memory is NOT gc-tracked: release it the moment the
+          // partition iterator drains (task completion also covers the
+          // abnormal paths — a killed/failed task never reaches exhaustion)
+          org.apache.spark.TaskContext.get() match {
+            case null => ()
+            case tc => tc.addTaskCompletionListener[Unit](_ => deflater.end()); ()
+          }
+          val buf = new Array[Byte](1 << 16)
+          rows.map { case (id, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished())
+              compressed += deflater.deflate(buf)
+            (id, raw.length.toLong, compressed)
+          }
         }
-        val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, text) =>
-          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          deflater.reset()
-          deflater.setInput(raw)
-          deflater.finish()
-          var compressed = 0L
-          while (!deflater.finished())
-            compressed += deflater.deflate(buf)
-          val ratio = if (raw.length == 0) 0L else compressed * 1000L / raw.length
-          (id, raw.length.toLong, compressed, ratio)
-        }
-      }
-      .toDF("doc_id", "n_bytes", "n_compressed", "ratio_x1000")
+        .toDF("doc_id", "n_bytes", "n_compressed")
+    }
+    lens.select(col("doc_id"), col("n_bytes"), col("n_compressed"),
+        when(col("n_bytes") === 0L, 0L)
+          .otherwise(expr("n_compressed * 1000 DIV n_bytes")).as("ratio_x1000"))
       .orderBy("doc_id")
   }
 

@@ -311,37 +311,46 @@ object Mix {
         smpHash(col("doc_id")).as("h2"),
         graft.queries.LlmOps.pplSampleHash(col("doc_id")).as("h2p"),
         drawMix(polyhash(concat(lit("cursmp:"), col("doc_id").cast("string"))))
-          .as("h2c"))
+          .as("h2c"),
+        resampleDraw(col("doc_id")).as("h2d"))
       .join(broadcast(quotas), "source")
       .withColumn("keep",
         when(row_number().over(byRank) <= col("k_s"), 1L).otherwise(0L))
       .withColumn("smp", when(col("h2") * lit(16L) < lit(2147483647L), 1L).otherwise(0L))
       .withColumn("psmp", when(col("h2p") * lit(4L) < lit(2147483647L), 1L).otherwise(0L))
       .withColumn("csmp", when(col("h2c") * lit(4L) < lit(2147483647L), 1L).otherwise(0L))
+      // the H32 Gumbel draw audited as an equivalent threshold draw on
+      // its u lane (the Gumbel map is monotone in u, so adjacency bias
+      // in u IS adjacency bias in the resample keys)
+      .withColumn("dsmp", when(col("h2d") * lit(16L) < lit(2147483647L), 1L).otherwise(0L))
     val pairs = flagged
       .withColumn("keep_p", lag(col("keep"), 1).over(byId))
       .withColumn("smp_p", lag(col("smp"), 1).over(byId))
       .withColumn("psmp_p", lag(col("psmp"), 1).over(byId))
       .withColumn("csmp_p", lag(col("csmp"), 1).over(byId))
+      .withColumn("dsmp_p", lag(col("dsmp"), 1).over(byId))
       .filter(col("keep_p").isNotNull)
     val perSource = pairs.groupBy(col("source"), col("n_s"), col("k_s"))
       .agg(count(lit(1)).as("pairs_s"),
         sum(col("keep") * col("keep_p")).as("bk"),
         sum(col("smp") * col("smp_p")).as("bs"),
         sum(col("psmp") * col("psmp_p")).as("bp"),
-        sum(col("csmp") * col("csmp_p")).as("bc"))
+        sum(col("csmp") * col("csmp_p")).as("bc"),
+        sum(col("dsmp") * col("dsmp_p")).as("bd"))
     val tot = perSource.agg(
       sum(col("pairs_s")).as("n_pairs"),
       sum(col("bk")).as("both_keep"),
       sum(col("bs")).as("both_smp"),
       sum(col("bp")).as("both_psmp"),
       sum(col("bc")).as("both_csmp"),
+      sum(col("bd")).as("both_dsmp"),
       // per-source floor then sum: each term is pairs_s·k_s²·1e6 DIV n_s²
       sum(expr("(CAST(pairs_s AS DECIMAL(38,0)) * k_s * k_s * 1000000)" +
         " DIV (CAST(n_s AS DECIMAL(38,0)) * n_s)")).as("exp_keep_num"))
     tot.selectExpr(
-      "stack(4," +
+      "stack(5," +
         " 'cur_sample', both_csmp, CAST(1000000 DIV 16 AS BIGINT)," +
+        " 'dsir_sample', both_dsmp, CAST(1000000 DIV 256 AS BIGINT)," +
         " 'mix_keep',   both_keep, CAST(exp_keep_num DIV n_pairs AS BIGINT)," +
         " 'mix_sample', both_smp,  CAST(1000000 DIV 256 AS BIGINT)," +
         " 'ppl_sample', both_psmp, CAST(1000000 DIV 16 AS BIGINT)" +
@@ -582,7 +591,22 @@ object Mix {
     * (< 2 tokens) carry no features and drop, as in the paper's
     * n-gram model. */
   def qDsirWeights(spark: SparkSession, dir: String, target: String = "en",
-      buckets: Int = 4096): DataFrame = {
+      buckets: Int = 4096): DataFrame =
+    dsirImportance(spark, dir, target, buckets).orderBy("doc_id")
+
+  /** The H31/H32 shared core: (doc_id, lang, n_feats, importance_x1e6),
+    * unordered. The gram stream is built once per call; EVERY fit-side
+    * action (the per-bucket counts AND the corpus totals nr/nt) lives
+    * inside the pinned-artifact thunk, so a warm call launches exactly
+    * the live jobs — broadcast the ≤`buckets`-row λ table + the one
+    * doc-keyed aggregate — and zero corpus-sized fit scans (the r14
+    * defect: nr/nt as eager counts outside the thunk cost two extra
+    * full bigram-explode scans per warm call). The fit itself is ONE
+    * corpus aggregate: (cr, ct) per bucket in the same HashAggregate
+    * (conditional count, not a second scan), totals as the driver-side
+    * sum of the checkpointed ≤`buckets`-row frame. */
+  private[graft] def dsirImportance(spark: SparkSession, dir: String,
+      target: String, buckets: Int): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__toks"))
@@ -590,11 +614,6 @@ object Mix {
         explode(graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2)).as("gram"))
       .select(col("doc_id"), col("lang"),
         pmod(graft.functions.polyhash(col("gram")), lit(buckets.toLong)).as("bkt"))
-    val raw = grams.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
-    val tgt = grams.filter(col("lang") === target)
-      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-    val nr = grams.count()
-    val nt = grams.filter(col("lang") === target).count()
     // λ in integer micro-nats, computed ONCE per bucket and PINNED as
     // the hashed-n-gram model artifact (the DSIR model IS this table —
     // fit once per target, reused per mix run): JVM and DuckDB round
@@ -602,21 +621,81 @@ object Mix {
     // doc), so the oracle reads the pinned λ and replays everything
     // around it — bucket assignment (polyhash), counts, and the
     // order-free integer per-doc sums; MixSpec re-derives λ from the
-    // stored (ct, cr) counts on the driver.
+    // stored (ct, cr) counts on the driver. Rounding happens at the
+    // INTEGER scale — round(lnRatio·1e6, 0) — because round(lnRatio, 6)
+    // yields a double whose nearest binary neighbour can sit BELOW
+    // k/1e6, so the later ×1e6 cast truncated k−1 (HALF_UP violated on
+    // corpus-dependent buckets; the artifact name carries the contract
+    // version so a stale v1 table can never satisfy the v2 spec).
     val lam = LlmOps.pinnedFrame(spark, dir, "documents",
-        s"dsir_lam_${target}_b$buckets") {
-      raw.join(tgt, Seq("bkt"), "left")
-        .select(col("bkt"),
-          coalesce(col("ct"), lit(0L)).as("ct"), col("cr"),
-          lit(nt).as("n_target"), lit(nr).as("n_raw"),
-          (round(
-            log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (nt + buckets).toDouble)
-              - log((col("cr") + 1).cast("double") / (nr + buckets).toDouble), 6) * 1e6)
-            .cast("long").as("lam_x1e6"))
+        s"dsir_lam2_${target}_b$buckets") {
+      val counts = grams.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("cr"),
+          count(when(col("lang") === target, 1)).as("ct"))
+        // ≤buckets rows, two consumers (totals + λ projection): one
+        // materialization, or the corpus aggregate re-runs per action
+        .transform(graft.engine.Materialized.checkpoint)
+      val t = counts.agg(sum(col("cr")), sum(col("ct"))).head()
+      val (nr, nt) = (t.getLong(0), t.getLong(1))
+      counts.select(col("bkt"), col("ct"), col("cr"),
+        lit(nt).as("n_target"), lit(nr).as("n_raw"),
+        round((log((col("ct") + 1).cast("double") / (nt + buckets).toDouble)
+          - log((col("cr") + 1).cast("double") / (nr + buckets).toDouble)) * 1e6, 0)
+          .cast("long").as("lam_x1e6"))
     }.select(col("bkt"), col("lam_x1e6"))
     grams.join(broadcast(lam), "bkt")
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lam_x1e6")).as("importance_x1e6"))
-      .orderBy("doc_id")
+  }
+
+  /** H32's Gumbel lane: the content-hash uniform draw (drawMix, the
+    * H16c-audited double-square-mixed form on its own `dsir:` prefix)
+    * mapped through the Gumbel quantile −ln(−ln(u)). Kept here so the
+    * lane registers in [[qMixUniformity]]'s adjacency audit like every
+    * other id-keyed draw (the shipped-five-times lesson above). */
+  private[graft] def resampleDraw(idCol: Column): Column =
+    drawMix(polyhash(concat(lit("dsir:"), idCol.cast("string"))))
+
+  /** H32: DSIR importance RESAMPLING (Xie et al. 2023 §2 — the step the
+    * paper runs on H31's weights): draw k documents WITHOUT replacement
+    * with probability ∝ exp(importance) via Gumbel-top-k — key_i =
+    * log-weight_i + Gumbel(0,1)_i, take the k largest. The log-weight
+    * IS H31's integer micro-nat importance (DSIR weights are exp(Σλ),
+    * so no transcendental re-enters on the weight side), and the Gumbel
+    * noise is deterministic-by-content: u from [[resampleDraw]] (exact
+    * integer replay), g = −ln(−ln(u)) rounded to micro-nats. The whole
+    * per-doc key table PINS as the resample artifact — ln tails differ
+    * across engines (the H31 lesson), so the oracle replays everything
+    * around the pinned key: importance from the pinned λ model, u_draw
+    * bit-exact, key = importance + gumbel as integer addition, and the
+    * gumbel micro-nat bracketed within ±1 of DuckDB's own ln (teeth
+    * against a wrong formula, tolerance only for the last ulp).
+    * Selection is the H22 bounded-heap top-k aggregate (score desc,
+    * id asc — no corpus sort, map-side partials carry ≤k), so at 100 TB
+    * the resample is one scan of the pinned key table. */
+  def qDsirResample(spark: SparkSession, dir: String, target: String = "en",
+      buckets: Int = 4096, k: Int = 200): DataFrame = {
+    val keys = LlmOps.pinnedFrame(spark, dir, "documents",
+        s"dsir_key_${target}_b$buckets") {
+      // u = (draw+1)/(M+1) ∈ (0,1) strictly — draw ∈ [0, M−1] for the
+      // mod-M mixed lane, so −ln(−ln(u)) is finite at both edges
+      dsirImportance(spark, dir, target, buckets)
+        .withColumn("u_draw", resampleDraw(col("doc_id")))
+        .withColumn("gumbel_x1e6",
+          round(-log(-log((col("u_draw") + 1).cast("double") / 2147483648.0))
+            * 1e6, 0).cast("long"))
+        .withColumn("key_x1e6", col("importance_x1e6") + col("gumbel_x1e6"))
+    }
+    keys
+      .agg(graft.functions.topKByScore(
+        col("key_x1e6").cast("double"), col("doc_id"), k).as("__top"))
+      .select(posexplode(col("__top")))
+      .select((col("pos") + 1).cast("long").as("sample_rank"),
+        col("col.neighbor_id").as("doc_id"))
+      .join(keys.select(col("doc_id"), col("importance_x1e6"), col("key_x1e6")),
+        "doc_id")
+      .select(col("sample_rank"), col("doc_id"), col("importance_x1e6"),
+        col("key_x1e6"))
+      .orderBy("sample_rank")
   }
 }

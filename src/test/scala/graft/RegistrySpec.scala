@@ -24,15 +24,13 @@ class RegistrySpec extends AnyFunSuite {
     // oracle + the J>0 sparse predicate), the full BPE family (the
     // oracle replays the training loop itself), and the incremental
     // corpus report (regime-bounded KMV: distincts under sketch
-    // capacity ⇒ estimates exact). What remains is genuinely
-    // non-replayable in the oracle dialect:
-    assert(rowsOnly == Set(
-      // F25: zlib's bit stream has no SQL replay (the documented
-      // non-promotion precedent); CompressionSpec pins the ratio lanes
-      "q_compression_ratio",
-      // A22: the spark-sketch Bloom bit layout has no SQL replay; the
-      // zero-false-negative contract and fpp band live in BloomSpec
-      "q_bloom_fpr"),
+    // capacity ⇒ estimates exact). Round 15 emptied the set: the last
+    // two non-replayable lanes (F25's zlib bit stream, A22's spark-sketch
+    // Bloom bit layout) PIN as per-doc/per-key artifacts — the oracle
+    // replays the doc/probe sets, the raw-length and activity halves,
+    // and all the arithmetic around the pinned values. EVERY registered
+    // query now has a DuckDB oracle.
+    assert(rowsOnly == Set.empty[String],
       s"unexpected rows-only set: $rowsOnly — add an oracle or document the exception")
   }
 

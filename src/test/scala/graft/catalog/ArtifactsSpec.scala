@@ -80,6 +80,45 @@ class ArtifactsSpec extends SparkSpec {
     assert(Pq.loadCodebooks(spark, tmp("absent3"), srcCount = 1L).isEmpty)
   }
 
+  test("pinned artifact: partitioned and single-file writes read back frame-identical") {
+    import spark.implicits._
+    // the size gate flips corpus-LINEAR signature artifacts to a
+    // partitioned write at scale — both shapes must satisfy the same
+    // stamp contract and read back the same frame (r15, verdict item 5)
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(7)
+    val p1 = tmp("art-single")
+    val p2 = tmp("art-parts")
+    graft.queries.LlmOps.writeArtifact(df, p1, 42L, singleFile = true)
+    graft.queries.LlmOps.writeArtifact(df, p2, 42L, singleFile = false)
+    val a = spark.read.parquet(p1)
+    val b = spark.read.parquet(p2)
+    assert(a.select("src_count").distinct().collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(b.select("src_count").distinct().collect().map(_.getLong(0)).toSeq == Seq(42L))
+    def dataFiles(p: String) = new java.io.File(p).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(dataFiles(p1) == 1, "single-file mode writes exactly one data file")
+    assert(dataFiles(p2) > 1, "partitioned mode keeps the write parallel")
+    assert(a.drop("src_count").except(b.drop("src_count")).isEmpty
+      && b.drop("src_count").except(a.drop("src_count")).isEmpty,
+      "both read paths must be frame-identical")
+  }
+
+  test("pinnedFrame freshness probe: a foreign artifact without src_count rebuilds, never fails") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pin-probe").toString
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // a pre-existing COMPLETE parquet dir at the artifact path with no
+    // src_count column (older code, other tooling): the stamp read
+    // throws AnalysisException — that must count as STALE (r15 ADVICE)
+    Seq((9L, 9L)).toDF("a", "b").write.parquet(Artifacts.path(dir, "probe_art"))
+    val frame = graft.queries.LlmOps.pinnedFrame(spark, dir, "documents", "probe_art") {
+      Seq((1L, 10L)).toDF("doc_id", "v")
+    }
+    assert(frame.columns.toSeq == Seq("doc_id", "v"), "rebuilt with the build frame's schema")
+    assert(frame.count() == 1)
+  }
+
   test("artifact paths sit under the root, keyed by data dir") {
     val p = Artifacts.path("/root/testdata/sf0.01", "ivf_c16_s42")
     assert(p.startsWith(Artifacts.root))

@@ -444,4 +444,38 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSeq == exact.toSeq,
       s"LSH survivorship diverged: lsh=${lsh.toSeq} exact=${exact.toSeq}")
   }
+
+  test("simhash apply (D3b): per-doc verdicts are the transitive closure of the pair face") {
+    val pairs = graft.queries.LlmOps.qDedupSimhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = graft.queries.LlmOps.qDedupSimhashApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val corpus = graft.sources.Tables.table(spark, sfDir, "documents").count()
+    assert(out.length == corpus, "one verdict row per document — corpus-LINEAR output")
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    // driver union-find over the pair face = the expected closure
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val canon = members.groupBy(_._2).flatMap { case (_, m) =>
+      val c = m.keys.min; m.keys.map(_ -> c)
+    }
+    out.foreach { case (id, cid, kept) =>
+      val want = canon.getOrElse(id, id) // singletons self-cluster
+      assert(cid == want, s"doc $id: cluster $cid, expected $want")
+      assert(kept == (id == cid), s"doc $id: kept must mean canonical")
+    }
+    assert(out.exists(!_._3), "the sf corpus plants clones — some doc must drop")
+  }
 }

@@ -28,17 +28,20 @@ class MixSpec extends SparkSpec {
       s"alpha-speaking doc must out-weight beta-speaking: ${out(21L)} vs ${out(22L)}")
     assert(out(21L)._2 == 29L && out(22L)._2 == 29L, "30 tokens => 29 bigrams")
     // the pinned model's lambda column re-derives from its OWN stored
-    // counts (the non-circular half of the artifact contract): micro-nat
-    // HALF_UP rounding of ln((ct+1)/(nt+B)) - ln((cr+1)/(nr+B))
+    // counts (the non-circular half of the artifact contract): HALF_UP
+    // rounding AT THE INTEGER SCALE — round(lnRatio·1e6, 0) — never
+    // round-to-6-decimals-then-multiply, whose double can sit one ulp
+    // below k/1e6 and truncate to k−1 (the r15 ADVICE defect)
     val lam = spark.read.parquet(
-      graft.catalog.Artifacts.path(dir, "dsir_lam_en_b4096")).collect()
+      graft.catalog.Artifacts.path(dir, "dsir_lam2_en_b4096")).collect()
     assert(lam.nonEmpty)
     lam.foreach { r =>
       val (ct, cr, nt, nr) = (r.getAs[Long]("ct"), r.getAs[Long]("cr"),
         r.getAs[Long]("n_target"), r.getAs[Long]("n_raw"))
       val want = BigDecimal(
-        math.log((ct + 1).toDouble / (nt + 4096)) - math.log((cr + 1).toDouble / (nr + 4096)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1e6
+        (math.log((ct + 1).toDouble / (nt + 4096))
+          - math.log((cr + 1).toDouble / (nr + 4096))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
       assert(r.getAs[Long]("lam_x1e6") == want.toLong,
         s"bucket ${r.getAs[Long]("bkt")}: stored lambda != re-derivation")
     }
@@ -53,6 +56,58 @@ class MixSpec extends SparkSpec {
     }
     assert(out(21L)._1 == imp(alpha) && out(22L)._1 == imp(beta),
       "per-doc importance must equal the imperative integer fold")
+  }
+
+  test("DSIR resample (H32): Gumbel keys re-derive from the pinned artifact; " +
+    "a dominant importance gap overrides the noise") {
+    import spark.implicits._
+    val alpha = (1 to 30).map(i => s"a$i").mkString(" ")
+    val beta = (1 to 30).map(i => s"b$i").mkString(" ")
+    // 20 alpha-speaking docs (10 en + 10 unlabeled) vs 20 beta-speaking:
+    // the per-doc importance gap is ~70 nats, the Gumbel support is
+    // [−3.1, +21.5] (u on the mod-M lane), so EVERY alpha doc must
+    // out-key every beta doc — the noise reorders within a domain only
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "en", alpha)) ++
+      (11 to 20).map(i => (i.toLong, "de", beta)) ++
+      (21 to 40).map(i => (i.toLong, "xx", if (i % 2 == 1) alpha else beta)))
+      .toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsirres").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Mix.qDsirResample(spark, dir, k = 12).collect()
+    assert(out.map(_.getAs[Long]("sample_rank")).toSeq == (1L to 12L),
+      "exactly k dense ranks")
+    val keys = out.map(r => (r.getAs[Long]("key_x1e6"), r.getAs[Long]("doc_id")))
+    assert(keys.sliding(2).forall {
+      case Array((k1, d1), (k2, d2)) => k1 > k2 || (k1 == k2 && d1 < d2)
+      case _ => true
+    }, "ranks follow (key desc, doc_id asc) exactly")
+    val alphaIds = ((1 to 10) ++ (21 to 40 by 2)).map(_.toLong).toSet
+    assert(out.forall(r => alphaIds(r.getAs[Long]("doc_id"))),
+      "all selected docs speak the target domain (importance dominates)")
+    // determinism: a rerun (artifact now pinned) is identical
+    val again = Mix.qDsirResample(spark, dir, k = 12).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the pinned key table re-derives end to end on the driver: u from
+    // the dsir: drawMix fold, gumbel = HALF_UP micro-nats of −ln(−ln(u)),
+    // key = integer addition
+    def ph(s: String) =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    def sq(h: Long) = (h * h) % 2147483647L
+    val art = spark.read.parquet(
+      graft.catalog.Artifacts.path(dir, "dsir_key_en_b4096")).collect()
+    assert(art.length == 40)
+    art.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val u = r.getAs[Long]("u_draw")
+      assert(u == sq(sq(ph(s"dsir:$id"))), s"doc $id: u_draw lane mismatch")
+      val g = BigDecimal(
+        -math.log(-math.log((u + 1).toDouble / 2147483648.0)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(r.getAs[Long]("gumbel_x1e6") == g, s"doc $id: gumbel mismatch")
+      assert(r.getAs[Long]("key_x1e6") ==
+        r.getAs[Long]("importance_x1e6") + g, s"doc $id: key != imp + gumbel")
+    }
   }
 
   test("global shuffle is a bijection onto strided positions, deterministic") {
@@ -395,7 +450,7 @@ class MixSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = Mix.qMixUniformity(spark, dir).collect()
     assert(rows.map(_.getAs[String]("lane")).toSeq ==
-      Seq("cur_sample", "mix_keep", "mix_sample", "ppl_sample"))
+      Seq("cur_sample", "dsir_sample", "mix_keep", "mix_sample", "ppl_sample"))
     rows.foreach { r =>
       val n = r.getAs[Long]("n_pairs")
       assert(n == 40000L - 4L, "one pair per doc except each source's first")
