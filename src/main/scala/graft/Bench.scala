@@ -12,6 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the per-execution "No Partition Defined for Window" WARNs
+    // in THIS main only (r14 verdict: ~40 such lines drowned the one
+    // JSON line the driver tail-parses). The warnings come from the
+    // DECLARED partitionless windows — exact quantile-rank faces whose
+    // _approx twins are registered — and PlanSpec's registry sweep pins
+    // that exact set, so the signal lives in the spec where an
+    // UNdeclared one is a red test, not in the bench tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // absorb one-time session/scheduler/reader init outside the timings
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -57,7 +67,13 @@ object Bench {
     // round-11 measurement defect). SPARK_GRAFT_BENCH_ACTION=count
     // keeps the old action for the one-time re-baseline comparison.
     val useCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ORDER=reverse walks the registry backwards —
+    // the r14 verdict's paired-measurement discipline: two fresh-JVM
+    // runs, one per order, bound ordering artifacts (cache warmup,
+    // accumulated JIT state) on the per-query numbers.
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+      names0.reverse else names0
     def pass(): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

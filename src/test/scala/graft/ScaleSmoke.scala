@@ -81,7 +81,20 @@ object ScaleSmoke {
     // clone pairs (est=1000 » τ+bound) — on this clone-amplified corpus
     // that's most of the candidate stream
     time("q_dedup_minhash_fast") { queries.LlmOps.qDedupMinhashFast(spark, dir) }
-    time("q_dedup_simhash") { queries.LlmOps.qDedupSimhash(spark, dir) }
+    // Round 15 (r14 verdict item 4): the D3 PAIR MATRIX is the opt-in
+    // exact baseline at this scale — its output is quadratic in
+    // clone-group size (the TRUE 29.1M-pair answer took 821s on this
+    // clone-amplified corpus, all of it emitting pairs), which is not
+    // the deployment read. The registered sweep face is the
+    // corpus-LINEAR apply twin below (same banded candidates, same
+    // pinned signatures, collapsed to one verdict row per doc). No
+    // silent cap: this line is the record; pass `dedup_simhash_pairs`
+    // to time the matrix anyway.
+    if (only.exists("dedup_simhash_pairs".contains))
+      time("dedup_simhash_pairs") { queries.LlmOps.qDedupSimhash(spark, dir) }
+    else if (only.isEmpty)
+      println("dedup_simhash_pairs     SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below)")
+    time("q_dedup_simhash_apply") { queries.LlmOps.qDedupSimhashApply(spark, dir) }
     // at this corpus size the LSH near-dup needs planes sized to the data
     // (≈ log2(N / target-bucket-size)) — the sf0.01-tuned planes=8 of the
     // registered query would funnel millions of vectors into 256 buckets.
@@ -465,6 +478,7 @@ object ScaleSmoke {
     time("q_graph_distances") { queries.Warehouse.qGraphDistances(spark, dir) }
     time("q_epoch_independence") { queries.Mix.qEpochIndependence(spark, dir) }
     time("q_dsir_weights") { queries.Mix.qDsirWeights(spark, dir) }
+    time("q_dsir_resample") { queries.Mix.qDsirResample(spark, dir) }
     time("q_pq_cascade") { queries.LlmOps.qPqCascade(spark, dir) }
     time("q_replay_diff") { queries.Warehouse.qReplayDiff(spark, dir) }
     time("q_holt_winters") { queries.Warehouse.qHoltWinters(spark, dir) }

@@ -1,0 +1,73 @@
+package graft
+
+/** r15 sweep gate (r14 verdict item 8): the H31 bug class — eager fit
+  * work OUTSIDE a pinnedFrame thunk — is invisible to both correctness
+  * (the oracle stays green) and plan audits (each plan is individually
+  * fine); the cost is simply paid again on every warm call. This sweep
+  * pins a per-face WARM JOB BUDGET: with the artifact memoized, a
+  * second invocation may launch at most the declared number of Spark
+  * jobs. A regression that re-runs fit scans per call (the r14
+  * q_dsir_weights defect added exactly +2 corpus jobs) blows the budget
+  * and fails here, the way the partitionless-window sweep gates window
+  * abuse. Budgets are the WarmJobsProbe measurements at sf0.001 on the
+  * shared 4-core session — exact, no slack: job counts at fixed data,
+  * fixed config and a memoized artifact are deterministic, and slack
+  * wide enough to absorb variance would also absorb the bug class. */
+class WarmArtifactSpec extends SparkSpec {
+
+  private def jobs(f: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      // the listener bus is async: wait until the count stops moving
+      var last = -1
+      var spins = 0
+      while (counter.get != last && spins < 50) {
+        last = counter.get; Thread.sleep(100); spins += 1
+      }
+      counter.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  // every face whose registered query consumes a pinnedFrame artifact
+  // (or a loader-backed model artifact), with its measured warm budget
+  private val budgets: Seq[(String, Int)] = Seq(
+    "q_dsir_weights" -> 6, // broadcast λ + one gram aggregate (NOT 8: the
+    //                        two pre-fix eager fit counts would land here)
+    "q_dsir_resample" -> 5,
+    "q_compression_ratio" -> 3,
+    "q_bloom_fpr" -> 6,
+    "q_dedup_simhash" -> 13,
+    "q_dedup_simhash_apply" -> 19, // per-call checkpoint + cc probe/pass
+    "q_dedup_minhash_fast" -> 16,
+    "q_sketch_calibration" -> 10,
+    "q_minhash_tuning" -> 3,
+    "q_pca" -> 0, // spectrum reads the in-session model rows only
+    "q_pca_project" -> 4,
+    "q_join_estimate" -> 2,
+    "q_join_estimate_skew" -> 2)
+
+  test("warm-cost sweep: every pinned-artifact face stays inside its declared job budget") {
+    budgets.foreach { case (name, budget) =>
+      // first call memoizes/pins the artifact (cold or already warm —
+      // either way the SECOND call below measures the steady state)
+      SparkEntry.queries(name)(spark, sfDir).collect()
+      graft.engine.Materialized.release(spark)
+      val warm = jobs { SparkEntry.queries(name)(spark, sfDir).collect(); () }
+      graft.engine.Materialized.release(spark)
+      assert(warm <= budget,
+        s"$name: warm invocation launched $warm jobs, budget $budget — " +
+          "fit work is leaking outside the pinnedFrame thunk (the r14 " +
+          "q_dsir_weights defect class); move every fit action inside " +
+          "the by-name build block, or re-declare the budget with the " +
+          "plan-shape justification")
+    }
+  }
+}

@@ -627,6 +627,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming percentile quality gate (H3's continuous face): stream == batch keep set") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // trained half batch-side: per-language 25th-percentile cutoffs
+    val cuts = graft.queries.LlmOps.qualityGateCutoffs(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(docs: _*)
+    val query = graft.text.TextAnalysis.qualityScore(
+        input.toDF().toDF("doc_id", "lang", "text"), "text")
+      .filter(graft.queries.LlmOps.qualityGateColumn(cuts,
+        org.apache.spark.sql.functions.col("quality_x1000"),
+        org.apache.spark.sql.functions.col("lang")))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("h3_gate")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("h3_gate").collect().map(_.getLong(0)).toSet
+      val batch = graft.queries.LlmOps.qQualityGate(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch,
+        "arrival-time percentile gating must equal the batch keep set")
+      assert(streamed.nonEmpty && streamed.size < docs.length,
+        "the gate must actually gate (drop the bottom quartile per language)")
+      // unknown language fails closed
+      val unknown = spark.range(1).select(
+        graft.queries.LlmOps.qualityGateColumn(cuts,
+          org.apache.spark.sql.functions.lit(999999L),
+          org.apache.spark.sql.functions.lit("lang_never_seen")))
+        .head().getBoolean(0)
+      assert(!unknown, "unknown languages must fail closed")
+    } finally query.stop()
+  }
+
   test("streaming cdc apply: advances emit, out-of-order is ignored, tombstones delete") {
     val sparkSession = spark
     import sparkSession.implicits._
