@@ -35,6 +35,17 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // local-mode resilience for the big smoke heaps: a full-GC pause
+      // (or a noisy-neighbor VM freeze) past the default 120s heartbeat
+      // window kills the driver-executor and with it the whole context
+      // (observed at the r15 100x sweep: "Removing executor driver with
+      // no recent heartbeats: 121946 ms"). There is no real network in
+      // local[] — a generous window only trades failure-detection
+      // latency we don't need for survival of long stop-the-world
+      // pauses. On a real cluster these stay at their defaults unless
+      // the deployment overrides them.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
   }
 
   def getOrCreate(appName: String = "graft", cores: Int = 32): SparkSession = {

@@ -122,17 +122,34 @@ object LlmOps {
     * q_dedup_apply_lsh shape). */
   def qDedupSimhashApply(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSigArtifact(spark, dir)
-    // checkpoint before cc's iterative/probing actions — see
-    // qDedupClusters for the persist-vs-checkpoint rationale
-    val pairs = SimHash.nearDupPairsFromSigs(sigs, "doc_id", "simhash")
+    // LOSSLESS rep collapse before banding: docs with IDENTICAL
+    // signatures are hamming-0 duplicates by definition, so each
+    // distinct signature reduces to its min-id REPRESENTATIVE for the
+    // candidate stage — banding over reps stays candidate-complete for
+    // hamming ≤ 3 across groups (the reps carry the same signatures the
+    // members would), and components over (rep pairs + sig-identity
+    // groups) equal components over all docs, with cluster canonical =
+    // min rep = min doc. On a clone-heavy corpus this removes the
+    // Σ(group²) within-bucket candidate mass entirely (100× measured:
+    // 554.6s banding all docs → seconds banding ~|distinct sigs| reps);
+    // the pair FACE (D3) cannot take this shortcut — its contract is
+    // the full pair matrix, which is why it is the opt-in baseline.
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep_id"))
+      // reps feed banding + two sig join-backs + the final member join:
+      // one materialization (the qDedupClusters checkpoint rationale)
+      .transform(graft.engine.Materialized.checkpoint)
+    val reps = groups.select(col("rep_id").as("doc_id"), col("simhash"))
+    val pairs = SimHash.nearDupPairsFromSigs(reps, "doc_id", "simhash")
       .select(col("id_a"), col("id_b"))
       .transform(graft.engine.Materialized.checkpoint)
-    val clusters = Dedup.connectedComponents(pairs)
-      .withColumnRenamed("id", "doc_id")
-    sigs.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
+    val repClusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "rep_id")
+    sigs.select(col("doc_id"), col("simhash"))
+      .join(groups, "simhash")
+      .join(repClusters, Seq("rep_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
       .withColumn("kept", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
@@ -551,13 +568,38 @@ object LlmOps {
 
   /** One artifact write, both shapes behind one stamp contract —
     * factored out so ArtifactsSpec can prove the partitioned and the
-    * single-file path read back frame-identical. */
+    * single-file path read back frame-identical. The stamp rides BOTH
+    * as the src_count column (what the oracle-visible frame carries and
+    * older readers probe) and as a zero-byte `_graft_stamp_<n>` sidecar
+    * next to _SUCCESS — the sidecar is what makes an EMPTY build frame
+    * pinnable (a zero-row parquet has no row to carry the column, so
+    * the column-only probe re-ran the build every session). */
   private[graft] def writeArtifact(df: DataFrame, path: String, stamp: Long,
       singleFile: Boolean): Unit = {
     val stamped = df.withColumn("src_count", lit(stamp))
     (if (singleFile) stamped.coalesce(1) else stamped)
       .write.mode("overwrite").parquet(path)
+    try {
+      val p = new org.apache.hadoop.fs.Path(path, s"_graft_stamp_$stamp")
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      fs.create(p, true).close()
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** The freshness probe writeArtifact's stamps answer: sidecar first
+    * (covers empty frames, one FS probe), column fallback for artifacts
+    * written before the sidecar existed. Any failure reads as stale. */
+  private[graft] def artifactFresh(spark: SparkSession, path: String, n: Long): Boolean =
+    graft.catalog.Artifacts.exists(spark, path) && {
+      val sidecar = try {
+        val p = new org.apache.hadoop.fs.Path(path, s"_graft_stamp_$n")
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      } catch { case scala.util.control.NonFatal(_) => false }
+      sidecar || (try {
+        val stamp = spark.read.parquet(path).select("src_count").limit(1).collect()
+        stamp.nonEmpty && stamp.head.getLong(0) == n
+      } catch { case scala.util.control.NonFatal(_) => false })
+    }
 
   /** Load-or-create a PINNED parquet artifact frame — the round-14
     * oracle-pinning pattern (H10's pinned-coefficient precedent extended
@@ -587,11 +629,7 @@ object LlmOps {
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
       val n = tables.map(t => srcCount(spark, dir, t)).reduce(_ ^ _)
       val path = graft.catalog.Artifacts.path(dir, name)
-      val fresh = graft.catalog.Artifacts.exists(spark, path) && (try {
-        val stamp = spark.read.parquet(path).select("src_count").limit(1).collect()
-        stamp.nonEmpty && stamp.head.getLong(0) == n
-      } catch { case scala.util.control.NonFatal(_) => false })
-      if (!fresh)
+      if (!artifactFresh(spark, path, n))
         writeArtifact(build, path, n,
           singleFile = tables.forall(t =>
             srcStat(spark, dir, t)._1 <= SingleFileArtifactMaxSrcRows))

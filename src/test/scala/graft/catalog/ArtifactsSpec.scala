@@ -103,6 +103,19 @@ class ArtifactsSpec extends SparkSpec {
       "both read paths must be frame-identical")
   }
 
+  test("empty artifact frames pin fresh via the stamp sidecar") {
+    import spark.implicits._
+    // a zero-row build frame has no row to carry the src_count column —
+    // the sidecar stamp is what keeps it from rebuilding every session
+    val path = tmp("art-empty")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    graft.queries.LlmOps.writeArtifact(empty, path, 7L, singleFile = true)
+    assert(graft.queries.LlmOps.artifactFresh(spark, path, 7L),
+      "an empty frame with a matching sidecar stamp must read FRESH")
+    assert(!graft.queries.LlmOps.artifactFresh(spark, path, 8L),
+      "a different stamp must read stale")
+  }
+
   test("pinnedFrame freshness probe: a foreign artifact without src_count rebuilds, never fails") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pin-probe").toString
