@@ -218,10 +218,36 @@ object LlmOps {
     * near-dup cluster, pass untouched rows through. Closes the loop
     * candidates → verify → cluster → drop as one registered,
     * oracle-checked query. */
-  def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = clusterPairs(spark, dir).transform(graft.engine.Materialized.checkpoint)
-    Dedup.keepCanonical(
-      Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupApplyFrom(spark, dir, reps =>
+      Ann.nearDupPairs(reps, "vec_id", "embedding", tau = 0.35))
+
+  /** Shared D6b/D6c apply plan with the LOSSLESS exact-duplicate
+    * collapse in front (round 15 — the D3b rep-collapse lesson applied
+    * to the embedding domain): identical vectors reduce to their min-id
+    * representative before the pair stage. Correct because bucketing
+    * and cosine are functions of the vector alone (a rep pairs iff its
+    * members would) and identical vectors are always mutual τ-pairs —
+    * nonzero: cosine 1 up to one ulp ≫ τ; zero: cosine 0/0 = NaN, and
+    * BOTH engines order NaN above every number, so `NaN > τ` is TRUE
+    * (DedupSpec pins this degenerate-but-consistent semantic: one zero
+    * vector links everything it meets, collapsed or not). Every non-rep
+    * member is therefore a guaranteed drop and the keep set over reps
+    * IS the keep set over all docs. On a clone-heavy corpus this
+    * removes the quadratic pair work between exact copies — the
+    * SemDeDup practice (exact dedup before semantic dedup) as a plan
+    * rewrite. */
+  private def dedupApplyFrom(spark: SparkSession, dir: String,
+      pairsOf: DataFrame => DataFrame): DataFrame = {
+    val reps = Tables.table(spark, dir, "embeddings")
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      // reps feed the pair stage twice (both join sides) and the
+      // keep-canonical anti-join — one materialization
+      .transform(graft.engine.Materialized.checkpoint)
+    // localCheckpoint before cc's probing actions — see qDedupClusters
+    val pairs = pairsOf(reps).transform(graft.engine.Materialized.checkpoint)
+    Dedup.keepCanonical(reps.select(col("vec_id")), "vec_id", pairs)
       .orderBy("vec_id")
   }
 
@@ -234,20 +260,14 @@ object LlmOps {
     * and runs the same recursive-closure keep-canonical over it; the
     * LSH keep set remains a SUPERSET of the exact apply's (fewer pairs
     * ⇒ fewer drops — the conservative direction, DedupSpec-proven). */
-  def qDedupApplyLsh(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint, not persist: see qDedupClusters — the pair set is
-    // tiny, and truncating the LSH DAG keeps cc's probe/collect and the
-    // anti-join from re-planning it per action (ApplyLshProbe pins the
-    // bench-drift cause; in-suite the deep-lineage re-planning amplified
-    // under load)
-    val pairs = Ann.nearDupPairsLsh(
-      Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
-      tau = 0.35, dims = 64, planes = 8, probeBits = 1)
-      .transform(graft.engine.Materialized.checkpoint)
-    Dedup.keepCanonical(
-      Tables.table(spark, dir, "embeddings").select(col("vec_id")), "vec_id", pairs)
-      .orderBy("vec_id")
-  }
+  def qDedupApplyLsh(spark: SparkSession, dir: String): DataFrame =
+    // rep collapse composes with LSH unchanged: buckets and probe sets
+    // are vector-functions, so the rep pair set generates the same
+    // closure (and collapsing can only LOWER bucket occupancy, moving
+    // away from the cap-degrade regime, never into it)
+    dedupApplyFrom(spark, dir, reps =>
+      Ann.nearDupPairsLsh(reps, "vec_id", "embedding",
+        tau = 0.35, dims = 64, planes = 8, probeBits = 1))
 
   /** D21: per-source DUPLICATION rate — D1's corpus-wide dedup broken
     * down by origin ("which source is the spam"): a doc is a duplicate

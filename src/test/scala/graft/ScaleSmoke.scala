@@ -135,6 +135,12 @@ object ScaleSmoke {
         graft.sources.Tables.table(spark, dir, "embeddings").select(col("vec_id")),
         "vec_id", pairs))
     }
+    // the REGISTERED face since r15's rep collapse (identical vectors →
+    // min-id representative before the pair stage): on this clone-
+    // amplified corpus the candidate stream shrinks 100× before LSH
+    // even buckets, so the sf0.01-tuned planes=8 of the registered
+    // query stay adequate here — reps ≈ the base corpus
+    time("q_dedup_apply_lsh") { queries.LlmOps.qDedupApplyLsh(spark, dir) }
     time("q_asof_join") { queries.Warehouse.qAsofJoin(spark, dir) }
     time("q_asof_forward") { queries.Warehouse.qAsofForward(spark, dir) }
     time("q_skew_agg") { queries.Warehouse.qSkewAgg(spark, dir) }

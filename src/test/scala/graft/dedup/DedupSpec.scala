@@ -445,6 +445,50 @@ class DedupSpec extends SparkSpec {
       s"LSH survivorship diverged: lsh=${lsh.toSeq} exact=${exact.toSeq}")
   }
 
+  test("apply rep collapse (r15): identical vectors collapse losslessly vs the brute-force closure") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("applyrep").toString
+    val a = Seq(1.0, 0.0, 0.0)
+    val b = Seq(0.9, 0.1, 0.0) // cos(a,b) ~ 0.993 > tau: clusters with a
+    val c = Seq(0.0, 0.0, 1.0) // orthogonal to both: singleton
+    Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, c))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def control(d: String): Set[Long] = {
+      val pairs = graft.ann.Ann.nearDupPairs(
+        graft.sources.Tables.table(spark, d, "embeddings"),
+        "vec_id", "embedding", tau = 0.35)
+      graft.dedup.Dedup.keepCanonical(
+        graft.sources.Tables.table(spark, d, "embeddings").select("vec_id"),
+        "vec_id", pairs).collect().map(_.getLong(0)).toSet
+    }
+    val kept = graft.queries.LlmOps.qDedupApply(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == control(dir), s"collapsed plan diverged from brute force: $kept")
+    assert(kept == Set(1L, 6L),
+      "a-clones + b-clones merge under canonical 1; c is a singleton")
+    // the LSH twin keeps a superset (fewer candidate pairs => fewer drops)
+    val lshKept = graft.queries.LlmOps.qDedupApplyLsh(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(lshKept), s"LSH keep $lshKept must contain exact keep $kept")
+    assert(!lshKept.contains(2L) && !lshKept.contains(3L),
+      "identical clones of the canonical must drop in ANY candidate regime")
+    // the degenerate-but-consistent NaN semantic the collapse must
+    // PRESERVE: both engines order NaN above every number, so a zero
+    // vector's 0/0 cosine passes `> tau` and links everything it meets
+    // — collapsed and uncollapsed plans must agree on that too
+    val dirZ = java.nio.file.Files.createTempDirectory("applyrepz").toString
+    val z = Seq(0.0, 0.0, 0.0)
+    Seq((1L, a), (2L, a), (3L, c), (7L, z), (8L, z))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dirZ/embeddings.parquet")
+    val keptZ = graft.queries.LlmOps.qDedupApply(spark, dirZ)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptZ == control(dirZ), s"zero-vector corpus diverged: $keptZ")
+    assert(keptZ == Set(1L),
+      "NaN > tau is TRUE in Spark: the zero vectors bridge a and c into one cluster")
+  }
+
   test("simhash apply (D3b): per-doc verdicts are the transitive closure of the pair face") {
     val pairs = graft.queries.LlmOps.qDedupSimhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
