@@ -256,6 +256,7 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) => Mix.qDsirWeights(s, dir)),
     "q_dsir_resample" -> ((s, dir) => Mix.qDsirResample(s, dir)),
     "q_dedup_simhash_apply" -> ((s, dir) => LlmOps.qDedupSimhashApply(s, dir)),
+    "q_dedup_minhash_apply" -> ((s, dir) => LlmOps.qDedupMinhashApply(s, dir)),
     "q_centroid_margin" -> ((s, dir) =>
       graft.ann.Centroids.centroidMargins(
         sources.Tables.table(s, dir, "embeddings"), "label", "embedding",
@@ -1717,6 +1718,36 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT * FROM j WHERE jaccard_x1000 >= 700
         |ORDER BY id_a, id_b""".stripMargin,
+    // D2c: D2's pair set collapsed to the per-doc deployment verdict —
+    // recursive transitive closure over the SAME pinned-regime exact
+    // pair statement (banded ≡ exact at the gate scale, the r14 D2
+    // promotion), singletons self-cluster, canonical = min member.
+    // NULL-text docs have NULL Jaccard to everything (never pair) and
+    // stay their own singletons on both sides.
+    "q_dedup_minhash_apply" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM dd),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE (1000 * len(list_intersect(a.toks, b.toks)))
+        |      // len(list_distinct(list_concat(a.toks, b.toks))) >= 700),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT dd.doc_id,
+        |  coalesce(cl.cluster_id, dd.doc_id) AS cluster_id,
+        |  (dd.doc_id = coalesce(cl.cluster_id, dd.doc_id)) AS kept
+        |FROM dd LEFT JOIN cl ON cl.id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
     // D11 [R]→[O] (round 14): same pinned-regime promotion as D2 for the
     // cross-corpus join — τ=0.5 word-trigram Jaccard across odd (new) ×
     // even (corpus) ids; the banded A⋈B candidates were verified to

@@ -60,6 +60,48 @@ object LlmOps {
       shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L)
       .orderBy("id_a", "id_b")
 
+  /** D2c: the corpus-LINEAR deployment read of D2 (round 15 — the D3b
+    * rep-collapse shape in the TEXT domain): per-doc cluster id +
+    * keep/drop verdict instead of the pair matrix. Identical texts
+    * collapse losslessly to their min-id representative before the
+    * banded MinHash machinery — shingles, signatures, band keys and the
+    * exact-Jaccard verify are all functions of the text alone (a rep
+    * pairs iff its members would), and identical non-null texts are
+    * J=1000 pairs at any τ (even the empty string carries its one
+    * shingle), so every non-rep member is a guaranteed same-cluster
+    * drop. NULL texts never enter the pair machinery (no shingles, no
+    * bands) and therefore must NOT collapse — they pass through as
+    * their own singletons, exactly as the uncollapsed plan leaves them.
+    * Components over rep pairs + text-identity groups ≡ components over
+    * all docs, canonical = min doc = min rep. */
+  def qDedupMinhashApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val keyed = docs.withColumn("__h", md5(col("text")))
+    val groups = keyed.filter(col("text").isNotNull)
+      .groupBy(col("__h"))
+      .agg(min(col("doc_id")).as("rep_id"), min(col("text")).as("__t"))
+      // feeds the rep frame AND the member join-back — one materialization
+      .transform(graft.engine.Materialized.checkpoint)
+    val reps = groups.select(col("rep_id").as("doc_id"), col("__t").as("text"))
+      .unionAll(keyed.filter(col("text").isNull).select(col("doc_id"), col("text")))
+    val pairs = MinHashLsh.nearDupPairs(reps, "text", "doc_id",
+        shingleSize = 1, numHashes = 64, rowsPerBand = 4, minJaccardX1000 = 700L)
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val repClusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "rep_id")
+    // null __h never equi-joins → null-text docs keep rep = self
+    keyed.join(groups.select(col("__h"), col("rep_id")), Seq("__h"), "left")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .join(repClusters, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** D2 fast verify path: the same near-dup pairs with the D15-calibrated
     * signature-agreement prefilter on the verify stage — only candidate
     * pairs inside the τ ± samplingBound uncertainty band pay the exact

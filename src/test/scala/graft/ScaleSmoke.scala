@@ -81,6 +81,10 @@ object ScaleSmoke {
     // clone pairs (est=1000 » τ+bound) — on this clone-amplified corpus
     // that's most of the candidate stream
     time("q_dedup_minhash_fast") { queries.LlmOps.qDedupMinhashFast(spark, dir) }
+    // r15: the corpus-linear D2c verdict face — identical texts collapse
+    // to reps before banding, so the clone-amplified candidate mass
+    // never materializes (the pair faces above stay the exact baselines)
+    time("q_dedup_minhash_apply") { queries.LlmOps.qDedupMinhashApply(spark, dir) }
     // Round 15 (r14 verdict item 4): the D3 PAIR MATRIX is the opt-in
     // exact baseline at this scale — its output is quadratic in
     // clone-group size (the TRUE 29.1M-pair answer took 821s on this

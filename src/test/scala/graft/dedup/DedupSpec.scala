@@ -489,6 +489,56 @@ class DedupSpec extends SparkSpec {
       "NaN > tau is TRUE in Spark: the zero vectors bridge a and c into one cluster")
   }
 
+  test("minhash apply (D2c): closure of the pair face; identical texts collapse; nulls stay singletons") {
+    // verdicts on the sf corpus must be the transitive closure of the
+    // registered pair face (the D3b proof shape)
+    val pairs = graft.queries.LlmOps.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = graft.queries.LlmOps.qDedupMinhashApply(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val slice = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0).count()
+    assert(out.length == slice, "one verdict row per sliced doc")
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => id -> find(id)).toMap
+    val canon = members.groupBy(_._2).flatMap { case (_, m) =>
+      val c = m.keys.min; m.keys.map(_ -> c)
+    }
+    out.foreach { case (id, cid, kept) =>
+      assert(cid == canon.getOrElse(id, id), s"doc $id: cluster $cid")
+      assert(kept == (id == cid))
+    }
+    // planted corner corpus: identical texts merge under the min id, a
+    // J=0.92 neighbor joins the cluster, NULL texts never pair (NULL
+    // Jaccard) and each stays its own kept singleton
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val near = base + " w13" // J = 12/13 ~ 0.923 >= 0.7
+    val dir = java.nio.file.Files.createTempDirectory("d2capply").toString
+    Seq((0L, base), (10L, base), (20L, near), (30L, null),
+        (40L, null), (50L, "z1 z2 z3"))
+      .map { case (i, t) => (i, Option(t)) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = graft.queries.LlmOps.qDedupMinhashApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(planted.toSeq == Seq(
+      (0L, 0L, true), (10L, 0L, false), (20L, 0L, false),
+      (30L, 30L, true), (40L, 40L, true), (50L, 50L, true)),
+      s"planted verdicts wrong: ${planted.toSeq}")
+  }
+
   test("simhash apply (D3b): per-doc verdicts are the transitive closure of the pair face") {
     val pairs = graft.queries.LlmOps.qDedupSimhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
