@@ -645,7 +645,17 @@ object LlmOps {
       val p = new org.apache.hadoop.fs.Path(path, s"_graft_stamp_$stamp")
       val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
       fs.create(p, true).close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      // non-fatal by contract (the src_count column still answers the
+      // probe for non-empty frames), but never SILENT: for an empty
+      // build frame the sidecar is the only freshness signal, and
+      // swallowing the failure means a rebuild every session, unexplained
+      case scala.util.control.NonFatal(e) =>
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          s"pinned-artifact stamp sidecar write failed for $path " +
+            s"(artifact will re-probe via src_count; EMPTY frames will " +
+            s"rebuild every session): $e")
+    }
   }
 
   /** The freshness probe writeArtifact's stamps answer: sidecar first
@@ -683,18 +693,29 @@ object LlmOps {
     * src_count column — older code, foreign tooling), or empty counts
     * as STALE and rebuilds, never fails the query. */
   private[graft] def pinnedFrame(spark: SparkSession, dir: String, table: String,
-      name: String)(build: => DataFrame): DataFrame =
-    pinnedFrameTables(spark, dir, Seq(table), name)(build)
+      name: String, singleFile: Option[Boolean] = None)(build: => DataFrame): DataFrame =
+    pinnedFrameTables(spark, dir, Seq(table), name, singleFile)(build)
 
   private[graft] def pinnedFrameTables(spark: SparkSession, dir: String,
-      tables: Seq[String], name: String)(build: => DataFrame): DataFrame =
+      tables: Seq[String], name: String,
+      singleFile: Option[Boolean] = None)(build: => DataFrame): DataFrame =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
-      val n = tables.map(t => srcCount(spark, dir, t)).reduce(_ ^ _)
+      // order-sensitive mixer, NOT plain XOR: two tables with equal
+      // stamps must not cancel to 0, and swapping two tables' states
+      // must change the fold (r15 advice — the XOR fold read both
+      // degenerate corpus states as "fresh")
+      val n = tables.map(t => srcCount(spark, dir, t))
+        .foldLeft(1125899906842597L)((a, b) => a * 31 ^ b)
       val path = graft.catalog.Artifacts.path(dir, name)
       if (!artifactFresh(spark, path, n))
+        // the artifact's OWN shape decides the write layout where the
+        // call site declares it (Some(true) for bounded model tables —
+        // a ≤4096-row λ table derived from a billion-row corpus is
+        // still a KB artifact); the source-row heuristic remains the
+        // default for corpus-LINEAR artifacts (signature tables)
         writeArtifact(build, path, n,
-          singleFile = tables.forall(t =>
-            srcStat(spark, dir, t)._1 <= SingleFileArtifactMaxSrcRows))
+          singleFile = singleFile.getOrElse(tables.forall(t =>
+            srcStat(spark, dir, t)._1 <= SingleFileArtifactMaxSrcRows)))
       val frame = spark.read.parquet(path).drop("src_count").persist()
       frame.count()
       frame
@@ -744,7 +765,7 @@ object LlmOps {
     * the reconstructed driver-side Model per session. */
   private[graft] def pcaModelArtifact(spark: SparkSession, dir: String): Pca.Model =
     annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, "pca_raw_model"), {
-      Pca.modelFromRows(pinnedFrame(spark, dir, "embeddings", "pca_raw_d64") {
+      Pca.modelFromRows(pinnedFrame(spark, dir, "embeddings", "pca_raw_d64", singleFile = Some(true)) {
         Pca.modelToFrame(spark,
           Pca.fit(Tables.table(spark, dir, "embeddings"), "embedding"))
       })
@@ -1037,7 +1058,7 @@ object LlmOps {
       // round 14: the unit-geometry fit pins like the raw model
       // (pca_raw_d64) so the E23 oracle can replay projection, stage-1
       // ranking and the rescore from the same parquet
-      val m = Pca.modelFromRows(pinnedFrame(spark, dir, "embeddings", "pca_unit_d64") {
+      val m = Pca.modelFromRows(pinnedFrame(spark, dir, "embeddings", "pca_unit_d64", singleFile = Some(true)) {
         Pca.modelToFrame(spark, Pca.fit(unit, "nvec"))
       })
       val projected = unit.select(col("vec_id"),

@@ -628,7 +628,7 @@ object Mix {
     // corpus-dependent buckets; the artifact name carries the contract
     // version so a stale v1 table can never satisfy the v2 spec).
     val lam = LlmOps.pinnedFrame(spark, dir, "documents",
-        s"dsir_lam2_${target}_b$buckets") {
+        s"dsir_lam2_${target}_b$buckets", singleFile = Some(true)) {
       val counts = grams.groupBy(col("bkt"))
         .agg(count(lit(1)).as("cr"),
           count(when(col("lang") === target, 1)).as("ct"))

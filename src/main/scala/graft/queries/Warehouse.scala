@@ -3081,11 +3081,11 @@ object Warehouse {
     * multiplicity model from the same parquet. JoinEstimateSpec still
     * bounds the error against the exact join. */
   def qJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val sa = LlmOps.pinnedFrame(spark, dir, "orders", "kmv_orders_okey_k8192") {
+    val sa = LlmOps.pinnedFrame(spark, dir, "orders", "kmv_orders_okey_k8192", singleFile = Some(true)) {
       graft.engine.JoinEstimate.sideStats(
         Tables.table(spark, dir, "orders"), "o_orderkey", k = 8192)
     }
-    val sb = LlmOps.pinnedFrame(spark, dir, "lineitem", "kmv_lineitem_okey_k8192") {
+    val sb = LlmOps.pinnedFrame(spark, dir, "lineitem", "kmv_lineitem_okey_k8192", singleFile = Some(true)) {
       graft.engine.JoinEstimate.sideStats(
         Tables.table(spark, dir, "lineitem"), "l_orderkey", k = 8192)
     }
@@ -3100,7 +3100,7 @@ object Warehouse {
     * round 14 via the same pinned catalog-statistics artifact as C30
     * (one side: a self-join reads one stat frame twice). */
   def qJoinEstimateSkew(spark: SparkSession, dir: String): DataFrame = {
-    val st = LlmOps.pinnedFrame(spark, dir, "events", "kmvhh_events_user_k8192_h256") {
+    val st = LlmOps.pinnedFrame(spark, dir, "events", "kmvhh_events_user_k8192_h256", singleFile = Some(true)) {
       graft.engine.JoinEstimate.skewSideStats(
         Tables.table(spark, dir, "events"), "user_id", k = 8192, kHH = 256)
     }

@@ -94,7 +94,10 @@ object ScaleSmoke {
     // pinned signatures, collapsed to one verdict row per doc). No
     // silent cap: this line is the record; pass `dedup_simhash_pairs`
     // to time the matrix anyway.
-    if (only.exists("dedup_simhash_pairs".contains))
+    // EXACT match for the quadratic opt-in (r15 advice): a family-level
+    // substring filter like `dedup` must never silently re-enable the
+    // ~821s baseline
+    if (only.contains("dedup_simhash_pairs"))
       time("dedup_simhash_pairs") { queries.LlmOps.qDedupSimhash(spark, dir) }
     else if (only.isEmpty)
       println("dedup_simhash_pairs     SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below)")

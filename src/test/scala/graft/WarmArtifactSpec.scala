@@ -26,11 +26,23 @@ class WarmArtifactSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       f
-      // the listener bus is async: wait until the count stops moving
-      var last = -1
-      var spins = 0
-      while (counter.get != last && spins < 50) {
-        last = counter.get; Thread.sleep(100); spins += 1
+      // drain the async listener bus DETERMINISTICALLY (r15 advice: a
+      // lagging bus undercounted jobs and let a budget regression pass;
+      // count-stability polling also false-failed on a slow bus).
+      // LiveListenerBus.waitUntilEmpty is private[spark] (public in
+      // bytecode); fall back to count-stability polling if the
+      // reflective call ever stops resolving on a Spark upgrade.
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch {
+        case _: ReflectiveOperationException =>
+          var last = -1
+          var spins = 0
+          while (counter.get != last && spins < 50) {
+            last = counter.get; Thread.sleep(100); spins += 1
+          }
       }
       counter.get
     } finally spark.sparkContext.removeSparkListener(l)
