@@ -152,41 +152,48 @@ object Ann {
     val sized = bucketed.join(stats, "__bucket").transform(graft.engine.Materialized.checkpoint)
     val small = sized.filter(col("__n") <= maxBucketSize)
 
+    // candidate stages carry IDS AND BUCKETS ONLY — the embedding joins
+    // back at verify time. The previous shape exploded the full vector
+    // through every probe flip, so the probe exchange carried
+    // (1+planes)× the corpus's embedding mass and the base side another
+    // 1× (measured as the r15 bench-tail allocation churn on this
+    // face); the candidate legs are now (id, bucket) longs — ~16 bytes
+    // per probe row instead of the 64-double payload — and the verify
+    // join-back reads the checkpointed bucketed frame twice (2× corpus
+    // embedding mass total, down from 10×, and only candidate PAIRS
+    // allocate wide rows).
     val flips = array(probeMasks(planes, probeBits).map(lit): _*)
-    val probing = small.select(col(idCol).as("id_a"), col("__emb").as("emb_a"),
+    val probing = small.select(col(idCol).as("id_a"),
       explode(transform(flips, f => col("__bucket").bitwiseXOR(f))).as("__bucket"))
-    val base = small.select(col("__bucket").as("__bucket_b"),
-      col(idCol).as("id_b"), col("__emb").as("emb_b"))
+    val base = small.select(col("__bucket").as("__bucket_b"), col(idCol).as("id_b"))
     val cliquePairs = probing.join(base,
         col("__bucket") === col("__bucket_b") && col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("emb_a"), col("id_b"), col("emb_b"))
+      .select(col("id_a"), col("id_b"))
 
     // hot buckets: each member pairs with the bucket canonical only
-    // (B-1 rows instead of B²); join the canonical's embedding back in
-    val canonEmb = sized.select(col(idCol).as("id_a"), col("__emb").as("emb_a"))
+    // (B-1 rows instead of B²)
     val starPairs = sized.filter(col("__n") > maxBucketSize)
       .filter(col(idCol) =!= col("__min_id"))
-      .select(col("__min_id").as("id_a"), col(idCol).as("id_b"), col("__emb").as("emb_b"))
-      .join(canonEmb, "id_a")
-      .select(col("id_a"), col("emb_a"), col("id_b"), col("emb_b"))
+      .select(col("__min_id").as("id_a"), col(idCol).as("id_b"))
 
     // cross-bucket bridge: small-bucket rows probing INTO an over-cap
     // bucket still meet its canonical (the full membership would be the
     // quadratic blowup the cap exists to stop). Ids normalize via
     // least/greatest — the canonical never probes, so the id order is
-    // arbitrary here; cosine is symmetric, so the emb labels may swap.
+    // arbitrary here; the verify join-back keys on the actual ids.
     val hotCanonBase = sized
       .filter(col("__n") > maxBucketSize && col(idCol) === col("__min_id"))
-      .select(col("__bucket").as("__bucket_c"), col(idCol).as("id_c"),
-        col("__emb").as("emb_c"))
+      .select(col("__bucket").as("__bucket_c"), col(idCol).as("id_c"))
     val bridgePairs = probing.join(hotCanonBase,
         col("__bucket") === col("__bucket_c") && col("id_a") =!= col("id_c"))
-      .select(least(col("id_a"), col("id_c")).as("id_a"), col("emb_a"),
-        greatest(col("id_a"), col("id_c")).as("id_b"), col("emb_c").as("emb_b"))
+      .select(least(col("id_a"), col("id_c")).as("id_a"),
+        greatest(col("id_a"), col("id_c")).as("id_b"))
 
-    cliquePairs.unionAll(starPairs).unionAll(bridgePairs)
+    val candidates = cliquePairs.unionAll(starPairs).unionAll(bridgePairs)
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sized.select(col(idCol).as("id_a"), col("__emb").as("emb_a")), "id_a")
+      .join(sized.select(col(idCol).as("id_b"), col("__emb").as("emb_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosineSim(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") > tau)
       .select(col("id_a"), col("id_b"))
