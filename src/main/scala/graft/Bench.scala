@@ -52,6 +52,36 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "copurchase_edges_build" -> (try timed {
         graft.queries.Warehouse.coPurchaseEdges(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      // r15 verdict item 5: the pinned-artifact fits are setup too —
+      // without these entries their first-run builds inflated
+      // cold_total 350s -> 529s unattributed. pinnedFrame builds are
+      // EAGER at plan-construction time, so constructing each query
+      // (no action) times exactly the artifact build.
+      "simhash_sigs_pin" -> (try timed {
+        graft.queries.LlmOps.simhashSigArtifact(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "minhash_sigs_pin" -> (try timed {
+        graft.queries.LlmOps.minhashSigArtifact(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "minhash_cands_pin" -> (try timed {
+        graft.queries.LlmOps.minhashCandArtifact(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "deflate_lens_pin" -> (try timed {
+        graft.queries.LlmOps.qCompressionRatio(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "bloom_verdicts_pin" -> (try timed {
+        graft.queries.Etl.qBloomFpr(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "dsir_lambda_pin" -> (try timed {
+        graft.queries.Mix.dsirImportance(spark, sfDir, "en", 4096); () }
+        catch { case _: Throwable => -1.0 }),
+      "dsir_key_pin" -> (try timed {
+        graft.queries.Mix.qDsirResample(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
+      "kmv_sketch_pin" -> (try timed {
+        graft.queries.Warehouse.qJoinEstimate(spark, sfDir)
+        graft.queries.Warehouse.qJoinEstimateSkew(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }))
     // Four passes per query: pass 1 pays whole-stage-codegen compile +
     // JIT (cold); passes 2-4 are the amortized steady state a
@@ -74,7 +104,7 @@ object Bench {
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
       names0.reverse else names0
-    def pass(): Seq[(String, Double)] = names.map { name =>
+    def sample(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
@@ -92,15 +122,37 @@ object Bench {
       // declared deployment model and their storage is capacity-bounded.
       try graft.engine.Materialized.release(spark)
       catch { case _: Throwable => () }
-      name -> dt
+      dt
     }
+    def pass(): Seq[(String, Double)] = names.map(n => n -> sample(n))
     val cold = pass()
     val warmPasses = Seq(pass(), pass(), pass())
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val byName = warmPasses.map(_.toMap)
-    val warm = names.map(n => n -> median(byName.map(_(n))))
+    // WARM-SPREAD STALL GATE (r15 verdict items 1/8): a stalled warm
+    // pass — GC/ambient freeze, measured as a 23.4s spread on UNCHANGED
+    // code in r15 — must never silently become the recorded number.
+    // Any face whose warm max exceeds 3x its median (above a 0.2s noise
+    // floor, where scheduling jitter alone trips the ratio) is flagged,
+    // takes two extra samples, and its median recomputes over all five
+    // — one stall can then never carry a 3-sample median, two stalls
+    // can't carry five. The flag list persists in BOTH artifacts so a
+    // reader sees which numbers were contested instead of inferring a
+    // plan regression from a machine stall.
+    val samplesOf: Map[String, Seq[Double]] = names.map { n =>
+      n -> byName.map(_(n))
+    }.toMap
+    val flagged = names.filter { n =>
+      val vs = samplesOf(n); val med = median(vs)
+      med > 0.2 && vs.max > 3.0 * med
+    }
+    val resampled: Map[String, Seq[Double]] = flagged.map { n =>
+      n -> (samplesOf(n) ++ Seq(sample(n), sample(n)))
+    }.toMap
+    val allSamples = (n: String) => resampled.getOrElse(n, samplesOf(n))
+    val warm = names.map(n => n -> median(allSamples(n)))
     val spread = names.map { n =>
-      val vs = byName.map(_(n)); n -> (vs.max - vs.min)
+      val vs = allSamples(n); n -> (vs.max - vs.min)
     }
     // JIT/codegen-compile tail per query: (cold − warm_median)/warm_median.
     // A large ratio on a small median (e.g. q_sketch_calibration's 9.7s
@@ -119,14 +171,15 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     // full artifact to a file so a stdout-tail capture can't truncate it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"jit_gap":${jmap(jitGap)},"setup":$st,"sf":"$sfDir"}"""
+    val stallList = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"stall_flagged":$stallList,"stall_resamples":${jmap(resampled.toSeq.flatMap { case (n, vs) => vs.drop(3).zipWithIndex.map { case (v, i) => s"${n}__r$i" -> v } })},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"jit_gap":${jmap(jitGap)},"setup":$st,"sf":"$sfDir"}"""
     // The final stdout line must fit the driver's tail-capture buffer
     // (~4 KB observed): a full 147-query map is ~23 KB and got truncated
     // to an unparseable fragment three rounds running. Keep the line
     // COMPACT — totals, setup, and only the slowest 10 queries — and
     // point at the full artifact for everything else.
     val slowest = warm.sortBy(-_._2).take(10)
-    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","n":${names.size},"queries":${jmap(slowest)},"warm_passes":3,"cold_total":${fmt(coldTotal)},"setup":$st,"detail":"$outPath","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","n":${names.size},"queries":${jmap(slowest)},"warm_passes":3,"stall_flagged":$stallList,"cold_total":${fmt(coldTotal)},"setup":$st,"detail":"$outPath","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }

@@ -217,6 +217,39 @@ object Ann {
     corpus.select(col(idCol), col(embCol),
       lshBucket(col(embCol), dims, planes).as("bucket"))
 
+  /** G20: the EMBEDDING-domain arrival-time near-dup gate — closes the
+    * G8 modality grid (text simhash, image dHash, audio envelope hash
+    * all stream-probe a static banded index; embeddings now do too).
+    * The corpus buckets ONCE ([[bucketCorpus]] — persist/compact it
+    * like any index); each arriving vector buckets map-side, XOR-flips
+    * its precomputed bucket through every probe mask (a stateless
+    * projection + explode, streaming-legal), equi-joins the static
+    * index on bucket, and cosine-verifies the joined rows — the exact
+    * candidate+verify shape of [[nearDupPairsLsh]] with the probe side
+    * a stream. Emits one row per (arriving id, corpus id, sim) above
+    * `tau`; no duplicate suppression is needed because a corpus vector
+    * lives in exactly one bucket and each probe mask targets a distinct
+    * bucket, so a pair can match through at most one probe. The stream
+    * side shuffles only (id, bucket, emb) lanes; recall follows the
+    * multi-probe hyperplane collision bound, as in the batch face. */
+  def nearDupFlags(index: DataFrame, arriving: DataFrame, idCol: String,
+      embCol: String, tau: Double, dims: Int, planes: Int = 8,
+      probeBits: Int = 1): DataFrame = {
+    val flips = array(probeMasks(planes, probeBits).map(lit): _*)
+    val probing = arriving
+      .select(col(idCol), asDouble(col(embCol)).as("__pemb"),
+        lshBucket(asDouble(col(embCol)), dims, planes).as("__b"))
+      .select(col(idCol), col("__pemb"),
+        explode(transform(flips, f => col("__b").bitwiseXOR(f))).as("bucket"))
+    probing.join(
+        index.select(col("bucket"), col(idCol).as("corpus_id"),
+          asDouble(col(embCol)).as("__cemb")),
+        Seq("bucket"))
+      .select(col(idCol), col("corpus_id"),
+        cosineSim(col("__pemb"), col("__cemb")).as("sim"))
+      .filter(col("sim") > tau)
+  }
+
   /** E2: LSH-bucketed approximate top-k. Queries probe their own bucket
     * plus every flipped bucket within `probeBits` hamming (multi-probe →
     * recall). The query bucket is computed ONCE, then the probe set is

@@ -625,14 +625,30 @@ object Mix {
     * sum of the checkpointed ≤`buckets`-row frame. */
   private[graft] def dsirImportance(spark: SparkSession, dir: String,
       target: String, buckets: Int): DataFrame = {
+    val grams = dsirGrams(spark, dir, buckets)
+    val lam = dsirLambda(spark, dir, target, buckets)
+      .select(col("bkt"), col("lam_x1e6"))
+    grams.join(broadcast(lam), "bkt")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_x1e6")).as("importance_x1e6"))
+  }
+
+  /** The hashed-bigram stream (doc_id, lang, bkt) both DSIR lanes read. */
+  private[graft] def dsirGrams(spark: SparkSession, dir: String,
+      buckets: Int): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__toks"))
-    val grams = docs.select(col("doc_id"), col("lang"),
+    docs.select(col("doc_id"), col("lang"),
         explode(graft.dedup.Dedup.ngramsFromTokens(col("__toks"), 2)).as("gram"))
       .select(col("doc_id"), col("lang"),
         pmod(graft.functions.polyhash(col("gram")), lit(buckets.toLong)).as("bkt"))
-    // λ in integer micro-nats, computed ONCE per bucket and PINNED as
+  }
+
+  /** The pinned λ model table (bkt, ct, cr, n_target, n_raw, lam_x1e6) —
+    * factored out of [[dsirImportance]] so the G21 arrival-time gate
+    * ([[dsirScored]]) reads the IDENTICAL artifact the batch face pins.
+    * λ in integer micro-nats, computed ONCE per bucket and PINNED as
     // the hashed-n-gram model artifact (the DSIR model IS this table —
     // fit once per target, reused per mix run): JVM and DuckDB round
     // sub-micro-nat ln tails differently (measured ±1 on ~1 bucket per
@@ -644,9 +660,12 @@ object Mix {
     // yields a double whose nearest binary neighbour can sit BELOW
     // k/1e6, so the later ×1e6 cast truncated k−1 (HALF_UP violated on
     // corpus-dependent buckets; the artifact name carries the contract
-    // version so a stale v1 table can never satisfy the v2 spec).
-    val lam = LlmOps.pinnedFrame(spark, dir, "documents",
+    // version so a stale v1 table can never satisfy the v2 spec). */
+  private[graft] def dsirLambda(spark: SparkSession, dir: String,
+      target: String, buckets: Int): DataFrame =
+    LlmOps.pinnedFrame(spark, dir, "documents",
         s"dsir_lam2_${target}_b$buckets", singleFile = Some(true)) {
+      val grams = dsirGrams(spark, dir, buckets)
       val counts = grams.groupBy(col("bkt"))
         .agg(count(lit(1)).as("cr"),
           count(when(col("lang") === target, 1)).as("ct"))
@@ -660,10 +679,48 @@ object Mix {
         round((log((col("ct") + 1).cast("double") / (nt + buckets).toDouble)
           - log((col("cr") + 1).cast("double") / (nr + buckets).toDouble)) * 1e6, 0)
           .cast("long").as("lam_x1e6"))
-    }.select(col("bkt"), col("lam_x1e6"))
-    grams.join(broadcast(lam), "bkt")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("lam_x1e6")).as("importance_x1e6"))
+    }
+
+  /** G21: the DSIR gate collapsed to a broadcast-map Column (r15
+    * verdict item 7 — the G19 pattern applied to H31): the λ model is a
+    * fit-once ≤`buckets`-row artifact, so it folds into a map LITERAL
+    * and per-doc importance becomes a PURE PROJECTION — `aggregate()`
+    * over the doc's own hashed-bigram stream with integer micro-nat
+    * addition. No explode, no join, no per-doc aggregate, no state: the
+    * scoring is streaming-legal on an ingest stream, so documents gate
+    * at ARRIVAL time with the exact batch scores (integer sums are
+    * order-free; λ lookups read the identical pinned table).
+    *
+    * Contract for grams the fit never saw (a bucket with zero corpus
+    * mass has no λ row): they contribute λ = 0 to the importance sum —
+    * the smoothed log-ratio of an empty bucket is ln(1/(nt+B)) −
+    * ln(1/(nr+B)), a constant the map simply doesn't carry; 0 is the
+    * conservative "no signal" read — while `n_feats` counts EVERY gram
+    * (it reports feature mass, not model coverage). On corpus documents
+    * both choices coincide with the batch face (every corpus gram's
+    * bucket has fit mass by construction — StreamingSpec pins the
+    * keep-set equivalence), and qualityGate-style thresholds compose on
+    * top: keep = n_feats ≥ 1 AND importance ≥ τ. */
+  def dsirScored(spark: SparkSession, dir: String, docs: DataFrame,
+      textCol: String = "text", target: String = "en",
+      buckets: Int = 4096): DataFrame = {
+    // ≤buckets rows by construction — the bounded declared collect that
+    // IS the model artifact (same class as H3's cutoff literals). ONE
+    // MapType literal, not map(lit,...): 2×4096 expression nodes would
+    // blow the codegen method budget; a typedLit map is a single node.
+    val lamMap = typedLit(
+      dsirLambda(spark, dir, target, buckets)
+        .select(col("bkt"), col("lam_x1e6")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val grams = graft.dedup.Dedup.ngramsFromTokens(
+      split(col(textCol), " "), 2)
+    val bkts = transform(grams,
+      g => pmod(graft.functions.polyhash(g), lit(buckets.toLong)))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("n_feats", size(bkts).cast("long"))
+      .withColumn("importance_x1e6",
+        aggregate(bkts, lit(0L),
+          (acc, b) => acc + coalesce(element_at(lamMap, b), lit(0L))))
   }
 
   /** H32's Gumbel lane: the content-hash uniform draw (drawMix, the

@@ -925,4 +925,143 @@ class StreamingSpec extends SparkSpec {
       assert(h == batchH, "state key is the same md5 hex as batch D1/D8")
     } finally query.stop()
   }
+
+  test("streaming EMBEDDING near-dup flagging against a static LSH bucket index " +
+      "(G20): stream == batch == the pair face's cross pairs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.Ann
+    // planted clusters (the AnnSpec regime): 15 bases x 6 members; the
+    // static index is built ONCE from the corpus's hyperplane buckets
+    val rng = new scala.util.Random(11)
+    val dims = 16
+    val bases = (0 until 15).map(_ => Array.fill(dims)(rng.nextGaussian()))
+    val corpus = bases.zipWithIndex.flatMap { case (base, c) =>
+      (0 until 6).map(m =>
+        (c * 10L + m, base.map(x => x + 0.03 * rng.nextGaussian()).toSeq))
+    }.toDF("vec_id", "embedding")
+    val index = Ann.bucketCorpus(corpus, "vec_id", "embedding", dims, planes = 8)
+    // arriving: one fresh member per planted cluster 0..4 (must flag to
+    // co-cluster members only) + one novel random vector (must not flag)
+    val arriving = (0 until 5).map { c =>
+      (1000L + c, bases(c).map(x => x + 0.03 * rng.nextGaussian()).toSeq)
+    } :+ (2000L, Array.fill(dims)(rng.nextGaussian()).toSeq)
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      Ann.nearDupFlags(index, df, "vec_id", "embedding",
+        tau = 0.95, dims = dims, planes = 8, probeBits = 1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(arriving: _*)
+    val query = flags(input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("emb_flags")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("emb_flags").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = flags(arriving.toDF("vec_id", "embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, "stream flags must equal the batch flags")
+      // the gate IS the registered pair face's candidate+verify on the
+      // union corpus, restricted to (corpus, arriving) cross pairs:
+      // probeBits=1 collision is symmetric (ham(b_a,b_c) <= 1 either
+      // way), so the one-directional stream probe loses nothing
+      val cross = Ann.nearDupPairsLsh(
+          corpus.unionAll(arriving.toDF("vec_id", "embedding")),
+          "vec_id", "embedding", tau = 0.95, dims = dims,
+          planes = 8, probeBits = 1)
+        .filter($"id_b" >= 1000L && $"id_a" < 1000L)
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      assert(batch == cross,
+        s"gate flags must equal the batch pair face's cross pairs: " +
+          s"flags ${batch.size}, cross ${cross.size}")
+      // planted expectations: the novel vector never flags; arriving
+      // members flag only within their own cluster, with LSH recall
+      assert(!batch.exists(_._1 == 2000L), "novel vector must not flag")
+      assert(batch.forall { case (a, c) => c / 10 == a - 1000L },
+        "flags must stay within the arriving member's own cluster")
+      assert(batch.map(_._1).size >= 4,
+        s"at least 4 of 5 planted arrivals must flag, got ${batch.map(_._1)}")
+    } finally query.stop()
+  }
+
+  test("streaming DSIR gate (G21): arrival-time keep set equals the batch H31 " +
+      "composition; unknown-bucket grams contribute lambda=0") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Mix
+    // batch truth: the H31 face's per-doc importance (pinned λ model)
+    val batch = Mix.dsirImportance(spark, sfDir, "en", 4096)
+      .select("doc_id", "importance_x1e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"doc_id", $"text")
+      .orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    // median sampled importance as the gate threshold — keep AND drop
+    // both nonempty, so the equivalence below has two-sided teeth
+    val sampled = docs.flatMap(d => batch.get(d._1)).sorted
+    val thr = sampled(sampled.length / 2)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Mix.dsirScored(spark, sfDir, df)
+        .filter($"n_feats" >= 1L && $"importance_x1e6" >= thr)
+        .select("doc_id")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val query = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("dsir_gate").collect().map(_.getLong(0)).toSet
+      val expect = docs.filter(d => batch.get(d._1).exists(_ >= thr)).map(_._1).toSet
+      assert(streamed == expect,
+        "stream keep set must equal the batch importance+threshold composition")
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        "threshold must split the sample (keep and drop both nonempty)")
+    } finally query.stop()
+    // λ=0 teeth: find a bucket the fit never populated (guaranteed at
+    // this SF: far fewer distinct grams than buckets), then craft a
+    // two-word doc whose single bigram hashes there — its importance
+    // must read EXACTLY 0 with the gram still counted as a feature
+    val present = Mix.dsirLambda(spark, sfDir, "en", 4096)
+      .select("bkt").collect().map(_.getLong(0)).toSet
+    assert(present.size < 4096,
+      "teeth need an unpopulated λ bucket; raise `buckets` if testdata grew")
+    val cands = (0 until 400).map(i => (i.toLong, s"zqx$i wvu$i")).toDF("doc_id", "text")
+    // score the candidates exactly as the gate does
+    val scoredCands = Mix.dsirScored(spark, sfDir, cands)
+      .select("doc_id", "n_feats", "importance_x1e6").collect()
+    // verify the gate scores against the explicit left-join replay with
+    // coalesce(λ, 0) — the exact unknown-bucket semantic, on real plans
+    val replayed = cands.limit(50)
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        graft.dedup.Dedup.ngramsFromTokens(
+          org.apache.spark.sql.functions.split($"text", " "), 2)).as("gram"))
+      .select($"doc_id", org.apache.spark.sql.functions.pmod(
+        graft.functions.polyhash($"gram"), lit(4096L)).as("bkt"))
+      .join(Mix.dsirLambda(spark, sfDir, "en", 4096)
+        .select($"bkt", $"lam_x1e6"), Seq("bkt"), "left")
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.coalesce($"lam_x1e6", lit(0L)))
+        .as("replay_x1e6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scoredMap = scoredCands.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    replayed.foreach { case (id, v) =>
+      assert(scoredMap(id) == v,
+        s"gate score for candidate $id must equal the λ=0 left-join replay")
+    }
+    val missed = cands.limit(50)
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        graft.dedup.Dedup.ngramsFromTokens(
+          org.apache.spark.sql.functions.split($"text", " "), 2)).as("gram"))
+      .select(org.apache.spark.sql.functions.pmod(
+        graft.functions.polyhash($"gram"), lit(4096L)).as("bkt"))
+      .collect().map(_.getLong(0)).count(b => !present.contains(b))
+    assert(missed > 0,
+      "the candidate set must exercise at least one unknown bucket " +
+        "(vocabulary is synthetic — widen the candidate range if this trips)")
+  }
 }
