@@ -281,6 +281,7 @@ object SparkEntry {
     "q_min_cost_supplier" -> ((s, dir) => Warehouse.qMinCostSupplier(s, dir)),
     "q_custorder_dist" -> ((s, dir) => Warehouse.qCustOrderDist(s, dir)),
     "q_linear_trend" -> ((s, dir) => Warehouse.qLinearTrend(s, dir)),
+    "q_theil_sen" -> ((s, dir) => Warehouse.qTheilSen(s, dir)),
     "q_holt" -> ((s, dir) => Warehouse.qHolt(s, dir)),
     "q_holt_winters" -> ((s, dir) => Warehouse.qHoltWinters(s, dir)),
     "q_dedup_best_lsh" -> ((s, dir) => LlmOps.qDedupBestLsh(s, dir)),
@@ -6164,6 +6165,39 @@ object SparkEntry {
         |  CAST((inum - (((inum % den) + den) % den)) // den AS BIGINT)
         |    AS intercept_x1000
         |FROM t""".stripMargin,
+    // C99: median of pairwise slopes, all-integer lanes; the doubled
+    // medians (×2) keep the even-count average integer-exact, and
+    // quantile_cont ≡ Spark percentile at p=0.5 on exact-integer doubles
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(
+        |    CAST(min(d) AS TIMESTAMP), CAST(max(d) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS d FROM daily),
+        |series AS (
+        |  SELECT s.d, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM spine s LEFT JOIN daily USING (d)),
+        |xy AS (
+        |  SELECT CAST(date_diff('day', (SELECT min(d) FROM series), d)
+        |    AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y FROM series),
+        |slopes AS (
+        |  SELECT CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS s
+        |  FROM (SELECT 1000000 * (b.y - a.y) AS num, b.x - a.x AS den
+        |        FROM xy a JOIN xy b ON a.x < b.x)),
+        |sl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(2 * quantile_cont(s, 0.5) AS BIGINT) AS slope_ppm_x2
+        |  FROM slopes),
+        |res AS (
+        |  SELECT sl.n_pairs, sl.slope_ppm_x2,
+        |    CAST(2000000 * xy.y - CAST(sl.slope_ppm_x2 AS HUGEINT) * xy.x
+        |      AS BIGINT) AS r
+        |  FROM xy CROSS JOIN sl)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days, n_pairs, slope_ppm_x2,
+        |  CAST(2 * quantile_cont(r, 0.5) AS BIGINT) AS intercept_x4e6
+        |FROM res GROUP BY n_pairs, slope_ppm_x2""".stripMargin,
     // C72: two-state recursive CTE; every halving spelled
     // (x − pmod(x,2)) // 2 — the trend lane goes negative
     "q_holt" ->

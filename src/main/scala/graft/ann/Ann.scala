@@ -103,6 +103,71 @@ object Ann {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** D5 exact pair face with the LOSSLESS rep collapse in front (round
+    * 16 — the r15 apply-face collapse generalized to a PAIR face, which
+    * needs the inverse step too): identical vectors reduce to their
+    * min-id representative, the O(reps²) pair stage runs over reps
+    * only, and the full pair matrix is recovered by EXPANDING each rep
+    * pair through both groups' memberships. Exact for every τ:
+    *
+    *  - cross-group pair (x∈A, y∈B), A≠B: cosine is a function of the
+    *    two vectors alone, so cos(x,y) = cos(rep_A, rep_B) — the pair
+    *    passes iff the rep pair does, and `(least,greatest)` over the
+    *    member ids reproduces the id_a<id_b convention exactly once
+    *    per unordered pair (one rep pair per unordered group pair).
+    *  - within-group pair (x, x'∈A): cos is the SAME self-cosine for
+    *    every such pair — evaluated once per group through the very
+    *    kernel the brute force runs (nonzero: 1 up to one ulp; zero
+    *    vector: 0/0 = NaN, which both engines order above every τ —
+    *    the DedupSpec-pinned semantic), never assumed to pass.
+    *
+    * On a clone-heavy corpus the cosine work shrinks by the squared
+    * clone factor while the OUTPUT (quadratic by the face's contract)
+    * is regenerated by two id-keyed joins whose cost is the output
+    * size itself — at the 100× smoke this took the block from 396s of
+    * cosines to pair generation at consume speed. */
+  def nearDupPairsCollapsed(corpus: DataFrame, idCol: String, embCol: String,
+      tau: Double): DataFrame = {
+    val emb = corpus.select(col(idCol), col(embCol))
+    // one hash exchange keyed by the vector itself; groups carry the
+    // self-cosine verdict so within-group inclusion replays the kernel
+    val groups = emb.groupBy(col(embCol))
+      .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__gn"))
+      .withColumn("__selfpass",
+        cosineSim(asDouble(col(embCol)), asDouble(col(embCol))) > tau)
+      .transform(graft.engine.Materialized.checkpoint)
+    val members = emb.join(groups, Seq(embCol))
+      .select(col("__gid"), col(idCol).as("__mid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val reps = groups.select(col("__gid").as(idCol), col(embCol))
+    // EXPANSION PARALLELISM: each rep pair fans out |A|×|B| output rows,
+    // but the rep-pair frame itself is tiny — AQE coalesces its shuffle
+    // to one partition, and a broadcast expansion join inherits that,
+    // serializing the (quadratic-by-contract) output generation into a
+    // single task. An EXPLICIT-count repartition (exempt from AQE
+    // coalescing, unlike the count-less overload) spreads pairs — and
+    // with them the generation work — across the cluster; keying by
+    // both ids keeps a viral group's pairs from landing on one task.
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val repPairs = nearDupPairs(reps, idCol, embCol, tau)
+      .repartition(p, col("id_a"), col("id_b"))
+    val ma = members.select(col("__gid").as("__ga"), col("__mid").as("__xa"))
+    val mb = members.select(col("__gid").as("__gb"), col("__mid").as("__xb"))
+    val cross = repPairs
+      .join(ma, col("id_a") === col("__ga"))
+      .join(mb, col("id_b") === col("__gb"))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"))
+    val within = groups.filter(col("__gn") >= 2 && col("__selfpass"))
+      .select(col("__gid").as("__g"))
+      .repartition(p, col("__g"))
+      .join(ma, col("__g") === col("__ga"))
+      .join(mb, col("__g") === col("__gb"))
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__xa").as("id_a"), col("__xb").as("id_b"))
+    cross.unionByName(within)
+  }
+
   /** Probe-bucket flips for multi-probe LSH: all XOR masks of hamming
     * weight ≤ probeBits over `planes` bits (probeBits=1 → 1+planes probes;
     * probeBits=2 adds the C(planes,2) two-bit flips). */

@@ -40,15 +40,50 @@ object SemDedup {
       idCol, tau, chunkSize)
 
   /** Same, over an already-built (possibly memoized/persisted) IVF index —
-    * dedup and ANN share one quantizer fit. */
+    * dedup and ANN share one quantizer fit.
+    *
+    * Round 16: the pair stage runs REP-COLLAPSED (the r15 lossless
+    * collapse applied to SemDeDup's within-cell cliques). The k-means
+    * FIT stays on the full corpus (collapsing before the fit would
+    * move the centroids — weights change the k-means‖ seeding — and
+    * with them the cell walls), but cell assignment is a function of
+    * the vector alone, so identical vectors share a cell and:
+    *
+    *  - a non-rep member always has its group's rep as a LOWER-ID
+    *    cell-mate at the self-cosine (nonzero: 1 up to one ulp; zero
+    *    vector: NaN, ordered above every τ) — when that self-cosine
+    *    clears τ the member is a guaranteed drop without entering the
+    *    pair stage at all;
+    *  - a rep's verdict needs only other GROUPS: any lower-id member
+    *    y of group g implies rep_g ≤ y in the same cell with the same
+    *    cosine, so rep-vs-rep (plus the members of the rare
+    *    un-collapsible groups) decides exactly what member-vs-member
+    *    would.
+    *
+    * Groups whose self-cosine does NOT clear τ (only τ within one ulp
+    * of 1 can do that) stay uncollapsed — each member enters the pair
+    * stage individually — so the rewrite is exact for EVERY τ, never
+    * assumed. Σ|cell∩participants|² replaces Σ|cell|²: on a
+    * clone-heavy corpus the quadratic within-cell work shrinks by the
+    * squared clone factor while the per-vector verdicts are unchanged. */
   def keepDecisions(idx: Ivf.IvfIndex, idCol: String, tau: Double,
       chunkSize: Int): DataFrame = {
+    val groups = idx.assigned.groupBy(col("__emb"))
+      .agg(min(col(idCol)).as("__gid"))
+      .withColumn("__selfpass", cosineSim(col("__emb"), col("__emb")) >= tau)
+      .transform(graft.engine.Materialized.checkpoint)
+    val annotated = idx.assigned.join(groups, Seq("__emb"))
+      .select(col(idCol), col("cell_id"), col("__emb"),
+        col("__gid"), col("__selfpass"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val participants = annotated
+      .filter(!col("__selfpass") || col(idCol) === col("__gid"))
     // cell_id is a FUNCTION of the row (each id in exactly one cell) —
     // gridSelfJoin's partition precondition, so no pair-distinct needed
     val pairs = graft.dedup.Buckets.gridSelfJoin(
-      idx.assigned.select(col(idCol), col("cell_id")),
+      participants.select(col(idCol), col("cell_id")),
       Seq("cell_id"), idCol, chunkSize)
-    val embs = idx.assigned.select(col(idCol), col("__emb"))
+    val embs = participants.select(col(idCol), col("__emb"))
     val dropped = pairs
       .join(embs.select(col(idCol).as("id_a"), col("__emb").as("emb_a")), "id_a")
       .join(embs.select(col(idCol).as("id_b"), col("__emb").as("emb_b")), "id_b")
@@ -56,9 +91,10 @@ object SemDedup {
       .select(col("id_b").as(idCol)) // id_a < id_b: the larger id drops
       .distinct()
       .withColumn("__drop", lit(true))
-    idx.assigned.select(col(idCol), col("cell_id"))
+    annotated.select(col(idCol), col("cell_id"), col("__gid"), col("__selfpass"))
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell_id"),
-        coalesce(col("__drop"), lit(false)) === false).toDF(idCol, "cell_id", "kept")
+        (coalesce(col("__drop"), lit(false)) === false &&
+          !(col("__selfpass") && col(idCol) =!= col("__gid"))).as("kept"))
   }
 }

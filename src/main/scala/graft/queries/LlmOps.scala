@@ -213,16 +213,59 @@ object LlmOps {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
         Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
-    // grams ride the grid join's legs (once per CELL — pairs/chunkSize
-    // rows), never a per-pair exchange: the earlier id-first + join-back
-    // shape re-sorted every pair with its arrays the moment a consumer
-    // actually evaluated the Jaccard column (500 GB of spill at the 100×
-    // smoke; the count-only smoke had hidden it by pruning the arrays)
-    graft.dedup.Buckets.gridSelfJoinPayload(
-        docs, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
+    ngramJaccardFrom(docs).orderBy("id_a", "id_b")
+  }
+
+  /** D4 core over a prepared (doc_id, source, grams) frame — factored so
+    * DedupSpec can drive planted corpora (clones, permuted-token twins,
+    * empty-gram docs) against the inline brute-force grid join.
+    *
+    * Round 16 rep collapse on a VALUE-carrying pair face: the Jaccard
+    * is a function of the two (sorted) gram arrays alone, so docs with
+    * byte-equal (source, grams) collapse to a min-id representative,
+    * the grid join + kernel run over reps only, and every pair row of
+    * the full matrix is regenerated by expanding rep pairs through
+    * both memberships WITH the rep-level jaccard value. Within-group
+    * pairs carry the group's self-jaccard — evaluated through the
+    * same kernel (1000 for nonempty grams; whatever the kernel says
+    * for (∅,∅)), never assumed. Grams still ride the grid join's legs
+    * (once per CELL), never a per-pair exchange — see
+    * gridSelfJoinPayload's scale contract. */
+  private[graft] def ngramJaccardFrom(docs: DataFrame): DataFrame = {
+    val groups = docs.groupBy(col("source"), col("grams"))
+      .agg(min(col("doc_id")).as("__gid"), count(lit(1)).as("__gn"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val members = docs.join(groups, Seq("source", "grams"))
+      .select(col("__gid"), col("doc_id").as("__mid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val reps = groups.select(col("__gid").as("doc_id"), col("source"), col("grams"))
+    // EXPANSION PARALLELISM (see Ann.nearDupPairsCollapsed): the rep-pair
+    // frame is tiny and AQE coalesces it to one partition, which would
+    // serialize the ~Σ docs² output generation into a single task (first
+    // cut measured >10 min single-threaded at 100× vs 280s brute); the
+    // explicit-count repartition spreads the fan-out across the cluster
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val repPairs = graft.dedup.Buckets.gridSelfJoinPayload(
+        reps, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
       .select(col("id_a"), col("id_b"),
         graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b")).as("jaccard_x1000"))
-      .orderBy("id_a", "id_b")
+      .repartition(p, col("id_a"), col("id_b"))
+    val ma = members.select(col("__gid").as("__ga"), col("__mid").as("__xa"))
+    val mb = members.select(col("__gid").as("__gb"), col("__mid").as("__xb"))
+    val cross = repPairs
+      .join(ma, col("id_a") === col("__ga"))
+      .join(mb, col("id_b") === col("__gb"))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"), col("jaccard_x1000"))
+    val within = groups.filter(col("__gn") >= 2)
+      .select(col("__gid").as("__g"),
+        graft.functions.longSetJaccardSorted(col("grams"), col("grams")).as("jaccard_x1000"))
+      .repartition(p, col("__g"))
+      .join(ma, col("__g") === col("__ga"))
+      .join(mb, col("__g") === col("__gb"))
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__xa").as("id_a"), col("__xb").as("id_b"), col("jaccard_x1000"))
+    cross.unionByName(within)
   }
 
   /** Exact embedding near-dup pairs, materialized once — shared input of
@@ -440,15 +483,46 @@ object LlmOps {
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"), col("source"),
         Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
-    // grams ride the grid join's LEGS (once per cell, ~pairs/chunkSize
-    // rows), and the τ filter runs inside the join's output pipeline —
-    // the id-first + join-back shape sorted pairs × arrays and filled
-    // the disk at 100× (see gridSelfJoinPayload's scale contract)
-    val pairs = graft.dedup.Buckets.gridSelfJoinPayload(
-        docs, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
+    survivorshipFromPairs(spark, dir, survivorshipPairsCollapsed(docs, tauX1000))
+  }
+
+  /** D28's component-defining pair graph over a prepared
+    * (doc_id, source, grams) frame — factored so DedupSpec can prove
+    * CC-equivalence against the brute grid join on planted corpora.
+    *
+    * Round 16 rep collapse on a CLUSTER-feeding pair face: the pairs
+    * here exist only to define connected components, so the expansion
+    * step is cheaper than a pair matrix — STAR edges (rep, member)
+    * connect exactly the same components as the within-group clique
+    * (every member of a group whose self-jaccard clears τ is a
+    * guaranteed τ-pair of its rep), and cross-group connectivity runs
+    * through rep pairs alone (Jaccard is a function of the gram
+    * arrays: member pairs pass iff their rep pair does). Groups whose
+    * self-jaccard fails τ (only (∅,∅) can — nonempty identical grams
+    * are 1000) add no star edges, matching the brute force where
+    * J(∅,·) = 0 < τ yields no pairs at all. Component ids are
+    * unchanged: each group's min member IS its rep, so min-over-
+    * component is min-over-reps. Grid-join cost drops from Σ docs²
+    * to Σ reps² per source block; τ ≤ 0 would break the (∅,∅)
+    * argument, hence the require. */
+  private[graft] def survivorshipPairsCollapsed(docs: DataFrame,
+      tauX1000: Long): DataFrame = {
+    require(tauX1000 > 0L, "rep-collapsed survivorship assumes tau > 0")
+    val groups = docs.groupBy(col("source"), col("grams"))
+      .agg(min(col("doc_id")).as("__gid"), count(lit(1)).as("__gn"))
+      .withColumn("__selfpass",
+        graft.functions.longSetJaccardSorted(col("grams"), col("grams")) >= tauX1000)
+      .transform(graft.engine.Materialized.checkpoint)
+    val reps = groups.select(col("__gid").as("doc_id"), col("source"), col("grams"))
+    val repPairs = graft.dedup.Buckets.gridSelfJoinPayload(
+        reps, Seq("source"), "doc_id", Seq("grams"), chunkSize = 4096)
       .filter(graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b")) >= tauX1000)
       .select(col("id_a"), col("id_b"))
-    survivorshipFromPairs(spark, dir, pairs)
+    val starEdges = docs.select(col("source"), col("grams"), col("doc_id"))
+      .join(groups.filter(col("__selfpass")), Seq("source", "grams"))
+      .filter(col("doc_id") =!= col("__gid"))
+      .select(col("__gid").as("id_a"), col("doc_id").as("id_b"))
+    repPairs.unionByName(starEdges)
   }
 
   /** D28's tail, pair-source-agnostic: components over the near-dup pairs,
@@ -549,9 +623,14 @@ object LlmOps {
   }
 
   /** D5: embedding-cosine near-dup pairs (τ tuned to the synthetic
-    * embedding distribution; real corpora use 0.95+). */
+    * embedding distribution; real corpora use 0.95+). Round 16: the
+    * rep-collapsed plan with membership EXPANSION — output byte-equal
+    * to the brute-force pair matrix (the oracle is unchanged), cosine
+    * work quadratic in DISTINCT vectors instead of docs
+    * ([[Ann.nearDupPairsCollapsed]]). */
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    Ann.nearDupPairs(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.35)
+    Ann.nearDupPairsCollapsed(Tables.table(spark, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.35)
       .orderBy("id_a", "id_b")
 
   /** D5 scale path: the same near-dup semantics via LSH buckets — the plan

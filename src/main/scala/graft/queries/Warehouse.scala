@@ -2965,6 +2965,50 @@ object Warehouse {
       ((inum - pmod(inum, den)) / den).cast("long").as("intercept_x1000"))
   }
 
+  /** C99: Theil–Sen robust trend of the daily event volume — the
+    * median-of-pairwise-slopes twin of C83's OLS (one outlier day — the
+    * C42b anomaly class — drags a least-squares slope arbitrarily far;
+    * the pairwise-slope median has a ~29% breakdown point; Theil 1950,
+    * Sen 1968). All lanes integer-exact: each pair's slope is the ×1e6
+    * FLOOR quotient (num − pmod(num, den)) / den, the median is
+    * DOUBLED into slope_ppm_x2 (odd n: 2·middle; even n: sum of the
+    * two middles — both integers, exact in double far below 2^53, and
+    * Spark `percentile` ≡ DuckDB `quantile_cont` at p=0.5), and the
+    * intercept is the median residual in ×2e6 lanes doubled again
+    * (intercept_x4e6). Scale: the pair frame is |days|² with |days|
+    * CALENDAR-bounded (a bigger corpus adds rows per day, not days),
+    * so the quadratic stage is a broadcast self-join over a
+    * dimension-bounded frame — corpus-sized work is the one daily
+    * aggregation inside dailyEventSeries. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(dailyEventSeries(spark, dir))
+
+  /** C99 core over any gap-complete (d, y) series. */
+  def theilSenOf(series: DataFrame): DataFrame = {
+    val lo = series.agg(min(col("d")).as("__lo"))
+    // two consumers (slope pairs, residual pass) — materialize once
+    val xy = series.crossJoin(broadcast(lo))
+      .select(datediff(col("d"), col("__lo")).cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val b = xy.select(col("x").as("xb"), col("y").as("yb"))
+    val num = lit(1000000).cast("decimal(38,0)") * (col("yb") - col("y"))
+    val den = col("xb") - col("x") // > 0 by the join predicate
+    val slopes = xy.join(broadcast(b), col("x") < col("xb"))
+      .select(((num - pmod(num, den)) / den).cast("long").as("s"))
+    val sl = slopes.agg(count(lit(1)).as("n_pairs"),
+      (expr("percentile(s, 0.5D)") * 2).cast("long").as("slope_ppm_x2"))
+    xy.crossJoin(broadcast(sl))
+      .select(col("n_pairs"), col("slope_ppm_x2"),
+        (lit(2000000).cast("decimal(38,0)") * col("y") -
+          col("slope_ppm_x2").cast("decimal(38,0)") * col("x")).cast("long").as("r"))
+      .groupBy(col("n_pairs"), col("slope_ppm_x2"))
+      .agg(count(lit(1)).as("n_days"),
+        (expr("percentile(r, 0.5D)") * 2).cast("long").as("intercept_x4e6"))
+      .select(col("n_days"), col("n_pairs"), col("slope_ppm_x2"),
+        col("intercept_x4e6"))
+  }
+
   /** C72: Holt double-exponential smoothing (level + trend) of the daily
     * volume — what C64's EWMA cannot give a TRENDING series (flat
     * smoothing lags a ramp forever; Holt's trend state closes that gap,

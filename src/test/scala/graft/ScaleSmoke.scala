@@ -533,6 +533,8 @@ object ScaleSmoke {
     time("q_min_cost_supplier") { queries.Warehouse.qMinCostSupplier(spark, dir) }
     time("q_custorder_dist") { queries.Warehouse.qCustOrderDist(spark, dir) }
     time("q_linear_trend") { queries.Warehouse.qLinearTrend(spark, dir) }
+    // C99: |days|² pair frame is calendar-bounded — expect ~flat
+    time("q_theil_sen") { queries.Warehouse.qTheilSen(spark, dir) }
     time("q_holt") { queries.Warehouse.qHolt(spark, dir) }
     time("sketch_calibration_s2pct") {
       graft.dedup.MinHashLsh.calibration(

@@ -92,7 +92,14 @@ class WarmArtifactSpec extends SparkSpec {
     "q_parse_messages" -> 4,
     "q_supplier_diversity" -> 13,
     "q_peak_concurrency" -> 9,
-    "q_image_dedup_apply" -> 18)
+    // 18 measured on the r15 corpus; connected-components job count is
+    // DATA-dependent (min-label propagation runs to convergence, one
+    // probe+pass pair per round, and the driver regenerates testdata
+    // each round — the r16 corpus converged one probe later, 19). The
+    // budget allows one extra CC round over the measurement so a fresh
+    // corpus can't redden a plan that didn't change; an eager-fit leak
+    // adds jobs OUTSIDE the iteration and still trips it.
+    "q_image_dedup_apply" -> 21)
 
   test("warm-cost sweep: every pinned-artifact face stays inside its declared job budget") {
     // collect EVERY violation before failing — a budget sweep that stops

@@ -428,4 +428,69 @@ class AnnSpec extends SparkSpec {
     // the appended rows landed in existing cells — no refit happened
     assert(incremental.values.toSet.subsetOf(centers.map(_._1).toSet))
   }
+
+  test("pair-face rep collapse (r16): collapsed plan ≡ brute pair matrix, zero vectors included") {
+    import spark.implicits._
+    val a = Seq(1.0, 0.0, 0.0)
+    val b = Seq(0.9, 0.1, 0.0) // cos(a,b) ≈ 0.993 > τ
+    val c = Seq(0.0, 0.0, 1.0) // orthogonal to a/b: pairs only via NaN
+    val z = Seq(0.0, 0.0, 0.0) // zero vector: 0/0 = NaN > τ semantics
+    val corpus = Seq(
+      1L -> a, 2L -> a, 3L -> a, // clone group
+      4L -> b, 5L -> b,          // clone group near a's
+      6L -> c,                   // singleton
+      7L -> z, 8L -> z           // zero-vector clone group
+    ).toDF("vec_id", "embedding")
+    val bruteRows = Ann.nearDupPairs(corpus, "vec_id", "embedding", tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val collapsedRows = Ann.nearDupPairsCollapsed(corpus, "vec_id", "embedding", tau = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(collapsedRows.toSet == bruteRows.toSet,
+      s"collapsed ${collapsedRows.toSet} != brute ${bruteRows.toSet}")
+    // each unordered pair exactly once — the expansion must not double-emit
+    assert(collapsedRows.length == collapsedRows.toSet.size,
+      "duplicate pair rows out of the expansion")
+    assert(collapsedRows.length == bruteRows.length)
+    // the expansion really regenerates within-group AND cross-group pairs
+    val set = collapsedRows.toSet
+    assert(set.contains((1L, 2L)) && set.contains((2L, 3L)), "within-group pairs")
+    assert(set.contains((1L, 4L)) && set.contains((3L, 5L)), "cross-group expansion")
+    assert(set.contains((6L, 7L)) && set.contains((7L, 8L)),
+      "NaN > tau pairs (zero vectors) survive the collapse")
+    assert(!set.contains((1L, 6L)), "orthogonal nonzero vectors stay unpaired")
+  }
+
+  test("semdedup rep collapse (r16): collapsed pair stage ≡ uncollapsed within-cell verdicts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val dims = 8
+    val base = (0L until 40L).map(i => i -> Array.fill(dims)(rng.nextGaussian()).toSeq)
+    val clones = (0 until 8).flatMap(i =>
+      Seq((100L + i) -> base(i)._2, (200L + i) -> base(i)._2))
+    val zeros = Seq(300L -> Seq.fill(dims)(0.0), 301L -> Seq.fill(dims)(0.0))
+    val corpus = (base ++ clones ++ zeros).toDF("vec_id", "embedding")
+    val idx = Ivf.buildIndex(corpus, "vec_id", "embedding", nCells = 4)
+    // the pre-r16 uncollapsed path, inline: every vector enters the
+    // within-cell grid join
+    val pairs = graft.dedup.Buckets.gridSelfJoin(
+      idx.assigned.select(col("vec_id"), col("cell_id")),
+      Seq("cell_id"), "vec_id", 4096)
+    val embs = idx.assigned.select(col("vec_id"), col("__emb"))
+    val tau = 0.8
+    val dropped = pairs
+      .join(embs.select(col("vec_id").as("id_a"), col("__emb").as("emb_a")), "id_a")
+      .join(embs.select(col("vec_id").as("id_b"), col("__emb").as("emb_b")), "id_b")
+      .filter(graft.functions.cosineSim(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("id_b")).collect().map(_.getLong(0)).toSet
+    val control = idx.assigned.select(col("vec_id"), col("cell_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), !dropped.contains(r.getLong(0)))).toSet
+    val out = SemDedup.keepDecisions(idx, "vec_id", tau, chunkSize = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == control,
+      s"collapsed semdedup diverged: extra=${out -- control} missing=${control -- out}")
+    // sanity: clones of kept originals dropped; the later zero vector
+    // dropped by the earlier one (NaN ≥ τ)
+    val kept = out.filter(_._3).map(_._1)
+    assert(!kept.contains(301L), "zero-vector clone must drop via NaN ≥ tau")
+  }
 }

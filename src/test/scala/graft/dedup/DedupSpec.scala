@@ -572,4 +572,79 @@ class DedupSpec extends SparkSpec {
     }
     assert(out.exists(!_._3), "the sf corpus plants clones — some doc must drop")
   }
+
+  // shared prep for the r16 gram-domain rep-collapse specs — the exact
+  // transform the D4/D28 faces run before their pair stage
+  private def gramPrep(raw: org.apache.spark.sql.DataFrame) = raw
+    .select(col("doc_id"), col("source"), split(col("text"), " ").as("__toks"))
+    .select(col("doc_id"), col("source"), Dedup.hashedNgrams(col("__toks"), 2).as("grams"))
+
+  test("ngram-jaccard rep collapse (r16): collapsed face ≡ brute grid join, empty-gram docs included") {
+    import spark.implicits._
+    val raw = Seq(
+      (5L, "s1", "alpha beta gamma delta epsilon"),
+      (10L, "s1", "alpha beta gamma delta epsilon"), // exact clone
+      (15L, "s1", "alpha beta gamma delta zeta"),    // near (last word)
+      (20L, "s1", "totally unrelated words here now"),
+      (25L, "s1", "solo"),                           // empty gram set
+      (30L, "s1", "solo"),                           // empty-gram clone
+      (35L, "s2", "alpha beta gamma delta epsilon"), // clone, OTHER source
+      (40L, "s2", "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "source", "text")
+    val docs = gramPrep(raw)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "jaccard_x1000").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val brute = rows(Buckets.gridSelfJoinPayload(
+        docs, Seq("source"), "doc_id", Seq("grams"), 4096)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b"))
+          .as("jaccard_x1000")))
+    val collapsed = rows(graft.queries.LlmOps.ngramJaccardFrom(docs))
+    assert(collapsed == brute,
+      s"collapsed pair matrix diverged:\n collapsed=$collapsed\n brute=$brute")
+    // cross-source clones never pair (blocking preserved by the group key)
+    assert(!collapsed.exists { case (x, y, _) => x <= 30L && y >= 35L })
+    // the planted clone pair carries jaccard 1000 through the expansion
+    assert(collapsed.contains((5L, 10L, 1000L)))
+    // and the whole face (real corpus): collapsed ≡ brute on sfDir too
+    val faceDocs = gramPrep(graft.sources.Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0))
+    val faceBrute = rows(Buckets.gridSelfJoinPayload(
+        faceDocs, Seq("source"), "doc_id", Seq("grams"), 4096)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b"))
+          .as("jaccard_x1000")))
+    val face = rows(graft.queries.LlmOps.qNgramJaccard(spark, sfDir))
+    assert(face == faceBrute, "registered face diverged from brute on the sf corpus")
+  }
+
+  test("survivorship rep collapse (r16): star+rep-pair graph ≡ brute τ-pair graph components") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "s1", "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "s1", "one two three four five six seven eight nine ten eleven twelve"), // clone
+      (3L, "s1", "one two three four five six seven eight nine ten eleven other"),  // near: J=10/12
+      (4L, "s1", "completely different text about other things entirely for sure today"),
+      (5L, "s1", "x"),  // empty grams: selfpass fails for (∅,∅) iff kernel < τ
+      (6L, "s1", "x"),
+      (7L, "s2", "one two three four five six seven eight nine ten eleven twelve")  // other source
+    ).toDF("doc_id", "source", "text")
+    val docs = gramPrep(raw)
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = comps(Buckets.gridSelfJoinPayload(
+        docs, Seq("source"), "doc_id", Seq("grams"), 4096)
+      .filter(graft.functions.longSetJaccardSorted(col("grams_a"), col("grams_b")) >= 700L)
+      .select(col("id_a"), col("id_b")))
+    val collapsed = comps(
+      graft.queries.LlmOps.survivorshipPairsCollapsed(docs, 700L))
+    assert(collapsed == brute,
+      s"component sets diverged:\n collapsed=$collapsed\n brute=$brute")
+    // the planted 1-2-3 near-dup family is one component rooted at 1
+    assert(collapsed.contains((2L, 1L)) && collapsed.contains((3L, 1L)))
+    // cross-source clone 7 never joins it
+    assert(!collapsed.exists(_._1 == 7L))
+  }
 }

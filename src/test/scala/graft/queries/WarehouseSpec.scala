@@ -1721,6 +1721,44 @@ class WarehouseSpec extends SparkSpec {
     assert(real.length == 1 && real.head.getAs[Long]("n_days") > 0)
   }
 
+  test("theil-sen (C99): exact on planted lines, robust where OLS is dragged by one outlier") {
+    // perfect line: every pairwise slope is exactly 5e6 ppm; residuals
+    // all equal the intercept in ×2e6 lanes
+    val up = Warehouse.theilSenOf(
+      syntheticSeries((0 until 30).map(i => 7L + 5L * i))).collect().head
+    assert(up.getAs[Long]("n_days") == 30L)
+    assert(up.getAs[Long]("n_pairs") == 435L) // C(30,2)
+    assert(up.getAs[Long]("slope_ppm_x2") == 10000000L)
+    assert(up.getAs[Long]("intercept_x4e6") == 28000000L)
+    // one wild outlier at the END of the window (at the center it would
+    // sit on x̄ and not move OLS at all): the pairwise-slope median is
+    // untouched while least squares is dragged three orders of magnitude
+    val ys = (0 until 21).map(i => 10L + 2L * i).updated(20, 100000L)
+    val ts = Warehouse.theilSenOf(syntheticSeries(ys)).collect().head
+    assert(ts.getAs[Long]("slope_ppm_x2") == 4000000L,
+      "median slope must ignore the outlier")
+    val ols = Warehouse.linearTrendOf(syntheticSeries(ys)).collect().head
+    assert(ols.getAs[Long]("slope_ppm") > 3L * 2000000L,
+      "OLS on the same series is dragged — the robustness gap is real")
+    // scala replay on a small irregular series: every lane re-derived
+    val ys2 = Seq(3L, 1L, 4L, 1L, 5L)
+    val got = Warehouse.theilSenOf(syntheticSeries(ys2)).collect().head
+    val xs = ys2.indices.map(_.toLong)
+    val slopes = for (i <- xs.indices; j <- xs.indices if i < j)
+      yield Math.floorDiv(1000000L * (ys2(j) - ys2(i)), xs(j) - xs(i))
+    val ss = slopes.sorted
+    val sx2 = if (ss.size % 2 == 1) 2L * ss(ss.size / 2)
+              else ss(ss.size / 2 - 1) + ss(ss.size / 2)
+    assert(got.getAs[Long]("slope_ppm_x2") == sx2)
+    assert(got.getAs[Long]("n_pairs") == ss.size.toLong)
+    val rs = ys2.zip(xs).map { case (y, x) => 2000000L * y - sx2 * x }.sorted
+    val rx2 = if (rs.size % 2 == 1) 2L * rs(rs.size / 2)
+              else rs(rs.size / 2 - 1) + rs(rs.size / 2)
+    assert(got.getAs[Long]("intercept_x4e6") == rx2)
+    val real = Warehouse.qTheilSen(spark, sfDir).collect()
+    assert(real.length == 1 && real.head.getAs[Long]("n_days") > 0)
+  }
+
   test("holt (C72): scala replay of the two-state fold matches every lane") {
     def replay(ys: Seq[Long]): Seq[(Long, Long, Long)] = {
       var l = -1L; var b = 0L
