@@ -45,6 +45,74 @@ object Ann {
     topKReduce(scored, k)
   }
 
+  /** E1 with the LOSSLESS rep collapse in front (round 16 — the pair-face
+    * expansion lesson applied to TOP-K): identical corpus vectors score
+    * identically against every query, so the O(Q·N) cosine stage runs
+    * over distinct vectors (min-id reps) and the true top-k recovers
+    * from the top-(k+1) REPS' memberships. Exact by the heap's own
+    * total order (sim desc via java.lang.Double.compare — NaN included
+    * — then id asc): if a group's rep is NOT among the top-(k+1) reps,
+    * at least k+1 reps strictly precede it, each of which is itself a
+    * member preceding every member of that group (higher sim precedes
+    * outright; equal sim means the preceding rep's id < this group's
+    * min ≤ any member), and at most one of those is the query's own
+    * row — so at least k non-self members precede, and no member of
+    * the group can be in the top-k. The +1 exists because
+    * self-exclusion happens at MEMBER level (the query's own clone
+    * group still contributes its other members, exactly as the brute
+    * join does). Candidates then re-score (bit-equal: members are
+    * byte-identical to their rep) and the final bounded heap re-ranks —
+    * identical rows and ranks to [[bruteForceTopK]] on every input. */
+  def bruteForceTopKCollapsed(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val emb = corpus.select(col(idCol), col(embCol))
+    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("__gid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val members = emb.join(groups, Seq(embCol))
+      .select(col("__gid"), col(idCol).as("__mid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val repScored = groups.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("__gid").as("neighbor_id"),
+        cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
+    val cands = topKReduce(repScored, k + 1)
+      .join(members, col("neighbor_id") === col("__gid"))
+      .filter(col("__mid") =!= col("query_id"))
+      .select(col("query_id"), col("__mid"))
+    val rescored = cands.join(broadcast(queries), Seq("query_id"))
+      .join(emb, col("__mid") === col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
+    topKReduce(rescored, k)
+  }
+
+  /** E7 with the rep collapse (see [[bruteForceTopKCollapsed]]): groups
+    * key on (vector, label) so the rep-level label disqualifier is
+    * group-exact and still prunes before any cosine; the id exclusion
+    * moves to member level with the same k+1 cover. */
+  def hardNegativesCollapsed(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, labelCol: String, k: Int): DataFrame = {
+    val emb = corpus.select(col(idCol), col(embCol), col(labelCol))
+    val groups = emb.groupBy(col(embCol), col(labelCol))
+      .agg(min(col(idCol)).as("__gid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val members = emb.join(groups, Seq(embCol, labelCol))
+      .select(col("__gid"), col(idCol).as("__mid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val repScored = groups
+      .join(broadcast(queries), col("qlabel") =!= col(labelCol))
+      .select(col("query_id"), col("__gid").as("neighbor_id"),
+        cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
+    val cands = topKReduce(repScored, k + 1)
+      .join(members, col("neighbor_id") === col("__gid"))
+      .filter(col("__mid") =!= col("query_id"))
+      .select(col("query_id"), col("__mid"))
+    val rescored = cands.join(broadcast(queries), Seq("query_id"))
+      .join(emb, col("__mid") === col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
+    topKReduce(rescored, k)
+  }
+
   /** E7: hard-negative mining — for each query vector, the k most
     * SIMILAR vectors of a DIFFERENT label: the contrastive-training
     * counterpart of top-k retrieval (easy negatives are random; hard

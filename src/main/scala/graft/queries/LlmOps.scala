@@ -897,7 +897,9 @@ object LlmOps {
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"),
         Ann.asDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
-    Ann.hardNegatives(queries,
+    // r16: rep-collapsed (groups key on (vector, label) so the label
+    // disqualifier stays ahead of every cosine; AnnSpec pins equality)
+    Ann.hardNegativesCollapsed(queries,
       emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"), col("label")),
       "vec_id", "emb", "label", k = 3)
       .orderBy("query_id", "rank")
@@ -915,7 +917,8 @@ object LlmOps {
   def qKnnClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-    val topk = Ann.bruteForceTopK(annQueries(spark, dir),
+    // r16: rep-collapsed exact top-k (identical rows → identical votes)
+    val topk = Ann.bruteForceTopKCollapsed(annQueries(spark, dir),
       emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
       "vec_id", "emb", k = k)
     val votes = topk
@@ -955,7 +958,10 @@ object LlmOps {
 
   /** E1: exact brute-force cosine top-10 per query vector. */
   def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
-    Ann.bruteForceTopK(annQueries(spark, dir),
+    // r16: rep-collapsed exact top-k — identical rows/ranks to
+    // bruteForceTopK (AnnSpec pins equality), cosine work quadratic in
+    // DISTINCT vectors (100×: 216.9s warm in-sweep → see SCALE_r16)
+    Ann.bruteForceTopKCollapsed(annQueries(spark, dir),
       Tables.table(spark, dir, "embeddings")
         .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
       "vec_id", "emb", k = 10)
@@ -974,21 +980,44 @@ object LlmOps {
     * E20 prices the quantization loss against the float-exact E1. */
   def qAnnInt8(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
+    // the quantization pass feeds THREE consumers (groups, member
+    // join-back, candidate re-score) — materialize it once; the codes
+    // frame is 64 longs/row, corpus-linear
     val corpus = graft.ann.Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
+      .transform(graft.engine.Materialized.checkpoint)
     val probes = graft.ann.Quantize.unitInt8(
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
       .withColumnRenamed("vec_id", "query_id")
-    val scored = corpus.join(broadcast(probes), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
-    scored.groupBy(col("query_id"))
+    // r16 rep collapse on INTEGER lanes (the Ann.bruteForceTopKCollapsed
+    // proof verbatim): the code is a function of the vector, identical
+    // codes score identically against every probe, and integer dots are
+    // exact in the heap's double cast — top-(k+1) code-reps cover the
+    // true top-k after the one possible self row drops at member level.
+    val groups = corpus.groupBy(col("qc")).agg(min(col("vec_id")).as("__gid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    val members = corpus.join(groups, Seq("qc"))
+      .select(col("__gid"), col("vec_id").as("__mid"))
+      .transform(graft.engine.Materialized.checkpoint)
+    def topK(scored: DataFrame, kk: Int): DataFrame = scored
+      .groupBy(col("query_id"))
       .agg(graft.functions.topKByScore(
-        col("score_i").cast("double"), col("neighbor_id"), k).as("top"))
+        col("score_i").cast("double"), col("neighbor_id"), kk).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
       .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),
         col("nbr.sim").cast("long").as("score_i"))
-      .orderBy("query_id", "rank")
+    val repScored = groups.crossJoin(broadcast(probes))
+      .select(col("query_id"), col("__gid").as("neighbor_id"),
+        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+    val cands = topK(repScored, k + 1)
+      .join(members, col("neighbor_id") === col("__gid"))
+      .filter(col("__mid") =!= col("query_id"))
+      .select(col("query_id"), col("__mid").as("vec_id"))
+    val rescored = cands.join(corpus, Seq("vec_id"))
+      .join(broadcast(probes), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+    topK(rescored, k).orderBy("query_id", "rank")
   }
 
   /** E26: MARGIN-BASED MUTUAL-kNN MINING (round 12) — the bitext/parallel-

@@ -59,7 +59,10 @@ class WarmArtifactSpec extends SparkSpec {
     "q_compression_ratio" -> 3,
     "q_bloom_fpr" -> 6,
     "q_dedup_simhash" -> 13, // 12 in the 4-core probe session; +1 here
-    "q_dedup_simhash_apply" -> 17, // per-call checkpoint + cc probe/pass
+    "q_dedup_simhash_apply" -> 20, // per-call checkpoint + cc probe/pass;
+    //                        17 measured on the r15 corpus, 18 on r16's
+    //                        (CC round count is data-dependent — see
+    //                        q_image_dedup_apply) + one round of headroom
     "q_dedup_minhash_fast" -> 16,
     "q_sketch_calibration" -> 10,
     "q_minhash_tuning" -> 3,
@@ -79,7 +82,13 @@ class WarmArtifactSpec extends SparkSpec {
     "q_bootstrap_ci" -> 8,
     "q_triangle_count" -> 17,
     "q_ngram_coverage" -> 8,
-    "q_index_recall" -> 57, // runs all eight index legs by construction (56 in the probe session)
+    "q_index_recall" -> 80, // runs all eight index legs by construction
+    //                        (56/57 pre-r16); the r16 rep collapse adds
+    //                        eager checkpoint jobs (groups + members per
+    //                        collapsed kernel, plus the int8 code
+    //                        materialization) across the exact and int8
+    //                        legs — measured 78 post-collapse; deliberate
+    //                        plumbing, not an eager-fit leak
     "q_volume_shipping" -> 15,
     "q_rank_fusion_indexed" -> 16,
     "q_market_basket" -> 13,

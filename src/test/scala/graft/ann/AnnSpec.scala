@@ -460,6 +460,74 @@ class AnnSpec extends SparkSpec {
     assert(!set.contains((1L, 6L)), "orthogonal nonzero vectors stay unpaired")
   }
 
+  test("top-k rep collapse (r16): collapsed ≡ brute incl. clone-dominated top-k, self's clone group, equal-sim ties") {
+    import spark.implicits._
+    val q = Seq(1.0, 0.0)
+    // the query row itself; 15 clones of the query (own group wider than
+    // k — self must drop, clones must stay); two DISTINCT vectors with
+    // exactly equal cosine to the query (0.6), ids interleaved across
+    // the groups; an antipodal vector
+    val corpus = (Seq(0L -> q) ++ (1L to 15L).map(_ -> q) ++
+      Seq(20L -> Seq(0.6, 0.8), 22L -> Seq(0.6, 0.8),
+        21L -> Seq(0.6, -0.8), 23L -> Seq(0.6, -0.8),
+        30L -> Seq(-1.0, 0.0))).toDF("vec_id", "emb")
+    val queries = Seq((0L, q)).toDF("query_id", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).sortBy(x => (x._1, x._3)).toSeq
+    for (k <- Seq(10, 20)) {
+      val brute = rows(Ann.bruteForceTopK(queries, corpus, "vec_id", "emb", k))
+      val coll = rows(Ann.bruteForceTopKCollapsed(queries, corpus, "vec_id", "emb", k))
+      assert(coll == brute, s"k=$k diverged:\n coll=$coll\n brute=$brute")
+    }
+    // the k=10 answer is exactly the 10 smallest clone ids — the
+    // clone-dominated case where naive rep-level top-k would starve
+    val top10 = rows(Ann.bruteForceTopKCollapsed(queries, corpus, "vec_id", "emb", 10))
+    assert(top10.map(_._2) == (1L to 10L), s"clone fill broken: $top10")
+    // and the registered faces on the sf corpus: collapsed ≡ brute
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val fq = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+    val bruteFace = rows(Ann.bruteForceTopK(fq,
+      emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+      "vec_id", "emb", 10))
+    assert(rows(LlmOps.qAnnTopK(spark, sfDir)) == bruteFace,
+      "registered E1 face diverged from brute on the sf corpus")
+    val lq = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        Ann.asDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
+    val bruteHn = rows(Ann.hardNegatives(lq,
+      emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"), col("label")),
+      "vec_id", "emb", "label", 3))
+    assert(rows(LlmOps.qHardNegatives(spark, sfDir)) == bruteHn,
+      "registered E7 face diverged from brute on the sf corpus")
+  }
+
+  test("int8 top-k rep collapse (r16): collapsed ≡ the uncollapsed integer scan, scores included") {
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    val corpus = Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
+    val probes = Quantize.unitInt8(
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
+      .withColumnRenamed("vec_id", "query_id")
+    // the pre-r16 uncollapsed scan, inline
+    val brute = corpus.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(
+        col("score_i").cast("double"), col("neighbor_id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("nbr.sim").cast("long").as("score_i"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"), r.getAs[Long]("score_i")))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows(LlmOps.qAnnInt8(spark, sfDir)) == rows(brute),
+      "collapsed int8 scan diverged from the uncollapsed one")
+  }
+
   test("semdedup rep collapse (r16): collapsed pair stage ≡ uncollapsed within-cell verdicts") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
