@@ -41,6 +41,12 @@ object Bench {
         catch { case _: Throwable => -1.0 }),
       "quality_lr_fit" -> (try timed { graft.queries.LlmOps.qualityClfModel(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
+      // r17: the H10 SCORED frame pins like the signature tables — its
+      // first build (features + sigmoid over the corpus) is setup, and
+      // q_quality_classifier/q_calibration then read the pin
+      "quality_scored_pin" -> (try timed {
+        graft.queries.LlmOps.qualityScoredArtifact(spark, sfDir); () }
+        catch { case _: Throwable => -1.0 }),
       "pq_fit" -> (try timed { graft.queries.LlmOps.pqIndex(spark, sfDir); () }
         catch { case _: Throwable => -1.0 }),
       "pca_fit" -> (try timed { graft.queries.LlmOps.pcaIndex(spark, sfDir); () }

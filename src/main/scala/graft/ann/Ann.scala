@@ -24,6 +24,95 @@ object Ann {
   /** Cast a float embedding to double for engine-stable arithmetic. */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** ONE-EXCHANGE group/membership frame for the rep collapses:
+    * key → (__gid = min id, __gn = member count, __mids = member ids),
+    * key columns retained. The r16 shape built `groups` with a groupBy
+    * and re-derived `members` by joining the corpus BACK on the (wide)
+    * group key — a second full exchange of the key column plus a second
+    * checkpoint; collect_list folds the membership into the same
+    * aggregation pass, so the key shuffles once and members derive
+    * map-side by `explode(__mids)` (r17, the verdict's sf0.1
+    * collapse-premium item). Buffer note: a viral group's id list lives
+    * in one aggregation buffer — 8 bytes per clone (80 MB at 10M clones
+    * of one vector), bounded and small next to the clone VECTORS the
+    * old join-back shuffled a second time. */
+  private[graft] def groupMembership(corpus: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame =
+    corpus.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__gn"),
+        collect_list(col(idCol)).as("__mids"))
+      .transform(graft.engine.Materialized.checkpoint)
+
+  /** r17 — the rep collapse generalized from final top-k faces to
+    * bounded CANDIDATE stages (the r16 verdict's q_ann_pca item): given
+    * the top-(k+1) REPS per query of a rep-level scan, reconstruct the
+    * exact member-level top-k candidate SET — the rows the uncollapsed
+    * corpus-wide bounded heap would admit — WITHOUT expanding whole
+    * memberships through a second heap (the r16 inverse step, which is
+    * fine at k≈10 but puts cover·cloneFactor·|queries| rows through a
+    * heap at k≈200).
+    *
+    * The member heap's total order is (sim desc via Double.compare, id
+    * asc); members of one group tie exactly (sim is a function of the
+    * group key), so groups partition into TIE CLASSES by sim and the
+    * true member order is: classes in sim-desc order, members WITHIN a
+    * class by id across its groups. Hence per query:
+    *  - classes whose cumulative adjusted mass fits inside k expand
+    *    whole (every member is an admitted candidate);
+    *  - the one class straddling slot k expands, orders its members by
+    *    id (`row_number` over the class — a frame bounded by the class's
+    *    membership, never the corpus), and admits the remainder;
+    *  - deeper classes drop.
+    * "Adjusted" = the query's own row never counts toward k nor emits
+    * (self-exclusion at member level, as in the r16 proof; the +1 rep
+    * cover absorbs the one slot the self row can occupy). Cover
+    * completeness under ties holds by the same counting argument as
+    * [[bruteForceTopKCollapsed]]: a group with a member in the true
+    * top-k has < k+1 strictly-preceding reps, so it IS in the rep
+    * top-(k+1); absent groups (≥ k+1 preceding reps ⇒ ≥ k preceding
+    * non-self members) can never contribute a true candidate, and
+    * whenever a HIGHER class is incomplete its ≥ k+1 present preceders
+    * already push this class's prefix mass past k, so it drops exactly
+    * as the true order says it must. Known shared corner (same bar as
+    * the r16 collapses): SQL equality glues ±0.0 into one class while
+    * Double.compare separates them — unreachable for the live faces
+    * (equal-finite subtraction and integer lanes never produce -0.0).
+    *
+    * `repTop`: (query_id, __gid, __sim) — the rep-level top-(k+1), self
+    * rows INCLUDED. `gm`: [[groupMembership]] output. Returns
+    * (query_id, __mid): exactly the uncollapsed candidate set. */
+  private[graft] def expandCandidateTopK(repTop: DataFrame, gm: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // covered rows = (k+1)·|queries| — every frame below is bounded by
+    // that times the clone factor of the ONE boundary class, never the
+    // corpus. Self-membership reads off the group's own id list.
+    val counted = repTop
+      .join(gm.select(col("__gid"), col("__gn"), col("__mids")), "__gid")
+      .withColumn("__cnt", col("__gn") -
+        when(array_contains(col("__mids"), col("query_id")), 1L).otherwise(0L))
+    val wCum = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy(col("query_id"), col("__sim"))
+    val framed = counted
+      .withColumn("__cum", sum(col("__cnt")).over(wCum)) // incl. full tie class
+      .withColumn("__ccnt", sum(col("__cnt")).over(wTie))
+      .withColumn("__before", col("__cum") - col("__ccnt"))
+    val full = framed.filter(col("__cum") <= k)
+      .select(col("query_id"), explode(col("__mids")).as("__mid"))
+      .filter(col("__mid") =!= col("query_id"))
+    val wBoundary = Window.partitionBy(col("query_id"), col("__sim"))
+      .orderBy(col("__mid"))
+    val picked = framed.filter(col("__before") < k && col("__cum") > k)
+      .select(col("query_id"), col("__sim"), col("__before"),
+        explode(col("__mids")).as("__mid"))
+      .filter(col("__mid") =!= col("query_id"))
+      .withColumn("__rn", row_number().over(wBoundary))
+      .filter(col("__before") + col("__rn") <= k)
+      .select(col("query_id"), col("__mid"))
+    full.unionByName(picked)
+  }
+
   /** Shared reduction: (query_id, neighbor_id, sim) → best-k per query with
     * rank = position in score-desc/id-asc order (ties identical to
     * `row_number() OVER (ORDER BY sim DESC, neighbor_id)`). */
@@ -34,14 +123,30 @@ object Ann {
       .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"))
 
+  /** Rep-level top-k that KEEPS the score — the [[expandCandidateTopK]]
+    * input shape: (query_id, __gid, sim) → (query_id, __gid, __sim),
+    * the k best reps per query under the heap's (sim desc, id asc)
+    * order. */
+  private[graft] def repTopK(repScored: DataFrame, kk: Int): DataFrame =
+    repScored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("__gid"), kk).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("__gid"),
+        col("t.sim").as("__sim"))
+
   /** E1: exact top-k cosine neighbors for each query row.
-    * `queries`: (query_id, qvec); `corpus`: (idCol, embCol). */
+    * `queries`: (query_id, qvec); `corpus`: (idCol, embCol). embCol
+    * goes through [[asDouble]] (a no-op on double input) so this and
+    * [[bruteForceTopKCollapsed]] score the identical arithmetic on a
+    * float-array corpus too, not just on the pre-cast callers (r16
+    * ADVICE — the two paths' doc claim of identical rows held only
+    * for double-typed embCol before). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosineSim(col("qvec"), col(embCol)).as("sim"))
+        cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
     topKReduce(scored, k)
   }
 
@@ -66,16 +171,16 @@ object Ann {
   def bruteForceTopKCollapsed(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
     val emb = corpus.select(col(idCol), col(embCol))
-    val groups = emb.groupBy(col(embCol)).agg(min(col(idCol)).as("__gid"))
-      .transform(graft.engine.Materialized.checkpoint)
-    val members = emb.join(groups, Seq(embCol))
-      .select(col("__gid"), col(idCol).as("__mid"))
-      .transform(graft.engine.Materialized.checkpoint)
-    val repScored = groups.crossJoin(broadcast(queries))
+    // r17: ONE exchange of the vector key builds groups AND memberships
+    // (was: groupBy + corpus join-back — two wide exchanges, two
+    // checkpoints, the measured sf0.1 collapse premium)
+    val gm = groupMembership(emb, idCol, Seq(embCol))
+    val repScored = gm.select(col("__gid"), col(embCol)).crossJoin(broadcast(queries))
       .select(col("query_id"), col("__gid").as("neighbor_id"),
         cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
     val cands = topKReduce(repScored, k + 1)
-      .join(members, col("neighbor_id") === col("__gid"))
+      .join(gm.select(col("__gid"), explode(col("__mids")).as("__mid")),
+        col("neighbor_id") === col("__gid"))
       .filter(col("__mid") =!= col("query_id"))
       .select(col("query_id"), col("__mid"))
     val rescored = cands.join(broadcast(queries), Seq("query_id"))
@@ -92,18 +197,16 @@ object Ann {
   def hardNegativesCollapsed(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, labelCol: String, k: Int): DataFrame = {
     val emb = corpus.select(col(idCol), col(embCol), col(labelCol))
-    val groups = emb.groupBy(col(embCol), col(labelCol))
-      .agg(min(col(idCol)).as("__gid"))
-      .transform(graft.engine.Materialized.checkpoint)
-    val members = emb.join(groups, Seq(embCol, labelCol))
-      .select(col("__gid"), col(idCol).as("__mid"))
-      .transform(graft.engine.Materialized.checkpoint)
-    val repScored = groups
+    // r17: one exchange of the (vector, label) key (see
+    // [[bruteForceTopKCollapsed]])
+    val gm = groupMembership(emb, idCol, Seq(embCol, labelCol))
+    val repScored = gm.select(col("__gid"), col(embCol), col(labelCol))
       .join(broadcast(queries), col("qlabel") =!= col(labelCol))
       .select(col("query_id"), col("__gid").as("neighbor_id"),
         cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
     val cands = topKReduce(repScored, k + 1)
-      .join(members, col("neighbor_id") === col("__gid"))
+      .join(gm.select(col("__gid"), explode(col("__mids")).as("__mid")),
+        col("neighbor_id") === col("__gid"))
       .filter(col("__mid") =!= col("query_id"))
       .select(col("query_id"), col("__mid"))
     val rescored = cands.join(broadcast(queries), Seq("query_id"))
@@ -129,7 +232,9 @@ object Ann {
       .join(broadcast(queries),
         col("query_id") =!= col(idCol) && col("qlabel") =!= col(labelCol))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosineSim(col("qvec"), col(embCol)).as("sim"))
+        // asDouble for float-corpus parity with hardNegativesCollapsed
+        // (r16 ADVICE), a no-op on the pre-cast callers
+        cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
     topKReduce(scored, k)
   }
 

@@ -32,38 +32,67 @@ object Pq {
   /** Fit per-subspace codebooks on a sample of the corpus. Deterministic
     * for a fixed seed and layout (MLlib k-means). `sampleFraction` bounds
     * the training cost independent of corpus size; the m fits each scan
-    * only the (dsub-wide) subvector projection of the sample. */
+    * only the (dsub-wide) subvector projection of the sample.
+    *
+    * r17, the cold-fit attribution (SCALE_r16's 159.2s q_pq_topk_cold):
+    * the cold/warm gap was never the ADC kernel's codegen — it was this
+    * fit running m SEQUENTIAL MLlib k-means (each ~10 Lloyd jobs plus a
+    * k-means|| init of ~5 more: ~120 driver-scheduled jobs back to
+    * back, mostly scheduling latency at 200k×8-dim inputs). Two fixes,
+    * both result-preserving at gate scale:
+    *  - the m fits now run CONCURRENTLY (independent inputs, disjoint
+    *    output slices, per-subspace seeds — Spark schedules concurrent
+    *    jobs from separate threads; results are bit-identical to the
+    *    sequential loop at every scale since no fit reads another's
+    *    state);
+    *  - `maxTrainRows` caps the training sample (the FAISS practice:
+    *    k=32 needs thousands of points, not the corpus) so fit cost is
+    *    corpus-size-independent. A no-op below the cap — gate corpora
+    *    (≤2k vectors) keep sampleFraction 1.0 and the identical pinned
+    *    codebooks; the 100× smoke trains on a seeded 65k-row sample. */
   def fit(corpus: DataFrame, embCol: String, m: Int, k: Int,
       seed: Long = 42L, maxIter: Int = 10,
-      sampleFraction: Double = 1.0): PqCodebooks = {
+      sampleFraction: Double = 1.0, maxTrainRows: Long = 65536L): PqCodebooks = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Ann.asDouble(col(embCol))
     val dims = corpus.select(size(emb)).head().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
+    val n = corpus.count()
+    val frac = math.min(sampleFraction,
+      maxTrainRows.toDouble / math.max(1L, n).toDouble)
     val sample =
-      if (sampleFraction >= 1.0) corpus
-      else corpus.sample(withReplacement = false, sampleFraction, seed)
+      if (frac >= 1.0) corpus
+      else corpus.sample(withReplacement = false, frac, seed)
     // one narrow materialization feeds all m fits: the full-width
     // embedding is read once, not m times
     val subs = sample.select(
       (0 until m).map(j => slice(emb, j * dsub + 1, dsub).as(s"__s$j")): _*)
       .persist()
     val flat = new Array[Double](m * k * dsub)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
-      (0 until m).foreach { j =>
-        val model = new KMeans()
-          .setK(k).setSeed(seed + j).setMaxIter(maxIter)
-          .setFeaturesCol("__features")
-          .fit(subs.select(array_to_vector(col(s"__s$j")).as("__features")))
-        model.clusterCenters.zipWithIndex.foreach { case (v, c) =>
-          val a = v.toArray
-          var d = 0
-          while (d < dsub) { flat((j * k + c) * dsub + d) = a(d); d += 1 }
+      subs.count() // materialize once before the concurrent readers
+      val fits = (0 until m).map { j =>
+        scala.concurrent.Future {
+          val model = new KMeans()
+            .setK(k).setSeed(seed + j).setMaxIter(maxIter)
+            .setFeaturesCol("__features")
+            .fit(subs.select(array_to_vector(col(s"__s$j")).as("__features")))
+          model.clusterCenters.zipWithIndex.foreach { case (v, c) =>
+            val a = v.toArray
+            var d = 0
+            while (d < dsub) { flat((j * k + c) * dsub + d) = a(d); d += 1 }
+          }
         }
       }
-    } finally subs.unpersist()
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fits),
+        scala.concurrent.duration.Duration.Inf): Unit
+    } finally { pool.shutdown(); subs.unpersist(): Unit }
     PqCodebooks(flat, m, k, dsub)
   }
 

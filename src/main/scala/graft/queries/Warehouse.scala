@@ -2965,6 +2965,19 @@ object Warehouse {
       ((inum - pmod(inum, den)) / den).cast("long").as("intercept_x1000"))
   }
 
+  /** Overflow-checked median-lane cast: a decimal lane headed into
+    * `percentile` (double interpolation) must fit ±2^52 to stay exact;
+    * out-of-envelope rows RAISE (as DuckDB's narrowing cast does)
+    * rather than null/wrap through Spark's silent long cast. The guard
+    * is a row-level `when` — zero cost inside the envelope. */
+  private def exactMedianLane(c: Column, what: String): Column = {
+    val bound = lit(4503599627370496L).cast("decimal(38,0)") // 2^52
+    when(c.between(-bound, bound), c.cast("long"))
+      .otherwise(raise_error(concat(lit(s"$what lane exceeds the exact " +
+        "double-median envelope (|v| > 2^52): "), c.cast("string")))
+        .cast("long"))
+  }
+
   /** C99: Theil–Sen robust trend of the daily event volume — the
     * median-of-pairwise-slopes twin of C83's OLS (one outlier day — the
     * C42b anomaly class — drags a least-squares slope arbitrarily far;
@@ -2983,7 +2996,20 @@ object Warehouse {
   def qTheilSen(spark: SparkSession, dir: String): DataFrame =
     theilSenOf(dailyEventSeries(spark, dir))
 
-  /** C99 core over any gap-complete (d, y) series. */
+  /** C99 core over any gap-complete (d, y) series.
+    *
+    * INTEGER-LANE ENVELOPE (r16 ADVICE — the exactness precondition,
+    * made checkable): both median lanes go through `percentile`, which
+    * interpolates in DOUBLE, so every value must sit within ±2^52 for
+    * the doubled-median identity to be exact. That bounds
+    *  - slope lane:    |s| ≈ 1e6·max|Δy|      ⇒ max daily y ≲ 4.5e9
+    *  - residual lane: |r| ≈ 2e6·y + |slope_ppm_x2|·span
+    * (span = calendar days). A corpus past that (the C83 comment's
+    * 1e9-rows/day × multi-year case approaches it) must move y to a
+    * coarser unit first. The bound is ENFORCED, not assumed:
+    * [[exactMedianLane]] raises on the first out-of-envelope row —
+    * matching DuckDB, whose HUGEINT→BIGINT cast errors — instead of
+    * Spark's silent null/wrap long cast letting the engines diverge. */
   def theilSenOf(series: DataFrame): DataFrame = {
     val lo = series.agg(min(col("d")).as("__lo"))
     // two consumers (slope pairs, residual pass) — materialize once
@@ -2995,13 +3021,15 @@ object Warehouse {
     val num = lit(1000000).cast("decimal(38,0)") * (col("yb") - col("y"))
     val den = col("xb") - col("x") // > 0 by the join predicate
     val slopes = xy.join(broadcast(b), col("x") < col("xb"))
-      .select(((num - pmod(num, den)) / den).cast("long").as("s"))
+      .select(exactMedianLane((num - pmod(num, den)) / den, "theil_sen slope")
+        .as("s"))
     val sl = slopes.agg(count(lit(1)).as("n_pairs"),
       (expr("percentile(s, 0.5D)") * 2).cast("long").as("slope_ppm_x2"))
     xy.crossJoin(broadcast(sl))
       .select(col("n_pairs"), col("slope_ppm_x2"),
-        (lit(2000000).cast("decimal(38,0)") * col("y") -
-          col("slope_ppm_x2").cast("decimal(38,0)") * col("x")).cast("long").as("r"))
+        exactMedianLane(lit(2000000).cast("decimal(38,0)") * col("y") -
+          col("slope_ppm_x2").cast("decimal(38,0)") * col("x"),
+          "theil_sen residual").as("r"))
       .groupBy(col("n_pairs"), col("slope_ppm_x2"))
       .agg(count(lit(1)).as("n_days"),
         (expr("percentile(r, 0.5D)") * 2).cast("long").as("intercept_x4e6"))

@@ -90,13 +90,13 @@ object ScaleSmoke {
     if (only.contains("dedup_minhash_pairs"))
       time("dedup_minhash_pairs") { queries.LlmOps.qDedupMinhash(spark, dir) }
     else if (only.isEmpty)
-      println("dedup_minhash_pairs     SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below)")
+      println("dedup_minhash_pairs     SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below; last measured 469s at 100x, r14)")
     // fast twin: the D15-calibrated prefilter skips the exact verify for
     // clone pairs (est=1000 » τ+bound) — same quadratic OUTPUT contract
     if (only.contains("dedup_minhash_fast_pairs"))
       time("dedup_minhash_fast_pairs") { queries.LlmOps.qDedupMinhashFast(spark, dir) }
     else if (only.isEmpty)
-      println("dedup_minhash_fast_pairs SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below)")
+      println("dedup_minhash_fast_pairs SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below; last measured 681s at 100x, r14)")
     // r15: the corpus-linear D2c verdict face — identical texts collapse
     // to reps before banding, so the clone-amplified candidate mass
     // never materializes; THIS is the registered deployment face the
@@ -117,7 +117,7 @@ object ScaleSmoke {
     if (only.contains("dedup_simhash_pairs"))
       time("dedup_simhash_pairs") { queries.LlmOps.qDedupSimhash(spark, dir) }
     else if (only.isEmpty)
-      println("dedup_simhash_pairs     SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below)")
+      println("dedup_simhash_pairs     SKIPPED at 100x (quadratic pair-matrix opt-in baseline; linear apply twin below; last measured 821s at 100x, r15)")
     time("q_dedup_simhash_apply") { queries.LlmOps.qDedupSimhashApply(spark, dir) }
     // at this corpus size the LSH near-dup needs planes sized to the data
     // (≈ log2(N / target-bucket-size)) — the sf0.01-tuned planes=8 of the
@@ -233,7 +233,7 @@ object ScaleSmoke {
     // removes the spill but not the pair count). No silent cap: this
     // line IS the record.
     if (only.isEmpty || only.exists("containment_exact".contains))
-      println("containment_exact       SKIPPED at 100x (exact all-pairs opt-in baseline; registered blocked faces timed)")
+      println("containment_exact       SKIPPED at 100x (exact all-pairs opt-in baseline; registered blocked faces timed; never run at 100x - quadratic output by contract, blocked twins 4.3/7.0s in r14)")
     time("q_containment") { queries.LlmOps.qContainment(spark, dir) }
     time("q_containment_blocked") { queries.LlmOps.qContainmentBlocked(spark, dir) }
     time("q_cooccur_pmi") { queries.LlmOps.qCooccurPmi(spark, dir) }
@@ -492,7 +492,7 @@ object ScaleSmoke {
     // sort-based fallback (~0.5 TB spill - measured filling the disk in
     // round 12); full-corpus mining goes through the E21/E23 cascades.
     if (only.isEmpty || only.exists("margin_mining_full".contains))
-      println("margin_mining_full      SKIPPED at 100x (srcEvery=1 opt-in baseline; registered batched face below)")
+      println("margin_mining_full      SKIPPED at 100x (srcEvery=1 opt-in baseline; registered batched face below; never completed at 100x - ~0.5 TB spill filled the disk, r12)")
     time("q_margin_mining") {
       queries.LlmOps.qMarginMining(spark, dir) }
     time("q_dedup_best") { queries.LlmOps.qDedupBest(spark, dir) }

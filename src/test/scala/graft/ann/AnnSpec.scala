@@ -561,4 +561,102 @@ class AnnSpec extends SparkSpec {
     val kept = out.filter(_._3).map(_._1)
     assert(!kept.contains(301L), "zero-vector clone must drop via NaN ≥ tau")
   }
+
+  test("candidate-stage rep collapse (r17): expandCandidateTopK ≡ the uncollapsed member heap at every k, ties and boundary included") {
+    import spark.implicits._
+    val q = Seq(1.0, 0.0)
+    // self's clone group (6 members incl. the query), an exact TIE class
+    // spanning two distinct groups with interleaved ids (cos = 0.8 for
+    // both (0.8,0.6) and (0.8,-0.6)), a 10-clone group, one antipode;
+    // ks chosen to land inside the self group, mid-tie-class, mid-clone
+    // group, and past the corpus
+    val corpus = (Seq(0L -> q) ++ (1L to 5L).map(_ -> q) ++
+      Seq(10L -> Seq(0.8, 0.6), 12L -> Seq(0.8, 0.6),
+        11L -> Seq(0.8, -0.6), 13L -> Seq(0.8, -0.6)) ++
+      (20L to 29L).map(_ -> Seq(0.6, 0.8)) ++
+      Seq(40L -> Seq(-1.0, 0.0))).toDF("vec_id", "emb")
+    val queries = Seq((0L, q)).toDF("query_id", "qvec")
+    val gm = Ann.groupMembership(
+      corpus.select(col("vec_id"), col("emb")), "vec_id", Seq("emb"))
+    val repScored = gm.select(col("__gid"), col("emb"))
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("__gid"),
+        graft.functions.cosineSim(col("qvec"), col("emb")).as("sim"))
+    def bruteCands(k: Int): Set[(Long, Long)] = corpus
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.cosineSim(col("qvec"), col("emb")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id")).as("__mid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (k <- Seq(1, 3, 5, 7, 9, 12, 15, 19, 100)) {
+      val coll = Ann.expandCandidateTopK(Ann.repTopK(repScored, k + 1), gm, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(coll == bruteCands(k),
+        s"k=$k diverged: extra=${coll -- bruteCands(k)} missing=${bruteCands(k) -- coll}")
+    }
+  }
+
+  test("pca + cascade candidate collapse (r17): registered faces ≡ their uncollapsed no-cutoff plans on the sf corpus") {
+    val emb = graft.sources.Tables.table(spark, sfDir, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).sortBy(x => (x._1, x._3)).toSeq
+    def rescoreTopK(stage1: org.apache.spark.sql.DataFrame,
+        probes: org.apache.spark.sql.DataFrame, k: Int) = {
+      val rescored = stage1
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          Ann.asDouble(col("embedding")).as("nvec")), "neighbor_id")
+        .join(broadcast(probes), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.cosineSim(col("qvec"), col("nvec")).as("sim"))
+      rescored.groupBy(col("query_id"))
+        .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), k).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+        .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+          (col("pos") + 1).cast("long").as("rank"))
+    }
+    // E23 reference: the oracle's stated plan — member-level projected
+    // stage-1 heap WITHOUT the sampled cutoff, exact rescore
+    val (m, projected) = LlmOps.pcaIndex(spark, sfDir)
+    val pq = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+      .withColumn("__n", sqrt(aggregate(col("qvec"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("__n") > 0.0)
+      .select(col("query_id"), col("qvec"),
+        Pca.projectExpr(transform(col("qvec"), x => x / col("__n")), m, 16)
+          .as("qpvec"))
+    val pcaStage1 = projected
+      .join(broadcast(pq.select(col("query_id"), col("qpvec"))),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.dotProductDouble(col("pvec"), col("qpvec")) * 2.0
+          - col("pnorm2")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), 200).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id")).as("neighbor_id"))
+    val pcaRef = rows(rescoreTopK(pcaStage1,
+      pq.select(col("query_id"), col("qvec")), 10))
+    assert(rows(LlmOps.qAnnPca(spark, sfDir)) == pcaRef,
+      "collapsed E23 face diverged from the uncollapsed no-cutoff plan")
+    // E21 reference: member-level int8 top-100 candidate set + rescore
+    val corpus8 = Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
+    val probes8 = Quantize.unitInt8(
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
+      .withColumnRenamed("vec_id", "query_id")
+    val cascStage1 = corpus8
+      .join(broadcast(probes8), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.dotProductLong(col("qq"), col("qc"))
+          .cast("double").as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), 100).as("top"))
+      .select(col("query_id"), explode(col("top.neighbor_id")).as("neighbor_id"))
+    val fq = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+    val cascRef = rows(rescoreTopK(cascStage1, fq, 10))
+    assert(rows(LlmOps.qAnnCascade(spark, sfDir)) == cascRef,
+      "collapsed E21 face diverged from the uncollapsed no-cutoff plan")
+  }
 }
