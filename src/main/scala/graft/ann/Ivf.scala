@@ -96,6 +96,42 @@ object Ivf {
     }
   }
 
+  /** G22: the IVF-family ARRIVAL-TIME probe gate — the E3 index's
+    * streaming twin, closing the index-family grid (text simhash, image
+    * dHash, audio envelope, embedding LSH and DSIR all stream-probe a
+    * static index; the data-adaptive cell index now does too). The
+    * `nprobe` best cells per arriving vector compute MAP-SIDE from the
+    * driver-held centroid array as one sorted-literal expression —
+    * struct order (−csim, cell_id) ≡ ivfTopK's probe aggregate order
+    * (csim desc, cell_id asc), so the stream probes exactly the cells
+    * the batch face scores — then the equi-join keys on cell_id against
+    * the static assigned corpus and the cosine verify gates on τ.
+    * Stateless end to end → append-legal in Structured Streaming. A
+    * corpus vector lives in ONE cell and the probed cells are distinct,
+    * so a pair can match through at most one probe — no dedupe state
+    * (the G20 argument). Unlike the LSH gate a novel vector still
+    * probes its nearest cells (IVF has no empty-bucket miss), so
+    * novelty shows as sub-τ cosines, not absent candidates. `centers`
+    * is the driver-held centroid array ([[buildIndex]]/[[loadIndex]]
+    * both hold it; KBs). */
+  def ivfNearDupFlags(index: IvfIndex, centers: Seq[(Long, Array[Double])],
+      arriving: DataFrame, idCol: String, embCol: String,
+      tau: Double, nprobe: Int): DataFrame = {
+    val emb = Ann.asDouble(col(embCol))
+    val cellScores = array(centers.map { case (cid, cvec) =>
+      struct((-cosineSim(emb, lit(cvec))).as("nsim"), lit(cid).as("cell_id"))
+    }: _*)
+    val probed = arriving.select(col(idCol), emb.as("__pemb"),
+        explode(slice(array_sort(cellScores), 1, nprobe)).as("__c"))
+      .select(col(idCol), col("__pemb"), col("__c.cell_id").as("cell_id"))
+    probed.join(index.assigned.select(col("cell_id"),
+        col(index.assigned.columns.head).as("corpus_id"), col("__emb")),
+      Seq("cell_id"))
+      .select(col(idCol), col("corpus_id"),
+        cosineSim(col("__pemb"), col("__emb")).as("sim"))
+      .filter(col("sim") > tau)
+  }
+
   /** E3: IVF top-k. `queries`: (query_id, qvec). Each query probes its
     * `nprobe` nearest cells (by centroid cosine) and ranks only those
     * cells' members. */

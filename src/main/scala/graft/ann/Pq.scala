@@ -192,6 +192,45 @@ object Pq {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** E8 with the r17 candidate-stage collapse in front — identical rows
+    * and ranks to [[pqTopK]] on every input: clone vectors encode to
+    * identical codes (deterministic argmin — PqSpec pins it), identical
+    * codes ADC-score identically against every query, so the
+    * corpus-sized pair stream through the bounded heap (the measured
+    * cost of the warm 100× block — the ADC lookups themselves are
+    * memory-bound and cheap) shrinks to one row per DISTINCT code
+    * vector, and the exact member-level top-k reconstructs from the
+    * top-(k+1) code reps via `Ann.expandCandidateTopK` (ADC distances
+    * are discrete sums, so cross-group ties are COMMON here — the tie-
+    * class machinery is load-bearing, not an edge case; all-zero
+    * distances negate to a uniform -0.0, so the ±0.0 class corner
+    * cannot split). Candidates re-score through the same ADC kernel
+    * (bit-equal — members carry their rep's codes) and a bounded heap
+    * re-ranks. */
+  def pqTopKCollapsed(queries: DataFrame, encoded: DataFrame, idCol: String,
+      cb: PqCodebooks, topK: Int): DataFrame = {
+    val q = queries.select(col("query_id"),
+      pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub).as("__table"))
+    val gm = Ann.groupMembership(
+      encoded.select(col(idCol), col("codes")), idCol, Seq("codes"))
+    val repScored = gm.select(col("__gid"), col("codes"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("__gid"),
+        (-pqAdc(col("__table"), col("codes"), cb.k)).as("sim"))
+    val cands = Ann.expandCandidateTopK(
+      Ann.repTopK(repScored, topK + 1), gm, topK)
+    val rescored = cands
+      .join(encoded.select(col(idCol).as("__mid"), col("codes")), "__mid")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("__mid").as("neighbor_id"),
+        (-pqAdc(col("__table"), col("codes"), cb.k)).as("sim"))
+    rescored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("neighbor_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** E8: ADC top-k — queries (query_id, qvec) against the encoded corpus
     * (idCol, codes). E1's broadcast + bounded-heap shape, but the corpus
     * side carries m·8-byte codes instead of d·8-byte vectors and each

@@ -1348,7 +1348,9 @@ object LlmOps {
     * and the compression contract. */
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val (cb, encoded) = pqIndex(spark, dir)
-    Pq.pqTopK(annQueries(spark, dir), encoded, "vec_id", cb, topK = 10)
+    // r17: candidate-stage collapse — the heap sees one row per distinct
+    // code vector (PqSpec pins collapsed ≡ uncollapsed)
+    Pq.pqTopKCollapsed(annQueries(spark, dir), encoded, "vec_id", cb, topK = 10)
       .orderBy("query_id", "rank")
   }
 

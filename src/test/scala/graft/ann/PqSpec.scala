@@ -158,4 +158,39 @@ class PqSpec extends SparkSpec {
     assert(perQuery.values.forall(
       _.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 10L)))
   }
+
+  test("pq top-k candidate collapse (r17): collapsed ≡ uncollapsed scan on the sf corpus and on planted clone/tie corpora") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"))).sortBy(x => (x._1, x._3)).toSeq
+    // sf corpus through the registered index: the face (collapsed) must
+    // equal the uncollapsed kernel row for row
+    val (cb, encoded) = LlmOps.pqIndex(spark, sfDir)
+    val q = graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+    assert(rows(Pq.pqTopKCollapsed(q, encoded, "vec_id", cb, 10)) ==
+      rows(Pq.pqTopK(q, encoded, "vec_id", cb, 10)),
+      "collapsed PQ scan diverged on the sf corpus")
+    // planted: clone groups (identical codes by construction) + code
+    // groups that TIE in ADC distance (discrete sums make ties common —
+    // the tie-class reconstruction is load-bearing here); k lands both
+    // inside the query's own clone group and mid-tie
+    val base = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val planted = (Seq(0L -> base(0)) ++ (1L to 6L).map(_ -> base(0)) ++
+      (10L to 14L).map(_ -> base(1)) ++ (20L to 24L).map(_ -> base(2)) ++
+      Seq(30L -> base(3))).toDF("vec_id", "embedding")
+    val cbP = Pq.fit(planted, "embedding", m = 2, k = 4, maxIter = 5)
+    val encP = Pq.encode(planted, "vec_id", "embedding", cbP)
+    val qP = planted.filter(col("vec_id") === 0L || col("vec_id") === 30L)
+      .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
+    for (k <- Seq(1, 3, 7, 11, 50)) {
+      assert(rows(Pq.pqTopKCollapsed(qP, encP, "vec_id", cbP, k)) ==
+        rows(Pq.pqTopK(qP, encP, "vec_id", cbP, k)),
+        s"collapsed PQ scan diverged on the planted corpus at k=$k")
+    }
+  }
 }

@@ -1064,4 +1064,71 @@ class StreamingSpec extends SparkSpec {
       "the candidate set must exercise at least one unknown bucket " +
         "(vocabulary is synthetic — widen the candidate range if this trips)")
   }
+
+  test("streaming IVF probe gate (G22): stream flags == batch flags; " +
+      "candidate set == the E3 probe's own; novelty reads as sub-tau cosine") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ann.Ivf
+    // planted clusters (the G20 fixture): 15 bases x 6 members; the
+    // static index is the E3 coarse quantizer built ONCE on the corpus
+    val rng = new scala.util.Random(11)
+    val dims = 16
+    val bases = (0 until 15).map(_ => Array.fill(dims)(rng.nextGaussian()))
+    val corpus = bases.zipWithIndex.flatMap { case (base, c) =>
+      (0 until 6).map(m =>
+        (c * 10L + m, base.map(x => x + 0.03 * rng.nextGaussian()).toSeq))
+    }.toDF("vec_id", "embedding")
+    val idx = Ivf.buildIndex(corpus, "vec_id", "embedding", nCells = 8)
+    val centers = idx.centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val arriving = (0 until 5).map { c =>
+      (1000L + c, bases(c).map(x => x + 0.03 * rng.nextGaussian()).toSeq)
+    } :+ (2000L, Array.fill(dims)(rng.nextGaussian()).toSeq)
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      Ivf.ivfNearDupFlags(idx, centers, df, "vec_id", "embedding",
+        tau = 0.95, nprobe = 2)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(arriving: _*)
+    val query = flags(input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("ivf_flags")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("ivf_flags").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = flags(arriving.toDF("vec_id", "embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, "stream flags must equal the batch flags")
+      // candidate-set equivalence with the registered E3 face's probe:
+      // at tau = -1 every probed candidate survives, and ivfTopK at
+      // k >= corpus over the SAME nprobe ranks exactly that set (the
+      // map-side sorted-literal probe must pick the aggregate's cells)
+      val arrDF = arriving.toDF("vec_id", "embedding")
+      val gateCands = Ivf.ivfNearDupFlags(idx, centers, arrDF,
+          "vec_id", "embedding", tau = -1.0, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val faceCands = Ivf.ivfTopK(
+          arrDF.select($"vec_id".as("query_id"),
+            graft.ann.Ann.asDouble($"embedding").as("qvec")),
+          idx, k = 1000, nprobe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+      assert(gateCands == faceCands,
+        s"gate candidates must equal the E3 probe's candidate set: " +
+          s"gate ${gateCands.size}, face ${faceCands.size}")
+      // planted expectations: arrivals flag only within their own
+      // cluster; the novel vector probes cells (IVF never misses) but
+      // crosses tau nowhere
+      assert(!batch.exists(_._1 == 2000L), "novel vector must not flag")
+      assert(gateCands.exists(_._1 == 2000L),
+        "novel vector must still probe candidates (sub-tau, not absent)")
+      assert(batch.forall { case (a, c) => c / 10 == a - 1000L },
+        "flags must stay within the arriving member's own cluster")
+      assert(batch.map(_._1).size >= 4,
+        s"at least 4 of 5 planted arrivals must flag, got ${batch.map(_._1)}")
+    } finally query.stop()
+  }
 }
