@@ -38,10 +38,19 @@ object Ann {
     * old join-back shuffled a second time. */
   private[graft] def groupMembership(corpus: DataFrame, idCol: String,
       keyCols: Seq[String]): DataFrame =
+    groupMembershipPlan(corpus, idCol, keyCols)
+      .transform(graft.engine.Materialized.checkpoint)
+
+  /** [[groupMembership]] without the materialization — for callers that
+    * MEMOIZE the frame (LlmOps' per-(session, dir) index cache): a
+    * memoized frame must be persist()-based and recompute-safe, never a
+    * localCheckpoint that `Materialized.release` frees at the next
+    * unit-of-work boundary. */
+  private[graft] def groupMembershipPlan(corpus: DataFrame, idCol: String,
+      keyCols: Seq[String]): DataFrame =
     corpus.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("__gid"), count(lit(1)).as("__gn"),
         collect_list(col(idCol)).as("__mids"))
-      .transform(graft.engine.Materialized.checkpoint)
 
   /** r17 — the rep collapse generalized from final top-k faces to
     * bounded CANDIDATE stages (the r16 verdict's q_ann_pca item): given
@@ -169,12 +178,15 @@ object Ann {
     * byte-identical to their rep) and the final bounded heap re-ranks —
     * identical rows and ranks to [[bruteForceTopK]] on every input. */
   def bruteForceTopKCollapsed(queries: DataFrame, corpus: DataFrame,
-      idCol: String, embCol: String, k: Int): DataFrame = {
+      idCol: String, embCol: String, k: Int,
+      gmIndex: Option[DataFrame] = None): DataFrame = {
     val emb = corpus.select(col(idCol), col(embCol))
     // r17: ONE exchange of the vector key builds groups AND memberships
     // (was: groupBy + corpus join-back — two wide exchanges, two
-    // checkpoints, the measured sf0.1 collapse premium)
-    val gm = groupMembership(emb, idCol, Seq(embCol))
+    // checkpoints, the measured sf0.1 collapse premium); registered
+    // faces pass a MEMOIZED membership index so repeat query batches
+    // skip the exchange entirely (the ANN-index deployment model)
+    val gm = gmIndex.getOrElse(groupMembership(emb, idCol, Seq(embCol)))
     val repScored = gm.select(col("__gid"), col(embCol)).crossJoin(broadcast(queries))
       .select(col("query_id"), col("__gid").as("neighbor_id"),
         cosineSim(col("qvec"), asDouble(col(embCol))).as("sim"))
@@ -195,11 +207,12 @@ object Ann {
     * group-exact and still prunes before any cosine; the id exclusion
     * moves to member level with the same k+1 cover. */
   def hardNegativesCollapsed(queries: DataFrame, corpus: DataFrame,
-      idCol: String, embCol: String, labelCol: String, k: Int): DataFrame = {
+      idCol: String, embCol: String, labelCol: String, k: Int,
+      gmIndex: Option[DataFrame] = None): DataFrame = {
     val emb = corpus.select(col(idCol), col(embCol), col(labelCol))
     // r17: one exchange of the (vector, label) key (see
-    // [[bruteForceTopKCollapsed]])
-    val gm = groupMembership(emb, idCol, Seq(embCol, labelCol))
+    // [[bruteForceTopKCollapsed]]; faces pass the memoized index)
+    val gm = gmIndex.getOrElse(groupMembership(emb, idCol, Seq(embCol, labelCol)))
     val repScored = gm.select(col("__gid"), col(embCol), col(labelCol))
       .join(broadcast(queries), col("qlabel") =!= col(labelCol))
       .select(col("query_id"), col("__gid").as("neighbor_id"),

@@ -208,11 +208,12 @@ object Pq {
     * (bit-equal — members carry their rep's codes) and a bounded heap
     * re-ranks. */
   def pqTopKCollapsed(queries: DataFrame, encoded: DataFrame, idCol: String,
-      cb: PqCodebooks, topK: Int): DataFrame = {
+      cb: PqCodebooks, topK: Int,
+      gmIndex: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col("query_id"),
       pqDistTable(col("qvec"), cb.flat, cb.m, cb.k, cb.dsub).as("__table"))
-    val gm = Ann.groupMembership(
-      encoded.select(col(idCol), col("codes")), idCol, Seq("codes"))
+    val gm = gmIndex.getOrElse(Ann.groupMembership(
+      encoded.select(col(idCol), col("codes")), idCol, Seq("codes")))
     val repScored = gm.select(col("__gid"), col("codes"))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("__gid"),

@@ -656,6 +656,51 @@ object LlmOps {
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
 
+  /** Memoized one-exchange MEMBERSHIP frames (`Ann.groupMembershipPlan`)
+    * — the rep collapse's index half, cached per (session, dir) like
+    * the ANN indexes (r17, the sf0.1 collapse-premium item): a repeat
+    * query batch must not pay the membership exchange again, exactly
+    * as it doesn't refit IVF centroids. persist()-based and
+    * recompute-safe (NEVER Materialized.checkpoint — the bench's
+    * per-query release boundary frees those, and a released
+    * localCheckpoint frame fails rather than recomputes). */
+  private def gmIndex(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    annIndexCache.getOrElseUpdate((System.identityHashCode(spark), dir, name), {
+      val gm = build.persist()
+      gm.count()
+      gm
+    }).asInstanceOf[DataFrame]
+
+  /** Shared (vector) and (vector, label) membership indexes over the
+    * embeddings table — gm_emb serves E1/E14, gm_emb_label serves E7. */
+  private def embGm(spark: SparkSession, dir: String): DataFrame =
+    gmIndex(spark, dir, "gm_emb") {
+      Ann.groupMembershipPlan(
+        Tables.table(spark, dir, "embeddings")
+          .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
+        "vec_id", Seq("emb"))
+    }
+
+  private def embLabelGm(spark: SparkSession, dir: String): DataFrame =
+    gmIndex(spark, dir, "gm_emb_label") {
+      Ann.groupMembershipPlan(
+        Tables.table(spark, dir, "embeddings")
+          .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"),
+            col("label")),
+        "vec_id", Seq("emb", "label"))
+    }
+
+  /** Membership index over the int8 code key — shared by E19 (qAnnInt8)
+    * and E21 (qAnnCascade stage 1). */
+  private def int8Gm(spark: SparkSession, dir: String): DataFrame =
+    gmIndex(spark, dir, "gm_qc") {
+      Ann.groupMembershipPlan(
+        graft.ann.Quantize.unitInt8(
+          Tables.table(spark, dir, "embeddings"), "vec_id", "embedding", "qc"),
+        "vec_id", Seq("qc"))
+    }
+
   /** Memoized, persisted ANN indexes per (session, dir) — models the real
     * deployment shape where the index is built ONCE and amortized over
     * every query batch (an IVF k-means refit per query batch would be
@@ -906,10 +951,12 @@ object LlmOps {
       .select(col("vec_id").as("query_id"),
         Ann.asDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
     // r16: rep-collapsed (groups key on (vector, label) so the label
-    // disqualifier stays ahead of every cosine; AnnSpec pins equality)
+    // disqualifier stays ahead of every cosine; AnnSpec pins equality);
+    // r17: memoized membership index
     Ann.hardNegativesCollapsed(queries,
       emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"), col("label")),
-      "vec_id", "emb", "label", k = 3)
+      "vec_id", "emb", "label", k = 3,
+      gmIndex = Some(embLabelGm(spark, dir)))
       .orderBy("query_id", "rank")
   }
 
@@ -925,10 +972,11 @@ object LlmOps {
   def qKnnClassify(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-    // r16: rep-collapsed exact top-k (identical rows → identical votes)
+    // r16: rep-collapsed exact top-k (identical rows → identical votes);
+    // r17: memoized membership index, shared with qAnnTopK
     val topk = Ann.bruteForceTopKCollapsed(annQueries(spark, dir),
       emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
-      "vec_id", "emb", k = k)
+      "vec_id", "emb", k = k, gmIndex = Some(embGm(spark, dir)))
     val votes = topk
       .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .groupBy(col("query_id"), col("label"))
@@ -972,7 +1020,7 @@ object LlmOps {
     Ann.bruteForceTopKCollapsed(annQueries(spark, dir),
       Tables.table(spark, dir, "embeddings")
         .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
-      "vec_id", "emb", k = 10)
+      "vec_id", "emb", k = 10, gmIndex = Some(embGm(spark, dir)))
       .orderBy("query_id", "rank")
 
   /** E19: INT8-quantized brute-force top-k — the memory-bound exact-scan
@@ -988,11 +1036,7 @@ object LlmOps {
     * E20 prices the quantization loss against the float-exact E1. */
   def qAnnInt8(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
-    // the quantization pass feeds THREE consumers (groups, member
-    // join-back, candidate re-score) — materialize it once; the codes
-    // frame is 64 longs/row, corpus-linear
     val corpus = graft.ann.Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
-      .transform(graft.engine.Materialized.checkpoint)
     val probes = graft.ann.Quantize.unitInt8(
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
       .withColumnRenamed("vec_id", "query_id")
@@ -1001,8 +1045,10 @@ object LlmOps {
     // codes score identically against every probe, and integer dots are
     // exact in the heap's double cast — top-(k+1) code-reps cover the
     // true top-k after the one possible self row drops at member level.
-    // r17: one exchange of the code key builds groups + memberships
-    val gm = Ann.groupMembership(corpus, "vec_id", Seq("qc"))
+    // r17: the membership index memoizes (one exchange, shared with the
+    // E21 cascade), so only the candidate re-score reads the
+    // quantization pass per call — no per-call checkpoint needed
+    val gm = int8Gm(spark, dir)
     val groups = gm.select(col("__gid"), col("qc"))
     val members = gm.select(col("__gid"), explode(col("__mids")).as("__mid"))
     def topK(scored: DataFrame, kk: Int): DataFrame = scored
@@ -1146,11 +1192,10 @@ object LlmOps {
     // only corpus-sized work is the rep scan. Integer scores cast to
     // double are exact (|Σ q·c| ≤ 64·127² ≪ 2^53), so the heap order
     // is the uncollapsed one and the stage-1 set is identical.
-    val corpus8 = graft.ann.Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
     val probes8 = graft.ann.Quantize.unitInt8(
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
       .withColumnRenamed("vec_id", "query_id")
-    val gm8 = Ann.groupMembership(corpus8, "vec_id", Seq("qc"))
+    val gm8 = int8Gm(spark, dir)
     val repScored8 = gm8.select(col("__gid"), col("qc"))
       .crossJoin(broadcast(probes8))
       .select(col("query_id"), col("__gid"),
@@ -1253,7 +1298,9 @@ object LlmOps {
         // −L2² + ‖q‖² — same ranking, one codegen'd dot on the hot path
         (graft.functions.dotProductDouble(col("pvec"), col("qpvec")) * 2.0
           - col("pnorm2")).as("sim"))
-    val gm = Ann.groupMembership(projected, "vec_id", Seq("pvec", "pnorm2"))
+    val gm = gmIndex(spark, dir, "gm_pvec") {
+      Ann.groupMembershipPlan(projected, "vec_id", Seq("pvec", "pnorm2"))
+    }
     val reps = gm.select(col("__gid"), col("pvec"), col("pnorm2"))
     // Per-query admission cutoff from a 1/sampleMod REP sample (the
     // H16b sampled-order-stat estimator pointed at SCORES): the kSmp-th
@@ -1349,8 +1396,13 @@ object LlmOps {
   def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val (cb, encoded) = pqIndex(spark, dir)
     // r17: candidate-stage collapse — the heap sees one row per distinct
-    // code vector (PqSpec pins collapsed ≡ uncollapsed)
-    Pq.pqTopKCollapsed(annQueries(spark, dir), encoded, "vec_id", cb, topK = 10)
+    // code vector (PqSpec pins collapsed ≡ uncollapsed); the membership
+    // index memoizes alongside the encoded corpus
+    Pq.pqTopKCollapsed(annQueries(spark, dir), encoded, "vec_id", cb,
+      topK = 10, gmIndex = Some(gmIndex(spark, dir, "gm_codes") {
+        Ann.groupMembershipPlan(
+          encoded.select(col("vec_id"), col("codes")), "vec_id", Seq("codes"))
+      }))
       .orderBy("query_id", "rank")
   }
 
