@@ -108,7 +108,25 @@ class WarmArtifactSpec extends SparkSpec {
     // budget allows one extra CC round over the measurement so a fresh
     // corpus can't redden a plan that didn't change; an eager-fit leak
     // adds jobs OUTSIDE the iteration and still trips it.
-    "q_image_dedup_apply" -> 21)
+    "q_image_dedup_apply" -> 21,
+    // r17 (r16 verdict item 1): the H10 consumers read the pinned
+    // scored frame — a regression that re-runs the feature+sigmoid
+    // corpus pass shows up as extra jobs here long before a bench
+    // median moves. Measured 4/3 warm (WarmJobsProbe, sf0.001) + 1
+    // session headroom.
+    "q_calibration" -> 5,
+    "q_quality_classifier" -> 4,
+    // r17: the rep-collapsed E-faces with their memoized membership
+    // indexes — fixed plan shapes (no data-dependent iteration), so a
+    // grown count means the gm memo or an expansion stage regressed.
+    // Measured warm counts + 1 headroom.
+    "q_ann_topk" -> 11,
+    "q_ann_int8" -> 10,
+    "q_ann_pca" -> 17,
+    "q_ann_cascade" -> 12,
+    "q_pq_topk" -> 12,
+    "q_hard_negatives" -> 10,
+    "q_knn_classify" -> 13)
 
   test("warm-cost sweep: every pinned-artifact face stays inside its declared job budget") {
     // collect EVERY violation before failing — a budget sweep that stops
