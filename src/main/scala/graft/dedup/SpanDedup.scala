@@ -102,9 +102,16 @@ object SpanDedup {
     * lexicographically while keeping the aggregate a HashAggregate — a
     * min-of-struct would plan a SortAggregate, the H6 lesson; pos < 2²⁴
     * and doc_id < 2³⁹ hold to ~550 B docs). Text reconstruction is
-    * map-side: the per-doc mask joins back by id and a filter-with-index
-    * lambda keeps unmasked tokens — the document text itself never
-    * shuffles. */
+    * map-side: the per-doc mask joins back by id and the kept indices
+    * compute as array_except(0..n−1, mask) — a HASH-SET difference,
+    * O(n_tokens + mask) per document and order-preserving. The r16
+    * filter-with-index lambda ran array_contains per TOKEN —
+    * O(n_tokens × mask), quadratic in a document's duplicated-span
+    * density: fine on a sparse-dup corpus, 3.5× the block on a dense
+    * one (36s → 128s at 100× when the r17 corpus generation landed
+    * denser spans — the per-doc mask is exactly the lane a data
+    * property can blow up, so the engine must not be quadratic in it).
+    * The document text itself never shuffles either way. */
   def dedupApply(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     val spans = spanHashes(docs, idCol, textCol, w)
@@ -125,10 +132,11 @@ object SpanDedup {
       .join(masked, Seq(idCol), "left")
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
-        filter(col("__toks"),
-          (_, i) => !array_contains(
-            coalesce(col("__mask"), array().cast("array<bigint>")),
-            i.cast("long"))).as("__clean"))
+        transform(
+          array_except(
+            sequence(lit(0L), size(col("__toks")).cast("long") - 1L),
+            coalesce(col("__mask"), array().cast("array<bigint>"))),
+          i => element_at(col("__toks"), (i + 1L).cast("int"))).as("__clean"))
       .select(col(idCol), col("n_tokens"),
         size(col("__clean")).cast("long").as("n_kept"),
         array_join(col("__clean"), " ").as("clean_text"))
