@@ -78,12 +78,21 @@ object SpanDedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"),
         collect_list(col("pos")).as("__ps"))
-      // interval union via position explode INSIDE the per-doc array —
-      // bounded by w × spans-per-doc, never a corpus-wide explode
-      .select(col(idCol), col("n_dup_spans"),
-        size(array_distinct(flatten(
-          transform(col("__ps"), p => sequence(p, p + (w - 1))))))
-          .cast("long").as("n_dup_tokens"))
+      // interval union WITHOUT materializing covered positions (r17 —
+      // was flatten(per-span sequence) + array_distinct, O(spans × w)
+      // elements plus a hash set per doc): span starts are distinct per
+      // doc, so after an array_sort the union of [p, p+w) intervals is
+      // w for the last span plus Σ min(w, next − cur) over adjacent
+      // pairs — one O(spans) fold, exact for every overlap pattern
+      .select(col(idCol), col("n_dup_spans"), {
+        val ps = array_sort(col("__ps"))
+        val len = greatest(size(ps) - 1, lit(0))
+        val diffs = zip_with(
+          slice(ps, lit(2), len), slice(ps, lit(1), len),
+          (nxt, cur) => least(lit(w.toLong), nxt - cur))
+        (aggregate(diffs, lit(0L), (a, x) => a + x) + lit(w.toLong))
+          .cast("long").as("n_dup_tokens")
+      })
     docs.select(col(idCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
