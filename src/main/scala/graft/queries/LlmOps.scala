@@ -672,6 +672,31 @@ object LlmOps {
       gm
     }).asInstanceOf[DataFrame]
 
+  /** r17 — DATA-ADAPTIVE COLLAPSE DISPATCH: the rep collapse trades one
+    * membership exchange + an expansion stage for a cosine/dot mass that
+    * shrinks by the clone factor — on a corpus that does NOT compress
+    * (distinct keys ≈ rows) it is pure overhead at EVERY scale, not just
+    * sf0.1 (reps ≡ corpus, so the rep scan does full work and the
+    * expansion adds joins/windows for nothing). The membership index
+    * itself measures the compression, so each face dispatches on it:
+    * collapse when groups ≤ 0.8 × members (clone factor ≥ 1.25 — below
+    * that the saved scan work cannot cover the expansion plumbing,
+    * measured 0.5-1.3s/face at sf0.1), otherwise run the uncollapsed
+    * twin the equality specs already pin row-identical (AnnSpec/PqSpec:
+    * collapsed ≡ brute at every k, ties included). The verdict's 100×
+    * corpora are clone-amplified by construction (factors 8-55×), so
+    * they dispatch to the collapse unchanged; the clone-free sf gate
+    * corpora stop paying a premium for insurance they never use. The
+    * ratio is one aggregate over the PERSISTED index, memoized beside
+    * it (and evicted with it — same cache, derived key). */
+  private def gmPays(spark: SparkSession, dir: String, name: String,
+      gm: => DataFrame): Boolean =
+    annIndexCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, s"${name}_pays"), {
+        val r = gm.agg(count(lit(1)).as("g"), sum(col("__gn")).as("n")).head
+        java.lang.Boolean.valueOf(r.getLong(0).toDouble <= 0.8 * r.getLong(1))
+      }).asInstanceOf[java.lang.Boolean].booleanValue
+
   /** Shared (vector) and (vector, label) membership indexes over the
     * embeddings table — gm_emb serves E1/E14, gm_emb_label serves E7. */
   private def embGm(spark: SparkSession, dir: String): DataFrame =
@@ -952,11 +977,13 @@ object LlmOps {
         Ann.asDouble(col("embedding")).as("qvec"), col("label").as("qlabel"))
     // r16: rep-collapsed (groups key on (vector, label) so the label
     // disqualifier stays ahead of every cosine; AnnSpec pins equality);
-    // r17: memoized membership index
-    Ann.hardNegativesCollapsed(queries,
-      emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"), col("label")),
-      "vec_id", "emb", "label", k = 3,
-      gmIndex = Some(embLabelGm(spark, dir)))
+    // r17: memoized membership index + clone-adaptive dispatch (gmPays)
+    val embd = emb.select(col("vec_id"),
+      Ann.asDouble(col("embedding")).as("emb"), col("label"))
+    (if (gmPays(spark, dir, "gm_emb_label", embLabelGm(spark, dir)))
+      Ann.hardNegativesCollapsed(queries, embd, "vec_id", "emb", "label",
+        k = 3, gmIndex = Some(embLabelGm(spark, dir)))
+    else Ann.hardNegatives(queries, embd, "vec_id", "emb", "label", k = 3))
       .orderBy("query_id", "rank")
   }
 
@@ -973,10 +1000,13 @@ object LlmOps {
     val emb = Tables.table(spark, dir, "embeddings")
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
     // r16: rep-collapsed exact top-k (identical rows → identical votes);
-    // r17: memoized membership index, shared with qAnnTopK
-    val topk = Ann.bruteForceTopKCollapsed(annQueries(spark, dir),
-      emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
-      "vec_id", "emb", k = k, gmIndex = Some(embGm(spark, dir)))
+    // r17: memoized membership index, shared with qAnnTopK, behind the
+    // clone-adaptive dispatch (gmPays)
+    val embd = emb.select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
+    val topk = if (gmPays(spark, dir, "gm_emb", embGm(spark, dir)))
+      Ann.bruteForceTopKCollapsed(annQueries(spark, dir), embd,
+        "vec_id", "emb", k = k, gmIndex = Some(embGm(spark, dir)))
+    else Ann.bruteForceTopK(annQueries(spark, dir), embd, "vec_id", "emb", k = k)
     val votes = topk
       .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .groupBy(col("query_id"), col("label"))
@@ -1013,15 +1043,20 @@ object LlmOps {
   }
 
   /** E1: exact brute-force cosine top-10 per query vector. */
-  def qAnnTopK(spark: SparkSession, dir: String): DataFrame =
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     // r16: rep-collapsed exact top-k — identical rows/ranks to
     // bruteForceTopK (AnnSpec pins equality), cosine work quadratic in
-    // DISTINCT vectors (100×: 216.9s warm in-sweep → see SCALE_r16)
-    Ann.bruteForceTopKCollapsed(annQueries(spark, dir),
-      Tables.table(spark, dir, "embeddings")
-        .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb")),
-      "vec_id", "emb", k = 10, gmIndex = Some(embGm(spark, dir)))
+    // DISTINCT vectors (100×: 216.9s warm in-sweep → see SCALE_r16);
+    // r17: clone-adaptive dispatch (gmPays) — a non-compressing corpus
+    // runs the brute plan the collapse would only wrap in overhead
+    val embd = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), Ann.asDouble(col("embedding")).as("emb"))
+    (if (gmPays(spark, dir, "gm_emb", embGm(spark, dir)))
+      Ann.bruteForceTopKCollapsed(annQueries(spark, dir), embd,
+        "vec_id", "emb", k = 10, gmIndex = Some(embGm(spark, dir)))
+    else Ann.bruteForceTopK(annQueries(spark, dir), embd, "vec_id", "emb", k = 10))
       .orderBy("query_id", "rank")
+  }
 
   /** E19: INT8-quantized brute-force top-k — the memory-bound exact-scan
     * deployment shape (FAISS's SQ8 flat index): corpus vectors carry 64
@@ -1047,10 +1082,10 @@ object LlmOps {
     // true top-k after the one possible self row drops at member level.
     // r17: the membership index memoizes (one exchange, shared with the
     // E21 cascade), so only the candidate re-score reads the
-    // quantization pass per call — no per-call checkpoint needed
-    val gm = int8Gm(spark, dir)
-    val groups = gm.select(col("__gid"), col("qc"))
-    val members = gm.select(col("__gid"), explode(col("__mids")).as("__mid"))
+    // quantization pass per call — no per-call checkpoint needed; the
+    // clone-adaptive dispatch (gmPays) runs the direct scan when the
+    // code key does not compress (identical rows — the collapse proof's
+    // own claim, AnnSpec-pinned)
     def topK(scored: DataFrame, kk: Int): DataFrame = scored
       .groupBy(col("query_id"))
       .agg(graft.functions.topKByScore(
@@ -1059,18 +1094,28 @@ object LlmOps {
       .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"),
         col("nbr.sim").cast("long").as("score_i"))
-    val repScored = groups.crossJoin(broadcast(probes))
-      .select(col("query_id"), col("__gid").as("neighbor_id"),
-        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
-    val cands = topK(repScored, k + 1)
-      .join(members, col("neighbor_id") === col("__gid"))
-      .filter(col("__mid") =!= col("query_id"))
-      .select(col("query_id"), col("__mid").as("vec_id"))
-    val rescored = cands.join(corpus, Seq("vec_id"))
-      .join(broadcast(probes), Seq("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
-    topK(rescored, k).orderBy("query_id", "rank")
+    if (gmPays(spark, dir, "gm_qc", int8Gm(spark, dir))) {
+      val gm = int8Gm(spark, dir)
+      val groups = gm.select(col("__gid"), col("qc"))
+      val members = gm.select(col("__gid"), explode(col("__mids")).as("__mid"))
+      val repScored = groups.crossJoin(broadcast(probes))
+        .select(col("query_id"), col("__gid").as("neighbor_id"),
+          graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+      val cands = topK(repScored, k + 1)
+        .join(members, col("neighbor_id") === col("__gid"))
+        .filter(col("__mid") =!= col("query_id"))
+        .select(col("query_id"), col("__mid").as("vec_id"))
+      val rescored = cands.join(corpus, Seq("vec_id"))
+        .join(broadcast(probes), Seq("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+      topK(rescored, k).orderBy("query_id", "rank")
+    } else {
+      val scored = corpus.join(broadcast(probes), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.dotProductLong(col("qq"), col("qc")).as("score_i"))
+      topK(scored, k).orderBy("query_id", "rank")
+    }
   }
 
   /** E26: MARGIN-BASED MUTUAL-kNN MINING (round 12) — the bitext/parallel-
@@ -1195,15 +1240,29 @@ object LlmOps {
     val probes8 = graft.ann.Quantize.unitInt8(
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", "qq")
       .withColumnRenamed("vec_id", "query_id")
-    val gm8 = int8Gm(spark, dir)
-    val repScored8 = gm8.select(col("__gid"), col("qc"))
-      .crossJoin(broadcast(probes8))
-      .select(col("query_id"), col("__gid"),
-        graft.functions.dotProductLong(col("qq"), col("qc"))
-          .cast("double").as("sim"))
-    val stage1 = Ann.expandCandidateTopK(
-        Ann.repTopK(repScored8, kCand + 1), gm8, kCand)
-      .select(col("query_id"), col("__mid").as("neighbor_id"))
+    // clone-adaptive dispatch (gmPays): on a non-compressing code key
+    // stage 1 is the direct int8 scan + one bounded heap — same
+    // candidate set by expandCandidateTopK's own contract
+    val stage1 = (if (gmPays(spark, dir, "gm_qc", int8Gm(spark, dir))) {
+      val gm8 = int8Gm(spark, dir)
+      val repScored8 = gm8.select(col("__gid"), col("qc"))
+        .crossJoin(broadcast(probes8))
+        .select(col("query_id"), col("__gid"),
+          graft.functions.dotProductLong(col("qq"), col("qc"))
+            .cast("double").as("sim"))
+      Ann.expandCandidateTopK(Ann.repTopK(repScored8, kCand + 1), gm8, kCand)
+        .select(col("query_id"), col("__mid").as("neighbor_id"))
+    } else {
+      val corpus8 = graft.ann.Quantize.unitInt8(emb, "vec_id", "embedding", "qc")
+      val scored8 = corpus8.join(broadcast(probes8), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.dotProductLong(col("qq"), col("qc"))
+            .cast("double").as("sim"))
+      scored8.groupBy(col("query_id"))
+        .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kCand).as("top"))
+        .select(col("query_id"), explode(col("top")).as("nbr"))
+        .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"))
+    })
     val probes = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), Ann.asDouble(col("embedding")).as("qvec"))
     val rescored = stage1
@@ -1315,22 +1374,49 @@ object LlmOps {
     // affinity trap bites). At clone-free scale reps ≈ corpus and this
     // cutoff is what keeps the rep heap linear-scan-bound.
     val kSmp = math.max(1, math.ceil(2.0 * kCand / sampleMod).toInt)
-    val thr = coarseReps(reps.filter(
-        Mix.drawMix(graft.functions.polyhash(
-          concat(lit("pcasmp:"), col("__gid").cast("string"))))
-          * lit(sampleMod) < lit(2147483647L)))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.topKByScore(col("sim"), col("__gid"), kSmp).as("top"))
-      .select(col("query_id"),
-        element_at(col("top"), size(col("top"))).getField("sim").as("thr"))
-    val repTop = Ann.repTopK(
-      coarseReps(reps)
+    val cand = (if (gmPays(spark, dir, "gm_pvec", gm)) {
+      val thr = coarseReps(reps.filter(
+          Mix.drawMix(graft.functions.polyhash(
+            concat(lit("pcasmp:"), col("__gid").cast("string"))))
+            * lit(sampleMod) < lit(2147483647L)))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.topKByScore(col("sim"), col("__gid"), kSmp).as("top"))
+        .select(col("query_id"),
+          element_at(col("top"), size(col("top"))).getField("sim").as("thr"))
+      val repTop = Ann.repTopK(
+        coarseReps(reps)
+          .join(broadcast(thr), Seq("query_id"), "left")
+          // a query absent from the sample leg (tiny corpus) admits everything
+          .filter(col("sim") >= coalesce(col("thr"), lit(Double.NegativeInfinity))),
+        kCand + 1)
+      Ann.expandCandidateTopK(repTop, gm, kCand)
+        .select(col("query_id"), col("__mid").as("neighbor_id"))
+    } else {
+      // clone-adaptive dispatch (gmPays): no compression ⇒ the direct
+      // projected-corpus scan with the same sampled cutoff (the r16
+      // registered shape — the cutoff is result-neutral by design, and
+      // the oracle states the no-cutoff plan either way)
+      def coarse(corpus: DataFrame): DataFrame = corpus
+        .join(broadcast(qp), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (graft.functions.dotProductDouble(col("pvec"), col("qpvec")) * 2.0
+            - col("pnorm2")).as("sim"))
+      val thr = coarse(projected.filter(
+          Mix.drawMix(graft.functions.polyhash(
+            concat(lit("pcasmp:"), col("vec_id").cast("string"))))
+            * lit(sampleMod) < lit(2147483647L)))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kSmp).as("top"))
+        .select(col("query_id"),
+          element_at(col("top"), size(col("top"))).getField("sim").as("thr"))
+      coarse(projected)
         .join(broadcast(thr), Seq("query_id"), "left")
-        // a query absent from the sample leg (tiny corpus) admits everything
-        .filter(col("sim") >= coalesce(col("thr"), lit(Double.NegativeInfinity))),
-      kCand + 1)
-    val cand = Ann.expandCandidateTopK(repTop, gm, kCand)
-      .select(col("query_id"), col("__mid").as("neighbor_id"))
+        .filter(col("sim") >= coalesce(col("thr"), lit(Double.NegativeInfinity)))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.topKByScore(col("sim"), col("neighbor_id"), kCand).as("top"))
+        .select(col("query_id"), explode(col("top")).as("nbr"))
+        .select(col("query_id"), col("nbr.neighbor_id").as("neighbor_id"))
+    })
     val rescored = cand
       .join(Tables.table(spark, dir, "embeddings")
           .select(col("vec_id").as("neighbor_id"),
@@ -1397,12 +1483,17 @@ object LlmOps {
     val (cb, encoded) = pqIndex(spark, dir)
     // r17: candidate-stage collapse — the heap sees one row per distinct
     // code vector (PqSpec pins collapsed ≡ uncollapsed); the membership
-    // index memoizes alongside the encoded corpus
-    Pq.pqTopKCollapsed(annQueries(spark, dir), encoded, "vec_id", cb,
-      topK = 10, gmIndex = Some(gmIndex(spark, dir, "gm_codes") {
-        Ann.groupMembershipPlan(
-          encoded.select(col("vec_id"), col("codes")), "vec_id", Seq("codes"))
-      }))
+    // index memoizes alongside the encoded corpus, and the
+    // clone-adaptive dispatch (gmPays) runs the direct ADC scan when the
+    // code key does not compress
+    def codesGm = gmIndex(spark, dir, "gm_codes") {
+      Ann.groupMembershipPlan(
+        encoded.select(col("vec_id"), col("codes")), "vec_id", Seq("codes"))
+    }
+    (if (gmPays(spark, dir, "gm_codes", codesGm))
+      Pq.pqTopKCollapsed(annQueries(spark, dir), encoded, "vec_id", cb,
+        topK = 10, gmIndex = Some(codesGm))
+    else Pq.pqTopK(annQueries(spark, dir), encoded, "vec_id", cb, topK = 10))
       .orderBy("query_id", "rank")
   }
 

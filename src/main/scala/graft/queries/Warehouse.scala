@@ -2249,13 +2249,43 @@ object Warehouse {
     * audit (the H16c rule: every NEW draw lane is audited the round it
     * ships — clustering/striping between consecutive ids' weights would
     * correlate replica membership and silently shrink the CI). */
-  private[graft] def bootstrapWeight(idCol: Column, bCol: Column): Column = {
-    val draw = graft.queries.Mix.drawMix(graft.functions.polyhash(
+  private[graft] def bootstrapWeight(idCol: Column, bCol: Column): Column =
+    weightFromDraw(graft.queries.Mix.drawMix(graft.functions.polyhash(
       concat(lit("boot:"), idCol.cast("string"), lit(":"),
-        bCol.cast("string"))))
+        bCol.cast("string")))))
+
+  private def weightFromDraw(draw: Column): Column =
     PoissonThresholds.map(t => when(draw >= t, 1L).otherwise(0L))
       .reduce(_ + _)
+
+  /** The replica-id half of [[bootstrapWeight]]'s rolling hash, split
+    * out so the B-way explode stops re-hashing the shared "boot:<id>:"
+    * prefix per replica (r17 — §1.2's per-task-work step: at B=100 the
+    * explode evaluated 100 string concats + 100 full polyhashes PER
+    * ROW; the prefix hash is one column computed before the explode,
+    * and each replica extends it with its 1-2 ASCII digits in integer
+    * arithmetic). Bit-identical to [[bootstrapWeight]] by PolyHash's
+    * own recurrence h ← (h·131 + cp) mod (2³¹−1) applied to the digit
+    * codepoints ('0'+d = 48+d); WarehouseSpec pins the equality lane
+    * by lane. `bCol` must be in [0, 99] — the caller's replica count
+    * contract (qBootstrapCi's default B=100); wider B falls back to
+    * [[bootstrapWeight]]. */
+  private[graft] def bootstrapWeightPrefixed(prefixHash: Column,
+      bCol: Column): Column = {
+    val M = lit(2147483647L)
+    val one = (prefixHash * 131L + (lit(48L) + bCol)) % M
+    // b ≤ 99 ⇒ b/10 is IEEE-exact, floor is the integer tens digit
+    val tens = floor(bCol / 10L).cast("long")
+    val two = (((prefixHash * 131L + (lit(48L) + tens)) % M)
+      * 131L + (lit(48L) + bCol % 10L)) % M
+    weightFromDraw(graft.queries.Mix.drawMix(
+      when(bCol < 10L, one).otherwise(two)))
   }
+
+  /** The "boot:<id>:" prefix hash [[bootstrapWeightPrefixed]] extends. */
+  private[graft] def bootstrapPrefixHash(idCol: Column): Column =
+    graft.functions.polyhash(
+      concat(lit("boot:"), idCol.cast("string"), lit(":")))
 
   /** C97: POISSON-BOOTSTRAP percentile CI for the per-type mean — the
     * resampling gold standard C41's jackknife approximates: B = 100
@@ -2281,9 +2311,18 @@ object Warehouse {
       .filter($"value".isNotNull)
       .select($"event_type", $"event_id",
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-    val replicas = ev
-      .withColumn("b", explode(sequence(lit(0L), lit((b - 1).toLong))))
-      .withColumn("__w", bootstrapWeight($"event_id", $"b"))
+    // r17: hash the shared "boot:<id>:" prefix ONCE per row, before the
+    // B-way explode — each replica then extends it with its digits in
+    // integer arithmetic (bootstrapWeightPrefixed; bit-identical lane,
+    // WarehouseSpec-pinned). B > 100 would need a third digit; fall
+    // back to the per-replica full hash there.
+    val replicas = (if (b <= 100)
+      ev.withColumn("__hp", bootstrapPrefixHash($"event_id"))
+        .withColumn("b", explode(sequence(lit(0L), lit((b - 1).toLong))))
+        .withColumn("__w", bootstrapWeightPrefixed($"__hp", $"b"))
+    else
+      ev.withColumn("b", explode(sequence(lit(0L), lit((b - 1).toLong))))
+        .withColumn("__w", bootstrapWeight($"event_id", $"b")))
       .groupBy($"event_type", $"b")
       .agg(sum($"__w" * $"cents").as("__s"), sum($"__w").as("__n"))
       .filter($"__n" > 0)

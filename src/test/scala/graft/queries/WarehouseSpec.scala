@@ -522,6 +522,22 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(r) < 0.03, s"adjacent-id weight correlation $r — draw lane is striped")
   }
 
+  test("bootstrap weight lane: prefixed integer extension ≡ the full string hash, every replica") {
+    // r17 — qBootstrapCi hashes the "boot:<id>:" prefix once per row and
+    // extends per replica in integer arithmetic; the lane must stay
+    // bit-identical to the string-keyed draw for every (id, b) incl.
+    // one- vs two-digit replica ids and ids of every digit width
+    val ids = spark.range(500L)
+      .select((col("id") * col("id") * 37L + col("id")).as("id"))
+    val both = ids
+      .withColumn("b", explode(expr("sequence(0L, 99L)")))
+      .withColumn("__hp", Warehouse.bootstrapPrefixHash(col("id")))
+      .select(col("id"), col("b"),
+        Warehouse.bootstrapWeight(col("id"), col("b")).as("w_full"),
+        Warehouse.bootstrapWeightPrefixed(col("__hp"), col("b")).as("w_pre"))
+    assert(both.filter(col("w_full") =!= col("w_pre")).count() === 0L)
+  }
+
   test("did: four-cell arithmetic matches brute force; the null design stays near zero") {
     val rows = Warehouse.qDid(spark, sfDir).collect()
     assert(rows.nonEmpty)
