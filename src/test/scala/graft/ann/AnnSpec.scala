@@ -659,4 +659,39 @@ class AnnSpec extends SparkSpec {
     assert(rows(LlmOps.qAnnCascade(spark, sfDir)) == cascRef,
       "collapsed E21 face diverged from the uncollapsed no-cutoff plan")
   }
+
+  test("clone-adaptive dispatch (r17): collapse engages on a compressing corpus, not on a clone-free one") {
+    import spark.implicits._
+    val dims = 8
+    def writeCorpus(name: String, vecOf: Int => Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(name).toString
+      (0 until 200).map { i =>
+        (i.toLong, Array.tabulate(dims)(j => if (j == vecOf(i) % dims) 1.0 else 0.1 * vecOf(i)))
+      }.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    // 200 distinct vectors -> ratio 1.0 -> the face must run the brute
+    // plan (no membership expansion in the physical plan); 20 distinct
+    // vectors x 10 clones -> ratio 0.1 -> the collapse must engage.
+    val freeDir = writeCorpus("gmfree", identity)
+    val cloneDir = writeCorpus("gmclone", _ % 20)
+    def planOf(dir: String): String =
+      LlmOps.qAnnTopK(spark, dir).queryExecution.toString
+    val freePlan = planOf(freeDir)
+    val clonePlan = planOf(cloneDir)
+    assert(!freePlan.contains("__mids"),
+      "clone-free corpus dispatched to the collapsed plan — the dispatch is paying the expansion premium for nothing")
+    assert(clonePlan.contains("__mids"),
+      "clone-compressing corpus dispatched to the brute plan — the dispatch lost the 100x collapse win")
+    // and the two plans agree with each other where they overlap in
+    // content: each face's rows are pinned against brute elsewhere;
+    // here pin that BOTH dispatch branches yield self-free contiguous
+    // ranks on their own corpus (cheap smoke on the planted dirs)
+    Seq(freeDir, cloneDir).foreach { d =>
+      val rs = LlmOps.qAnnTopK(spark, d).collect()
+      assert(rs.nonEmpty)
+      assert(rs.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    }
+  }
 }
