@@ -130,7 +130,41 @@ object Bench {
       catch { case _: Throwable => () }
       dt
     }
-    def pass(): Seq[(String, Double)] = names.map(n => n -> sample(n))
+    // BOX-NOISE SENTINEL (r17 — OPTIMIZATION_r17.md "not yet" item 3):
+    // a fixed reference op timed between faces, so a SUSTAINED ambient
+    // window (which defeats the per-face 3×-spike stall gate — the r17b
+    // forward run read one face at 10× its quiet median across all
+    // three warm passes) is visible in the artifact itself instead of
+    // being inferred from cross-run comparison. The sentinel runs
+    // OUTSIDE every face timing, every `SentinelEvery` faces (~10
+    // points/pass; the point costs 0.03-0.4s depending on JVM churn —
+    // measured 84-point median 0.39s on a post-face-GC'd session at
+    // sf0.001, so the cadence is kept coarse to bound overhead at a few
+    // seconds per run); its series goes to the FULL artifact only — the
+    // driver's stdout contract line is unchanged.
+    val SentinelEvery = 28
+    val noisePoints = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def sentinel(tag: String): Unit =
+      try {
+        val t0 = System.nanoTime()
+        // pmod keeps the sum far below Long range — sum(id*id) over 4M
+        // rows overflows and ANSI mode (Spark 4 default) throws, which
+        // the guard here would silently eat (it did, r17b_fwd4); 8
+        // fixed slices so the op samples multi-core contention without
+        // paying 32-task scheduling jitter
+        spark.range(0L, 1000000L, 1L, 8).selectExpr("sum(pmod(id, 1000000))").collect()
+        noisePoints += ((tag, (System.nanoTime() - t0) / 1e9)): Unit
+      } catch { case _: Throwable => () }
+    var passNo = -1 // 0 = cold, 1.. = warm
+    def pass(): Seq[(String, Double)] = {
+      passNo += 1
+      sentinel(s"p${passNo}_start")
+      names.zipWithIndex.map { case (n, i) =>
+        val dt = n -> sample(n)
+        if ((i + 1) % SentinelEvery == 0) sentinel(s"p${passNo}_i${i + 1}")
+        dt
+      }
+    }
     val cold = pass()
     val warmPasses = Seq(pass(), pass(), pass())
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -178,7 +212,7 @@ object Bench {
     // full artifact to a file so a stdout-tail capture can't truncate it
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     val stallList = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"stall_flagged":$stallList,"stall_resamples":${jmap(resampled.toSeq.flatMap { case (n, vs) => vs.drop(3).zipWithIndex.map { case (v, i) => s"${n}__r$i" -> v } })},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"jit_gap":${jmap(jitGap)},"setup":$st,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(warmTotal)},"unit":"sec","queries":${jmap(warm)},"warm_runs":[${warmPasses.map(jmap).mkString(",")}],"warm_spread":${jmap(spread)},"stall_flagged":$stallList,"stall_resamples":${jmap(resampled.toSeq.flatMap { case (n, vs) => vs.drop(3).zipWithIndex.map { case (v, i) => s"${n}__r$i" -> v } })},"cold":${jmap(cold)},"cold_total":${fmt(coldTotal)},"jit_gap":${jmap(jitGap)},"noise_sentinel":${jmap(noisePoints.toSeq)},"setup":$st,"sf":"$sfDir"}"""
     // The final stdout line must fit the driver's tail-capture buffer
     // (~4 KB observed): a full 147-query map is ~23 KB and got truncated
     // to an unparseable fragment three rounds running. Keep the line
